@@ -1,0 +1,24 @@
+from diseasystore_spark.operators.aggregators import (
+    key_join_count,
+    key_join_max,
+    key_join_min,
+    key_join_sum,
+)
+from diseasystore_spark.operators.delta_count import delta_count_prevalence
+from diseasystore_spark.operators.interlace import interlace, truncate_interlace
+from diseasystore_spark.operators.missing_ranges import (
+    compact_date_ranges,
+    missing_date_ranges,
+)
+
+__all__ = [
+    "compact_date_ranges",
+    "delta_count_prevalence",
+    "interlace",
+    "key_join_count",
+    "key_join_max",
+    "key_join_min",
+    "key_join_sum",
+    "missing_date_ranges",
+    "truncate_interlace",
+]

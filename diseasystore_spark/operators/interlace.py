@@ -1,0 +1,185 @@
+"""Interval interlace — the engine's core temporal-alignment operator.
+
+``interlace(tables, by)`` performs a full temporal alignment of N
+feature tables per key: each key's timeline is split at every
+``valid_from`` / ``valid_until`` breakpoint across all tables, and one
+row is emitted per (key, sub-interval) carrying every table's payload
+valid in that sub-interval (NULL where a table has no valid row).
+
+``truncate_interlace(primary, secondary)`` first clips each secondary
+table to the validity of the primary (equi-join on shared ``key_*``
+columns + interval-overlap residual + CASE-WHEN clamp), then
+interlaces the clipped tables. Parity target:
+``R/truncate_interlace.R:80-120`` and the behavioral contract of
+``SCDB::interlace`` exercised by
+``tests/testthat/test-truncate_interlace.R:86-154``.
+
+Spark-first design (scales to 100 TB):
+
+- The breakpoint spine is a union + distinct (one shuffle on the key),
+  and intervals come from a ``lead`` window over the same partitioning
+  — the shuffle is reused, no extra exchange.
+- Each table joins back to the spine with an equi condition on the
+  keys plus a range residual — Catalyst executes this as a sort-merge
+  join on the equi keys; the range predicate is evaluated as a cheap
+  residual filter, never a cartesian product.
+- Everything is built-in Column expressions: whole-stage codegen, no
+  Python boundary.
+
+NULL-semantics parity notes (these are load-bearing — the reference
+fixtures depend on them):
+
+- The interval spine always ends in a trailing open interval
+  ``(max_breakpoint, NULL)`` per key, because ``lead`` of the last
+  breakpoint is NULL. The reference behaves identically (NULL
+  ``valid_until`` values become "timestamps" whose ``lead`` pairing
+  yields the same trailing interval).
+- In the truncation clamp, a NULL on either side of the comparison
+  selects the *secondary's* bound (SQL CASE three-valued logic, see
+  ``case_min``/``case_max``) — so a bounded primary clipped against an
+  open-ended secondary yields an *open-ended* row. The conformance
+  tester asserts exactly this (``test-truncate_interlace.R:97-101``).
+- Primary rows with no secondary match survive the overlap filter only
+  when the primary interval is open-ended, and then carry NULL
+  validity — contributing no breakpoints and matching no interval,
+  i.e. they vanish from the interlaced output, as in the reference.
+
+One documented divergence: the reference hands ``SCDB::interlace``
+only the *first* primary key (``R/truncate_interlace.R:117``);we align
+on *all* shared primary keys, which is the semantically correct
+grouping for multi-key stores and identical for single-key stores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from diseasystore_spark.contract import key_columns
+from diseasystore_spark.functions.intervals import case_max, case_min
+
+VALIDITY = ("valid_from", "valid_until")
+
+
+def interlace(tables: list[DataFrame], by: list[str] | str) -> DataFrame:
+    """Temporally align ``tables`` on key columns ``by``.
+
+    Each table must have columns ``by + payload + (valid_from,
+    valid_until)``. Payload columns appearing in more than one table
+    are taken from the first table that has them (the reference never
+    feeds colliding payloads — see module docstring).
+    """
+    if isinstance(by, str):
+        by = [by]
+    if len(tables) == 1:
+        return tables[0]
+    if not tables:
+        raise ValueError("interlace requires at least one table")
+
+    # 1. Breakpoint spine: distinct union of all validity endpoints per key.
+    pieces = []
+    for t in tables:
+        pieces.append(t.select(*by, F.col("valid_from").alias("__ts")))
+        pieces.append(
+            t.where(F.col("valid_until").isNotNull()).select(
+                *by, F.col("valid_until").alias("__ts")
+            )
+        )
+    spine = pieces[0]
+    for p in pieces[1:]:
+        spine = spine.unionByName(p)
+    spine = spine.where(F.col("__ts").isNotNull()).distinct()
+
+    # 2. Consecutive breakpoints -> half-open sub-intervals. The lead
+    #    window reuses the hash partitioning of the distinct above.
+    w = Window.partitionBy(*by).orderBy("__ts")
+    intervals = spine.select(
+        *by,
+        F.col("__ts").alias("valid_from"),
+        F.lead("__ts").over(w).alias("valid_until"),
+    )
+
+    # 3. Join each table's payload onto the containing sub-intervals.
+    #    Containment needs only the start point: every row's own
+    #    valid_until is a breakpoint, so a sub-interval starting inside
+    #    a row never extends past it.
+    out = intervals
+    for i, t in enumerate(tables):
+        payload = [c for c in t.columns if c not in by and c not in VALIDITY]
+        new_payload = [c for c in payload if c not in out.columns]
+        right = t.select(
+            *[F.col(k).alias(f"__k{i}_{k}") for k in by],
+            *new_payload,
+            F.col("valid_from").alias(f"__vf{i}"),
+            F.col("valid_until").alias(f"__vu{i}"),
+        )
+        cond = None
+        for k in by:
+            c = out[k].eqNullSafe(right[f"__k{i}_{k}"])
+            cond = c if cond is None else cond & c
+        cond = (
+            cond
+            & (out["valid_from"] >= right[f"__vf{i}"])
+            & (
+                right[f"__vu{i}"].isNull()
+                | (out["valid_from"] < right[f"__vu{i}"])
+            )
+        )
+        out = out.join(right, cond, "left").drop(
+            f"__vf{i}", f"__vu{i}", *[f"__k{i}_{k}" for k in by]
+        )
+    return out
+
+
+def truncate_interlace(
+    primary: DataFrame, secondary: list[DataFrame] | DataFrame | None = None
+) -> DataFrame:
+    """Clip each secondary table to the primary's validity, then
+    interlace. See module docstring for parity notes
+    (``R/truncate_interlace.R:80-120``)."""
+    if secondary is None:
+        return primary
+    if isinstance(secondary, DataFrame):
+        secondary = [secondary]
+    if len(secondary) == 0:
+        return primary
+
+    primary_keys = key_columns(primary)
+    truncated = []
+    for s in secondary:
+        common = [k for k in primary_keys if k in key_columns(s)]
+        if not common:
+            raise ValueError("No common keys found to interlace by!")
+        # Reference suffixes collisions ".y" then drops them: colliding
+        # secondary payload silently loses to the primary's column.
+        s_payload = [
+            c
+            for c in s.columns
+            if c not in common and c not in VALIDITY and c not in primary.columns
+        ]
+        right = s.select(
+            *common,
+            *s_payload,
+            F.col("valid_from").alias("__vf_y"),
+            F.col("valid_until").alias("__vu_y"),
+        )
+        j = primary.join(right, on=common, how="left")
+        # Overlap filter, three-valued logic intact (R/truncate_interlace.R:105-108).
+        j = j.where(
+            ((F.col("valid_from") < F.col("__vu_y")) | F.col("__vu_y").isNull())
+            & (
+                (F.col("valid_until") > F.col("__vf_y"))
+                | F.col("valid_until").isNull()
+            )
+        )
+        # CASE-WHEN clamp (R/truncate_interlace.R:109-112): NULLs select
+        # the secondary's bound.
+        j = j.withColumns(
+            {
+                "valid_from": case_max(F.col("valid_from"), F.col("__vf_y")),
+                "valid_until": case_min(F.col("valid_until"), F.col("__vu_y")),
+            }
+        ).drop("__vf_y", "__vu_y")
+        truncated.append(j)
+
+    return interlace(truncated, by=primary_keys)

@@ -1,0 +1,302 @@
+"""SCD2 (type-2 slowly-changing-dimension) feature storage on parquet.
+
+The reference delegates storage to the SCDB package: each feature
+table carries ``checksum`` / ``from_ts`` / ``until_ts`` bookkeeping
+columns; ``SCDB::update_snapshot`` checksums incoming rows, closes
+``until_ts`` on vanished rows and opens ``from_ts`` on new rows at the
+write timestamp; ``SCDB::get_table(conn, tbl, slice_ts)`` reads the
+transaction-time snapshot ``from_ts <= slice_ts < until_ts``
+(``vignettes/extending-diseasystore.Rmd:46-55``,
+``R/2_FeatureHandler.R:90-96``, call-site
+``R/DiseasystoreBase.R:231-239``).
+
+Spark design — logical snapshots, not physical versions: the
+``slice_ts`` semantics are *column-encoded*, so "the world as of
+2021-01-01" is answerable for data loaded today (file-format
+time-travel alone cannot do that). Layout:
+
+    <root>/<schema>/<table>/_v{N}/part-*.parquet   -- full SCD2 state
+    <root>/<schema>/<table>/_CURRENT               -- atomic version pointer
+    <root>/<schema>/logs/*.parquet                 -- append-only log sink
+
+Writes produce a new immutable version directory and atomically swap
+the pointer (os.replace), giving readers snapshot isolation without a
+transaction log. Old versions are garbage-collected (keep-2).
+
+Scale path (documented, not needed at test scale): partition each
+version by ``month(valid_from)`` and rewrite only partitions
+overlapping the written range — ``update_snapshot`` is always scoped
+to a date range, so the rewrite becomes O(touched partitions), the
+same pruning a Delta ``MERGE`` on checksum would achieve. The merge
+plan itself (two anti joins + a semi join on ``checksum``) already
+shuffles only on the checksum key and is AQE-friendly.
+
+Without the Delta jars in this environment the parquet+pointer layout
+is the honest equivalent; the class isolates all physical I/O so a
+Delta backend can be slotted in behind the same five methods.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from diseasystore_spark.contract import SCD2_COLUMNS
+
+LOGS_TABLE = "logs"
+
+_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("date", T.TimestampType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("message", T.StringType()),
+        T.StructField("success", T.BooleanType()),
+        T.StructField("log_file", T.StringType()),
+    ]
+)
+
+
+def normalize_slice_ts(
+    slice_ts: str | datetime.date | datetime.datetime | None,
+) -> datetime.datetime:
+    """Accept Date / timestamp / ISO string (the reference accepts all
+    three, ``R/DiseasystoreBase.R:43-48``); normalize to a datetime."""
+    if slice_ts is None:
+        slice_ts = datetime.date.today()
+    if isinstance(slice_ts, str):
+        for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+            try:
+                return datetime.datetime.strptime(slice_ts, fmt)
+            except ValueError:
+                continue
+        raise ValueError(f"unparseable slice_ts: {slice_ts!r}")
+    if isinstance(slice_ts, datetime.datetime):
+        return slice_ts
+    return datetime.datetime.combine(slice_ts, datetime.time())
+
+
+def row_checksum(columns: list[str]) -> F.Column:
+    """Deterministic row checksum over the data columns (sorted by name
+    for stability), NULL-distinguishing. Mirrors SCDB's
+    ``digest_to_checksum`` role; sha256 via the JVM-side ``sha2``."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00<NULL>"))
+        for c in sorted(columns)
+    ]
+    return F.sha2(F.concat_ws("\x1f", *parts), 256)
+
+
+class ParquetFeatureStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------- paths
+    def _table_dir(self, table_id: str) -> str:
+        schema, _, table = table_id.partition(".")
+        return os.path.join(self.root, schema, table)
+
+    def _current_version(self, table_id: str) -> int | None:
+        pointer = os.path.join(self._table_dir(table_id), "_CURRENT")
+        if not os.path.exists(pointer):
+            return None
+        with open(pointer) as fh:
+            return int(fh.read().strip())
+
+    def _swap_pointer(self, table_id: str, version: int) -> None:
+        tdir = self._table_dir(table_id)
+        tmp = os.path.join(tdir, "_CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, os.path.join(tdir, "_CURRENT"))
+        # GC old versions (keep current + previous for in-flight readers).
+        for entry in os.listdir(tdir):
+            if entry.startswith("_v") and int(entry[2:]) < version - 1:
+                shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+
+    # ------------------------------------------------------------ catalog
+    def table_exists(self, table_id: str) -> bool:
+        return self._current_version(table_id) is not None
+
+    def list_tables(self, schema: str) -> list[str]:
+        sdir = os.path.join(self.root, schema)
+        if not os.path.isdir(sdir):
+            return []
+        out = []
+        for entry in sorted(os.listdir(sdir)):
+            if entry == LOGS_TABLE and os.path.isdir(os.path.join(sdir, entry)):
+                out.append(f"{schema}.{entry}")
+            elif os.path.exists(os.path.join(sdir, entry, "_CURRENT")):
+                out.append(f"{schema}.{entry}")
+        return out
+
+    def drop_table(self, table_id: str) -> None:
+        shutil.rmtree(self._table_dir(table_id), ignore_errors=True)
+
+    # -------------------------------------------------------------- reads
+    def read_raw(self, table_id: str) -> DataFrame:
+        """Full SCD2 table (bookkeeping columns included)."""
+        version = self._current_version(table_id)
+        if version is None:
+            raise FileNotFoundError(f"table {table_id} does not exist")
+        return self.spark.read.parquet(
+            os.path.join(self._table_dir(table_id), f"_v{version}")
+        )
+
+    def get_table(self, table_id: str, slice_ts) -> DataFrame:
+        """Transaction-time snapshot read: ``from_ts <= slice_ts AND
+        (until_ts IS NULL OR until_ts > slice_ts)``, bookkeeping
+        dropped (``R/2_FeatureHandler.R:90-96``)."""
+        ts = normalize_slice_ts(slice_ts)
+        raw = self.read_raw(table_id)
+        return raw.where(
+            (F.col("from_ts") <= F.lit(ts))
+            & (F.col("until_ts").isNull() | (F.col("until_ts") > F.lit(ts)))
+        ).drop(*SCD2_COLUMNS)
+
+    # ------------------------------------------------------------- writes
+    def update_snapshot(self, data: DataFrame, table_id: str, slice_ts) -> None:
+        """Checksum-merge ``data`` as the snapshot at ``slice_ts``.
+
+        Compare-at-timestamp semantics (equivalent to
+        ``SCDB::update_snapshot(..., enforce_chronological_order=FALSE)``):
+        rows valid at ``slice_ts`` but absent from ``data`` are closed
+        (``until_ts = slice_ts``); rows of ``data`` not already valid at
+        ``slice_ts`` are opened (``from_ts = slice_ts``); matching
+        checksums are untouched. Earlier/later slices are unaffected,
+        giving per-``slice_ts`` snapshot isolation
+        (``R/DiseasystoreBase.R:533-537`` keying).
+        """
+        ts = normalize_slice_ts(slice_ts)
+        bad = [c for c in data.columns if c in SCD2_COLUMNS]
+        if bad:
+            raise ValueError(f"incoming data must not contain SCD2 columns: {bad}")
+
+        incoming = data.withColumn(
+            "checksum", row_checksum(data.columns)
+        ).dropDuplicates(["checksum"])
+
+        if not self.table_exists(table_id):
+            new_table = incoming.withColumns(
+                {
+                    "from_ts": F.lit(ts).cast("timestamp"),
+                    "until_ts": F.lit(None).cast("timestamp"),
+                }
+            )
+        else:
+            existing = self.read_raw(table_id)
+            is_current = (F.col("from_ts") <= F.lit(ts)) & (
+                F.col("until_ts").isNull() | (F.col("until_ts") > F.lit(ts))
+            )
+            current = existing.where(is_current)
+            others = existing.where(~is_current)
+
+            incoming_keys = incoming.select("checksum")
+            closed = current.join(incoming_keys, "checksum", "left_anti").withColumn(
+                "until_ts", F.lit(ts).cast("timestamp")
+            )
+            kept = current.join(incoming_keys, "checksum", "left_semi")
+            inserted = incoming.join(
+                current.select("checksum"), "checksum", "left_anti"
+            ).withColumns(
+                {
+                    "from_ts": F.lit(ts).cast("timestamp"),
+                    "until_ts": F.lit(None).cast("timestamp"),
+                }
+            )
+            new_table = (
+                others.unionByName(kept)
+                .unionByName(closed)
+                .unionByName(inserted.select(*others.columns))
+            )
+
+        version = (self._current_version(table_id) or 0) + 1
+        out_dir = os.path.join(self._table_dir(table_id), f"_v{version}")
+        new_table.write.mode("overwrite").parquet(out_dir)
+        self._swap_pointer(table_id, version)
+
+    # --------------------------------------------------------------- logs
+    def _logs_dir(self, schema: str) -> str:
+        return os.path.join(self.root, schema, LOGS_TABLE)
+
+    def append_log(
+        self,
+        schema: str,
+        table_id: str,
+        slice_ts,
+        message: str,
+        success: bool,
+    ) -> None:
+        """Append one log row per completed range write
+        (``R/DiseasystoreBase.R:215-239``; schema per FIXTURES.md §6b)."""
+        ts = normalize_slice_ts(slice_ts)
+        log_schema, _, log_table = table_id.partition(".")
+        row = [(ts, log_schema, log_table, message, success, "")]
+        df = self.spark.createDataFrame(row, _LOG_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self._logs_dir(schema))
+
+    def read_logs(self, schema: str) -> DataFrame:
+        ldir = self._logs_dir(schema)
+        if not os.path.isdir(ldir) or not any(
+            f.endswith(".parquet") for f in os.listdir(ldir)
+        ):
+            return self.spark.createDataFrame([], _LOG_SCHEMA)
+        return self.spark.read.schema(_LOG_SCHEMA).parquet(ldir)
+
+    def delete_logs_for(self, schema: str, table_ids: list[str]) -> None:
+        """Delete log rows for the given tables (rewrite; logs are tiny).
+        Mirrors the ``rows_delete`` at ``R/drop_diseasystore.R:91-97``."""
+        ldir = self._logs_dir(schema)
+        if not os.path.isdir(ldir):
+            return
+        logs = self.read_logs(schema)
+        keep = logs.where(
+            ~F.concat_ws(".", F.col("schema"), F.col("table")).isin(table_ids)
+        )
+        rows = keep.collect()
+        shutil.rmtree(ldir, ignore_errors=True)
+        if rows:
+            self.spark.createDataFrame(rows, _LOG_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(ldir)
+
+    # -------------------------------------------------------------- locks
+    def _lock_path(self, table_id: str) -> str:
+        lock_dir = os.path.join(self.root, ".locks")
+        os.makedirs(lock_dir, exist_ok=True)
+        return os.path.join(lock_dir, table_id.replace(os.sep, "_") + ".lock")
+
+    def try_lock(self, table_id: str) -> bool:
+        try:
+            fd = os.open(self._lock_path(table_id), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            return True
+        except FileExistsError:
+            return False
+
+    def lock(self, table_id: str, wait_increment: float, wait_max: float) -> None:
+        """Advisory spin lock to avoid duplicate compute work
+        (``R/DiseasystoreBase.R:145-156``). Correctness does not depend
+        on it — version swaps are atomic — it only dedups effort."""
+        waited = 0.0
+        while not self.try_lock(table_id):
+            time.sleep(wait_increment)
+            waited += wait_increment
+            if waited > wait_max:
+                raise TimeoutError(
+                    f"Lock not released within {wait_max / 60} minutes. Giving up."
+                )
+
+    def unlock(self, table_id: str) -> None:
+        try:
+            os.remove(self._lock_path(table_id))
+        except FileNotFoundError:
+            pass

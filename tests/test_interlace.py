@@ -1,0 +1,167 @@
+"""interlace / truncate_interlace conformance.
+
+Mirrors ``tests/testthat/test-truncate_interlace.R`` (property tester
+:86-103, permutations :110-131, order invariance :135-143, list
+conversion :146-154) plus a hand-computed golden alignment.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from diseasystore_spark.operators.interlace import interlace, truncate_interlace
+from tests.fixtures import interlace_xyz, primaries
+
+D = datetime.date
+
+
+def _min_max(df, col):
+    row = df.select(
+        F.min(col).alias("mn"),
+        F.max(col).alias("mx"),
+        F.sum(F.col(col).isNull().cast("int")).alias("nulls"),
+    ).first()
+    return row["mn"], row["mx"], row["nulls"]
+
+
+def interlace_tester(primary, secondary, output):
+    """The reference property (``test-truncate_interlace.R:87-103``):
+    min(valid_from) = max over (secondary mins, primary min);
+    max(valid_until) with R `max` NA semantics — any NULL propagates."""
+    p_min, p_max, p_nulls = _min_max(primary, "valid_from")
+    pu_min, pu_max, pu_nulls = _min_max(primary, "valid_until")
+    sec_min = []
+    sec_max_is_null = False
+    for s in secondary:
+        smn, _, _ = _min_max(s, "valid_from")
+        _, smx, snulls = _min_max(s, "valid_until")
+        sec_min.append(smn)
+        if snulls > 0:
+            sec_max_is_null = True
+    expected_min = max(min(sec_min), p_min)
+
+    o_min, _, _ = _min_max(output, "valid_from")
+    _, o_max, o_nulls = _min_max(output, "valid_until")
+    assert o_min == expected_min
+    if sec_max_is_null or pu_nulls > 0:
+        assert o_nulls > 0, "expected open-ended rows in output"
+    else:
+        pass  # bounded case handled by golden tests
+
+
+def test_truncate_interlace_properties(spark):
+    x, y, z = interlace_xyz(spark)
+    p1, p2, p3 = primaries(spark)
+    for p in (p1, p2, p3):
+        for secondary in ([x], [x, y], [x, y, z]):
+            out = truncate_interlace(p, secondary)
+            interlace_tester(p, secondary, out)
+
+
+def test_truncate_interlace_no_secondary(spark):
+    p1, _, _ = primaries(spark)
+    assert truncate_interlace(p1) is p1
+    assert truncate_interlace(p1, None) is p1
+    assert truncate_interlace(p1, []) is p1
+
+
+def _sorted_rows(df):
+    cols = sorted(df.columns)
+    return [tuple(r[c] for c in cols) for r in df.select(cols).collect()].__class__(
+        sorted(
+            [tuple(r[c] for c in cols) for r in df.select(cols).collect()],
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+    )
+
+
+def test_order_invariance(spark):
+    """Result invariant under secondary-list permutation
+    (``test-truncate_interlace.R:135-143``)."""
+    x, y, z = interlace_xyz(spark)
+    _, _, p3 = primaries(spark)
+    a = truncate_interlace(p3, [x, y, z])
+    b = truncate_interlace(p3, [y, x, z])
+    assert sorted(a.columns) == sorted(b.columns)
+    assert _sorted_rows(a) == _sorted_rows(b)
+
+
+def test_single_secondary_list_conversion(spark):
+    x, y, _ = interlace_xyz(spark)
+    a = truncate_interlace(x, y)
+    b = truncate_interlace(x, [y])
+    assert _sorted_rows(a) == _sorted_rows(b)
+
+
+def test_interlace_golden(spark):
+    """Hand-computed temporal alignment."""
+    a = spark.createDataFrame(
+        [
+            ("k1", 1.0, D(2020, 1, 1), D(2020, 3, 1)),
+            ("k1", 2.0, D(2020, 3, 1), None),
+        ],
+        "key_k string, a double, valid_from date, valid_until date",
+    )
+    b = spark.createDataFrame(
+        [("k1", 9.0, D(2020, 2, 1), D(2020, 4, 1))],
+        "key_k string, b double, valid_from date, valid_until date",
+    )
+    out = interlace([a, b], by=["key_k"])
+    rows = {
+        (r["valid_from"], r["valid_until"]): (r["a"], r["b"])
+        for r in out.collect()
+    }
+    assert rows == {
+        (D(2020, 1, 1), D(2020, 2, 1)): (1.0, None),
+        (D(2020, 2, 1), D(2020, 3, 1)): (1.0, 9.0),
+        (D(2020, 3, 1), D(2020, 4, 1)): (2.0, 9.0),
+        (D(2020, 4, 1), None): (2.0, None),
+    }
+
+
+def test_truncate_interlace_open_ended_quirk(spark):
+    """A bounded primary clipped against an open-ended secondary yields
+    an open-ended row (CASE-WHEN three-valued logic — the reference
+    tester asserts NA max, ``test-truncate_interlace.R:97-101``)."""
+    p = spark.createDataFrame(
+        [("k1", D(1995, 1, 1), D(2005, 1, 1))],
+        "key_k string, valid_from date, valid_until date",
+    )
+    s = spark.createDataFrame(
+        [("k1", 5.0, D(1990, 1, 1), None)],
+        "key_k string, v double, valid_from date, valid_until date",
+    )
+    s2 = spark.createDataFrame(
+        [("k1", 7.0, D(1990, 1, 1), D(2000, 1, 1))],
+        "key_k string, w double, valid_from date, valid_until date",
+    )
+    out = truncate_interlace(p, [s, s2]).collect()
+    intervals = sorted(
+        ((r["valid_from"], r["valid_until"]) for r in out),
+        key=lambda t: (t[0], t[1] is None, t[1]),
+    )
+    assert intervals == [
+        (D(1995, 1, 1), D(2000, 1, 1)),
+        (D(2000, 1, 1), None),
+    ]
+    by_iv = {
+        (r["valid_from"], r["valid_until"]): (r["v"], r["w"]) for r in out
+    }
+    assert by_iv[(D(1995, 1, 1), D(2000, 1, 1))] == (5.0, 7.0)
+    assert by_iv[(D(2000, 1, 1), None)] == (5.0, None)
+
+
+def test_no_common_keys_errors(spark):
+    p = spark.createDataFrame(
+        [("a", D(2020, 1, 1), None)],
+        "key_a string, valid_from date, valid_until date",
+    )
+    s = spark.createDataFrame(
+        [("b", 1.0, D(2020, 1, 1), None)],
+        "key_b string, v double, valid_from date, valid_until date",
+    )
+    with pytest.raises(ValueError, match="No common keys"):
+        truncate_interlace(p, [s])
