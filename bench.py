@@ -27,6 +27,10 @@ def main() -> None:
     from diseasystore_spark.session import get_spark
 
     spark = get_spark("bench")
+    # Warm the JVM / codegen path so the first timed query measures the
+    # query, not executor startup (the reference baseline likewise
+    # excludes R session startup).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     total = 0.0

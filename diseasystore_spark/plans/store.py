@@ -414,16 +414,13 @@ class Diseasystore:
         ``slice_ts`` — a range computed for slice A is not reused for
         slice B (``:533-537``)."""
         ts = normalize_slice_ts(slice_ts)
-        logs = self.backend.read_logs(self.target_schema)
-        rows = (
-            logs.where(F.col("date") == F.lit(ts))
-            .where(
-                F.concat_ws(".", F.col("schema"), F.col("table"))
-                == F.lit(target_table)
-            )
-            .select("message", "success")
-            .collect()
-        )
+        pdf = self.backend.read_logs_pandas(self.target_schema)
+        if len(pdf):
+            pdf = pdf[
+                (pdf["date"] == ts)
+                & ((pdf["schema"] + "." + pdf["table"]) == target_table)
+            ]
+        rows = pdf.to_dict("records")
         if not rows:
             return [(start_date, end_date)]
 

@@ -42,7 +42,11 @@ import datetime
 import os
 import shutil
 import time
+import uuid
 
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -224,6 +228,23 @@ class ParquetFeatureStore:
         self._swap_pointer(table_id, version)
 
     # --------------------------------------------------------------- logs
+    # The log table is driver-side metadata: one row per completed
+    # range write (cardinality ~ number of writes, never data-sized).
+    # It is written and read with pyarrow directly — no Spark job, no
+    # executor round-trip — which removes several seconds of fixed
+    # overhead per get_feature call. The on-disk format stays plain
+    # parquet, so Spark (and DuckDB) can still read it as a table.
+    _LOG_ARROW_SCHEMA = pa.schema(
+        [
+            ("date", pa.timestamp("us")),
+            ("schema", pa.string()),
+            ("table", pa.string()),
+            ("message", pa.string()),
+            ("success", pa.bool_()),
+            ("log_file", pa.string()),
+        ]
+    )
+
     def _logs_dir(self, schema: str) -> str:
         return os.path.join(self.root, schema, LOGS_TABLE)
 
@@ -239,17 +260,41 @@ class ParquetFeatureStore:
         (``R/DiseasystoreBase.R:215-239``; schema per FIXTURES.md §6b)."""
         ts = normalize_slice_ts(slice_ts)
         log_schema, _, log_table = table_id.partition(".")
-        row = [(ts, log_schema, log_table, message, success, "")]
-        df = self.spark.createDataFrame(row, _LOG_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(self._logs_dir(schema))
+        ldir = self._logs_dir(schema)
+        os.makedirs(ldir, exist_ok=True)
+        table = pa.table(
+            {
+                "date": [ts],
+                "schema": [log_schema],
+                "table": [log_table],
+                "message": [message],
+                "success": [success],
+                "log_file": [""],
+            },
+            schema=self._LOG_ARROW_SCHEMA,
+        )
+        pq.write_table(table, os.path.join(ldir, f"{uuid.uuid4().hex}.parquet"))
+
+    def read_logs_pandas(self, schema: str) -> pd.DataFrame:
+        ldir = self._logs_dir(schema)
+        files = (
+            [
+                os.path.join(ldir, f)
+                for f in os.listdir(ldir)
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(ldir)
+            else []
+        )
+        if not files:
+            return self._LOG_ARROW_SCHEMA.empty_table().to_pandas()
+        return pa.concat_tables(pq.read_table(f) for f in files).to_pandas()
 
     def read_logs(self, schema: str) -> DataFrame:
-        ldir = self._logs_dir(schema)
-        if not os.path.isdir(ldir) or not any(
-            f.endswith(".parquet") for f in os.listdir(ldir)
-        ):
-            return self.spark.createDataFrame([], _LOG_SCHEMA)
-        return self.spark.read.schema(_LOG_SCHEMA).parquet(ldir)
+        """Logs as a Spark DataFrame (for relational consumers)."""
+        return self.spark.createDataFrame(
+            self.read_logs_pandas(schema), _LOG_SCHEMA
+        )
 
     def delete_logs_for(self, schema: str, table_ids: list[str]) -> None:
         """Delete log rows for the given tables (rewrite; logs are tiny).
@@ -257,16 +302,17 @@ class ParquetFeatureStore:
         ldir = self._logs_dir(schema)
         if not os.path.isdir(ldir):
             return
-        logs = self.read_logs(schema)
-        keep = logs.where(
-            ~F.concat_ws(".", F.col("schema"), F.col("table")).isin(table_ids)
-        )
-        rows = keep.collect()
+        pdf = self.read_logs_pandas(schema)
+        keep = pdf[~(pdf["schema"] + "." + pdf["table"]).isin(table_ids)]
         shutil.rmtree(ldir, ignore_errors=True)
-        if rows:
-            self.spark.createDataFrame(rows, _LOG_SCHEMA).coalesce(1).write.mode(
-                "append"
-            ).parquet(ldir)
+        if len(keep):
+            os.makedirs(ldir, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(
+                    keep, schema=self._LOG_ARROW_SCHEMA, preserve_index=False
+                ),
+                os.path.join(ldir, f"{uuid.uuid4().hex}.parquet"),
+            )
 
     # -------------------------------------------------------------- locks
     def _lock_path(self, table_id: str) -> str:
