@@ -1,0 +1,279 @@
+"""Deduplication operators for large-scale text corpora.
+
+All operators are pure DataFrame plans over built-in JVM functions
+(``xxhash64``, ``md5``, array lambdas) — no Python UDFs — so they
+whole-stage-codegen and scale linearly with executors:
+
+- **exact**: hash-groupBy on a content digest. One shuffle on the
+  digest; at 100 TB this is the canonical map-side-combine groupBy.
+- **MinHash + LSH**: shingle -> per-seed min-hash signature -> banded
+  bucket join. The candidate join is equi on (band, bucket-hash), so
+  it never materializes the O(n^2) pair space; only same-bucket pairs
+  shuffle.
+- **SimHash**: 64-bit signature via per-bit majority vote; candidate
+  pairs via 16-bit chunk banding (pigeonhole: hamming distance <= 3
+  guarantees an exact match in one of 4 chunks), verified with
+  ``bit_count(a XOR b)``.
+- **n-gram Jaccard**: exact verification join on distinct shingles.
+
+Skew note: a frequent shingle (stop-phrase) fans out the verification
+join. ``jaccard_pairs`` optionally drops shingles above a document-
+frequency cap — the standard trick; at scale set ``max_df`` to a few
+thousand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def word_ngrams(text_col: str, n: int) -> Column:
+    """Word n-gram shingles as an array column (JVM-side lambda)."""
+    toks = _tokens(text_col)
+    if n == 1:
+        return toks
+    return F.expr(
+        f"transform(sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) "
+        f"- {n - 1}, 0)), i -> concat_ws(' ', slice(split(trim({text_col}), "
+        f"'\\\\s+'), i, {n})))"
+    )
+
+
+def exact_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups by content digest (md5). Returns one row
+    per distinct content: (content_hash, rep_id = min id, n_docs)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def _shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    return (
+        df.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact word-n-gram Jaccard similarity.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    ``max_df`` drops shingles occurring in more than that many docs
+    (skew guard for the self-join at scale).
+    """
+    sh = _shingle_rows(df, id_col, text_col, n)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for each seed i, the minimum of
+    ``xxhash64(shingle, i)`` over the document's distinct shingles.
+    Returns (id, sig array<bigint>). One shuffle (the groupBy on id);
+    all hash evaluations are map-side."""
+    sh = _shingle_rows(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    min_est_jaccard: float = 0.0,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Signatures are split into ``bands`` bands of ``num_hashes/bands``
+    rows; documents sharing any band hash become candidates (equi-join
+    on (band, band_hash) — never O(n^2)). Output:
+    (id_a, id_b, est_jaccard) where est_jaccard is the fraction of
+    matching signature positions.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+
+    band_rows = sigs.select(
+        F.col(id_col),
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), "sig", F.col("bb.band"), F.col("bb.bucket"))
+
+    a = band_rows.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    b = band_rows.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, "
+        "(acc, v) -> acc + v)"
+    ) / F.lit(num_hashes)
+    return (
+        cand.select("id_a", "id_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document: per-bit majority vote over token
+    hashes. Returns (id, simhash bigint). The 64 per-bit sums compile
+    to one grouped aggregation (all map-side combinable)."""
+    tok = (
+        df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
+        .where(F.col("tok") != "")
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bit_aggs = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_aggs)
+    sim = None
+    for b in range(64):
+        term = F.when(F.col(f"b{b}") >= 0, F.lit(1).cast("long") * (2**b) if b < 63
+                      else F.lit(-(2**63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: with 4 chunks of 16 bits, distance <= 3 implies
+    at least one chunk matches exactly, so candidates come from 4
+    equi-joins, then are verified with bit_count(xor)."""
+    sims = simhash64(df, id_col, text_col)
+    chunks = sims.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(F.col(id_col), "simhash", F.col("cc.chunk"), F.col("cc.val"))
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "chunk", "val"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "chunk", "val"
+    )
+    return (
+        a.join(b, ["chunk", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

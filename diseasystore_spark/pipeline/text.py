@@ -1,0 +1,132 @@
+"""Text analysis operators: quality stats, language-ID heuristic,
+document fingerprinting.
+
+Everything is built-in Column expressions (split / regexp / array
+lambdas / xxhash64) — map-only plans with no shuffle except where a
+groupBy is inherent, and no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"]
+
+# Tiny per-language marker lists for the n-gram/stopword language-ID
+# heuristic. Real corpora would use proper profiles; the operator
+# shape (score per language -> argmax) is what matters.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "a"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "la", "los", "y", "es", "un"],
+}
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def _count_in(tokens: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def text_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document quality statistics + a composite quality score.
+
+    Columns: n_chars_calc, n_tokens, n_distinct_tokens, avg_token_len,
+    punct_ratio, digit_ratio, stopword_ratio, quality_score.
+    """
+    toks = _tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    digits = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))
+    stop = _count_in(toks, EN_STOPWORDS)
+    n_tokens_d = n_tokens.cast("double")
+    stats = df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round((n_chars - n_tokens + 1) / n_tokens_d, 4).alias("avg_token_len"),
+        F.round(punct / n_chars.cast("double"), 4).alias("punct_ratio"),
+        F.round(digits / n_chars.cast("double"), 4).alias("digit_ratio"),
+        F.round(stop / n_tokens_d, 4).alias("stopword_ratio"),
+    )
+    # Composite heuristic: length saturation x lexical diversity,
+    # penalized by punctuation/digit noise. Deterministic and
+    # SQL-expressible (oracle-checkable).
+    quality = F.round(
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+        * (F.col("n_distinct_tokens") / F.col("n_tokens").cast("double"))
+        * (1 - F.col("punct_ratio"))
+        * (1 - F.col("digit_ratio")),
+        4,
+    )
+    return stats.withColumn("quality_score", quality)
+
+
+def langid_heuristic(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Marker-token language scoring with deterministic argmax
+    (ties broken by language code order). Output: (id, pred_lang,
+    best_score)."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks).cast("double")
+    scores = {
+        lang: F.round(_count_in(toks, words) / n_tokens, 4)
+        for lang, words in LANG_MARKERS.items()
+    }
+    df2 = df.select(
+        F.col(id_col), *[c.alias(f"score_{lang}") for lang, c in scores.items()]
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return df2.select(
+        F.col(id_col), pred.alias("pred_lang"), best.alias("best_score")
+    )
+
+
+def doc_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 9,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03
+    — public algorithm): hash every character k-gram, then keep the
+    minimum hash of each sliding window of ``window`` k-grams.
+
+    Returns (id, fingerprint) rows, distinct per document — a compact
+    signature set robust to local edits, used for copy detection.
+    Array-lambda implementation: the per-row work is
+    O(len * window) JVM ops, no shuffle until the final distinct.
+    """
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"i -> xxhash64(substring({text_col}, i, {k})))"
+    )
+    mins = F.expr(
+        f"transform(sequence(1, greatest(size(__grams) - {window - 1}, 1)), "
+        f"i -> array_min(slice(__grams, i, {window})))"
+    )
+    return (
+        df.select(F.col(id_col), grams.alias("__grams"))
+        .select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint"))
+        .distinct()
+    )

@@ -649,6 +649,239 @@ GROUP BY 1, 3
 
 
 # --------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text / multimodal)
+# --------------------------------------------------------------------------
+
+def q18_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest."""
+    from diseasystore_spark.pipeline.dedup import exact_dup_groups
+
+    return exact_dup_groups(_read(spark, sf_dir, "documents"))
+
+
+ORACLE_Q18 = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS rep_id, COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-trigram Jaccard >= 0.2."""
+    from diseasystore_spark.pipeline.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _read(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+
+
+ORACLE_Q19 = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+  FROM pos
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.2
+"""
+
+
+def q20_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diseasystore_spark.pipeline.text import text_stats
+
+    return text_stats(_read(spark, sf_dir, "documents"))
+
+
+ORACLE_Q20 = """
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars_calc,
+         len(string_split(trim(text), ' ')) AS n_tokens,
+         len(list_distinct(string_split(trim(text), ' '))) AS n_distinct_tokens,
+         length(text)
+           - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+         len(list_filter(string_split(trim(text), ' '), x -> list_contains(
+           ['the','a','of','and','to','in','is','that','it','for'], x)))
+           AS stop
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, n_chars_calc, n_tokens, n_distinct_tokens,
+         round((n_chars_calc - n_tokens + 1) / CAST(n_tokens AS DOUBLE), 4)
+           AS avg_token_len,
+         round(punct / CAST(n_chars_calc AS DOUBLE), 4) AS punct_ratio,
+         round(digits / CAST(n_chars_calc AS DOUBLE), 4) AS digit_ratio,
+         round(stop / CAST(n_tokens AS DOUBLE), 4) AS stopword_ratio
+  FROM base
+)
+SELECT *,
+       round(least(n_tokens / 100.0, 1.0)
+             * (n_distinct_tokens / CAST(n_tokens AS DOUBLE))
+             * (1 - punct_ratio) * (1 - digit_ratio), 4) AS quality_score
+FROM stats
+"""
+
+
+def q21_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diseasystore_spark.pipeline.text import langid_heuristic
+
+    return langid_heuristic(_read(spark, sf_dir, "documents"))
+
+
+ORACLE_Q21 = """
+WITH scores AS (
+  SELECT doc_id,
+    round(len(list_filter(string_split(trim(text), ' '), x -> list_contains(
+      ['der','die','und','das','ist','ein'], x)))
+      / CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 4) AS score_de,
+    round(len(list_filter(string_split(trim(text), ' '), x -> list_contains(
+      ['the','and','of','to','is','a'], x)))
+      / CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 4) AS score_en,
+    round(len(list_filter(string_split(trim(text), ' '), x -> list_contains(
+      ['el','la','los','y','es','un'], x)))
+      / CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 4) AS score_es,
+    round(len(list_filter(string_split(trim(text), ' '), x -> list_contains(
+      ['le','la','et','les','des','est'], x)))
+      / CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 4) AS score_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+            WHEN score_de = greatest(score_de, score_en, score_es, score_fr)
+              THEN 'de'
+            WHEN score_en = greatest(score_de, score_en, score_es, score_fr)
+              THEN 'en'
+            WHEN score_es = greatest(score_de, score_en, score_es, score_fr)
+              THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       greatest(score_de, score_en, score_es, score_fr) AS best_score
+FROM scores
+"""
+
+
+def q22_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    docs = _read(spark, sf_dir, "documents")
+    pattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(pattern)).alias("bpeish_tokens"),
+    )
+
+
+ORACLE_Q22 = """
+SELECT doc_id,
+       len(string_split(trim(text), ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+         AS bpeish_tokens
+FROM documents
+"""
+
+
+def q23_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (xxhash64-based; rows-only check —
+    DuckDB has no xxhash64). Verified against exact Jaccard in tests."""
+    from diseasystore_spark.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), num_hashes=16, bands=4, n=3
+    )
+
+
+def q24_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, hamming <= 8 (rows-only check)."""
+    from diseasystore_spark.pipeline.dedup import simhash_pairs
+
+    return simhash_pairs(_read(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def q25_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors vec_id < 20."""
+    from diseasystore_spark.pipeline.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.where(F.col("vec_id") < 20), k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+ORACLE_Q25 = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 20
+),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+           AS cosine
+  FROM q CROSS JOIN c WHERE query_id != neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= 5
+"""
+
+
+def q26_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN top-5 (rows-only; recall measured
+    against q25 in tests)."""
+    from diseasystore_spark.pipeline.similarity import hyperplane_lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = hyperplane_lsh_topk(
+        emb, emb.where(F.col("vec_id") < 20), k=5, num_planes=8, dim=64
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def q27_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rows-only; xxhash64-based)."""
+    from diseasystore_spark.pipeline.text import doc_fingerprints
+
+    return doc_fingerprints(_read(spark, sf_dir, "documents"))
+
+
+def q28_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via Arrow-batched mapInPandas
+    (decode stubbed — see pipeline.multimodal; rows-only)."""
+    from diseasystore_spark.pipeline.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return extract_features(attach_binary_payload(docs)).drop("feature")
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -670,6 +903,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_cumsum_window": q15_cumsum_window,
     "q16_top1_per_group": q16_top1_per_group,
     "q17_iso_week": q17_iso_week,
+    "q18_dedup_exact": q18_dedup_exact,
+    "q19_ngram_jaccard": q19_ngram_jaccard,
+    "q20_text_stats": q20_text_stats,
+    "q21_langid": q21_langid,
+    "q22_token_count": q22_token_count,
+    "q23_minhash_lsh": q23_minhash_lsh,
+    "q24_simhash": q24_simhash,
+    "q25_cosine_topk": q25_cosine_topk,
+    "q26_ann_lsh": q26_ann_lsh,
+    "q27_fingerprints": q27_fingerprints,
+    "q28_multimodal_features": q28_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -690,4 +934,13 @@ ORACLES: dict[str, str] = {
     "q15_cumsum_window": ORACLE_Q15,
     "q16_top1_per_group": ORACLE_Q16,
     "q17_iso_week": ORACLE_Q17,
+    "q18_dedup_exact": ORACLE_Q18,
+    "q19_ngram_jaccard": ORACLE_Q19,
+    "q20_text_stats": ORACLE_Q20,
+    "q21_langid": ORACLE_Q21,
+    "q22_token_count": ORACLE_Q22,
+    "q25_cosine_topk": ORACLE_Q25,
+    # q23/q24/q26/q27/q28 are xxhash64- or UDF-based: rows-only checks
+    # (the driver records the weaker check; tests verify them against
+    # exact formulations).
 }

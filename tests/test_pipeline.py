@@ -1,0 +1,157 @@
+"""Training-data pipeline operators: dedup, similarity, text,
+multimodal plumbing. The approximate operators (MinHash LSH, SimHash,
+hyperplane ANN) are validated against their exact counterparts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_counts(spark, docs):
+    from diseasystore_spark.pipeline.dedup import exact_dup_groups
+
+    groups = exact_dup_groups(docs)
+    total = groups.agg(F.sum("n_docs")).first()[0]
+    assert total == docs.count()
+    dup_docs = docs.union(docs)
+    g2 = exact_dup_groups(dup_docs)
+    assert g2.count() == groups.count()
+    assert g2.agg(F.max("n_docs")).first()[0] >= 2
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    """Every high-Jaccard pair should be an LSH candidate (banded
+    MinHash with 4 bands of 4 catches J>=0.7 with high probability)."""
+    from diseasystore_spark.pipeline.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, n=3, threshold=0.7).collect()
+    }
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=3).collect()
+    }
+    missed = exact - cand
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_simhash_identical_docs_zero_distance(spark):
+    from diseasystore_spark.pipeline.dedup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark window batch join filter merge"),
+            (2, "spark window batch join filter merge"),
+            (3, "completely different words entirely here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = simhash_pairs(df, max_hamming=0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_ann_lsh_recall_against_exact(spark, emb):
+    from diseasystore_spark.pipeline.similarity import (
+        cosine_topk,
+        hyperplane_lsh_topk,
+    )
+
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = hyperplane_lsh_topk(emb, queries, k=5, num_planes=4, dim=64).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 4 planes -> 16 buckets over 100 vectors; recall is approximate
+    # by construction but must be well above chance.
+    assert recall >= 0.3, f"ANN recall too low: {recall}"
+    # exact top-1 cosine must be monotonically ranked
+    by_rank = [r["cosine"] for r in exact if r["query_id"] == 0]
+    assert by_rank == sorted(by_rank, reverse=True)
+
+
+def test_text_stats_golden(spark):
+    from diseasystore_spark.pipeline.text import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox! 42 jumps.")], "doc_id bigint, text string"
+    )
+    row = text_stats(df).first()
+    assert row["n_tokens"] == 6
+    assert row["n_chars_calc"] == 30
+    assert row["n_distinct_tokens"] == 6
+    assert row["punct_ratio"] == round(2 / 30, 4)
+    assert row["digit_ratio"] == round(2 / 30, 4)
+    assert row["stopword_ratio"] == round(1 / 6, 4)
+
+
+def test_langid_markers(spark):
+    from diseasystore_spark.pipeline.text import langid_heuristic
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is of to"),
+            (2, "der hund und die katze ist ein"),
+            (3, "xyzzy plugh foobar"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r["pred_lang"] for r in langid_heuristic(df).collect()}
+    assert rows == {1: "en", 2: "de", 3: "und"}
+
+
+def test_fingerprints_detect_containment(spark):
+    from diseasystore_spark.pipeline.text import doc_fingerprints
+
+    base = "spark window batch join filter merge scan sort hash agg"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra suffix words here"), (3, "zz qq ww ee rr tt")],
+        "doc_id bigint, text string",
+    )
+    fps = doc_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    overlap_12 = len(by_doc[1] & by_doc[2]) / len(by_doc[1])
+    overlap_13 = len(by_doc[1] & by_doc[3]) / len(by_doc[1])
+    assert overlap_12 > 0.8
+    assert overlap_13 == 0.0
+
+
+def test_multimodal_plumbing(spark, docs):
+    from diseasystore_spark.pipeline.multimodal import (
+        attach_binary_payload,
+        decode_image,
+        extract_features,
+        frame_sample,
+    )
+
+    payloads = attach_binary_payload(docs.limit(20))
+    feats = extract_features(payloads).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert r["byte_len"] > 0
+        assert len(r["content_sha"]) == 64
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9
+
+    frames = frame_sample(payloads.limit(3), n_frames=4).collect()
+    assert len(frames) == 12
+    assert all(r["frame_len"] >= 1 for r in frames)
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG fake")
