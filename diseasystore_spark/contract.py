@@ -68,10 +68,9 @@ def validate_feature_frame(
     for c in VALIDITY_COLUMNS:
         if c not in cols:
             raise FeatureContractError(f"feature frame missing column '{c}'")
-    if not payload_columns(cols):
-        raise FeatureContractError(
-            f"feature frame must have at least one payload column, got {cols}"
-        )
+    # Zero payload columns is legal: count-style features (e.g. the
+    # reference's n_positive, R/DiseasystoreSimulist.R:148-164) carry
+    # only keys + validity; the "value" is row existence.
     schema = {f.name: f.dataType for f in df.schema.fields}
     for c in VALIDITY_COLUMNS:
         if not isinstance(schema[c], T.DateType):
