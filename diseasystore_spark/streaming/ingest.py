@@ -1,0 +1,102 @@
+"""Structured Streaming ingest into the SCD2 feature store.
+
+The reference has **no** streaming — its incrementality is batch
+memoization over validity-date ranges (SURVEY.md §2.9). This module is
+the natural Spark extension the survey anticipates: a stream of
+feature rows written through the same SCD2 merge, so snapshot
+semantics (``slice_ts``) stay identical for batch and streaming
+producers.
+
+Design:
+
+- ``stream_feature_updates`` runs a ``foreachBatch`` sink: each
+  micro-batch is SCD2-merged at a per-batch ``slice_ts`` (event-time
+  high-water mark or wall clock), giving exactly-once semantics per
+  batch against the versioned store (the version pointer swap is
+  atomic; a replayed batch re-merges idempotently because checksums
+  match).
+- ``windowed_event_counts`` is the standard watermark + tumbling
+  window aggregation shape over the ``events`` table, usable with
+  ``availableNow`` triggers for backfill-style runs.
+"""
+
+from __future__ import annotations
+
+import datetime
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from diseasystore_spark.storage.scd2 import ParquetFeatureStore
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 day",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window event counts with late-data watermarking.
+    Works on both batch and streaming DataFrames (same plan)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col(type_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").cast("date").alias("valid_from"),
+            F.col("window.end").cast("date").alias("valid_until"),
+            F.col(type_col).alias("key_event_type"),
+            F.col("n_events").cast("double").alias("n_events"),
+        )
+        .select("key_event_type", "n_events", "valid_from", "valid_until")
+    )
+
+
+def stream_feature_updates(
+    stream_df: DataFrame,
+    backend: ParquetFeatureStore,
+    table_id: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    slice_ts_fn: Callable[[int, DataFrame], datetime.datetime] | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Write a stream of feature rows through the SCD2 store.
+
+    Each micro-batch is transformed (optional) and merged with
+    ``update_snapshot`` at a per-batch ``slice_ts``. With
+    ``available_now=True`` the query drains all available input and
+    stops — the batch-backfill pattern.
+    """
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        if batch_df.isEmpty():
+            return
+        if slice_ts_fn is not None:
+            ts = slice_ts_fn(epoch_id, batch_df)
+        else:
+            # Deterministic per-batch slice: epoch offset from a fixed
+            # origin (wall-clock would break replay determinism).
+            ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(
+                seconds=epoch_id
+            )
+        backend.update_snapshot(batch_df, table_id, ts)
+        backend.append_log(
+            table_id.partition(".")[0],
+            table_id,
+            ts,
+            f"stream-batch: {epoch_id}",
+            success=True,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
