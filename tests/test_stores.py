@@ -132,6 +132,29 @@ def test_simulist_constant_stratification(simulist):
     assert all(r["string"] == "test" and r["number"] == 2 for r in out)
 
 
+def test_simulist_backward_extension_preserves_rows(spark, tmp_path):
+    """Backfilling an earlier gap must not close still-valid rows from
+    the previously computed later range (robustness beyond the
+    reference's forward-only extension test)."""
+    ds = SimulistDiseasystore(
+        spark,
+        target_conn=str(tmp_path / "bw"),
+        source_conn="synthetic",
+        slice_ts=D(2024, 1, 1),
+        verbose=False,
+    )
+    late = (D(2020, 1, 10), D(2020, 1, 20))
+    full = (D(2019, 12, 15), D(2020, 1, 20))
+    ds.get_feature("n_hospital", *late)
+    extended = ds.get_feature("n_hospital", *full)
+    from diseasystore_spark.stores.simulist import _compute_hospital
+
+    expected = _compute_hospital(*full, ds.slice_ts, "synthetic", ds)
+    got = {tuple(r) for r in extended.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want
+
+
 # ------------------------------------------------------------------ google
 
 @pytest.fixture(scope="module")
