@@ -88,7 +88,11 @@ class Diseasystore:
         )
         if source_conn is None:
             source_conn = diseasyoption("source_conn", self)
-        self.source_conn = source_conn
+        # Conn polymorphism (X8): strings/paths pass through, zero-arg
+        # factories are called, "" is unset.
+        from diseasystore_spark.sources.helpers import parse_diseasyconn
+
+        self.source_conn = parse_diseasyconn(source_conn, "source_conn")
         if target_conn is None:
             target_conn = diseasyoption("target_conn", self)
         if not target_conn:
@@ -359,6 +363,12 @@ class Diseasystore:
         out = self.key_join_filter(
             out, stratification_features, start_date, end_date
         )
+
+        # Materialization point (S8): the filtered/interlaced frame is
+        # consumed three times downstream (t_add, t_remove, distinct
+        # strata) — cache it so the interlace joins run once. Mirrors
+        # the reference's ``dplyr::compute`` at ``:413/:459/:467``.
+        out = out.cache()
 
         # Aggregator compatibility (``:427-438``).
         aggregators = [self.handler(ds_map[observable]).key_join]

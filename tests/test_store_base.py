@@ -1,0 +1,175 @@
+"""Diseasystore base-class behaviors mirroring
+``tests/testthat/test-DiseasystoreBase.R`` and the error paths of
+``R/DiseasystoreBase.R``."""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from diseasystore_spark import (
+    Diseasystore,
+    FeatureHandler,
+    diseasyoption,
+    drop_diseasystore,
+    key_join_count,
+    key_join_sum,
+    set_diseasyoption,
+)
+
+D = datetime.date
+TODAY = D(2024, 6, 1)
+
+
+def _feature_df(spark, value_col, offset):
+    rows = []
+    for i in range(1, 33):
+        vf = TODAY - datetime.timedelta(days=2 * i - offset)
+        rows.append(
+            {
+                "key_car": f"car_{i}",
+                value_col: float([4, 6, 8][i % 3]),
+                "valid_from": vf,
+                "valid_until": vf + datetime.timedelta(days=2),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    sdf = spark.createDataFrame(pdf)
+    return sdf.withColumns(
+        {
+            "valid_from": sdf["valid_from"].cast("date"),
+            "valid_until": sdf["valid_until"].cast("date"),
+        }
+    )
+
+
+class DummyStore(Diseasystore):
+    _ds_map = {"n_cyl": "dummy_cyl", "vs": "dummy_vs"}
+
+    dummy_cyl = FeatureHandler(
+        compute=lambda start_date, end_date, slice_ts, source_conn, ds: (
+            _feature_df(ds.spark, "n_cyl", 1)
+        ),
+        key_join=key_join_sum,
+    )
+    dummy_vs = FeatureHandler(
+        compute=lambda start_date, end_date, slice_ts, source_conn, ds: (
+            _feature_df(ds.spark, "vs", 0)
+        ),
+        key_join=key_join_count,  # deliberately different from n_cyl
+    )
+
+
+class ChildStore(DummyStore):
+    _ds_map = {"n_extra": "dummy_cyl"}
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return DummyStore(
+        spark,
+        target_conn=str(tmp_path / "store"),
+        source_conn="x",
+        slice_ts=TODAY,
+        verbose=False,
+    )
+
+
+def test_constructor_requires_target_conn(spark):
+    with pytest.raises(ValueError, match="target_conn option not defined"):
+        DummyStore(spark, target_conn=None, source_conn="x")
+
+
+def test_ds_map_inheritance(spark, tmp_path):
+    ds = ChildStore(
+        spark, target_conn=str(tmp_path / "c"), source_conn="x", verbose=False
+    )
+    assert ds.ds_map == {
+        "n_cyl": "dummy_cyl",
+        "vs": "dummy_vs",
+        "n_extra": "dummy_cyl",
+    }
+    assert set(ds.available_observables) == {"n_cyl", "n_extra"}
+    assert ds.available_stratifications == ["vs"]
+
+
+def test_option_precedence():
+    set_diseasyoption("myopt", "global")
+    assert diseasyoption("myopt") == "global"
+    set_diseasyoption("myopt", "classy", scope="DummyStore")
+    assert diseasyoption("myopt", scope=DummyStore) == "classy"
+    assert diseasyoption("myopt", scope="OtherClass") == "global"
+    # empty string treated as unset (R/0_R6_utils.R:141-148)
+    set_diseasyoption("myopt", "", scope="DummyStore")
+    assert diseasyoption("myopt", scope=DummyStore) == "global"
+
+
+def test_aggregator_mismatch_errors(store):
+    start, end = TODAY - datetime.timedelta(days=20), TODAY
+    with pytest.raises(ValueError, match="does not match observable aggregator"):
+        store.key_join_features("n_cyl", ["vs"], start, end)
+
+
+def test_stratify_by_observable_errors(store):
+    start, end = TODAY - datetime.timedelta(days=20), TODAY
+    with pytest.raises(ValueError, match="cannot be observables"):
+        store.key_join_features("n_cyl", {"n_cyl": "n_cyl"}, start, end)
+
+
+def test_collision_warning(store):
+    start, end = TODAY - datetime.timedelta(days=10), TODAY
+    with pytest.warns(UserWarning, match="already stratified by"):
+        out = store.key_join_features(
+            "n_cyl", {"key_car": "upper(key_car)"}, start, end
+        )
+        out.count()
+
+
+def test_unknown_stratification_column_message(store):
+    start, end = TODAY - datetime.timedelta(days=10), TODAY
+    with pytest.raises(ValueError, match="Available stratification variables"):
+        store.key_join_features("n_cyl", {"bad": "nope + 1"}, start, end)
+
+
+def test_min_max_date_bounds(spark, tmp_path):
+    class Bounded(DummyStore):
+        _min_start_date = D(2024, 1, 1)
+        _max_end_date = D(2024, 12, 31)
+
+    ds = Bounded(
+        spark, target_conn=str(tmp_path / "b"), source_conn="x", verbose=False
+    )
+    with pytest.raises(ValueError, match="before min_start_date"):
+        ds.get_feature("n_cyl", D(2023, 1, 1), D(2024, 2, 1))
+    with pytest.raises(ValueError, match="after max_end_date"):
+        ds.get_feature("n_cyl", D(2024, 2, 1), D(2025, 2, 1))
+
+
+def test_drop_diseasystore_pattern(store):
+    start, end = TODAY - datetime.timedelta(days=10), TODAY
+    store.get_feature("n_cyl", start, end)
+    store.get_feature("vs", start, end)
+    be = store.backend
+    assert set(be.list_tables("ds")) == {"ds.dummy_cyl", "ds.dummy_vs", "ds.logs"}
+
+    drop_diseasystore(be, pattern="dummy_cyl", schema="ds")
+    assert set(be.list_tables("ds")) == {"ds.dummy_vs", "ds.logs"}
+    # log rows for the dropped table are deleted; vs rows remain
+    logs = be.read_logs_pandas("ds")
+    assert set(logs["table"]) == {"dummy_vs"}
+
+    with pytest.raises(ValueError, match="entire feature store"):
+        drop_diseasystore(be, pattern="logs", schema="ds")
+
+    drop_diseasystore(be, schema="ds")
+    assert be.list_tables("ds") == []
+
+
+def test_get_feature_unordered_defaults(store):
+    """get_feature without explicit dates uses instance defaults; no
+    defaults configured -> error."""
+    with pytest.raises(ValueError, match="start_date and end_date"):
+        store.get_feature("n_cyl")
