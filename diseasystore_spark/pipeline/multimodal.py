@@ -79,24 +79,27 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import numpy as np
+
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                payload: bytes = row["payload"]
-                hist = [0.0] * 8
-                for byte in payload:
-                    hist[byte >> 5] += 1.0
-                total = max(len(payload), 1)
-                out.append(
-                    {
-                        "doc_id": row["doc_id"],
-                        "modality": row["meta"]["modality"],
-                        "byte_len": len(payload),
-                        "content_sha": hashlib.sha256(payload).hexdigest(),
-                        "feature": [h / total for h in hist],
-                    }
-                )
-            yield pd.DataFrame(out)
+            payloads = pdf["payload"].tolist()
+            features, lens, shas = [], [], []
+            for payload in payloads:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                total = max(arr.size, 1)
+                hist = np.bincount(arr >> 5, minlength=8)[:8] / total
+                features.append(hist.tolist())
+                lens.append(arr.size)
+                shas.append(hashlib.sha256(payload).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "modality": [m["modality"] for m in pdf["meta"]],
+                    "byte_len": lens,
+                    "content_sha": shas,
+                    "feature": features,
+                }
+            )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 

@@ -70,6 +70,34 @@ def cosine_topk(
     )
 
 
+def embedding_dupes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and cosine >= threshold.
+
+    Brute-force self-join baseline (exact). The scale path is the same
+    LSH bucketing as ``hyperplane_lsh_topk``: bucket both sides, join
+    on bucket, verify cosine — swap the cross join for the bucket join
+    when the corpus outgrows broadcast size.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    ).withColumn("na", _norm("va"))
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    ).withColumn("nb", _norm("vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)
+
+
 def _planes(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random +-1 hyperplanes via an explicit LCG
     (no RNG dependency; reproducible across engines)."""

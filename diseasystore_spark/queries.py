@@ -862,6 +862,34 @@ def q26_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q29_embedding_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact). The synthetic
+    embeddings are near-random (max pairwise cosine ~0.51), so the
+    threshold is set at the ~99.9th percentile to yield a meaningful
+    pair set."""
+    from diseasystore_spark.pipeline.similarity import embedding_dupes
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = embedding_dupes(emb, threshold=0.35)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+ORACLE_Q29 = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.vec, b.vec)
+           / (sqrt(list_dot_product(a.vec, a.vec))
+              * sqrt(list_dot_product(b.vec, b.vec))) AS cosine
+  FROM v a CROSS JOIN v b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cosine, 4) AS cosine
+FROM pairs WHERE cosine >= 0.35
+"""
+
+
 def q27_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rows-only; xxhash64-based)."""
     from diseasystore_spark.pipeline.text import doc_fingerprints
@@ -914,6 +942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_ann_lsh": q26_ann_lsh,
     "q27_fingerprints": q27_fingerprints,
     "q28_multimodal_features": q28_multimodal_features,
+    "q29_embedding_dupes": q29_embedding_dupes,
 }
 
 ORACLES: dict[str, str] = {
@@ -940,6 +969,7 @@ ORACLES: dict[str, str] = {
     "q21_langid": ORACLE_Q21,
     "q22_token_count": ORACLE_Q22,
     "q25_cosine_topk": ORACLE_Q25,
+    "q29_embedding_dupes": ORACLE_Q29,
     # q23/q24/q26/q27/q28 are xxhash64- or UDF-based: rows-only checks
     # (the driver records the weaker check; tests verify them against
     # exact formulations).
