@@ -27,20 +27,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from diseasystore_spark.pipeline._util import spread
+
 
 def _tokens(text_col: str) -> Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
 def word_ngrams(text_col: str, n: int) -> Column:
-    """Word n-gram shingles as an array column (JVM-side lambda)."""
-    toks = _tokens(text_col)
+    """Word n-gram shingles as an array column (JVM-side lambda).
+
+    Tokenization happens once per row: the token array is bound as a
+    lambda variable via a single-element ``transform`` + ``flatten``
+    so codegen does not re-split the text per n-gram position.
+    """
+    toks = f"split(trim({text_col}), '\\\\s+')"
     if n == 1:
-        return toks
+        return F.expr(toks)
     return F.expr(
-        f"transform(sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) "
-        f"- {n - 1}, 0)), i -> concat_ws(' ', slice(split(trim({text_col}), "
-        f"'\\\\s+'), i, {n})))"
+        f"flatten(transform(array({toks}), w -> "
+        f"transform(sequence(1, greatest(size(w) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(w, i, {n})))))"
     )
 
 
@@ -62,6 +69,7 @@ def exact_dup_groups(
 def _shingle_rows(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
+    df = spread(df)
     return (
         df.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("shingle"))
         .where(F.col("shingle") != "")

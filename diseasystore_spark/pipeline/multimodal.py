@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+
 try:  # real decoders are optional; everything degrades to stubs
     from PIL import Image  # noqa: F401
 
@@ -101,6 +103,9 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 }
             )
 
+    # No repartition: binary rows are heavy relative to the per-row
+    # work here, so an extra shuffle costs more than it parallelizes
+    # (measured); real decode workloads would flip that tradeoff.
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 

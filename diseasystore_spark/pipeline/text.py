@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from diseasystore_spark.pipeline._util import spread
+
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"]
 
 # Tiny per-language marker lists for the n-gram/stopword language-ID
@@ -126,7 +128,7 @@ def doc_fingerprints(
         f"i -> array_min(slice(__grams, i, {window})))"
     )
     return (
-        df.select(F.col(id_col), grams.alias("__grams"))
+        spread(df).select(F.col(id_col), grams.alias("__grams"))
         .select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint"))
         .distinct()
     )
