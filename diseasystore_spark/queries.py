@@ -26,7 +26,10 @@ from diseasystore_spark.functions.intervals import (
     clamp_to_study_period,
     overlaps_study_period,
 )
+from diseasystore_spark.operators.aggregators import key_join_sum
 from diseasystore_spark.operators.interlace import interlace, truncate_interlace
+from diseasystore_spark.plans.feature_handler import FeatureHandler
+from diseasystore_spark.plans.store import Diseasystore
 from diseasystore_spark.stores.tpch import TpchDiseasystore
 
 START = datetime.date(1996, 1, 1)
@@ -183,6 +186,115 @@ agg AS (
 SELECT c.date AS date, c.age_group AS age_group,
        CAST(COALESCE(a.n, 0) AS DOUBLE) AS n_active_orders
 FROM combos c LEFT JOIN agg a ON a.age_group = c.age_group AND a.date = c.date
+"""
+
+
+def q30_prevalence_max_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prevalence through the key_join_max aggregator (A2) with an
+    expression stratification — daily running max-delta of shipped
+    quantity per supplier bucket."""
+    return _store(spark, sf_dir).key_join_features(
+        "n_ship_qty",
+        {"supp_bucket": "cast(key_supp % 4 as int)"},
+        START,
+        END,
+    )
+
+
+ORACLE_Q30 = f"""
+WITH f AS (
+  SELECT l_suppkey % 4 AS supp_bucket,
+         l_quantity AS qty,
+         greatest(CAST(l_shipdate AS DATE), DATE '1996-01-01') AS vf,
+         least(CAST(l_shipdate AS DATE) + 7, DATE '1996-04-01') AS vu
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) <= DATE '1996-03-31'
+    AND CAST(l_shipdate AS DATE) + 7 > DATE '1996-01-01'
+),
+t_add AS (
+  SELECT CAST(supp_bucket AS INT) AS supp_bucket, vf AS date, MAX(qty) AS n
+  FROM f GROUP BY 1, 2
+),
+t_remove AS (
+  SELECT CAST(supp_bucket AS INT) AS supp_bucket, vu AS date, MAX(qty) AS n
+  FROM f GROUP BY 1, 2
+),
+spine AS ({_SPINE_SQL}),
+strata AS (SELECT DISTINCT CAST(supp_bucket AS INT) AS supp_bucket FROM f),
+combos AS (SELECT supp_bucket, date FROM strata CROSS JOIN spine)
+SELECT c.date AS date, c.supp_bucket AS supp_bucket,
+       SUM(COALESCE(a.n, 0)) OVER w - SUM(COALESCE(r.n, 0)) OVER w
+         AS n_ship_qty
+FROM combos c
+LEFT JOIN t_add a ON a.supp_bucket = c.supp_bucket AND a.date = c.date
+LEFT JOIN t_remove r ON r.supp_bucket = c.supp_bucket AND r.date = c.date
+WINDOW w AS (PARTITION BY c.supp_bucket ORDER BY c.date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def _rev_compute(start_date, end_date, slice_ts, source_conn, ds):
+    """Source revisions keyed by slice_ts: the January slice sees only
+    2/3 of orders; the February slice sees all (simulating late
+    arrivals)."""
+    from diseasystore_spark.storage.scd2 import normalize_slice_ts
+
+    orders = ds.spark.read.parquet(f"{source_conn}/orders.parquet")
+    vf = F.col("o_orderdate").cast("date")
+    framed = orders.select(
+        F.col("o_custkey").alias("key_cust"),
+        F.col("o_orderkey").alias("key_order"),
+        F.lit(1.0).alias("n_rev_orders"),
+        vf.alias("valid_from"),
+        F.date_add(vf, 30).alias("valid_until"),
+    ).where(
+        (F.col("valid_from") <= F.lit(end_date))
+        & (F.col("valid_until") > F.lit(start_date))
+    )
+    if normalize_slice_ts(slice_ts) < datetime.datetime(2024, 2, 1):
+        framed = framed.where(F.col("key_order") % 3 != 0)
+    return framed
+
+
+class _RevisionStore(Diseasystore):
+    _ds_map = {"n_rev_orders": "rev_orders"}
+    rev_orders = FeatureHandler(compute=_rev_compute, key_join=key_join_sum)
+
+
+def q31_snapshot_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal snapshot isolation (S5/S7/I4) through the driver
+    gate: write the same feature at two slice_ts with revised source
+    data; each slice reads back exactly its own world."""
+    ds = _RevisionStore(
+        spark,
+        target_conn=tempfile.mkdtemp(prefix="ds_rev_"),
+        source_conn=sf_dir,
+        verbose=False,
+    )
+    slice_a, slice_b = datetime.date(2024, 1, 15), datetime.date(2024, 2, 15)
+    snap_a = ds.get_feature("n_rev_orders", START, END, slice_ts=slice_a)
+    snap_b = ds.get_feature("n_rev_orders", START, END, slice_ts=slice_b)
+    tagged = snap_a.withColumn("slice", F.lit("A")).unionByName(
+        snap_b.withColumn("slice", F.lit("B"))
+    )
+    return tagged.groupBy("slice").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("key_order").alias("sum_orderkeys"),
+    )
+
+
+ORACLE_Q31 = """
+WITH f AS (
+  SELECT o_orderkey AS key_order,
+         CAST(o_orderdate AS DATE) AS vf, CAST(o_orderdate AS DATE) + 30 AS vu
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) <= DATE '1996-03-31'
+    AND CAST(o_orderdate AS DATE) + 30 > DATE '1996-01-01'
+)
+SELECT 'A' AS slice, COUNT(*) AS n_rows, CAST(SUM(key_order) AS BIGINT) AS sum_orderkeys
+FROM f WHERE key_order % 3 != 0
+UNION ALL
+SELECT 'B', COUNT(*), CAST(SUM(key_order) AS BIGINT) FROM f
 """
 
 
@@ -943,6 +1055,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_fingerprints": q27_fingerprints,
     "q28_multimodal_features": q28_multimodal_features,
     "q29_embedding_dupes": q29_embedding_dupes,
+    "q30_prevalence_max_agg": q30_prevalence_max_agg,
+    "q31_snapshot_isolation": q31_snapshot_isolation,
 }
 
 ORACLES: dict[str, str] = {
@@ -970,6 +1084,8 @@ ORACLES: dict[str, str] = {
     "q22_token_count": ORACLE_Q22,
     "q25_cosine_topk": ORACLE_Q25,
     "q29_embedding_dupes": ORACLE_Q29,
+    "q30_prevalence_max_agg": ORACLE_Q30,
+    "q31_snapshot_isolation": ORACLE_Q31,
     # q23/q24/q26/q27/q28 are xxhash64- or UDF-based: rows-only checks
     # (the driver records the weaker check; tests verify them against
     # exact formulations).

@@ -27,7 +27,7 @@ import datetime
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from diseasystore_spark.operators.aggregators import key_join_sum
+from diseasystore_spark.operators.aggregators import key_join_max, key_join_sum
 from diseasystore_spark.plans.feature_handler import FeatureHandler
 from diseasystore_spark.plans.store import Diseasystore
 
@@ -89,9 +89,30 @@ def _compute_customer_birth(start_date, end_date, slice_ts, source_conn, ds):
     )
 
 
+def _compute_supplier_ship_qty(start_date, end_date, slice_ts, source_conn, ds):
+    """Max-aggregated observable: per-lineitem shipped quantity, valid
+    for 7 days from ship date, keyed by supplier (exercises
+    key_join_max through the prevalence pipeline)."""
+    li = ds.spark.read.parquet(f"{source_conn}/lineitem.parquet")
+    vf = F.col("l_shipdate").cast("date")
+    framed = li.select(
+        F.col("l_suppkey").alias("key_supp"),
+        F.col("l_orderkey").alias("key_order"),
+        F.col("l_linenumber").alias("key_line"),
+        F.col("l_quantity").cast("double").alias("n_ship_qty"),
+        vf.alias("valid_from"),
+        F.date_add(vf, 7).alias("valid_until"),
+    )
+    return framed.where(
+        (F.col("valid_from") <= F.lit(end_date))
+        & (F.col("valid_until") > F.lit(start_date))
+    )
+
+
 class TpchDiseasystore(Diseasystore):
     _ds_map = {
         "n_active_orders": "order_activity",
+        "n_ship_qty": "supplier_ship_qty",
         "nation": "customer_nation",
         "birth": "customer_birth",
     }
@@ -99,6 +120,9 @@ class TpchDiseasystore(Diseasystore):
 
     order_activity = FeatureHandler(
         compute=_compute_order_activity, key_join=key_join_sum
+    )
+    supplier_ship_qty = FeatureHandler(
+        compute=_compute_supplier_ship_qty, key_join=key_join_max
     )
     customer_nation = FeatureHandler(
         compute=_compute_customer_nation, key_join=key_join_sum
