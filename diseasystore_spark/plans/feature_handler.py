@@ -41,11 +41,21 @@ class FeatureHandler:
     get: Callable[..., DataFrame] | None = None
     key_join: Aggregator = field(default=_key_join_not_configured)
 
-    def read(self, store: Any, target_table: str, slice_ts: Any) -> DataFrame:
+    def read(
+        self,
+        store: Any,
+        target_table: str,
+        slice_ts: Any,
+        max_valid_from: Any = None,
+    ) -> DataFrame:
         """Dispatch the snapshot read: custom ``get`` if provided, else
-        the SCD2 default (``R/2_FeatureHandler.R:90-96``)."""
+        the SCD2 default (``R/2_FeatureHandler.R:90-96``).
+        ``max_valid_from`` lets the default read prune month partitions
+        beyond the study period."""
         if self.get is not None:
             return self.get(
                 target_table=target_table, slice_ts=slice_ts, store=store
             )
-        return store.backend.get_table(target_table, slice_ts)
+        return store.backend.get_table(
+            target_table, slice_ts, max_valid_from=max_valid_from
+        )

@@ -76,6 +76,7 @@ class Diseasystore:
         end_date: datetime.date | None = None,
         slice_ts: Any = None,
         verbose: bool | None = None,
+        partition_granularity: str | None = None,
     ):
         self.spark = spark
         self.start_date = start_date
@@ -103,7 +104,9 @@ class Diseasystore:
         if target_schema is None:
             target_schema = diseasyoption("target_schema", self, default="ds")
         self.target_schema = target_schema
-        self.backend = ParquetFeatureStore(spark, target_conn)
+        self.backend = ParquetFeatureStore(
+            spark, target_conn, partition_granularity=partition_granularity
+        )
 
     # ----------------------------------------------------------- registry
     @property
@@ -211,7 +214,9 @@ class Diseasystore:
             finally:
                 self.backend.unlock(target_table)
 
-        out = self.handler(feature_loader).read(self, target_table, slice_ts)
+        out = self.handler(feature_loader).read(
+            self, target_table, slice_ts, max_valid_from=end_date
+        )
         # Clip to the study period. The reference theta-joins a 1-row
         # bounds table (``:259-269``); a literal filter is semantically
         # identical and lets Catalyst push the predicate to the scan.

@@ -48,6 +48,7 @@ def _store(spark: SparkSession, sf_dir: str) -> TpchDiseasystore:
             source_conn=sf_dir,
             slice_ts=SLICE_TS,
             verbose=False,
+            partition_granularity="month",
         )
     return _DS_CACHE[key]
 
@@ -270,6 +271,7 @@ def q31_snapshot_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_conn=tempfile.mkdtemp(prefix="ds_rev_"),
         source_conn=sf_dir,
         verbose=False,
+        partition_granularity="month",
     )
     slice_a, slice_b = datetime.date(2024, 1, 15), datetime.date(2024, 2, 15)
     snap_a = ds.get_feature("n_rev_orders", START, END, slice_ts=slice_a)

@@ -97,10 +97,28 @@ def row_checksum(columns: list[str]) -> F.Column:
     return F.sha2(F.concat_ws("\x1f", *parts), 256)
 
 
+PARTITION_COL = "__vm"
+
+
 class ParquetFeatureStore:
-    def __init__(self, spark: SparkSession, root: str):
+    """SCD2 storage. ``partition_granularity="month"`` enables the
+    scale layout: each version is hive-partitioned by
+    ``month(valid_from)``; merges rewrite only partitions whose rows
+    changed and hard-link the untouched partition directories from the
+    previous version — the local-filesystem equivalent of a Delta
+    MERGE touching only affected files."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        partition_granularity: str | None = None,
+    ):
+        if partition_granularity not in (None, "month"):
+            raise ValueError("partition_granularity must be None or 'month'")
         self.spark = spark
         self.root = root
+        self.partition_granularity = partition_granularity
         os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------------- paths
@@ -146,8 +164,7 @@ class ParquetFeatureStore:
         shutil.rmtree(self._table_dir(table_id), ignore_errors=True)
 
     # -------------------------------------------------------------- reads
-    def read_raw(self, table_id: str) -> DataFrame:
-        """Full SCD2 table (bookkeeping columns included)."""
+    def _read_raw_partitioned(self, table_id: str) -> DataFrame:
         version = self._current_version(table_id)
         if version is None:
             raise FileNotFoundError(f"table {table_id} does not exist")
@@ -155,12 +172,31 @@ class ParquetFeatureStore:
             os.path.join(self._table_dir(table_id), f"_v{version}")
         )
 
-    def get_table(self, table_id: str, slice_ts) -> DataFrame:
+    def read_raw(self, table_id: str) -> DataFrame:
+        """Full SCD2 table (bookkeeping columns included; the internal
+        partition column is hidden)."""
+        df = self._read_raw_partitioned(table_id)
+        return df.drop(PARTITION_COL) if PARTITION_COL in df.columns else df
+
+    def get_table(
+        self, table_id: str, slice_ts, max_valid_from=None
+    ) -> DataFrame:
         """Transaction-time snapshot read: ``from_ts <= slice_ts AND
         (until_ts IS NULL OR until_ts > slice_ts)``, bookkeeping
-        dropped (``R/2_FeatureHandler.R:90-96``)."""
+        dropped (``R/2_FeatureHandler.R:90-96``).
+
+        ``max_valid_from`` (a date): on a month-partitioned table, adds
+        a partition-column predicate so months strictly after it are
+        pruned at the file level (the study-period clip's upper bound).
+        """
         ts = normalize_slice_ts(slice_ts)
-        raw = self.read_raw(table_id)
+        raw = self._read_raw_partitioned(table_id)
+        if PARTITION_COL in raw.columns:
+            if max_valid_from is not None:
+                raw = raw.where(
+                    F.col(PARTITION_COL) <= max_valid_from.strftime("%Y-%m")
+                )
+            raw = raw.drop(PARTITION_COL)
         return raw.where(
             (F.col("from_ts") <= F.lit(ts))
             & (F.col("until_ts").isNull() | (F.col("until_ts") > F.lit(ts)))
@@ -188,6 +224,8 @@ class ParquetFeatureStore:
             "checksum", row_checksum(data.columns)
         ).dropDuplicates(["checksum"])
 
+        partitioned = self.partition_granularity == "month"
+
         if not self.table_exists(table_id):
             new_table = incoming.withColumns(
                 {
@@ -195,36 +233,109 @@ class ParquetFeatureStore:
                     "until_ts": F.lit(None).cast("timestamp"),
                 }
             )
-        else:
-            existing = self.read_raw(table_id)
-            is_current = (F.col("from_ts") <= F.lit(ts)) & (
-                F.col("until_ts").isNull() | (F.col("until_ts") > F.lit(ts))
-            )
-            current = existing.where(is_current)
-            others = existing.where(~is_current)
+            self._write_version(new_table, table_id, changed_months=None)
+            return
 
-            incoming_keys = incoming.select("checksum")
-            closed = current.join(incoming_keys, "checksum", "left_anti").withColumn(
-                "until_ts", F.lit(ts).cast("timestamp")
-            )
+        existing = self.read_raw(table_id)
+        is_current = (F.col("from_ts") <= F.lit(ts)) & (
+            F.col("until_ts").isNull() | (F.col("until_ts") > F.lit(ts))
+        )
+        current = existing.where(is_current)
+        others = existing.where(~is_current)
+
+        incoming_keys = incoming.select("checksum")
+        closed = current.join(incoming_keys, "checksum", "left_anti").withColumn(
+            "until_ts", F.lit(ts).cast("timestamp")
+        )
+        inserted = incoming.join(
+            current.select("checksum"), "checksum", "left_anti"
+        ).withColumns(
+            {
+                "from_ts": F.lit(ts).cast("timestamp"),
+                "until_ts": F.lit(None).cast("timestamp"),
+            }
+        )
+
+        if not partitioned:
             kept = current.join(incoming_keys, "checksum", "left_semi")
-            inserted = incoming.join(
-                current.select("checksum"), "checksum", "left_anti"
-            ).withColumns(
-                {
-                    "from_ts": F.lit(ts).cast("timestamp"),
-                    "until_ts": F.lit(None).cast("timestamp"),
-                }
-            )
             new_table = (
                 others.unionByName(kept)
                 .unionByName(closed)
                 .unionByName(inserted.select(*others.columns))
             )
+            self._write_version(new_table, table_id, changed_months=None)
+            return
 
-        version = (self._current_version(table_id) or 0) + 1
+        # Partition-pruned merge: only months containing a closed or an
+        # inserted row change; everything else is linked forward.
+        # Reading the change set costs one columnar pass over
+        # (checksum, valid_from) — cheap relative to rewriting data.
+        month_of = F.date_format(F.col("valid_from"), "yyyy-MM")
+        changed_months = sorted(
+            r["m"]
+            for r in closed.select(month_of.alias("m"))
+            .union(inserted.select(month_of.alias("m")))
+            .distinct()
+            .collect()
+        )
+        if not changed_months:
+            return  # merge is a no-op: current version already correct
+
+        in_changed = month_of.isin(changed_months)
+        part_existing = existing.where(in_changed)
+        part_current = part_existing.where(is_current)
+        part_closed = part_current.join(
+            incoming_keys, "checksum", "left_anti"
+        ).withColumn("until_ts", F.lit(ts).cast("timestamp"))
+        part_kept = part_current.join(incoming_keys, "checksum", "left_semi")
+        part_others = part_existing.where(~is_current)
+        part_inserted = inserted.where(in_changed)
+        new_parts = (
+            part_others.unionByName(part_kept)
+            .unionByName(part_closed)
+            .unionByName(part_inserted.select(*part_others.columns))
+        )
+        self._write_version(new_parts, table_id, changed_months=changed_months)
+
+    def _write_version(
+        self,
+        new_table: DataFrame,
+        table_id: str,
+        changed_months: list[str] | None,
+    ) -> None:
+        """Write a new immutable version directory and swap the pointer.
+
+        Partitioned mode: ``new_table`` holds only the changed months'
+        rows; unchanged month partitions are hard-linked from the
+        previous version (same filesystem, zero copy)."""
+        prev = self._current_version(table_id)
+        version = (prev or 0) + 1
         out_dir = os.path.join(self._table_dir(table_id), f"_v{version}")
-        new_table.write.mode("overwrite").parquet(out_dir)
+
+        if self.partition_granularity == "month":
+            writer = new_table.withColumn(
+                PARTITION_COL, F.date_format(F.col("valid_from"), "yyyy-MM")
+            ).write.partitionBy(PARTITION_COL)
+            writer.mode("overwrite").parquet(out_dir)
+            if changed_months is not None and prev is not None:
+                prev_dir = os.path.join(self._table_dir(table_id), f"_v{prev}")
+                changed_set = {f"{PARTITION_COL}={m}" for m in changed_months}
+                for entry in os.listdir(prev_dir):
+                    if (
+                        entry.startswith(f"{PARTITION_COL}=")
+                        and entry not in changed_set
+                    ):
+                        src = os.path.join(prev_dir, entry)
+                        dst = os.path.join(out_dir, entry)
+                        os.makedirs(dst, exist_ok=True)
+                        for fname in os.listdir(src):
+                            if fname.endswith(".parquet"):
+                                os.link(
+                                    os.path.join(src, fname),
+                                    os.path.join(dst, fname),
+                                )
+        else:
+            new_table.write.mode("overwrite").parquet(out_dir)
         self._swap_pointer(table_id, version)
 
     # --------------------------------------------------------------- logs

@@ -1,0 +1,106 @@
+"""Month-partitioned SCD2 layout: same merge semantics, pruned
+rewrites, hard-linked unchanged partitions."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+
+from diseasystore_spark.storage.scd2 import PARTITION_COL, ParquetFeatureStore
+
+T = datetime.datetime
+D = datetime.date
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "key_id string, v double, valid_from date, valid_until date"
+    )
+
+
+@pytest.fixture()
+def pstore(spark, tmp_path):
+    return ParquetFeatureStore(
+        spark, str(tmp_path / "pstore"), partition_granularity="month"
+    )
+
+
+ROWS_V1 = [
+    ("a", 1.0, D(2020, 1, 10), D(2020, 1, 20)),
+    ("b", 2.0, D(2020, 2, 10), D(2020, 2, 20)),
+    ("c", 3.0, D(2020, 3, 10), None),
+]
+
+
+def test_partitioned_layout_and_semantics(spark, pstore):
+    t1, t2 = T(2024, 1, 1), T(2024, 1, 2)
+    pstore.update_snapshot(_df(spark, ROWS_V1), "ds.t", t1)
+    tdir = os.path.join(pstore.root, "ds", "t", "_v1")
+    parts = sorted(e for e in os.listdir(tdir) if e.startswith(PARTITION_COL))
+    assert parts == [
+        f"{PARTITION_COL}=2020-01",
+        f"{PARTITION_COL}=2020-02",
+        f"{PARTITION_COL}=2020-03",
+    ]
+    snap = {r["key_id"]: r["v"] for r in pstore.get_table("ds.t", t1).collect()}
+    assert snap == {"a": 1.0, "b": 2.0, "c": 3.0}
+
+    # change only the February row -> only 2020-02 is rewritten
+    rows_v2 = [
+        ("a", 1.0, D(2020, 1, 10), D(2020, 1, 20)),
+        ("b", 9.0, D(2020, 2, 10), D(2020, 2, 20)),
+        ("c", 3.0, D(2020, 3, 10), None),
+    ]
+    pstore.update_snapshot(_df(spark, rows_v2), "ds.t", t2)
+    v2dir = os.path.join(pstore.root, "ds", "t", "_v2")
+
+    def inode_set(version_dir, part):
+        pdir = os.path.join(version_dir, part)
+        return {
+            os.stat(os.path.join(pdir, f)).st_ino
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        }
+
+    # January and March partitions are hard links of v1's files
+    assert inode_set(tdir, parts[0]) == inode_set(v2dir, parts[0])
+    assert inode_set(tdir, parts[2]) == inode_set(v2dir, parts[2])
+    # February was rewritten (disjoint inodes)
+    assert inode_set(tdir, parts[1]).isdisjoint(inode_set(v2dir, parts[1]))
+
+    snap2 = {r["key_id"]: r["v"] for r in pstore.get_table("ds.t", t2).collect()}
+    assert snap2 == {"a": 1.0, "b": 9.0, "c": 3.0}
+    snap1 = {r["key_id"]: r["v"] for r in pstore.get_table("ds.t", t1).collect()}
+    assert snap1 == {"a": 1.0, "b": 2.0, "c": 3.0}
+
+
+def test_noop_merge_skips_version(spark, pstore):
+    t1 = T(2024, 1, 1)
+    pstore.update_snapshot(_df(spark, ROWS_V1), "ds.t", t1)
+    assert pstore._current_version("ds.t") == 1
+    pstore.update_snapshot(_df(spark, ROWS_V1), "ds.t", t1)
+    assert pstore._current_version("ds.t") == 1  # nothing changed
+
+
+def test_partition_pruned_snapshot_read(spark, pstore):
+    t1 = T(2024, 1, 1)
+    pstore.update_snapshot(_df(spark, ROWS_V1), "ds.t", t1)
+    pruned = pstore.get_table("ds.t", t1, max_valid_from=D(2020, 2, 28))
+    assert {r["key_id"] for r in pruned.collect()} == {"a", "b"}
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "2020-03" not in plan or "PartitionFilters" in plan
+
+
+def test_partitioned_survives_gc(spark, pstore):
+    """Hard links keep data alive when old versions are GC'd."""
+    ts = [T(2024, 1, i + 1) for i in range(4)]
+    rows = ROWS_V1
+    pstore.update_snapshot(_df(spark, rows), "ds.t", ts[0])
+    for i, newv in enumerate([4.0, 5.0, 6.0]):
+        rows = [("a", newv, D(2020, 1, 10), D(2020, 1, 20))] + rows[1:]
+        pstore.update_snapshot(_df(spark, rows), "ds.t", ts[i + 1])
+    # v1, v2 GC'd; current still reads all three keys at the last slice
+    snap = {r["key_id"]: r["v"] for r in pstore.get_table("ds.t", ts[3]).collect()}
+    assert snap == {"a": 6.0, "b": 2.0, "c": 3.0}
