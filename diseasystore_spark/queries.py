@@ -59,7 +59,7 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # events.ts is TIMESTAMP(NANOS) parquet, surfaced as a nanosecond
         # long under spark.sql.legacy.parquet.nanosAsLong — convert.
         df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
         )
     return df
 
@@ -762,6 +762,83 @@ GROUP BY 1, 3
 """
 
 
+def q32_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets extension (absent in the reference, free on
+    Spark): revenue cube over returnflag x linestatus."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_Q32 = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q33_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min) per user over the event stream —
+    lag + gap-flag + running-sum session ids (the batch shape of
+    session_window)."""
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return flagged.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+ORACLE_Q33 = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline operators (dedup / similarity / text / multimodal)
 # --------------------------------------------------------------------------
@@ -1059,6 +1136,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_embedding_dupes": q29_embedding_dupes,
     "q30_prevalence_max_agg": q30_prevalence_max_agg,
     "q31_snapshot_isolation": q31_snapshot_isolation,
+    "q32_cube_rollup": q32_cube_rollup,
+    "q33_sessionize": q33_sessionize,
 }
 
 ORACLES: dict[str, str] = {
@@ -1088,6 +1167,8 @@ ORACLES: dict[str, str] = {
     "q29_embedding_dupes": ORACLE_Q29,
     "q30_prevalence_max_agg": ORACLE_Q30,
     "q31_snapshot_isolation": ORACLE_Q31,
+    "q32_cube_rollup": ORACLE_Q32,
+    "q33_sessionize": ORACLE_Q33,
     # q23/q24/q26/q27/q28 are xxhash64- or UDF-based: rows-only checks
     # (the driver records the weaker check; tests verify them against
     # exact formulations).

@@ -18,7 +18,7 @@ SF = "/root/testdata/sf0.001"
 def _events(spark):
     df = spark.read.parquet(f"{SF}/events.parquet")
     return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
     )
 
 
