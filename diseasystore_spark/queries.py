@@ -762,6 +762,57 @@ GROUP BY 1, 3
 """
 
 
+def q34_prevalence_multi_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two stratification features at once — the true multi-table
+    interlace path (J3: nation and birth are separate features, so the
+    engine truncates both onto the observable and aligns all three
+    timelines)."""
+    age_group = cut_expr(age_on_date(F.col("birth"), START), [50])
+    return _store(spark, sf_dir).key_join_features(
+        "n_active_orders",
+        {"nation": "nation", "age_group": age_group},
+        START,
+        END,
+    )
+
+
+ORACLE_Q34 = f"""
+WITH f0 AS ({_ORDERS_FRAME_SQL}),
+f AS (
+  SELECT f0.*, n.n_name AS nation,
+         CASE WHEN age >= 0 AND age < 50 THEN '00-49'
+              WHEN age >= 50 THEN '50+' END AS age_group
+  FROM (
+    SELECT f0.*, c.c_nationkey,
+           date_sub('year',
+                    DATE '1920-01-01' + CAST(c.c_custkey % 25000 AS INT),
+                    DATE '1996-01-01') AS age
+    FROM f0 JOIN customer c ON f0.key_cust = c.c_custkey
+  ) f0
+  JOIN nation n ON f0.c_nationkey = n.n_nationkey
+),
+spine AS ({_SPINE_SQL}),
+-- The engine's interlace emits a trailing open interval per key with
+-- NULL payloads (matching the reference's breakpoint construction), so
+-- a (NULL, NULL) stratum with all-zero prevalence appears in the output.
+strata AS (
+  SELECT DISTINCT nation, age_group FROM f
+  UNION SELECT NULL, NULL
+),
+combos AS (SELECT nation, age_group, date FROM strata CROSS JOIN spine),
+agg AS (
+  SELECT f.nation, f.age_group, s.date, SUM(1.0) AS n
+  FROM f JOIN spine s ON f.vf <= s.date AND s.date < f.vu
+  GROUP BY 1, 2, 3
+)
+SELECT c.date AS date, c.nation AS nation, c.age_group AS age_group,
+       CAST(COALESCE(a.n, 0) AS DOUBLE) AS n_active_orders
+FROM combos c
+LEFT JOIN agg a ON a.nation = c.nation AND a.age_group = c.age_group
+               AND a.date = c.date
+"""
+
+
 def q32_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets extension (absent in the reference, free on
     Spark): revenue cube over returnflag x linestatus."""
@@ -1138,6 +1189,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_snapshot_isolation": q31_snapshot_isolation,
     "q32_cube_rollup": q32_cube_rollup,
     "q33_sessionize": q33_sessionize,
+    "q34_prevalence_multi_strat": q34_prevalence_multi_strat,
 }
 
 ORACLES: dict[str, str] = {
@@ -1169,6 +1221,7 @@ ORACLES: dict[str, str] = {
     "q31_snapshot_isolation": ORACLE_Q31,
     "q32_cube_rollup": ORACLE_Q32,
     "q33_sessionize": ORACLE_Q33,
+    "q34_prevalence_multi_strat": ORACLE_Q34,
     # q23/q24/q26/q27/q28 are xxhash64- or UDF-based: rows-only checks
     # (the driver records the weaker check; tests verify them against
     # exact formulations).
