@@ -267,35 +267,43 @@ class ParquetFeatureStore:
             return
 
         # Partition-pruned merge: only months containing a closed or an
-        # inserted row change; everything else is linked forward.
-        # Reading the change set costs one columnar pass over
-        # (checksum, valid_from) — cheap relative to rewriting data.
+        # inserted row change; everything else is linked forward. The
+        # change sets are cached so the months-collect and the write
+        # run the anti-joins once.
         month_of = F.date_format(F.col("valid_from"), "yyyy-MM")
-        changed_months = sorted(
-            r["m"]
-            for r in closed.select(month_of.alias("m"))
-            .union(inserted.select(month_of.alias("m")))
-            .distinct()
-            .collect()
-        )
-        if not changed_months:
-            return  # merge is a no-op: current version already correct
+        closed = closed.cache()
+        inserted = inserted.cache()
+        try:
+            changed_months = sorted(
+                r["m"]
+                for r in closed.select(month_of.alias("m"))
+                .union(inserted.select(month_of.alias("m")))
+                .distinct()
+                .collect()
+            )
+            if not changed_months:
+                return  # merge is a no-op: current version already correct
 
-        in_changed = month_of.isin(changed_months)
-        part_existing = existing.where(in_changed)
-        part_current = part_existing.where(is_current)
-        part_closed = part_current.join(
-            incoming_keys, "checksum", "left_anti"
-        ).withColumn("until_ts", F.lit(ts).cast("timestamp"))
-        part_kept = part_current.join(incoming_keys, "checksum", "left_semi")
-        part_others = part_existing.where(~is_current)
-        part_inserted = inserted.where(in_changed)
-        new_parts = (
-            part_others.unionByName(part_kept)
-            .unionByName(part_closed)
-            .unionByName(part_inserted.select(*part_others.columns))
-        )
-        self._write_version(new_parts, table_id, changed_months=changed_months)
+            # All closed/inserted rows lie in changed months by
+            # construction — reuse them; only kept/others re-read the
+            # (pruned) existing partitions.
+            in_changed = month_of.isin(changed_months)
+            part_existing = existing.where(in_changed)
+            part_kept = part_existing.where(is_current).join(
+                incoming_keys, "checksum", "left_semi"
+            )
+            part_others = part_existing.where(~is_current)
+            new_parts = (
+                part_others.unionByName(part_kept)
+                .unionByName(closed)
+                .unionByName(inserted.select(*part_others.columns))
+            )
+            self._write_version(
+                new_parts, table_id, changed_months=changed_months
+            )
+        finally:
+            closed.unpersist()
+            inserted.unpersist()
 
     def _write_version(
         self,
@@ -313,10 +321,16 @@ class ParquetFeatureStore:
         out_dir = os.path.join(self._table_dir(table_id), f"_v{version}")
 
         if self.partition_granularity == "month":
-            writer = new_table.withColumn(
+            # One shuffle on the partition key -> one file per month
+            # instead of (upstream partitions x months) tiny files.
+            # At real scale, repartition(N, col) with N sized for
+            # ~128 MB files per month is the knob.
+            partitioned = new_table.withColumn(
                 PARTITION_COL, F.date_format(F.col("valid_from"), "yyyy-MM")
-            ).write.partitionBy(PARTITION_COL)
-            writer.mode("overwrite").parquet(out_dir)
+            ).repartition(PARTITION_COL)
+            partitioned.write.partitionBy(PARTITION_COL).mode(
+                "overwrite"
+            ).parquet(out_dir)
             if changed_months is not None and prev is not None:
                 prev_dir = os.path.join(self._table_dir(table_id), f"_v{prev}")
                 changed_set = {f"{PARTITION_COL}={m}" for m in changed_months}
