@@ -17,12 +17,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
 def _ensure_nanos_flag(spark: SparkSession) -> None:
-    # events.parquet uses TIMESTAMP(NANOS); the registry's reader
-    # expects the nanosAsLong surface. Harmless if already set.
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    # Runtime confs the registry depends on, set defensively in case
+    # the hosting session was built without them: events.parquet uses
+    # TIMESTAMP(NANOS) (read as nanosecond longs under nanosAsLong),
+    # and timestamp outputs are compared against TZ-naive DuckDB, so
+    # the session timezone must be UTC.
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass
 
 
 def entry(spark: SparkSession) -> DataFrame:
