@@ -168,6 +168,26 @@ def test_drop_diseasystore_pattern(store):
     assert be.list_tables("ds") == []
 
 
+def test_verbosity_messages(spark, tmp_path, capsys):
+    """Message parity (``tests/testthat/test-DiseasystoreBase.R:148-190``):
+    first call announces the computation; a second identical call is
+    silent (memoized)."""
+    ds = DummyStore(
+        spark,
+        target_conn=str(tmp_path / "v"),
+        source_conn="x",
+        slice_ts=TODAY,
+        verbose=True,
+    )
+    start, end = TODAY - datetime.timedelta(days=5), TODAY
+    ds.get_feature("n_cyl", start, end).count()
+    out = capsys.readouterr().out
+    assert "feature: n_cyl needs to be computed on the specified date int" in out
+    ds.get_feature("n_cyl", start, end).count()
+    out2 = capsys.readouterr().out
+    assert "needs to be computed" not in out2
+
+
 def test_get_feature_unordered_defaults(store):
     """get_feature without explicit dates uses instance defaults; no
     defaults configured -> error."""
