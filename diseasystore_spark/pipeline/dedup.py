@@ -220,7 +220,8 @@ def simhash64(
     hashes. Returns (id, simhash bigint). The 64 per-bit sums compile
     to one grouped aggregation (all map-side combinable)."""
     tok = (
-        df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
+        spread(df)
+        .select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
         .where(F.col("tok") != "")
         .withColumn("h", F.xxhash64("tok"))
     )
