@@ -159,6 +159,151 @@ def lsh_bucket(vec_col: str, num_planes: int, dim: int) -> Column:
     return bucket
 
 
+def _centroid_dists(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Array of squared L2 distances to each literal centroid. Each
+    distance expression appears exactly once — argmin is then computed
+    from the materialized array behind a projection boundary (a naive
+    when-chain would embed prior expressions twice per step and blow
+    the expression tree up exponentially)."""
+    dists = []
+    for c in centroids:
+        arr = f"array({', '.join(f'{v}D' for v in c)})"
+        dists.append(
+            F.expr(
+                f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> "
+                f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, "
+                f"(acc, v) -> acc + v)"
+            )
+        )
+    return F.array(*dists)
+
+
+def _with_cluster(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    return (
+        df.withColumn("__dists", _centroid_dists(vec_col, centroids))
+        .withColumn(
+            "cluster",
+            F.expr(
+                "CAST(array_position(__dists, array_min(__dists)) - 1 AS INT)"
+            ),
+        )
+        .drop("__dists")
+    )
+
+
+def ivf_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    iterations: int = 3,
+    dim: int = 64,
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: k-means with centroids
+    seeded from the first ``n_clusters`` vectors by id (no RNG), a few
+    Lloyd iterations. Assignment runs distributed; only the k x dim
+    centroid matrix ever reaches the driver."""
+    seeds = (
+        df.orderBy(id_col)
+        .limit(n_clusters)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    for _ in range(iterations):
+        assigned = _with_cluster(
+            df.select(F.col(id_col), F.col(vec_col)), vec_col, centroids
+        )
+        # elementwise mean per cluster: posexplode -> groupBy(cluster,
+        # dim) -> avg — one shuffle keyed on (cluster, dim)
+        means = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col)).alias("dim", "x")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]
+        for r in means:
+            new_centroids[r["cluster"]][r["dim"]] = r["m"]
+        centroids = new_centroids
+    return centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    iterations: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF approximate top-k: assign the corpus to coarse clusters,
+    probe each query's ``n_probe`` nearest clusters, exact-cosine
+    rerank within the probed inverted lists. The candidate join is equi
+    on cluster id — the same pruning shape as a vector database's IVF
+    index, expressed as a DataFrame plan."""
+    centroids = ivf_centroids(df, id_col, vec_col, n_clusters, iterations, dim)
+
+    corpus = _with_cluster(
+        df.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        "cv",
+        centroids,
+    ).withColumn("cn", _norm("cv"))
+
+    # each query probes its n_probe nearest centroids: sort the
+    # (distance, cluster) structs of the materialized distance array
+    q = (
+        query_df.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .withColumn("qn", _norm("qv"))
+        .withColumn("__dists", _centroid_dists("qv", centroids))
+        .withColumn(
+            "probe",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.expr(
+                            "transform(__dists, (d, i) -> struct(d AS d, "
+                            "i AS cluster))"
+                        )
+                    ),
+                    1,
+                    n_probe,
+                )
+            ),
+        )
+        .select(
+            "query_id", "qv", "qn", F.col("probe.cluster").alias("cluster")
+        )
+    )
+
+    cand = q.join(corpus, "cluster").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (_dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def hyperplane_lsh_topk(
     df: DataFrame,
     query_df: DataFrame,

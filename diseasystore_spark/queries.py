@@ -1132,6 +1132,20 @@ FROM pairs WHERE cosine >= 0.35
 """
 
 
+def q35_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (deterministic k-means coarse quantizer,
+    probe-4; rows-only — recall vs exact is asserted in tests)."""
+    from diseasystore_spark.pipeline.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb, emb.where(F.col("vec_id") < 20), k=5, n_clusters=16, n_probe=4
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
 def q27_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rows-only; xxhash64-based)."""
     from diseasystore_spark.pipeline.text import doc_fingerprints
@@ -1190,6 +1204,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_cube_rollup": q32_cube_rollup,
     "q33_sessionize": q33_sessionize,
     "q34_prevalence_multi_strat": q34_prevalence_multi_strat,
+    "q35_ann_ivf": q35_ann_ivf,
 }
 
 ORACLES: dict[str, str] = {

@@ -84,6 +84,20 @@ def test_ann_lsh_recall_against_exact(spark, emb):
     assert by_rank == sorted(by_rank, reverse=True)
 
 
+def test_ivf_recall_against_exact(spark, emb):
+    from diseasystore_spark.pipeline.similarity import cosine_topk, ivf_topk
+
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(
+        emb, queries, k=5, n_clusters=8, n_probe=3, iterations=2
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
 def test_text_stats_golden(spark):
     from diseasystore_spark.pipeline.text import text_stats
 
