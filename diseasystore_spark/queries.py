@@ -1139,7 +1139,12 @@ def q35_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     out = ivf_topk(
-        emb, emb.where(F.col("vec_id") < 20), k=5, n_clusters=16, n_probe=4
+        emb,
+        emb.where(F.col("vec_id") < 20),
+        k=5,
+        n_clusters=16,
+        n_probe=4,
+        iterations=1,
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
