@@ -11,12 +11,15 @@ Spark-first notes:
 
 - The spine is ``sequence``/``explode`` (JVM-side), crossJoined with
   the distinct strata — the spine side is tiny and broadcast.
-- The two delta aggregations are separate ``groupBy``s to preserve the
-  pluggable-aggregator surface (``FeatureHandler.key_join`` may be any
-  callable); both benefit from map-side partial aggregation. For the
-  built-in sum/count aggregators a fused single-pass
-  ``explode(array(+1,-1))`` variant would halve the shuffle — a
-  candidate optimization once profiling justifies specializing.
+- For the built-in sum/count aggregators the two delta aggregations
+  fuse into a single pass: each interval row explodes into a
+  (+delta at valid_from, -delta at valid_until) pair and one groupBy
+  computes the net per (strata, date) — half the shuffle volume and
+  one aggregation instead of two, with identical results
+  (``cumsum(add) - cumsum(remove) == cumsum(net)``; deltas are
+  NULL-skipped by ``sum`` exactly like the two-pass form). Any other
+  aggregator keeps the general two-``groupBy`` path so the pluggable
+  ``FeatureHandler.key_join`` surface stays fully general.
 - Null-safe joins (``na_matches = "na"`` at
   ``R/DiseasystoreBase.R:491-492``) use ``eqNullSafe`` so NULL strata
   values group correctly.
@@ -35,7 +38,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from diseasystore_spark.functions.dates import date_spine
-from diseasystore_spark.operators.aggregators import Aggregator
+from diseasystore_spark.operators.aggregators import (
+    Aggregator,
+    key_join_count,
+    key_join_sum,
+)
 
 
 def delta_count_prevalence(
@@ -60,13 +67,6 @@ def delta_count_prevalence(
     # distinct-strata enumeration, and joins all see plain columns.
     work = df.withColumns(strata)
 
-    t_add = aggregator(
-        work.groupBy(*strata_names, F.col("valid_from").alias("date")), observable
-    ).withColumnRenamed("n", "n_add")
-    t_remove = aggregator(
-        work.groupBy(*strata_names, F.col("valid_until").alias("date")), observable
-    ).withColumnRenamed("n", "n_remove")
-
     spine = date_spine(spark, start_date, end_date)
     if strata_names:
         combos = work.select(*strata_names).distinct().crossJoin(F.broadcast(spine))
@@ -79,6 +79,54 @@ def delta_count_prevalence(
             cond = cond & left[s].eqNullSafe(right[s])
         return cond
 
+    w = (
+        Window.partitionBy(*strata_names)
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    if aggregator in (key_join_sum, key_join_count):
+        # Fused single-pass path: explode each interval into
+        # (+delta, -delta) events and aggregate the net once.
+        delta = (
+            F.col(observable).cast("double")
+            if aggregator is key_join_sum
+            else F.lit(1.0)
+        )
+        events = work.select(
+            *strata_names,
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("valid_from").alias("date"),
+                        delta.alias("delta"),
+                    ),
+                    F.struct(
+                        F.col("valid_until").alias("date"),
+                        (-delta).alias("delta"),
+                    ),
+                )
+            ).alias("ev"),
+        ).select(*strata_names, F.col("ev.date"), F.col("ev.delta"))
+        net = events.groupBy(*strata_names, "date").agg(
+            F.sum("delta").alias("net")
+        )
+        joined = combos.join(net, nullsafe_cond(combos, net), "left").select(
+            combos["*"], F.coalesce(net["net"], F.lit(0.0)).alias("net")
+        )
+        return joined.select(
+            "date",
+            *strata_names,
+            F.sum("net").over(w).alias(observable),
+        )
+
+    t_add = aggregator(
+        work.groupBy(*strata_names, F.col("valid_from").alias("date")), observable
+    ).withColumnRenamed("n", "n_add")
+    t_remove = aggregator(
+        work.groupBy(*strata_names, F.col("valid_until").alias("date")), observable
+    ).withColumnRenamed("n", "n_remove")
+
     joined = combos.join(
         t_add, nullsafe_cond(combos, t_add), "left"
     ).select(combos["*"], t_add["n_add"])
@@ -87,11 +135,6 @@ def delta_count_prevalence(
     ).select(joined["*"], t_remove["n_remove"])
     joined = joined.fillna({"n_add": 0, "n_remove": 0})
 
-    w = (
-        Window.partitionBy(*strata_names)
-        .orderBy("date")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     return joined.select(
         "date",
         *strata_names,
