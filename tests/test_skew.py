@@ -1,0 +1,47 @@
+"""Salted-join correctness and scatter behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from diseasystore_spark.operators.skew import salted_join
+
+
+def test_salted_join_matches_plain_join(spark):
+    # 1 hot key with 50k rows + 1000 cold keys
+    large = spark.range(0, 50_000).selectExpr(
+        "'hot' AS k", "id AS payload"
+    ).union(
+        spark.range(0, 1000).selectExpr("concat('k', id) AS k", "id AS payload")
+    )
+    small = spark.range(0, 1001).selectExpr(
+        "CASE WHEN id = 1000 THEN 'hot' ELSE concat('k', id) END AS k",
+        "id * 10 AS dim",
+    )
+    plain = large.join(small, "k")
+    salted = salted_join(large, small, "k", salt=8)
+    assert plain.count() == salted.count() == 51_000
+    a = plain.agg(F.sum("payload"), F.sum("dim")).first()
+    b = salted.agg(F.sum("payload"), F.sum("dim")).first()
+    assert a == b
+
+
+def test_salting_scatters_hot_key(spark):
+    large = spark.range(0, 10_000).selectExpr("'hot' AS k", "id AS payload")
+    salted = large.withColumn(
+        "__salt", F.pmod(F.xxhash64("payload"), F.lit(8)).cast("int")
+    )
+    counts = [
+        r["count"]
+        for r in salted.groupBy("__salt").count().collect()
+    ]
+    assert len(counts) == 8
+    assert max(counts) < 10_000 * 0.25  # no salt bucket dominates
+
+
+def test_salted_left_join(spark):
+    large = spark.range(0, 100).selectExpr("concat('k', id % 5) AS k", "id AS v")
+    small = spark.range(0, 3).selectExpr("concat('k', id) AS k", "id AS dim")
+    out = salted_join(large, small, "k", how="left", salt=4)
+    assert out.count() == 100
+    assert out.where(F.col("dim").isNull()).count() == 40  # k3, k4 unmatched
