@@ -168,6 +168,39 @@ def test_drop_diseasystore_pattern(store):
     assert be.list_tables("ds") == []
 
 
+def test_slice_ts_type_polymorphism(spark, tmp_path):
+    """The engine accepts Date / datetime / ISO strings for slice_ts
+    and treats equal instants as the same slice, including mixed types
+    across calls (``test-DiseasystoreBase.R:193-295``)."""
+    ds = DummyStore(
+        spark,
+        target_conn=str(tmp_path / "poly"),
+        source_conn="x",
+        slice_ts=TODAY,
+        verbose=False,
+    )
+    table = "ds.dummy_cyl"
+    start, end = TODAY - datetime.timedelta(days=4), TODAY
+    slice_variants = [
+        TODAY,                                  # date
+        str(TODAY),                             # "YYYY-MM-DD"
+        datetime.datetime.combine(TODAY, datetime.time()),  # datetime
+        f"{TODAY} 00:00:00",                    # "YYYY-MM-DD HH:MM:SS"
+    ]
+    ds.get_feature("n_cyl", start, end, slice_ts=slice_variants[0])
+    logs_after_first = ds.backend.read_logs_pandas("ds")
+    for ts in slice_variants[1:]:
+        # all variants hit the same memoized slice: no new ranges
+        assert ds.determine_missing_ranges(table, start, end, ts) == []
+        ds.get_feature("n_cyl", start, end, slice_ts=ts)
+    assert len(ds.backend.read_logs_pandas("ds")) == len(logs_after_first)
+    # a genuinely different instant is a different slice
+    later = f"{TODAY} 09:00:00"
+    assert ds.determine_missing_ranges(table, start, end, later) == [
+        (start, end)
+    ]
+
+
 def test_verbosity_messages(spark, tmp_path, capsys):
     """Message parity (``tests/testthat/test-DiseasystoreBase.R:148-190``):
     first call announces the computation; a second identical call is
