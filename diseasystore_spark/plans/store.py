@@ -242,6 +242,11 @@ class Diseasystore:
             ds=self,
         )
 
+        # On a month-partitioned backend the merge itself is scoped to
+        # partitions at-or-before month(range_end) (``written_range``),
+        # so rows in later months are carried forward structurally and
+        # the re-include only needs months the merge will compare.
+        scoped = self.backend.partition_granularity == "month"
         if self.backend.table_exists(target_table):
             # Re-include rows opened at this exact slice_ts that do not
             # overlap the computed range, so the checksum merge does not
@@ -254,7 +259,10 @@ class Diseasystore:
             # close still-valid future rows; on every reference-tested
             # scenario the two behaviors are identical.
             existing = (
-                self.backend.read_raw(target_table)
+                self.backend.read_raw(
+                    target_table,
+                    max_valid_from=range_end if scoped else None,
+                )
                 .where(F.col("from_ts") == F.lit(ts))
                 .drop("checksum", "from_ts", "until_ts")
                 .where(
@@ -268,7 +276,12 @@ class Diseasystore:
 
         message = f"ds-range: {range_start} - {range_end}"
         try:
-            self.backend.update_snapshot(updated, target_table, slice_ts)
+            self.backend.update_snapshot(
+                updated,
+                target_table,
+                slice_ts,
+                written_range=(range_start, range_end) if scoped else None,
+            )
         except Exception:
             self.backend.append_log(
                 self.target_schema, target_table, slice_ts, message, success=False

@@ -172,11 +172,18 @@ class ParquetFeatureStore:
             os.path.join(self._table_dir(table_id), f"_v{version}")
         )
 
-    def read_raw(self, table_id: str) -> DataFrame:
+    def read_raw(self, table_id: str, max_valid_from=None) -> DataFrame:
         """Full SCD2 table (bookkeeping columns included; the internal
-        partition column is hidden)."""
+        partition column is hidden). ``max_valid_from`` (a date) prunes
+        month partitions strictly after it on a partitioned table."""
         df = self._read_raw_partitioned(table_id)
-        return df.drop(PARTITION_COL) if PARTITION_COL in df.columns else df
+        if PARTITION_COL in df.columns:
+            if max_valid_from is not None:
+                df = df.where(
+                    F.col(PARTITION_COL) <= max_valid_from.strftime("%Y-%m")
+                )
+            df = df.drop(PARTITION_COL)
+        return df
 
     def get_table(
         self, table_id: str, slice_ts, max_valid_from=None
@@ -203,7 +210,9 @@ class ParquetFeatureStore:
         ).drop(*SCD2_COLUMNS)
 
     # ------------------------------------------------------------- writes
-    def update_snapshot(self, data: DataFrame, table_id: str, slice_ts) -> None:
+    def update_snapshot(
+        self, data: DataFrame, table_id: str, slice_ts, written_range=None
+    ) -> None:
         """Checksum-merge ``data`` as the snapshot at ``slice_ts``.
 
         Compare-at-timestamp semantics (equivalent to
@@ -214,6 +223,22 @@ class ParquetFeatureStore:
         checksums are untouched. Earlier/later slices are unaffected,
         giving per-``slice_ts`` snapshot isolation
         (``R/DiseasystoreBase.R:533-537`` keying).
+
+        ``written_range=(start_date, end_date)`` (partitioned tables
+        only) declares that ``data`` is a range-scoped update: it is
+        the complete intended snapshot of every row whose
+        ``valid_from`` falls in a month at-or-before
+        ``month(end_date)``, and says nothing about later months. The
+        merge then compares only those month partitions — later months
+        are carried forward untouched (hard-linked, never scanned).
+        This is the scale contract of ``_compute_and_store_range``:
+        every engine write is scoped to a date range, so a backfill
+        into year 1 of a 10-year table never reads or rewrites the
+        other 9 years. If ``data`` nevertheless contains rows with
+        ``month(valid_from) > month(end_date)`` (a handler violating
+        the study-period clip contract), the violation is detected
+        from the changed-months set and the merge transparently falls
+        back to an unscoped full compare.
         """
         ts = normalize_slice_ts(slice_ts)
         bad = [c for c in data.columns if c in SCD2_COLUMNS]
@@ -224,7 +249,8 @@ class ParquetFeatureStore:
             "checksum", row_checksum(data.columns)
         ).dropDuplicates(["checksum"])
 
-        partitioned = self.partition_granularity == "month"
+        if written_range is not None and self.partition_granularity != "month":
+            written_range = None  # scoping is a partitioned-layout feature
 
         if not self.table_exists(table_id):
             new_table = incoming.withColumns(
@@ -236,17 +262,44 @@ class ParquetFeatureStore:
             self._write_version(new_table, table_id, changed_months=None)
             return
 
-        existing = self.read_raw(table_id)
+        self._merge_existing(incoming, table_id, ts, written_range)
+
+    def _merge_existing(
+        self,
+        incoming: DataFrame,
+        table_id: str,
+        ts: datetime.datetime,
+        written_range,
+    ) -> None:
+        partitioned = self.partition_granularity == "month"
+        existing = self.read_raw(
+            table_id,
+            max_valid_from=written_range[1] if written_range else None,
+        )
         is_current = (F.col("from_ts") <= F.lit(ts)) & (
             F.col("until_ts").isNull() | (F.col("until_ts") > F.lit(ts))
         )
         current = existing.where(is_current)
         others = existing.where(~is_current)
 
+        close_candidates = current
+        if written_range is not None:
+            # A current row opened at this very slice and lying entirely
+            # before the range is (re-)present in ``data`` by the
+            # caller's contract, so it can never close — exclude it
+            # from the anti-join input. The predicate pushes to the
+            # parquet scan, so row groups of old months whose rows all
+            # precede the range are skipped by min/max stats.
+            close_candidates = current.where(
+                F.col("valid_until").isNull()
+                | (F.col("valid_until") > F.lit(written_range[0]))
+                | (F.col("from_ts") < F.lit(ts))
+            )
+
         incoming_keys = incoming.select("checksum")
-        closed = current.join(incoming_keys, "checksum", "left_anti").withColumn(
-            "until_ts", F.lit(ts).cast("timestamp")
-        )
+        closed = close_candidates.join(
+            incoming_keys, "checksum", "left_anti"
+        ).withColumn("until_ts", F.lit(ts).cast("timestamp"))
         inserted = incoming.join(
             current.select("checksum"), "checksum", "left_anti"
         ).withColumns(
@@ -283,6 +336,15 @@ class ParquetFeatureStore:
             )
             if not changed_months:
                 return  # merge is a no-op: current version already correct
+
+            if written_range is not None and changed_months[-1] > written_range[
+                1
+            ].strftime("%Y-%m"):
+                # ``data`` reached past the declared range (clip-contract
+                # violation): the scoped compare would treat those months'
+                # surviving rows as absent. Redo unscoped — correct for
+                # any input, just without the pruning.
+                return self._merge_existing(incoming, table_id, ts, None)
 
             # All closed/inserted rows lie in changed months by
             # construction — reuse them; only kept/others re-read the
@@ -325,9 +387,19 @@ class ParquetFeatureStore:
             # instead of (upstream partitions x months) tiny files.
             # At real scale, repartition(N, col) with N sized for
             # ~128 MB files per month is the knob.
-            partitioned = new_table.withColumn(
-                PARTITION_COL, F.date_format(F.col("valid_from"), "yyyy-MM")
-            ).repartition(PARTITION_COL)
+            # Sorting by valid_until (open rows last) tightens parquet
+            # row-group min/max stats so the scoped merge's
+            # close-candidate predicate (valid_until > range_start OR
+            # NULL) skips row groups of long-closed rows.
+            partitioned = (
+                new_table.withColumn(
+                    PARTITION_COL, F.date_format(F.col("valid_from"), "yyyy-MM")
+                )
+                .repartition(PARTITION_COL)
+                .sortWithinPartitions(
+                    PARTITION_COL, F.col("valid_until").asc_nulls_last()
+                )
+            )
             partitioned.write.partitionBy(PARTITION_COL).mode(
                 "overwrite"
             ).parquet(out_dir)

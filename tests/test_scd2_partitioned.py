@@ -104,3 +104,92 @@ def test_partitioned_survives_gc(spark, pstore):
     # v1, v2 GC'd; current still reads all three keys at the last slice
     snap = {r["key_id"]: r["v"] for r in pstore.get_table("ds.t", ts[3]).collect()}
     assert snap == {"a": 6.0, "b": 2.0, "c": 3.0}
+
+
+def _inodes(version_dir, part):
+    pdir = os.path.join(version_dir, part)
+    return {
+        os.stat(os.path.join(pdir, f)).st_ino
+        for f in os.listdir(pdir)
+        if f.endswith(".parquet")
+    }
+
+
+def test_scoped_merge_carries_later_months_forward(spark, pstore):
+    """A ``written_range``-scoped merge never reads or rewrites months
+    after the range: their rows survive untouched (hard-linked) even
+    though they are absent from the incoming frame."""
+    t1, t2 = T(2024, 1, 1), T(2024, 1, 2)
+    pstore.update_snapshot(_df(spark, ROWS_V1), "ds.t", t1)
+
+    # complete snapshot of months <= Feb only; March is out of scope
+    scoped = [
+        ("a", 1.0, D(2020, 1, 10), D(2020, 1, 20)),
+        ("b", 9.0, D(2020, 2, 10), D(2020, 2, 20)),
+    ]
+    pstore.update_snapshot(
+        _df(spark, scoped), "ds.t", t2, written_range=(D(2020, 2, 1), D(2020, 2, 28))
+    )
+
+    v1dir = os.path.join(pstore.root, "ds", "t", "_v1")
+    v2dir = os.path.join(pstore.root, "ds", "t", "_v2")
+    jan, feb, mar = (f"{PARTITION_COL}=2020-0{m}" for m in (1, 2, 3))
+    # only February changed; January and (unscanned) March are links
+    assert _inodes(v1dir, jan) == _inodes(v2dir, jan)
+    assert _inodes(v1dir, mar) == _inodes(v2dir, mar)
+    assert _inodes(v1dir, feb).isdisjoint(_inodes(v2dir, feb))
+
+    snap2 = {r["key_id"]: r["v"] for r in pstore.get_table("ds.t", t2).collect()}
+    assert snap2 == {"a": 1.0, "b": 9.0, "c": 3.0}
+    snap1 = {r["key_id"]: r["v"] for r in pstore.get_table("ds.t", t1).collect()}
+    assert snap1 == {"a": 1.0, "b": 2.0, "c": 3.0}
+
+
+def test_scoped_merge_closes_vanished_rows_in_range(spark, pstore):
+    """Omitting an in-scope row from a scoped update closes it, exactly
+    as an unscoped full-compare would."""
+    t1, t2 = T(2024, 1, 1), T(2024, 1, 2)
+    pstore.update_snapshot(_df(spark, ROWS_V1), "ds.t", t1)
+
+    scoped = [("b", 2.0, D(2020, 2, 10), D(2020, 2, 20))]  # 'a' vanished
+    pstore.update_snapshot(
+        _df(spark, scoped), "ds.t", t2, written_range=(D(2020, 1, 1), D(2020, 2, 28))
+    )
+    snap2 = {r["key_id"]: r["v"] for r in pstore.get_table("ds.t", t2).collect()}
+    assert snap2 == {"b": 2.0, "c": 3.0}
+    snap1 = {r["key_id"]: r["v"] for r in pstore.get_table("ds.t", t1).collect()}
+    assert snap1 == {"a": 1.0, "b": 2.0, "c": 3.0}
+
+
+def test_scoped_merge_falls_back_on_range_violation(spark, pstore):
+    """Incoming rows past the declared range trip the unscoped-redo
+    guard; the result is the full-compare answer, not a corrupted
+    scoped one."""
+    t1, t2 = T(2024, 1, 1), T(2024, 1, 2)
+    pstore.update_snapshot(_df(spark, ROWS_V1), "ds.t", t1)
+
+    violating = [
+        ("a", 1.0, D(2020, 1, 10), D(2020, 1, 20)),
+        ("b", 2.0, D(2020, 2, 10), D(2020, 2, 20)),
+        ("c", 9.0, D(2020, 3, 10), None),  # March row, range says Feb
+    ]
+    pstore.update_snapshot(
+        _df(spark, violating),
+        "ds.t",
+        t2,
+        written_range=(D(2020, 1, 1), D(2020, 2, 28)),
+    )
+    snap2 = {r["key_id"]: r["v"] for r in pstore.get_table("ds.t", t2).collect()}
+    assert snap2 == {"a": 1.0, "b": 2.0, "c": 9.0}
+    snap1 = {r["key_id"]: r["v"] for r in pstore.get_table("ds.t", t1).collect()}
+    assert snap1 == {"a": 1.0, "b": 2.0, "c": 3.0}
+
+
+def test_scoped_merge_noop_skips_version(spark, pstore):
+    t1 = T(2024, 1, 1)
+    pstore.update_snapshot(_df(spark, ROWS_V1), "ds.t", t1)
+    scoped = [r for r in ROWS_V1 if r[3] is not None]  # Jan + Feb, unchanged
+    pstore.update_snapshot(
+        _df(spark, scoped), "ds.t", t1, written_range=(D(2020, 1, 1), D(2020, 2, 28))
+    )
+    assert pstore._current_version("ds.t") == 1

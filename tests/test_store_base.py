@@ -226,3 +226,74 @@ def test_get_feature_unordered_defaults(store):
     defaults configured -> error."""
     with pytest.raises(ValueError, match="start_date and end_date"):
         store.get_feature("n_cyl")
+
+
+def test_partitioned_engine_matches_unpartitioned(spark, tmp_path):
+    """The month-partitioned backend's range-scoped merges must be
+    observationally identical to the unscoped full-compare backend
+    across multi-slice flows, including a backward extension (backfill
+    of an earlier gap) and a sub-range write at a brand-new slice_ts."""
+
+    def mk(start, end):
+        rows, d, i = [], D(2020, 1, 1), 0
+        while d <= D(2020, 12, 1):
+            rows.append(
+                {
+                    "key_car": f"p{i % 5}",
+                    "n_cyl": float(i % 4 + 1),
+                    "valid_from": d,
+                    "valid_until": D(d.year, d.month, 25),
+                }
+            )
+            d = (d.replace(day=1) + datetime.timedelta(days=32)).replace(day=1)
+            i += 1
+        pdf = pd.DataFrame(rows)
+        sdf = spark.createDataFrame(pdf)
+        return sdf.withColumns(
+            {
+                "valid_from": sdf["valid_from"].cast("date"),
+                "valid_until": sdf["valid_until"].cast("date"),
+            }
+        ).where(
+            (F.col("valid_from") <= F.lit(end))
+            & (F.col("valid_until") > F.lit(start))
+        )
+
+    class Span(Diseasystore):
+        _ds_map = {"n_cyl": "span_cyl"}
+        span_cyl = FeatureHandler(
+            compute=lambda start_date, end_date, slice_ts, source_conn, ds: mk(
+                start_date, end_date
+            ),
+            key_join=key_join_sum,
+        )
+
+    s1, s2 = D(2021, 1, 1), D(2021, 2, 1)
+    flows = [
+        ("mid", D(2020, 5, 1), D(2020, 7, 31), s1),  # fresh middle range
+        ("back", D(2020, 1, 1), D(2020, 3, 31), s1),  # backward extension
+        ("fwd", D(2020, 1, 1), D(2020, 12, 31), s1),  # forward fill
+        ("newslice", D(2020, 2, 1), D(2020, 4, 30), s2),  # sub-range, new slice
+        ("full2", D(2020, 1, 1), D(2020, 12, 31), s2),
+        ("full1", D(2020, 1, 1), D(2020, 12, 31), s1),  # s1 isolation
+    ]
+    results = {}
+    for gran in (None, "month"):
+        ds = Span(
+            spark,
+            target_conn=str(tmp_path / f"span_{gran}"),
+            source_conn="x",
+            verbose=False,
+            partition_granularity=gran,
+        )
+        for name, a, b, ts in flows:
+            rows = sorted(
+                map(
+                    tuple,
+                    ds.get_feature("n_cyl", a, b, slice_ts=ts).collect(),
+                )
+            )
+            results.setdefault(name, []).append(rows)
+    for name, (plain, monthly) in results.items():
+        assert plain == monthly, f"flow {name!r} diverged"
+        assert len(plain) > 0
