@@ -181,16 +181,39 @@ def _centroid_dists(vec_col: str, centroids: list[list[float]]) -> Column:
 def _with_cluster(
     df: DataFrame, vec_col: str, centroids: list[list[float]]
 ) -> DataFrame:
-    return (
-        df.withColumn("__dists", _centroid_dists(vec_col, centroids))
-        .withColumn(
-            "cluster",
-            F.expr(
-                "CAST(array_position(__dists, array_min(__dists)) - 1 AS INT)"
-            ),
-        )
-        .drop("__dists")
-    )
+    """Nearest-centroid assignment (squared L2) as a vectorized Arrow
+    batch: one numpy GEMM per batch against the broadcast k x d
+    centroid matrix, using ``|v|^2 - 2 v.c + |c|^2``. The JVM
+    higher-order-function path (one ``aggregate(zip_with(...))`` per
+    centroid) evaluates k*d interpreted lambda frames per row and is
+    ~10x slower at 5k x 64; dense distance math is the case where the
+    Pandas path wins. Ties break to the lowest cluster index."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from diseasystore_spark.pipeline._util import spread
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cent_sq = (cent * cent).sum(axis=1)
+    b_cent = df.sparkSession.sparkContext.broadcast((cent, cent_sq))
+    out_schema = df.schema.add("cluster", "integer")
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c, c_sq = b_cent.value
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf["cluster"] = np.array([], dtype=np.int32)
+                yield pdf
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) + c_sq[None, :]
+            pdf["cluster"] = np.argmin(d2, axis=1).astype(np.int32)
+            yield pdf
+
+    return spread(df).mapInPandas(assign, schema=out_schema)
 
 
 def ivf_centroids(

@@ -64,6 +64,42 @@ def test_simhash_identical_docs_zero_distance(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
 
 
+def test_simhash_packed_lanes_match_python_majority_vote(spark, docs):
+    """The 21-bit packed-lane aggregation must equal a straightforward
+    per-bit majority vote. Token hashes come from Spark's xxhash64 so
+    only the packing/vote arithmetic is under test."""
+    from diseasystore_spark.pipeline.dedup import simhash64
+
+    sample = docs.limit(50)
+    tok_rows = (
+        sample.select(
+            F.col("doc_id"),
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+        .collect()
+    )
+    by_doc: dict[int, list[int]] = {}
+    for r in tok_rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["h"])
+    expected = {}
+    for doc_id, hashes in by_doc.items():
+        n = len(hashes)
+        sim = 0
+        for b in range(64):
+            set_cnt = sum((h >> b) & 1 for h in hashes)
+            if 2 * set_cnt >= n:
+                sim |= 1 << b
+        if sim >= 2**63:  # reinterpret as signed long
+            sim -= 2**64
+        expected[doc_id] = sim
+    actual = {
+        r["doc_id"]: r["simhash"] for r in simhash64(sample).collect()
+    }
+    assert actual == expected
+
+
 def test_ann_lsh_recall_against_exact(spark, emb):
     from diseasystore_spark.pipeline.similarity import (
         cosine_topk,
