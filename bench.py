@@ -87,12 +87,26 @@ def _baseline_workloads(spark):
     start = today - datetime.timedelta(days=32 * 1000 * 2 + 1)
 
     # get_feature benchmark: compute+store both features, then drop.
+    # The headline number stays compute + drop (the reference workload);
+    # the memoized repeat call (missing-range planner finds nothing,
+    # snapshot read only) is reported separately — it is the steady-state
+    # latency a production cache-hit sees.
     ds, root = make_store(1000)
     t0 = time.perf_counter()
     ds.get_feature("n_cyl", start, today).count()
     ds.get_feature("vs", start, today).count()
+    t_compute = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    ds.get_feature("n_cyl", start, today).count()
+    ds.get_feature("vs", start, today).count()
+    out["baseline_get_feature_32k_memoized"] = round(
+        time.perf_counter() - t1, 3
+    )
+    t2 = time.perf_counter()
     drop_diseasystore(ds.backend, schema="ds")
-    out["baseline_get_feature_32k"] = round(time.perf_counter() - t0, 3)
+    out["baseline_get_feature_32k"] = round(
+        t_compute + time.perf_counter() - t2, 3
+    )
     shutil.rmtree(root, ignore_errors=True)
 
     # key_join benchmark: features pre-computed, time the join pipeline.
