@@ -61,6 +61,7 @@ def stream_feature_updates(
     table_id: str,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     slice_ts_fn: Callable[[int, DataFrame], datetime.datetime] | None = None,
+    event_ts_col: str | None = None,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
@@ -70,15 +71,41 @@ def stream_feature_updates(
     ``update_snapshot`` at a per-batch ``slice_ts``. With
     ``available_now=True`` the query drains all available input and
     stops — the batch-backfill pattern.
+
+    ``slice_ts`` per batch, in precedence order:
+
+    - ``slice_ts_fn(epoch_id, batch_df)`` — arbitrary hook;
+    - ``event_ts_col`` — the batch's **event-time high-water mark**
+      (``max`` of that column, pre-``transform``): the transaction
+      timeline follows the data, so a replayed or re-partitioned run
+      produces identical snapshots, and ``get_table(slice_ts=τ)``
+      answers "the store as of event time τ". The column is read
+      before ``transform`` so aggregations need not carry it through.
+      Note: batch maxima need not be monotone under late data — the
+      SCD2 merge accepts out-of-order writes (no chronological-order
+      enforcement, matching the reference's
+      ``enforce_chronological_order = FALSE`` call-site contract);
+      a batch whose events are all late merges at an earlier slice.
+    - otherwise a deterministic epoch-derived timestamp (fixed origin
+      + epoch seconds; wall-clock would break replay determinism).
     """
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        hwm = None
+        if event_ts_col is not None and slice_ts_fn is None:
+            hwm = batch_df.agg(F.max(event_ts_col)).first()[0]
         if transform is not None:
             batch_df = transform(batch_df)
         if batch_df.isEmpty():
             return
         if slice_ts_fn is not None:
             ts = slice_ts_fn(epoch_id, batch_df)
+        elif hwm is not None:
+            if isinstance(hwm, datetime.date) and not isinstance(
+                hwm, datetime.datetime
+            ):
+                hwm = datetime.datetime.combine(hwm, datetime.time())
+            ts = hwm
         else:
             # Deterministic per-batch slice: epoch offset from a fixed
             # origin (wall-clock would break replay determinism).

@@ -80,3 +80,36 @@ def test_stream_ingest_scd2(spark, tmp_path):
     ).count()
     assert after == len(rows)
     assert backend._current_version("ds.stream_counts") == v_before + 1
+
+
+def test_stream_ingest_event_time_slice_ts(spark, tmp_path):
+    """With event_ts_col, each batch merges at its event-time
+    high-water mark: snapshots before the data's max event time are
+    empty, snapshots at/after it see the rows — and the slice is
+    replay-deterministic (derived from data, not wall clock)."""
+    events = _events(spark)
+    src = str(tmp_path / "stream_src")
+    events.limit(200).write.parquet(src)
+    hwm = (
+        spark.read.parquet(src).agg(F.max("ts")).first()[0]
+    )
+    backend = ParquetFeatureStore(spark, str(tmp_path / "store"))
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = stream_feature_updates(
+        stream,
+        backend,
+        "ds.stream_evt",
+        transform=lambda df: windowed_event_counts(df, "1 day"),
+        event_ts_col="ts",
+        checkpoint_dir=str(tmp_path / "ckpt_evt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    before = backend.get_table(
+        "ds.stream_evt", hwm - datetime.timedelta(seconds=1)
+    ).count()
+    at = backend.get_table("ds.stream_evt", hwm).count()
+    assert before == 0
+    assert at > 0
