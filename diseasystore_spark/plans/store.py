@@ -107,6 +107,20 @@ class Diseasystore:
         self.backend = ParquetFeatureStore(
             spark, target_conn, partition_granularity=partition_granularity
         )
+        # Cached plans handed out by key_join_features that are still
+        # live (the returned DataFrame references them lazily). At most
+        # one per call; released on the next call or explicitly.
+        self._live_caches: list[DataFrame] = []
+
+    def release_cached_plans(self) -> None:
+        """Unpersist cached intermediates from prior
+        ``key_join_features`` calls. The returned DataFrames stay
+        valid (they recompute if re-executed); call this once results
+        are consumed. The analog of the reference's temp-table hygiene
+        (``defer_db_cleanup``; leak-checked at
+        ``R/test_diseasystore.R:157-161``)."""
+        while self._live_caches:
+            self._live_caches.pop().unpersist()
 
     # ----------------------------------------------------------- registry
     @property
@@ -386,7 +400,12 @@ class Diseasystore:
         # consumed three times downstream (t_add, t_remove, distinct
         # strata) — cache it so the interlace joins run once. Mirrors
         # the reference's ``dplyr::compute`` at ``:413/:459/:467``.
+        # The previous call's cache is released here (its result, once
+        # collected, no longer needs it), so a long-lived store pins at
+        # most one interlaced frame in executor storage.
+        self.release_cached_plans()
         out = out.cache()
+        self._live_caches.append(out)
 
         # Aggregator compatibility (``:427-438``).
         aggregators = [self.handler(ds_map[observable]).key_join]

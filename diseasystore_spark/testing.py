@@ -20,6 +20,9 @@ Checks ported (reference line citations inline):
 5. extended-range recompute equality (:424-516)
 6. the observable x stratification ``key_join_features`` matrix with
    date-span assertions (:520-573)
+7. cached-plan hygiene: after ``release_cached_plans`` the suite must
+   not have leaked persisted RDDs — the analog of the reference's
+   temp-table leak check (:157-161)
 """
 
 from __future__ import annotations
@@ -58,6 +61,8 @@ def run_conformance_suite(
     """
     ran: list[str] = []
     test_end_date = test_start_date + datetime.timedelta(days=4)
+    sc = store.spark.sparkContext
+    cached_before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
 
     # 1. handler well-formedness
     for feature, loader in store.ds_map.items():
@@ -158,5 +163,14 @@ def run_conformance_suite(
                 assert bounds["mn"] == test_start_date, (observable, strat)
                 assert bounds["mx"] == extended_end, (observable, strat)
         ran.append("key-join-matrix")
+
+    # 7. cached-plan hygiene (the reference's temp-table leak check,
+    # :157-161): everything the suite persisted must be releasable —
+    # only caches that existed before the suite may remain.
+    store.release_cached_plans()
+    cached_after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    leaked = cached_after - cached_before
+    assert not leaked, f"conformance suite leaked cached plans: {leaked}"
+    ran.append("cached-plan-hygiene")
 
     return ran
