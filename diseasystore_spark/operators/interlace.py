@@ -52,6 +52,8 @@ grouping for multi-key stores and identical for single-key stores.
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -60,14 +62,42 @@ from diseasystore_spark.functions.intervals import case_max, case_min
 
 VALIDITY = ("valid_from", "valid_until")
 
+_EPOCH = datetime.date(1970, 1, 1)
 
-def interlace(tables: list[DataFrame], by: list[str] | str) -> DataFrame:
+
+def _bucket_of(col: F.Column | str, width_days: int) -> F.Column:
+    """Fixed-width date bucket id (floor toward -inf, so pre-1970
+    dates bucket correctly)."""
+    return F.floor(F.datediff(col, F.lit(_EPOCH)) / width_days).cast("int")
+
+
+def interlace(
+    tables: list[DataFrame],
+    by: list[str] | str,
+    bucket_days: int | None = None,
+) -> DataFrame:
     """Temporally align ``tables`` on key columns ``by``.
 
     Each table must have columns ``by + payload + (valid_from,
     valid_until)``. Payload columns appearing in more than one table
     are taken from the first table that has them (the reference never
     feeds colliding payloads — see module docstring).
+
+    ``bucket_days`` enables the range-join bucketing scale path: the
+    containment joins in step 3 are equi on keys plus a *range*
+    residual, and when the key columns have few distinct values (one
+    country, a handful of regions — typical for feature tables) a
+    sort-merge join buffers every row of a hot key and evaluates the
+    residual over the per-key cross product: O(rows_per_key *
+    intervals_per_key). With ``bucket_days=W`` each table row is
+    replicated to the W-day buckets its validity spans and each spine
+    interval start lands in exactly one bucket, so the join becomes
+    equi on ``(keys..., bucket)`` — candidate pairs only within one
+    bucket, the standard bin-based range-join optimization (Flink
+    interval joins / Databricks range-join hints). Replication factor
+    is span/W; open-ended rows are capped at the global max breakpoint
+    (no pair is lost: spine starts never exceed it). Output is
+    identical to the default path — asserted by the test suite.
     """
     if isinstance(by, str):
         by = [by]
@@ -104,6 +134,11 @@ def interlace(tables: list[DataFrame], by: list[str] | str) -> DataFrame:
     #    valid_until is a breakpoint, so a sub-interval starting inside
     #    a row never extends past it.
     out = intervals
+    if bucket_days:
+        # 1-row global max breakpoint, broadcast onto each right side
+        # to cap open-ended intervals' bucket ranges.
+        gmax = F.broadcast(spine.agg(F.max("__ts").alias("__gmax")))
+        out = out.withColumn("__bktl", _bucket_of("valid_from", bucket_days))
     for i, t in enumerate(tables):
         payload = [c for c in t.columns if c not in by and c not in VALIDITY]
         new_payload = [c for c in payload if c not in out.columns]
@@ -113,10 +148,35 @@ def interlace(tables: list[DataFrame], by: list[str] | str) -> DataFrame:
             F.col("valid_from").alias(f"__vf{i}"),
             F.col("valid_until").alias(f"__vu{i}"),
         )
+        if bucket_days:
+            # Replicate each row to every bucket its half-open validity
+            # touches: [floor(vf/W), floor((vu - 1 day)/W)]; open rows
+            # cap at the global max breakpoint's bucket.
+            right = (
+                right.crossJoin(gmax)
+                .withColumn(
+                    "__bkt",
+                    F.explode(
+                        F.sequence(
+                            _bucket_of(f"__vf{i}", bucket_days),
+                            _bucket_of(
+                                F.coalesce(
+                                    F.date_sub(F.col(f"__vu{i}"), 1),
+                                    F.col("__gmax"),
+                                ),
+                                bucket_days,
+                            ),
+                        )
+                    ),
+                )
+                .drop("__gmax")
+            )
         cond = None
         for k in by:
             c = out[k].eqNullSafe(right[f"__k{i}_{k}"])
             cond = c if cond is None else cond & c
+        if bucket_days:
+            cond = cond & (out["__bktl"] == right["__bkt"])
         cond = (
             cond
             & (out["valid_from"] >= right[f"__vf{i}"])
@@ -128,15 +188,20 @@ def interlace(tables: list[DataFrame], by: list[str] | str) -> DataFrame:
         out = out.join(right, cond, "left").drop(
             f"__vf{i}", f"__vu{i}", *[f"__k{i}_{k}" for k in by]
         )
-    return out
+        if bucket_days:
+            out = out.drop("__bkt")
+    return out.drop("__bktl") if bucket_days else out
 
 
 def truncate_interlace(
-    primary: DataFrame, secondary: list[DataFrame] | DataFrame | None = None
+    primary: DataFrame,
+    secondary: list[DataFrame] | DataFrame | None = None,
+    bucket_days: int | None = None,
 ) -> DataFrame:
     """Clip each secondary table to the primary's validity, then
     interlace. See module docstring for parity notes
-    (``R/truncate_interlace.R:80-120``)."""
+    (``R/truncate_interlace.R:80-120``). ``bucket_days`` enables the
+    bucketed range-join scale path of :func:`interlace`."""
     if secondary is None:
         return primary
     if isinstance(secondary, DataFrame):
@@ -182,4 +247,4 @@ def truncate_interlace(
         ).drop("__vf_y", "__vu_y")
         truncated.append(j)
 
-    return interlace(truncated, by=primary_keys)
+    return interlace(truncated, by=primary_keys, bucket_days=bucket_days)

@@ -385,8 +385,17 @@ class Diseasystore:
                     clamp_to_study_period(feat_df, start_date, until_date)
                 )
 
+        # ``interlace_bucket_days`` (scoped option, default off) turns
+        # the interlace containment joins into equi joins on
+        # ``(keys..., W-day bucket)`` — the scale path for stores whose
+        # key columns have few distinct values (see
+        # ``operators/interlace.py``).
         out = (
-            truncate_interlace(observable_data, strat_data)
+            truncate_interlace(
+                observable_data,
+                strat_data,
+                bucket_days=diseasyoption("interlace_bucket_days", self),
+            )
             if strat_data
             else observable_data
         )

@@ -165,3 +165,60 @@ def test_no_common_keys_errors(spark):
     )
     with pytest.raises(ValueError, match="No common keys"):
         truncate_interlace(p, [s])
+
+
+@pytest.mark.parametrize("bucket_days", [1, 93, 4000])
+def test_bucketed_interlace_equals_default(spark, bucket_days):
+    """The range-join bucketing scale path must be a pure physical
+    rewrite: identical rows for any bucket width (narrower / wider
+    than the fixtures' interval spans, and a single giant bucket)."""
+    x, y, z = interlace_xyz(spark)
+    _, p2, p3 = primaries(spark)
+    for p in (p2, p3):
+        a = truncate_interlace(p, [x, y, z])
+        b = truncate_interlace(p, [x, y, z], bucket_days=bucket_days)
+        assert sorted(a.columns) == sorted(b.columns)
+        assert _sorted_rows(a) == _sorted_rows(b.select(a.columns))
+
+
+def test_bucketed_interlace_golden_and_open_intervals(spark):
+    """Bucketed path across bucket boundaries with NULL-open rows on
+    both sides (the global-max cap path)."""
+    a = spark.createDataFrame(
+        [
+            ("k1", 1.0, D(2020, 1, 1), D(2020, 3, 1)),
+            ("k1", 2.0, D(2020, 3, 1), None),
+            (None, 3.0, D(2020, 1, 15), None),  # NULL key (eqNullSafe)
+        ],
+        "key_k string, a double, valid_from date, valid_until date",
+    )
+    b = spark.createDataFrame(
+        [
+            ("k1", 9.0, D(2020, 2, 1), D(2020, 4, 1)),
+            (None, 8.0, D(2020, 2, 1), D(2020, 2, 10)),
+        ],
+        "key_k string, b double, valid_from date, valid_until date",
+    )
+    plain = interlace([a, b], by=["key_k"])
+    bucketed = interlace([a, b], by=["key_k"], bucket_days=7)
+    assert _sorted_rows(plain) == _sorted_rows(bucketed.select(plain.columns))
+
+
+def test_bucketed_interlace_plan_is_equi_on_bucket(spark):
+    """The physical plan must carry the bucket id as an equi join key
+    (hash/sort-merge keys), not as a filter residual."""
+    x, y, _ = interlace_xyz(spark)
+    _, p2, _ = primaries(spark)
+    plan = (
+        truncate_interlace(p2, [x, y], bucket_days=30)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    joins = [
+        ln
+        for ln in plan.splitlines()
+        if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln)
+        and "__bkt" in ln
+    ]
+    assert joins, f"no join keyed on the bucket column in plan:\n{plan}"

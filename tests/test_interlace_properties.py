@@ -111,20 +111,24 @@ def test_interlace_matches_python_oracle(tables):
             spark.createDataFrame(t or [("__none__", 0.0, D0, D0)], schema)
             .where("key_k != '__none__'")
         )
-    got = interlace(sdfs, by=["key_k"])
-    got_rows = sorted(
-        (
-            tuple(
-                [r["key_k"]]
-                + [r[f"p{i}"] for i in range(n_tables)]
-                + [r["valid_from"], r["valid_until"]]
-            )
-            for r in got.collect()
-        ),
-        key=lambda r: tuple((x is None, x) for x in r),
-    )
     expected = py_interlace(tables, [1] * n_tables)
-    assert got_rows == expected
+    # default path and the bucketed range-join scale path must both
+    # match the oracle (bucket width chosen to straddle the fixtures'
+    # 1-5 day segments)
+    for bucket_days in (None, 3):
+        got = interlace(sdfs, by=["key_k"], bucket_days=bucket_days)
+        got_rows = sorted(
+            (
+                tuple(
+                    [r["key_k"]]
+                    + [r[f"p{i}"] for i in range(n_tables)]
+                    + [r["valid_from"], r["valid_until"]]
+                )
+                for r in got.collect()
+            ),
+            key=lambda r: tuple((x is None, x) for x in r),
+        )
+        assert got_rows == expected, f"bucket_days={bucket_days}"
 
 
 @settings(max_examples=30, deadline=None)

@@ -297,3 +297,42 @@ def test_partitioned_engine_matches_unpartitioned(spark, tmp_path):
     for name, (plain, monthly) in results.items():
         assert plain == monthly, f"flow {name!r} diverged"
         assert len(plain) > 0
+
+
+class SumStore(DummyStore):
+    """Both features on the sum aggregator so key_join works."""
+
+    dummy_vs = FeatureHandler(
+        compute=lambda start_date, end_date, slice_ts, source_conn, ds: (
+            _feature_df(ds.spark, "vs", 0)
+        ),
+        key_join=key_join_sum,
+    )
+
+
+def test_interlace_bucket_days_option_wires_through(spark, tmp_path):
+    """The ``interlace_bucket_days`` scoped option must switch
+    ``key_join_features`` to the bucketed range-join path without
+    changing results."""
+    start, end = TODAY - datetime.timedelta(days=20), TODAY
+
+    def run(root):
+        ds = SumStore(
+            spark, target_conn=root, source_conn="x",
+            slice_ts=TODAY, verbose=False,
+        )
+        out = (
+            ds.key_join_features("n_cyl", ["vs"], start, end)
+            .orderBy("date", "vs")
+            .collect()
+        )
+        ds.release_cached_plans()
+        return [tuple(r) for r in out]
+
+    plain = run(str(tmp_path / "plain"))
+    set_diseasyoption("interlace_bucket_days", 7, scope="SumStore")
+    try:
+        bucketed = run(str(tmp_path / "bucketed"))
+    finally:
+        set_diseasyoption("interlace_bucket_days", "", scope="SumStore")
+    assert plain == bucketed and len(plain) > 0
