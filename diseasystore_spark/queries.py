@@ -1170,6 +1170,53 @@ def q28_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_binary_payload(docs)).drop("feature")
 
 
+def q36_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event takes the user's most
+    recent at-or-before 'view' event (last-touch attribution). The
+    union+window formulation (one shuffle, no range-join candidate
+    blow-up — ``operators/asof.py``), oracle = DuckDB native ASOF
+    LEFT JOIN."""
+    from diseasystore_spark.operators.asof import asof_join
+
+    events = _read(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    # one row per (user, ts): max event_id wins, so the match is
+    # deterministic on both engines
+    views = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("eid"))
+    )
+    out = asof_join(
+        purchases, views, on="user_id", right_prefix="view_"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("view_eid").alias("view_event_id"),
+        F.col("view_ts"),
+        (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+
+
+ORACLE_Q36 = """
+WITH purchases AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts, v.view_event_id, v.ts AS view_ts,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM purchases p
+ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1210,6 +1257,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_sessionize": q33_sessionize,
     "q34_prevalence_multi_strat": q34_prevalence_multi_strat,
     "q35_ann_ivf": q35_ann_ivf,
+    "q36_asof_attribution": q36_asof_attribution,
 }
 
 ORACLES: dict[str, str] = {
@@ -1242,6 +1290,7 @@ ORACLES: dict[str, str] = {
     "q32_cube_rollup": ORACLE_Q32,
     "q33_sessionize": ORACLE_Q33,
     "q34_prevalence_multi_strat": ORACLE_Q34,
+    "q36_asof_attribution": ORACLE_Q36,
     # q23/q24/q26/q27/q28 are xxhash64- or UDF-based: rows-only checks
     # (the driver records the weaker check; tests verify them against
     # exact formulations).
