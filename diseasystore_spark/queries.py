@@ -1202,6 +1202,68 @@ def q36_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q37_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: word-trigram Jaccard pairs (the
+    q19 pair list) -> connected components by iterative min-label
+    propagation -> (id, component, is_canonical). Oracle = recursive
+    CTE transitive closure in DuckDB."""
+    from diseasystore_spark.pipeline.dedup import (
+        dedup_components,
+        jaccard_pairs,
+    )
+
+    pairs = jaccard_pairs(_read(spark, sf_dir, "documents"), n=3, threshold=0.2)
+    comps = dedup_components(pairs)
+    return comps.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+ORACLE_Q37 = """
+WITH RECURSIVE pairs AS (
+  WITH toks AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+  ),
+  pos AS (
+    SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+    FROM toks
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+    FROM pos
+  ),
+  sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+  common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+)
+SELECT id AS doc_id,
+       least(id, min(r)) AS component,
+       least(id, min(r)) = id AS is_canonical
+FROM reach
+GROUP BY id
+"""
+
+
 ORACLE_Q36 = """
 WITH purchases AS (
   SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
@@ -1258,6 +1320,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_prevalence_multi_strat": q34_prevalence_multi_strat,
     "q35_ann_ivf": q35_ann_ivf,
     "q36_asof_attribution": q36_asof_attribution,
+    "q37_dedup_components": q37_dedup_components,
 }
 
 ORACLES: dict[str, str] = {
@@ -1291,6 +1354,7 @@ ORACLES: dict[str, str] = {
     "q33_sessionize": ORACLE_Q33,
     "q34_prevalence_multi_strat": ORACLE_Q34,
     "q36_asof_attribution": ORACLE_Q36,
+    "q37_dedup_components": ORACLE_Q37,
     # q23/q24/q26/q27/q28 are xxhash64- or UDF-based: rows-only checks
     # (the driver records the weaker check; tests verify them against
     # exact formulations).

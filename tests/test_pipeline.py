@@ -205,3 +205,61 @@ def test_multimodal_plumbing(spark, docs):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG fake")
+
+
+def test_dedup_components_chain_and_cliques(spark):
+    """Chain A-B-C-D (diameter 3), a separate pair, and an isolated
+    clique must each collapse to min-id components."""
+    from diseasystore_spark.pipeline.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [
+            (2, 1), (2, 3), (3, 4),          # chain {1,2,3,4}
+            (10, 11),                        # pair {10,11}
+            (20, 21), (21, 22), (20, 22),    # clique {20,21,22}
+        ],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in dedup_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_dedup_components_long_chain_converges(spark):
+    """A 30-node path graph needs diameter-many rounds — must still
+    converge under the iteration cap and label every node with the
+    chain's min id."""
+    from diseasystore_spark.pipeline.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    out = dedup_components(pairs, max_iterations=35).collect()
+    assert len(out) == 31
+    assert all(r["component"] == 0 for r in out)
+
+
+def test_dedup_components_canonical_filter_dedups(spark, docs):
+    """End-to-end: jaccard pairs -> components -> keeping canonicals
+    removes every near-dup pair."""
+    from diseasystore_spark.pipeline.dedup import (
+        dedup_components,
+        jaccard_pairs,
+    )
+
+    pairs = jaccard_pairs(docs, threshold=0.2)
+    if pairs.head(1):
+        comps = dedup_components(pairs)
+        kept = comps.where(F.col("id") == F.col("component"))
+        # no surviving pair has both endpoints kept
+        surviving = (
+            pairs.join(kept.select(F.col("id").alias("id_a")), "id_a")
+            .join(kept.select(F.col("id").alias("id_b")), "id_b")
+        )
+        assert surviving.count() == 0
