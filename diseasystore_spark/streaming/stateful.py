@@ -1,0 +1,137 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+The reference has no streaming (SURVEY §2.9); batch sessionization is
+query q33. This module gives the same semantics over an unbounded
+stream: per-user session windows with a gap timeout, carried across
+micro-batches in group state — the operator shape Spark's built-in
+``session_window`` aggregation cannot express once you need custom
+per-session payloads or emission policy.
+
+State design: one open session per user — ``(session_start, last_ts,
+n_events)`` stored as int64 epoch-micros (Arrow-stable, no tz
+ambiguity). Per batch and user, events are sorted by event time,
+folded onto the open session, and every gap > ``gap_seconds`` closes
+a session (emitted downstream) and opens the next. The still-open
+session goes back into state with an **event-time timeout** at
+``last_ts + gap``: when the watermark passes it, the session provably
+cannot extend (later events would be dropped as late), so the timeout
+branch emits it and clears state. Exactly the semantics of the batch
+formulation, incrementalized.
+
+Late data: events older than the watermark are dropped by Spark
+before the function runs; within-batch disorder is handled by the
+sort. Scale: state is O(users), each group call touches one user's
+batch slice; shuffle key = user_id (the same partitioning the batch
+window uses).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("session_start", LongType()),  # epoch micros
+        StructField("last_ts", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _emit(user: int, start_us: int, end_us: int, n: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user],
+            "session_start": [pd.Timestamp(start_us, unit="us")],
+            "session_end": [pd.Timestamp(end_us, unit="us")],
+            "n_events": [n],
+        }
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming session windows per user (gap > ``gap_seconds`` closes
+    a session). Works on a streaming DataFrame; emits one row per
+    *closed* session — a session closes when a later event proves the
+    gap, or when the event-time watermark passes its timeout.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield _emit(user, start_us, last_us, n)
+            return
+
+        # normalize through datetime64[us] so the epoch math is unit-
+        # safe whichever resolution (ns/us) Arrow hands pandas
+        ts_us = (
+            pd.concat([pdf[ts_col] for pdf in pdf_iter])
+            .sort_values()
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype("int64")
+        )
+        if len(ts_us) == 0:
+            return
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = int(ts_us[0]), int(ts_us[0]), 0
+
+        for t in ts_us:
+            t = int(t)
+            if n > 0 and t - last_us > gap_us:
+                yield _emit(user, start_us, last_us, n)
+                start_us, n = t, 0
+            last_us = max(last_us, t)
+            n += 1
+
+        state.update((start_us, last_us, n))
+        # Event-time timeout: fires when the watermark passes the
+        # instant after which no on-time event can extend the session.
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

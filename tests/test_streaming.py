@@ -113,3 +113,71 @@ def test_stream_ingest_event_time_slice_ts(spark, tmp_path):
     at = backend.get_table("ds.stream_evt", hwm).count()
     assert before == 0
     assert at > 0
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions spanning
+    micro-batch boundaries must equal the batch formulation's closed
+    sessions (a session is closed once a later same-user event proves
+    the gap)."""
+    from diseasystore_spark.streaming.stateful import sessionize_stream
+
+    TS = datetime.datetime
+    rows = []
+    # user 1: three sessions; user 2: one long session crossing the
+    # file/batch split; user 3: single event (stays open, never emitted)
+    for i, (u, t) in enumerate(
+        [
+            (1, TS(2024, 1, 1, 10, 0)),
+            (1, TS(2024, 1, 1, 10, 10)),   # same session
+            (1, TS(2024, 1, 1, 12, 0)),    # gap -> closes s1
+            (2, TS(2024, 1, 1, 10, 0)),
+            # ---- file split ----
+            (2, TS(2024, 1, 1, 10, 20)),   # extends across batches
+            (1, TS(2024, 1, 1, 15, 0)),    # gap -> closes s2
+            (3, TS(2024, 1, 1, 11, 0)),
+            (2, TS(2024, 1, 1, 13, 0)),    # gap -> closes user2 s1
+        ]
+    ):
+        rows.append((u, t, i))
+    pdf_cols = "user_id long, ts timestamp, event_id long"
+    src = str(tmp_path / "sess_src")
+    first = spark.createDataFrame(rows[:4], pdf_cols)
+    second = spark.createDataFrame(rows[4:], pdf_cols)
+    first.coalesce(1).write.parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(first.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sessionize_stream(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    closed = {
+        (1, TS(2024, 1, 1, 10, 0), TS(2024, 1, 1, 10, 10), 2),
+        (1, TS(2024, 1, 1, 12, 0), TS(2024, 1, 1, 12, 0), 1),
+        (2, TS(2024, 1, 1, 10, 0), TS(2024, 1, 1, 10, 20), 2),
+    }
+    # closed sessions must all be emitted; open tails (user1@15:00,
+    # user2@13:00, user3@11:00) may additionally appear iff the final
+    # watermark passed their gap timeout — both are correct emissions.
+    assert closed <= got
+    open_tails = {
+        (1, TS(2024, 1, 1, 15, 0), TS(2024, 1, 1, 15, 0), 1),
+        (2, TS(2024, 1, 1, 13, 0), TS(2024, 1, 1, 13, 0), 1),
+        (3, TS(2024, 1, 1, 11, 0), TS(2024, 1, 1, 11, 0), 1),
+    }
+    assert got - closed <= open_tails
