@@ -1202,6 +1202,55 @@ def q36_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q38_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot (the inverse of F1 unpivot): per-user event counts
+    with one column per event type. ``pivot`` with an explicit value
+    list stays a single groupBy (no extra distinct-discovery job)."""
+    events = _read(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+    return out.select("user_id", *[F.col(t).alias(f"n_{t}") for t in types])
+
+
+ORACLE_Q38 = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'error')    AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q39_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (median / p90 of document length per
+    language) — ``F.percentile`` (exact, linear interpolation), not
+    ``percentile_approx``, so DuckDB's ``quantile_cont`` is an exact
+    oracle. The approx variant is the same plan shape with a sketch
+    aggregate; exactness is what makes it driver-checkable."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_chars", 0.5), 4).alias("p50_chars"),
+        F.round(F.percentile("n_chars", 0.9), 4).alias("p90_chars"),
+    )
+
+
+ORACLE_Q39 = """
+SELECT lang,
+       count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+FROM documents GROUP BY lang
+"""
+
+
 def q37_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters: word-trigram Jaccard pairs (the
     q19 pair list) -> connected components by iterative min-label
@@ -1321,6 +1370,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_ann_ivf": q35_ann_ivf,
     "q36_asof_attribution": q36_asof_attribution,
     "q37_dedup_components": q37_dedup_components,
+    "q38_pivot": q38_pivot,
+    "q39_quantiles": q39_quantiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -1355,6 +1406,8 @@ ORACLES: dict[str, str] = {
     "q34_prevalence_multi_strat": ORACLE_Q34,
     "q36_asof_attribution": ORACLE_Q36,
     "q37_dedup_components": ORACLE_Q37,
+    "q38_pivot": ORACLE_Q38,
+    "q39_quantiles": ORACLE_Q39,
     # q23/q24/q26/q27/q28 are xxhash64- or UDF-based: rows-only checks
     # (the driver records the weaker check; tests verify them against
     # exact formulations).
