@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from diseasystore_spark.pipeline._util import spread
 
@@ -337,6 +338,7 @@ def dedup_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 25,
+    collect_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list — the step
     that turns pairwise similarity (``minhash_lsh_pairs`` /
@@ -345,27 +347,73 @@ def dedup_components(
     duplicate cluster as ``component``, so "keep one per cluster"
     becomes ``WHERE id = component``.
 
-    Algorithm: iterative min-label propagation. Each round every node
-    takes ``min(own label, neighbors' labels)`` — one equi-join of the
-    (symmetrized) edge list against the label frame plus one
-    map-side-combinable groupBy, i.e. two shuffles per round, no
-    driver-side state beyond the converged flag. Rounds needed = graph
-    diameter; duplicate clusters are near-cliques (diameter 2-3), so
-    this converges in 3-4 rounds at any data size. Each round
-    localCheckpoints the label frame: the lineage would otherwise
-    double per iteration and re-execute all prior joins on every
-    action. For adversarial chain-shaped graphs the alternating
-    large-star/small-star variant bounds rounds at O(log^2 n); not
-    needed for dedup workloads and deliberately not implemented.
+    Two physical strategies behind one result:
+
+    - **Small edge lists** (≤ ``collect_threshold`` pairs — dedup
+      pair lists are tiny relative to the corpus; 2M pairs ≈ 64 MB on
+      the driver): collect once and run union-find with path
+      compression driver-side. One Spark action total, vs ~3 jobs per
+      propagation round; the same size-gated trade a broadcast join
+      makes. Pass ``collect_threshold=0`` to force the distributed
+      path.
+    - **Large edge lists**: iterative min-label propagation. Each
+      round every node takes ``min(own label, neighbors' labels)`` —
+      one equi-join of the (symmetrized) edge list against the label
+      frame plus one map-side-combinable groupBy, i.e. two shuffles
+      per round, no driver-side state beyond the converged flag.
+      Rounds needed = graph diameter; duplicate clusters are
+      near-cliques (diameter 2-3), so this converges in 3-4 rounds at
+      any data size. Each round localCheckpoints the label frame: the
+      lineage would otherwise double per iteration and re-execute all
+      prior joins on every action. For adversarial chain-shaped
+      graphs the alternating large-star/small-star variant bounds
+      rounds at O(log^2 n); not needed for dedup workloads and
+      deliberately not implemented.
 
     Returns (id, component) for every node appearing in ``pairs``.
-    Raises if not converged within ``max_iterations`` (a diameter that
-    large means the input is not a dedup pair list).
+    Raises if the distributed path has not converged within
+    ``max_iterations`` (a diameter that large means the input is not
+    a dedup pair list).
     """
+    raw = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint()
+    if raw.count() <= collect_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in raw.collect():
+            a, b = row["src"], row["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # attach the larger root under the smaller so the
+                # final root IS the component min
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(x, find(x)) for x in parent]
+        id_type = raw.schema["src"].dataType
+        return pairs.sparkSession.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField("id", id_type),
+                    T.StructField("component", id_type),
+                ]
+            ),
+        )
+
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        raw.unionByName(
+            raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
     )

@@ -207,9 +207,12 @@ def test_multimodal_plumbing(spark, docs):
         decode_image(b"\x89PNG fake")
 
 
-def test_dedup_components_chain_and_cliques(spark):
+@pytest.mark.parametrize("collect_threshold", [2_000_000, 0])
+def test_dedup_components_chain_and_cliques(spark, collect_threshold):
     """Chain A-B-C-D (diameter 3), a separate pair, and an isolated
-    clique must each collapse to min-id components."""
+    clique must each collapse to min-id components — identically on
+    the driver union-find path (default) and the distributed
+    propagation path (threshold 0)."""
     from diseasystore_spark.pipeline.dedup import dedup_components
 
     pairs = spark.createDataFrame(
@@ -222,7 +225,9 @@ def test_dedup_components_chain_and_cliques(spark):
     )
     got = {
         r["id"]: r["component"]
-        for r in dedup_components(pairs).collect()
+        for r in dedup_components(
+            pairs, collect_threshold=collect_threshold
+        ).collect()
     }
     assert got == {
         1: 1, 2: 1, 3: 1, 4: 1,
@@ -231,16 +236,19 @@ def test_dedup_components_chain_and_cliques(spark):
     }
 
 
-def test_dedup_components_long_chain_converges(spark):
+@pytest.mark.parametrize("collect_threshold", [2_000_000, 0])
+def test_dedup_components_long_chain_converges(spark, collect_threshold):
     """A 30-node path graph needs diameter-many rounds — must still
     converge under the iteration cap and label every node with the
-    chain's min id."""
+    chain's min id, on both physical strategies."""
     from diseasystore_spark.pipeline.dedup import dedup_components
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], "id_a long, id_b long"
     )
-    out = dedup_components(pairs, max_iterations=35).collect()
+    out = dedup_components(
+        pairs, max_iterations=35, collect_threshold=collect_threshold
+    ).collect()
     assert len(out) == 31
     assert all(r["component"] == 0 for r in out)
 
