@@ -211,9 +211,24 @@ class ParquetFeatureStore:
 
     # ------------------------------------------------------------- writes
     def update_snapshot(
-        self, data: DataFrame, table_id: str, slice_ts, written_range=None
+        self,
+        data: DataFrame,
+        table_id: str,
+        slice_ts,
+        written_range=None,
+        close_absent: bool = True,
     ) -> None:
         """Checksum-merge ``data`` as the snapshot at ``slice_ts``.
+
+        ``close_absent=False`` switches to **append-only merge**: rows
+        of ``data`` not already current open at ``slice_ts``, and no
+        existing row is ever closed. This is the correct mode for
+        *incremental* producers — streaming micro-batches emit only
+        new finalized rows (closed sessions, watermark-finalized
+        windows), so "absent from this batch" carries no information;
+        under the default snapshot compare each batch would close the
+        previous batch's rows. Batch engine writes keep the default:
+        there ``data`` IS the complete range snapshot.
 
         Compare-at-timestamp semantics (equivalent to
         ``SCDB::update_snapshot(..., enforce_chronological_order=FALSE)``):
@@ -262,7 +277,56 @@ class ParquetFeatureStore:
             self._write_version(new_table, table_id, changed_months=None)
             return
 
+        if not close_absent:
+            self._append_only(incoming, table_id, ts)
+            return
         self._merge_existing(incoming, table_id, ts, written_range)
+
+    def _append_only(
+        self, incoming: DataFrame, table_id: str, ts: datetime.datetime
+    ) -> None:
+        """Insert rows not already current at ``ts``; never close
+        anything. Replay-idempotent: a re-merged batch matches on
+        checksum and inserts nothing (the version bump is skipped)."""
+        partitioned = self.partition_granularity == "month"
+        existing = self.read_raw(table_id)
+        is_current = (F.col("from_ts") <= F.lit(ts)) & (
+            F.col("until_ts").isNull() | (F.col("until_ts") > F.lit(ts))
+        )
+        inserted = incoming.join(
+            existing.where(is_current).select("checksum"),
+            "checksum",
+            "left_anti",
+        ).withColumns(
+            {
+                "from_ts": F.lit(ts).cast("timestamp"),
+                "until_ts": F.lit(None).cast("timestamp"),
+            }
+        ).select(*existing.columns)
+
+        if not partitioned:
+            if inserted.isEmpty():
+                return
+            self._write_version(
+                existing.unionByName(inserted), table_id, changed_months=None
+            )
+            return
+
+        month_of = F.date_format(F.col("valid_from"), "yyyy-MM")
+        inserted = inserted.cache()
+        try:
+            changed_months = sorted(
+                r["m"]
+                for r in inserted.select(month_of.alias("m")).distinct().collect()
+            )
+            if not changed_months:
+                return
+            new_parts = existing.where(month_of.isin(changed_months)).unionByName(
+                inserted
+            )
+            self._write_version(new_parts, table_id, changed_months=changed_months)
+        finally:
+            inserted.unpersist()
 
     def _merge_existing(
         self,
@@ -391,14 +455,15 @@ class ParquetFeatureStore:
             # row-group min/max stats so the scoped merge's
             # close-candidate predicate (valid_until > range_start OR
             # NULL) skips row groups of long-closed rows.
+            sort_cols = [F.col(PARTITION_COL)]
+            if "valid_until" in new_table.columns:
+                sort_cols.append(F.col("valid_until").asc_nulls_last())
             partitioned = (
                 new_table.withColumn(
                     PARTITION_COL, F.date_format(F.col("valid_from"), "yyyy-MM")
                 )
                 .repartition(PARTITION_COL)
-                .sortWithinPartitions(
-                    PARTITION_COL, F.col("valid_until").asc_nulls_last()
-                )
+                .sortWithinPartitions(*sort_cols)
             )
             partitioned.write.partitionBy(PARTITION_COL).mode(
                 "overwrite"

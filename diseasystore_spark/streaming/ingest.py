@@ -64,6 +64,7 @@ def stream_feature_updates(
     event_ts_col: str | None = None,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    mode: str = "append",
 ) -> StreamingQuery:
     """Write a stream of feature rows through the SCD2 store.
 
@@ -71,6 +72,15 @@ def stream_feature_updates(
     ``update_snapshot`` at a per-batch ``slice_ts``. With
     ``available_now=True`` the query drains all available input and
     stops — the batch-backfill pattern.
+
+    ``mode="append"`` (default) merges insert-only: each batch's rows
+    open at the batch ``slice_ts``, nothing closes. Streaming
+    emissions are *increments* — closed sessions, watermark-finalized
+    windows — so a row's absence from a later batch carries no
+    information; a snapshot compare would wrongly close every earlier
+    batch's rows. ``mode="snapshot"`` restores the full compare for
+    producers whose every batch is a complete state (e.g. a periodic
+    full recompute pushed through the stream).
 
     ``slice_ts`` per batch, in precedence order:
 
@@ -89,6 +99,9 @@ def stream_feature_updates(
     - otherwise a deterministic epoch-derived timestamp (fixed origin
       + epoch seconds; wall-clock would break replay determinism).
     """
+
+    if mode not in ("append", "snapshot"):
+        raise ValueError(f"mode must be 'append' or 'snapshot', got {mode!r}")
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         hwm = None
@@ -112,7 +125,9 @@ def stream_feature_updates(
             ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(
                 seconds=epoch_id
             )
-        backend.update_snapshot(batch_df, table_id, ts)
+        backend.update_snapshot(
+            batch_df, table_id, ts, close_absent=(mode == "snapshot")
+        )
         backend.append_log(
             table_id.partition(".")[0],
             table_id,

@@ -108,3 +108,32 @@ def test_source_conn_path(tmp_path):
         source_conn_path("https://example.com/data/", "f.csv")
         == "https://example.com/data/f.csv"
     )
+
+
+def test_append_only_merge_never_closes(spark, store_root, tmp_path):
+    """close_absent=False: successive incremental batches accumulate;
+    absence never closes; replay inserts nothing (no version bump)."""
+    for gran, root in ((None, store_root), ("month", str(tmp_path / "pm"))):
+        be = ParquetFeatureStore(spark, root, partition_granularity=gran)
+        t1, t2 = T(2024, 1, 1), T(2024, 2, 2)
+        df1 = spark.createDataFrame(
+            [("a", 1.0, D(2024, 1, 1)), ("b", 2.0, D(2024, 1, 5))],
+            "key_id string, v double, valid_from date",
+        )
+        df2 = spark.createDataFrame(
+            [("c", 3.0, D(2024, 2, 1))],
+            "key_id string, v double, valid_from date",
+        )
+        be.update_snapshot(df1, "ds.t", t1, close_absent=False)
+        be.update_snapshot(df2, "ds.t", t2, close_absent=False)
+        snap = {r["key_id"] for r in be.get_table("ds.t", t2).collect()}
+        assert snap == {"a", "b", "c"}, gran
+        # earlier slice sees only batch 1
+        assert {
+            r["key_id"] for r in be.get_table("ds.t", t1).collect()
+        } == {"a", "b"}, gran
+        # replayed batch is a no-op: no new version
+        v = be._current_version("ds.t")
+        be.update_snapshot(df2, "ds.t", t2, close_absent=False)
+        assert be._current_version("ds.t") == v, gran
+        assert be.read_raw("ds.t").where("until_ts IS NOT NULL").count() == 0

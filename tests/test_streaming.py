@@ -181,3 +181,65 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
         (3, TS(2024, 1, 1, 11, 0), TS(2024, 1, 1, 11, 0), 1),
     }
     assert got - closed <= open_tails
+
+
+def test_sessionize_stream_into_scd2_store(spark, tmp_path):
+    """Full streaming -> store path: stateful sessionization feeding
+    the SCD2 merge via foreachBatch, sessions landing as
+    interval-valid feature rows queryable by slice_ts."""
+    from diseasystore_spark.streaming.stateful import sessionize_stream
+    from diseasystore_spark.streaming.ingest import stream_feature_updates
+
+    TS = datetime.datetime
+    rows = [
+        (1, TS(2024, 1, 1, 10, 0), 0),
+        (1, TS(2024, 1, 1, 10, 10), 1),
+        (1, TS(2024, 1, 2, 12, 0), 2),   # closes session 1
+        (2, TS(2024, 1, 1, 9, 0), 3),
+        (2, TS(2024, 1, 3, 9, 0), 4),    # closes user2 session 1
+    ]
+    src = str(tmp_path / "s2s_src")
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    events.coalesce(1).write.parquet(src)
+    backend = ParquetFeatureStore(spark, str(tmp_path / "s2s_store"))
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    sessions = sessionize_stream(stream, gap_seconds=1800)
+
+    def to_feature(df):
+        return df.select(
+            F.col("user_id").cast("string").alias("key_user"),
+            F.col("n_events").cast("double").alias("n_events"),
+            F.col("session_start").cast("date").alias("valid_from"),
+            F.date_add(F.col("session_end").cast("date"), 1).alias(
+                "valid_until"
+            ),
+        )
+
+    q = stream_feature_updates(
+        sessions,
+        backend,
+        "ds.user_sessions",
+        transform=to_feature,
+        event_ts_col="session_end",
+        checkpoint_dir=str(tmp_path / "s2s_ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    stored = backend.get_table("ds.user_sessions", TS(2024, 12, 31))
+    got = {
+        (r["key_user"], r["valid_from"], r["valid_until"], r["n_events"])
+        for r in stored.collect()
+    }
+    # the two provably-closed sessions must be stored as features
+    import datetime as dt
+
+    assert (
+        "1", dt.date(2024, 1, 1), dt.date(2024, 1, 2), 2.0
+    ) in got
+    assert (
+        "2", dt.date(2024, 1, 1), dt.date(2024, 1, 2), 1.0
+    ) in got
+    # contract: half-open, date-typed, valid_from < valid_until
+    assert all(vf < vu for _, vf, vu, _ in got)
