@@ -131,3 +131,56 @@ def frame_sample(
         "doc_id",
         F.posexplode(frames).alias("frame_idx", "frame_bytes"),
     ).withColumn("frame_len", F.length("frame_bytes"))
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, payload binary, byte_len int, "
+    "orig_byte_len int, scale double"
+)
+
+
+def resize_payload(
+    df: DataFrame,
+    target_bytes: int = 256,
+    payload_col: str = "payload",
+    batch_hint: int = 1024,
+) -> DataFrame:
+    """Resize plumbing (image thumbnail / audio downsample stand-in).
+
+    Real resize = decode -> interpolate -> re-encode, which needs
+    codec libraries; the STUB keeps the exact pipeline shape
+    (Arrow-batched ``mapInPandas``, binary in / binary out, bounded
+    batches) and performs a deterministic byte-stride downsample to
+    ~``target_bytes`` — swapping in PIL's ``Image.resize`` changes
+    only the per-payload body. Payloads at/below the target pass
+    through untouched (scale 1.0).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_payload, out_len, orig_len, scales = [], [], [], []
+            for payload in pdf[payload_col]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n = arr.size
+                if n <= target_bytes:
+                    resized = arr
+                else:
+                    idx = np.linspace(0, n - 1, target_bytes).astype(np.int64)
+                    resized = arr[idx]
+                out_payload.append(resized.tobytes())
+                out_len.append(resized.size)
+                orig_len.append(n)
+                scales.append(resized.size / n if n else 1.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": out_payload,
+                    "byte_len": out_len,
+                    "orig_byte_len": orig_len,
+                    "scale": scales,
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)

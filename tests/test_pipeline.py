@@ -271,3 +271,26 @@ def test_dedup_components_canonical_filter_dedups(spark, docs):
             .join(kept.select(F.col("id").alias("id_b")), "id_b")
         )
         assert surviving.count() == 0
+
+
+def test_multimodal_resize_plumbing(spark, docs):
+    from diseasystore_spark.pipeline.multimodal import (
+        attach_binary_payload,
+        resize_payload,
+    )
+
+    payloads = attach_binary_payload(docs.limit(20))
+    out = resize_payload(payloads, target_bytes=64).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["byte_len"] == min(r["orig_byte_len"], 64)
+        assert len(r["payload"]) == r["byte_len"]
+        if r["orig_byte_len"] <= 64:
+            assert r["scale"] == 1.0
+        else:
+            assert 0 < r["scale"] < 1
+    # deterministic: same input -> same bytes
+    again = resize_payload(payloads, target_bytes=64).collect()
+    assert {(r["doc_id"], bytes(r["payload"])) for r in out} == {
+        (r["doc_id"], bytes(r["payload"])) for r in again
+    }
