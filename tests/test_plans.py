@@ -1,0 +1,131 @@
+"""Physical-plan regression guards for the scale claims in SCALE.md.
+
+Each test pins a plan *shape* the 100 TB story depends on: predicate
+pushdown reaching the parquet scan, column pruning in ReadSchema,
+partition-level pruning on the SCD2 layout, broadcast of the date
+spine, and whole-stage codegen in the prevalence pipeline. A refactor
+that silently regresses one of these still passes value-equality
+tests — these fail instead.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+D = datetime.date
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    """Study-period predicate and column pruning must land in the
+    FileScan: PushedFilters non-empty, ReadSchema only the 3 needed
+    columns of the 6-column orders table."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    df = orders.where(
+        F.col("o_orderdate") <= F.lit(datetime.datetime(1996, 3, 31))
+    ).select("o_custkey", "o_orderdate", "o_orderpriority")
+    plan = _executed(df)
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan, plan
+    assert "PushedFilters: [" in plan and "LessThanOrEqual(o_orderdate" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_custkey" in read_schema and "o_totalprice" not in read_schema
+
+
+def test_scd2_partitioned_snapshot_read_prunes_months(spark, tmp_path):
+    """get_table(max_valid_from=...) on the month-partitioned layout
+    must prune at the partition level (PartitionFilters on __vm), not
+    post-scan."""
+    from diseasystore_spark.storage.scd2 import ParquetFeatureStore
+
+    be = ParquetFeatureStore(
+        spark, str(tmp_path / "s"), partition_granularity="month"
+    )
+    df = spark.createDataFrame(
+        [("a", 1.0, D(2024, 1, 5), D(2024, 1, 7)),
+         ("b", 2.0, D(2024, 5, 5), D(2024, 5, 7))],
+        "key_id string, v double, valid_from date, valid_until date",
+    )
+    be.update_snapshot(df, "ds.t", datetime.datetime(2024, 6, 1))
+    snap = be.get_table(
+        "ds.t", datetime.datetime(2024, 6, 2), max_valid_from=D(2024, 2, 1)
+    )
+    plan = _executed(snap)
+    assert "PartitionFilters" in plan and "__vm" in plan.split(
+        "PartitionFilters"
+    )[1].splitlines()[0]
+    assert snap.count() == 1  # May pruned away
+
+
+def test_prevalence_pipeline_broadcasts_spine_and_codegens(spark, tmp_path):
+    """The dense-grid cross join must broadcast the (tiny) date spine,
+    and the delta/cumsum pipeline must run inside whole-stage codegen
+    (JVM row path, no Python in the hot loop)."""
+    import tests.test_store_base as tsb
+
+    ds = tsb.SumStore(
+        spark,
+        target_conn=str(tmp_path / "store"),
+        source_conn="x",
+        slice_ts=tsb.TODAY,
+        verbose=False,
+    )
+    out = ds.key_join_features(
+        "n_cyl",
+        ["vs"],
+        tsb.TODAY - datetime.timedelta(days=10),
+        tsb.TODAY,
+    )
+    try:
+        # collect() executes *this* DataFrame's queryExecution so the
+        # AdaptiveSparkPlan is finalized (count() would build a new one)
+        out.collect()
+        plan = _executed(out)
+        assert "isFinalPlan=true" in plan, plan.splitlines()[0]
+        assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+        # whole-stage-codegen stages appear as "*(n)" operator prefixes
+        assert "*(" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    finally:
+        ds.release_cached_plans()
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of union trick must produce exactly one exchange on the
+    keys (the window), not a join-shaped plan with per-side shuffles
+    plus a range residual."""
+    from diseasystore_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 5)],
+        "k long, ts timestamp, x long",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 7.0)],
+        "k long, ts timestamp, v double",
+    )
+    plan = _optimized(asof_join(left, right, on="k", right_prefix="r"))
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 1
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    """Hash-dedup groupBy must show a two-phase aggregate (map-side
+    partial before the shuffle) — the property that bounds shuffle
+    volume by distinct keys, not input rows."""
+    from diseasystore_spark.pipeline.dedup import exact_dup_groups
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed(exact_dup_groups(docs))
+    assert plan.count("HashAggregate") >= 2, plan
