@@ -45,10 +45,13 @@ def word_ngrams(text_col: str, n: int) -> Column:
     toks = f"split(trim({text_col}), '\\\\s+')"
     if n == 1:
         return F.expr(toks)
+    # size(w) < n must yield []: sequence(1, 0) is DESCENDING ([1, 0])
+    # in Spark, and slice(w, 0, n) throws — guard, don't clamp.
     return F.expr(
         f"flatten(transform(array({toks}), w -> "
-        f"transform(sequence(1, greatest(size(w) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(w, i, {n})))))"
+        f"if(size(w) < {n}, cast(array() as array<string>), "
+        f"transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(w, i, {n}))))))"
     )
 
 
@@ -70,11 +73,18 @@ def exact_dup_groups(
 def _shingle_rows(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
+    """One row per (doc, distinct shingle). The per-doc dedup happens
+    map-side with ``array_distinct`` BEFORE the explode — a relational
+    ``.distinct()`` after it would shuffle the whole exploded shingle
+    table (~50x the corpus row count) for a result that is by
+    construction already unique per document."""
     df = spread(df)
     return (
-        df.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("shingle"))
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("shingle"),
+        )
         .where(F.col("shingle") != "")
-        .distinct()
     )
 
 
@@ -92,7 +102,14 @@ def jaccard_pairs(
     ``max_df`` drops shingles occurring in more than that many docs
     (skew guard for the self-join at scale).
     """
-    sh = _shingle_rows(df, id_col, text_col, n)
+    # The self-join only tests shingle equality — join on the 64-bit
+    # xxhash64 of the shingle instead of the string: fixed-width keys
+    # shrink the shuffle and the sort-merge compares (collision odds
+    # across candidate pairs are ~2^-64, far below the noise floor of
+    # any near-dup workflow).
+    sh = _shingle_rows(df, id_col, text_col, n).select(
+        id_col, F.xxhash64("shingle").alias("shingle")
+    )
     if max_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -137,17 +154,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: for each seed i, the minimum of
     ``xxhash64(shingle, i)`` over the document's distinct shingles.
-    Returns (id, sig array<bigint>). One shuffle (the groupBy on id);
-    all hash evaluations are map-side."""
-    sh = _shingle_rows(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sigs = sh.groupBy(id_col).agg(*aggs)
-    return sigs.select(
+    Returns (id, sig array<bigint>).
+
+    ZERO shuffles: the signature is ``array_min(transform(shingles,
+    s -> xxhash64(s, i)))`` per row — a narrow map over the corpus
+    (the earlier explode + groupBy(id) formulation shuffled the full
+    shingle table just to regroup rows that started out together).
+    Docs with no shingles (shorter than ``n`` tokens) are dropped,
+    matching the explode formulation's behavior."""
+    df = spread(df)
+    with_sh = df.select(
         F.col(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        F.array_remove(
+            F.array_distinct(word_ngrams(text_col, n)), ""
+        ).alias("_shingles"),
+    ).where(F.size("_shingles") > 0)
+    return with_sh.select(
+        F.col(id_col),
+        F.array(
+            *[
+                F.expr(f"array_min(transform(_shingles, s -> xxhash64(s, {i})))")
+                for i in range(num_hashes)
+            ]
+        ).alias("sig"),
     )
 
 
@@ -248,25 +277,34 @@ def simhash64(
 
     Majority vote: bit b is set iff ``2 * count_b >= n_tokens``
     (identically the old ``sum of (+1/-1) >= 0`` formulation).
+
+    ZERO shuffles: the per-bit counts are per-document quantities, so
+    they are computed per ROW with ``aggregate`` over the token-hash
+    array — a narrow map. (The earlier formulation exploded tokens and
+    grouped back by id: a full shuffle of the token table to reunite
+    rows that started out in the same row.)
     """
-    tok = (
-        spread(df)
-        .select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
-        .where(F.col("tok") != "")
-        .withColumn("h", F.xxhash64("tok"))
+    with_h = spread(df).select(
+        F.col(id_col),
+        F.expr(
+            f"transform(filter(split(trim({text_col}), '\\\\s+'), "
+            f"t -> t != ''), t -> xxhash64(t))"
+        ).alias("_hs"),
     )
-    packed_aggs = []
+    packed = []
     for j in range(_SIMHASH_SLOTS):
-        expr = None
-        for i, b in enumerate(_simhash_slot_bits(j)):
-            term = F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) * F.lit(
-                1 << (_SIMHASH_LANE * i)
+        terms = " + ".join(
+            f"(shiftrightunsigned(h, {b}) & 1) * {1 << (_SIMHASH_LANE * i)}L"
+            for i, b in enumerate(_simhash_slot_bits(j))
+        )
+        packed.append(
+            F.expr(f"aggregate(_hs, 0L, (acc, h) -> acc + ({terms}))").alias(
+                f"s{j}"
             )
-            expr = term if expr is None else expr + term
-        packed_aggs.append(F.sum(expr).alias(f"s{j}"))
-    sums = tok.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tok"), *packed_aggs
-    )
+        )
+    sums = with_h.select(
+        F.col(id_col), F.size("_hs").alias("n_tok"), *packed
+    ).where(F.col("n_tok") > 0)
     sim = None
     for j in range(_SIMHASH_SLOTS):
         for i, b in enumerate(_simhash_slot_bits(j)):

@@ -49,6 +49,39 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert not missed, f"LSH missed high-similarity pairs: {missed}"
 
 
+def test_shingles_short_docs(spark):
+    """Docs shorter than n tokens must yield zero shingles, not crash:
+    Spark's sequence(1, 0) is DESCENDING, so an unguarded position
+    sequence feeds slice() a start of 0 (regression test)."""
+    from diseasystore_spark.pipeline.dedup import (
+        jaccard_pairs,
+        minhash_signatures,
+        word_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two"),
+            (2, "one"),
+            (3, ""),
+            (4, "one two three four"),
+            (5, "one two three four"),
+        ],
+        "doc_id bigint, text string",
+    )
+    grams = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", word_ngrams("text", 3).alias("g")).collect()
+    }
+    assert grams[1] == [] and grams[2] == [] and grams[3] == []
+    assert grams[4] == ["one two three", "two three four"]
+    # end-to-end: short docs silently contribute nothing
+    pairs = jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(4, 5)}
+    sigs = minhash_signatures(df, n=3)
+    assert {r["doc_id"] for r in sigs.collect()} == {4, 5}
+
+
 def test_simhash_identical_docs_zero_distance(spark):
     from diseasystore_spark.pipeline.dedup import simhash_pairs
 
