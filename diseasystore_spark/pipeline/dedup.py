@@ -107,8 +107,14 @@ def jaccard_pairs(
     # shrink the shuffle and the sort-merge compares (collision odds
     # across candidate pairs are ~2^-64, far below the noise floor of
     # any near-dup workflow).
-    sh = _shingle_rows(df, id_col, text_col, n).select(
-        id_col, F.xxhash64("shingle").alias("shingle")
+    # Materialize the hashed shingle index once: it feeds three
+    # consumers (sizes, both join sides). Without this the narrow
+    # shingling plan re-executes per consumer — there is no shuffle
+    # exchange for Spark to reuse.
+    sh = (
+        _shingle_rows(df, id_col, text_col, n)
+        .select(id_col, F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint()
     )
     if max_df is not None:
         hot = (
@@ -198,7 +204,10 @@ def minhash_lsh_pairs(
     matching signature positions.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    # Signatures feed both sides of the candidate self-join; the
+    # signature plan is a narrow map (no reusable exchange), so
+    # materialize it once. (id + num_hashes longs) per doc is tiny.
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n).localCheckpoint()
 
     band_rows = sigs.select(
         F.col(id_col),
@@ -334,7 +343,9 @@ def simhash_pairs(
     Pigeonhole banding: with 4 chunks of 16 bits, distance <= 3 implies
     at least one chunk matches exactly, so candidates come from 4
     equi-joins, then are verified with bit_count(xor)."""
-    sims = simhash64(df, id_col, text_col)
+    # (id, simhash) is 16 bytes/doc and feeds both join sides —
+    # materialize once (the simhash plan is narrow; no exchange reuse).
+    sims = simhash64(df, id_col, text_col).localCheckpoint()
     chunks = sims.select(
         F.col(id_col),
         "simhash",
@@ -358,15 +369,18 @@ def simhash_pairs(
     b = chunks.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "chunk", "val"
     )
+    # Verify hamming BEFORE dropDuplicates: the xor+bit_count is a
+    # per-row map on the join output, while dropDuplicates is a
+    # shuffle — filter first so only verified pairs shuffle.
     return (
         a.join(b, ["chunk", "val"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "hamming",
             F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
         )
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
@@ -390,10 +404,14 @@ def dedup_components(
     - **Small edge lists** (≤ ``collect_threshold`` pairs — dedup
       pair lists are tiny relative to the corpus; 2M pairs ≈ 64 MB on
       the driver): collect once and run union-find with path
-      compression driver-side. One Spark action total, vs ~3 jobs per
-      propagation round; the same size-gated trade a broadcast join
-      makes. Pass ``collect_threshold=0`` to force the distributed
-      path.
+      compression driver-side. The size gate is a single
+      ``limit(threshold + 1).collect()`` probe — one Spark action,
+      no checkpoint — the same size-gated trade a broadcast join
+      makes. Only when the probe overflows does the edge list get
+      materialized for the distributed path (one extra execution of
+      the pair plan, paid exactly once, in the regime where the
+      distributed rounds dominate anyway). Pass
+      ``collect_threshold=0`` to force the distributed path.
     - **Large edge lists**: iterative min-label propagation. Each
       round every node takes ``min(own label, neighbors' labels)`` —
       one equi-join of the (symmetrized) edge list against the label
@@ -413,10 +431,11 @@ def dedup_components(
     ``max_iterations`` (a diameter that large means the input is not
     a dedup pair list).
     """
-    raw = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).localCheckpoint()
-    if raw.count() <= collect_threshold:
+    raw_plan = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    probe = None
+    if collect_threshold > 0:
+        probe = raw_plan.limit(collect_threshold + 1).collect()
+    if probe is not None and len(probe) <= collect_threshold:
         parent: dict = {}
 
         def find(x):
@@ -427,7 +446,7 @@ def dedup_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in raw.collect():
+        for row in probe:
             a, b = row["src"], row["dst"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -438,7 +457,7 @@ def dedup_components(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         rows = [(x, find(x)) for x in parent]
-        id_type = raw.schema["src"].dataType
+        id_type = raw_plan.schema["src"].dataType
         return pairs.sparkSession.createDataFrame(
             rows,
             T.StructType(
@@ -449,6 +468,7 @@ def dedup_components(
             ),
         )
 
+    raw = raw_plan.localCheckpoint()
     edges = (
         raw.unionByName(
             raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
