@@ -391,6 +391,7 @@ def dedup_components(
     b_col: str = "id_b",
     max_iterations: int = 25,
     collect_threshold: int = 2_000_000,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list — the step
     that turns pairwise similarity (``minhash_lsh_pairs`` /
@@ -412,25 +413,37 @@ def dedup_components(
       the pair plan, paid exactly once, in the regime where the
       distributed rounds dominate anyway). Pass
       ``collect_threshold=0`` to force the distributed path.
-    - **Large edge lists**: iterative min-label propagation. Each
-      round every node takes ``min(own label, neighbors' labels)`` —
-      one equi-join of the (symmetrized) edge list against the label
-      frame plus one map-side-combinable groupBy, i.e. two shuffles
-      per round, no driver-side state beyond the converged flag.
-      Rounds needed = graph diameter; duplicate clusters are
-      near-cliques (diameter 2-3), so this converges in 3-4 rounds at
-      any data size. Each round localCheckpoints the label frame: the
-      lineage would otherwise double per iteration and re-execute all
-      prior joins on every action. For adversarial chain-shaped
-      graphs the alternating large-star/small-star variant bounds
-      rounds at O(log^2 n); not needed for dedup workloads and
-      deliberately not implemented.
+    - **Large edge lists**: distributed iteration, two algorithms
+      behind ``algorithm=``:
+
+      * ``"label"`` (default): min-label propagation. Each round
+        every node takes ``min(own label, neighbors' labels)`` — one
+        equi-join of the (symmetrized) edge list against the label
+        frame plus one map-side-combinable groupBy, i.e. two shuffles
+        per round, no driver-side state beyond the converged flag.
+        Rounds needed = graph diameter; duplicate clusters are
+        near-cliques (diameter 2-3), so this converges in 3-4 rounds
+        at any data size. Each round localCheckpoints the label
+        frame: the lineage would otherwise double per iteration and
+        re-execute all prior joins on every action.
+      * ``"star"``: alternating large-star/small-star contraction
+        (the classic MapReduce connected-components algorithm —
+        Kiveris et al., "Connected Components in MapReduce and
+        Beyond", SoCC 2014). Each half-round is one window-min over
+        the edge list partitioned by node plus a distinct — no
+        label-frame join — and the round count is O(log^2 n)
+        REGARDLESS of diameter. Use for adversarial chain/path
+        shaped graphs (e.g. containment chains from fingerprinting)
+        where label propagation would need diameter rounds.
 
     Returns (id, component) for every node appearing in ``pairs``.
     Raises if the distributed path has not converged within
-    ``max_iterations`` (a diameter that large means the input is not
-    a dedup pair list).
+    ``max_iterations`` (under ``"label"``, a diameter that large
+    usually means the input is not a dedup pair list — retry with
+    ``algorithm="star"``).
     """
+    if algorithm not in ("label", "star"):
+        raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
     raw_plan = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     probe = None
     if collect_threshold > 0:
@@ -469,6 +482,8 @@ def dedup_components(
         )
 
     raw = raw_plan.localCheckpoint()
+    if algorithm == "star":
+        return _components_star(raw, max_iterations)
     edges = (
         raw.unionByName(
             raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -508,4 +523,78 @@ def dedup_components(
             return labels
     raise RuntimeError(
         f"dedup_components did not converge in {max_iterations} iterations"
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every node's strictly-larger neighbors reattach to
+    the minimum of its closed neighborhood. One window-min shuffle on
+    the symmetrized edge list + a distinct."""
+    from pyspark.sql import Window
+
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = F.least(F.min("dst").over(Window.partitionBy("src")), F.col("src"))
+    return (
+        sym.withColumn("m", m)
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: orient every edge high→low; each high node and its
+    smaller neighbors all reattach to the smallest of them."""
+    from pyspark.sql import Window
+
+    hi_lo = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    with_m = hi_lo.withColumn(
+        "m", F.min("dst").over(Window.partitionBy("src"))
+    )
+    return (
+        with_m.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .unionByName(with_m.select("src", F.col("m").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _components_star(raw: DataFrame, max_iterations: int) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.
+    2014): converges to a star forest — every node holds one edge to
+    its component minimum — in O(log^2 n) rounds independent of graph
+    diameter. Fixpoint test: the small-star output's (count,
+    bit_xor-of-row-hashes) signature equals the previous round's
+    (order-free set compare without a join; xor never overflows
+    under ANSI mode)."""
+    nodes = (
+        raw.select(F.col("src").alias("id"))
+        .unionByName(raw.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = raw.where(F.col("src") != F.col("dst"))
+    sig_prev = None
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        n, h = edges.agg(
+            F.count(F.lit(1)), F.expr("bit_xor(xxhash64(src, dst))")
+        ).first()
+        if (n, h) == sig_prev:
+            break
+        sig_prev = (n, h)
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iterations} iterations"
+        )
+    # At the fixpoint every edge points node -> component min; roots
+    # (the minima) have no outgoing edge and label themselves.
+    return (
+        nodes.join(edges, nodes["id"] == edges["src"], "left")
+        .select("id", F.coalesce("dst", "id").alias("component"))
     )

@@ -240,12 +240,15 @@ def test_multimodal_plumbing(spark, docs):
         decode_image(b"\x89PNG fake")
 
 
-@pytest.mark.parametrize("collect_threshold", [2_000_000, 0])
-def test_dedup_components_chain_and_cliques(spark, collect_threshold):
+@pytest.mark.parametrize(
+    "collect_threshold,algorithm",
+    [(2_000_000, "label"), (0, "label"), (0, "star")],
+)
+def test_dedup_components_chain_and_cliques(spark, collect_threshold, algorithm):
     """Chain A-B-C-D (diameter 3), a separate pair, and an isolated
     clique must each collapse to min-id components — identically on
-    the driver union-find path (default) and the distributed
-    propagation path (threshold 0)."""
+    the driver union-find path (default), the distributed propagation
+    path (threshold 0), and the star-contraction path."""
     from diseasystore_spark.pipeline.dedup import dedup_components
 
     pairs = spark.createDataFrame(
@@ -259,7 +262,7 @@ def test_dedup_components_chain_and_cliques(spark, collect_threshold):
     got = {
         r["id"]: r["component"]
         for r in dedup_components(
-            pairs, collect_threshold=collect_threshold
+            pairs, collect_threshold=collect_threshold, algorithm=algorithm
         ).collect()
     }
     assert got == {
@@ -284,6 +287,55 @@ def test_dedup_components_long_chain_converges(spark, collect_threshold):
     ).collect()
     assert len(out) == 31
     assert all(r["component"] == 0 for r in out)
+
+
+def test_dedup_components_star_beats_diameter(spark):
+    """Star contraction must label a 64-node path graph (diameter 64)
+    within O(log^2 n) rounds — 12 here, where min-label propagation
+    provably cannot finish (needs ~diameter rounds). The adversarial
+    shape for label propagation: containment chains from
+    fingerprinting."""
+    from diseasystore_spark.pipeline.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    out = dedup_components(
+        pairs, max_iterations=12, collect_threshold=0, algorithm="star"
+    ).collect()
+    assert len(out) == 65
+    assert all(r["component"] == 0 for r in out)
+    # sanity: label propagation at the same cap does NOT converge
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(
+            pairs, max_iterations=12, collect_threshold=0, algorithm="label"
+        )
+
+
+def test_dedup_components_star_random_vs_unionfind(spark):
+    """Property check: star contraction equals driver union-find on a
+    pseudo-random graph (fixed seed) with many components."""
+    import random
+
+    from diseasystore_spark.pipeline.dedup import dedup_components
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = {
+        r["id"]: r["component"]
+        for r in dedup_components(
+            pairs, collect_threshold=0, algorithm="star"
+        ).collect()
+    }
+    uf = {
+        r["id"]: r["component"]
+        for r in dedup_components(pairs).collect()
+    }
+    assert star == uf
 
 
 def test_dedup_components_canonical_filter_dedups(spark, docs):
