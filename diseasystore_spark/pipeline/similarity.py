@@ -228,6 +228,13 @@ def ivf_centroids(
     seeded from the first ``n_clusters`` vectors by id (no RNG), a few
     Lloyd iterations. Assignment runs distributed; only the k x dim
     centroid matrix ever reaches the driver."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from diseasystore_spark.pipeline._util import spread
+
     seeds = (
         df.orderBy(id_col)
         .limit(n_clusters)
@@ -235,23 +242,55 @@ def ivf_centroids(
         .collect()
     )
     centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    vecs = spread(df.select(vec_col))
+    spark = df.sparkSession
     for _ in range(iterations):
-        assigned = _with_cluster(
-            df.select(F.col(id_col), F.col(vec_col)), vec_col, centroids
-        )
-        # elementwise mean per cluster: posexplode -> groupBy(cluster,
-        # dim) -> avg — one shuffle keyed on (cluster, dim)
-        means = (
-            assigned.select(
-                "cluster", F.posexplode(F.col(vec_col)).alias("dim", "x")
+        # Assignment AND per-partition partial sums in one Arrow pass:
+        # each task emits at most n_clusters rows (cluster, count,
+        # sum-vector), so the reduce shuffles O(partitions * k * d)
+        # elements instead of O(rows * d) — the map-side-combine a
+        # posexplode+groupBy formulation would not get for array data.
+        cent = np.asarray(centroids, dtype=np.float64)
+        cent_sq = (cent * cent).sum(axis=1)
+        b_cent = spark.sparkContext.broadcast((cent, cent_sq))
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c, c_sq = b_cent.value
+            kk, dd = c.shape
+            sums = np.zeros((kk, dd), dtype=np.float64)
+            counts = np.zeros(kk, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.array(list(pdf[vec_col]), dtype=np.float64)
+                d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) + c_sq[None, :]
+                lab = np.argmin(d2, axis=1)
+                np.add.at(sums, lab, m)
+                counts += np.bincount(lab, minlength=kk)
+            hit = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cluster": hit.astype(np.int32),
+                    "n": counts[hit],
+                    "s": list(sums[hit]),
+                }
             )
+
+        rows = (
+            vecs.mapInPandas(
+                partials, schema="cluster int, n long, s array<double>"
+            )
+            .select("cluster", "n", F.posexplode("s").alias("dim", "x"))
             .groupBy("cluster", "dim")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(F.sum("x").alias("sx"), F.sum("n").alias("sn"))
             .collect()
         )
         new_centroids = [list(c) for c in centroids]
-        for r in means:
-            new_centroids[r["cluster"]][r["dim"]] = r["m"]
+        for r in rows:
+            # one partial row per (partition, cluster) before the
+            # posexplode, so sum(n) within (cluster, dim) is the
+            # cluster's total count
+            new_centroids[r["cluster"]][r["dim"]] = r["sx"] / r["sn"]
         centroids = new_centroids
     return centroids
 
