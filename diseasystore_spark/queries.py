@@ -1091,8 +1091,10 @@ FROM ranked WHERE rnk <= 5
 
 
 def q26_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN top-5 (rows-only; recall measured
-    against q25 in tests)."""
+    """Hyperplane-LSH bucketed ANN top-5. The hyperplanes are a
+    deterministic LCG, so the oracle replays the exact bucketing in
+    DuckDB (literal plane vectors + list_dot_product sign bits);
+    recall vs exact is additionally measured in tests."""
     from diseasystore_spark.pipeline.similarity import hyperplane_lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -1102,6 +1104,51 @@ def q26_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
     )
+
+
+def _oracle_q26() -> str:
+    """The q26 plan replayed in SQL: the +-1 hyperplanes are emitted
+    as literal DOUBLE[] vectors (the LCG is deterministic), bucket =
+    the dot-product sign bits, then same-bucket candidates get an
+    exact cosine rerank."""
+    from diseasystore_spark.pipeline.similarity import _planes
+
+    terms = []
+    for p, plane in enumerate(_planes(8, 64)):
+        arr = "[" + ", ".join(f"{v:.1f}" for v in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(emb, {arr}) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = "\n       + ".join(terms)
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+b AS (
+  SELECT vec_id, emb,
+         {bucket} AS bucket,
+         sqrt(list_dot_product(emb, emb)) AS nrm
+  FROM v
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cosine
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 20
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM cand
+)
+SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= 5
+"""
+
+
+ORACLE_Q26 = _oracle_q26()
 
 
 def q29_embedding_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1160,7 +1207,10 @@ def q27_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q28_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via Arrow-batched mapInPandas
-    (decode stubbed — see pipeline.multimodal; rows-only)."""
+    (decode stubbed — see pipeline.multimodal). The scalar outputs
+    (byte length, content sha256) are deterministic functions of the
+    payload bytes, so DuckDB replays them as the oracle; the fake
+    histogram feature is dropped from the compared output."""
     from diseasystore_spark.pipeline.multimodal import (
         attach_binary_payload,
         extract_features,
@@ -1168,6 +1218,15 @@ def q28_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return extract_features(attach_binary_payload(docs)).drop("feature")
+
+
+ORACLE_Q28 = """
+SELECT doc_id,
+       'image' AS modality,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       sha256(text) AS content_sha
+FROM documents
+"""
 
 
 def q36_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1398,6 +1457,8 @@ ORACLES: dict[str, str] = {
     "q21_langid": ORACLE_Q21,
     "q22_token_count": ORACLE_Q22,
     "q25_cosine_topk": ORACLE_Q25,
+    "q26_ann_lsh": ORACLE_Q26,
+    "q28_multimodal_features": ORACLE_Q28,
     "q29_embedding_dupes": ORACLE_Q29,
     "q30_prevalence_max_agg": ORACLE_Q30,
     "q31_snapshot_isolation": ORACLE_Q31,
