@@ -129,3 +129,31 @@ def test_exact_dedup_partial_aggregation(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _executed(exact_dup_groups(docs))
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_minhash_signatures_shuffle_free(spark):
+    """Per-doc signatures are row-local array aggregates: the plan
+    must contain NO exchange (the explode+groupBy formulation would
+    shuffle the full shingle table to reunite rows that never left
+    their partition)."""
+    from diseasystore_spark.pipeline.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed(minhash_signatures(docs, num_hashes=8, n=3))
+    # spread()'s round-robin fan-out is allowed; a key shuffle or a
+    # grouped aggregate is the regression being guarded against
+    assert "hashpartitioning" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+
+
+def test_shingle_dedup_is_map_side(spark):
+    """(doc, shingle) dedup happens via array_distinct BEFORE the
+    explode — the shingle-row stream must reach its consumer without a
+    shuffle or a relational Deduplicate."""
+    from diseasystore_spark.pipeline.dedup import _shingle_rows
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed(_shingle_rows(docs, "doc_id", "text", 3))
+    assert "hashpartitioning" not in plan, plan
+    assert "Deduplicate" not in plan and "HashAggregate" not in plan, plan
+    assert "array_distinct" in plan, plan
