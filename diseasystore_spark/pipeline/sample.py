@@ -1,0 +1,178 @@
+"""Deterministic sampling / splitting / packing for training-data curation.
+
+A large-scale pipeline cannot use ``df.sample()`` for corpus curation:
+nondeterministic sampling makes runs unreproducible, resists
+memoization (the engine's SCD2 checksums would churn on every run),
+and cannot be sharded consistently across tables (the same document
+must land in the same split everywhere it appears). The standard fix
+is *hash-based* sampling: a stable key is hashed with a salt and the
+hash decides membership. Every operator here is a pure function of
+(key, salt) — rerunning, resharding, or recomputing on another
+cluster yields byte-identical membership.
+
+Engine parity: we hash with MD5 (``F.md5``) and compare the first
+8 hex characters *as strings*. Fixed-width lowercase hex compares
+lexicographically exactly like the integer it encodes, so thresholds
+are plain string literals and the whole predicate is expressible in
+any SQL engine (the DuckDB oracles in ``queries.py`` run the very
+same expression) — no engine-specific hash function leaks into
+results, unlike ``xxhash64``/``hash()`` whose seeds differ per engine.
+
+Scale notes:
+- ``hash_sample`` / ``hash_split`` are narrow (projection + filter):
+  zero shuffles, survive any scale-up, and compose with partition
+  pruning — membership is decided row-locally.
+- ``stratified_sample`` shuffles once on the strata (a window top-n).
+  For heavily skewed strata at 100 TB, pre-thin with ``hash_sample``
+  at a rate safely above ``n / stratum_size`` first so the window
+  sorts a bounded candidate set instead of the full stratum.
+- ``pack_sequences`` shuffles once on the strata and assigns packs by
+  running token sum — a deterministic analogue of greedy sequence
+  packing for LLM pre-training batches.
+
+No analogue in the reference (`diseasystore` never samples); this is
+part of the training-data extension surface required by the brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_hex",
+    "hash_sample",
+    "hash_split",
+    "stratified_sample",
+    "pack_sequences",
+]
+
+#: Width of the hex prefix used for thresholding. 8 hex chars = 32
+#: bits; rate granularity 2^-32 is far below any practical need.
+_PREFIX = 8
+_SPACE = 16**_PREFIX
+
+
+def hash_hex(key: Column, salt: str = "") -> Column:
+    """Deterministic 8-hex-char bucket for ``key``.
+
+    ``md5(salt || '|' || key)`` truncated to its first 8 hex chars.
+    The salt namespaces independent decisions (the split salt and a
+    downstream sample salt must differ, or membership correlates).
+    """
+    payload = F.concat(F.lit(f"{salt}|"), key.cast("string"))
+    return F.substring(F.md5(payload.cast("binary")), 1, _PREFIX)
+
+
+def _threshold(rate: float) -> str:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(min(round(rate * _SPACE), _SPACE - 1), f"0{_PREFIX}x")
+
+
+def hash_sample(
+    df: DataFrame, key: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli-by-key sample: keep rows whose hash
+    bucket falls below ``rate`` of the 32-bit space.
+
+    Narrow plan (no shuffle, no state); all rows sharing ``key`` are
+    kept or dropped together, so sampling is consistent across any
+    table keyed by the same id.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate == 1.0:
+        return df
+    return df.where(hash_hex(F.col(key), salt) < F.lit(_threshold(rate)))
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to exactly one named split (train/val/test …)
+    by hash range. Weights must sum to 1 (±1e-9). Deterministic,
+    narrow, and exhaustive: the ranges tile the full hash space, so
+    every row gets a label and the labels partition the corpus.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    bucket = hash_hex(F.col(key), salt)
+    names = list(weights)
+    cum = 0.0
+    expr: Column | None = None
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < F.lit(_threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    n_per_stratum: int,
+    key: str,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, chosen by hash
+    order (ties broken by the key itself, so selection is total and
+    deterministic). One shuffle on the strata columns.
+    """
+    w = Window.partitionBy(*strata).orderBy(
+        hash_hex(F.col(key), salt), F.col(key)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    key: str,
+    strata: list[str] | None = None,
+    salt: str = "",
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: order documents by hash
+    within each stratum, run a cumulative token sum, and assign
+    ``pack_id = floor(start_offset / budget)``.
+
+    Each document lands wholly in one pack; packs fill to at least
+    ``budget`` tokens (the document straddling a boundary overflows
+    its pack — standard greedy packing slack, bounded by the max
+    document length). The hash order makes packs a deterministic
+    random shuffle of the corpus, which is exactly what pre-training
+    batch construction wants. Single shuffle on the strata; the
+    running sum is a window cumsum (map-side partial where Spark can).
+    """
+    parts = [F.col(c) for c in (strata or [])]
+    order = [hash_hex(F.col(key), salt), F.col(key)]
+    w = (
+        Window.partitionBy(*parts).orderBy(*order)
+        if parts
+        else Window.partitionBy().orderBy(*order)
+    )
+    cum = F.sum(F.col(token_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = (cum - F.col(token_col)).cast("long")
+    return df.withColumn(pack_col, F.floor(start / F.lit(budget)))

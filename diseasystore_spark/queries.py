@@ -1387,6 +1387,95 @@ ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
 
+def q40_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test corpus split (80/10/10) by salted
+    MD5 hash range over ``doc_id`` — the reproducible replacement for
+    ``df.sample()`` in a curation pipeline. Narrow plan: projection +
+    CASE over a hash prefix, zero shuffles; membership is a pure
+    function of (key, salt) so DuckDB evaluating the same expression
+    is an exact oracle. No reference analogue (training-data
+    extension surface)."""
+    from diseasystore_spark.pipeline.sample import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    out = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="sp"
+    )
+    return out.select("doc_id", "lang", "split")
+
+
+ORACLE_Q40 = """
+WITH h AS (
+  SELECT doc_id, lang,
+         substr(md5('sp|' || doc_id::VARCHAR), 1, 8) AS b
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN b < 'cccccccd' THEN 'train'
+            WHEN b < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
+def q41_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: exactly 10 documents per
+    language, selected by salted-hash order (total order, ties broken
+    by the key). One shuffle on the stratum column; at scale, pre-thin
+    skewed strata with ``hash_sample`` before the window top-n."""
+    from diseasystore_spark.pipeline.sample import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_sample(docs, ["lang"], 10, "doc_id", salt="st")
+    return out.select("doc_id", "lang", "n_chars")
+
+
+ORACLE_Q41 = """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5('st|' || doc_id::VARCHAR), 1, 8), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= 10
+"""
+
+
+def q42_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing for pre-training batches:
+    documents are hash-shuffled (deterministically) within each
+    language, then assigned ``pack_id = floor(start_offset/budget)``
+    by a window cumsum over ``n_chars``. Each doc lands wholly in one
+    pack; packs fill to >= budget with bounded straddle overflow.
+    Single shuffle on the stratum; oracle = the identical window
+    cumsum in DuckDB."""
+    from diseasystore_spark.pipeline.sample import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    out = pack_sequences(
+        docs, "n_chars", 16384, "doc_id", strata=["lang"], salt="pk"
+    )
+    return out.select("doc_id", "lang", "n_chars", "pack_id")
+
+
+ORACLE_Q42 = """
+WITH ordered AS (
+  SELECT doc_id, lang, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5('pk|' || doc_id::VARCHAR), 1, 8), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_chars AS start_offset
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       CAST(floor(start_offset / 16384) AS BIGINT) AS pack_id
+FROM ordered
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1431,6 +1520,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_dedup_components": q37_dedup_components,
     "q38_pivot": q38_pivot,
     "q39_quantiles": q39_quantiles,
+    "q40_hash_split": q40_hash_split,
+    "q41_stratified_sample": q41_stratified_sample,
+    "q42_sequence_packing": q42_sequence_packing,
 }
 
 ORACLES: dict[str, str] = {
@@ -1469,6 +1561,9 @@ ORACLES: dict[str, str] = {
     "q37_dedup_components": ORACLE_Q37,
     "q38_pivot": ORACLE_Q38,
     "q39_quantiles": ORACLE_Q39,
+    "q40_hash_split": ORACLE_Q40,
+    "q41_stratified_sample": ORACLE_Q41,
+    "q42_sequence_packing": ORACLE_Q42,
     # q23/q24/q26/q27/q28 are xxhash64- or UDF-based: rows-only checks
     # (the driver records the weaker check; tests verify them against
     # exact formulations).

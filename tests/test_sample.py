@@ -1,0 +1,142 @@
+"""Deterministic sampling / splitting / packing (pipeline/sample.py).
+
+The load-bearing property is engine-portable determinism: membership
+is a pure function of (key, salt) via MD5, so DuckDB evaluating the
+same expression must agree byte-for-byte (that parity is what makes
+q40-q42 oracle-checkable)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from diseasystore_spark.pipeline.sample import (
+    hash_hex,
+    hash_sample,
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_hash_hex_matches_duckdb(spark, docs):
+    got = {
+        (r.doc_id, r.h)
+        for r in docs.select(
+            "doc_id", hash_hex(F.col("doc_id"), "s1").alias("h")
+        ).collect()
+    }
+    want = set(
+        duckdb.sql(
+            "SELECT doc_id, substr(md5('s1|' || doc_id::VARCHAR), 1, 8)"
+            f" FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_hash_sample_deterministic_and_monotone(spark, docs):
+    n = docs.count()
+    half = hash_sample(docs, "doc_id", 0.5, "s")
+    quarter = hash_sample(docs, "doc_id", 0.25, "s")
+    # deterministic: re-evaluating yields the identical id set
+    ids1 = {r.doc_id for r in half.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in half.select("doc_id").collect()}
+    assert ids1 == ids2
+    # rate within binomial tolerance (n=100 at sf0.001)
+    assert abs(len(ids1) / n - 0.5) < 0.2
+    # nested thresholds: lowering the rate only removes rows
+    qids = {r.doc_id for r in quarter.select("doc_id").collect()}
+    assert qids <= ids1
+    # a different salt decorrelates membership
+    other = {
+        r.doc_id
+        for r in hash_sample(docs, "doc_id", 0.5, "t")
+        .select("doc_id")
+        .collect()
+    }
+    assert other != ids1
+
+
+def test_hash_sample_plan_is_narrow(spark, docs):
+    plan = (
+        hash_sample(docs, "doc_id", 0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_hash_split_partitions_corpus(spark, docs):
+    out = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, "sp"
+    )
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    # every row has exactly one label (no dropped / duplicated rows)
+    assert out.select("doc_id").distinct().count() == docs.count()
+
+
+def test_hash_split_rejects_bad_weights(spark, docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="rate"):
+        hash_sample(docs, "doc_id", 1.5)
+
+
+def test_stratified_sample_exact_n(spark, docs):
+    out = stratified_sample(docs, ["lang"], 5, "doc_id", "st")
+    sizes = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    stratum = {
+        r.lang: r["count"] for r in docs.groupBy("lang").count().collect()
+    }
+    for lang, n in stratum.items():
+        assert sizes.get(lang, 0) == min(5, n)
+    # deterministic selection
+    a = sorted(r.doc_id for r in out.select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in stratified_sample(docs, ["lang"], 5, "doc_id", "st")
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b
+
+
+def test_pack_sequences_greedy_invariants(spark, docs):
+    budget = 4096
+    out = pack_sequences(
+        docs, "n_chars", budget, "doc_id", strata=["lang"], salt="pk"
+    )
+    assert out.count() == docs.count()  # every doc packed exactly once
+    rows = (
+        out.groupBy("lang", "pack_id")
+        .agg(F.sum("n_chars").alias("tot"))
+        .collect()
+    )
+    max_doc = docs.agg(F.max("n_chars")).first()[0]
+    by_lang: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.pack_id] = r.tot
+    for lang, packs in by_lang.items():
+        ids = sorted(packs)
+        assert ids == list(range(len(ids))), f"{lang}: non-contiguous packs"
+        cum = 0
+        for p in ids:
+            # no pack overflows by more than one straddling document
+            assert packs[p] < budget + max_doc, (lang, p, packs[p])
+            cum += packs[p]
+            if p < ids[-1]:
+                # pack boundary only advances once the budget is met
+                assert cum >= (p + 1) * budget, (lang, p, cum)
