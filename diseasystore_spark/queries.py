@@ -56,11 +56,17 @@ def _store(spark: SparkSession, sf_dir: str) -> TpchDiseasystore:
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, surfaced as a nanosecond
-        # long under spark.sql.legacy.parquet.nanosAsLong — convert.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+        # events.ts has shipped as TIMESTAMP(NANOS) (surfaced as a
+        # nanosecond long under spark.sql.legacy.parquet.nanosAsLong)
+        # and as TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ under
+        # inferTimestampNTZ). Normalize either to session-TZ TIMESTAMP;
+        # the session TZ is UTC so NTZ→TZ is value-identity and matches
+        # DuckDB's naive-timestamp semantics.
+        dtype = dict(df.dtypes)["ts"]
+        if dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif dtype != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

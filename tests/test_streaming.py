@@ -16,10 +16,9 @@ SF = "/root/testdata/sf0.001"
 
 
 def _events(spark):
-    df = spark.read.parquet(f"{SF}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    from diseasystore_spark.queries import _read
+
+    return _read(spark, SF, "events")
 
 
 def test_windowed_counts_batch_equals_groupby(spark):
