@@ -64,6 +64,14 @@ def hash_hex(key: Column, salt: str = "") -> Column:
     return F.substring(F.md5(payload.cast("binary")), 1, _PREFIX)
 
 
+def _temp_col(df: DataFrame, base: str) -> str:
+    """A working-column name guaranteed not to collide with ``df``'s."""
+    name = base
+    while name in df.columns:
+        name += "_"
+    return name
+
+
 def _threshold(rate: float) -> str:
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
@@ -78,7 +86,9 @@ def hash_sample(
 
     Narrow plan (no shuffle, no state); all rows sharing ``key`` are
     kept or dropped together, so sampling is consistent across any
-    table keyed by the same id.
+    table keyed by the same id. NULL keys hash to NULL and are
+    *dropped* by the comparison (three-valued logic); keys are
+    expected non-null.
     """
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
@@ -97,19 +107,24 @@ def hash_split(
     """Assign each row to exactly one named split (train/val/test …)
     by hash range. Weights must sum to 1 (±1e-9). Deterministic,
     narrow, and exhaustive: the ranges tile the full hash space, so
-    every row gets a label and the labels partition the corpus.
+    every row gets a label and the labels partition the corpus. NULL
+    keys hash to NULL: every range test is NULL, so they fall through
+    to the *last* split (unlike ``hash_sample``, which drops them);
+    keys are expected non-null.
     """
+    if not weights:
+        raise ValueError("weights must be non-empty")
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {total}")
-    if not weights:
-        raise ValueError("weights must be non-empty")
     bucket = hash_hex(F.col(key), salt)
     names = list(weights)
     cum = 0.0
     expr: Column | None = None
     for name in names[:-1]:
-        cum += weights[name]
+        # Clamp: cumulative float addition of the first n-1 weights can
+        # marginally exceed 1.0 even when the full sum passes the check.
+        cum = min(cum + weights[name], 1.0)
         cond = bucket < F.lit(_threshold(cum))
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
             cond, F.lit(name)
@@ -132,14 +147,20 @@ def stratified_sample(
     """Exactly ``min(n, |stratum|)`` rows per stratum, chosen by hash
     order (ties broken by the key itself, so selection is total and
     deterministic). One shuffle on the strata columns.
+
+    Requires ``key`` to be unique and non-null per row: duplicate keys
+    tie on both sort expressions (hash and key), leaving row_number
+    order engine-arbitrary, and NULL keys hash to NULL (which sorts
+    first in Spark but last in most SQL engines' defaults).
     """
+    rk = _temp_col(df, "__rk")
     w = Window.partitionBy(*strata).orderBy(
         hash_hex(F.col(key), salt), F.col(key)
     )
     return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= n_per_stratum)
-        .drop("__rk")
+        df.withColumn(rk, F.row_number().over(w))
+        .where(F.col(rk) <= n_per_stratum)
+        .drop(rk)
     )
 
 
@@ -153,16 +174,29 @@ def pack_sequences(
     pack_col: str = "pack_id",
 ) -> DataFrame:
     """Greedy contiguous sequence packing: order documents by hash
-    within each stratum, run a cumulative token sum, and assign
-    ``pack_id = floor(start_offset / budget)``.
+    within each stratum, run a cumulative token sum, bucket by
+    ``floor(start_offset / budget)``, then densify bucket numbers with
+    a dense_rank so ``pack_id`` is contiguous ``0..n_packs-1`` per
+    stratum.
 
-    Each document lands wholly in one pack; packs fill to at least
-    ``budget`` tokens (the document straddling a boundary overflows
-    its pack — standard greedy packing slack, bounded by the max
-    document length). The hash order makes packs a deterministic
-    random shuffle of the corpus, which is exactly what pre-training
-    batch construction wants. Single shuffle on the strata; the
-    running sum is a window cumsum (map-side partial where Spark can).
+    Each document lands wholly in one pack. A document with
+    ``token_col > budget`` spans several raw budget windows; the
+    densify step collapses the resulting gaps, so downstream batch
+    iteration can still enumerate ``range(n_packs)``. Packs fill to at
+    least ``budget`` tokens except possibly the last per stratum
+    (boundary-straddling documents overflow their pack — standard
+    greedy packing slack, bounded by the max document length).
+
+    The hash order makes packs a deterministic random shuffle of the
+    corpus, which is exactly what pre-training batch construction
+    wants. Requires ``key`` unique and non-null per row (duplicate
+    keys make the within-tie order engine-arbitrary). Single shuffle
+    on the strata; the densify window sorts by a value monotone in the
+    first window's order, so no second shuffle. With ``strata=None``
+    the window is unpartitioned — a single-task global sort, fine for
+    driver-sized frames but not at scale; pass strata (a real column
+    or a synthetic one such as a hash prefix of ``key``) for large
+    corpora.
     """
     parts = [F.col(c) for c in (strata or [])]
     order = [hash_hex(F.col(key), salt), F.col(key)]
@@ -175,4 +209,13 @@ def pack_sequences(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
     start = (cum - F.col(token_col)).cast("long")
-    return df.withColumn(pack_col, F.floor(start / F.lit(budget)))
+    raw = _temp_col(df, "__raw_pack")
+    with_raw = df.withColumn(raw, F.floor(start / F.lit(budget)))
+    w2 = (
+        Window.partitionBy(*parts).orderBy(F.col(raw))
+        if parts
+        else Window.partitionBy().orderBy(F.col(raw))
+    )
+    return with_raw.withColumn(
+        pack_col, (F.dense_rank().over(w2) - 1).cast("long")
+    ).drop(raw)

@@ -1441,7 +1441,8 @@ WITH ranked AS (
   SELECT doc_id, lang, n_chars,
          row_number() OVER (
            PARTITION BY lang
-           ORDER BY substr(md5('st|' || doc_id::VARCHAR), 1, 8), doc_id
+           ORDER BY substr(md5('st|' || doc_id::VARCHAR), 1, 8) NULLS FIRST,
+                    doc_id NULLS FIRST
          ) AS rk
   FROM documents
 )
@@ -1454,9 +1455,10 @@ def q42_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents are hash-shuffled (deterministically) within each
     language, then assigned ``pack_id = floor(start_offset/budget)``
     by a window cumsum over ``n_chars``. Each doc lands wholly in one
-    pack; packs fill to >= budget with bounded straddle overflow.
-    Single shuffle on the stratum; oracle = the identical window
-    cumsum in DuckDB."""
+    pack; packs fill to >= budget with bounded straddle overflow, and
+    pack ids are densified to contiguous 0..n-1 per stratum (long docs
+    would otherwise leave gaps). Single shuffle on the stratum; oracle
+    = the identical window cumsum + dense_rank in DuckDB."""
     from diseasystore_spark.pipeline.sample import pack_sequences
 
     docs = _read(spark, sf_dir, "documents")
@@ -1471,14 +1473,21 @@ WITH ordered AS (
   SELECT doc_id, lang, n_chars,
          sum(n_chars) OVER (
            PARTITION BY lang
-           ORDER BY substr(md5('pk|' || doc_id::VARCHAR), 1, 8), doc_id
+           ORDER BY substr(md5('pk|' || doc_id::VARCHAR), 1, 8) NULLS FIRST,
+                    doc_id NULLS FIRST
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) - n_chars AS start_offset
   FROM documents
+),
+raw AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(floor(start_offset / 16384) AS BIGINT) AS raw_pack
+  FROM ordered
 )
 SELECT doc_id, lang, n_chars,
-       CAST(floor(start_offset / 16384) AS BIGINT) AS pack_id
-FROM ordered
+       CAST(dense_rank() OVER (PARTITION BY lang ORDER BY raw_pack) - 1
+            AS BIGINT) AS pack_id
+FROM raw
 """
 
 

@@ -140,3 +140,51 @@ def test_pack_sequences_greedy_invariants(spark, docs):
             if p < ids[-1]:
                 # pack boundary only advances once the budget is met
                 assert cum >= (p + 1) * budget, (lang, p, cum)
+
+
+def test_pack_sequences_long_docs_stay_contiguous(spark):
+    # Documents longer than the budget span several raw budget windows;
+    # the dense_rank densify must keep pack ids gap-free.
+    budget = 10
+    rows = [(f"d{i}", "xx", n) for i, n in enumerate([3, 25, 4, 40, 2, 9, 1])]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+    out = pack_sequences(
+        df, "n_chars", budget, "doc_id", strata=["lang"], salt="pk"
+    ).collect()
+    assert len(out) == len(rows)  # each doc wholly in exactly one pack
+    ids = sorted({r.pack_id for r in out})
+    assert ids == list(range(len(ids))), ids
+    assert len(ids) > 1  # the tiny corpus genuinely spans packs
+
+
+def test_pack_sequences_unstratified_matches_single_stratum(spark):
+    # strata=None is the documented single-partition path; it must
+    # equal packing with a constant stratum.
+    rows = [(f"d{i}", (i * 7) % 13 + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "n"])
+    a = {
+        (r.doc_id, r.pack_id)
+        for r in pack_sequences(df, "n", 20, "doc_id", salt="u").collect()
+    }
+    b = {
+        (r.doc_id, r.pack_id)
+        for r in pack_sequences(
+            df.withColumn("c", F.lit(1)), "n", 20, "doc_id",
+            strata=["c"], salt="u",
+        ).collect()
+    }
+    assert a == b
+
+
+def test_temp_col_collision_safe(spark):
+    # A pre-existing __rk / __raw_pack column must survive untouched.
+    rows = [(f"d{i}", "xx", i + 1, "keep") for i in range(10)]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "lang", "n_chars", "__rk"]
+    ).withColumn("__raw_pack", F.lit("keep2"))
+    s = stratified_sample(df, ["lang"], 3, "doc_id", "st")
+    assert s.columns == df.columns and s.count() == 3
+    assert {r["__rk"] for r in s.collect()} == {"keep"}
+    p = pack_sequences(df, "n_chars", 7, "doc_id", strata=["lang"])
+    assert set(df.columns) < set(p.columns)
+    assert {r["__raw_pack"] for r in p.collect()} == {"keep2"}
