@@ -35,6 +35,23 @@ def _tokens(text_col: str) -> Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
+def _seeded_hash_sql(expr: str, seed: int, portable: bool) -> str:
+    """SQL fragment hashing ``expr`` under ``seed``.
+
+    Default: ``xxhash64`` (fast JVM hash; engine-specific). Portable:
+    the first 15 hex chars of ``md5(seed || '|' || expr)`` — a
+    fixed-width lowercase-hex string whose lexicographic order equals
+    the order of the 60-bit integer it encodes, so ``array_min`` /
+    equality / banding behave identically, and any SQL engine with
+    ``md5`` evaluates the very same value (the DuckDB oracles in
+    ``queries.py`` do). ~2-3x slower than xxhash64; use the default in
+    production, portable where cross-engine verifiability matters.
+    """
+    if portable:
+        return f"substr(md5(concat('{seed}|', {expr})), 1, 15)"
+    return f"xxhash64({expr}, {seed})"
+
+
 def word_ngrams(text_col: str, n: int) -> Column:
     """Word n-gram shingles as an array column (JVM-side lambda).
 
@@ -157,10 +174,13 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signature per document: for each seed i, the minimum of
-    ``xxhash64(shingle, i)`` over the document's distinct shingles.
-    Returns (id, sig array<bigint>).
+    ``hash(shingle, i)`` over the document's distinct shingles.
+    Returns (id, sig array<bigint>), or array<string> of fixed-width
+    hex under ``portable=True`` (see ``_seeded_hash_sql``; min/equality
+    semantics are identical).
 
     ZERO shuffles: the signature is ``array_min(transform(shingles,
     s -> xxhash64(s, i)))`` per row — a narrow map over the corpus
@@ -179,7 +199,10 @@ def minhash_signatures(
         F.col(id_col),
         F.array(
             *[
-                F.expr(f"array_min(transform(_shingles, s -> xxhash64(s, {i})))")
+                F.expr(
+                    "array_min(transform(_shingles, s -> "
+                    f"{_seeded_hash_sql('s', i, portable)}))"
+                )
                 for i in range(num_hashes)
             ]
         ).alias("sig"),
@@ -194,6 +217,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     min_est_jaccard: float = 0.0,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -201,13 +225,25 @@ def minhash_lsh_pairs(
     rows; documents sharing any band hash become candidates (equi-join
     on (band, band_hash) — never O(n^2)). Output:
     (id_a, id_b, est_jaccard) where est_jaccard is the fraction of
-    matching signature positions.
+    matching signature positions. ``portable=True`` hashes with md5
+    instead of xxhash64 so a DuckDB oracle reproduces the exact pair
+    set (q23).
     """
     rows_per_band = num_hashes // bands
     # Signatures feed both sides of the candidate self-join; the
     # signature plan is a narrow map (no reusable exchange), so
     # materialize it once. (id + num_hashes longs) per doc is tiny.
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n).localCheckpoint()
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, n, portable
+    ).localCheckpoint()
+
+    def _bucket(b: int) -> Column:
+        cols = [
+            F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)
+        ]
+        if portable:
+            return F.md5(F.concat_ws("|", *cols))
+        return F.xxhash64(*cols)
 
     band_rows = sigs.select(
         F.col(id_col),
@@ -216,13 +252,7 @@ def minhash_lsh_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
+                        F.lit(b).alias("band"), _bucket(b).alias("bucket")
                     )
                     for b in range(bands)
                 ]
@@ -269,10 +299,19 @@ def _simhash_slot_bits(j: int) -> list[int]:
 
 
 def simhash64(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """64-bit SimHash per document: per-bit majority vote over token
     hashes. Returns (id, simhash bigint).
+
+    ``portable=True`` swaps the token hash for the first 60 bits of
+    md5 (``conv(hex, 16, 10)``): bits 60-63 are then constantly zero
+    (an effective 60-bit simhash), but the value is reproducible in
+    any md5-capable SQL engine, which is what makes q24's DuckDB
+    oracle exact.
 
     The 64 per-bit set-counts are packed three 21-bit lanes per long,
     so the grouped aggregation carries 22 sum slots + a row count
@@ -293,11 +332,16 @@ def simhash64(
     grouped back by id: a full shuffle of the token table to reunite
     rows that started out in the same row.)
     """
+    tok_hash = (
+        "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"
+        if portable
+        else "xxhash64(t)"
+    )
     with_h = spread(df).select(
         F.col(id_col),
         F.expr(
             f"transform(filter(split(trim({text_col}), '\\\\s+'), "
-            f"t -> t != ''), t -> xxhash64(t))"
+            f"t -> t != ''), t -> {tok_hash})"
         ).alias("_hs"),
     )
     packed = []
@@ -337,15 +381,34 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs with hamming(simhash) <= max_hamming.
 
-    Pigeonhole banding: with 4 chunks of 16 bits, distance <= 3 implies
-    at least one chunk matches exactly, so candidates come from 4
-    equi-joins, then are verified with bit_count(xor)."""
+    Pigeonhole banding: with C chunks of 64/C bits, distance < C
+    implies at least one chunk matches exactly, so candidates come
+    from C equi-joins, then are verified with bit_count(xor). The
+    chunk count scales with the threshold (``max_hamming + 1``,
+    capped at 8) so the recall guarantee holds for thresholds past
+    the default 3 — with exactly-4 chunks a distance-4 pair could
+    differ in every chunk and be missed."""
+    # Pigeonhole: with C = max_hamming + 1 chunks, a pair within the
+    # hamming threshold must agree exactly on at least one chunk.
+    # Chunk widths are floor(64/C) with the remainder folded into the
+    # last chunk. Narrower chunks mean more candidate collisions —
+    # high-radius simhash LSH is intrinsically more expensive; keep
+    # max_hamming small at scale.
+    chunks_n = max(max_hamming + 1, 2)
+    if chunks_n > 32:
+        raise ValueError(f"max_hamming too large for 64-bit banding: {max_hamming}")
+    w = 64 // chunks_n
+    bounds = [
+        (c * w, (64 - c * w) if c == chunks_n - 1 else w)
+        for c in range(chunks_n)
+    ]
     # (id, simhash) is 16 bytes/doc and feeds both join sides —
     # materialize once (the simhash plan is narrow; no exchange reuse).
-    sims = simhash64(df, id_col, text_col).localCheckpoint()
+    sims = simhash64(df, id_col, text_col, portable).localCheckpoint()
     chunks = sims.select(
         F.col(id_col),
         "simhash",
@@ -354,11 +417,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), start)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("val"),
                     )
-                    for c in range(4)
+                    for c, (start, width) in enumerate(bounds)
                 ]
             )
         ).alias("cc"),

@@ -109,6 +109,7 @@ def doc_fingerprints(
     text_col: str = "text",
     k: int = 9,
     window: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03
     — public algorithm): hash every character k-gram, then keep the
@@ -118,10 +119,20 @@ def doc_fingerprints(
     signature set robust to local edits, used for copy detection.
     Array-lambda implementation: the per-row work is
     O(len * window) JVM ops, no shuffle until the final distinct.
+
+    ``portable=True`` hashes k-grams as 15-hex-char md5 prefixes
+    (fingerprint column becomes string): lexicographic min equals the
+    encoded integer's min, and any md5-capable engine reproduces the
+    exact fingerprint set (q27's DuckDB oracle).
     """
+    gram_hash = (
+        f"substr(md5(substring({text_col}, i, {k})), 1, 15)"
+        if portable
+        else f"xxhash64(substring({text_col}, i, {k}))"
+    )
     grams = F.expr(
         f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
-        f"i -> xxhash64(substring({text_col}, i, {k})))"
+        f"i -> {gram_hash})"
     )
     mins = F.expr(
         f"transform(sequence(1, greatest(size(__grams) - {window - 1}, 1)), "

@@ -1044,20 +1044,106 @@ FROM documents
 
 
 def q23_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs (xxhash64-based; rows-only check —
-    DuckDB has no xxhash64). Verified against exact Jaccard in tests."""
+    """MinHash+LSH candidate pairs in portable-hash mode: signatures
+    are per-seed minima of md5 hex prefixes, so the DuckDB oracle
+    computes the *identical* signature matrix, band buckets, and pair
+    set — full value-level parity for an LSH operator. (Production
+    default stays xxhash64; recall vs exact Jaccard is tested
+    separately.)"""
     from diseasystore_spark.pipeline.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _read(spark, sf_dir, "documents"), num_hashes=16, bands=4, n=3
+        _read(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=4,
+        n=3,
+        portable=True,
     )
 
 
+ORACLE_Q23 = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+  FROM pos
+),
+seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+sigrow AS (
+  SELECT doc_id, seed,
+         min(substr(md5(seed::VARCHAR || '|' || shingle), 1, 15)) AS h
+  FROM sh, seeds GROUP BY doc_id, seed
+),
+sigs AS (
+  SELECT doc_id, list(h ORDER BY seed) AS sig FROM sigrow GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band,
+         md5(sig[band * 4 + 1] || '|' || sig[band * 4 + 2] || '|'
+             || sig[band * 4 + 3] || '|' || sig[band * 4 + 4]) AS bucket
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i]))
+         / 16.0 AS est_jaccard
+FROM cand
+JOIN sigs sa ON sa.doc_id = id_a
+JOIN sigs sb ON sb.doc_id = id_b
+"""
+
+
 def q24_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, hamming <= 8 (rows-only check)."""
+    """SimHash near-dup pairs, hamming <= 8, portable-hash mode. The
+    chunk banding guarantees full recall at the threshold (9 chunks ⊳
+    pigeonhole), so the output is EXACTLY the hamming <= 8 pair set —
+    which a brute-force O(n^2) DuckDB oracle verifies value-for-value
+    (the distributed plan never materializes n^2; only the oracle
+    does)."""
     from diseasystore_spark.pipeline.dedup import simhash_pairs
 
-    return simhash_pairs(_read(spark, sf_dir, "documents"), max_hamming=8)
+    return simhash_pairs(
+        _read(spark, sf_dir, "documents"), max_hamming=8, portable=True
+    )
+
+
+ORACLE_Q24 = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), t -> t <> '') AS w
+  FROM documents
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(unnest(w)), 1, 15))::BIGINT AS h
+  FROM toks
+),
+cnt AS (
+  SELECT doc_id, b, sum((h >> b) & 1) AS c, count(*) AS n
+  FROM th, (SELECT unnest(generate_series(0, 59)) AS b)
+  GROUP BY doc_id, b
+),
+sims AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN 2 * c >= n THEN (1::BIGINT << b) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM cnt GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sims a
+JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
 
 
 def q25_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1205,10 +1291,34 @@ def q35_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q27_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (rows-only; xxhash64-based)."""
+    """Winnowing fingerprints (Schleimer et al. SIGMOD'03), portable-
+    hash mode: k-gram hashes are md5 hex prefixes, so the DuckDB
+    oracle reproduces the exact fingerprint sets (min-of-window over
+    fixed-width hex = min over the encoded integers)."""
     from diseasystore_spark.pipeline.text import doc_fingerprints
 
-    return doc_fingerprints(_read(spark, sf_dir, "documents"))
+    return doc_fingerprints(
+        _read(spark, sf_dir, "documents"), portable=True
+    )
+
+
+ORACLE_Q27 = """
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(length(text) - 8, 1)),
+           i -> substr(md5(substr(text, i, 9)), 1, 15)) AS g
+  FROM documents
+),
+mins AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(g) - 3, 1)),
+           i -> list_min(g[i:i + 3]))) AS m
+  FROM grams
+)
+SELECT DISTINCT doc_id, unnest(m) AS fingerprint FROM mins
+"""
 
 
 def q28_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1563,8 +1673,11 @@ ORACLES: dict[str, str] = {
     "q20_text_stats": ORACLE_Q20,
     "q21_langid": ORACLE_Q21,
     "q22_token_count": ORACLE_Q22,
+    "q23_minhash_lsh": ORACLE_Q23,
+    "q24_simhash": ORACLE_Q24,
     "q25_cosine_topk": ORACLE_Q25,
     "q26_ann_lsh": ORACLE_Q26,
+    "q27_fingerprints": ORACLE_Q27,
     "q28_multimodal_features": ORACLE_Q28,
     "q29_embedding_dupes": ORACLE_Q29,
     "q30_prevalence_max_agg": ORACLE_Q30,

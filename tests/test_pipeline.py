@@ -133,6 +133,29 @@ def test_simhash_packed_lanes_match_python_majority_vote(spark, docs):
     assert actual == expected
 
 
+def test_simhash_banding_exact_at_high_threshold(spark, docs):
+    """The chunk count scales with max_hamming, so the banded join's
+    output must equal the brute-force hamming-<=-t pair set even past
+    the old fixed-4-chunk guarantee (t=3)."""
+    from diseasystore_spark.pipeline.dedup import simhash64, simhash_pairs
+
+    sample = docs.limit(120)
+    t = 6
+    sims = {r["doc_id"]: r["simhash"] for r in simhash64(sample).collect()}
+    ids = sorted(sims)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sims[a] ^ sims[b]) & (2**64 - 1)).count("1") <= t
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(sample, max_hamming=t).collect()
+    }
+    assert got == want
+
+
 def test_ann_lsh_recall_against_exact(spark, emb):
     from diseasystore_spark.pipeline.similarity import (
         cosine_topk,
