@@ -52,6 +52,21 @@ def _seeded_hash_sql(expr: str, seed: int, portable: bool) -> str:
     return f"xxhash64({expr}, {seed})"
 
 
+def _ngram_sql(text_col: str, n: int) -> str:
+    """SQL-string form of the word n-gram shingle expression."""
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    if n == 1:
+        return toks
+    # size(w) < n must yield []: sequence(1, 0) is DESCENDING ([1, 0])
+    # in Spark, and slice(w, 0, n) throws — guard, don't clamp.
+    return (
+        f"flatten(transform(array({toks}), w -> "
+        f"if(size(w) < {n}, cast(array() as array<string>), "
+        f"transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(w, i, {n}))))))"
+    )
+
+
 def word_ngrams(text_col: str, n: int) -> Column:
     """Word n-gram shingles as an array column (JVM-side lambda).
 
@@ -59,17 +74,7 @@ def word_ngrams(text_col: str, n: int) -> Column:
     lambda variable via a single-element ``transform`` + ``flatten``
     so codegen does not re-split the text per n-gram position.
     """
-    toks = f"split(trim({text_col}), '\\\\s+')"
-    if n == 1:
-        return F.expr(toks)
-    # size(w) < n must yield []: sequence(1, 0) is DESCENDING ([1, 0])
-    # in Spark, and slice(w, 0, n) throws — guard, don't clamp.
-    return F.expr(
-        f"flatten(transform(array({toks}), w -> "
-        f"if(size(w) < {n}, cast(array() as array<string>), "
-        f"transform(sequence(1, size(w) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(w, i, {n}))))))"
-    )
+    return F.expr(_ngram_sql(text_col, n))
 
 
 def exact_dup_groups(
@@ -124,15 +129,26 @@ def jaccard_pairs(
     # shrink the shuffle and the sort-merge compares (collision odds
     # across candidate pairs are ~2^-64, far below the noise floor of
     # any near-dup workflow).
-    # Materialize the hashed shingle index once: it feeds three
-    # consumers (sizes, both join sides). Without this the narrow
-    # shingling plan re-executes per consumer — there is no shuffle
-    # exchange for Spark to reuse.
-    sh = (
-        _shingle_rows(df, id_col, text_col, n)
-        .select(id_col, F.xxhash64("shingle").alias("shingle"))
+    # Materialize the shingle index once (it feeds three consumers:
+    # sizes, both join sides — the narrow shingling plan would
+    # otherwise re-execute per consumer), but in the COMPACT per-doc
+    # array form: the exploded table is ~|shingles-per-doc| times
+    # larger, and checkpointing it was the dominant cost of this
+    # operator. The explode is re-run per consumer from the
+    # checkpointed arrays, which is a cheap narrow map.
+    arr = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"transform(array_remove(array_distinct("
+                f"{_ngram_sql(text_col, n)}), ''), s -> xxhash64(s))"
+            ).alias("_sh"),
+        )
+        .where(F.size("_sh") > 0)
         .localCheckpoint()
     )
+    sh = arr.select(F.col(id_col), F.explode("_sh").alias("shingle"))
     if max_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -141,7 +157,11 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        # sizes must reflect the post-filter shingle sets
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        # per-doc set size needs no shuffle at all — it's the array size
+        sizes = arr.select(F.col(id_col), F.size("_sh").alias("sz"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
