@@ -35,21 +35,11 @@ def _tokens(text_col: str) -> Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
-def _seeded_hash_sql(expr: str, seed: int, portable: bool) -> str:
-    """SQL fragment hashing ``expr`` under ``seed``.
-
-    Default: ``xxhash64`` (fast JVM hash; engine-specific). Portable:
-    the first 15 hex chars of ``md5(seed || '|' || expr)`` — a
-    fixed-width lowercase-hex string whose lexicographic order equals
-    the order of the 60-bit integer it encodes, so ``array_min`` /
-    equality / banding behave identically, and any SQL engine with
-    ``md5`` evaluates the very same value (the DuckDB oracles in
-    ``queries.py`` do). ~2-3x slower than xxhash64; use the default in
-    production, portable where cross-engine verifiability matters.
-    """
-    if portable:
-        return f"substr(md5(concat('{seed}|', {expr})), 1, 15)"
-    return f"xxhash64({expr}, {seed})"
+#: Modulus for the portable double-hash family: the Mersenne prime
+#: 2^31 - 1. h_i = (a + i*b) mod P with a, b drawn from one md5 —
+#: max(a + 15b) < 2^35, so the arithmetic never overflows a 64-bit
+#: signed integer in any engine.
+_PORTABLE_P = 2147483647
 
 
 def _ngram_sql(text_col: str, n: int) -> str:
@@ -198,9 +188,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: for each seed i, the minimum of
     ``hash(shingle, i)`` over the document's distinct shingles.
-    Returns (id, sig array<bigint>), or array<string> of fixed-width
-    hex under ``portable=True`` (see ``_seeded_hash_sql``; min/equality
-    semantics are identical).
+    Returns (id, sig array<bigint>).
+
+    Default hashing is per-seed ``xxhash64`` (fast, JVM-specific).
+    ``portable=True`` uses the Kirsch-Mitzenmacher double-hash family
+    instead: ONE md5 per shingle yields two 31-bit values (a, b) and
+    seed i's hash is ``(a + i*b) mod (2^31 - 1)`` — pure integer
+    arithmetic any SQL engine reproduces exactly (q23's DuckDB oracle
+    computes the identical signature matrix), at one md5 per shingle
+    instead of ``num_hashes``.
 
     ZERO shuffles: the signature is ``array_min(transform(shingles,
     s -> xxhash64(s, i)))`` per row — a narrow map over the corpus
@@ -215,16 +211,42 @@ def minhash_signatures(
             F.array_distinct(word_ngrams(text_col, n)), ""
         ).alias("_shingles"),
     ).where(F.size("_shingles") > 0)
-    return with_sh.select(
+    if not portable:
+        return with_sh.select(
+            F.col(id_col),
+            F.array(
+                *[
+                    F.expr(
+                        f"array_min(transform(_shingles, s -> xxhash64(s, {i})))"
+                    )
+                    for i in range(num_hashes)
+                ]
+            ).alias("sig"),
+        )
+    p = _PORTABLE_P
+    ab = with_sh.select(
         F.col(id_col),
-        F.array(
-            *[
-                F.expr(
-                    "array_min(transform(_shingles, s -> "
-                    f"{_seeded_hash_sql('s', i, portable)}))"
-                )
-                for i in range(num_hashes)
-            ]
+        F.expr("transform(_shingles, s -> md5(s))").alias("_m"),
+    ).select(
+        F.col(id_col),
+        F.expr(
+            f"transform(_m, m -> cast(conv(substr(m, 1, 8), 16, 10) as bigint)"
+            f" % {p})"
+        ).alias("_a"),
+        F.expr(
+            f"transform(_m, m -> cast(conv(substr(m, 9, 8), 16, 10) as bigint)"
+            f" % {p})"
+        ).alias("_b"),
+    )
+    # One nested-lambda expression for the whole signature (not one
+    # zip_with per seed): whole-stage codegen compiles a single
+    # operator tree, which at 16-64 seeds cuts several seconds of
+    # per-query JIT alone.
+    return ab.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(sequence(0, {num_hashes - 1}), i -> "
+            f"array_min(zip_with(_a, _b, (a, b) -> (a + i * b) % {p})))"
         ).alias("sig"),
     )
 
@@ -262,7 +284,7 @@ def minhash_lsh_pairs(
             F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)
         ]
         if portable:
-            return F.md5(F.concat_ws("|", *cols))
+            return F.md5(F.concat_ws("|", *[c.cast("string") for c in cols]))
         return F.xxhash64(*cols)
 
     band_rows = sigs.select(
@@ -286,11 +308,30 @@ def minhash_lsh_pairs(
     b = band_rows.select(
         F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
     )
+    # Emit each pair from its FIRST truly-matching band only: with
+    # both signatures in the joined row, band-slice equality is a
+    # per-row predicate, so duplicate candidates are eliminated by a
+    # narrow filter instead of a dropDuplicates shuffle over the
+    # candidate set (the widest frame in the plan). Bucket-hash
+    # collisions without slice equality (~2^-64) are dropped too —
+    # they were never near-duplicates.
+    def _band_match(bb: int) -> Column:
+        cond = None
+        for r in range(rows_per_band):
+            eq = F.col("sig_a")[bb * rows_per_band + r] == F.col("sig_b")[
+                bb * rows_per_band + r
+            ]
+            cond = eq if cond is None else cond & eq
+        return cond
+
+    first_match = F.when(_band_match(0), F.lit(0))
+    for bb in range(1, bands):
+        first_match = first_match.when(_band_match(bb), F.lit(bb))
     cand = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .where(F.col("band") == first_match)
         .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     est = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, "
@@ -452,18 +493,28 @@ def simhash_pairs(
     b = chunks.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "chunk", "val"
     )
-    # Verify hamming BEFORE dropDuplicates: the xor+bit_count is a
-    # per-row map on the join output, while dropDuplicates is a
-    # shuffle — filter first so only verified pairs shuffle.
+    # Emit each pair from its FIRST matching chunk only: chunk
+    # equality is derivable per-row from sim_a XOR sim_b, so
+    # duplicate candidates fall to a narrow filter — no
+    # dropDuplicates shuffle over the candidate set.
+    x = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+
+    def _chunk_match(c: int) -> Column:
+        start, width = bounds[c]
+        return (
+            F.shiftrightunsigned(x, start).bitwiseAND(F.lit((1 << width) - 1))
+            == 0
+        )
+
+    first_match = F.when(_chunk_match(0), F.lit(0))
+    for c in range(1, chunks_n):
+        first_match = first_match.when(_chunk_match(c), F.lit(c))
     return (
         a.join(b, ["chunk", "val"])
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
-        )
+        .withColumn("hamming", F.bit_count(x))
         .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("chunk") == first_match)
         .select("id_a", "id_b", "hamming")
     )
 

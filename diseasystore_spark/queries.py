@@ -1073,19 +1073,25 @@ sh AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
   FROM pos
 ),
+ab AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS a,
+         ('0x' || substr(md5(shingle), 9, 8))::BIGINT % 2147483647 AS b
+  FROM sh
+),
 seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
 sigrow AS (
-  SELECT doc_id, seed,
-         min(substr(md5(seed::VARCHAR || '|' || shingle), 1, 15)) AS h
-  FROM sh, seeds GROUP BY doc_id, seed
+  SELECT doc_id, seed, min((a + seed * b) % 2147483647) AS h
+  FROM ab, seeds GROUP BY doc_id, seed
 ),
 sigs AS (
   SELECT doc_id, list(h ORDER BY seed) AS sig FROM sigrow GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, band,
-         md5(sig[band * 4 + 1] || '|' || sig[band * 4 + 2] || '|'
-             || sig[band * 4 + 3] || '|' || sig[band * 4 + 4]) AS bucket
+         md5(sig[band * 4 + 1]::VARCHAR || '|' || sig[band * 4 + 2]::VARCHAR
+             || '|' || sig[band * 4 + 3]::VARCHAR || '|'
+             || sig[band * 4 + 4]::VARCHAR) AS bucket
   FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band)
 ),
 cand AS (
