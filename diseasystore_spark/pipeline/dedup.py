@@ -343,6 +343,89 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    min_est_jaccard: float = 0.0,
+    portable: bool = False,
+) -> DataFrame:
+    """Cross-corpus near-duplicate screening: LSH-join ``left``
+    documents against ``right`` (e.g. a new ingest batch against the
+    existing corpus, or training documents against a benchmark set for
+    contamination checks). Returns (left_id, right_id, est_jaccard).
+
+    Same banding scheme as ``minhash_lsh_pairs`` but two-sided: the
+    candidate join is equi on (band, bucket) between the two corpora —
+    never |left| x |right| — and each pair is emitted from its first
+    matching band (narrow filter, no dedup shuffle). The right side's
+    band index is the thing a production pipeline would precompute
+    and keep partitioned by bucket; incremental dedup is then one
+    equi-join per batch.
+    """
+    rows_per_band = num_hashes // bands
+    sig_l = minhash_signatures(
+        left, id_col, text_col, num_hashes, n, portable
+    ).localCheckpoint()
+    sig_r = minhash_signatures(
+        right, id_col, text_col, num_hashes, n, portable
+    ).localCheckpoint()
+
+    def _bucket(b: int) -> Column:
+        cols = [
+            F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)
+        ]
+        if portable:
+            return F.md5(F.concat_ws("|", *[c.cast("string") for c in cols]))
+        return F.xxhash64(*cols)
+
+    def _bandify(sigs: DataFrame, out_id: str, out_sig: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            F.col("sig").alias(out_sig),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), _bucket(b).alias("bucket")
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(out_id, out_sig, F.col("bb.band"), F.col("bb.bucket"))
+
+    a = _bandify(sig_l, "left_id", "sig_a")
+    b = _bandify(sig_r, "right_id", "sig_b")
+
+    def _band_match(bb: int) -> Column:
+        cond = None
+        for r in range(rows_per_band):
+            eq = F.col("sig_a")[bb * rows_per_band + r] == F.col("sig_b")[
+                bb * rows_per_band + r
+            ]
+            cond = eq if cond is None else cond & eq
+        return cond
+
+    first_match = F.when(_band_match(0), F.lit(0))
+    for bb in range(1, bands):
+        first_match = first_match.when(_band_match(bb), F.lit(bb))
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, "
+        "(acc, v) -> acc + v)"
+    ) / F.lit(num_hashes)
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("band") == first_match)
+        .select("left_id", "right_id", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
 _SIMHASH_LANE = 21
 _SIMHASH_LANE_MASK = (1 << _SIMHASH_LANE) - 1
 _SIMHASH_LANES_PER_LONG = 3

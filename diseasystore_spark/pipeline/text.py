@@ -8,7 +8,7 @@ groupBy is inherent, and no Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from diseasystore_spark.pipeline._util import spread
@@ -100,6 +100,69 @@ def langid_heuristic(
         ).otherwise(pred)
     return df2.select(
         F.col(id_col), pred.alias("pred_lang"), best.alias("best_score")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_chars: int = 512,
+    chunk_col: str = "chunk_id",
+) -> DataFrame:
+    """Split documents into training-ready chunks of at most
+    ``max_chars`` characters, breaking only at whitespace.
+
+    Token k's start offset in the space-rejoined document decides its
+    chunk (``floor(start / max_chars)``), then chunk ids are densified
+    per document (a token longer than the budget would otherwise leave
+    gaps). Tokens never split mid-word. Greedy-by-offset semantics: a
+    token *starting* before a chunk boundary belongs to that chunk
+    even if it ends past it, so a chunk may overflow ``max_chars`` by
+    at most one token length (the same bounded straddle slack as
+    ``pipeline.sample.pack_sequences``) — the formulation that keeps
+    chunk assignment a pure window expression instead of a stateful
+    scan.
+
+    Output: (id, chunk_id, chunk_text, n_chars), deterministic.
+
+    Scale shape: posexplode -> two windows + one groupBy, ALL
+    partitioned by the document id, so the operator scales with the
+    corpus regardless of document count; per-document work is linear.
+    The chunk text is rebuilt order-exactly via ``array_sort`` of
+    (position, token) structs — ``collect_list`` alone has no ordering
+    guarantee after a shuffle.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(_tokens(text_col)).alias("__pos", "__tok"),
+    ).where(F.col("__tok") != "")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    start = F.coalesce(
+        F.sum(F.length("__tok") + 1).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    with_raw = toks.withColumn(
+        "__raw", F.floor(start / F.lit(max_chars))
+    )
+    dense = F.dense_rank().over(
+        Window.partitionBy(id_col).orderBy("__raw")
+    ) - 1
+    return (
+        with_raw.withColumn(chunk_col, dense.cast("long"))
+        .groupBy(id_col, chunk_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(__pos, __tok))),"
+                    " s -> s.__tok)"
+                ),
+            ).alias("chunk_text")
+        )
+        .withColumn("n_chars", F.length("chunk_text"))
     )
 
 

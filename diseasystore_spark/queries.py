@@ -1607,6 +1607,168 @@ FROM raw
 """
 
 
+def q43_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-prep document chunking: split each document into <=256-char
+    chunks at whitespace boundaries (posexplode -> offset window ->
+    dense chunk ids -> order-exact reassembly). All stages partition
+    by doc_id, so the operator scales with corpus size."""
+    from diseasystore_spark.pipeline.text import chunk_documents
+
+    return chunk_documents(
+        _read(spark, sf_dir, "documents"), max_chars=256
+    )
+
+
+ORACLE_Q43 = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM toks
+),
+tok AS (
+  SELECT doc_id, i, w[i] AS tok FROM pos WHERE w[i] <> ''
+),
+st AS (
+  SELECT doc_id, i, tok,
+         coalesce(sum(length(tok) + 1) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM tok
+),
+dn AS (
+  SELECT doc_id, i, tok,
+         dense_rank() OVER (
+           PARTITION BY doc_id
+           ORDER BY CAST(floor(s / 256) AS BIGINT)) - 1 AS chunk_id
+  FROM st
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       string_agg(tok, ' ' ORDER BY i) AS chunk_text,
+       length(string_agg(tok, ' ' ORDER BY i)) AS n_chars
+FROM dn GROUP BY doc_id, chunk_id
+"""
+
+
+def q44_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus contamination screening: a deterministic 10% 'new
+    batch' (hash split) is LSH-joined against the remaining 90%
+    corpus; pairs with estimated Jaccard >= 0.25 are flagged. The
+    candidate join is equi on (band, bucket) between the corpora —
+    never |new| x |corpus| — and portable hashing makes the DuckDB
+    oracle exact."""
+    from diseasystore_spark.pipeline.dedup import minhash_lsh_join
+    from diseasystore_spark.pipeline.sample import hash_split
+
+    docs = hash_split(
+        _read(spark, sf_dir, "documents"),
+        "doc_id",
+        {"new": 0.1, "corpus": 0.9},
+        salt="contam",
+    )
+    return minhash_lsh_join(
+        docs.where(F.col("split") == "new"),
+        docs.where(F.col("split") == "corpus"),
+        num_hashes=16,
+        bands=4,
+        n=3,
+        min_est_jaccard=0.25,
+        portable=True,
+    )
+
+
+ORACLE_Q44 = """
+WITH lab AS (
+  SELECT doc_id, text,
+         CASE WHEN substr(md5('contam|' || doc_id::VARCHAR), 1, 8)
+                < '1999999a'
+              THEN 'new' ELSE 'corpus' END AS split
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, split, string_split(trim(text), ' ') AS w FROM lab
+),
+pos AS (
+  SELECT doc_id, split, w,
+         unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, split,
+         w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+  FROM pos
+),
+ab AS (
+  SELECT doc_id, split,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS a,
+         ('0x' || substr(md5(shingle), 9, 8))::BIGINT % 2147483647 AS b
+  FROM sh
+),
+seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+sigrow AS (
+  SELECT doc_id, split, seed, min((a + seed * b) % 2147483647) AS h
+  FROM ab, seeds GROUP BY doc_id, split, seed
+),
+sigs AS (
+  SELECT doc_id, split, list(h ORDER BY seed) AS sig
+  FROM sigrow GROUP BY doc_id, split
+),
+bands AS (
+  SELECT doc_id, split, sig, band,
+         md5(sig[band * 4 + 1]::VARCHAR || '|' || sig[band * 4 + 2]::VARCHAR
+             || '|' || sig[band * 4 + 3]::VARCHAR || '|'
+             || sig[band * 4 + 4]::VARCHAR) AS bucket
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.split = 'new' AND b.split = 'corpus'
+)
+SELECT left_id, right_id,
+       len(list_filter(generate_series(1, 16), i -> sig_a[i] = sig_b[i]))
+         / 16.0 AS est_jaccard
+FROM cand
+WHERE len(list_filter(generate_series(1, 16), i -> sig_a[i] = sig_b[i]))
+        / 16.0 >= 0.25
+"""
+
+
+def q45_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters (vocabulary head): top-25 tokens by
+    frequency, deterministic tie-break on the token. The groupBy is
+    map-side-combinable; the final top-k sorts only the aggregated
+    vocabulary, never the token stream."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 25)
+    )
+
+
+ORACLE_Q45 = """
+WITH tok AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, COUNT(*) AS n FROM tok WHERE token <> '' GROUP BY token
+),
+ranked AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token) AS rank
+  FROM counts
+)
+SELECT token, n, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 25
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1654,6 +1816,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_hash_split": q40_hash_split,
     "q41_stratified_sample": q41_stratified_sample,
     "q42_sequence_packing": q42_sequence_packing,
+    "q43_chunking": q43_chunking,
+    "q44_contamination": q44_contamination,
+    "q45_heavy_hitters": q45_heavy_hitters,
 }
 
 ORACLES: dict[str, str] = {
@@ -1698,7 +1863,11 @@ ORACLES: dict[str, str] = {
     "q40_hash_split": ORACLE_Q40,
     "q41_stratified_sample": ORACLE_Q41,
     "q42_sequence_packing": ORACLE_Q42,
-    # q23/q24/q26/q27/q28 are xxhash64- or UDF-based: rows-only checks
-    # (the driver records the weaker check; tests verify them against
-    # exact formulations).
+    "q43_chunking": ORACLE_Q43,
+    "q44_contamination": ORACLE_Q44,
+    "q45_heavy_hitters": ORACLE_Q45,
+    # q35 is the only rows-only query: its k-means quantizer is
+    # iterative with float-order-sensitive reductions, which a single
+    # SQL statement cannot reproduce bit-exactly; tests verify its
+    # recall against the exact cosine top-k instead.
 }

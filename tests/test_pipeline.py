@@ -402,3 +402,71 @@ def test_multimodal_resize_plumbing(spark, docs):
     assert {(r["doc_id"], bytes(r["payload"])) for r in out} == {
         (r["doc_id"], bytes(r["payload"])) for r in again
     }
+
+
+def test_chunk_documents_invariants(spark, docs):
+    from diseasystore_spark.pipeline.text import chunk_documents
+
+    max_chars = 120
+    chunks = chunk_documents(docs, max_chars=max_chars).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    originals = {
+        r["doc_id"]: " ".join(r["text"].strip().split())
+        for r in docs.collect()
+    }
+    assert set(by_doc) == set(originals)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        # contiguous ids from 0
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        # order-exact reassembly recovers the normalized document
+        assert " ".join(r["chunk_text"] for r in rows) == originals[doc_id]
+        longest_tok = max(len(t) for t in originals[doc_id].split(" "))
+        for r in rows:
+            assert r["n_chars"] == len(r["chunk_text"])
+            # bounded straddle slack: overflow < one token (+ space)
+            assert r["n_chars"] < max_chars + longest_tok + 1
+
+
+def test_chunk_documents_long_token(spark):
+    from diseasystore_spark.pipeline.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "aa " + "x" * 50 + " bb cc")], "doc_id bigint, text string"
+    )
+    rows = sorted(
+        chunk_documents(df, max_chars=10).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+    assert " ".join(r["chunk_text"] for r in rows) == "aa " + "x" * 50 + " bb cc"
+
+
+def test_minhash_lsh_join_cross_corpus(spark, docs):
+    """A near-dup pair split across the two sides must be found, and
+    ids must come from the right sides."""
+    from diseasystore_spark.pipeline.dedup import (
+        minhash_lsh_join,
+        minhash_lsh_pairs,
+    )
+
+    # Pairs within the whole corpus (candidates for the split check).
+    pairs = minhash_lsh_pairs(docs, min_est_jaccard=0.5).collect()
+    assert pairs, "test corpus should contain near-duplicates"
+    a_ids = {r["id_a"] for r in pairs}
+    left = docs.where(F.col("doc_id").isin(*a_ids))
+    right = docs.where(~F.col("doc_id").isin(*a_ids))
+    joined = minhash_lsh_join(left, right, min_est_jaccard=0.5).collect()
+    got = {(r["left_id"], r["right_id"]) for r in joined}
+    # every (a in left, b in right) pair from the self-join must appear
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in pairs
+        if r["id_a"] in a_ids and r["id_b"] not in a_ids
+    }
+    assert want <= got
+    l_ids = {r["doc_id"] for r in left.collect()}
+    for lid, rid in got:
+        assert lid in l_ids and rid not in l_ids
