@@ -1746,11 +1746,13 @@ def q45_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
     ).where(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # orderBy + limit compiles to TakeOrderedAndProject — each task
+    # keeps its own top-25 and only those reach the driver-side merge;
+    # a global row_number window would instead single-partition the
+    # whole vocabulary. Rank is attached after, on the 25-row result.
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(25)
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 25)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 ORACLE_Q45 = """

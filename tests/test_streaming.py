@@ -242,3 +242,62 @@ def test_sessionize_stream_into_scd2_store(spark, tmp_path):
     ) in got
     # contract: half-open, date-typed, valid_from < valid_until
     assert all(vf < vu for _, vf, vu, _ in got)
+
+
+def test_stream_dedup_against_corpus(spark, tmp_path):
+    """Streaming screening must flag exactly what the batch operator
+    flags: stream the 'new' 10% of documents in micro-batches against
+    the static 90% corpus and compare with the direct batch join."""
+    from diseasystore_spark.pipeline.dedup import minhash_lsh_join
+    from diseasystore_spark.pipeline.sample import hash_split
+    from diseasystore_spark.streaming.dedup_stream import (
+        stream_dedup_against_corpus,
+    )
+
+    docs = hash_split(
+        spark.read.parquet(f"{SF}/documents.parquet"),
+        "doc_id",
+        {"new": 0.2, "corpus": 0.8},
+        salt="sd",
+    )
+    new = docs.where(F.col("split") == "new").select("doc_id", "text")
+    corpus = docs.where(F.col("split") == "corpus").select("doc_id", "text")
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # two files -> maxFilesPerTrigger=1 gives two micro-batches
+    rows = new.collect()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        spark.createDataFrame(chunk, new.schema).coalesce(1).write.parquet(
+            str(src / f"b{i}"), mode="overwrite"
+        )
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+
+    got: set = set()
+
+    def sink(flagged, epoch_id):
+        got.update(
+            (r["left_id"], r["right_id"]) for r in flagged.collect()
+        )
+
+    q = stream_dedup_against_corpus(
+        stream,
+        corpus,
+        sink,
+        min_est_jaccard=0.3,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    want = {
+        (r["left_id"], r["right_id"])
+        for r in minhash_lsh_join(
+            new, corpus, min_est_jaccard=0.3
+        ).collect()
+    }
+    assert got == want
+    assert want, "test split should produce at least one flagged pair"
