@@ -18,10 +18,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 def _ensure_nanos_flag(spark: SparkSession) -> None:
     # Runtime confs the registry depends on, set defensively in case
-    # the hosting session was built without them: events.parquet uses
-    # TIMESTAMP(NANOS) (read as nanosecond longs under nanosAsLong),
-    # and timestamp outputs are compared against TZ-naive DuckDB, so
-    # the session timezone must be UTC.
+    # the hosting session was built without them: events.ts has
+    # shipped both as TIMESTAMP(NANOS) (read as nanosecond longs under
+    # nanosAsLong; `_read` adapts to either encoding) and as
+    # TIMESTAMP(MICROS), and timestamp outputs are compared against
+    # TZ-naive DuckDB, so the session timezone must be UTC.
     for key, value in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
