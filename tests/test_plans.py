@@ -157,3 +157,41 @@ def test_shingle_dedup_is_map_side(spark):
     assert "hashpartitioning" not in plan, plan
     assert "Deduplicate" not in plan and "HashAggregate" not in plan, plan
     assert "array_distinct" in plan, plan
+
+
+def test_heavy_hitters_uses_take_ordered(spark):
+    """Global top-k must compile to TakeOrderedAndProject (per-task
+    top-k + driver merge), not a single-partition global window over
+    the whole vocabulary."""
+    from diseasystore_spark.queries import q45_heavy_hitters
+
+    plan = _executed(q45_heavy_hitters(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_lsh_join_is_equi_not_cartesian(spark):
+    """The cross-corpus LSH join must be equi on (band, bucket) —
+    never a nested-loop/cartesian over |left| x |right|."""
+    from diseasystore_spark.pipeline.dedup import minhash_lsh_join
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    left = docs.where(F.col("doc_id") % 10 == 0)
+    right = docs.where(F.col("doc_id") % 10 != 0)
+    plan = _executed(minhash_lsh_join(left, right, portable=True))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "band" in plan and "bucket" in plan
+
+
+def test_chunking_no_python_eval(spark):
+    """Document chunking is pure JVM (explode + windows + groupBy):
+    no Python/Arrow eval nodes, and every shuffle is keyed by the
+    document id (the operator scales with corpus size)."""
+    from diseasystore_spark.pipeline.text import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed(chunk_documents(docs, max_chars=128))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "doc_id" in ln, ln
