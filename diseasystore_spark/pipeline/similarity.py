@@ -305,21 +305,42 @@ def ivf_topk(
     n_probe: int = 4,
     iterations: int = 3,
     dim: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: assign the corpus to coarse clusters,
     probe each query's ``n_probe`` nearest clusters, exact-cosine
     rerank within the probed inverted lists. The candidate join is equi
     on cluster id — the same pruning shape as a vector database's IVF
-    index, expressed as a DataFrame plan."""
+    index, expressed as a DataFrame plan.
+
+    ``portable=True`` assigns corpus vectors with the JVM argmin
+    expression (``array_position(d, array_min(d))`` over the literal
+    centroid distances) instead of the numpy GEMM path — ulp-identical
+    to a relational SQL argmin with (distance, cluster) tie-break,
+    which is what makes the fixed-quantizer variant (``iterations=0``,
+    q46) exactly DuckDB-verifiable. The numpy path stays the default:
+    at scale the vectorized Arrow batch is ~10x faster than
+    interpreted per-centroid lambdas."""
     centroids = ivf_centroids(df, id_col, vec_col, n_clusters, iterations, dim)
 
-    corpus = _with_cluster(
-        df.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-        ),
-        "cv",
-        centroids,
-    ).withColumn("cn", _norm("cv"))
+    base = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    if portable:
+        corpus = (
+            base.withColumn("__d", _centroid_dists("cv", centroids))
+            .withColumn(
+                "cluster",
+                (
+                    F.expr("array_position(__d, array_min(__d))").cast("int")
+                    - 1
+                ),
+            )
+            .drop("__d")
+        )
+    else:
+        corpus = _with_cluster(base, "cv", centroids)
+    corpus = corpus.withColumn("cn", _norm("cv"))
 
     # each query probes its n_probe nearest centroids: sort the
     # (distance, cluster) structs of the materialized distance array

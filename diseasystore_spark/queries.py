@@ -1771,6 +1771,99 @@ SELECT token, n, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 25
 """
 
 
+def q46_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with a FIXED coarse quantizer (centroids = first 16
+    corpus vectors, zero Lloyd iterations) in portable-assignment
+    mode: the whole assign -> probe -> rerank pipeline is then pure
+    deterministic float math that DuckDB reproduces relationally, so
+    the IVF plan shape itself is value-verified (q35 keeps the
+    k-means quantizer and its recall test; only Lloyd iterations are
+    outside the oracle's reach)."""
+    from diseasystore_spark.pipeline.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < 20),
+        k=5,
+        n_clusters=16,
+        n_probe=4,
+        iterations=0,
+        portable=True,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+ORACLE_Q46 = """
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+corp AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+ad AS (
+  SELECT neighbor_id, cluster,
+         list_dot_product(v, v) - 2 * list_dot_product(v, cv)
+           + list_dot_product(cv, cv) AS d2
+  FROM corp CROSS JOIN cent
+),
+assign AS (
+  SELECT neighbor_id, cluster FROM (
+    SELECT neighbor_id, cluster,
+           row_number() OVER (PARTITION BY neighbor_id
+                              ORDER BY d2, cluster) AS r
+    FROM ad
+  ) WHERE r = 1
+),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 20
+),
+qd AS (
+  SELECT query_id, cluster,
+         list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv)
+           + list_dot_product(cv, cv) AS d2
+  FROM q CROSS JOIN cent
+),
+probe AS (
+  SELECT query_id, cluster FROM (
+    SELECT query_id, cluster,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d2, cluster) AS r
+    FROM qd
+  ) WHERE r <= 4
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM probe p JOIN assign a ON p.cluster = a.cluster
+  WHERE p.query_id != a.neighbor_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(q.qv, corp.v)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(corp.v, corp.v))) AS cosine
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN corp ON corp.neighbor_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 4) AS cosine,
+       CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1821,6 +1914,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_chunking": q43_chunking,
     "q44_contamination": q44_contamination,
     "q45_heavy_hitters": q45_heavy_hitters,
+    "q46_ann_ivf_fixed": q46_ann_ivf_fixed,
 }
 
 ORACLES: dict[str, str] = {
@@ -1868,6 +1962,7 @@ ORACLES: dict[str, str] = {
     "q43_chunking": ORACLE_Q43,
     "q44_contamination": ORACLE_Q44,
     "q45_heavy_hitters": ORACLE_Q45,
+    "q46_ann_ivf_fixed": ORACLE_Q46,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -470,3 +470,23 @@ def test_minhash_lsh_join_cross_corpus(spark, docs):
     l_ids = {r["doc_id"] for r in left.collect()}
     for lid, rid in got:
         assert lid in l_ids and rid not in l_ids
+
+
+def test_ivf_portable_assignment_matches_numpy(spark, emb):
+    """The JVM argmin assignment (portable/oracle path) and the numpy
+    GEMM assignment must produce identical top-k output for the fixed
+    quantizer (they compute the same distances up to ulp; no ties in
+    the synthetic data)."""
+    from diseasystore_spark.pipeline.similarity import ivf_topk
+
+    queries = emb.where(F.col("vec_id") < 10)
+    kw = dict(k=5, n_clusters=8, n_probe=3, iterations=0)
+    a = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk(emb, queries, portable=True, **kw).collect()
+    }
+    b = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk(emb, queries, portable=False, **kw).collect()
+    }
+    assert a == b
