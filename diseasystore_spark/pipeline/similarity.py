@@ -75,6 +75,7 @@ def embedding_dupes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     id_a < id_b and cosine >= threshold. Exact (all pairs scored).
@@ -95,6 +96,17 @@ def embedding_dupes(
     import numpy as np
     import pandas as pd
 
+    # Fail crisply instead of OOMing the driver: this operator
+    # broadcasts the whole corpus matrix. Past the gate, use the
+    # LSH-pruned path instead.
+    n_rows = df.count()
+    if n_rows > max_broadcast_rows:
+        raise ValueError(
+            f"embedding_dupes broadcasts the corpus matrix ({n_rows} rows >"
+            f" max_broadcast_rows={max_broadcast_rows}); use"
+            " hyperplane_lsh_topk / ivf_topk (bucket-pruned joins) at this"
+            " scale, or raise max_broadcast_rows explicitly"
+        )
     rows = df.select(F.col(id_col), F.col(vec_col)).collect()
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
