@@ -35,14 +35,9 @@ def _count_in(tokens: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
 
 
-def text_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Per-document quality statistics + a composite quality score.
-
-    Columns: n_chars_calc, n_tokens, n_distinct_tokens, avg_token_len,
-    punct_ratio, digit_ratio, stopword_ratio, quality_score.
-    """
+def _stats_cols(text_col: str) -> list[Column]:
+    """The per-row quality-stat columns (shared by ``text_stats`` and
+    the single-pass curation pipeline)."""
     toks = _tokens(text_col)
     n_chars = F.length(F.col(text_col))
     n_tokens = F.size(toks)
@@ -53,8 +48,7 @@ def text_stats(
     digits = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))
     stop = _count_in(toks, EN_STOPWORDS)
     n_tokens_d = n_tokens.cast("double")
-    stats = df.select(
-        F.col(id_col),
+    return [
         n_chars.alias("n_chars_calc"),
         n_tokens.alias("n_tokens"),
         n_distinct.alias("n_distinct_tokens"),
@@ -62,18 +56,54 @@ def text_stats(
         F.round(punct / n_chars.cast("double"), 4).alias("punct_ratio"),
         F.round(digits / n_chars.cast("double"), 4).alias("digit_ratio"),
         F.round(stop / n_tokens_d, 4).alias("stopword_ratio"),
-    )
-    # Composite heuristic: length saturation x lexical diversity,
-    # penalized by punctuation/digit noise. Deterministic and
-    # SQL-expressible (oracle-checkable).
-    quality = F.round(
+    ]
+
+
+def _quality_col() -> Column:
+    """Composite heuristic: length saturation x lexical diversity,
+    penalized by punctuation/digit noise. Deterministic and
+    SQL-expressible (oracle-checkable). References the _stats_cols
+    aliases, so apply on a frame that already has them. (A function,
+    not a module constant: Column construction needs a live
+    SparkContext.)"""
+    return F.round(
         F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
         * (F.col("n_distinct_tokens") / F.col("n_tokens").cast("double"))
         * (1 - F.col("punct_ratio"))
         * (1 - F.col("digit_ratio")),
         4,
     )
-    return stats.withColumn("quality_score", quality)
+
+
+def text_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document quality statistics + a composite quality score.
+
+    Columns: n_chars_calc, n_tokens, n_distinct_tokens, avg_token_len,
+    punct_ratio, digit_ratio, stopword_ratio, quality_score.
+    """
+    stats = df.select(F.col(id_col), *_stats_cols(text_col))
+    return stats.withColumn("quality_score", _quality_col())
+
+
+def _langid_cols(text_col: str) -> tuple[Column, Column]:
+    """(pred_lang, best_score) columns of the marker-token language
+    heuristic — deterministic argmax, ties broken by language code."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks).cast("double")
+    scores = {
+        lang: F.round(_count_in(toks, words) / n_tokens, 4)
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(
+            pred
+        )
+    return pred, best
 
 
 def langid_heuristic(
@@ -82,25 +112,59 @@ def langid_heuristic(
     """Marker-token language scoring with deterministic argmax
     (ties broken by language code order). Output: (id, pred_lang,
     best_score)."""
-    toks = _tokens(text_col)
-    n_tokens = F.size(toks).cast("double")
-    scores = {
-        lang: F.round(_count_in(toks, words) / n_tokens, 4)
-        for lang, words in LANG_MARKERS.items()
-    }
-    df2 = df.select(
-        F.col(id_col), *[c.alias(f"score_{lang}") for lang, c in scores.items()]
-    )
-    langs = sorted(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    pred = F.lit("und")
-    for lang in reversed(langs):
-        pred = F.when(
-            (best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)
-        ).otherwise(pred)
-    return df2.select(
+    pred, best = _langid_cols(text_col)
+    return df.select(
         F.col(id_col), pred.alias("pred_lang"), best.alias("best_score")
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.2,
+    lang: str | None = "en",
+    max_stopword_ratio: float | None = None,
+) -> DataFrame:
+    """End-to-end corpus curation (the C4-style filter chain): keep
+    exactly one document per distinct content (the min-id
+    representative), in the requested language, above the quality
+    floor. Output: (id, pred_lang, quality_score, n_tokens).
+
+    Single-pass shape: quality stats and language-ID are per-row
+    projections computed in ONE scan (no self-joins); the only
+    shuffles are the content-digest groupBy and the canonical-rep
+    join, both keyed on the md5 digest. The rep frame is one row per
+    distinct content — broadcastable for any corpus whose distinct
+    contents fit a broadcast, equi-join otherwise.
+    """
+    pred, best = _langid_cols(text_col)
+    scored = df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("__digest"),
+        *_stats_cols(text_col),
+        pred.alias("pred_lang"),
+    ).withColumn("quality_score", _quality_col())
+    reps = (
+        scored.groupBy("__digest")
+        .agg(F.min(id_col).alias("__rep_id"))
+    )
+    out = (
+        scored.join(reps, "__digest")
+        .where(F.col(id_col) == F.col("__rep_id"))
+        .where(F.col("quality_score") >= min_quality)
+    )
+    if lang is not None:
+        out = out.where(F.col("pred_lang") == lang)
+    if max_stopword_ratio is not None:
+        out = out.where(F.col("stopword_ratio") <= max_stopword_ratio)
+    # Exact-duplicate rows that share the representative's id survive
+    # the rep filter as identical projections — a curated corpus is a
+    # set, so collapse them. The distinct runs on post-filter
+    # survivors only (tiny relative to the corpus).
+    return out.select(
+        id_col, "pred_lang", "quality_score", "n_tokens"
+    ).distinct()
 
 
 def chunk_documents(

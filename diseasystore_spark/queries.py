@@ -1864,6 +1864,77 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+def q47_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (C4-style): exact-dedup to one
+    representative per content, language filter, quality floor — the
+    composition of q18/q20/q21 as a single pipeline. Stats and
+    language-ID are one per-row projection (one scan, no self-joins);
+    only the digest groupBy + rep join shuffle."""
+    from diseasystore_spark.pipeline.text import curate_corpus
+
+    return curate_corpus(
+        _read(spark, sf_dir, "documents"), min_quality=0.15, lang="en"
+    )
+
+
+ORACLE_Q47 = """
+WITH base AS (
+  SELECT doc_id, text, md5(text) AS digest,
+         len(string_split(trim(text), ' ')) AS n_tokens,
+         len(list_distinct(string_split(trim(text), ' ')))
+           AS n_distinct_tokens,
+         length(text)
+           - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS digits,
+         length(text) AS n_chars
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, digest, n_tokens,
+         round(least(n_tokens / 100.0, 1.0)
+               * (n_distinct_tokens / CAST(n_tokens AS DOUBLE))
+               * (1 - round(punct / CAST(n_chars AS DOUBLE), 4))
+               * (1 - round(digits / CAST(n_chars AS DOUBLE), 4)), 4)
+           AS quality_score
+  FROM base
+),
+lid AS (
+  SELECT doc_id,
+    round(len(list_filter(string_split(trim(text), ' '), x -> list_contains(
+      ['der','die','und','das','ist','ein'], x)))
+      / CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 4) AS s_de,
+    round(len(list_filter(string_split(trim(text), ' '), x -> list_contains(
+      ['the','and','of','to','is','a'], x)))
+      / CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 4) AS s_en,
+    round(len(list_filter(string_split(trim(text), ' '), x -> list_contains(
+      ['el','la','los','y','es','un'], x)))
+      / CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 4) AS s_es,
+    round(len(list_filter(string_split(trim(text), ' '), x -> list_contains(
+      ['le','la','et','les','des','est'], x)))
+      / CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 4) AS s_fr
+  FROM documents
+),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+              ELSE 'fr' END AS pred_lang
+  FROM lid
+),
+reps AS (
+  SELECT digest, min(doc_id) AS rep_id FROM scored GROUP BY digest
+)
+SELECT s.doc_id, p.pred_lang, s.quality_score, s.n_tokens
+FROM scored s
+JOIN reps r ON r.digest = s.digest AND s.doc_id = r.rep_id
+JOIN pred p ON p.doc_id = s.doc_id
+WHERE s.quality_score >= 0.15 AND p.pred_lang = 'en'
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1915,6 +1986,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_contamination": q44_contamination,
     "q45_heavy_hitters": q45_heavy_hitters,
     "q46_ann_ivf_fixed": q46_ann_ivf_fixed,
+    "q47_curation": q47_curation,
 }
 
 ORACLES: dict[str, str] = {
@@ -1963,6 +2035,7 @@ ORACLES: dict[str, str] = {
     "q44_contamination": ORACLE_Q44,
     "q45_heavy_hitters": ORACLE_Q45,
     "q46_ann_ivf_fixed": ORACLE_Q46,
+    "q47_curation": ORACLE_Q47,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

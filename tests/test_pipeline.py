@@ -490,3 +490,29 @@ def test_ivf_portable_assignment_matches_numpy(spark, emb):
         for r in ivf_topk(emb, queries, portable=False, **kw).collect()
     }
     assert a == b
+
+
+def test_curate_corpus_invariants(spark, docs):
+    """Curation = dedup-to-representative ∩ language ∩ quality floor,
+    cross-checked against the standalone operators it composes."""
+    from diseasystore_spark.pipeline.dedup import exact_dup_groups
+    from diseasystore_spark.pipeline.text import (
+        curate_corpus,
+        langid_heuristic,
+        text_stats,
+    )
+
+    out = {r["doc_id"]: r for r in curate_corpus(docs, min_quality=0.1).collect()}
+    reps = {r["rep_id"] for r in exact_dup_groups(docs).collect()}
+    quality = {r["doc_id"]: r["quality_score"] for r in text_stats(docs).collect()}
+    lang = {r["doc_id"]: r["pred_lang"] for r in langid_heuristic(docs).collect()}
+    expected = {
+        d for d in reps if quality[d] >= 0.1 and lang[d] == "en"
+    }
+    assert set(out) == expected
+    for d, r in out.items():
+        assert r["quality_score"] == quality[d]
+        assert r["pred_lang"] == lang[d]
+    # duplicated corpus: non-representatives must not leak through
+    out2 = curate_corpus(docs.union(docs), min_quality=0.1).count()
+    assert out2 == len(expected)
