@@ -1044,8 +1044,9 @@ FROM documents
 
 
 def q23_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs in portable-hash mode: signatures
-    are per-seed minima of md5 hex prefixes, so the DuckDB oracle
+    """MinHash+LSH candidate pairs in portable-hash mode: one md5 per
+    shingle yields (a, b) and seed i hashes to (a + i*b) mod 2^31-1
+    (Kirsch-Mitzenmacher double hashing), so the DuckDB oracle
     computes the *identical* signature matrix, band buckets, and pair
     set — full value-level parity for an LSH operator. (Production
     default stays xxhash64; recall vs exact Jaccard is tested
