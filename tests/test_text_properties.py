@@ -1,0 +1,81 @@
+"""Property-based testing of the text-pipeline packing/chunking
+operators against pure-Python oracles (random corpora via hypothesis).
+
+These ops are driver-contract-verified against DuckDB at one dataset;
+the properties here pin the SEMANTICS on adversarial shapes (tokens
+longer than the budget, single-token docs, duplicate token runs)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from diseasystore_spark.pipeline.sample import pack_sequences
+from diseasystore_spark.pipeline.text import chunk_documents
+
+# lowercase words, occasionally longer than the chunk budget below
+word = st.text(alphabet="abcdef", min_size=1, max_size=30)
+doc = st.lists(word, min_size=1, max_size=25).map(" ".join)
+corpus = st.lists(doc, min_size=1, max_size=12)
+
+
+def py_chunks(text: str, max_chars: int) -> list[str]:
+    """Greedy-by-offset chunking oracle: token with start offset s in
+    the space-joined doc goes to raw chunk floor(s/max_chars); ids are
+    then densified in order."""
+    toks = text.strip().split()
+    out: dict[int, list[str]] = {}
+    pos = 0
+    for t in toks:
+        out.setdefault(pos // max_chars, []).append(t)
+        pos += len(t) + 1
+    return [" ".join(out[k]) for k in sorted(out)]
+
+
+@settings(max_examples=20, deadline=None)
+@given(corpus=corpus, max_chars=st.integers(min_value=5, max_value=40))
+def test_chunking_matches_python_oracle(spark, corpus, max_chars):
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got: dict[int, dict[int, str]] = {}
+    for r in chunk_documents(df, max_chars=max_chars).collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"]
+    for i, t in rows:
+        expect = py_chunks(t, max_chars)
+        chunks = got.get(i, {})
+        assert sorted(chunks) == list(range(len(expect))), (t, chunks)
+        assert [chunks[k] for k in sorted(chunks)] == expect
+
+
+def py_pack(items: list[tuple[str, int]], budget: int) -> dict[str, int]:
+    """pack_sequences oracle for one stratum: md5('|'+key)-prefix
+    order, cumulative start offsets, floor(start/budget), densified."""
+    order = sorted(
+        items, key=lambda kv: (hashlib.md5(f"|{kv[0]}".encode()).hexdigest()[:8], kv[0])
+    )
+    start, raw = 0, []
+    for k, n in order:
+        raw.append((k, start // budget))
+        start += n
+    seen: dict[int, int] = {}
+    out = {}
+    for k, r in raw:
+        out[k] = seen.setdefault(r, len(seen))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=30),
+    budget=st.integers(min_value=4, max_value=64),
+)
+def test_pack_sequences_matches_python_oracle(spark, sizes, budget):
+    rows = [(f"d{i:03d}", sizes[i]) for i in range(len(sizes))]
+    df = spark.createDataFrame(rows, "doc_id string, n bigint")
+    got = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_sequences(df, "n", budget, "doc_id").collect()
+    }
+    assert got == py_pack(rows, budget)
