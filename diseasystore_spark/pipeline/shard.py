@@ -1,0 +1,79 @@
+"""Deterministic sharded corpus output — the sink side of a training
+pipeline.
+
+Data loaders want a fixed number of shard files with (a) deterministic
+membership (the same document lands in the same shard on every run, on
+any cluster), (b) balanced sizes, and (c) a stable within-shard order.
+``df.write`` alone guarantees none of these: file count follows the
+partitioning, task scheduling perturbs row order, and re-runs shuffle
+rows across files.
+
+Membership is the same engine-portable md5 bucketing the sampling ops
+use (``hash_hex``): shard = first-8-hex-digits mod n_shards — so a
+document's shard can be recomputed by ANY system (a Python loader, a
+SQL engine) without Spark.
+
+Scale shape: one repartition shuffle keyed by the shard id,
+``sortWithinPartitions`` rides the shuffle's sort machinery (no extra
+exchange), and the write emits exactly one file per shard directory.
+No driver-side collection at any size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["shard_column", "write_corpus_shards", "read_shard"]
+
+
+def shard_column(key: str, n_shards: int, salt: str = "") -> Column:
+    """Deterministic shard id in [0, n_shards): the 32-bit integer
+    encoded by the first 8 hex chars of md5(salt || '|' || key), mod
+    ``n_shards`` — the same portable bucketing as ``sample.hash_hex``.
+    Any md5-capable system recomputes a row's shard without Spark."""
+    return (
+        F.expr(
+            f"cast(conv(substr(md5(concat('{salt}|', cast({key} as string))),"
+            f" 1, 8), 16, 10) as bigint)"
+        )
+        % n_shards
+    ).alias("shard")
+
+
+def write_corpus_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key: str,
+    salt: str = "",
+    order_within: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as ``n_shards`` hash-bucketed parquet shards under
+    ``path/shard=K/``. Deterministic membership and (given
+    ``order_within``, default ``[key]``) deterministic within-shard
+    row order; re-running produces the same shard for every row."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    order = order_within if order_within is not None else [key]
+    (
+        df.withColumn("shard", shard_column(key, n_shards, salt))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", *order)
+        .write.partitionBy("shard")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def read_shard(
+    spark: SparkSession, path: str, shard: int | None = None
+) -> DataFrame:
+    """Read the sharded corpus back; ``shard=`` prunes to one shard
+    directory (partition pruning — only that directory's files are
+    listed and scanned)."""
+    df = spark.read.parquet(path)
+    if shard is not None:
+        df = df.where(F.col("shard") == shard)
+    return df

@@ -188,3 +188,40 @@ def test_temp_col_collision_safe(spark):
     p = pack_sequences(df, "n_chars", 7, "doc_id", strata=["lang"])
     assert set(df.columns) < set(p.columns)
     assert {r["__raw_pack"] for r in p.collect()} == {"keep2"}
+
+
+def test_write_corpus_shards_deterministic(spark, docs, tmp_path):
+    import hashlib
+
+    from diseasystore_spark.pipeline.shard import (
+        read_shard,
+        write_corpus_shards,
+    )
+
+    n_shards = 4
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_corpus_shards(docs, p1, n_shards, "doc_id", salt="sh")
+    write_corpus_shards(docs, p2, n_shards, "doc_id", salt="sh")
+
+    back = read_shard(spark, p1)
+    assert back.count() == docs.count()
+    # membership is the documented md5 formula — recomputable anywhere
+    got = {r["doc_id"]: r["shard"] for r in back.select("doc_id", "shard").collect()}
+    for doc_id, shard in got.items():
+        h = int(hashlib.md5(f"sh|{doc_id}".encode()).hexdigest()[:8], 16)
+        assert shard == h % n_shards
+    # identical across runs
+    got2 = {
+        r["doc_id"]: r["shard"]
+        for r in read_shard(spark, p2).select("doc_id", "shard").collect()
+    }
+    assert got == got2
+    # shard pruning reads exactly one shard's rows
+    one = read_shard(spark, p1, shard=2)
+    assert one.count() == sum(1 for s in got.values() if s == 2)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan, plan
+    # balance: no shard more than 3x the ideal share (md5 is uniform)
+    from collections import Counter
+    sizes = Counter(got.values())
+    assert max(sizes.values()) <= 3 * docs.count() / n_shards
