@@ -251,6 +251,40 @@ def minhash_signatures(
     )
 
 
+def _cap_buckets(band_rows: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop (band, bucket) groups larger than ``max_bucket`` (quadratic
+    hotspot guard): hot buckets are found with one map-side-combinable
+    count and removed via a broadcast anti-join."""
+    if max_bucket is None:
+        return band_rows
+    hot = (
+        band_rows.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_bucket)
+        .select("band", "bucket")
+    )
+    return band_rows.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+
+
+def _first_band_match(bands: int, rows_per_band: int) -> Column:
+    """CASE expression giving the first band index whose signature
+    slices agree between sig_a and sig_b (NULL when none do)."""
+
+    def _band_match(bb: int) -> Column:
+        cond = None
+        for r in range(rows_per_band):
+            eq = F.col("sig_a")[bb * rows_per_band + r] == F.col("sig_b")[
+                bb * rows_per_band + r
+            ]
+            cond = eq if cond is None else cond & eq
+        return cond
+
+    first_match = F.when(_band_match(0), F.lit(0))
+    for bb in range(1, bands):
+        first_match = first_match.when(_band_match(bb), F.lit(bb))
+    return first_match
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -260,6 +294,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     min_est_jaccard: float = 0.0,
     portable: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -270,6 +305,16 @@ def minhash_lsh_pairs(
     matching signature positions. ``portable=True`` hashes with md5
     instead of xxhash64 so a DuckDB oracle reproduces the exact pair
     set (q23).
+
+    ``max_bucket`` is the skew valve for degenerate corpora: a band
+    bucket holding b documents contributes b^2 candidate rows, so a
+    boilerplate-heavy corpus (thousands of near-identical documents)
+    turns one bucket into a quadratic hotspot no AQE split can fix
+    (it is real output, not shuffle imbalance). Buckets above the cap
+    are dropped via a broadcast anti-join — run exact dedup first to
+    collapse identical content, which is where oversize buckets come
+    from. Recall within the cap is unaffected for pairs whose OTHER
+    matching bands stay under it.
     """
     rows_per_band = num_hashes // bands
     # Signatures feed both sides of the candidate self-join; the
@@ -301,6 +346,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(F.col(id_col), "sig", F.col("bb.band"), F.col("bb.bucket"))
+    band_rows = _cap_buckets(band_rows, max_bucket)
 
     a = band_rows.select(
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
@@ -314,25 +360,20 @@ def minhash_lsh_pairs(
     # narrow filter instead of a dropDuplicates shuffle over the
     # candidate set (the widest frame in the plan). Bucket-hash
     # collisions without slice equality (~2^-64) are dropped too —
-    # they were never near-duplicates.
-    def _band_match(bb: int) -> Column:
-        cond = None
-        for r in range(rows_per_band):
-            eq = F.col("sig_a")[bb * rows_per_band + r] == F.col("sig_b")[
-                bb * rows_per_band + r
-            ]
-            cond = eq if cond is None else cond & eq
-        return cond
-
-    first_match = F.when(_band_match(0), F.lit(0))
-    for bb in range(1, bands):
-        first_match = first_match.when(_band_match(bb), F.lit(bb))
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(F.col("band") == first_match)
-        .select("id_a", "id_b", "sig_a", "sig_b")
-    )
+    # they were never near-duplicates. (With ``max_bucket`` the first
+    # matching band may have been capped away, so the narrow filter
+    # would drop pairs still reachable through a later band — fall
+    # back to a dropDuplicates over the capped candidate set there.)
+    joined = a.join(b, ["band", "bucket"]).where(F.col("id_a") < F.col("id_b"))
+    if max_bucket is None:
+        first_match = _first_band_match(bands, rows_per_band)
+        cand = joined.where(F.col("band") == first_match).select(
+            "id_a", "id_b", "sig_a", "sig_b"
+        )
+    else:
+        cand = joined.select("id_a", "id_b", "sig_a", "sig_b").dropDuplicates(
+            ["id_a", "id_b"]
+        )
     est = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, "
         "(acc, v) -> acc + v)"
@@ -353,11 +394,15 @@ def minhash_lsh_join(
     n: int = 3,
     min_est_jaccard: float = 0.0,
     portable: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cross-corpus near-duplicate screening: LSH-join ``left``
     documents against ``right`` (e.g. a new ingest batch against the
     existing corpus, or training documents against a benchmark set for
     contamination checks). Returns (left_id, right_id, est_jaccard).
+    ``max_bucket`` caps per-(band, bucket) group size on EACH side
+    (see ``minhash_lsh_pairs``) — the guard for boilerplate-heavy
+    corpora whose hot buckets would make the join quadratic.
 
     Same banding scheme as ``minhash_lsh_pairs`` but two-sided: the
     candidate join is equi on (band, bucket) between the two corpora —
@@ -399,29 +444,24 @@ def minhash_lsh_join(
             ).alias("bb"),
         ).select(out_id, out_sig, F.col("bb.band"), F.col("bb.bucket"))
 
-    a = _bandify(sig_l, "left_id", "sig_a")
-    b = _bandify(sig_r, "right_id", "sig_b")
+    a = _cap_buckets(_bandify(sig_l, "left_id", "sig_a"), max_bucket)
+    b = _cap_buckets(_bandify(sig_r, "right_id", "sig_b"), max_bucket)
 
-    def _band_match(bb: int) -> Column:
-        cond = None
-        for r in range(rows_per_band):
-            eq = F.col("sig_a")[bb * rows_per_band + r] == F.col("sig_b")[
-                bb * rows_per_band + r
-            ]
-            cond = eq if cond is None else cond & eq
-        return cond
-
-    first_match = F.when(_band_match(0), F.lit(0))
-    for bb in range(1, bands):
-        first_match = first_match.when(_band_match(bb), F.lit(bb))
     est = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, "
         "(acc, v) -> acc + v)"
     ) / F.lit(num_hashes)
+    joined = a.join(b, ["band", "bucket"])
+    if max_bucket is None:
+        joined = joined.where(
+            F.col("band") == _first_band_match(bands, rows_per_band)
+        )
+    else:
+        joined = joined.select(
+            "left_id", "right_id", "sig_a", "sig_b"
+        ).dropDuplicates(["left_id", "right_id"])
     return (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("band") == first_match)
-        .select("left_id", "right_id", est.alias("est_jaccard"))
+        joined.select("left_id", "right_id", est.alias("est_jaccard"))
         .where(F.col("est_jaccard") >= min_est_jaccard)
     )
 

@@ -516,3 +516,27 @@ def test_curate_corpus_invariants(spark, docs):
     # duplicated corpus: non-representatives must not leak through
     out2 = curate_corpus(docs.union(docs), min_quality=0.1).count()
     assert out2 == len(expected)
+
+
+def test_minhash_max_bucket_caps_degenerate_corpus(spark):
+    """A corpus of identical documents collapses into one bucket per
+    band; max_bucket must drop the hotspot while leaving normal
+    buckets (and pairs still reachable through them) intact."""
+    from diseasystore_spark.pipeline.dedup import minhash_lsh_pairs
+
+    clones = [(i, "same words repeated over and over again forever") for i in range(40)]
+    distinct_pair = [
+        (100, "an entirely different document about spark shuffles"),
+        (101, "an entirely different document about spark shuffles"),
+    ]
+    df = spark.createDataFrame(
+        clones + distinct_pair, "doc_id bigint, text string"
+    )
+    uncapped = minhash_lsh_pairs(df).count()
+    assert uncapped >= 40 * 39 / 2  # the quadratic clique is real
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, max_bucket=10).collect()
+    }
+    assert (100, 101) in capped  # small buckets unaffected
+    assert all(a >= 100 for a, _ in capped)  # clique suppressed
