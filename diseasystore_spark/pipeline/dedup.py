@@ -386,7 +386,7 @@ def minhash_lsh_pairs(
 
 def minhash_lsh_join(
     left: DataFrame,
-    right: DataFrame,
+    right: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 16,
@@ -395,6 +395,7 @@ def minhash_lsh_join(
     min_est_jaccard: float = 0.0,
     portable: bool = False,
     max_bucket: int | None = None,
+    right_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus near-duplicate screening: LSH-join ``left``
     documents against ``right`` (e.g. a new ingest batch against the
@@ -407,18 +408,33 @@ def minhash_lsh_join(
     Same banding scheme as ``minhash_lsh_pairs`` but two-sided: the
     candidate join is equi on (band, bucket) between the two corpora —
     never |left| x |right| — and each pair is emitted from its first
-    matching band (narrow filter, no dedup shuffle). The right side's
-    band index is the thing a production pipeline would precompute
-    and keep partitioned by bucket; incremental dedup is then one
-    equi-join per batch.
+    matching band (narrow filter, no dedup shuffle).
+
+    ``right_signatures`` is the precompute hook a production pipeline
+    uses: pass ``minhash_signatures(corpus, ...)`` — materialized
+    once (cache/localCheckpoint/table) — and repeated calls (e.g. one
+    per streaming micro-batch) skip recomputing the corpus side
+    entirely; per-call cost is then proportional to ``left``. The
+    frame must carry ``(id_col, sig)`` built with the SAME
+    ``num_hashes``/``n``/``portable``; ``right`` is ignored when it
+    is given.
+
+    The two id spaces are assumed to share meaning: a left id equal
+    to a right id is treated as the same document and its trivial
+    self-pair (est_jaccard 1.0) is suppressed, so re-screening a
+    batch already ingested into the corpus doesn't flag every
+    document against itself.
     """
     rows_per_band = num_hashes // bands
     sig_l = minhash_signatures(
         left, id_col, text_col, num_hashes, n, portable
     ).localCheckpoint()
-    sig_r = minhash_signatures(
-        right, id_col, text_col, num_hashes, n, portable
-    ).localCheckpoint()
+    if right_signatures is not None:
+        sig_r = right_signatures
+    else:
+        sig_r = minhash_signatures(
+            right, id_col, text_col, num_hashes, n, portable
+        ).localCheckpoint()
 
     def _bucket(b: int) -> Column:
         cols = [
@@ -451,7 +467,9 @@ def minhash_lsh_join(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, "
         "(acc, v) -> acc + v)"
     ) / F.lit(num_hashes)
-    joined = a.join(b, ["band", "bucket"])
+    joined = a.join(b, ["band", "bucket"]).where(
+        F.col("left_id") != F.col("right_id")
+    )
     if max_bucket is None:
         joined = joined.where(
             F.col("band") == _first_band_match(bands, rows_per_band)
@@ -573,9 +591,10 @@ def simhash_pairs(
     implies at least one chunk matches exactly, so candidates come
     from C equi-joins, then are verified with bit_count(xor). The
     chunk count scales with the threshold (``max_hamming + 1``,
-    capped at 8) so the recall guarantee holds for thresholds past
-    the default 3 — with exactly-4 chunks a distance-4 pair could
-    differ in every chunk and be missed."""
+    minimum 2; ``max_hamming`` above 31 raises — 64 bits cannot band
+    a larger radius) so the recall guarantee holds for thresholds
+    past the default 3 — with exactly-4 chunks a distance-4 pair
+    could differ in every chunk and be missed."""
     # Pigeonhole: with C = max_hamming + 1 chunks, a pair within the
     # hamming threshold must agree exactly on at least one chunk.
     # Chunk widths are floor(64/C) with the remainder folded into the

@@ -30,14 +30,15 @@ __all__ = ["shard_column", "write_corpus_shards", "read_shard"]
 def shard_column(key: str, n_shards: int, salt: str = "") -> Column:
     """Deterministic shard id in [0, n_shards): the 32-bit integer
     encoded by the first 8 hex chars of md5(salt || '|' || key), mod
-    ``n_shards`` — the same portable bucketing as ``sample.hash_hex``.
+    ``n_shards`` — literally ``sample.hash_hex``'s bucket (same payload
+    construction, so the two families stay in parity by reuse, and a
+    salt containing quotes or a key needing backticks can't corrupt a
+    SQL string — everything is Column API).
     Any md5-capable system recomputes a row's shard without Spark."""
+    from diseasystore_spark.pipeline.sample import hash_hex
+
     return (
-        F.expr(
-            f"cast(conv(substr(md5(concat('{salt}|', cast({key} as string))),"
-            f" 1, 8), 16, 10) as bigint)"
-        )
-        % n_shards
+        F.conv(hash_hex(F.col(key), salt), 16, 10).cast("bigint") % n_shards
     ).alias("shard")
 
 

@@ -172,21 +172,37 @@ def lsh_bucket(vec_col: str, num_planes: int, dim: int) -> Column:
 
 
 def _centroid_dists(vec_col: str, centroids: list[list[float]]) -> Column:
-    """Array of squared L2 distances to each literal centroid. Each
-    distance expression appears exactly once — argmin is then computed
-    from the materialized array behind a projection boundary (a naive
+    """Array of squared L2 distances to each literal centroid.
+
+    The distance is computed with the dot-product expansion
+    ``v.v - 2 v.c + c.c`` — the SAME formula the q46 DuckDB oracle
+    uses (``list_dot_product(v, v) - 2*list_dot_product(v, cv) +
+    list_dot_product(cv, cv)``), with each dot a sequential
+    left-to-right accumulation. Matching the formula (not just the
+    math) keeps argmin assignment and probe sets aligned with the
+    oracle on near-equidistant centroids; residual divergence is
+    bounded to summation-order effects inside the other engine's dot
+    product, not to a different algebraic form. Each distance
+    expression appears exactly once — argmin is then computed from
+    the materialized array behind a projection boundary (a naive
     when-chain would embed prior expressions twice per step and blow
     the expression tree up exponentially)."""
+    vv = (
+        f"aggregate(zip_with({vec_col}, {vec_col}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    )
     dists = []
     for c in centroids:
         arr = f"array({', '.join(f'{v}D' for v in c)})"
-        dists.append(
-            F.expr(
-                f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> "
-                f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, "
-                f"(acc, v) -> acc + v)"
-            )
+        vc = (
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
         )
+        cc = (
+            f"aggregate(zip_with({arr}, {arr}, (x, y) -> x * y), 0D, "
+            f"(acc, v) -> acc + v)"
+        )
+        dists.append(F.expr(f"{vv} - 2 * ({vc}) + ({cc})"))
     return F.array(*dists)
 
 
@@ -327,12 +343,14 @@ def ivf_topk(
 
     ``portable=True`` assigns corpus vectors with the JVM argmin
     expression (``array_position(d, array_min(d))`` over the literal
-    centroid distances) instead of the numpy GEMM path — ulp-identical
-    to a relational SQL argmin with (distance, cluster) tie-break,
-    which is what makes the fixed-quantizer variant (``iterations=0``,
-    q46) exactly DuckDB-verifiable. The numpy path stays the default:
-    at scale the vectorized Arrow batch is ~10x faster than
-    interpreted per-centroid lambdas."""
+    centroid distances) instead of the numpy GEMM path. The distance
+    uses the oracle's own ``v.v - 2 v.c + c.c`` expansion (see
+    ``_centroid_dists``), so the assignment agrees with a relational
+    SQL argmin up to summation-order effects inside the other
+    engine's dot product — which is what makes the fixed-quantizer
+    variant (``iterations=0``, q46) DuckDB-verifiable in practice.
+    The numpy path stays the default: at scale the vectorized Arrow
+    batch is ~10x faster than interpreted per-centroid lambdas."""
     centroids = ivf_centroids(df, id_col, vec_col, n_clusters, iterations, dim)
 
     base = df.select(

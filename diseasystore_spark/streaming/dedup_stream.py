@@ -38,30 +38,43 @@ def stream_dedup_against_corpus(
     """Run ``minhash_lsh_join(batch, corpus)`` per micro-batch and hand
     the flagged (left_id, right_id, est_jaccard) frame to ``sink``.
 
-    The corpus band index is computed once up front and cached —
-    per-batch work re-reads the cached index, not the corpus. With
+    The corpus MinHash signatures are computed once up front and
+    localCheckpointed; each micro-batch passes them via
+    ``right_signatures``, so per-batch work is shingling + signing
+    the BATCH plus the banded equi-join against the stored signature
+    frame — proportional to the batch, never the corpus. With
     ``available_now=True`` the query drains pending input and stops
     (backfill pattern); without it, it runs continuously.
     """
-    from diseasystore_spark.pipeline.dedup import minhash_lsh_pairs  # noqa: F401
-    from diseasystore_spark.pipeline.dedup import minhash_lsh_join
+    from diseasystore_spark.pipeline.dedup import (
+        minhash_lsh_join,
+        minhash_signatures,
+    )
 
-    # Materialize the corpus once; localCheckpoint severs lineage so
-    # every micro-batch plan starts from the stored signatures.
-    corpus_cached = corpus_df.select(id_col, text_col).localCheckpoint()
+    # Sign the corpus ONCE; localCheckpoint materializes the signature
+    # frame so every micro-batch plan starts from the stored
+    # (id, sig) rows — the corpus text is never re-shingled.
+    corpus_sigs = minhash_signatures(
+        corpus_df.select(id_col, text_col),
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        n=n,
+    ).localCheckpoint()
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         flagged = minhash_lsh_join(
             batch_df,
-            corpus_cached,
+            None,
             id_col=id_col,
             text_col=text_col,
             num_hashes=num_hashes,
             bands=bands,
             n=n,
             min_est_jaccard=min_est_jaccard,
+            right_signatures=corpus_sigs,
         )
         sink(flagged, epoch_id)
 

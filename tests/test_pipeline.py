@@ -472,6 +472,40 @@ def test_minhash_lsh_join_cross_corpus(spark, docs):
         assert lid in l_ids and rid not in l_ids
 
 
+def test_minhash_lsh_join_overlapping_corpora_no_self_pairs(spark, docs):
+    """Screening a batch that was already ingested into the corpus
+    must not flag each shared document as a trivial self-pair."""
+    from diseasystore_spark.pipeline.dedup import minhash_lsh_join
+
+    joined = minhash_lsh_join(docs, docs, min_est_jaccard=0.5).collect()
+    assert joined, "overlapping corpora should still surface real near-dups"
+    assert all(r["left_id"] != r["right_id"] for r in joined)
+
+
+def test_minhash_lsh_join_precomputed_right_signatures(spark, docs):
+    """Passing right_signatures= must reproduce the from-text result
+    exactly (the streaming per-batch path depends on this parity)."""
+    from diseasystore_spark.pipeline.dedup import (
+        minhash_lsh_join,
+        minhash_signatures,
+    )
+
+    left = docs.where(F.col("doc_id") % 2 == 0)
+    right = docs.where(F.col("doc_id") % 2 == 1)
+    base = {
+        (r["left_id"], r["right_id"], r["est_jaccard"])
+        for r in minhash_lsh_join(left, right, min_est_jaccard=0.5).collect()
+    }
+    sigs = minhash_signatures(right).localCheckpoint()
+    pre = {
+        (r["left_id"], r["right_id"], r["est_jaccard"])
+        for r in minhash_lsh_join(
+            left, None, min_est_jaccard=0.5, right_signatures=sigs
+        ).collect()
+    }
+    assert pre == base
+
+
 def test_ivf_portable_assignment_matches_numpy(spark, emb):
     """The JVM argmin assignment (portable/oracle path) and the numpy
     GEMM assignment must produce identical top-k output for the fixed
