@@ -92,10 +92,23 @@ def _compute_customer_birth(start_date, end_date, slice_ts, source_conn, ds):
 def _compute_supplier_ship_qty(start_date, end_date, slice_ts, source_conn, ds):
     """Max-aggregated observable: per-lineitem shipped quantity, valid
     for 7 days from ship date, keyed by supplier (exercises
-    key_join_max through the prevalence pipeline)."""
+    key_join_max through the prevalence pipeline).
+
+    Carries ``key_cust`` (via the order) so the feature shares a key
+    with the customer-keyed stratifications — the reference's bundled
+    stores keep every feature interlace-compatible (a combination with
+    no common keys would hard-fail ``truncate_interlace``,
+    ``R/truncate_interlace.R:100``, which the exported conformance
+    matrix does not tolerate)."""
     li = ds.spark.read.parquet(f"{source_conn}/lineitem.parquet")
+    orders = ds.spark.read.parquet(f"{source_conn}/orders.parquet").select(
+        F.col("o_orderkey"), F.col("o_custkey")
+    )
     vf = F.col("l_shipdate").cast("date")
-    framed = li.select(
+    framed = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("key_cust"),
         F.col("l_suppkey").alias("key_supp"),
         F.col("l_orderkey").alias("key_order"),
         F.col("l_linenumber").alias("key_line"),

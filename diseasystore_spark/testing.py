@@ -19,10 +19,20 @@ Checks ported (reference line citations inline):
 4. memoization: no missing ranges after compute (:398-410)
 5. extended-range recompute equality (:424-516)
 6. the observable x stratification ``key_join_features`` matrix with
-   date-span assertions (:520-573)
+   date-span assertions (:520-573); aggregator-mismatch failures
+   inside the matrix must carry the reference's EXACT error message
+   (:559-566), and collision warnings must match the reference's
+   warning pattern (:567-570)
 7. cached-plan hygiene: after ``release_cached_plans`` the suite must
    not have leaked persisted RDDs — the analog of the reference's
    temp-table leak check (:157-161)
+8. feature-independent stratification: constant stratification
+   expressions pass through to the output verbatim (:583-610)
+9. graceful failure on malformed stratifications — both the bare
+   ``non_existent_stratification`` and the named
+   ``test = non_existent_stratification`` forms must raise the
+   "Stratification could not be computed" guidance error for EVERY
+   observable (:614-677)
 """
 
 from __future__ import annotations
@@ -64,11 +74,17 @@ def run_conformance_suite(
     sc = store.spark.sparkContext
     cached_before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
 
-    # 1. handler well-formedness
+    # 1. handler well-formedness (+ min/max bounds sanity, :196-199)
     for feature, loader in store.ds_map.items():
         handler = store.handler(loader)
         assert callable(handler.compute), f"{feature}: compute not callable"
         assert callable(handler.key_join), f"{feature}: key_join not callable"
+        assert handler.get is None or callable(handler.get), (
+            f"{feature}: get not callable"
+        )
+    today = datetime.date.today()
+    for bound in (store.min_start_date, store.max_end_date):
+        assert bound is None or bound <= today, f"future store bound: {bound}"
     ran.append("handlers-well-formed")
 
     for feature, loader in store.ds_map.items():
@@ -140,7 +156,16 @@ def run_conformance_suite(
         )
     ran.append("extension-equality")
 
-    # 6. key_join matrix
+    # 6. key_join matrix: the reference's exhaustive expand.grid sweep
+    # (:545-573). Failures must be GRACEFUL — a ValueError inside the
+    # matrix is only acceptable if it is the reference's exact
+    # aggregator-mismatch message (:559-566); a warning only if it
+    # matches the collision pattern (:567-570). Successful combinations
+    # must span exactly [start, end] (:520-524).
+    _AGG_MISMATCH = (
+        "(At least one) stratification feature does not match "
+        "observable aggregator. Not implemented yet."
+    )
     if not skip_key_join:
         strat_samples = strat_samples or {}
         for observable in store.available_observables:
@@ -149,20 +174,78 @@ def run_conformance_suite(
                 for s in store.available_stratifications
             ]
             for strat in strats:
+                import warnings as _warnings
+
                 try:
-                    out = store.key_join_features(
-                        observable, strat, test_start_date, extended_end
+                    with _warnings.catch_warnings(record=True) as caught:
+                        _warnings.simplefilter("always")
+                        out = store.key_join_features(
+                            observable, strat, test_start_date, extended_end
+                        )
+                        bounds = out.agg(
+                            F.min("date").alias("mn"), F.max("date").alias("mx")
+                        ).first()
+                except ValueError as e:
+                    assert str(e) == _AGG_MISMATCH, (
+                        f"non-graceful matrix failure for ({observable}, "
+                        f"{strat}): {e}"
                     )
-                    bounds = out.agg(
-                        F.min("date").alias("mn"), F.max("date").alias("mx")
-                    ).first()
-                except ValueError:
-                    # aggregator mismatch etc. — graceful-failure path,
-                    # asserted by the base tests
                     continue
+                for w in caught:
+                    # Interpreter noise (e.g. py4j socket
+                    # ResourceWarnings) is not part of the contract —
+                    # only the engine's own UserWarnings are.
+                    if not issubclass(w.category, UserWarning):
+                        continue
+                    assert "Observable already stratified by" in str(
+                        w.message
+                    ), (
+                        f"unexpected warning for ({observable}, {strat}): "
+                        f"{w.message}"
+                    )
                 assert bounds["mn"] == test_start_date, (observable, strat)
                 assert bounds["mx"] == extended_end, (observable, strat)
         ran.append("key-join-matrix")
+
+        # 8. feature-independent stratification (:583-610): constant
+        # expressions become output columns with exactly those values.
+        if store.available_observables:
+            out = store.key_join_features(
+                store.available_observables[0],
+                {"string": "'test'", "number": "2"},
+                test_start_date,
+                extended_end,
+            )
+            consts = (
+                out.select("string", "number").distinct().collect()
+            )
+            assert len(consts) == 1, "constant strata must be constant"
+            assert consts[0]["string"] == "test", consts
+            assert int(consts[0]["number"]) == 2, consts
+            ran.append("feature-independent-stratification")
+
+        # 9. graceful failure on malformed stratifications (:614-677):
+        # both the bare-name and the named-expression forms, for every
+        # observable.
+        for observable in store.available_observables:
+            for strat in (
+                ["non_existent_stratification"],
+                {"test": "non_existent_stratification"},
+            ):
+                try:
+                    store.key_join_features(
+                        observable, strat, test_start_date, extended_end
+                    )
+                    raise AssertionError(
+                        f"({observable}, {strat}) should have failed"
+                    )
+                except ValueError as e:
+                    assert "Stratification could not be computed" in str(e), (
+                        f"wrong graceful-failure message for ({observable}, "
+                        f"{strat}): {e}"
+                    )
+        if store.available_observables:
+            ran.append("graceful-failure-messages")
 
     # 7. cached-plan hygiene (the reference's temp-table leak check,
     # :157-161): everything the suite persisted must be releasable —

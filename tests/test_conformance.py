@@ -1,16 +1,38 @@
 """Run the exported conformance suite (the reference's
-``test_diseasystore`` analog) against the bundled stores."""
+``test_diseasystore`` analog, ``R/test_diseasystore.R:42-678``)
+against ALL FOUR bundled stores — the exhaustive observable x
+stratification matrix, graceful-failure message parity, the
+feature-independent stratification check, and the date-span
+postconditions, per store."""
 
 from __future__ import annotations
 
 import datetime
 
 from diseasystore_spark.testing import run_conformance_suite
-from diseasystore_spark.stores.simulist import SimulistDiseasystore
+from diseasystore_spark.stores.ecdc import EcdcRespiratoryVirusesDiseasystore
 from diseasystore_spark.stores.google_covid19 import GoogleCovid19Diseasystore
-from tests.store_fixtures import write_google_fixtures
+from diseasystore_spark.stores.simulist import SimulistDiseasystore
+from diseasystore_spark.stores.tpch import TpchDiseasystore
+from tests.store_fixtures import write_ecdc_snapshots, write_google_fixtures
 
 D = datetime.date
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_tpch_conformance(spark, tmp_path):
+    ds = TpchDiseasystore(
+        spark,
+        target_conn=str(tmp_path / "store"),
+        source_conn=SF_DIR,
+        slice_ts=D(2024, 1, 1),
+        verbose=False,
+    )
+    ran = run_conformance_suite(ds, test_start_date=D(1996, 1, 5))
+    assert "key-join-matrix" in ran
+    assert "feature-independent-stratification" in ran
+    assert "graceful-failure-messages" in ran
 
 
 def test_simulist_conformance(spark, tmp_path):
@@ -23,6 +45,7 @@ def test_simulist_conformance(spark, tmp_path):
     )
     ran = run_conformance_suite(ds, test_start_date=D(2020, 1, 5))
     assert "key-join-matrix" in ran
+    assert "graceful-failure-messages" in ran
 
 
 def test_google_conformance(spark, tmp_path):
@@ -34,9 +57,26 @@ def test_google_conformance(spark, tmp_path):
         slice_ts=D(2024, 1, 1),
         verbose=False,
     )
-    # key_join paths for Google are covered in test_stores (the full
-    # matrix here would run ~60 prevalence queries).
-    ran = run_conformance_suite(
-        ds, test_start_date=D(2020, 3, 2), skip_key_join=True
+    ran = run_conformance_suite(ds, test_start_date=D(2020, 3, 2))
+    assert "key-join-matrix" in ran
+    assert "graceful-failure-messages" in ran
+
+
+def test_ecdc_conformance(spark, tmp_path):
+    """ECDC is the identity-aggregator store: no observables, so the
+    key_join sections are vacuous (as in the reference) — the suite
+    still exercises golden equality, contract checks, memoization and
+    extension for its snapshot features."""
+    src = write_ecdc_snapshots(
+        str(tmp_path / "src"), ["2023-10-20", "2023-10-27", "2023-11-03"]
     )
+    ds = EcdcRespiratoryVirusesDiseasystore(
+        spark,
+        target_conn=str(tmp_path / "store"),
+        source_conn=src,
+        slice_ts="2023-11-04",
+        verbose=False,
+    )
+    assert ds.available_observables == []
+    ran = run_conformance_suite(ds, test_start_date=D(2023, 10, 2))
     assert "extension-equality" in ran
