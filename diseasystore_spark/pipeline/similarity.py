@@ -75,68 +75,134 @@ def embedding_dupes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    max_broadcast_rows: int = 2_000_000,
+    rows_per_block: int = 20_000,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     id_a < id_b and cosine >= threshold. Exact (all pairs scored).
 
-    Implementation: Arrow-batched blocked matrix multiply — the corpus
-    matrix is broadcast (N x D float64, pre-normalized) and each
-    partition's rows are scored against it with one numpy matmul.
-    This is the dense-similarity case where a vectorized Pandas path
-    beats per-pair JVM array lambdas by ~20x (measured); per-element
-    higher-order-function evaluation cannot compete with BLAS.
+    Fully distributed block-grid matmul — no driver collect and no
+    corpus broadcast at any size:
 
-    At corpus sizes beyond broadcast limits, switch to the LSH bucket
-    join of ``hyperplane_lsh_topk`` (equi-join prunes the pair space)
-    or block both sides (grid join on block id).
+    1. every row gets a deterministic block id
+       (``xxhash64(id) mod B``, B = ceil(N / rows_per_block) unless
+       ``n_blocks`` is given);
+    2. the B*(B+1)/2 unordered block pairs form a tiny grid frame
+       that broadcast-joins against the corpus twice (left side on
+       ``bi``, right side on ``bj``) — each row is replicated B+1
+       times, the irreducible shuffle cost of exact all-pairs
+       scoring;
+    3. one cogrouped ``applyInPandas`` task per grid cell runs a
+       chunked numpy matmul over its two blocks (BLAS — ~20x faster
+       than per-pair JVM array lambdas, measured) and emits only the
+       pairs above threshold.
+
+    An unordered row pair lands in exactly ONE grid cell — the
+    (min, max) of its two block ids (equal ids hash to the same
+    block) — so no dedup shuffle is needed; same-block cells emit the
+    strict upper triangle, cross-block cells orient each pair as
+    (min id, max id). Per-task memory is two
+    ``rows_per_block x D`` float64 matrices plus a bounded score
+    tile, sized to executor memory via ``rows_per_block``.
+
+    Exact all-pairs is O(N^2/2) dot products however it is
+    partitioned — that is this operator's contract (it is the
+    exactness baseline). For the subquadratic screen-then-verify path
+    use ``hyperplane_lsh_topk`` / ``ivf_topk`` (bucket-pruned joins).
     """
-    from collections.abc import Iterator
-
     import numpy as np
     import pandas as pd
 
-    # Fail crisply instead of OOMing the driver: this operator
-    # broadcasts the whole corpus matrix. Past the gate, use the
-    # LSH-pruned path instead.
-    n_rows = df.count()
-    if n_rows > max_broadcast_rows:
-        raise ValueError(
-            f"embedding_dupes broadcasts the corpus matrix ({n_rows} rows >"
-            f" max_broadcast_rows={max_broadcast_rows}); use"
-            " hyperplane_lsh_topk / ivf_topk (bucket-pruned joins) at this"
-            " scale, or raise max_broadcast_rows explicitly"
-        )
-    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     spark = df.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if n_blocks is None:
+        n_rows = base.count()
+        n_blocks = max(1, -(-n_rows // rows_per_block))
+    blocked = base.withColumn(
+        "__b", F.pmod(F.xxhash64(F.col("__id")), F.lit(n_blocks)).cast("int")
+    )
+    grid = (
+        spark.range(n_blocks)
+        .select(F.col("id").cast("int").alias("bi"))
+        .crossJoin(
+            spark.range(n_blocks).select(F.col("id").cast("int").alias("bj"))
+        )
+        .where(F.col("bi") <= F.col("bj"))
+    )
+    # Both sides derive from the same `blocked`/`grid` plans; aliasing
+    # every output column mints fresh attribute ids so the cogroup's
+    # self-join analysis is unambiguous.
+    left = (
+        blocked.alias("bl")
+        .join(F.broadcast(grid.alias("gl")), F.col("bl.__b") == F.col("gl.bi"))
+        .select(
+            F.col("gl.bi").alias("bi"),
+            F.col("gl.bj").alias("bj"),
+            F.col("bl.__id").alias("lid"),
+            F.col("bl.__v").alias("lv"),
+        )
+    )
+    right = (
+        blocked.alias("br")
+        .join(F.broadcast(grid.alias("gr")), F.col("br.__b") == F.col("gr.bj"))
+        .select(
+            F.col("gr.bi").alias("bi_r"),
+            F.col("gr.bj").alias("bj_r"),
+            F.col("br.__id").alias("rid"),
+            F.col("br.__v").alias("rv"),
+        )
+    )
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        corpus_ids, corpus = b_ids.value, b_mat.value
-        for pdf in batches:
-            q = np.array(list(pdf[vec_col]), dtype=np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ corpus.T
-            qids = pdf[id_col].to_numpy()
-            qi, ci = np.where(
-                (sims >= threshold) & (qids[:, None] < corpus_ids[None, :])
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "cosine": np.array([], dtype=np.float64),
+            }
+        )
+
+    def score(key: tuple, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0 or len(r) == 0:
+            return _empty()
+        same_block = key[0] == key[1]
+        lm = np.array(list(l["lv"]), dtype=np.float64)
+        rm = np.array(list(r["rv"]), dtype=np.float64)
+        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+        lids = l["lid"].to_numpy()
+        rids = r["rid"].to_numpy()
+        # Chunk the left side so the score tile stays ~256 MB no
+        # matter how large the blocks are.
+        chunk = max(1, 32_000_000 // (8 * len(rids)))
+        outs = []
+        for s in range(0, len(lids), chunk):
+            sims = lm[s : s + chunk] @ rm.T
+            if same_block:
+                mask = (sims >= threshold) & (
+                    lids[s : s + chunk, None] < rids[None, :]
+                )
+            else:
+                mask = sims >= threshold
+            ia, ib = np.where(mask)
+            if len(ia) == 0:
+                continue
+            a, b = lids[s + ia], rids[ib]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.minimum(a, b),
+                        "id_b": np.maximum(a, b),
+                        "cosine": sims[ia, ib],
+                    }
+                )
             )
-            yield pd.DataFrame(
-                {
-                    "id_a": qids[qi],
-                    "id_b": corpus_ids[ci],
-                    "cosine": sims[qi, ci],
-                }
-            )
+        return pd.concat(outs) if outs else _empty()
 
-    from diseasystore_spark.pipeline._util import spread
-
-    return spread(df.select(id_col, vec_col)).mapInPandas(
-        score, schema="id_a bigint, id_b bigint, cosine double"
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi_r", "bj_r"))
+        .applyInPandas(score, schema="id_a bigint, id_b bigint, cosine double")
     )
 
 

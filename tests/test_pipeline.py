@@ -506,6 +506,31 @@ def test_minhash_lsh_join_precomputed_right_signatures(spark, docs):
     assert pre == base
 
 
+def test_embedding_dupes_block_grid_matches_brute_force(spark, emb):
+    """The distributed block-grid matmul must reproduce the exact
+    all-pairs result for any block count (1 block = one cell; many
+    blocks = the full grid with cross-block orientation), with no pair
+    emitted twice."""
+    import numpy as np
+
+    from diseasystore_spark.pipeline.similarity import embedding_dupes
+
+    rows = emb.limit(300).collect()
+    sub = spark.createDataFrame(rows, emb.schema)
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ia, ib = np.where((sims >= 0.35) & (ids[:, None] < ids[None, :]))
+    want = {(int(ids[i]), int(ids[j])) for i, j in zip(ia, ib)}
+
+    for blocks in (1, 5):
+        got = embedding_dupes(sub, threshold=0.35, n_blocks=blocks).collect()
+        pairs = [(r["id_a"], r["id_b"]) for r in got]
+        assert len(pairs) == len(set(pairs)), "duplicate pair emitted"
+        assert set(pairs) == want, f"mismatch at n_blocks={blocks}"
+
+
 def test_ivf_portable_assignment_matches_numpy(spark, emb):
     """The JVM argmin assignment (portable/oracle path) and the numpy
     GEMM assignment must produce identical top-k output for the fixed

@@ -183,6 +183,25 @@ def test_lsh_join_is_equi_not_cartesian(spark):
     assert "band" in plan and "bucket" in plan
 
 
+def test_embedding_dupes_is_distributed_block_grid(spark):
+    """Exact all-pairs embedding scoring must be a cogrouped Arrow
+    plan over the block grid — a FlatMapCoGroupsInPandas node fed by
+    broadcast grid joins — with no cartesian product and no
+    driver-side collect of the corpus (nothing in the plan references
+    a local relation built from collected rows)."""
+    from diseasystore_spark.pipeline.similarity import embedding_dupes
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _executed(embedding_dupes(emb, threshold=0.5, n_blocks=4))
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the corpus enters the plan as parquet scans, not as a
+    # driver-materialized LocalTableScan
+    assert "FileScan parquet" in plan, plan
+    scans = [ln for ln in plan.splitlines() if "LocalTableScan" in ln]
+    assert not scans, plan
+
+
 def test_chunking_no_python_eval(spark):
     """Document chunking is pure JVM (explode + windows + groupBy):
     no Python/Arrow eval nodes, and every shuffle is keyed by the
