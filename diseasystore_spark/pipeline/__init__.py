@@ -26,14 +26,18 @@ from diseasystore_spark.pipeline.similarity import (
     ivf_topk,
 )
 from diseasystore_spark.pipeline.text import (
+    bm25_top_terms,
     chunk_documents,
     curate_corpus,
     doc_fingerprints,
     langid_heuristic,
+    term_frequencies,
     text_stats,
+    tfidf_top_terms,
 )
 
 __all__ = [
+    "bm25_top_terms",
     "chunk_documents",
     "cosine_topk",
     "curate_corpus",
@@ -56,6 +60,8 @@ __all__ = [
     "simhash64",
     "simhash_pairs",
     "stratified_sample",
+    "term_frequencies",
     "text_stats",
+    "tfidf_top_terms",
     "write_corpus_shards",
 ]

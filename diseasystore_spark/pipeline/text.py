@@ -118,6 +118,143 @@ def langid_heuristic(
     )
 
 
+def term_frequencies(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document whitespace term frequencies:
+    (id, term, tf, dl) where ``dl`` is the document length in tokens.
+
+    Shape: narrow explode then ONE map-side-combined groupBy keyed
+    (id, term) — the canonical scalable term-count plan (partial
+    counts combine before the shuffle, so the shuffle carries the
+    per-task vocabulary, not the token stream). ``dl`` is constant
+    within a document and rides along via ``first``."""
+    tk = F.filter(_tokens(text_col), lambda t: t != F.lit(""))
+    base = df.select(
+        F.col(id_col), F.size(tk).alias("dl"), F.explode(tk).alias("term")
+    )
+    return base.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF.
+
+    Output: (id, term, tf, df, score_micro, rank), rank 1..k by
+    ``score_micro`` descending with deterministic term tie-break.
+
+    ``score_micro = tf * round(ln(N / df) * 1e6)`` — the idf is
+    integer-scaled to micro units BEFORE multiplying by tf, so the
+    entire ranking key is a bigint. The only transcendental is one
+    ``ln`` per distinct document frequency; rounding it to an integer
+    makes the ranking reproducible across engines (a DuckDB oracle
+    computes the identical score), instead of hoping two libm
+    implementations agree to the last ulp.
+
+    Plan: ``term_frequencies`` (one combined shuffle) -> per-term
+    document frequencies (vocabulary-sized aggregate) -> equi-join on
+    term -> per-document window. The tf frame feeds two consumers;
+    at production scale persist it explicitly between the df
+    aggregate and the join."""
+    n_docs = df.count()
+    tf = term_frequencies(df, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("df") >= min_df)
+    idf_micro = F.round(
+        F.log(F.lit(n_docs) / F.col("df")) * F.lit(1e6)
+    ).cast("bigint")
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * idf_micro).alias("score_micro"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("term")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def bm25_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-k terms per document by Okapi BM25.
+
+    Output: (id, term, tf, df, dl, score_micro, rank).
+
+    ``idf_micro = round(ln(1 + (N - df + 0.5) / (df + 0.5)) * 1e6)``
+    (bigint), and
+    ``score_micro = round(idf_micro * (tf * (k1+1)) /
+    (tf + k1 * ((1-b) + b * dl / avgdl)))``.
+
+    Cross-engine determinism argument (the q49 oracle relies on it):
+    the single ``ln`` is rounded to integer micro units first; every
+    remaining operation is IEEE-754 +,-,*,/ on identical operands —
+    ``avgdl`` is an exact-integer-sum divided by a count (token
+    counts sum exactly in doubles below 2^53), so two engines compute
+    bit-identical scores, not merely close ones."""
+    n_docs = df.count()
+    tf = term_frequencies(df, id_col, text_col)
+    # avgdl over documents that have at least one token (the same
+    # population the tf table contains) — computed as exact integer
+    # sum / count, not a float mean.
+    tk = F.filter(_tokens(text_col), lambda t: t != F.lit(""))
+    row = (
+        df.select(F.size(tk).alias("dl"))
+        .where(F.col("dl") > 0)
+        .agg(F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c"))
+        .first()
+    )
+    avgdl = row["s"] / row["c"] if row["c"] else 1.0
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("df") >= min_df)
+    idf_micro = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        * F.lit(1e6)
+    ).cast("bigint")
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        "df",
+        "dl",
+        F.round(idf_micro * tf_norm).cast("bigint").alias("score_micro"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("term")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def curate_corpus(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1936,6 +1936,100 @@ WHERE s.quality_score >= 0.15 AND p.pred_lang = 'en'
 """
 
 
+def q48_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by TF-IDF with an integer-exact
+    ranking key: the idf is rounded to micro units (bigint) before
+    multiplying by tf, so the DuckDB oracle reproduces the EXACT
+    score and rank — float scoring never enters the hash compare."""
+    from diseasystore_spark.pipeline.text import tfidf_top_terms
+
+    return tfidf_top_terms(_read(spark, sf_dir, "documents"), k=3)
+
+
+ORACLE_Q48 = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * CAST(round(ln(n.n / dfreq.df) * 1000000) AS BIGINT)
+           AS score_micro
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_micro DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score_micro, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q49_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by Okapi BM25 (k1=1.2, b=0.75),
+    bit-exact across engines: the single ln is integer-micro-scaled
+    first, and every remaining operation is IEEE +,-,*,/ on identical
+    operands (avgdl is an exact integer sum / count), so the oracle
+    computes the identical bigint score."""
+    from diseasystore_spark.pipeline.text import bm25_top_terms
+
+    return bm25_top_terms(_read(spark, sf_dir, "documents"), k=3)
+
+
+ORACLE_Q49 = """
+WITH doc_dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t <> '')) AS dl
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+avgdl AS (
+  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM doc_dl WHERE dl > 0
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, d.dl,
+         CAST(round(
+           CAST(round(ln(1 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                      * 1000000) AS BIGINT)
+           * ((tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / a.avgdl)))
+         ) AS BIGINT) AS score_micro
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN doc_dl d USING (doc_id)
+  CROSS JOIN n CROSS JOIN avgdl a
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_micro DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, dl, score_micro, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1988,6 +2082,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_heavy_hitters": q45_heavy_hitters,
     "q46_ann_ivf_fixed": q46_ann_ivf_fixed,
     "q47_curation": q47_curation,
+    "q48_tfidf_top_terms": q48_tfidf_top_terms,
+    "q49_bm25_top_terms": q49_bm25_top_terms,
 }
 
 ORACLES: dict[str, str] = {
@@ -2037,6 +2133,8 @@ ORACLES: dict[str, str] = {
     "q45_heavy_hitters": ORACLE_Q45,
     "q46_ann_ivf_fixed": ORACLE_Q46,
     "q47_curation": ORACLE_Q47,
+    "q48_tfidf_top_terms": ORACLE_Q48,
+    "q49_bm25_top_terms": ORACLE_Q49,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -506,6 +506,67 @@ def test_minhash_lsh_join_precomputed_right_signatures(spark, docs):
     assert pre == base
 
 
+def test_tfidf_and_bm25_match_python_oracle(spark):
+    """TF-IDF and BM25 rankings must equal a pure-Python computation
+    of the same integer-micro-scaled formulas, including term
+    tie-breaks and the min_df filter."""
+    import math
+    from collections import Counter
+
+    from diseasystore_spark.pipeline.text import (
+        bm25_top_terms,
+        tfidf_top_terms,
+    )
+
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "cats and dogs and cats"),
+        (4, "a completely different sentence entirely"),
+        (5, "the the the the"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    docs = {i: t.split() for i, t in corpus}
+    n = len(docs)
+    tfs = {i: Counter(toks) for i, toks in docs.items()}
+    dfreq = Counter(t for c in tfs.values() for t in c)
+    avgdl = sum(len(t) for t in docs.values()) / n
+
+    def py_topk(score_fn, k=3):
+        out = set()
+        for i, c in tfs.items():
+            scored = sorted(
+                ((score_fn(tf, dfreq[t], len(docs[i])), t) for t, tf in c.items()),
+                key=lambda x: (-x[0], x[1]),
+            )
+            for rank, (s, t) in enumerate(scored[:k], 1):
+                out.add((i, t, rank, s))
+        return out
+
+    def tfidf(tf, dfq, dl):
+        return tf * round(math.log(n / dfq) * 1e6)
+
+    def bm25(tf, dfq, dl):
+        idf_micro = round(math.log(1 + (n - dfq + 0.5) / (dfq + 0.5)) * 1e6)
+        return round(
+            idf_micro * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        )
+
+    got = {
+        (r["doc_id"], r["term"], r["rank"], r["score_micro"])
+        for r in tfidf_top_terms(df, k=3).collect()
+    }
+    assert got == py_topk(tfidf)
+    got = {
+        (r["doc_id"], r["term"], r["rank"], r["score_micro"])
+        for r in bm25_top_terms(df, k=3).collect()
+    }
+    assert got == py_topk(bm25)
+    # min_df drops hapax terms from the ranking entirely
+    hapax_free = tfidf_top_terms(df, k=3, min_df=2).collect()
+    assert all(r["df"] >= 2 for r in hapax_free)
+
+
 def test_embedding_dupes_block_grid_matches_brute_force(spark, emb):
     """The distributed block-grid matmul must reproduce the exact
     all-pairs result for any block count (1 block = one cell; many
