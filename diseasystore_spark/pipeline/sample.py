@@ -172,6 +172,7 @@ def pack_sequences(
     strata: list[str] | None = None,
     salt: str = "",
     pack_col: str = "pack_id",
+    auto_strata: int = 64,
 ) -> DataFrame:
     """Greedy contiguous sequence packing: order documents by hash
     within each stratum, run a cumulative token sum, bucket by
@@ -192,30 +193,68 @@ def pack_sequences(
     wants. Requires ``key`` unique and non-null per row (duplicate
     keys make the within-tie order engine-arbitrary). Single shuffle
     on the strata; the densify window sorts by a value monotone in the
-    first window's order, so no second shuffle. With ``strata=None``
-    the window is unpartitioned — a single-task global sort, fine for
-    driver-sized frames but not at scale; pass strata (a real column
-    or a synthetic one such as a hash prefix of ``key``) for large
-    corpora.
+    first window's order, so no second shuffle.
+
+    With ``strata=None`` the corpus is packed under ``auto_strata``
+    synthetic hash strata (an md5 bucket of ``key``, salt-namespaced
+    so it is independent of the within-stratum order hash), then pack
+    ids are offset by the pack counts of the preceding strata — so the
+    output ids are STILL globally contiguous ``0..n_packs-1``, but the
+    windows are always partitioned: nothing funnels through a single
+    task at any corpus size. The stratum offsets come from one
+    ``auto_strata``-row aggregate broadcast back onto the corpus.
+    Deterministic for a given (salt, auto_strata); set
+    ``auto_strata=1`` to force one global greedy sequence.
     """
-    parts = [F.col(c) for c in (strata or [])]
+    synthetic = strata is None
+    st_col = None
+    if synthetic:
+        st_col = _temp_col(df, "__stratum")
+        df = df.withColumn(
+            st_col,
+            F.pmod(
+                F.conv(
+                    hash_hex(F.col(key), f"{salt}|stratum"), 16, 10
+                ).cast("bigint"),
+                F.lit(auto_strata),
+            ),
+        )
+        parts = [F.col(st_col)]
+    else:
+        parts = [F.col(c) for c in strata]
     order = [hash_hex(F.col(key), salt), F.col(key)]
-    w = (
-        Window.partitionBy(*parts).orderBy(*order)
-        if parts
-        else Window.partitionBy().orderBy(*order)
-    )
+    w = Window.partitionBy(*parts).orderBy(*order)
     cum = F.sum(F.col(token_col)).over(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
     start = (cum - F.col(token_col)).cast("long")
     raw = _temp_col(df, "__raw_pack")
     with_raw = df.withColumn(raw, F.floor(start / F.lit(budget)))
-    w2 = (
-        Window.partitionBy(*parts).orderBy(F.col(raw))
-        if parts
-        else Window.partitionBy().orderBy(F.col(raw))
-    )
-    return with_raw.withColumn(
+    w2 = Window.partitionBy(*parts).orderBy(F.col(raw))
+    out = with_raw.withColumn(
         pack_col, (F.dense_rank().over(w2) - 1).cast("long")
     ).drop(raw)
+    if synthetic:
+        # Global contiguity across the synthetic strata: offset each
+        # stratum by the total packs of the strata before it. The
+        # counts frame is at most ``auto_strata`` rows — its
+        # single-task window and the broadcast join are trivially
+        # cheap at any corpus size.
+        counts = out.groupBy(st_col).agg(
+            (F.max(pack_col) + 1).alias("__n_packs")
+        )
+        w_ofs = Window.orderBy(st_col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = counts.select(
+            F.col(st_col),
+            F.coalesce(F.sum("__n_packs").over(w_ofs), F.lit(0)).alias(
+                "__ofs"
+            ),
+        )
+        out = (
+            out.join(F.broadcast(offsets), st_col)
+            .withColumn(pack_col, (F.col(pack_col) + F.col("__ofs")).cast("long"))
+            .drop(st_col, "__ofs")
+        )
+    return out

@@ -183,6 +183,18 @@ def test_lsh_join_is_equi_not_cartesian(spark):
     assert "band" in plan and "bucket" in plan
 
 
+def test_pack_sequences_default_window_is_partitioned(spark):
+    """With strata=None the packing windows must be partitioned by the
+    synthetic hash stratum — the corpus never funnels through a
+    single-task global sort. (The only SinglePartition exchange
+    allowed is the auto_strata-row offsets frame.)"""
+    from diseasystore_spark.pipeline.sample import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed(pack_sequences(docs, "n_chars", 4096, "doc_id"))
+    assert "hashpartitioning(__stratum" in plan, plan
+
+
 def test_embedding_dupes_is_distributed_block_grid(spark):
     """Exact all-pairs embedding scoring must be a cogrouped Arrow
     plan over the block grid — a FlatMapCoGroupsInPandas node fed by

@@ -158,13 +158,15 @@ def test_pack_sequences_long_docs_stay_contiguous(spark):
 
 
 def test_pack_sequences_unstratified_matches_single_stratum(spark):
-    # strata=None is the documented single-partition path; it must
-    # equal packing with a constant stratum.
+    # strata=None with auto_strata=1 is one global greedy sequence;
+    # it must equal packing with a constant explicit stratum.
     rows = [(f"d{i}", (i * 7) % 13 + 1) for i in range(40)]
     df = spark.createDataFrame(rows, ["doc_id", "n"])
     a = {
         (r.doc_id, r.pack_id)
-        for r in pack_sequences(df, "n", 20, "doc_id", salt="u").collect()
+        for r in pack_sequences(
+            df, "n", 20, "doc_id", salt="u", auto_strata=1
+        ).collect()
     }
     b = {
         (r.doc_id, r.pack_id)
@@ -174,6 +176,20 @@ def test_pack_sequences_unstratified_matches_single_stratum(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_pack_sequences_default_globally_contiguous(spark, docs):
+    # The strata=None default packs under synthetic hash strata but
+    # must still hand back globally contiguous pack ids that respect
+    # the greedy budget-fill invariant within each synthetic stratum.
+    budget = 4096
+    out = pack_sequences(docs, "n_chars", budget, "doc_id", salt="g")
+    assert out.count() == docs.count()
+    ids = sorted(
+        r["pack_id"] for r in out.select("pack_id").distinct().collect()
+    )
+    assert ids == list(range(len(ids))), "pack ids must be contiguous"
+    assert len(ids) > 1
 
 
 def test_temp_col_collision_safe(spark):

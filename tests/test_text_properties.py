@@ -49,7 +49,9 @@ def test_chunking_matches_python_oracle(spark, corpus, max_chars):
         assert [chunks[k] for k in sorted(chunks)] == expect
 
 
-def py_pack(items: list[tuple[str, int]], budget: int) -> dict[str, int]:
+def _py_pack_stratum(
+    items: list[tuple[str, int]], budget: int
+) -> dict[str, int]:
     """pack_sequences oracle for one stratum: md5('|'+key)-prefix
     order, cumulative start offsets, floor(start/budget), densified."""
     order = sorted(
@@ -63,6 +65,30 @@ def py_pack(items: list[tuple[str, int]], budget: int) -> dict[str, int]:
     out = {}
     for k, r in raw:
         out[k] = seen.setdefault(r, len(seen))
+    return out
+
+
+def py_pack(
+    items: list[tuple[str, int]], budget: int, auto_strata: int = 64
+) -> dict[str, int]:
+    """Full oracle for the strata=None default: synthetic md5 strata
+    (salt-namespaced, independent of the order hash), per-stratum
+    greedy packing, then global contiguity via per-stratum offsets in
+    stratum order."""
+    groups: dict[int, list[tuple[str, int]]] = {}
+    for k, n in items:
+        s = (
+            int(hashlib.md5(f"|stratum|{k}".encode()).hexdigest()[:8], 16)
+            % auto_strata
+        )
+        groups.setdefault(s, []).append((k, n))
+    out: dict[str, int] = {}
+    offset = 0
+    for s in sorted(groups):
+        local = _py_pack_stratum(groups[s], budget)
+        for k, p in local.items():
+            out[k] = p + offset
+        offset += max(local.values()) + 1
     return out
 
 
