@@ -16,6 +16,7 @@ from diseasystore_spark.pipeline.sample import (
 )
 from diseasystore_spark.pipeline.shard import (
     read_shard,
+    reshard_corpus,
     shard_column,
     write_corpus_shards,
 )
@@ -56,6 +57,7 @@ __all__ = [
     "minhash_signatures",
     "pack_sequences",
     "read_shard",
+    "reshard_corpus",
     "shard_column",
     "simhash64",
     "simhash_pairs",

@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["shard_column", "write_corpus_shards", "read_shard"]
+__all__ = [
+    "shard_column",
+    "write_corpus_shards",
+    "read_shard",
+    "reshard_corpus",
+]
 
 
 def shard_column(key: str, n_shards: int, salt: str = "") -> Column:
@@ -78,3 +83,42 @@ def read_shard(
     if shard is not None:
         df = df.where(F.col("shard") == shard)
     return df
+
+
+def reshard_corpus(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    n_shards: int,
+    key: str,
+    salt: str = "",
+    order_within: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Rebalance an existing hash-sharded corpus to ``n_shards`` new
+    shards (e.g. the training fleet changed size and the data loader
+    wants a different file count).
+
+    Membership stays the same deterministic md5 bucket of ``key`` —
+    rows move between shards only because the modulus (or ``salt``)
+    changed, so the destination is byte-identical to sharding the
+    original corpus directly at ``n_shards``: re-sharding composes
+    with itself and with ``write_corpus_shards`` without drift.
+
+    Plan shape: one full scan of the source (every row must be
+    rehashed — inherent to resharding), one repartition shuffle on the
+    new shard id, one file per destination shard. No driver-side
+    collection at any size; the old ``shard`` column is dropped and
+    recomputed, never trusted."""
+    df = spark.read.parquet(src_path)
+    if "shard" in df.columns:
+        df = df.drop("shard")
+    write_corpus_shards(
+        df,
+        dst_path,
+        n_shards,
+        key,
+        salt=salt,
+        order_within=order_within,
+        mode=mode,
+    )

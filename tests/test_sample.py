@@ -241,3 +241,44 @@ def test_write_corpus_shards_deterministic(spark, docs, tmp_path):
     from collections import Counter
     sizes = Counter(got.values())
     assert max(sizes.values()) <= 3 * docs.count() / n_shards
+
+
+def test_reshard_corpus_preserves_membership(spark, docs, tmp_path):
+    """Resharding 8 -> 3 must (a) keep the row set identical, (b) land
+    every row in the md5 bucket the new modulus dictates — i.e. be
+    byte-equivalent to sharding the original corpus at 3 directly —
+    and (c) keep the destination partition-prunable."""
+    import hashlib
+
+    from diseasystore_spark.pipeline.shard import (
+        read_shard,
+        reshard_corpus,
+        write_corpus_shards,
+    )
+
+    src, dst, direct = (
+        str(tmp_path / "src"),
+        str(tmp_path / "dst"),
+        str(tmp_path / "direct"),
+    )
+    write_corpus_shards(docs, src, 8, "doc_id", salt="rs")
+    reshard_corpus(spark, src, dst, 3, "doc_id", salt="rs")
+    write_corpus_shards(docs, direct, 3, "doc_id", salt="rs")
+
+    back = read_shard(spark, dst)
+    assert back.count() == docs.count()
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in back.select("doc_id", "shard").collect()
+    }
+    for doc_id, shard in got.items():
+        h = int(hashlib.md5(f"rs|{doc_id}".encode()).hexdigest()[:8], 16)
+        assert shard == h % 3
+    want = {
+        r["doc_id"]: r["shard"]
+        for r in read_shard(spark, direct).select("doc_id", "shard").collect()
+    }
+    assert got == want
+    one = read_shard(spark, dst, shard=1)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan, plan
