@@ -15,6 +15,7 @@ No reference analogue (the reference has no streaming; SURVEY.md
 
 from __future__ import annotations
 
+import datetime
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -84,3 +85,78 @@ def stream_dedup_against_corpus(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_into_store(
+    stream_df: DataFrame,
+    corpus_df: DataFrame,
+    backend,
+    table_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    min_est_jaccard: float = 0.5,
+    valid_from: datetime.date = datetime.date(2024, 1, 1),
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming contamination sink: screen each micro-batch against
+    the (once-signed) corpus and persist the flagged documents as SCD2
+    feature rows — the full streaming -> store path, mirroring what
+    ``test_sessionize_stream_into_scd2_store`` does for sessions.
+
+    Each flagged pair lands as ``(key_doc, key_match, est_jaccard,
+    valid_from, valid_until=NULL)`` — an open-ended "document is
+    contaminated by corpus member" fact. Batches merge through
+    ``stream_feature_updates(mode="append")`` (insert-only,
+    ``close_absent=False``): a pair's absence from a later batch says
+    nothing, so nothing closes; rows ACCUMULATE across micro-batches,
+    each at its own deterministic epoch-derived ``slice_ts``, so
+    ``get_table(slice_ts=τ)`` replays the flagged set as of any point
+    in the ingest timeline (snapshot isolation between batches).
+    """
+    from diseasystore_spark.pipeline.dedup import (
+        minhash_lsh_join,
+        minhash_signatures,
+    )
+    from diseasystore_spark.streaming.ingest import stream_feature_updates
+
+    corpus_sigs = minhash_signatures(
+        corpus_df.select(id_col, text_col),
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        n=n,
+    ).localCheckpoint()
+
+    def transform(batch_df: DataFrame) -> DataFrame:
+        flagged = minhash_lsh_join(
+            batch_df,
+            None,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            n=n,
+            min_est_jaccard=min_est_jaccard,
+            right_signatures=corpus_sigs,
+        )
+        return flagged.select(
+            F.col("left_id").cast("string").alias("key_doc"),
+            F.col("right_id").cast("string").alias("key_match"),
+            F.col("est_jaccard").cast("double").alias("est_jaccard"),
+            F.lit(valid_from).alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_until"),
+        )
+
+    return stream_feature_updates(
+        stream_df,
+        backend,
+        table_id,
+        transform=transform,
+        checkpoint_dir=checkpoint_dir,
+        available_now=available_now,
+        mode="append",
+    )

@@ -301,3 +301,85 @@ def test_stream_dedup_against_corpus(spark, tmp_path):
     }
     assert got == want
     assert want, "test split should produce at least one flagged pair"
+
+
+def test_stream_dedup_into_scd2_store(spark, tmp_path):
+    """Streaming contamination -> SCD2 store: flagged-document rows
+    must accumulate across micro-batches (insert-only merge, nothing
+    closes), each batch at its own slice_ts, so intermediate snapshots
+    replay the flagged set as of that point in the ingest timeline."""
+    import datetime as dt
+
+    from diseasystore_spark.pipeline.dedup import minhash_lsh_join
+    from diseasystore_spark.pipeline.sample import hash_split
+    from diseasystore_spark.streaming.dedup_stream import (
+        stream_dedup_into_store,
+    )
+
+    docs = hash_split(
+        spark.read.parquet(f"{SF}/documents.parquet"),
+        "doc_id",
+        {"new": 0.2, "corpus": 0.8},
+        salt="sd",
+    )
+    new = docs.where(F.col("split") == "new").select("doc_id", "text")
+    corpus = docs.where(F.col("split") == "corpus").select("doc_id", "text")
+
+    # split the incoming docs into two files = two micro-batches, and
+    # require each half to flag at least one pair so accumulation is
+    # observable
+    rows = sorted(new.collect(), key=lambda r: r["doc_id"])
+    half = len(rows) // 2
+    halves = [rows[:half], rows[half:]]
+    per_half = []
+    for i, chunk in enumerate(halves):
+        cdf = spark.createDataFrame(chunk, new.schema)
+        flags = {
+            (str(r["left_id"]), str(r["right_id"]))
+            for r in minhash_lsh_join(
+                cdf, corpus, min_est_jaccard=0.3
+            ).collect()
+        }
+        assert flags, f"half {i} should flag at least one pair"
+        per_half.append(flags)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    for i, chunk in enumerate(halves):
+        spark.createDataFrame(chunk, new.schema).coalesce(1).write.parquet(
+            str(src / f"b{i}"), mode="overwrite"
+        )
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    from diseasystore_spark.storage.scd2 import ParquetFeatureStore
+
+    backend = ParquetFeatureStore(spark, str(tmp_path / "store"))
+    q = stream_dedup_into_store(
+        stream,
+        corpus,
+        backend,
+        "ds.contamination",
+        min_est_jaccard=0.3,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    def snap(ts):
+        return {
+            (r["key_doc"], r["key_match"])
+            for r in backend.get_table("ds.contamination", ts).collect()
+        }
+
+    # epoch-derived slices: batch 0 merges at origin+0s, batch 1 at +1s
+    origin = dt.datetime(2024, 1, 1)
+    first = snap(origin)
+    final = snap(origin + dt.timedelta(seconds=1))
+    # the final store holds exactly the union of both batches' flags
+    assert final == per_half[0] | per_half[1]
+    # snapshot isolation: the first slice holds exactly one batch's
+    # flags (whichever file triggered first), strictly fewer than final
+    assert first in (per_half[0], per_half[1])
+    assert first < final
