@@ -1,0 +1,74 @@
+"""Interlace worst-case key-skew measurement (VERDICT r2 #3): a
+single-nation feature pair puts every row in ONE key group, so the
+spine containment join degenerates to |spine| x |rows| comparisons in
+a single task unless the bucketed path splits it.
+
+Measures truncate_interlace wall time with and without
+interlace bucketing at growing sizes; numbers land in NOTES.md.
+
+Usage: python scripts/stress_interlace_skew.py
+"""
+
+from __future__ import annotations
+
+import datetime
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def make_pair(spark, n: int, span_days: int = 36500):
+    base = spark.range(n).select(
+        F.lit("DK").alias("key_nation"),
+        F.col("id"),
+        F.date_add(
+            F.lit(datetime.date(1950, 1, 1)),
+            (F.col("id") % span_days).cast("int"),
+        ).alias("valid_from"),
+    )
+    a = base.select(
+        "key_nation",
+        (F.col("id") % 97).cast("double").alias("n_cases"),
+        "valid_from",
+        F.date_add("valid_from", (F.col("id") % 30 + 1).cast("int")).alias(
+            "valid_until"
+        ),
+    )
+    b = base.select(
+        "key_nation",
+        (F.col("id") % 13).cast("double").alias("n_tests"),
+        F.date_add("valid_from", 3).alias("valid_from"),
+        F.date_add("valid_from", (F.col("id") % 45 + 5).cast("int")).alias(
+            "valid_until"
+        ),
+    )
+    return a, b
+
+
+def main() -> None:
+    from diseasystore_spark.operators.interlace import truncate_interlace
+    from diseasystore_spark.session import get_spark
+
+    spark = get_spark("stress_interlace")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm
+
+    for n in (30_000, 100_000):
+        a, b = make_pair(spark, n)
+        a = a.localCheckpoint()
+        b = b.localCheckpoint()
+        for bucket in (None, 30):
+            t0 = time.perf_counter()
+            cnt = truncate_interlace(a, [b], bucket_days=bucket).count()
+            dt = time.perf_counter() - t0
+            print(
+                f"n={n} bucket_days={bucket}: {cnt} rows in {dt:.2f}s",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -222,3 +222,46 @@ def test_bucketed_interlace_plan_is_equi_on_bucket(spark):
         and "__bkt" in ln
     ]
     assert joins, f"no join keyed on the bucket column in plan:\n{plan}"
+
+
+def test_bucketed_interlace_single_key_skew_bounded(spark):
+    """Perf-regression guard for the worst-case key skew (VERDICT r2
+    #3): a single-nation feature pair puts every interval row in ONE
+    key group, so the plain spine containment join degenerates to
+    |spine| x |rows| comparisons in a single task. The bucketed path
+    must stay wall-time bounded at a size where the plain path's
+    single-group quadratic visibly dominates (measured numbers in
+    NOTES.md). The generous absolute bound keeps the test meaningful
+    without being VM-noise flaky."""
+    import datetime
+    import time
+
+    n = 30_000
+    base = spark.range(n).select(
+        F.lit("DK").alias("key_nation"),
+        F.col("id"),
+        F.date_add(
+            F.lit(datetime.date(2000, 1, 1)), (F.col("id") % 3650).cast("int")
+        ).alias("valid_from"),
+    )
+    a = base.select(
+        "key_nation",
+        (F.col("id") % 97).cast("double").alias("n_cases"),
+        "valid_from",
+        F.date_add("valid_from", (F.col("id") % 30 + 1).cast("int")).alias(
+            "valid_until"
+        ),
+    ).localCheckpoint()
+    b = base.select(
+        "key_nation",
+        (F.col("id") % 13).cast("double").alias("n_tests"),
+        F.date_add("valid_from", 3).alias("valid_from"),
+        F.date_add("valid_from", (F.col("id") % 45 + 5).cast("int")).alias(
+            "valid_until"
+        ),
+    ).localCheckpoint()
+    t0 = time.perf_counter()
+    cnt = truncate_interlace(a, [b], bucket_days=30).count()
+    dt = time.perf_counter() - t0
+    assert cnt > 0
+    assert dt < 120, f"bucketed skew interlace took {dt:.1f}s"
