@@ -484,6 +484,76 @@ def minhash_lsh_join(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 9,
+    window: int = 4,
+    min_containment: float = 0.5,
+    portable: bool = False,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Containment candidates via shared winnowing fingerprints:
+    pairs scored by ``|fp(a) ∩ fp(b)| / min(|fp(a)|, |fp(b)|)`` — the
+    asymmetric copy-detection measure. A short document pasted inside
+    a much longer one scores ~1.0 here even though its Jaccard (and
+    hence MinHash/SimHash estimate) is near zero — the containment
+    case those operators miss BY DESIGN, covered by winnowing
+    fingerprints (Schleimer et al., SIGMOD'03) instead.
+
+    Candidate generation is an equi self-join on the fingerprint —
+    never all-pairs; only documents sharing at least one fingerprint
+    meet. ``max_df`` drops fingerprints present in more than that
+    many documents (broadcast anti-join) — the boilerplate guard,
+    same shape as ``jaccard_pairs``'s shingle cap. Output:
+    (id_a, id_b, shared, containment) with id_a < id_b,
+    containment >= ``min_containment``. ``portable=True`` uses the
+    md5 fingerprint family so a SQL oracle reproduces the exact pair
+    set (q50).
+    """
+    from diseasystore_spark.pipeline.text import doc_fingerprints
+
+    # The fingerprint table feeds three consumers (sizes + both join
+    # sides); it is compact (distinct fingerprints per doc), so
+    # materialize it once.
+    fp = doc_fingerprints(
+        df, id_col, text_col, k=k, window=window, portable=portable
+    ).localCheckpoint()
+    if max_df is not None:
+        hot = (
+            fp.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("fingerprint")
+        )
+        fp = fp.join(F.broadcast(hot), "fingerprint", "left_anti")
+    sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = fp.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fp.select(F.col(id_col).alias("id_b"), "fingerprint")
+    shared = (
+        a.join(b, "fingerprint")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            (
+                F.col("shared") / F.least(F.col("sz_a"), F.col("sz_b"))
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= min_containment)
+    )
+
+
 _SIMHASH_LANE = 21
 _SIMHASH_LANE_MASK = (1 << _SIMHASH_LANE) - 1
 _SIMHASH_LANES_PER_LONG = 3

@@ -118,6 +118,62 @@ def langid_heuristic(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, public): for
+    each word-n-gram order ``n`` the duplicate-n-gram fraction
+    (``1 - distinct/total``) and the top n-gram's frequency fraction —
+    the standard filters for catching degenerate repetitive text
+    (boilerplate, keyword stuffing, decoding loops).
+
+    Output per document: ``ngrams_{n}``, ``distinct_{n}``,
+    ``top_{n}`` (count of the most frequent n-gram) plus rounded
+    ``dup_frac_{n}`` and ``top_frac_{n}``. Documents with fewer than
+    ``max(ns)`` tokens are dropped (no n-grams to measure).
+
+    Zero shuffle: every statistic is a per-ROW array-lambda over the
+    n-gram array (top count is an O(distinct x total) nested lambda —
+    fine for documents, the per-row work is bounded by doc length)."""
+    from diseasystore_spark.pipeline.dedup import _ngram_sql
+
+    cols: list[Column] = [F.col(id_col)]
+    guards = []
+    for n in ns:
+        ng = f"__ng{n}"
+        total = F.size(F.col(ng))
+        distinct = F.size(F.array_distinct(F.col(ng)))
+        top = F.expr(
+            f"array_max(transform(array_distinct({ng}), "
+            f"g -> size(filter({ng}, x -> x = g))))"
+        )
+        cols += [
+            total.alias(f"ngrams_{n}"),
+            distinct.alias(f"distinct_{n}"),
+            top.alias(f"top_{n}"),
+            F.round(
+                (total - distinct) / total.cast("double"), 4
+            ).alias(f"dup_frac_{n}"),
+            F.round(top / total.cast("double"), 4).alias(f"top_frac_{n}"),
+        ]
+        guards.append(F.size(F.col(ng)) > 0)
+    with_ng = spread(df).select(
+        F.col(id_col),
+        F.col(text_col),
+        *[
+            F.expr(_ngram_sql(text_col, n)).alias(f"__ng{n}")
+            for n in ns
+        ],
+    )
+    out = with_ng
+    for g in guards:
+        out = out.where(g)
+    return out.select(*cols)
+
+
 def term_frequencies(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -2030,6 +2030,110 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q50_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric copy detection via shared winnowing fingerprints:
+    containment = shared / min(|fp_a|, |fp_b|) — catches a short doc
+    pasted inside a long one, which Jaccard-based LSH misses by
+    design. Portable md5 fingerprints (q27's family), so the DuckDB
+    oracle reproduces the exact pair set; max_df=20 exercises the
+    boilerplate fingerprint cap."""
+    from diseasystore_spark.pipeline.dedup import containment_pairs
+
+    return containment_pairs(
+        _read(spark, sf_dir, "documents"),
+        min_containment=0.4,
+        portable=True,
+        max_df=20,
+    )
+
+
+ORACLE_Q50 = """
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(length(text) - 8, 1)),
+           i -> substr(md5(substr(text, i, 9)), 1, 15)) AS g
+  FROM documents
+),
+mins AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(g) - 3, 1)),
+           i -> list_min(g[i:i + 3]))) AS m
+  FROM grams
+),
+fp0 AS (SELECT DISTINCT doc_id, unnest(m) AS fingerprint FROM mins),
+hot AS (
+  SELECT fingerprint FROM fp0 GROUP BY fingerprint HAVING count(*) > 20
+),
+fp AS (
+  SELECT * FROM fp0
+  WHERE fingerprint NOT IN (SELECT fingerprint FROM hot)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM fp GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM fp a JOIN fp b
+    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b, s.shared,
+       s.shared / least(x.sz, y.sz) AS containment
+FROM shared s
+JOIN sizes x ON x.doc_id = s.id_a
+JOIN sizes y ON y.doc_id = s.id_b
+WHERE s.shared / least(x.sz, y.sz) >= 0.4
+"""
+
+
+def q51_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per-document duplicate-n-gram
+    and top-n-gram fractions for n in (2, 3) — zero-shuffle per-row
+    array lambdas, integer counts + 4-decimal rounded ratios, exact
+    in DuckDB."""
+    from diseasystore_spark.pipeline.text import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents"))
+
+
+ORACLE_Q51 = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+),
+ng AS (
+  SELECT doc_id,
+    CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, len(w) - 1),
+                             i -> array_to_string(w[i:i + 1], ' ')) END AS g2,
+    CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, len(w) - 2),
+                             i -> array_to_string(w[i:i + 2], ' ')) END AS g3
+  FROM t
+)
+SELECT doc_id,
+  len(g2) AS ngrams_2,
+  len(list_distinct(g2)) AS distinct_2,
+  list_max(list_transform(list_distinct(g2),
+                          g -> len(list_filter(g2, x -> x = g)))) AS top_2,
+  round((len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE), 4)
+    AS dup_frac_2,
+  round(list_max(list_transform(list_distinct(g2),
+                                g -> len(list_filter(g2, x -> x = g))))
+        / CAST(len(g2) AS DOUBLE), 4) AS top_frac_2,
+  len(g3) AS ngrams_3,
+  len(list_distinct(g3)) AS distinct_3,
+  list_max(list_transform(list_distinct(g3),
+                          g -> len(list_filter(g3, x -> x = g)))) AS top_3,
+  round((len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE), 4)
+    AS dup_frac_3,
+  round(list_max(list_transform(list_distinct(g3),
+                                g -> len(list_filter(g3, x -> x = g))))
+        / CAST(len(g3) AS DOUBLE), 4) AS top_frac_3
+FROM ng WHERE len(g2) > 0 AND len(g3) > 0
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2084,6 +2188,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_curation": q47_curation,
     "q48_tfidf_top_terms": q48_tfidf_top_terms,
     "q49_bm25_top_terms": q49_bm25_top_terms,
+    "q50_containment_pairs": q50_containment_pairs,
+    "q51_repetition_stats": q51_repetition_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -2135,6 +2241,8 @@ ORACLES: dict[str, str] = {
     "q47_curation": ORACLE_Q47,
     "q48_tfidf_top_terms": ORACLE_Q48,
     "q49_bm25_top_terms": ORACLE_Q49,
+    "q50_containment_pairs": ORACLE_Q50,
+    "q51_repetition_stats": ORACLE_Q51,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -506,6 +506,77 @@ def test_minhash_lsh_join_precomputed_right_signatures(spark, docs):
     assert pre == base
 
 
+def test_containment_catches_what_minhash_misses(spark):
+    """A short doc pasted verbatim inside a much longer one has near-1
+    containment but tiny Jaccard: containment_pairs must flag it;
+    minhash_lsh_pairs (Jaccard-estimating) must NOT at a normal
+    threshold — the two operators cover complementary failure
+    modes."""
+    from diseasystore_spark.pipeline.dedup import (
+        containment_pairs,
+        minhash_lsh_pairs,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa"]
+    short = " ".join(rng.choice(vocab) for _ in range(12))
+    long_doc = (
+        " ".join(rng.choice(vocab) for _ in range(150))
+        + " " + short + " "
+        + " ".join(rng.choice(vocab) for _ in range(150))
+    )
+    noise = [
+        " ".join(rng.choice(vocab) for _ in range(80)) for _ in range(8)
+    ]
+    rows = [(1, short), (2, long_doc)] + [
+        (10 + i, t) for i, t in enumerate(noise)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    cont = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(df, min_containment=0.6).collect()
+    }
+    assert (1, 2) in cont
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, min_est_jaccard=0.5).collect()
+    }
+    assert (1, 2) not in mh
+
+
+def test_repetition_stats_match_python(spark):
+    """Repetition fractions must equal a direct Python computation,
+    including a pathologically repetitive document."""
+    from collections import Counter
+
+    from diseasystore_spark.pipeline.text import repetition_stats
+
+    corpus = [
+        (1, "spam spam spam spam spam spam"),
+        (2, "one two three four five six seven"),
+        (3, "ab cd ab cd ab cd xy"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    for doc_id, text in corpus:
+        toks = text.split()
+        for n in (2, 3):
+            ngrams = [
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ]
+            c = Counter(ngrams)
+            r = got[doc_id]
+            assert r[f"ngrams_{n}"] == len(ngrams)
+            assert r[f"distinct_{n}"] == len(c)
+            assert r[f"top_{n}"] == max(c.values())
+            assert r[f"dup_frac_{n}"] == round(
+                (len(ngrams) - len(c)) / len(ngrams), 4
+            )
+
+
 def test_tfidf_and_bm25_match_python_oracle(spark):
     """TF-IDF and BM25 rankings must equal a pure-Python computation
     of the same integer-micro-scaled formulas, including term
