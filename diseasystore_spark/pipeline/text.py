@@ -311,6 +311,50 @@ def bm25_top_terms(
     )
 
 
+def unigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document — the
+    cheap version of the CCNet/Wikipedia-LM perplexity filter: train
+    unigram probabilities ON the corpus itself, then score each
+    document by its mean token log-probability. Unusually low scores
+    mean rare-token noise (mojibake, code dumps); unusually high
+    scores mean degenerate repetition of frequent tokens — both ends
+    get cut in a real curation pipeline.
+
+    Output: (id, dl, score_micro) where
+    ``score_micro = round( sum_t tf_t * idf-like term / dl )`` with
+    the per-term value ``round(ln(count_t / total_tokens) * 1e6)``
+    (bigint): the ln is integer-scaled per distinct term BEFORE the
+    per-doc weighted sum, so the whole score is
+    (sum of bigint products) / dl — one IEEE division — and a SQL
+    oracle reproduces it exactly (q52).
+
+    Plan: ``term_frequencies`` (one combined shuffle) -> global term
+    counts (vocabulary-sized, map-side combined) -> equi-join on term
+    -> per-doc sum. The corpus total is a one-row aggregate collected
+    as a literal."""
+    tf = term_frequencies(df, id_col, text_col)
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    total = counts.agg(F.sum("ct")).first()[0]
+    lp_micro = F.round(
+        F.log(F.col("ct") / F.lit(float(total))) * F.lit(1e6)
+    ).cast("bigint")
+    scored = tf.join(counts, "term").select(
+        F.col(id_col),
+        "dl",
+        (F.col("tf") * lp_micro).alias("__contrib"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.first("dl").alias("dl"),
+        F.round(F.sum("__contrib") / F.first("dl")).cast("bigint").alias(
+            "score_micro"
+        ),
+    )
+
+
 def curate_corpus(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2134,6 +2134,45 @@ FROM ng WHERE len(g2) > 0 AND len(g3) > 0
 """
 
 
+def q52_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM score per document (the cheap CCNet
+    perplexity filter): mean token log-probability, with each term's
+    ln(p) integer-micro-scaled before the weighted sum so the score
+    is exact across engines."""
+    from diseasystore_spark.pipeline.text import unigram_logprob_score
+
+    return unigram_logprob_score(_read(spark, sf_dir, "documents"))
+
+
+ORACLE_Q52 = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+counts AS (SELECT term, sum(tf) AS ct FROM tf GROUP BY term),
+tot AS (SELECT sum(ct) AS total FROM counts),
+lp AS (
+  SELECT term,
+         CAST(round(ln(CAST(ct AS DOUBLE) / CAST(total AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lpm
+  FROM counts CROSS JOIN tot
+),
+scored AS (
+  SELECT tf.doc_id, sum(tf.tf * lp.lpm) AS s
+  FROM tf JOIN lp USING (term) GROUP BY tf.doc_id
+)
+SELECT s.doc_id, d.dl,
+       CAST(round(CAST(s.s AS DOUBLE) / d.dl) AS BIGINT) AS score_micro
+FROM scored s JOIN dl d USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2190,6 +2229,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_bm25_top_terms": q49_bm25_top_terms,
     "q50_containment_pairs": q50_containment_pairs,
     "q51_repetition_stats": q51_repetition_stats,
+    "q52_unigram_lm_score": q52_unigram_lm_score,
 }
 
 ORACLES: dict[str, str] = {
@@ -2243,6 +2283,7 @@ ORACLES: dict[str, str] = {
     "q49_bm25_top_terms": ORACLE_Q49,
     "q50_containment_pairs": ORACLE_Q50,
     "q51_repetition_stats": ORACLE_Q51,
+    "q52_unigram_lm_score": ORACLE_Q52,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its
