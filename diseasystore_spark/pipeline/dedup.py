@@ -515,8 +515,9 @@ def containment_pairs(
     from diseasystore_spark.pipeline.text import doc_fingerprints
 
     # The fingerprint table feeds three consumers (sizes + both join
-    # sides); it is compact (distinct fingerprints per doc), so
-    # materialize it once.
+    # sides). Unlike the cheap tf recompute in tfidf_top_terms,
+    # re-deriving winnowing fingerprints is O(len * window) JVM work
+    # per row — measured ~2x faster WITH the checkpoint at sf0.1.
     fp = doc_fingerprints(
         df, id_col, text_col, k=k, window=window, portable=portable
     ).localCheckpoint()

@@ -217,8 +217,9 @@ def tfidf_top_terms(
     Plan: ``term_frequencies`` (one combined shuffle) -> per-term
     document frequencies (vocabulary-sized aggregate) -> equi-join on
     term -> per-document window. The tf frame feeds two consumers;
-    at production scale persist it explicitly between the df
-    aggregate and the join."""
+    deliberately NOT localCheckpointed — measured 3.6x slower with a
+    checkpoint at sf0.1 (the narrow recompute + AQE runtime exchange
+    reuse beat an explicit materialization of the tf frame)."""
     n_docs = df.count()
     tf = term_frequencies(df, id_col, text_col)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -267,6 +268,8 @@ def bm25_top_terms(
     counts sum exactly in doubles below 2^53), so two engines compute
     bit-identical scores, not merely close ones."""
     n_docs = df.count()
+    # tf feeds the df aggregate AND the scoring join; recompute beats
+    # materialization here (see tfidf_top_terms).
     tf = term_frequencies(df, id_col, text_col)
     # avgdl over documents that have at least one token (the same
     # population the tf table contains) — computed as exact integer
@@ -335,7 +338,9 @@ def unigram_logprob_score(
     Plan: ``term_frequencies`` (one combined shuffle) -> global term
     counts (vocabulary-sized, map-side combined) -> equi-join on term
     -> per-doc sum. The corpus total is a one-row aggregate collected
-    as a literal."""
+    as a literal. The tf frame feeds the count aggregate, the total,
+    and the scoring join; recompute beats materialization (see
+    tfidf_top_terms)."""
     tf = term_frequencies(df, id_col, text_col)
     counts = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
     total = counts.agg(F.sum("ct")).first()[0]
