@@ -267,20 +267,24 @@ def bm25_top_terms(
     ``avgdl`` is an exact-integer-sum divided by a count (token
     counts sum exactly in doubles below 2^53), so two engines compute
     bit-identical scores, not merely close ones."""
-    n_docs = df.count()
     # tf feeds the df aggregate AND the scoring join; recompute beats
     # materialization here (see tfidf_top_terms).
     tf = term_frequencies(df, id_col, text_col)
-    # avgdl over documents that have at least one token (the same
-    # population the tf table contains) — computed as exact integer
-    # sum / count, not a float mean.
+    # ONE driver action for both plan literals: N (all docs) and
+    # avgdl over documents with at least one token (the population
+    # the tf table contains) — an exact integer sum / count, not a
+    # float mean.
     tk = F.filter(_tokens(text_col), lambda t: t != F.lit(""))
     row = (
         df.select(F.size(tk).alias("dl"))
-        .where(F.col("dl") > 0)
-        .agg(F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("dl") > 0, F.col("dl"))).alias("s"),
+            F.count(F.when(F.col("dl") > 0, F.lit(1))).alias("c"),
+        )
         .first()
     )
+    n_docs = row["n"]
     avgdl = row["s"] / row["c"] if row["c"] else 1.0
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:

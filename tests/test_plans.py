@@ -183,6 +183,24 @@ def test_lsh_join_is_equi_not_cartesian(spark):
     assert "band" in plan and "bucket" in plan
 
 
+def test_term_ops_stay_jvm_side(spark):
+    """TF-IDF / BM25 / unigram-LM scoring must be pure JVM plans (no
+    Python/Arrow eval nodes) with partial aggregation on the term
+    counts (map-side combine before the shuffle)."""
+    from diseasystore_spark.pipeline.text import (
+        bm25_top_terms,
+        tfidf_top_terms,
+        unigram_logprob_score,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for fn in (tfidf_top_terms, bm25_top_terms, unigram_logprob_score):
+        plan = _executed(fn(docs))
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+        assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
 def test_pack_sequences_default_window_is_partitioned(spark):
     """With strata=None the packing windows must be partitioned by the
     synthetic hash stratum — the corpus never funnels through a
