@@ -484,6 +484,62 @@ def minhash_lsh_join(
     )
 
 
+def near_dup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    collect_threshold: int = 2_000_000,
+    algorithm: str = "label",
+) -> DataFrame:
+    """Production near-duplicate grouping — the composition a real
+    curation pipeline runs: exact-collapse -> near-dup pairs over the
+    distinct contents only -> connected components -> expand back to
+    every document. Output: (id, component, is_canonical) for EVERY
+    input document ("keep one per cluster" = ``WHERE is_canonical``).
+
+    Collapsing exact duplicates BEFORE pair generation removes the
+    dominant quadratic hotspot: a group of e identical documents
+    contributes e*(e-1)/2 trivial pairs plus an e-times fan-out
+    against every near neighbor, all carrying zero information. The
+    result is IDENTICAL to running components over the full corpus
+    pair list (identical documents are Jaccard-1 pairs, so they merge
+    into their representative's cluster either way; each exact
+    group's min id IS its representative, so cluster minima agree) —
+    the q53 oracle checks the equality by construction.
+
+    Pair generation is exact n-gram Jaccard over representatives
+    (``jaccard_pairs``); swap in ``minhash_lsh_pairs`` output via
+    ``dedup_components`` directly when estimated similarity suffices.
+    """
+    digests = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__h")
+    )
+    reps = digests.groupBy("__h").agg(F.min(id_col).alias("__rep"))
+    member = digests.join(reps, "__h").select(F.col(id_col), F.col("__rep"))
+    rep_docs = df.join(
+        reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    )
+    pairs = jaccard_pairs(
+        rep_docs, id_col, text_col, n=n, threshold=threshold, max_df=max_df
+    )
+    comps = dedup_components(
+        pairs,
+        collect_threshold=collect_threshold,
+        algorithm=algorithm,
+    )
+    return (
+        member.join(comps, member["__rep"] == comps["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col("__rep")).alias("component"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("component"))
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2173,6 +2173,72 @@ FROM scored s JOIN dl d USING (doc_id)
 """
 
 
+def q53_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup composition: exact-collapse -> trigram-Jaccard
+    pairs over distinct contents -> connected components -> expand to
+    every document. Covers all documents (singletons are their own
+    canonical), unlike q37's pair-participants-only surface. Oracle =
+    the same composition in SQL with a recursive-CTE closure."""
+    from diseasystore_spark.pipeline.dedup import near_dup_groups
+
+    return near_dup_groups(
+        _read(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+
+
+ORACLE_Q53 = """
+WITH RECURSIVE
+base AS (SELECT doc_id, md5(text) AS h FROM documents),
+reps AS (SELECT h, min(doc_id) AS rep FROM base GROUP BY h),
+member AS (SELECT b.doc_id, r.rep FROM base b JOIN reps r USING (h)),
+rep_docs AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN reps r ON d.doc_id = r.rep
+),
+pairs AS (
+  WITH toks AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS w FROM rep_docs
+  ),
+  pos AS (
+    SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+    FROM toks
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+    FROM pos
+  ),
+  sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+  common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+comp AS (
+  SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
+)
+SELECT m.doc_id,
+       COALESCE(c.component, m.rep) AS component,
+       COALESCE(c.component, m.rep) = m.doc_id AS is_canonical
+FROM member m LEFT JOIN comp c ON c.id = m.rep
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2230,6 +2296,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_containment_pairs": q50_containment_pairs,
     "q51_repetition_stats": q51_repetition_stats,
     "q52_unigram_lm_score": q52_unigram_lm_score,
+    "q53_near_dup_groups": q53_near_dup_groups,
 }
 
 ORACLES: dict[str, str] = {
@@ -2284,6 +2351,7 @@ ORACLES: dict[str, str] = {
     "q50_containment_pairs": ORACLE_Q50,
     "q51_repetition_stats": ORACLE_Q51,
     "q52_unigram_lm_score": ORACLE_Q52,
+    "q53_near_dup_groups": ORACLE_Q53,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -506,6 +506,39 @@ def test_minhash_lsh_join_precomputed_right_signatures(spark, docs):
     assert pre == base
 
 
+def test_near_dup_groups_equals_full_corpus_components(spark, docs):
+    """The exact-collapse-first composition must assign the same
+    component to every pair-participating document as running
+    components over the FULL corpus pair list, and must cover every
+    document (singletons canonical)."""
+    from diseasystore_spark.pipeline.dedup import (
+        dedup_components,
+        jaccard_pairs,
+        near_dup_groups,
+    )
+
+    got = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in near_dup_groups(docs, threshold=0.2).collect()
+    }
+    assert len(got) == docs.count()
+    full = {
+        r["id"]: r["component"]
+        for r in dedup_components(
+            jaccard_pairs(docs, threshold=0.2)
+        ).collect()
+    }
+    assert full, "fixture should contain near-duplicates"
+    for doc_id, comp in full.items():
+        assert got[doc_id][0] == comp, doc_id
+    # docs outside any pair are their own canonical unless they are
+    # exact duplicates of an earlier doc
+    for doc_id, (comp, canon) in got.items():
+        if doc_id not in full:
+            assert canon == (comp == doc_id)
+            assert comp <= doc_id
+
+
 def test_containment_catches_what_minhash_misses(spark):
     """A short doc pasted verbatim inside a much longer one has near-1
     containment but tiny Jaccard: containment_pairs must flag it;
