@@ -206,6 +206,73 @@ def embedding_dupes(
     )
 
 
+def embedding_dupes_bucketed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    dim: int = 64,
+    iterations: int = 0,
+    portable: bool = True,
+) -> DataFrame:
+    """Scale-path embedding near-duplicate pairs: score only pairs
+    sharing an IVF coarse cluster (SemDeDup-shaped pruning). The
+    candidate join is equi on the cluster id, so the pair space is
+    sum-of-cluster-sizes-squared instead of corpus² — the bucketed
+    alternative ``embedding_dupes``'s docstring points to.
+
+    Recall < 1 by construction: a pair straddling a cluster boundary
+    is missed (``embedding_dupes`` is the exact baseline; tests
+    measure the recall). With the default fixed quantizer
+    (``iterations=0``: centroids = first ``n_clusters`` vectors by
+    id) and ``portable=True`` assignment, the pair set is fully
+    deterministic and a SQL oracle reproduces it exactly (q54).
+    Output: (id_a, id_b, cosine) with id_a < id_b.
+    """
+    centroids = ivf_centroids(
+        df, id_col, vec_col, n_clusters, iterations, dim
+    )
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if portable:
+        assigned = (
+            base.withColumn("__d", _centroid_dists("__v", centroids))
+            .withColumn(
+                "cluster",
+                (
+                    F.expr("array_position(__d, array_min(__d))").cast("int")
+                    - 1
+                ),
+            )
+            .drop("__d")
+        )
+    else:
+        assigned = _with_cluster(base, "__v", centroids)
+    assigned = assigned.withColumn("__n", _norm("__v"))
+    a = assigned.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("va"),
+        F.col("__n").alias("na"),
+        "cluster",
+    )
+    b = assigned.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"),
+        "cluster",
+    )
+    return (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def _planes(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random +-1 hyperplanes via an explicit LCG
     (no RNG dependency; reproducible across engines)."""

@@ -2239,6 +2239,59 @@ FROM member m LEFT JOIN comp c ON c.id = m.rep
 """
 
 
+def q54_embedding_dupes_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed embedding near-dup (the scale path): pairs scored
+    only within the same coarse cluster — equi-join pruning instead of
+    the all-pairs grid. Fixed quantizer + portable assignment makes
+    the pair set deterministic; oracle reproduces it exactly."""
+    from diseasystore_spark.pipeline.similarity import (
+        embedding_dupes_bucketed,
+    )
+
+    out = embedding_dupes_bucketed(
+        _read(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+ORACLE_Q54 = """
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+corp AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ad AS (
+  SELECT vec_id, cluster,
+         list_dot_product(v, v) - 2 * list_dot_product(v, cv)
+           + list_dot_product(cv, cv) AS d2
+  FROM corp CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS rn
+    FROM ad
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(x.v, y.v)
+           / (sqrt(list_dot_product(x.v, x.v))
+              * sqrt(list_dot_product(y.v, y.v))) AS cosine
+  FROM assign a
+  JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN corp x ON x.vec_id = a.vec_id
+  JOIN corp y ON y.vec_id = b.vec_id
+)
+SELECT id_a, id_b, round(cosine, 4) AS cosine
+FROM pairs WHERE cosine >= 0.35
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2297,6 +2350,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_repetition_stats": q51_repetition_stats,
     "q52_unigram_lm_score": q52_unigram_lm_score,
     "q53_near_dup_groups": q53_near_dup_groups,
+    "q54_embedding_dupes_bucketed": q54_embedding_dupes_bucketed,
 }
 
 ORACLES: dict[str, str] = {
@@ -2352,6 +2406,7 @@ ORACLES: dict[str, str] = {
     "q51_repetition_stats": ORACLE_Q51,
     "q52_unigram_lm_score": ORACLE_Q52,
     "q53_near_dup_groups": ORACLE_Q53,
+    "q54_embedding_dupes_bucketed": ORACLE_Q54,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -696,6 +696,29 @@ def test_embedding_dupes_block_grid_matches_brute_force(spark, emb):
         assert set(pairs) == want, f"mismatch at n_blocks={blocks}"
 
 
+def test_embedding_dupes_bucketed_subset_of_exact(spark, emb):
+    """The IVF-bucketed pair set must be a subset of the exact
+    all-pairs result with identical cosines (pruning may only drop
+    cross-cluster pairs, never invent or rescore)."""
+    from diseasystore_spark.pipeline.similarity import (
+        embedding_dupes,
+        embedding_dupes_bucketed,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 4)
+        for r in embedding_dupes(emb, threshold=0.35).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 4)
+        for r in embedding_dupes_bucketed(emb, threshold=0.35).collect()
+    }
+    assert bucketed, "bucketed path should find within-cluster pairs"
+    assert set(bucketed) <= set(exact)
+    for pair, cos in bucketed.items():
+        assert abs(cos - exact[pair]) <= 1e-4, pair
+
+
 def test_ivf_portable_assignment_matches_numpy(spark, emb):
     """The JVM argmin assignment (portable/oracle path) and the numpy
     GEMM assignment must produce identical top-k output for the fixed
