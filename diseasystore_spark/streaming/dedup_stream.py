@@ -2,12 +2,14 @@
 against a static reference corpus.
 
 This is how near-dup screening actually runs at 100 TB: the corpus's
-LSH band index is built ONCE (and in production kept partitioned by
-``(band, bucket)``); each arriving batch is banded the same way and
-equi-joined against the index — per-batch cost is proportional to the
-batch, never the corpus. ``foreachBatch`` reuses the batch operator
-(``minhash_lsh_join``) verbatim, so batch and streaming screening are
-the same code path with the same semantics.
+MinHash signatures are computed ONCE (and in production the banded
+index is kept partitioned by ``(band, bucket)``); each arriving batch
+is shingled, signed, and equi-joined against the stored signature
+frame. Per-batch work is the batch-side signing plus a narrow banding
+map over the stored signatures and the banded join — the corpus text
+is never re-shingled or re-signed. ``foreachBatch`` reuses the batch
+operator (``minhash_lsh_join``) verbatim, so batch and streaming
+screening are the same code path with the same semantics.
 
 No reference analogue (the reference has no streaming; SURVEY.md
 §2.9) — training-data extension surface.
