@@ -331,12 +331,19 @@ def _centroid_dists(vec_col: str, centroids: list[list[float]]) -> Column:
             f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> "
             f"CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
         )
-        cc = (
-            f"aggregate(zip_with({arr}, {arr}, (x, y) -> x * y), 0D, "
-            f"(acc, v) -> acc + v)"
-        )
-        dists.append(F.expr(f"{vv} - 2 * ({vc}) + ({cc})"))
-    return F.array(*dists)
+        # c.c is a constant: fold it driver-side with the SAME
+        # sequential left-to-right accumulation the engines use, so
+        # the value is bit-identical to an in-engine dot product.
+        cc = 0.0
+        for v in c:
+            cc += float(v) * float(v)
+        dists.append(f"__vv - 2 * ({vc}) + {cc!r}D")
+    # Bind v.v ONCE per row via a one-element transform (lambda
+    # variable __vv) instead of re-evaluating the aggregate inside
+    # every centroid's distance — k x fewer vector passes per row.
+    return F.expr(
+        f"transform(array({vv}), __vv -> array({', '.join(dists)}))[0]"
+    )
 
 
 def _with_cluster(
