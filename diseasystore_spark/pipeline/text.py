@@ -219,14 +219,18 @@ def tfidf_top_terms(
     term -> per-document window. The tf frame feeds two consumers;
     deliberately NOT localCheckpointed — measured 3.6x slower with a
     checkpoint at sf0.1 (the narrow recompute + AQE runtime exchange
-    reuse beat an explicit materialization of the tf frame)."""
-    n_docs = df.count()
+    reuse beat an explicit materialization of the tf frame). PURE
+    plan builder: the corpus size N enters as a broadcast one-row
+    aggregate, not a driver action — no job runs until the caller
+    acts."""
+    n_row = df.agg(F.count(F.lit(1)).alias("__n"))
     tf = term_frequencies(df, id_col, text_col)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
         dfreq = dfreq.where(F.col("df") >= min_df)
+    dfreq = dfreq.crossJoin(F.broadcast(n_row))
     idf_micro = F.round(
-        F.log(F.lit(n_docs) / F.col("df")) * F.lit(1e6)
+        F.log(F.col("__n") / F.col("df")) * F.lit(1e6)
     ).cast("bigint")
     scored = tf.join(dfreq, "term").select(
         F.col(id_col),
@@ -266,33 +270,30 @@ def bm25_top_terms(
     remaining operation is IEEE-754 +,-,*,/ on identical operands —
     ``avgdl`` is an exact-integer-sum divided by a count (token
     counts sum exactly in doubles below 2^53), so two engines compute
-    bit-identical scores, not merely close ones."""
+    bit-identical scores, not merely close ones.
+
+    PURE plan builder: N and avgdl enter as one broadcast one-row
+    aggregate over the corpus — no driver actions at build time."""
     # tf feeds the df aggregate AND the scoring join; recompute beats
     # materialization here (see tfidf_top_terms).
     tf = term_frequencies(df, id_col, text_col)
-    # ONE driver action for both plan literals: N (all docs) and
-    # avgdl over documents with at least one token (the population
-    # the tf table contains) — an exact integer sum / count, not a
-    # float mean.
     tk = F.filter(_tokens(text_col), lambda t: t != F.lit(""))
-    row = (
-        df.select(F.size(tk).alias("dl"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("dl") > 0, F.col("dl"))).alias("s"),
-            F.count(F.when(F.col("dl") > 0, F.lit(1))).alias("c"),
-        )
-        .first()
+    stats = df.select(F.size(tk).alias("dl")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(F.col("dl") > 0, F.col("dl"))).alias("__s"),
+        F.count(F.when(F.col("dl") > 0, F.lit(1))).alias("__c"),
     )
-    n_docs = row["n"]
-    avgdl = row["s"] / row["c"] if row["c"] else 1.0
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
         dfreq = dfreq.where(F.col("df") >= min_df)
+    dfreq = dfreq.crossJoin(F.broadcast(stats))
+    avgdl = F.when(
+        F.col("__c") > 0, F.col("__s").cast("double") / F.col("__c")
+    ).otherwise(F.lit(1.0))
     idf_micro = F.round(
         F.log(
             F.lit(1.0)
-            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            + (F.col("__n") - F.col("df") + F.lit(0.5))
             / (F.col("df") + F.lit(0.5))
         )
         * F.lit(1e6)
@@ -300,7 +301,7 @@ def bm25_top_terms(
     tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
         F.col("tf")
         + F.lit(k1)
-        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
     )
     scored = tf.join(dfreq, "term").select(
         F.col(id_col),
@@ -341,15 +342,18 @@ def unigram_logprob_score(
 
     Plan: ``term_frequencies`` (one combined shuffle) -> global term
     counts (vocabulary-sized, map-side combined) -> equi-join on term
-    -> per-doc sum. The corpus total is a one-row aggregate collected
-    as a literal. The tf frame feeds the count aggregate, the total,
-    and the scoring join; recompute beats materialization (see
-    tfidf_top_terms)."""
+    -> per-doc sum. PURE plan builder: the corpus token total enters
+    as a broadcast one-row aggregate over the counts frame — no
+    driver actions at build time. The tf frame feeds the count
+    aggregate and the scoring join; recompute beats materialization
+    (see tfidf_top_terms)."""
     tf = term_frequencies(df, id_col, text_col)
     counts = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
-    total = counts.agg(F.sum("ct")).first()[0]
+    total_row = counts.agg(F.sum("ct").alias("__total"))
+    counts = counts.crossJoin(F.broadcast(total_row))
     lp_micro = F.round(
-        F.log(F.col("ct") / F.lit(float(total))) * F.lit(1e6)
+        F.log(F.col("ct").cast("double") / F.col("__total").cast("double"))
+        * F.lit(1e6)
     ).cast("bigint")
     scored = tf.join(counts, "term").select(
         F.col(id_col),
