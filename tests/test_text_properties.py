@@ -105,3 +105,59 @@ def test_pack_sequences_matches_python_oracle(spark, sizes, budget):
         for r in pack_sequences(df, "n", budget, "doc_id").collect()
     }
     assert got == py_pack(rows, budget)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_docs=st.integers(min_value=6, max_value=20),
+)
+def test_near_dup_groups_property(spark, seed, n_docs):
+    """For random corpora with planted exact duplicates and light
+    mutations, the collapse-first composition must agree with
+    components over the full corpus pair list on every
+    pair-participating doc, cover every doc exactly once, and have
+    component = min id of its cluster."""
+    import random
+
+    from diseasystore_spark.pipeline.dedup import (
+        dedup_components,
+        jaccard_pairs,
+        near_dup_groups,
+    )
+
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 15)))
+        for _ in range(n_docs)
+    ]
+    # plant exact duplicates and one-token mutations
+    for _ in range(n_docs // 3):
+        i, j = rng.randrange(n_docs), rng.randrange(n_docs)
+        texts[i] = texts[j]
+    for _ in range(n_docs // 4):
+        i, j = rng.randrange(n_docs), rng.randrange(n_docs)
+        toks = texts[j].split()
+        toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        texts[i] = " ".join(toks)
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    got = {
+        r["doc_id"]: r["component"]
+        for r in near_dup_groups(df, threshold=0.3).collect()
+    }
+    assert sorted(got) == list(range(n_docs))
+    full = {
+        r["id"]: r["component"]
+        for r in dedup_components(jaccard_pairs(df, threshold=0.3)).collect()
+    }
+    for doc_id, comp in full.items():
+        assert got[doc_id] == comp, (seed, doc_id)
+    # component is always the min id of its member set
+    members: dict[int, list[int]] = {}
+    for doc_id, comp in got.items():
+        members.setdefault(comp, []).append(doc_id)
+    for comp, ms in members.items():
+        assert comp == min(ms)
