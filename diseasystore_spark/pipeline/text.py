@@ -480,6 +480,87 @@ def chunk_documents(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-global line-level deduplication (the C4 filter shape —
+    Raffel et al. 2020, public: occurrences of a repeated span are
+    removed from every document but one). For each distinct line the
+    globally-FIRST occurrence (ordered by ``(id, position)``) is kept;
+    every other occurrence is dropped, and documents are reassembled
+    from their surviving lines in order.
+
+    Lines shorter than ``min_chars`` are exempt (always kept): real
+    corpora are full of blank lines and one-character separators that
+    should not collapse to a single global survivor. ``line_sep`` must
+    be a literal separator string (it is used both as the split
+    pattern and the reassembly joiner).
+
+    Output: (id, text_clean, n_lines, n_lines_kept) for EVERY input
+    document — a document whose every line lost the dedup race
+    survives with ``text_clean = ''`` so the caller decides the
+    drop policy.
+
+    Scale shape: the first-occurrence table is ONE map-side-combinable
+    ``min(struct(id, pos))`` groupBy keyed on the line's md5 digest —
+    the shuffle carries 16-byte digests, not line text, and a
+    boilerplate line repeated a billion times combines to one row per
+    map task before the exchange (no skewed reducer). The digest
+    equi-join back is AQE-skew-splittable; reassembly is one groupBy
+    on the document id with order restored via ``array_sort`` of
+    (pos, line) structs (``collect_list`` alone has no post-shuffle
+    ordering guarantee)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias(
+            "__pos", "__line"
+        ),
+    )
+    keyed = lines.withColumn(
+        "__d",
+        F.when(F.length("__line") >= min_chars, F.md5("__line")),
+    )
+    first = (
+        keyed.where(F.col("__d").isNotNull())
+        .groupBy("__d")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("i"), F.col("__pos").alias("p")
+                )
+            ).alias("__first")
+        )
+    )
+    kept = F.col("__d").isNull() | (
+        (F.col(id_col) == F.col("__first.i"))
+        & (F.col("__pos") == F.col("__first.p"))
+    )
+    return (
+        keyed.join(first, "__d", "left")
+        .withColumn("__kept", kept)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("__kept").cast("int")).cast("bigint").alias(
+                "n_lines_kept"
+            ),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "CASE WHEN __kept THEN struct(__pos, __line) END)), "
+                    "s -> s.__line)"
+                ),
+                line_sep,
+            ).alias("text_clean"),
+        )
+        .select(id_col, "text_clean", "n_lines", "n_lines_kept")
+    )
+
+
 def doc_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2292,6 +2292,52 @@ FROM pairs WHERE cosine >= 0.35
 """
 
 
+def q55_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global line-level dedup (C4 shape): every repeated line
+    keeps only its globally-first occurrence. The corpus is single-line
+    word soup, so the query first deterministically breaks each
+    document into 3-token lines (a pure regex both engines apply
+    identically) to create genuine cross-document line collisions."""
+    from diseasystore_spark.pipeline.text import dedup_lines
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.trim(F.col("text")), r"(\S+ \S+ \S+) ", "$1\n"
+        ).alias("text"),
+    )
+    return dedup_lines(docs)
+
+
+ORACLE_Q55 = """
+WITH docs AS (
+  SELECT doc_id,
+         regexp_replace(trim(text), '(\\S+ \\S+ \\S+) ',
+                        '\\1' || chr(10), 'g') AS t
+  FROM documents
+),
+split AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM docs),
+pos AS (
+  SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM split
+),
+lrows AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ls[i] AS line FROM pos
+),
+ranked AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lrows
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                  FILTER (WHERE rn = 1), '') AS text_clean,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_lines_kept
+FROM ranked
+GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2351,6 +2397,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_unigram_lm_score": q52_unigram_lm_score,
     "q53_near_dup_groups": q53_near_dup_groups,
     "q54_embedding_dupes_bucketed": q54_embedding_dupes_bucketed,
+    "q55_dedup_lines": q55_dedup_lines,
 }
 
 ORACLES: dict[str, str] = {
@@ -2407,6 +2454,7 @@ ORACLES: dict[str, str] = {
     "q52_unigram_lm_score": ORACLE_Q52,
     "q53_near_dup_groups": ORACLE_Q53,
     "q54_embedding_dupes_bucketed": ORACLE_Q54,
+    "q55_dedup_lines": ORACLE_Q55,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -787,3 +787,43 @@ def test_minhash_max_bucket_caps_degenerate_corpus(spark):
     }
     assert (100, 101) in capped  # small buckets unaffected
     assert all(a >= 100 for a, _ in capped)  # clique suppressed
+
+
+def test_dedup_lines_keep_first_and_exemption(spark):
+    """Global keep-first semantics: a line repeated across documents
+    survives only at its (id, pos)-minimal occurrence; lines below
+    min_chars are exempt; a fully-deduplicated document survives with
+    empty text_clean."""
+    from diseasystore_spark.pipeline.text import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\nshared line\nx"),
+            (2, "shared line\ngamma delta\nx"),
+            (3, "shared line"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df, min_chars=2).collect()}
+    assert out[1]["text_clean"] == "alpha beta\nshared line\nx"
+    assert out[1]["n_lines"] == 3 and out[1]["n_lines_kept"] == 3
+    # doc 2 loses its copy of the shared line; the exempt "x" stays
+    assert out[2]["text_clean"] == "gamma delta\nx"
+    assert out[2]["n_lines"] == 3 and out[2]["n_lines_kept"] == 2
+    # doc 3 is nothing but the shared line: survives, empty
+    assert out[3]["text_clean"] == ""
+    assert out[3]["n_lines"] == 1 and out[3]["n_lines_kept"] == 0
+
+
+def test_dedup_lines_intra_document_repeats(spark):
+    """Repeats inside one document dedup to the earliest position and
+    reassembly preserves original line order."""
+    from diseasystore_spark.pipeline.text import dedup_lines
+
+    df = spark.createDataFrame(
+        [(7, "b line\na line\nb line\nc line\na line")],
+        "doc_id bigint, text string",
+    )
+    row = dedup_lines(df).first()
+    assert row["text_clean"] == "b line\na line\nc line"
+    assert row["n_lines"] == 5 and row["n_lines_kept"] == 3
