@@ -2338,6 +2338,82 @@ GROUP BY doc_id
 """
 
 
+def q56_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: counts + sequential redaction of email / IPv4 /
+    phone / SSN-shaped spans. The corpus has no PII, so the query first
+    appends deterministic synthetic PII derived from doc_id (identical
+    arithmetic in both engines), then runs the real operator."""
+    from diseasystore_spark.pipeline.pii import redact_pii
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" call 555-123-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" id 987-65-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(docs)
+
+
+ORACLE_Q56 = """
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' call 555-123-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                      THEN ' id 987-65-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END AS t
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, t,
+         CAST(len(regexp_extract_all(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_email,
+         CAST(len(regexp_extract_all(t,
+           '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+         CAST(len(regexp_extract_all(t,
+           '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone,
+         CAST(len(regexp_extract_all(t,
+           '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn
+  FROM pii
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+         '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+         '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS text_redacted,
+       n_email, n_ipv4, n_phone, n_ssn,
+       n_email + n_ipv4 + n_phone + n_ssn AS n_pii_total
+FROM counted
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2398,6 +2474,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_near_dup_groups": q53_near_dup_groups,
     "q54_embedding_dupes_bucketed": q54_embedding_dupes_bucketed,
     "q55_dedup_lines": q55_dedup_lines,
+    "q56_redact_pii": q56_redact_pii,
 }
 
 ORACLES: dict[str, str] = {
@@ -2455,6 +2532,7 @@ ORACLES: dict[str, str] = {
     "q53_near_dup_groups": ORACLE_Q53,
     "q54_embedding_dupes_bucketed": ORACLE_Q54,
     "q55_dedup_lines": ORACLE_Q55,
+    "q56_redact_pii": ORACLE_Q56,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -827,3 +827,39 @@ def test_dedup_lines_intra_document_repeats(spark):
     row = dedup_lines(df).first()
     assert row["text_clean"] == "b line\na line\nc line"
     assert row["n_lines"] == 5 and row["n_lines_kept"] == 3
+
+
+def test_redact_pii_counts_and_tokens(spark):
+    from diseasystore_spark.pipeline.pii import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e-f.org, ip 192.168.0.1 twice 10.0.0.255"),
+            (2, "call 555-123-4567 or 555.987.6543; ssn 123-45-6789"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_ipv4"] == 2
+    assert out[1]["n_pii_total"] == 4
+    assert "<EMAIL>" in out[1]["text_redacted"]
+    assert "192.168.0.1" not in out[1]["text_redacted"]
+    assert out[2]["n_phone"] == 2 and out[2]["n_ssn"] == 1
+    assert out[2]["text_redacted"] == "call <PHONE> or <PHONE>; ssn <SSN>"
+    assert out[3]["n_pii_total"] == 0
+    assert out[3]["text_redacted"] == out[3]["text_redacted"]
+
+
+def test_redact_pii_custom_patterns(spark):
+    from diseasystore_spark.pipeline.pii import redact_pii
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "key AKIA1234 ok")], "doc_id bigint, text string")
+    out = redact_pii(
+        df, patterns={"aws_key": (r"\bAKIA[0-9A-Z]+\b", "<KEY>")}
+    ).first()
+    assert out["n_aws_key"] == 1 and out["text_redacted"] == "key <KEY> ok"
+    assert out["n_pii_total"] == 1
+    with _pytest.raises(ValueError):
+        redact_pii(df, patterns={})
