@@ -480,6 +480,74 @@ def chunk_documents(
     )
 
 
+def build_vocab(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus vocabulary with a frequency floor — the tokenizer-prep
+    artifact (terms worth a vocabulary slot). Output: (term, ct) with
+    ``ct >= min_count``.
+
+    Plan: ``term_frequencies`` (one map-side-combined shuffle keyed
+    (id, term)) -> vocabulary-sized term aggregate (combinable again).
+    The shuffle carries per-task vocabularies, not token streams."""
+    tf = term_frequencies(df, id_col, text_col)
+    return (
+        tf.groupBy("term")
+        .agg(F.sum("tf").cast("bigint").alias("ct"))
+        .where(F.col("ct") >= min_count)
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a corpus-trained
+    (or caller-supplied) vocabulary — the standard pre-tokenizer
+    health check: documents with high OOV rates are mojibake, code
+    dumps, or the wrong language, and get cut or routed.
+
+    Output: (id, n_tokens, n_oov, oov_ratio). ``vocab`` (a (term, ...)
+    DataFrame, e.g. a real tokenizer's vocabulary) overrides the
+    corpus-trained ``build_vocab(min_count=...)`` default.
+
+    Plan: term frequencies -> LEFT equi-join against the vocabulary
+    (OOV = no match; the vocab side is vocabulary-sized, so AQE
+    broadcasts it for any realistic vocab) -> one per-document
+    aggregate. No token-stream shuffle: the join and agg run on the
+    (id, term, tf) frame, already combined per document."""
+    tf = term_frequencies(df, id_col, text_col)
+    v = (
+        vocab.select("term")
+        if vocab is not None
+        else build_vocab(df, id_col, text_col, min_count).select("term")
+    )
+    flagged = tf.join(
+        v.withColumn("__in", F.lit(True)), "term", "left"
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in").isNull(), F.col("tf")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_ratio",
+            F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 4),
+        )
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2414,6 +2414,38 @@ FROM counted
 """
 
 
+def q57_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against a corpus-trained vocabulary with
+    a frequency floor (min_count=30 splits the corpus's rare marker
+    token from the core vocabulary at every test scale)."""
+    from diseasystore_spark.pipeline.text import vocab_coverage
+
+    return vocab_coverage(_read(spark, sf_dir, "documents"), min_count=30)
+
+
+ORACLE_Q57 = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT term FROM tf GROUP BY term HAVING sum(tf) >= 30),
+flagged AS (
+  SELECT tf.doc_id, tf.tf, v.term IS NOT NULL AS inv
+  FROM tf LEFT JOIN vocab v ON tf.term = v.term
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sum(tf) FILTER (WHERE NOT inv), 0) AS BIGINT) AS n_oov,
+       round(CAST(coalesce(sum(tf) FILTER (WHERE NOT inv), 0) AS DOUBLE)
+             / sum(tf), 4) AS oov_ratio
+FROM flagged
+GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2475,6 +2507,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_embedding_dupes_bucketed": q54_embedding_dupes_bucketed,
     "q55_dedup_lines": q55_dedup_lines,
     "q56_redact_pii": q56_redact_pii,
+    "q57_vocab_coverage": q57_vocab_coverage,
 }
 
 ORACLES: dict[str, str] = {
@@ -2533,6 +2566,7 @@ ORACLES: dict[str, str] = {
     "q54_embedding_dupes_bucketed": ORACLE_Q54,
     "q55_dedup_lines": ORACLE_Q55,
     "q56_redact_pii": ORACLE_Q56,
+    "q57_vocab_coverage": ORACLE_Q57,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

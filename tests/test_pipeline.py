@@ -863,3 +863,28 @@ def test_redact_pii_custom_patterns(spark):
     assert out["n_pii_total"] == 1
     with _pytest.raises(ValueError):
         redact_pii(df, patterns={})
+
+
+def test_vocab_coverage_corpus_trained_and_external(spark):
+    from diseasystore_spark.pipeline.text import build_vocab, vocab_coverage
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark rare"),
+            (2, "spark data data"),
+            (3, "data weird"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # corpus-trained: spark(4) and data(3) clear min_count=2; rare/weird OOV
+    vocab = {r["term"]: r["ct"] for r in build_vocab(df, min_count=2).collect()}
+    assert vocab == {"spark": 4, "data": 3}
+    out = {r["doc_id"]: r for r in vocab_coverage(df, min_count=2).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_oov"] == 1
+    assert out[1]["oov_ratio"] == 0.25
+    assert out[2]["n_oov"] == 0 and out[2]["oov_ratio"] == 0.0
+    assert out[3]["n_oov"] == 1 and out[3]["oov_ratio"] == 0.5
+    # external vocabulary overrides corpus training
+    ext = spark.createDataFrame([("rare",), ("weird",)], "term string")
+    out2 = {r["doc_id"]: r for r in vocab_coverage(df, vocab=ext).collect()}
+    assert out2[1]["n_oov"] == 3 and out2[3]["n_oov"] == 1
