@@ -2446,6 +2446,63 @@ GROUP BY doc_id
 """
 
 
+def q58_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores: hashed-bigram bag-of-buckets
+    log-likelihood ratio of each document against the English subset
+    as the target distribution (portable md5 buckets, integer-micro
+    log-ratios — bigint-exact cross-engine)."""
+    from diseasystore_spark.pipeline.importance import importance_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    return importance_weights(
+        docs,
+        docs.where(F.col("lang") == "en"),
+        n=2,
+        num_buckets=1024,
+        portable=True,
+    )
+
+
+ORACLE_Q58 = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, w,
+         unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+  FROM toks
+),
+feat AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 15))::BIGINT
+           % 1024 AS bucket
+  FROM grams
+),
+rawf AS (SELECT doc_id, bucket, count(*) AS ct FROM feat GROUP BY 1, 2),
+qm AS (SELECT bucket, sum(ct) AS qct FROM rawf GROUP BY 1),
+pm AS (SELECT bucket, count(*) AS pct FROM feat WHERE lang = 'en' GROUP BY 1),
+qt AS (SELECT sum(qct) AS q FROM qm),
+pt AS (SELECT sum(pct) AS t FROM pm),
+model AS (
+  SELECT qm.bucket,
+         CAST(round(ln(
+           (CAST(coalesce(pm.pct, 0) + 1 AS DOUBLE) / (pt.t + 1024.0))
+           / (CAST(qm.qct + 1 AS DOUBLE) / (qt.q + 1024.0))
+         ) * 1000000) AS BIGINT) AS lpm
+  FROM qm LEFT JOIN pm ON qm.bucket = pm.bucket
+  CROSS JOIN qt CROSS JOIN pt
+)
+SELECT r.doc_id,
+       CAST(sum(r.ct) AS BIGINT) AS n_features,
+       CAST(sum(r.ct * m.lpm) AS BIGINT) AS score_micro
+FROM rawf r JOIN model m ON r.bucket = m.bucket
+GROUP BY r.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2508,6 +2565,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_dedup_lines": q55_dedup_lines,
     "q56_redact_pii": q56_redact_pii,
     "q57_vocab_coverage": q57_vocab_coverage,
+    "q58_importance_weights": q58_importance_weights,
 }
 
 ORACLES: dict[str, str] = {
@@ -2567,6 +2625,7 @@ ORACLES: dict[str, str] = {
     "q55_dedup_lines": ORACLE_Q55,
     "q56_redact_pii": ORACLE_Q56,
     "q57_vocab_coverage": ORACLE_Q57,
+    "q58_importance_weights": ORACLE_Q58,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -888,3 +888,69 @@ def test_vocab_coverage_corpus_trained_and_external(spark):
     ext = spark.createDataFrame([("rare",), ("weird",)], "term string")
     out2 = {r["doc_id"]: r for r in vocab_coverage(df, vocab=ext).collect()}
     assert out2[1]["n_oov"] == 3 and out2[3]["n_oov"] == 1
+
+
+def test_importance_weights_match_python_oracle(spark):
+    """Exact replication of the DSIR score in pure Python (portable
+    md5 buckets), plus the semantic sanity check: documents from the
+    target distribution outscore off-target ones."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from diseasystore_spark.pipeline.importance import importance_weights
+
+    raw = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox naps under the warm sun"),
+        (3, "einsum matmul tensor kernel fused autograd graph pass"),
+        (4, "tensor kernel shapes broadcast stride layout pad crop"),
+    ]
+    target = [(10, "the quick brown fox runs past the sleepy dog")]
+    B = 64
+
+    def buckets(text):
+        w = text.split()
+        out = []
+        for i in range(len(w) - 1):
+            g = f"{w[i]} {w[i + 1]}"
+            out.append(int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B)
+        return out
+
+    qc, pc = Counter(), Counter()
+    per_doc = {}
+    for d, t in raw:
+        bs = buckets(t)
+        per_doc[d] = Counter(bs)
+        qc.update(bs)
+    for _, t in target:
+        pc.update(buckets(t))
+    Q, T = sum(qc.values()), sum(pc.values())
+    lpm = {
+        b: round(
+            math.log(((pc[b] + 1) / (T + B)) / ((qc[b] + 1) / (Q + B))) * 1e6
+        )
+        for b in qc
+    }
+    expected = {
+        d: sum(ct * lpm[b] for b, ct in cs.items())
+        for d, cs in per_doc.items()
+    }
+
+    df = spark.createDataFrame(raw, "doc_id bigint, text string")
+    tgt = spark.createDataFrame(target, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in importance_weights(
+            df, tgt, num_buckets=B, portable=True
+        ).collect()
+    }
+    for d, _ in raw:
+        assert out[d]["score_micro"] == expected[d], d
+        assert out[d]["n_features"] == sum(per_doc[d].values())
+    # English-like docs (sharing target bigrams) beat the tensor docs
+    # per feature (DSIR sums are unnormalized, so compare densities)
+    def per_feat(d):
+        return out[d]["score_micro"] / out[d]["n_features"]
+
+    assert min(per_feat(1), per_feat(2)) > max(per_feat(3), per_feat(4))
