@@ -493,6 +493,11 @@ def near_dup_groups(
     max_df: int | None = None,
     collect_threshold: int = 2_000_000,
     algorithm: str = "label",
+    pair_method: str = "jaccard",
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Production near-duplicate grouping — the composition a real
     curation pipeline runs: exact-collapse -> near-dup pairs over the
@@ -510,10 +515,19 @@ def near_dup_groups(
     group's min id IS its representative, so cluster minima agree) —
     the q53 oracle checks the equality by construction.
 
-    Pair generation is exact n-gram Jaccard over representatives
-    (``jaccard_pairs``); swap in ``minhash_lsh_pairs`` output via
-    ``dedup_components`` directly when estimated similarity suffices.
+    Pair generation (``pair_method``): ``"jaccard"`` (default) is
+    exact n-gram Jaccard over representatives; ``"minhash"`` is banded
+    MinHash LSH (``minhash_lsh_pairs`` with ``num_hashes``/``bands``/
+    ``max_bucket``/``portable`` passed through, ``threshold`` applied
+    to the signature-estimated Jaccard) — the scale path when the
+    shingle-intersection join is too wide. The exact-collapse
+    equivalence argument holds for both: identical documents have
+    identical signatures, hence estimated Jaccard 1.
     """
+    if pair_method not in ("jaccard", "minhash"):
+        raise ValueError(
+            f"pair_method must be 'jaccard' or 'minhash', got {pair_method!r}"
+        )
     digests = df.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("__h")
     )
@@ -522,9 +536,22 @@ def near_dup_groups(
     rep_docs = df.join(
         reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
     )
-    pairs = jaccard_pairs(
-        rep_docs, id_col, text_col, n=n, threshold=threshold, max_df=max_df
-    )
+    if pair_method == "minhash":
+        pairs = minhash_lsh_pairs(
+            rep_docs,
+            id_col,
+            text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            n=n,
+            min_est_jaccard=threshold,
+            portable=portable,
+            max_bucket=max_bucket,
+        )
+    else:
+        pairs = jaccard_pairs(
+            rep_docs, id_col, text_col, n=n, threshold=threshold, max_df=max_df
+        )
     comps = dedup_components(
         pairs,
         collect_threshold=collect_threshold,
@@ -839,14 +866,24 @@ def dedup_components(
         shaped graphs (e.g. containment chains from fingerprinting)
         where label propagation would need diameter rounds.
 
+    ``algorithm="auto"`` picks the physical strategy by the regime
+    actually reached: union-find when the edge list fits the driver
+    gate, star contraction otherwise — once the edge list is too big
+    to collect, the graph's shape is unknown, and star's O(log^2 n)
+    round bound is the guarantee label propagation can't give (label
+    stays the *explicit* default for callers who know their pairs are
+    near-clique dedup clusters).
+
     Returns (id, component) for every node appearing in ``pairs``.
     Raises if the distributed path has not converged within
     ``max_iterations`` (under ``"label"``, a diameter that large
     usually means the input is not a dedup pair list — retry with
     ``algorithm="star"``).
     """
-    if algorithm not in ("label", "star"):
-        raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
+    if algorithm not in ("label", "star", "auto"):
+        raise ValueError(
+            f"algorithm must be 'label', 'star', or 'auto', got {algorithm!r}"
+        )
     raw_plan = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     probe = None
     if collect_threshold > 0:
@@ -885,7 +922,7 @@ def dedup_components(
         )
 
     raw = raw_plan.localCheckpoint()
-    if algorithm == "star":
+    if algorithm in ("star", "auto"):
         return _components_star(raw, max_iterations)
     edges = (
         raw.unionByName(

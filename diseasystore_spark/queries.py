@@ -2503,6 +2503,100 @@ GROUP BY r.doc_id
 """
 
 
+def q59_near_dup_groups_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path production dedup composition: exact-collapse ->
+    banded MinHash LSH pairs (portable hash family, est Jaccard >=
+    0.25) over distinct contents -> connected components (auto
+    strategy) -> expand to every document. Oracle reproduces the
+    identical signature/band/pair pipeline in SQL plus a
+    recursive-CTE closure."""
+    from diseasystore_spark.pipeline.dedup import near_dup_groups
+
+    return near_dup_groups(
+        _read(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.25,
+        pair_method="minhash",
+        portable=True,
+        algorithm="auto",
+    )
+
+
+ORACLE_Q59 = """
+WITH RECURSIVE
+base AS (SELECT doc_id, md5(text) AS h FROM documents),
+reps AS (SELECT h, min(doc_id) AS rep FROM base GROUP BY h),
+member AS (SELECT b.doc_id, r.rep FROM base b JOIN reps r USING (h)),
+rep_docs AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN reps r ON d.doc_id = r.rep
+),
+toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM rep_docs
+),
+pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+  FROM pos
+),
+ab AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS a,
+         ('0x' || substr(md5(shingle), 9, 8))::BIGINT % 2147483647 AS b
+  FROM sh
+),
+seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+sigrow AS (
+  SELECT doc_id, seed, min((a + seed * b) % 2147483647) AS hh
+  FROM ab, seeds GROUP BY doc_id, seed
+),
+sigs AS (
+  SELECT doc_id, list(hh ORDER BY seed) AS sig FROM sigrow GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band,
+         md5(sig[band * 4 + 1]::VARCHAR || '|' || sig[band * 4 + 2]::VARCHAR
+             || '|' || sig[band * 4 + 3]::VARCHAR || '|'
+             || sig[band * 4 + 4]::VARCHAR) AS bucket
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = id_a
+  JOIN sigs sb ON sb.doc_id = id_b
+  WHERE len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i]))
+          / 16.0 >= 0.25
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+comp AS (
+  SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
+)
+SELECT m.doc_id,
+       COALESCE(c.component, m.rep) AS component,
+       COALESCE(c.component, m.rep) = m.doc_id AS is_canonical
+FROM member m LEFT JOIN comp c ON c.id = m.rep
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2566,6 +2660,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_redact_pii": q56_redact_pii,
     "q57_vocab_coverage": q57_vocab_coverage,
     "q58_importance_weights": q58_importance_weights,
+    "q59_near_dup_groups_minhash": q59_near_dup_groups_minhash,
 }
 
 ORACLES: dict[str, str] = {
@@ -2626,6 +2721,7 @@ ORACLES: dict[str, str] = {
     "q56_redact_pii": ORACLE_Q56,
     "q57_vocab_coverage": ORACLE_Q57,
     "q58_importance_weights": ORACLE_Q58,
+    "q59_near_dup_groups_minhash": ORACLE_Q59,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

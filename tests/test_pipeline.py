@@ -954,3 +954,55 @@ def test_importance_weights_match_python_oracle(spark):
         return out[d]["score_micro"] / out[d]["n_features"]
 
     assert min(per_feat(1), per_feat(2)) > max(per_feat(3), per_feat(4))
+
+
+def test_near_dup_groups_minhash_path(spark, docs):
+    """The LSH pair method must agree with the full-corpus LSH
+    component closure (same equivalence the jaccard path's q53 oracle
+    checks), and auto/star/label must agree with each other."""
+    from diseasystore_spark.pipeline.dedup import (
+        dedup_components,
+        minhash_lsh_pairs,
+        near_dup_groups,
+    )
+    import pytest as _pytest
+
+    corpus = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    out = {
+        r["doc_id"]: r["component"]
+        for r in near_dup_groups(
+            corpus, threshold=0.25, pair_method="minhash", algorithm="auto"
+        ).collect()
+    }
+    assert len(out) == corpus.count()
+    # every duplicated doc lands in its original's component
+    for d in range(docs.count()):
+        assert out[d] == out[d + 100000] == min(out[d], d)
+    # cross-check against components over the full (uncollapsed) corpus
+    pairs = minhash_lsh_pairs(corpus, min_est_jaccard=0.25)
+    full = {
+        r["id"]: r["component"] for r in dedup_components(pairs).collect()
+    }
+    for i, comp in full.items():
+        assert out[i] == comp
+    with _pytest.raises(ValueError):
+        near_dup_groups(corpus, pair_method="nope")
+
+
+def test_dedup_components_auto_matches_label(spark):
+    from diseasystore_spark.pipeline.dedup import dedup_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    label = {
+        r["id"]: r["component"]
+        for r in dedup_components(df, collect_threshold=0).collect()
+    }
+    auto = {
+        r["id"]: r["component"]
+        for r in dedup_components(
+            df, collect_threshold=0, algorithm="auto"
+        ).collect()
+    }
+    assert auto == label
+    assert auto[3] == 1 and auto[23] == 20 and auto[11] == 10
