@@ -638,6 +638,66 @@ def containment_pairs(
     )
 
 
+def ngram_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    portable: bool = False,
+) -> DataFrame:
+    """Exact n-gram benchmark decontamination (the GPT-3 appendix-C /
+    PaLM eval-leakage check, public): flag every training document
+    sharing at least one word n-gram with the benchmark set, with the
+    count of distinct shared n-grams as evidence strength.
+
+    Output: (id, n_shared_ngrams, contaminated) for EVERY document of
+    ``df`` — zero/false rows included, so the clean-keep filter is
+    ``WHERE NOT contaminated``. Complements ``minhash_lsh_join``
+    (similarity-level contamination): this is membership-exact — a
+    single verbatim benchmark sentence inside a long document flags
+    it even though whole-document similarity is near zero.
+
+    Scale shape: both sides dedup n-grams per row map-side
+    (``array_distinct`` before the explode) and reduce to distinct
+    HASHES — the join carries 64-bit keys (or md5 hex under
+    ``portable=True``, reproducible in any SQL engine for the q61
+    oracle), never n-gram text. The benchmark side is aggregated to a
+    distinct-hash set (benchmarks are tiny relative to training
+    corpora) and broadcast; flagging is one broadcast equi-join + one
+    per-doc count. Collision semantics: a false flag needs an
+    xxhash64/md5 collision (~2^-64 per pair) — acceptable for a
+    filter whose output is a conservative drop-list."""
+    key_sql = "md5(g)" if portable else "xxhash64(g)"
+    grams = f"transform(filter(array_distinct({_ngram_sql(text_col, n)}), g -> g != ''), g -> {key_sql})"
+
+    def _keys(frame: DataFrame) -> DataFrame:
+        return spread(frame).select(
+            F.col(id_col), F.explode(F.expr(grams)).alias("__k")
+        )
+
+    bench_keys = _keys(benchmark).select("__k").distinct()
+    hits = (
+        _keys(df)
+        .join(F.broadcast(bench_keys), "__k")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_shared_ngrams"), F.lit(0)).cast(
+                "bigint"
+            ).alias("n_shared_ngrams"),
+            (F.coalesce(F.col("n_shared_ngrams"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 _SIMHASH_LANE = 21
 _SIMHASH_LANE_MASK = (1 << _SIMHASH_LANE) - 1
 _SIMHASH_LANES_PER_LONG = 3

@@ -258,3 +258,58 @@ def pack_sequences(
             .drop(st_col, "__ofs")
         )
     return out
+
+
+def mixture_weights(
+    df: DataFrame,
+    target: dict[str, float],
+    strata_col: str = "source",
+) -> DataFrame:
+    """Domain-mixture reweighting: per-stratum sampling weights that
+    reshape the corpus's source mixture into ``target`` (the standard
+    pretraining-mixture step — e.g. DoReMi/Pile-style fixed domain
+    proportions, public technique). A stratum absent from ``target``
+    gets weight 0 (dropped from the mixture).
+
+    Output: (stratum, n_docs, actual_ppm, weight_micro) where
+    ``actual_ppm = round(n/total * 1e6)`` and ``weight_micro =
+    round(target_frac * total / n * 1e6)`` — resampling each stratum
+    by ``weight_micro/1e6`` (e.g. via ``hash_sample`` at that rate,
+    or repetition for weights > 1) yields the target mixture.
+    Integer-micro outputs keep the result bigint-exact across engines
+    (the q62 oracle): one double division + multiply per stratum, on
+    identical integer operands.
+
+    Scale shape: ONE map-side-combinable count per stratum (strata
+    counts are the smallest aggregate in the warehouse) + a broadcast
+    one-row total. Pure plan builder — no driver action."""
+    if not target:
+        raise ValueError("target must contain at least one stratum")
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = counts.agg(F.sum("n_docs").alias("__total"))
+    pairs: list[Column] = []
+    for name, frac in target.items():
+        pairs += [F.lit(name), F.lit(float(frac))]
+    tmap = F.create_map(*pairs)
+    tf = F.coalesce(
+        F.element_at(tmap, F.col("stratum")), F.lit(0.0)
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "stratum",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round(
+                F.col("n_docs").cast("double") / F.col("__total") * 1e6
+            )
+            .cast("bigint")
+            .alias("actual_ppm"),
+            F.round(
+                tf * F.col("__total").cast("double") / F.col("n_docs") * 1e6
+            )
+            .cast("bigint")
+            .alias("weight_micro"),
+        )
+    )

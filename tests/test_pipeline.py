@@ -1006,3 +1006,86 @@ def test_dedup_components_auto_matches_label(spark):
     }
     assert auto == label
     assert auto[3] == 1 and auto[23] == 20 and auto[11] == 10
+
+
+def test_normalize_text_golden(spark):
+    from diseasystore_spark.pipeline.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "  Hello\t\tWORLD \n again  "),
+            (2, "already clean"),
+            (3, "ctrl\x01char and\x0bvtab"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert out[1]["text_norm"] == "hello world again"
+    assert out[1]["changed"] is True
+    assert out[1]["n_chars_raw"] == 24 and out[1]["n_chars_norm"] == 17
+    assert out[2]["text_norm"] == "already clean" and out[2]["changed"] is False
+    # \x0b collapses as whitespace; \x01 is stripped gluing its sides
+    assert out[3]["text_norm"] == "ctrlchar and vtab"
+    nolower = normalize_text(df, lowercase=False).collect()
+    assert {r["doc_id"]: r["text_norm"] for r in nolower}[1] == "Hello WORLD again"
+
+
+def test_ngram_decontaminate_exact_overlap(spark):
+    from diseasystore_spark.pipeline.dedup import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two exactly")],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains a verbatim 5-gram from the benchmark
+            (1, "padding words the secret benchmark answer is here now"),
+            # shares only 4-gram-or-shorter overlap: clean at n=5
+            (2, "the secret benchmark answer differs completely after that"),
+            (3, "no overlap whatsoever in this document"),
+            (4, "tiny"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_decontaminate(corpus, bench, n=5).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["contaminated"] and out[1]["n_shared_ngrams"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_shared_ngrams"] == 0
+    assert not out[3]["contaminated"]
+    assert not out[4]["contaminated"]  # < n tokens, no grams
+    # at n=4 doc 2 becomes contaminated
+    out4 = {
+        r["doc_id"]: r["contaminated"]
+        for r in ngram_decontaminate(corpus, bench, n=4).collect()
+    }
+    assert out4[2]
+
+
+def test_mixture_weights_golden(spark):
+    from diseasystore_spark.pipeline.sample import mixture_weights
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(i, "web" if i < 60 else ("code" if i < 90 else "wiki"))
+         for i in range(100)],
+        "doc_id bigint, source string",
+    )
+    out = {
+        r["stratum"]: r
+        for r in mixture_weights(
+            df, {"web": 0.5, "wiki": 0.5}
+        ).collect()
+    }
+    assert out["web"]["n_docs"] == 60 and out["web"]["actual_ppm"] == 600000
+    # reshape 60% web -> 50%: weight 0.5/0.6
+    assert out["web"]["weight_micro"] == round(0.5 / 0.6 * 1e6)
+    # wiki upsamples 10% -> 50%: weight 5x
+    assert out["wiki"]["weight_micro"] == 5000000
+    # code absent from target: dropped
+    assert out["code"]["weight_micro"] == 0
+    with _pytest.raises(ValueError):
+        mixture_weights(df, {})
