@@ -52,6 +52,24 @@ def hashed_ngram_features(
     The n-gram array is mapped to bucket ids INSIDE the row (array
     lambda), so the explode/shuffle carries small integers, not n-gram
     strings."""
+    return (
+        _bucket_rows(df, id_col, text_col, n, num_buckets, portable)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+
+
+def _bucket_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_buckets: int,
+    portable: bool,
+) -> DataFrame:
+    """Exploded (id, bucket) stream — bucket ids computed inside the
+    row's array lambda, so nothing wider than a bigint ever leaves
+    the row."""
     if num_buckets < 2:
         raise ValueError("num_buckets must be >= 2")
     if portable:
@@ -65,11 +83,8 @@ def hashed_ngram_features(
         f"transform(filter({_ngram_sql(text_col, n)}, g -> g != ''), "
         f"g -> {bucket_sql})"
     )
-    return (
-        spread(df)
-        .select(F.col(id_col), F.explode(buckets).alias("bucket"))
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    return spread(df).select(
+        F.col(id_col), F.explode(buckets).alias("bucket")
     )
 
 
@@ -103,12 +118,20 @@ def importance_weights(
     feats = hashed_ngram_features(
         df, id_col, text_col, n=n, num_buckets=num_buckets, portable=portable
     )
-    tfeats = hashed_ngram_features(
-        target, id_col, text_col, n=n, num_buckets=num_buckets,
-        portable=portable,
+    # The bucket models aggregate the raw exploded bucket stream
+    # directly: counts combine map-side to <= num_buckets rows per
+    # task, so each model costs ONE tiny shuffle instead of re-running
+    # the per-document (id, bucket) shuffle a second and third time.
+    q_model = (
+        _bucket_rows(df, id_col, text_col, n, num_buckets, portable)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("qct"))
     )
-    q_model = feats.groupBy("bucket").agg(F.sum("ct").alias("qct"))
-    p_model = tfeats.groupBy("bucket").agg(F.sum("ct").alias("pct"))
+    p_model = (
+        _bucket_rows(target, id_col, text_col, n, num_buckets, portable)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("pct"))
+    )
     q_total = q_model.agg(F.sum("qct").alias("__q"))
     p_total = p_model.agg(F.sum("pct").alias("__t"))
     model = (

@@ -244,3 +244,73 @@ def test_chunking_no_python_eval(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "doc_id" in ln, ln
+
+
+def test_pii_and_normalize_are_map_only(spark):
+    """PII redaction and text normalization are pure per-row
+    projections: zero exchanges, zero Python eval nodes — the
+    shuffle-free property their 100 TB story rests on."""
+    from diseasystore_spark.pipeline.pii import redact_pii
+    from diseasystore_spark.pipeline.text import normalize_text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for fn in (redact_pii, normalize_text):
+        plan = _executed(fn(docs))
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+
+
+def test_dedup_lines_skew_safe_shape(spark):
+    """The first-occurrence table must be a combinable min-struct
+    aggregate keyed on the line digest — NOT a per-line window or a
+    dropDuplicates (either would funnel a boilerplate line's billion
+    occurrences through one task)."""
+    from diseasystore_spark.pipeline.text import dedup_lines
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed(dedup_lines(docs))
+    assert "Window" not in plan, plan
+    assert "Deduplicate" not in plan, plan
+    assert "partial_min" in plan, plan  # map-side combine on the digest
+
+
+def test_ngram_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark n-gram set must broadcast (benchmarks are tiny
+    vs training corpora): a BroadcastHashJoin against the corpus gram
+    stream, never a shuffled join of the corpus on gram keys, and no
+    Python in the row path."""
+    from diseasystore_spark.pipeline.dedup import ngram_decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed(
+        ngram_decontaminate(
+            docs.where(F.col("doc_id") % 97 != 0),
+            docs.where(F.col("doc_id") % 97 == 0),
+            n=5,
+        )
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_importance_models_single_bucket_shuffle(spark):
+    """The DSIR bucket models must aggregate the raw exploded stream
+    directly: exactly ONE (doc_id, bucket) exchange in the whole plan
+    (the scoring frame) — the model branches combine map-side to
+    <= num_buckets rows and shuffle only bucket-keyed aggregates."""
+    from diseasystore_spark.pipeline.importance import importance_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed(
+        importance_weights(
+            docs, docs.where(F.col("lang") == "en"), num_buckets=256
+        )
+    )
+    wide = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(doc_id" in ln and "bucket" in ln
+    ]
+    assert len(wide) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
