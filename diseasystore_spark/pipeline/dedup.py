@@ -638,13 +638,38 @@ def containment_pairs(
     )
 
 
-def ngram_decontaminate(
-    df: DataFrame,
+def benchmark_ngram_keys(
     benchmark: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
     portable: bool = False,
+) -> DataFrame:
+    """Distinct hashed n-gram keys of a benchmark set — the
+    precomputable side of ``ngram_decontaminate``. Compute once (and
+    ``localCheckpoint`` it) when screening many batches/streams
+    against the same benchmark; pass via ``benchmark_keys``. The
+    ``n``/``portable`` settings must match the screening call."""
+    key_sql = "md5(g)" if portable else "xxhash64(g)"
+    grams = (
+        f"transform(filter(array_distinct({_ngram_sql(text_col, n)}), "
+        f"g -> g != ''), g -> {key_sql})"
+    )
+    return (
+        spread(benchmark)
+        .select(F.explode(F.expr(grams)).alias("__k"))
+        .distinct()
+    )
+
+
+def ngram_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    portable: bool = False,
+    benchmark_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram benchmark decontamination (the GPT-3 appendix-C /
     PaLM eval-leakage check, public): flag every training document
@@ -667,18 +692,27 @@ def ngram_decontaminate(
     corpora) and broadcast; flagging is one broadcast equi-join + one
     per-doc count. Collision semantics: a false flag needs an
     xxhash64/md5 collision (~2^-64 per pair) — acceptable for a
-    filter whose output is a conservative drop-list."""
+    filter whose output is a conservative drop-list.
+
+    Pass ``benchmark_keys`` (from ``benchmark_ngram_keys``, computed
+    with the same ``n``/``portable``) instead of ``benchmark`` to
+    reuse a precomputed key set across many screening calls — the
+    streaming path (``stream_decontaminate_against_benchmark``)."""
+    if (benchmark is None) == (benchmark_keys is None):
+        raise ValueError("pass exactly one of benchmark or benchmark_keys")
     key_sql = "md5(g)" if portable else "xxhash64(g)"
-    grams = f"transform(filter(array_distinct({_ngram_sql(text_col, n)}), g -> g != ''), g -> {key_sql})"
-
-    def _keys(frame: DataFrame) -> DataFrame:
-        return spread(frame).select(
-            F.col(id_col), F.explode(F.expr(grams)).alias("__k")
-        )
-
-    bench_keys = _keys(benchmark).select("__k").distinct()
+    grams = (
+        f"transform(filter(array_distinct({_ngram_sql(text_col, n)}), "
+        f"g -> g != ''), g -> {key_sql})"
+    )
+    bench_keys = (
+        benchmark_keys
+        if benchmark_keys is not None
+        else benchmark_ngram_keys(benchmark, id_col, text_col, n, portable)
+    )
     hits = (
-        _keys(df)
+        spread(df)
+        .select(F.col(id_col), F.explode(F.expr(grams)).alias("__k"))
         .join(F.broadcast(bench_keys), "__k")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"))

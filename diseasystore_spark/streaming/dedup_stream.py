@@ -162,3 +162,55 @@ def stream_dedup_into_store(
         available_now=available_now,
         mode="append",
     )
+
+
+def stream_decontaminate_against_benchmark(
+    stream_df: DataFrame,
+    benchmark_df: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact-n-gram benchmark screening: run
+    ``ngram_decontaminate(batch, benchmark)`` per micro-batch and hand
+    the (id, n_shared_ngrams, contaminated) frame to ``sink``.
+
+    The benchmark's distinct hashed n-gram keys are computed ONCE up
+    front and localCheckpointed (``benchmark_ngram_keys``); every
+    micro-batch broadcasts that stored key set — per-batch work is
+    shingling the BATCH plus one broadcast join, proportional to the
+    batch, never the benchmark."""
+    from diseasystore_spark.pipeline.dedup import (
+        benchmark_ngram_keys,
+        ngram_decontaminate,
+    )
+
+    bench_keys = benchmark_ngram_keys(
+        benchmark_df.select(id_col, text_col),
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+    ).localCheckpoint()
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        flagged = ngram_decontaminate(
+            batch_df,
+            None,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            benchmark_keys=bench_keys,
+        )
+        sink(flagged, epoch_id)
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -383,3 +383,52 @@ def test_stream_dedup_into_scd2_store(spark, tmp_path):
     # flags (whichever file triggered first), strictly fewer than final
     assert first in (per_half[0], per_half[1])
     assert first < final
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Streaming benchmark screening must flag exactly what the batch
+    operator flags, across micro-batch boundaries, with the benchmark
+    key set computed once up front."""
+    from diseasystore_spark.pipeline.dedup import ngram_decontaminate
+    from diseasystore_spark.streaming.dedup_stream import (
+        stream_decontaminate_against_benchmark,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.where(F.col("doc_id") % 11 == 0)
+    incoming = docs.where(F.col("doc_id") % 11 != 0)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    rows = incoming.collect()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        spark.createDataFrame(chunk, incoming.schema).coalesce(1).write.parquet(
+            str(src / f"b{i}"), mode="overwrite"
+        )
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+
+    got: dict = {}
+
+    def sink(flagged, epoch_id):
+        got.update(
+            {r["doc_id"]: r["n_shared_ngrams"] for r in flagged.collect()}
+        )
+
+    q = stream_decontaminate_against_benchmark(
+        stream, bench, sink, n=4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    want = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in ngram_decontaminate(incoming, bench, n=4).collect()
+    }
+    assert got == want
+    assert any(v > 0 for v in want.values())  # screening is non-trivial

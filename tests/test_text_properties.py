@@ -161,3 +161,46 @@ def test_near_dup_groups_property(spark, seed, n_docs):
         members.setdefault(comp, []).append(doc_id)
     for comp, ms in members.items():
         assert comp == min(ms)
+
+
+# small alphabet + short lines maximize cross-document line collisions
+line = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=3
+).map(" ".join)
+lined_doc = st.lists(line, min_size=1, max_size=6).map("\n".join)
+lined_corpus = st.lists(lined_doc, min_size=1, max_size=8)
+
+
+def py_dedup_lines(
+    docs: list[tuple[int, str]], min_chars: int
+) -> dict[int, tuple[str, int, int]]:
+    """Global keep-first oracle: scan (id, pos) ascending; a subject
+    line (len >= min_chars) is kept only at its first sighting."""
+    seen: set[str] = set()
+    out: dict[int, tuple[str, int, int]] = {}
+    for i, t in sorted(docs):
+        kept = []
+        lines = t.split("\n")
+        for ln in lines:
+            if len(ln) < min_chars:
+                kept.append(ln)
+            elif ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        out[i] = ("\n".join(kept), len(lines), len(kept))
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(corpus=lined_corpus, min_chars=st.integers(min_value=1, max_value=4))
+def test_dedup_lines_matches_python_oracle(spark, corpus, min_chars):
+    from diseasystore_spark.pipeline.text import dedup_lines
+
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    expect = py_dedup_lines(rows, min_chars)
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_lines_kept"])
+        for r in dedup_lines(df, min_chars=min_chars).collect()
+    }
+    assert got == expect
