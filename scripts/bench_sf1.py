@@ -22,6 +22,11 @@ QUERIES = [
     "q37_dedup_components",
     "q46_ann_ivf_fixed",
     "q47_curation",
+    # round-3 continuation additions
+    "q55_dedup_lines",
+    "q58_importance_weights",
+    "q59_near_dup_groups_minhash",
+    "q61_ngram_decontaminate",
 ]
 
 
