@@ -313,3 +313,66 @@ def mixture_weights(
             .alias("weight_micro"),
         )
     )
+
+
+def select_within_budget(
+    df: DataFrame,
+    score_col: str,
+    size_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Budget-capped greedy selection: rank documents by
+    ``(score desc, id asc)`` and keep the prefix whose cumulative
+    ``size_col`` stays within ``budget`` — the "take the best
+    documents until the token budget is spent" step that follows any
+    quality/importance scoring pass (q64 composes it with the
+    unigram-LM score).
+
+    Output: (id, score, size, cum_size, selected) for EVERY document,
+    with ``cum_size`` the inclusive running total in rank order and
+    ``selected = cum_size <= budget``.
+
+    Scale shape — a naive global window (``ORDER BY score``, no
+    partition) funnels the corpus through ONE task; this is instead
+    the classic two-level distributed prefix sum: (1) per-SCORE group
+    totals (map-side combinable), (2) an exclusive running total
+    ACROSS score groups — a window over the group frame, whose row
+    count is the score cardinality, not the corpus (document scores
+    here are integer-micro values; the group frame is
+    aggregate-sized), (3) an intra-group running total partitioned BY
+    the score value. Only step 2 is single-task, and it is bounded by
+    distinct scores. The result is identical to the naive global
+    cumsum (oracle-verified)."""
+    base = df.select(
+        F.col(id_col),
+        F.col(score_col).alias("score"),
+        F.col(size_col).alias("size"),
+    )
+    groups = base.groupBy("score").agg(F.sum("size").alias("__gsz"))
+    gw = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefixes = groups.select(
+        "score",
+        F.coalesce(F.sum("__gsz").over(gw), F.lit(0)).alias("__prefix"),
+    )
+    iw = (
+        Window.partitionBy("score")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(F.broadcast(prefixes), "score")
+        .withColumn(
+            "cum_size",
+            (F.col("__prefix") + F.sum("size").over(iw)).cast("bigint"),
+        )
+        .select(
+            id_col,
+            "score",
+            F.col("size").cast("bigint").alias("size"),
+            "cum_size",
+            (F.col("cum_size") <= budget).alias("selected"),
+        )
+    )

@@ -480,6 +480,57 @@ def chunk_documents(
     )
 
 
+def quality_outliers(
+    df: DataFrame,
+    metric_col: str = "n_chars",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    exact: bool = True,
+) -> DataFrame:
+    """Percentile-based outlier flagging of a per-document metric —
+    the winsorizing filter every curation pipeline runs on lengths
+    and quality scores (drop the freakishly short/long tails, per
+    language when ``group_col`` is set).
+
+    Output: (id, metric, lo_cut, hi_cut, is_outlier) for every
+    document; cuts are rounded to 4 decimals BEFORE the comparison so
+    the flag is reproducible across engines (q63's oracle compares
+    against DuckDB's ``quantile_cont`` — exactly equal to Spark's
+    exact ``percentile`` with linear interpolation).
+
+    ``exact=True`` (default, oracle-checkable) buffers each group's
+    values in the percentile aggregate — fine for grouped corpora
+    (per-language groups on a 1000-executor cluster). At extreme
+    scale set ``exact=False`` for ``percentile_approx`` (same plan
+    shape, sketch aggregate, no longer bit-reproducible).
+
+    Plan: ONE grouped percentile aggregate (group-count rows) joined
+    back — broadcast for any realistic group count."""
+    pfun = F.percentile if exact else F.percentile_approx
+    gcol = group_col if group_col is not None else F.lit(1).alias("__g")
+    cuts = df.groupBy(gcol).agg(
+        F.round(pfun(metric_col, F.lit(lo)), 4).alias("lo_cut"),
+        F.round(pfun(metric_col, F.lit(hi)), 4).alias("hi_cut"),
+    )
+    joined = (
+        df.join(F.broadcast(cuts), group_col, "left")
+        if group_col is not None
+        else df.crossJoin(F.broadcast(cuts.drop("__g")))
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col(metric_col),
+        "lo_cut",
+        "hi_cut",
+        (
+            (F.col(metric_col) < F.col("lo_cut"))
+            | (F.col(metric_col) > F.col("hi_cut"))
+        ).alias("is_outlier"),
+    )
+
+
 def normalize_text(
     df: DataFrame,
     id_col: str = "doc_id",

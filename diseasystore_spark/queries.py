@@ -2719,6 +2719,67 @@ FROM counts CROSS JOIN tot
 """
 
 
+def q63_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorizing outlier flags: per-language exact p5/p95 cuts on
+    document length, every doc flagged in or out (cuts rounded before
+    comparison for cross-engine reproducibility)."""
+    from diseasystore_spark.pipeline.text import quality_outliers
+
+    return quality_outliers(
+        _read(spark, sf_dir, "documents"),
+        metric_col="n_chars",
+        group_col="lang",
+        lo=0.05,
+        hi=0.95,
+    )
+
+
+ORACLE_Q63 = """
+WITH cuts AS (
+  SELECT lang,
+         round(quantile_cont(n_chars, 0.05), 4) AS lo_cut,
+         round(quantile_cont(n_chars, 0.95), 4) AS hi_cut
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.n_chars, c.lo_cut, c.hi_cut,
+       (d.n_chars < c.lo_cut OR d.n_chars > c.hi_cut) AS is_outlier
+FROM documents d JOIN cuts c USING (lang)
+"""
+
+
+def q64_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped selection composed with the unigram-LM quality
+    score: rank by (score_micro desc, doc_id) and keep documents while
+    the cumulative token count stays within 10,000 — the distributed
+    two-level prefix sum, oracle-checked against a plain global
+    windowed cumsum."""
+    from diseasystore_spark.pipeline.sample import select_within_budget
+    from diseasystore_spark.pipeline.text import unigram_logprob_score
+
+    scored = unigram_logprob_score(_read(spark, sf_dir, "documents"))
+    return select_within_budget(
+        scored, score_col="score_micro", size_col="dl", budget=10_000
+    )
+
+
+ORACLE_Q64 = (
+    "WITH sd AS ("
+    + ORACLE_Q52
+    + """),
+ranked AS (
+  SELECT doc_id, score_micro AS score, CAST(dl AS BIGINT) AS size,
+         CAST(sum(dl) OVER (ORDER BY score_micro DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_size
+  FROM sd
+)
+SELECT doc_id, score, size, cum_size,
+       cum_size <= 10000 AS selected
+FROM ranked
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2786,6 +2847,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_normalize_text": q60_normalize_text,
     "q61_ngram_decontaminate": q61_ngram_decontaminate,
     "q62_mixture_weights": q62_mixture_weights,
+    "q63_quality_outliers": q63_quality_outliers,
+    "q64_budget_selection": q64_budget_selection,
 }
 
 ORACLES: dict[str, str] = {
@@ -2850,6 +2913,8 @@ ORACLES: dict[str, str] = {
     "q60_normalize_text": ORACLE_Q60,
     "q61_ngram_decontaminate": ORACLE_Q61,
     "q62_mixture_weights": ORACLE_Q62,
+    "q63_quality_outliers": ORACLE_Q63,
+    "q64_budget_selection": ORACLE_Q64,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

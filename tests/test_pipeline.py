@@ -1089,3 +1089,52 @@ def test_mixture_weights_golden(spark):
     assert out["code"]["weight_micro"] == 0
     with _pytest.raises(ValueError):
         mixture_weights(df, {})
+
+
+def test_quality_outliers_global_and_grouped(spark):
+    from diseasystore_spark.pipeline.text import quality_outliers
+
+    rows = [(i, 10 * i, "a" if i < 8 else "b") for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "doc_id bigint, m bigint, g string")
+    # global: p5/p95 over 10..100 flag the extremes only
+    out = {
+        r["doc_id"]: r["is_outlier"]
+        for r in quality_outliers(
+            df, metric_col="m", lo=0.05, hi=0.95
+        ).collect()
+    }
+    assert out[1] and out[10]
+    assert not any(out[i] for i in range(2, 10))
+    # grouped: cuts computed within each group
+    outg = {
+        r["doc_id"]: r
+        for r in quality_outliers(
+            df, metric_col="m", group_col="g", lo=0.0, hi=0.5
+        ).collect()
+    }
+    # group b = {90, 100}: hi cut = 95; 100 is an outlier within b
+    assert outg[10]["is_outlier"] and not outg[9]["is_outlier"]
+
+
+def test_select_within_budget_matches_naive_cumsum(spark):
+    """The two-level prefix sum must equal the naive global cumsum
+    ordered by (score desc, id), including across score ties."""
+    from diseasystore_spark.pipeline.sample import select_within_budget
+
+    rows = [
+        (1, 50, 10), (2, 90, 30), (3, 90, 20), (4, 70, 40),
+        (5, 90, 5), (6, 10, 100), (7, 70, 7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, s bigint, sz bigint")
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    cum, expect = 0, {}
+    for i, s, sz in order:
+        cum += sz
+        expect[i] = (cum, cum <= 100)
+    got = {
+        r["doc_id"]: (r["cum_size"], r["selected"])
+        for r in select_within_budget(
+            df, score_col="s", size_col="sz", budget=100
+        ).collect()
+    }
+    assert got == expect

@@ -314,3 +314,19 @@ def test_importance_models_single_bucket_shuffle(spark):
     ]
     assert len(wide) == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_budget_selection_no_global_corpus_window(spark):
+    """select_within_budget's per-document window must be partitioned
+    by the score value — the corpus never funnels through a single
+    unpartitioned global sort (the only single-partition stage is the
+    score-cardinality group frame)."""
+    from diseasystore_spark.pipeline.sample import select_within_budget
+    from diseasystore_spark.pipeline.text import unigram_logprob_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    scored = unigram_logprob_score(docs)
+    plan = _executed(
+        select_within_budget(scored, "score_micro", "dl", 10_000)
+    )
+    assert "hashpartitioning(score" in plan, plan
