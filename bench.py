@@ -159,6 +159,8 @@ def main() -> None:
 
     baselines = _baseline_workloads(spark)
 
+    import gc
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in QUERIES.items():
@@ -169,6 +171,14 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {n} rows in {dt:.3f}s", file=sys.stderr)
+        # Release the query's localCheckpoint blocks between timings:
+        # dropping the Python refs + forcing both GCs lets the
+        # ContextCleaner unpersist, so later queries aren't taxed by
+        # accumulated block-manager state (measured: up to 4x
+        # inflation on late queries in a long sequential session).
+        del df
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     timings.update(baselines)
     total += sum(baselines.values())

@@ -39,6 +39,8 @@ def main() -> None:
     spark = get_spark("bench_sf1")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    import gc
+
     out: dict[str, dict[str, float]] = {}
     for sf_name, sf_dir in [("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1_dir)]:
         for name in QUERIES:
@@ -48,6 +50,11 @@ def main() -> None:
             out.setdefault(name, {})[sf_name] = dt
             out[name][f"{sf_name}_rows"] = n
             print(f"# {sf_name} {name}: {n} rows in {dt:.3f}s", file=sys.stderr)
+            # release localCheckpoint blocks between timings (see
+            # bench.py): without this, late queries in the sequence
+            # measure accumulated block-manager pressure, not plans
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
 
     base = _baseline_workloads(spark)
     for k, v in base.items():
