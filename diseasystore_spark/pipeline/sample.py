@@ -321,6 +321,7 @@ def select_within_budget(
     size_col: str,
     budget: int,
     id_col: str = "doc_id",
+    coarse_div: int | None = None,
 ) -> DataFrame:
     """Budget-capped greedy selection: rank documents by
     ``(score desc, id asc)`` and keep the prefix whose cumulative
@@ -335,35 +336,51 @@ def select_within_budget(
 
     Scale shape — a naive global window (``ORDER BY score``, no
     partition) funnels the corpus through ONE task; this is instead
-    the classic two-level distributed prefix sum: (1) per-SCORE group
+    the classic two-level distributed prefix sum: (1) per-BUCKET size
     totals (map-side combinable), (2) an exclusive running total
-    ACROSS score groups — a window over the group frame, whose row
-    count is the score cardinality, not the corpus (document scores
-    here are integer-micro values; the group frame is
-    aggregate-sized), (3) an intra-group running total partitioned BY
-    the score value. Only step 2 is single-task, and it is bounded by
-    distinct scores. The result is identical to the naive global
-    cumsum (oracle-verified)."""
+    ACROSS buckets — a window over the bucket frame, whose row count
+    is the bucket cardinality, not the corpus, (3) an intra-bucket
+    running total partitioned BY bucket, ordered ``(score desc, id)``.
+    Only step 2 is single-task, and it is bounded by bucket count.
+
+    The bucket is the score itself by default — right when scores
+    repeat heavily (quality tiers, integer stars). For near-unique
+    scores (integer-micro LM scores: one doc ≈ one score) set
+    ``coarse_div`` to quantize: ``bucket = score DIV coarse_div``
+    (truncating integer division — monotone for any positive divisor,
+    which is all correctness needs). The RESULT is invariant to the
+    choice; only the level-1/level-3 work split moves. Pick a divisor
+    that yields thousands of buckets (e.g. ``coarse_div=100_000`` for
+    micro-scaled scores spanning a few units). Identical to the naive
+    global cumsum either way (oracle-verified)."""
+    if coarse_div is not None and coarse_div <= 0:
+        raise ValueError("coarse_div must be positive")
     base = df.select(
         F.col(id_col),
         F.col(score_col).alias("score"),
         F.col(size_col).alias("size"),
     )
-    groups = base.groupBy("score").agg(F.sum("size").alias("__gsz"))
-    gw = Window.orderBy(F.col("score").desc()).rowsBetween(
+    bucket = (
+        F.expr(f"score DIV {coarse_div}")
+        if coarse_div is not None
+        else F.col("score")
+    )
+    base = base.withColumn("__b", bucket)
+    groups = base.groupBy("__b").agg(F.sum("size").alias("__gsz"))
+    gw = Window.orderBy(F.col("__b").desc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
     prefixes = groups.select(
-        "score",
+        "__b",
         F.coalesce(F.sum("__gsz").over(gw), F.lit(0)).alias("__prefix"),
     )
     iw = (
-        Window.partitionBy("score")
-        .orderBy(F.col(id_col))
+        Window.partitionBy("__b")
+        .orderBy(F.col("score").desc(), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        base.join(F.broadcast(prefixes), "score")
+        base.join(F.broadcast(prefixes), "__b")
         .withColumn(
             "cum_size",
             (F.col("__prefix") + F.sum("size").over(iw)).cast("bigint"),

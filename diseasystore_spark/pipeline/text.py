@@ -648,9 +648,9 @@ def dedup_lines(
 
     Lines shorter than ``min_chars`` are exempt (always kept): real
     corpora are full of blank lines and one-character separators that
-    should not collapse to a single global survivor. ``line_sep`` must
-    be a literal separator string (it is used both as the split
-    pattern and the reassembly joiner).
+    should not collapse to a single global survivor. ``line_sep`` is a
+    LITERAL separator string (regex-quoted via ``\\Q…\\E`` for the
+    split, used verbatim for reassembly).
 
     Output: (id, text_clean, n_lines, n_lines_kept) for EVERY input
     document — a document whose every line lost the dedup race
@@ -668,9 +668,9 @@ def dedup_lines(
     ordering guarantee)."""
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), line_sep)).alias(
-            "__pos", "__line"
-        ),
+        F.posexplode(
+            F.split(F.col(text_col), f"\\Q{line_sep}\\E")
+        ).alias("__pos", "__line"),
     )
     keyed = lines.withColumn(
         "__d",

@@ -2758,7 +2758,14 @@ def q64_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = unigram_logprob_score(_read(spark, sf_dir, "documents"))
     return select_within_budget(
-        scored, score_col="score_micro", size_col="dl", budget=10_000
+        scored,
+        score_col="score_micro",
+        size_col="dl",
+        budget=10_000,
+        # micro-scaled scores are near-unique: quantize the level-1
+        # bucket so the cross-bucket window stays aggregate-sized
+        # (the result is invariant to this choice)
+        coarse_div=100_000,
     )
 
 

@@ -1138,3 +1138,26 @@ def test_select_within_budget_matches_naive_cumsum(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_select_within_budget_coarse_div_invariant(spark):
+    """The coarse bucketization must not change the result — only the
+    level-1/level-3 work split (including negative scores, where the
+    truncating DIV buckets differently but stays monotone)."""
+    from diseasystore_spark.pipeline.sample import select_within_budget
+
+    rows = [(i, -1_000_000 - 37 * i * i % 997_000, 5 + i % 13)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, s bigint, sz bigint")
+    plain = {
+        r["doc_id"]: (r["cum_size"], r["selected"])
+        for r in select_within_budget(df, "s", "sz", 400).collect()
+    }
+    for div in (7, 100_000, 10_000_000):
+        coarse = {
+            r["doc_id"]: (r["cum_size"], r["selected"])
+            for r in select_within_budget(
+                df, "s", "sz", 400, coarse_div=div
+            ).collect()
+        }
+        assert coarse == plain, div

@@ -327,6 +327,8 @@ def test_budget_selection_no_global_corpus_window(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     scored = unigram_logprob_score(docs)
     plan = _executed(
-        select_within_budget(scored, "score_micro", "dl", 10_000)
+        select_within_budget(
+            scored, "score_micro", "dl", 10_000, coarse_div=100_000
+        )
     )
-    assert "hashpartitioning(score" in plan, plan
+    assert "hashpartitioning(__b" in plan, plan
