@@ -632,6 +632,59 @@ def vocab_coverage(
     )
 
 
+def tokenize_to_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    vocab: DataFrame | None = None,
+    unk_id: int = 0,
+) -> DataFrame:
+    """Map every token to a deterministic integer vocabulary id — the
+    final tokenize-to-tensors prep step. Ids are frequency-ranked
+    (most frequent term = id 1, ties broken by term — the convention
+    real tokenizers use so frequent tokens get small ids);
+    out-of-vocabulary tokens map to ``unk_id``.
+
+    Output: one row per token position — (id, pos, term, term_id) —
+    the exploded form that joins/aggregates cleanly downstream
+    (``collect_list(struct(pos, term_id))`` + ``array_sort`` rebuilds
+    the id sequence per document, the same order-exact pattern as
+    ``chunk_documents``).
+
+    Plan: corpus vocab (``build_vocab``: one combined shuffle) ->
+    frequency-rank ids via ONE window over the vocabulary frame
+    (vocab-sized, not corpus-sized — the only single-task stage) ->
+    posexplode of the token stream -> broadcast-friendly equi-join on
+    term (AQE broadcasts any realistic vocabulary)."""
+    v = (
+        vocab
+        if vocab is not None
+        else build_vocab(df, id_col, text_col, min_count)
+    )
+    ranked = v.select(
+        "term",
+        F.row_number()
+        .over(Window.orderBy(F.col("ct").desc(), F.col("term")))
+        .cast("bigint")
+        .alias("term_id"),
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(_tokens(text_col), lambda t: t != F.lit(""))
+        ).alias("pos", "term"),
+    )
+    return toks.join(ranked, "term", "left").select(
+        F.col(id_col),
+        F.col("pos").cast("bigint").alias("pos"),
+        "term",
+        F.coalesce(F.col("term_id"), F.lit(unk_id).cast("bigint")).alias(
+            "term_id"
+        ),
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     id_col: str = "doc_id",

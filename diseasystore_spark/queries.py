@@ -2787,6 +2787,40 @@ FROM ranked
 )
 
 
+def q65_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary ids per token position (min_count
+    floor keeps the rare marker token OOV -> unk id 0)."""
+    from diseasystore_spark.pipeline.text import tokenize_to_ids
+
+    return tokenize_to_ids(_read(spark, sf_dir, "documents"), min_count=30)
+
+
+ORACLE_Q65 = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM toks
+),
+trows AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS term FROM pos
+),
+tf AS (SELECT term, count(*) AS ct FROM trows GROUP BY 1),
+ranked AS (
+  SELECT term,
+         CAST(row_number() OVER (ORDER BY ct DESC, term) AS BIGINT)
+           AS term_id
+  FROM tf WHERE ct >= 30
+)
+SELECT t.doc_id, t.pos, t.term,
+       coalesce(r.term_id, 0) AS term_id
+FROM trows t LEFT JOIN ranked r ON t.term = r.term
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2856,6 +2890,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_mixture_weights": q62_mixture_weights,
     "q63_quality_outliers": q63_quality_outliers,
     "q64_budget_selection": q64_budget_selection,
+    "q65_tokenize_to_ids": q65_tokenize_to_ids,
 }
 
 ORACLES: dict[str, str] = {
@@ -2922,6 +2957,7 @@ ORACLES: dict[str, str] = {
     "q62_mixture_weights": ORACLE_Q62,
     "q63_quality_outliers": ORACLE_Q63,
     "q64_budget_selection": ORACLE_Q64,
+    "q65_tokenize_to_ids": ORACLE_Q65,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

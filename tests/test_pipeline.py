@@ -1161,3 +1161,27 @@ def test_select_within_budget_coarse_div_invariant(spark):
             ).collect()
         }
         assert coarse == plain, div
+
+
+def test_tokenize_to_ids_frequency_ranked(spark):
+    from diseasystore_spark.pipeline.text import tokenize_to_ids
+
+    df = spark.createDataFrame(
+        [
+            (1, "data data data spark spark rare"),
+            (2, "spark data xx"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = tokenize_to_ids(df, min_count=2).collect()
+    ids = {r["term"]: r["term_id"] for r in rows}
+    # data(4) -> id 1, spark(3) -> id 2; rare/xx below floor -> unk 0
+    assert ids == {"data": 1, "spark": 2, "rare": 0, "xx": 0}
+    # position ordering reconstructs the sequence
+    seq1 = [
+        r["term_id"]
+        for r in sorted(
+            (r for r in rows if r["doc_id"] == 1), key=lambda r: r["pos"]
+        )
+    ]
+    assert seq1 == [1, 1, 1, 2, 2, 0]
