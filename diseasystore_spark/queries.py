@@ -2821,6 +2821,156 @@ FROM trows t LEFT JOIN ranked r ON t.term = r.term
 """
 
 
+def q66_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LLM-curation pipeline as ONE composition of verified
+    operators: exact-dedup + quality floor + language filter
+    (curate_corpus) -> exact 5-gram benchmark decontamination ->
+    corpus-trained unigram-LM scoring OVER THE SURVIVORS -> budget-
+    capped selection (5,000 tokens). The oracle reproduces every stage
+    in SQL — the composition, not just the parts, is hash-verified."""
+    from diseasystore_spark.pipeline.dedup import ngram_decontaminate
+    from diseasystore_spark.pipeline.sample import select_within_budget
+    from diseasystore_spark.pipeline.text import (
+        curate_corpus,
+        unigram_logprob_score,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    kept = curate_corpus(corpus, min_quality=0.15, lang="en").select(
+        "doc_id"
+    )
+    clean = (
+        ngram_decontaminate(corpus, bench, n=5)
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    survivors = docs.join(kept, "doc_id", "left_semi").join(
+        clean, "doc_id", "left_semi"
+    )
+    scored = unigram_logprob_score(survivors)
+    return select_within_budget(
+        scored, "score_micro", "dl", 5_000, coarse_div=100_000
+    )
+
+
+ORACLE_Q66 = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+),
+base AS (
+  SELECT doc_id, text, md5(text) AS digest,
+         len(string_split(trim(text), ' ')) AS n_tokens,
+         len(list_distinct(string_split(trim(text), ' ')))
+           AS n_distinct_tokens,
+         length(text)
+           - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS digits,
+         length(text) AS n_chars
+  FROM corpus
+),
+qscored AS (
+  SELECT doc_id, digest,
+         round(least(n_tokens / 100.0, 1.0)
+               * (n_distinct_tokens / CAST(n_tokens AS DOUBLE))
+               * (1 - round(punct / CAST(n_chars AS DOUBLE), 4))
+               * (1 - round(digits / CAST(n_chars AS DOUBLE), 4)), 4)
+           AS quality_score
+  FROM base
+),
+lid AS (
+  SELECT doc_id,
+    round(len(list_filter(string_split(trim(text), ' '), x -> list_contains(
+      ['der','die','und','das','ist','ein'], x)))
+      / CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 4) AS s_de,
+    round(len(list_filter(string_split(trim(text), ' '), x -> list_contains(
+      ['the','and','of','to','is','a'], x)))
+      / CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 4) AS s_en,
+    round(len(list_filter(string_split(trim(text), ' '), x -> list_contains(
+      ['el','la','los','y','es','un'], x)))
+      / CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 4) AS s_es,
+    round(len(list_filter(string_split(trim(text), ' '), x -> list_contains(
+      ['le','la','et','les','des','est'], x)))
+      / CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 4) AS s_fr
+  FROM corpus
+),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+              ELSE 'fr' END AS pred_lang
+  FROM lid
+),
+reps AS (SELECT digest, min(doc_id) AS rep_id FROM base GROUP BY digest),
+kept AS (
+  SELECT q.doc_id FROM qscored q
+  JOIN reps r ON r.digest = q.digest AND q.doc_id = r.rep_id
+  JOIN pred p ON p.doc_id = q.doc_id
+  WHERE q.quality_score >= 0.15 AND p.pred_lang = 'en'
+),
+toks_all AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+posg AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i
+  FROM toks_all
+),
+gr AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' '
+              || w[i + 3] || ' ' || w[i + 4] AS g
+  FROM posg
+),
+bench AS (SELECT DISTINCT g FROM gr WHERE doc_id % 97 = 0),
+contaminated AS (
+  SELECT DISTINCT c.doc_id FROM gr c JOIN bench USING (g)
+  WHERE c.doc_id % 97 <> 0
+),
+survivors AS (
+  SELECT k.doc_id FROM kept k
+  WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+stoks AS (
+  SELECT d.doc_id,
+         unnest(list_filter(string_split_regex(trim(d.text), '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents d JOIN survivors sv ON d.doc_id = sv.doc_id
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM stoks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM stoks GROUP BY 1),
+counts AS (SELECT term, sum(tf) AS ct FROM tf GROUP BY 1),
+tot AS (SELECT sum(ct) AS total FROM counts),
+lp AS (
+  SELECT term,
+         CAST(round(ln(CAST(ct AS DOUBLE) / CAST(total AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lpm
+  FROM counts CROSS JOIN tot
+),
+sdoc AS (
+  SELECT tf.doc_id, sum(tf.tf * lp.lpm) AS s
+  FROM tf JOIN lp USING (term) GROUP BY 1
+),
+lmscore AS (
+  SELECT s.doc_id, d.dl,
+         CAST(round(CAST(s.s AS DOUBLE) / d.dl) AS BIGINT) AS score_micro
+  FROM sdoc s JOIN dl d USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, score_micro AS score, CAST(dl AS BIGINT) AS size,
+         CAST(sum(dl) OVER (ORDER BY score_micro DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_size
+  FROM lmscore
+)
+SELECT doc_id, score, size, cum_size, cum_size <= 5000 AS selected
+FROM ranked
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2891,6 +3041,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_quality_outliers": q63_quality_outliers,
     "q64_budget_selection": q64_budget_selection,
     "q65_tokenize_to_ids": q65_tokenize_to_ids,
+    "q66_curation_e2e": q66_curation_e2e,
 }
 
 ORACLES: dict[str, str] = {
@@ -2958,6 +3109,7 @@ ORACLES: dict[str, str] = {
     "q63_quality_outliers": ORACLE_Q63,
     "q64_budget_selection": ORACLE_Q64,
     "q65_tokenize_to_ids": ORACLE_Q65,
+    "q66_curation_e2e": ORACLE_Q66,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -1185,3 +1185,40 @@ def test_tokenize_to_ids_frequency_ranked(spark):
         )
     ]
     assert seq1 == [1, 1, 1, 2, 2, 0]
+
+
+def test_curation_e2e_prefix_and_budget(spark):
+    """q66 composition invariants: the selected set is a rank prefix
+    in (score desc, id) order, its token total respects the budget,
+    and every scored doc survived both the curation and the
+    decontamination stage."""
+    from diseasystore_spark.queries import QUERIES, _read
+
+    out = QUERIES["q66_curation_e2e"](spark, SF).collect()
+    assert out
+    ranked = sorted(out, key=lambda r: (-r["score"], r["doc_id"]))
+    flags = [r["selected"] for r in ranked]
+    assert flags == sorted(flags, reverse=True)  # prefix property
+    assert sum(r["size"] for r in ranked if r["selected"]) <= 5000
+    # scored docs are curation survivors and decontaminated
+    from diseasystore_spark.pipeline.dedup import ngram_decontaminate
+    from diseasystore_spark.pipeline.text import curate_corpus
+
+    docs = _read(spark, SF, "documents")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    kept = {
+        r["doc_id"]
+        for r in curate_corpus(
+            corpus, min_quality=0.15, lang="en"
+        ).collect()
+    }
+    dirty = {
+        r["doc_id"]
+        for r in ngram_decontaminate(
+            corpus, docs.where(F.col("doc_id") % 97 == 0), n=5
+        )
+        .where(F.col("contaminated"))
+        .collect()
+    }
+    scored_ids = {r["doc_id"] for r in out}
+    assert scored_ids == kept - dirty
