@@ -204,3 +204,39 @@ def test_dedup_lines_matches_python_oracle(spark, corpus, min_chars):
         for r in dedup_lines(df, min_chars=min_chars).collect()
     }
     assert got == expect
+
+
+# adversarial normalization inputs: mixed case, every whitespace
+# variant (incl. vertical tab), C0 controls, DEL, interior runs
+messy_char = st.sampled_from(
+    list("aBcZ09.!") + [" ", "\t", "\n", "\r", "\f", "\x0b", "\x01", "\x1f", "\x7f"]
+)
+messy_text = st.lists(messy_char, min_size=0, max_size=60).map("".join)
+
+
+def py_normalize(t: str, lowercase: bool = True) -> str:
+    """Pure-Python oracle with the SAME explicit character classes the
+    operator uses (Python re's \\s also diverges from RE2 on \\x0b,
+    which is exactly why the operator never uses the shorthand)."""
+    import re as _re
+
+    out = _re.sub(r"[ \t\n\f\r\x0B]+", " ", t)
+    out = _re.sub(r"[\x00-\x1F\x7F]", "", out)
+    out = out.strip(" ")
+    return out.lower() if lowercase else out
+
+
+@settings(max_examples=50, deadline=None)
+@given(texts=st.lists(messy_text, min_size=1, max_size=10))
+def test_normalize_text_matches_python_oracle(spark, texts):
+    from diseasystore_spark.pipeline.text import normalize_text
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["text_norm"], r["n_chars_norm"], r["changed"])
+        for r in normalize_text(df).collect()
+    }
+    for i, t in rows:
+        expect = py_normalize(t)
+        assert got[i] == (expect, len(expect), expect != t), repr(t)
