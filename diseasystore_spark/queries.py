@@ -2849,6 +2849,11 @@ def q66_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = docs.join(kept, "doc_id", "left_semi").join(
         clean, "doc_id", "left_semi"
     )
+    # select_within_budget consumes the scored frame on two branches;
+    # measured: a localCheckpoint here does NOT help (12-13s at sf0.1
+    # either way — AQE exchange reuse already shares the subtree; the
+    # cost is the chain's ~18 sequential stage barriers, which a real
+    # cluster pays as scheduler latency, not data). Kept pure.
     scored = unigram_logprob_score(survivors)
     return select_within_budget(
         scored, "score_micro", "dl", 5_000, coarse_div=100_000
