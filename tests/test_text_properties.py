@@ -240,3 +240,38 @@ def test_normalize_text_matches_python_oracle(spark, texts):
     for i, t in rows:
         expect = py_normalize(t)
         assert got[i] == (expect, len(expect), expect != t), repr(t)
+
+
+# fragments that compose into PII-ish and near-miss strings
+pii_frag = st.sampled_from([
+    "a@b.io", "x.y+z@mail-host.org", "not@an@email", "user@",
+    "10.0.0.1", "999.999.999.999", "1.2.3", "1.2.3.4.5",
+    "555-123-4567", "555.123.4567", "55-123-4567", "555-12-34567",
+    "123-45-6789", "123-456-789", "word", "42", "...", "a-b",
+])
+pii_text = st.lists(pii_frag, min_size=0, max_size=8).map(" ".join)
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts=st.lists(pii_text, min_size=1, max_size=8))
+def test_redact_pii_matches_python_re(spark, texts):
+    """Java regex must agree with Python re on the portable pattern
+    subset (ASCII classes, \\b, bounded repetition) over adversarial
+    near-miss PII — the same agreement the DuckDB RE2 oracle relies
+    on."""
+    import re as _re
+
+    from diseasystore_spark.pipeline.pii import (
+        DEFAULT_PII_PATTERNS,
+        redact_pii,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    for i, t in rows:
+        red = t
+        for name, (rx, tok) in DEFAULT_PII_PATTERNS.items():
+            assert got[i][f"n_{name}"] == len(_re.findall(rx, t)), (name, t)
+            red = _re.sub(rx, tok, red)
+        assert got[i]["text_redacted"] == red, repr(t)
