@@ -592,3 +592,58 @@ def hyperplane_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Squared distance of every vector to its (group) centroid — the
+    embedding-space outlier signal: mislabeled, off-distribution, or
+    corrupted documents sit far from their cluster/source centroid and
+    get cut or audited. Compose with ``text.quality_outliers`` on the
+    distance column for percentile-based flagging.
+
+    Output: (id, [group,] dist2_centroid) with the distance rounded
+    to 4 decimals — group-mean accumulation order differs across
+    engines by ~1 ulp, so the raw double is not comparable but the
+    rounded value is (q67's oracle).
+
+    Scale shape: centroids via posexplode -> ONE map-side-combinable
+    (group, dim) average — the shuffle carries dims x groups partial
+    sums, not vectors; centroid arrays are rebuilt order-exactly
+    (``array_sort`` of (dim, mean) structs) and BROADCAST (groups x
+    dim doubles — tiny); the distance is a row-local ``zip_with``
+    fold. No vector ever shuffles."""
+    gcol = group_col if group_col is not None else "__g"
+    base = df.select(
+        F.col(id_col),
+        *([F.col(group_col)] if group_col is not None else [F.lit(0).alias("__g")]),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    dims = base.select(
+        gcol, F.posexplode("__v").alias("__dim", "__val")
+    )
+    cent = (
+        dims.groupBy(gcol, "__dim")
+        .agg(F.avg("__val").alias("__c"))
+        .groupBy(gcol)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(__dim, __c))), "
+                "s -> s.__c)"
+            ).alias("__cv")
+        )
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(__v, __cv, (x, y) -> (x - y) * (x - y)), "
+        "0D, (acc, e) -> acc + e)"
+    )
+    out = base.join(F.broadcast(cent), gcol).select(
+        F.col(id_col),
+        *([F.col(group_col)] if group_col is not None else []),
+        F.round(dist2, 4).alias("dist2_centroid"),
+    )
+    return out

@@ -2976,6 +2976,37 @@ FROM ranked
 """
 
 
+def q67_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid distances over the embedding corpus — the
+    embedding-space outlier signal (rounded: group-mean accumulation
+    order is the only cross-engine difference, ~1 ulp)."""
+    from diseasystore_spark.pipeline.similarity import embedding_outliers
+
+    return embedding_outliers(
+        _read(spark, sf_dir, "embeddings"), group_col="label"
+    )
+
+
+ORACLE_Q67 = """
+WITH corp AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pos AS (
+  SELECT vec_id, label, v, unnest(generate_series(1, len(v))) AS i
+  FROM corp
+),
+dims AS (SELECT vec_id, label, i, v[i] AS val FROM pos),
+cent AS (SELECT label, i, avg(val) AS c FROM dims GROUP BY 1, 2),
+d2 AS (
+  SELECT d.vec_id, d.label,
+         sum((d.val - c.c) * (d.val - c.c)) AS dist2
+  FROM dims d JOIN cent c ON d.label = c.label AND d.i = c.i
+  GROUP BY 1, 2
+)
+SELECT vec_id, label, round(dist2, 4) AS dist2_centroid FROM d2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3047,6 +3078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_budget_selection": q64_budget_selection,
     "q65_tokenize_to_ids": q65_tokenize_to_ids,
     "q66_curation_e2e": q66_curation_e2e,
+    "q67_embedding_outliers": q67_embedding_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -3115,6 +3147,7 @@ ORACLES: dict[str, str] = {
     "q64_budget_selection": ORACLE_Q64,
     "q65_tokenize_to_ids": ORACLE_Q65,
     "q66_curation_e2e": ORACLE_Q66,
+    "q67_embedding_outliers": ORACLE_Q67,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

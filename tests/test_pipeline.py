@@ -1222,3 +1222,29 @@ def test_curation_e2e_prefix_and_budget(spark):
     }
     scored_ids = {r["doc_id"] for r in out}
     assert scored_ids == kept - dirty
+
+
+def test_embedding_outliers_golden(spark):
+    from diseasystore_spark.pipeline.similarity import embedding_outliers
+
+    rows = [
+        (1, [0.0, 0.0], 0),
+        (2, [2.0, 0.0], 0),   # centroid of label 0 = (1, 0)
+        (3, [10.0, 10.0], 1),
+        (4, [10.0, 14.0], 1),  # centroid of label 1 = (10, 12)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = {
+        r["vec_id"]: r["dist2_centroid"]
+        for r in embedding_outliers(df, group_col="label").collect()
+    }
+    assert out == {1: 1.0, 2: 1.0, 3: 4.0, 4: 4.0}
+    # ungrouped: one global centroid (5.5, 6.0)
+    g = {
+        r["vec_id"]: r["dist2_centroid"]
+        for r in embedding_outliers(df).collect()
+    }
+    assert g[1] == round(5.5**2 + 6.0**2, 4)
+    assert set(g) == {1, 2, 3, 4}
