@@ -111,10 +111,10 @@ def importance_weights(
     unnormalized log-ratio).
 
     PURE plan builder: corpus totals T, Q enter as broadcast one-row
-    aggregates; no driver action until the caller acts. The raw
-    feature frame feeds both the q-model aggregate and the scoring
-    join — cheap narrow recompute, deliberately not checkpointed
-    (measured pattern: see tfidf_top_terms)."""
+    aggregates; no driver action until the caller acts. The per-doc
+    feature frame feeds ONLY the scoring join; each bucket model
+    re-derives its own exploded stream (cheap narrow recompute,
+    map-side combined — see the plan note below)."""
     feats = hashed_ngram_features(
         df, id_col, text_col, n=n, num_buckets=num_buckets, portable=portable
     )
