@@ -981,7 +981,11 @@ def dedup_components(
     raw_plan = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     probe = None
     if collect_threshold > 0:
-        probe = raw_plan.limit(collect_threshold + 1).collect()
+        # Arrow-batched fetch: at the threshold this moves ~2M rows,
+        # where row-at-a-time .collect() spends tens of seconds just
+        # materializing pyspark Rows — pure driver overhead paid even
+        # when the probe overflows and the distributed path runs
+        probe = raw_plan.limit(collect_threshold + 1).toPandas()
     if probe is not None and len(probe) <= collect_threshold:
         parent: dict = {}
 
@@ -993,8 +997,7 @@ def dedup_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in probe:
-            a, b = row["src"], row["dst"]
+        for a, b in zip(probe["src"].tolist(), probe["dst"].tolist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -1029,9 +1032,20 @@ def dedup_components(
     )
     edges = edges.localCheckpoint()
     labels = labels.localCheckpoint()
+    # Delta iteration (the Pregel/Flink frontier optimization, public):
+    # min-propagation is monotone — a node's label can only drop when a
+    # NEIGHBOR'S label dropped — so after the first full round only the
+    # labels that decreased last round (the frontier) can lower anyone
+    # this round. Rounds 2+ join the edge list against the frontier,
+    # which shrinks geometrically for near-clique dedup graphs, instead
+    # of re-joining every label every round. Completeness: a node joins
+    # the frontier in the round it acquires each new (lower) value, so
+    # every value a full join would propagate is propagated in the
+    # round it first appears.
+    frontier = labels
     for _ in range(max_iterations):
         neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
+            edges.join(frontier, edges["dst"] == frontier["id"])
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
@@ -1045,15 +1059,15 @@ def dedup_components(
             )
             .localCheckpoint()
         )
-        changed = (
+        frontier = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            .where(F.col("n.component") < F.col("o.component"))
+            .select(F.col("id"), F.col("n.component").alias("component"))
+            .localCheckpoint()
         )
         labels = new_labels
-        if changed == 0:
+        if frontier.isEmpty():
             return labels
     raise RuntimeError(
         f"dedup_components did not converge in {max_iterations} iterations"
