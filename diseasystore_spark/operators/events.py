@@ -1,0 +1,206 @@
+"""Event-sequence analytics: funnels and retention cohorts.
+
+These are the event-stream counterparts of the interval operators —
+per-user ORDERED semantics (a stage only counts if it happens after
+the previous stage) expressed as single-shuffle DataFrame plans.
+
+Scale notes (the 100 TB lens):
+
+- ``funnel_reach`` shuffles ONCE on the user key and then runs a
+  JVM-side higher-order-function state machine over each user's
+  sorted event array. The alternative — one join per stage — is
+  K shuffles and K scans; this is one of each regardless of K.
+  Per-user event counts bound the array size; for pathological
+  hot users, pre-filter to the funnel's event types first (done
+  here) so the collected array only holds relevant events.
+- ``retention_cohorts`` is two keyed aggregations (user -> cohort,
+  then cohort x offset -> count) with the first-event frame joined
+  back on the user key. Both shuffles are on natural keys; no
+  window over an unpartitioned frame anywhere.
+
+Reference parity: the diseasystore reference has no funnel/retention
+operators — these belong to the large-scale pipeline extension
+surface (same tier as dedup/similarity), driven by the ``events``
+test table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _stage_idx_col(type_col: str, stages: list[str]) -> Column:
+    expr = F.lit(None).cast("int")
+    for i in reversed(range(len(stages))):
+        expr = F.when(F.col(type_col) == stages[i], F.lit(i)).otherwise(expr)
+    return expr
+
+
+def funnel_reach(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user funnel progression times.
+
+    For the ordered stage list ``stages = [s0, s1, ..., sK-1]``,
+    computes per user: ``t0`` = min event time of ``s0``; ``tj`` =
+    min event time of ``sj`` STRICTLY AFTER ``t(j-1)``. Returns
+    ``(user_col, reach)`` where ``reach`` is an ``array<bigint>`` of
+    microsecond epochs, NULL at stage j if the user never reached it.
+
+    Physical plan: filter to the funnel's event types, groupBy user
+    collecting ``(us, stage)`` structs, ``array_sort`` (ordered by
+    ``us`` then stage index — sort order only matters for the scan;
+    the strict ``us > prev`` condition makes the result independent
+    of tie order), then one ``aggregate()`` pass advancing a K-slot
+    accumulator. Single shuffle, zero Python.
+
+    Equivalence to the K-CTE SQL form (``tj = min ts of sj where
+    ts > t(j-1)``), by induction on j: slot 0 fills at the first s0
+    event in the ascending scan, which is min(ts of s0) exactly.
+    Assume slot j-1 holds the exact ``t(j-1)``. Any sj event with
+    ``us > t(j-1)`` sorts strictly after the s(j-1) event that filled
+    slot j-1, so by the time it is scanned the guard ``us >
+    acc[j-1]`` is evaluated against the final ``t(j-1)`` — and the
+    first such event in ascending order is the minimum. Strictness
+    (``>``) means simultaneous events never chain within one instant
+    — the conservative funnel definition.
+    """
+    if not stages:
+        raise ValueError("stages must be a non-empty ordered list")
+    if len(set(stages)) != len(stages):
+        raise ValueError(
+            "stages must be distinct event types (a repeated stage would "
+            "always map to its first slot and never advance)"
+        )
+    k = len(stages)
+    ev = (
+        events.where(F.col(type_col).isin(list(stages)))
+        .select(
+            F.col(user_col),
+            F.unix_micros(F.col(ts_col)).alias("__us"),
+            _stage_idx_col(type_col, list(stages)).alias("__sj"),
+        )
+    )
+    per_user = ev.groupBy(user_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__us"), F.col("__sj")))
+        ).alias("__evs")
+    )
+    # K-slot state machine. acc[j] is the reach time of stage j
+    # (BIGINT, -1 = not reached; -1 keeps the accumulator array
+    # non-nullable inside the lambda, mapped to NULL on output).
+    # `acc[i - 1]` uses Spark SQL's 0-based [] array indexing.
+    # CASE branches evaluate sequentially, so acc[i - 1] is only
+    # reached when i >= 1 (ANSI mode would reject acc[-1]).
+    step = (
+        "transform(acc, (v, i) -> CASE "
+        "WHEN v != -1 OR i != e.__sj THEN v "
+        "WHEN i = 0 THEN e.__us "
+        "WHEN acc[i - 1] != -1 AND e.__us > acc[i - 1] THEN e.__us "
+        "ELSE v END)"
+    )
+    reach = F.expr(
+        "aggregate(__evs, "
+        f"array_repeat(CAST(-1 AS BIGINT), {k}), "
+        f"(acc, e) -> {step})"
+    )
+    return per_user.select(
+        F.col(user_col),
+        F.transform(
+            reach, lambda v: F.when(v == -1, F.lit(None).cast("bigint")).otherwise(v)
+        ).alias("reach"),
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel drop-off: how many users reach each stage IN ORDER.
+
+    Output: ``(stage_idx int, stage string, users bigint)`` — one row
+    per stage; ``users`` is non-increasing in ``stage_idx`` by
+    construction. The final rollup is a K-column aggregate of the
+    per-user reach frame unpivoted with ``stack`` — no second
+    shuffle over the event data.
+    """
+    reach = funnel_reach(events, stages, user_col, ts_col, type_col)
+    aggs = [
+        F.sum(
+            F.when(F.col("reach")[j].isNotNull(), 1).otherwise(0)
+        ).alias(f"__s{j}")
+        for j in range(len(stages))
+    ]
+    wide = reach.agg(*aggs)
+    stack_args = ", ".join(
+        f"{j}, '{s}', coalesce(__s{j}, CAST(0 AS BIGINT))"
+        for j, s in enumerate(stages)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(stages)}, {stack_args}) AS (stage_idx, stage, users)"
+        )
+    ).select(
+        F.col("stage_idx").cast("int"),
+        "stage",
+        F.col("users").cast("bigint"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Classic retention triangle: users bucketed by first-activity
+    period (their cohort), counted as active at each later period
+    offset.
+
+    Output: ``(cohort date, period_offset int, active_users bigint)``
+    with ``period_offset = 0`` being the cohort period itself (so
+    ``active_users`` at offset 0 is the cohort size).
+
+    ``period`` is any ``date_trunc`` unit (``week`` starts Monday in
+    both Spark and DuckDB/ISO). Offsets are computed by date
+    difference in days divided by the period length — exact for
+    ``week`` (7) and ``day`` (1); ``month`` uses months_between.
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"period must be day/week/month, got {period!r}")
+    bucket = F.to_date(F.date_trunc(period, F.col(ts_col)))
+    firsts = (
+        events.select(F.col(user_col), bucket.alias("__p"))
+        .groupBy(user_col)
+        .agg(F.min("__p").alias("cohort"))
+    )
+    active = events.select(F.col(user_col), bucket.alias("__p")).distinct()
+    joined = active.join(firsts, user_col)
+    if period == "day":
+        off = F.datediff(F.col("__p"), F.col("cohort"))
+    elif period == "week":
+        off = (F.datediff(F.col("__p"), F.col("cohort")) / 7).cast("int")
+    else:
+        off = F.months_between(F.col("__p"), F.col("cohort")).cast("int")
+    out = (
+        joined.select("cohort", off.alias("period_offset"), F.col(user_col))
+        .groupBy("cohort", "period_offset")
+        .agg(F.count_distinct(F.col(user_col)).alias("active_users"))
+        .select(
+            "cohort",
+            F.col("period_offset").cast("int"),
+            F.col("active_users").cast("bigint"),
+        )
+    )
+    if max_offset is not None:
+        out = out.where(F.col("period_offset") <= max_offset)
+    return out

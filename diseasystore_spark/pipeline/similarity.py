@@ -647,3 +647,49 @@ def embedding_outliers(
         F.round(dist2, 4).alias("dist2_centroid"),
     )
     return out
+
+
+def knn_classify(
+    df: DataFrame,
+    query_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Majority-vote k-nearest-neighbor classification over exact
+    cosine top-k (the label-transfer / auto-labeling primitive of a
+    curation pipeline: propagate trusted labels onto unlabeled data).
+
+    Output: ``(query_id, pred_label, votes)`` — one row per query;
+    ``pred_label`` is the label with the most representatives among
+    the query's ``k`` nearest corpus neighbors (self-matches
+    excluded), deterministic tie-break on the smaller label.
+
+    Plan: ``cosine_topk`` (broadcast query side × corpus scan, the
+    exactness baseline — swap in the IVF/LSH candidate generators for
+    billion-row corpora), a keyed join to recover neighbor labels,
+    then a (query, label) count and a per-query top-1 window. All
+    keyed shuffles; the window partitions on query_id (never global).
+    """
+    topk = cosine_topk(df, query_df, id_col=id_col, vec_col=vec_col, k=k)
+    labels = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__lbl")
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "__lbl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("__lbl")
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.col("__lbl").alias("pred_label"),
+            F.col("votes").cast("bigint").alias("votes"),
+        )
+    )

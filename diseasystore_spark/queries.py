@@ -3007,6 +3007,113 @@ SELECT vec_id, label, round(dist2, 4) AS dist2_centroid FROM d2
 """
 
 
+def q68_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel drop-off (view -> click -> purchase) over the
+    event stream: stage j only counts when it happens STRICTLY after
+    the user's stage j-1 reach time. Single-shuffle higher-order-
+    function state machine; oracle = sequential K-CTE min-after
+    chain."""
+    from diseasystore_spark.operators.events import funnel_counts
+
+    return funnel_counts(
+        _read(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+ORACLE_Q68 = """
+WITH e AS (SELECT user_id, ts, event_type FROM events),
+s0 AS (
+  SELECT user_id, min(ts) AS t0 FROM e
+  WHERE event_type = 'view' GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1
+)
+SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage,
+       CAST((SELECT count(*) FROM s0) AS BIGINT) AS users
+UNION ALL
+SELECT CAST(1 AS INT), 'click', CAST((SELECT count(*) FROM s1) AS BIGINT)
+UNION ALL
+SELECT CAST(2 AS INT), 'purchase', CAST((SELECT count(*) FROM s2) AS BIGINT)
+"""
+
+
+def q69_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: cohort = ISO week of first event,
+    active_users counted per (cohort, week offset)."""
+    from diseasystore_spark.operators.events import retention_cohorts
+
+    return retention_cohorts(_read(spark, sf_dir, "events"), period="week")
+
+
+ORACLE_Q69 = """
+WITH b AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS p FROM events
+),
+f AS (SELECT user_id, min(p) AS cohort FROM b GROUP BY 1),
+a AS (SELECT DISTINCT user_id, p FROM b)
+SELECT f.cohort,
+       CAST(date_diff('day', f.cohort, a.p) // 7 AS INT) AS period_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+def q70_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote 10-NN label transfer for query vectors
+    vec_id < 100 over exact cosine top-k (self excluded); determinism
+    via (votes desc, label) tie-break on the same ranked frame the
+    q25 oracle verifies."""
+    from diseasystore_spark.pipeline.similarity import knn_classify
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return knn_classify(emb, emb.where(F.col("vec_id") < 100), k=10)
+
+
+ORACLE_Q70 = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 100
+),
+c AS (SELECT vec_id AS neighbor_id, label, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, label,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+           AS cosine
+  FROM q CROSS JOIN c WHERE query_id != neighbor_id
+),
+ranked AS (
+  SELECT query_id, label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+),
+votes AS (
+  SELECT query_id, label, count(*) AS votes
+  FROM ranked WHERE rnk <= 10 GROUP BY 1, 2
+),
+top AS (
+  SELECT query_id, label, votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label) AS rn
+  FROM votes
+)
+SELECT query_id, CAST(label AS INT) AS pred_label,
+       CAST(votes AS BIGINT) AS votes
+FROM top WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3079,6 +3186,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_tokenize_to_ids": q65_tokenize_to_ids,
     "q66_curation_e2e": q66_curation_e2e,
     "q67_embedding_outliers": q67_embedding_outliers,
+    "q68_funnel": q68_funnel,
+    "q69_retention": q69_retention,
+    "q70_knn_classify": q70_knn_classify,
 }
 
 ORACLES: dict[str, str] = {
@@ -3148,6 +3258,9 @@ ORACLES: dict[str, str] = {
     "q65_tokenize_to_ids": ORACLE_Q65,
     "q66_curation_e2e": ORACLE_Q66,
     "q67_embedding_outliers": ORACLE_Q67,
+    "q68_funnel": ORACLE_Q68,
+    "q69_retention": ORACLE_Q69,
+    "q70_knn_classify": ORACLE_Q70,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

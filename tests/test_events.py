@@ -1,0 +1,158 @@
+"""Funnel / retention / kNN-classify semantics and plan shape.
+
+The funnel state machine's tricky cases are all here: out-of-order
+stages stall, same-instant events don't chain (strict >), a later
+re-occurrence after the stall point does chain, and the whole plan
+shuffles exactly once on the user key.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from diseasystore_spark.operators.events import (
+    funnel_counts,
+    funnel_reach,
+    retention_cohorts,
+)
+
+T = dt.datetime
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string"
+    )
+
+
+def _reach_map(spark, rows, stages):
+    df = funnel_reach(_events(spark, rows), stages)
+    return {r["user_id"]: r["reach"] for r in df.collect()}
+
+
+def test_funnel_happy_path_and_stall(spark):
+    rows = [
+        (1, T(2024, 1, 1, 0, 0), "view"),
+        (1, T(2024, 1, 1, 0, 1), "click"),
+        (1, T(2024, 1, 1, 0, 2), "purchase"),
+        # click BEFORE first view: must not count; user stalls at view
+        (2, T(2024, 1, 1, 0, 1), "click"),
+        (2, T(2024, 1, 1, 0, 2), "view"),
+    ]
+    m = _reach_map(spark, rows, ["view", "click", "purchase"])
+    assert all(v is not None for v in m[1])
+    assert m[2][0] is not None and m[2][1] is None and m[2][2] is None
+
+
+def test_funnel_same_instant_does_not_chain(spark):
+    rows = [
+        (3, T(2024, 1, 1), "view"),
+        (3, T(2024, 1, 1), "click"),  # simultaneous: strict > blocks
+        (4, T(2024, 1, 1), "view"),
+        (4, T(2024, 1, 1, 0, 0, 0, 1), "click"),  # 1 microsecond later
+    ]
+    m = _reach_map(spark, rows, ["view", "click"])
+    assert m[3][1] is None
+    assert m[4][1] is not None
+
+
+def test_funnel_reoccurrence_after_stall_chains(spark):
+    # click at t1 (before view) ignored; second click at t3 counts.
+    rows = [
+        (5, T(2024, 1, 1, 0, 1), "click"),
+        (5, T(2024, 1, 1, 0, 2), "view"),
+        (5, T(2024, 1, 1, 0, 3), "click"),
+    ]
+    m = _reach_map(spark, rows, ["view", "click"])
+    assert m[5][1] == int(T(2024, 1, 1, 0, 3).timestamp() * 1_000_000)
+
+
+def test_funnel_counts_monotone_and_complete(spark):
+    rows = [
+        (1, T(2024, 1, 1, 0, 0), "view"),
+        (1, T(2024, 1, 1, 0, 1), "click"),
+        (2, T(2024, 1, 1, 0, 0), "view"),
+        (6, T(2024, 1, 1, 0, 0), "error"),  # not a funnel stage
+    ]
+    out = funnel_counts(_events(spark, rows), ["view", "click", "purchase"])
+    got = {r["stage"]: r["users"] for r in out.collect()}
+    assert got == {"view": 2, "click": 1, "purchase": 0}
+
+
+def test_funnel_rejects_bad_stages(spark):
+    df = _events(spark, [(1, T(2024, 1, 1), "view")])
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel_reach(df, [])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_reach(df, ["view", "view"])
+
+
+def test_funnel_single_shuffle(spark):
+    """The event-data path must shuffle exactly once (groupBy user);
+    the K-stage logic is one aggregate expression, not K joins."""
+    df = _events(spark, [(1, T(2024, 1, 1), "view")])
+    plan = (
+        funnel_reach(df, ["view", "click", "purchase"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Aggregate") <= 2  # partial + final of ONE groupBy
+    assert "Join" not in plan
+
+
+def test_retention_offsets(spark):
+    rows = [
+        # cohort Mon 2024-01-01; active again in week +2
+        (1, T(2024, 1, 2), "view"),
+        (1, T(2024, 1, 16), "click"),
+        # cohort week of 2024-01-08; same-week second event dedups
+        (2, T(2024, 1, 8), "view"),
+        (2, T(2024, 1, 9), "view"),
+    ]
+    out = retention_cohorts(_events(spark, rows), period="week")
+    got = {
+        (str(r["cohort"]), r["period_offset"]): r["active_users"]
+        for r in out.collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_retention_rejects_bad_period(spark):
+    with pytest.raises(ValueError, match="period"):
+        retention_cohorts(_events(spark, [(1, T(2024, 1, 1), "x")]), period="quarter")
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from diseasystore_spark.pipeline.similarity import knn_classify
+
+    # Query 0 at origin-ish; labels of its 3 nearest: 1, 1, 2 -> 1.
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 9),
+            (1, [0.99, 0.1], 1),
+            (2, [0.98, 0.2], 1),
+            (3, [0.97, 0.3], 2),
+            (4, [-1.0, 0.0], 2),
+        ],
+        "vec_id int, embedding array<float>, label int",
+    )
+    out = knn_classify(
+        corpus, corpus.where(F.col("vec_id") == 0), k=3
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["pred_label"] == 1 and out[0]["votes"] == 2
+
+    # k=2: one vote each for labels 1 and 1 -> still 1; k=4 adds
+    # label-2 vote -> 2-2 tie broken to the smaller label (1).
+    tie = knn_classify(
+        corpus, corpus.where(F.col("vec_id") == 0), k=4
+    ).collect()
+    assert tie[0]["pred_label"] == 1 and tie[0]["votes"] == 2
