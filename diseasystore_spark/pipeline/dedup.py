@@ -732,6 +732,71 @@ def ngram_decontaminate(
     )
 
 
+def contamination_fraction(
+    df: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    portable: bool = False,
+    benchmark_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Graded benchmark-overlap evidence: the FRACTION of each
+    training document's distinct word n-grams that appear in the
+    benchmark set — the thresholding quantity real decontamination
+    uses (e.g. "drop documents with > X% 8-gram overlap", the
+    Llama-2 / GPT-4 style graded variant of the boolean
+    ``ngram_decontaminate`` flag, public technique).
+
+    Output: ``(id, n_shared_ngrams, n_total_ngrams, shared_ppm)`` for
+    EVERY document; ``shared_ppm = round(shared/total * 1e6)``
+    (bigint-exact across engines on identical integer operands —
+    same micro-int convention as ``mixture_weights``). Documents
+    shorter than ``n`` words have zero n-grams and report 0 ppm.
+
+    Scale shape: identical to ``ngram_decontaminate`` — per-row
+    distinct n-gram HASHES (never n-gram text past the map side), a
+    broadcast benchmark key set, one per-doc count — plus a map-side
+    per-row total (``size`` of the same distinct-gram array, no extra
+    pass over the text)."""
+    if (benchmark is None) == (benchmark_keys is None):
+        raise ValueError("pass exactly one of benchmark or benchmark_keys")
+    key_sql = "md5(g)" if portable else "xxhash64(g)"
+    grams = (
+        f"transform(filter(array_distinct({_ngram_sql(text_col, n)}), "
+        f"g -> g != ''), g -> {key_sql})"
+    )
+    bench_keys = (
+        benchmark_keys
+        if benchmark_keys is not None
+        else benchmark_ngram_keys(benchmark, id_col, text_col, n, portable)
+    )
+    base = spread(df).select(
+        F.col(id_col), F.expr(grams).alias("__grams")
+    )
+    totals = base.select(
+        F.col(id_col), F.size("__grams").alias("n_total_ngrams")
+    )
+    hits = (
+        base.select(F.col(id_col), F.explode("__grams").alias("__k"))
+        .join(F.broadcast(bench_keys), "__k")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    shared = F.coalesce(F.col("__shared"), F.lit(0)).cast("bigint")
+    return totals.join(hits, id_col, "left").select(
+        F.col(id_col),
+        shared.alias("n_shared_ngrams"),
+        F.col("n_total_ngrams").cast("bigint").alias("n_total_ngrams"),
+        F.when(F.col("n_total_ngrams") > 0, F.round(
+            shared.cast("double")
+            / F.col("n_total_ngrams").cast("double") * 1e6
+        ).cast("bigint")).otherwise(F.lit(0).cast("bigint")).alias(
+            "shared_ppm"
+        ),
+    )
+
+
 _SIMHASH_LANE = 21
 _SIMHASH_LANE_MASK = (1 << _SIMHASH_LANE) - 1
 _SIMHASH_LANES_PER_LONG = 3
@@ -1144,4 +1209,65 @@ def _components_star(raw: DataFrame, max_iterations: int) -> DataFrame:
     return (
         nodes.join(edges, nodes["id"] == edges["src"], "left")
         .select("id", F.coalesce("dst", "id").alias("component"))
+    )
+
+
+def canonical_by_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_df: DataFrame | None = None,
+    score_col: str = "quality_score",
+    n: int = 3,
+    threshold: float = 0.5,
+    pair_method: str = "jaccard",
+    **group_kwargs,
+) -> DataFrame:
+    """Quality-aware canonical selection: per near-duplicate cluster,
+    keep the BEST-quality member instead of the min-id one — what a
+    production curation pipeline actually wants ("of these 5 copies,
+    keep the cleanest"), composed from ``near_dup_groups`` and a
+    per-document score.
+
+    ``score_df`` is any ``(id_col, score_col)`` frame; default is
+    ``text_stats``'s composite ``quality_score``. Deterministic
+    tie-break ``(score desc, id asc)``. Output: ``(id, component,
+    score, is_canonical)`` for EVERY document — exactly one canonical
+    per component.
+
+    Plan shape: the grouping is ``near_dup_groups`` (banded pair
+    generation, never all-pairs); scoring is one map-side projection;
+    selection is a window partitioned BY COMPONENT (key-partitioned,
+    never global) after one keyed join of two frames that both derive
+    from the corpus scan.
+    """
+    from pyspark.sql import Window
+
+    groups = near_dup_groups(
+        df,
+        id_col,
+        text_col,
+        n=n,
+        threshold=threshold,
+        pair_method=pair_method,
+        **group_kwargs,
+    ).select(id_col, "component")
+    if score_df is None:
+        from diseasystore_spark.pipeline.text import text_stats
+
+        score_df = text_stats(df, id_col, text_col).select(
+            F.col(id_col), F.col(score_col)
+        )
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        groups.join(score_df, id_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .select(
+            F.col(id_col),
+            "component",
+            F.col(score_col).alias("score"),
+            (F.col("__rn") == 1).alias("is_canonical"),
+        )
     )

@@ -393,3 +393,78 @@ def select_within_budget(
             (F.col("cum_size") <= budget).alias("selected"),
         )
     )
+
+
+def build_mixture(
+    df: DataFrame,
+    target: dict[str, float],
+    key: str = "doc_id",
+    strata_col: str = "source",
+    salt: str = "mixture",
+) -> DataFrame:
+    """Materialize a target domain mixture by deterministic
+    downsampling — the step AFTER ``mixture_weights`` decides the
+    rates: actually build the training mix (Pile/Dolma-style fixed
+    domain proportions, public technique).
+
+    With downsampling only (no document repetition), the largest
+    corpus whose composition matches ``target`` has total size
+    ``T = min over target strata of (n_s / w_s)``; each stratum then
+    keeps ``rate_s = w_s * T / n_s`` of its documents (the binding
+    stratum keeps everything). Strata absent from ``target`` — and
+    target strata with zero corpus presence — contribute nothing.
+
+    Returns the surviving rows of ``df`` (all original columns).
+    Selection is ``hash_sample``-style by-key Bernoulli (md5 bucket
+    below a per-stratum threshold), so it is deterministic,
+    repetition-free, and consistent across tables keyed by the same
+    id. The per-stratum thresholds are computed IN the plan —
+    stratum counts aggregate -> one-row capacity -> broadcast rates
+    join — so this stays a pure plan builder with no driver action;
+    both engines compute ``round(w*T/n * 2^32)`` on identical
+    integer/double operands (the q71 oracle reproduces it verbatim).
+
+    Expected composition error is O(sqrt(n_s)) per stratum (Bernoulli
+    by hash, not exact-count sampling); for exact-count selection
+    compose ``select_within_budget`` per stratum instead.
+    """
+    if not target:
+        raise ValueError("target must contain at least one stratum")
+    bad = {k: v for k, v in target.items() if v <= 0}
+    if bad:
+        raise ValueError(f"target weights must be positive, got {bad}")
+    total_w = sum(target.values())
+    if abs(total_w - 1.0) > 1e-9:
+        raise ValueError(f"target weights must sum to 1, got {total_w}")
+
+    pairs: list[Column] = []
+    for name, frac in target.items():
+        pairs += [F.lit(name), F.lit(float(frac))]
+    tmap = F.create_map(*pairs)
+
+    counts = (
+        df.where(F.col(strata_col).isin(list(target)))
+        .groupBy(F.col(strata_col).alias("__stratum"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__w", F.element_at(tmap, F.col("__stratum")))
+    )
+    capacity = counts.agg(
+        F.min(F.col("__n").cast("double") / F.col("__w")).alias("__t")
+    )
+    rates = counts.crossJoin(F.broadcast(capacity)).select(
+        "__stratum",
+        F.round(
+            F.col("__w") * F.col("__t") / F.col("__n").cast("double")
+            * F.lit(float(_SPACE))
+        )
+        .cast("bigint")
+        .alias("__thr"),
+    )
+    bucket = F.conv(hash_hex(F.col(key), salt), 16, 10).cast("bigint")
+    return (
+        df.join(
+            F.broadcast(rates), df[strata_col] == rates["__stratum"]
+        )
+        .where(bucket < F.col("__thr"))
+        .drop("__stratum", "__thr")
+    )

@@ -3114,6 +3114,212 @@ FROM top WHERE rn = 1
 """
 
 
+def q71_build_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a 50/30/20 src0/src1/src2 training mix by
+    deterministic per-stratum hash downsampling; thresholds are
+    computed in-plan from the stratum counts (round(w*T/n * 2^32) on
+    identical integer/double operands in both engines)."""
+    from diseasystore_spark.pipeline.sample import build_mixture
+
+    return build_mixture(
+        _read(spark, sf_dir, "documents"),
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+    ).select("doc_id", "source")
+
+
+ORACLE_Q71 = """
+WITH counts AS (
+  SELECT source AS s, count(*) AS n FROM documents
+  WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1
+),
+w AS (
+  SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2))
+  AS t(s, w)
+),
+cw AS (SELECT c.s, c.n, w.w FROM counts c JOIN w USING (s)),
+cap AS (SELECT min(CAST(n AS DOUBLE) / w) AS t FROM cw),
+rates AS (
+  SELECT s,
+         CAST(round(w * t / CAST(n AS DOUBLE) * 4294967296.0) AS BIGINT)
+           AS thr
+  FROM cw CROSS JOIN cap
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON d.source = r.s
+WHERE CAST('0x' || substr(md5('mixture|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+           AS BIGINT) < r.thr
+"""
+
+
+def q72_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination evidence: per-document fraction (ppm) of
+    distinct 5-grams shared with the q61 benchmark split (every 97th
+    doc) — the thresholding quantity behind 'drop docs with > X%
+    benchmark overlap'."""
+    from diseasystore_spark.pipeline.dedup import contamination_fraction
+
+    d = _read(spark, sf_dir, "documents")
+    return contamination_fraction(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
+        n=5,
+        portable=True,
+    )
+
+
+ORACLE_Q72 = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i
+  FROM toks
+),
+gr AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' '
+              || w[i + 3] || ' ' || w[i + 4] AS g
+  FROM pos
+),
+bench AS (SELECT DISTINCT g FROM gr WHERE doc_id % 97 = 0),
+corp AS (SELECT doc_id, g FROM gr WHERE doc_id % 97 <> 0),
+totals AS (SELECT doc_id, count(*) AS nt FROM corp GROUP BY 1),
+hits AS (
+  SELECT doc_id, count(*) AS ns FROM corp JOIN bench USING (g) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.ns, 0) AS BIGINT) AS n_shared_ngrams,
+       CAST(coalesce(t.nt, 0) AS BIGINT) AS n_total_ngrams,
+       CASE WHEN coalesce(t.nt, 0) > 0
+            THEN CAST(round(CAST(coalesce(h.ns, 0) AS DOUBLE)
+                            / CAST(t.nt AS DOUBLE) * 1e6) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS shared_ppm
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN totals t ON d.doc_id = t.doc_id
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+def q73_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: q53's near-dup clusters, but
+    the keeper per cluster is the highest-quality member (q20's
+    composite score, tie-broken by id) instead of the min id."""
+    from diseasystore_spark.pipeline.dedup import canonical_by_quality
+
+    return canonical_by_quality(
+        _read(spark, sf_dir, "documents"), n=3, threshold=0.2
+    ).select(
+        "doc_id", "component", F.round("score", 4).alias("score"),
+        "is_canonical",
+    )
+
+
+ORACLE_Q73 = """
+WITH RECURSIVE
+base AS (SELECT doc_id, md5(text) AS h FROM documents),
+reps AS (SELECT h, min(doc_id) AS rep FROM base GROUP BY h),
+member AS (SELECT b.doc_id, r.rep FROM base b JOIN reps r USING (h)),
+rep_docs AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN reps r ON d.doc_id = r.rep
+),
+pairs AS (
+  WITH toks AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS w FROM rep_docs
+  ),
+  pos AS (
+    SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+    FROM toks
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+    FROM pos
+  ),
+  sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+  common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+comp AS (
+  SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
+),
+grp AS (
+  SELECT m.doc_id, COALESCE(c.component, m.rep) AS component
+  FROM member m LEFT JOIN comp c ON c.id = m.rep
+),
+qbase AS (
+  SELECT doc_id,
+         length(text) AS nc,
+         len(string_split(trim(text), ' ')) AS nt,
+         len(list_distinct(string_split(trim(text), ' '))) AS nd,
+         length(text)
+           - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+  FROM documents
+),
+score AS (
+  SELECT doc_id,
+         round(least(nt / 100.0, 1.0)
+               * (nd / CAST(nt AS DOUBLE))
+               * (1 - round(punct / CAST(nc AS DOUBLE), 4))
+               * (1 - round(digits / CAST(nc AS DOUBLE), 4)), 4)
+           AS quality_score
+  FROM qbase
+),
+ranked AS (
+  SELECT g.doc_id, g.component, s.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY g.component
+                            ORDER BY s.quality_score DESC, g.doc_id) AS rn
+  FROM grp g JOIN score s ON g.doc_id = s.doc_id
+)
+SELECT doc_id, component, round(quality_score, 4) AS score, rn = 1 AS is_canonical
+FROM ranked
+"""
+
+
+def q74_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event counts per type — the batch twin of the
+    streaming ``windowed_event_counts`` operator (same window spec the
+    watermark path runs)."""
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("__w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            F.col("__w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+ORACLE_Q74 = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3189,6 +3395,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_funnel": q68_funnel,
     "q69_retention": q69_retention,
     "q70_knn_classify": q70_knn_classify,
+    "q71_build_mixture": q71_build_mixture,
+    "q72_contamination_fraction": q72_contamination_fraction,
+    "q73_canonical_by_quality": q73_canonical_by_quality,
+    "q74_windowed_counts": q74_windowed_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -3261,6 +3471,10 @@ ORACLES: dict[str, str] = {
     "q68_funnel": ORACLE_Q68,
     "q69_retention": ORACLE_Q69,
     "q70_knn_classify": ORACLE_Q70,
+    "q71_build_mixture": ORACLE_Q71,
+    "q72_contamination_fraction": ORACLE_Q72,
+    "q73_canonical_by_quality": ORACLE_Q73,
+    "q74_windowed_counts": ORACLE_Q74,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

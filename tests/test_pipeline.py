@@ -1248,3 +1248,88 @@ def test_embedding_outliers_golden(spark):
     }
     assert g[1] == round(5.5**2 + 6.0**2, 4)
     assert set(g) == {1, 2, 3, 4}
+
+
+def test_build_mixture_proportions_and_determinism(spark):
+    from diseasystore_spark.pipeline.sample import build_mixture
+
+    rows = [(i, "a" if i < 4000 else ("b" if i < 5000 else "c"))
+            for i in range(6000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # a: 4000 docs, b: 1000, c: 1000. Target 50/25/25 -> binding
+    # stratum is b or c (1000/0.25 = 4000 = T); a keeps 0.5.
+    out = build_mixture(df, {"a": 0.5, "b": 0.25, "c": 0.25})
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # Bernoulli-by-hash: expect ~2000/1000/1000 within ~5 sigma.
+    assert abs(got["a"] - 2000) < 160
+    assert got["b"] == 1000 and got["c"] == 1000  # rate 1.0: keep all
+    # Deterministic: same call -> same membership.
+    again = build_mixture(df, {"a": 0.5, "b": 0.25, "c": 0.25})
+    assert out.select("doc_id").subtract(again.select("doc_id")).count() == 0
+    assert again.select("doc_id").subtract(out.select("doc_id")).count() == 0
+    # Strata outside the target are dropped entirely.
+    assert out.where(~F.col("source").isin(["a", "b", "c"])).count() == 0
+
+
+def test_build_mixture_validates_target(spark):
+    from diseasystore_spark.pipeline.sample import build_mixture
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="at least one"):
+        build_mixture(df, {})
+    with pytest.raises(ValueError, match="positive"):
+        build_mixture(df, {"a": 0.0, "b": 1.0})
+    with pytest.raises(ValueError, match="sum to 1"):
+        build_mixture(df, {"a": 0.4, "b": 0.4})
+
+
+def test_contamination_fraction_counts(spark):
+    from diseasystore_spark.pipeline.dedup import contamination_fraction
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # grams: abcde, bcdef (2 total)
+            (2, "a b c d e x y"),    # grams: abcde, bcdex, cdexy (3)
+            (3, "p q r s t"),        # 1 gram, clean
+            (4, "too short"),        # 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "a b c d e")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           contamination_fraction(corpus, bench, n=5).collect()}
+    assert (out[1]["n_shared_ngrams"], out[1]["n_total_ngrams"]) == (1, 2)
+    assert out[1]["shared_ppm"] == 500000
+    assert (out[2]["n_shared_ngrams"], out[2]["n_total_ngrams"]) == (1, 3)
+    assert out[2]["shared_ppm"] == 333333
+    assert (out[3]["n_shared_ngrams"], out[3]["shared_ppm"]) == (0, 0)
+    assert (out[4]["n_total_ngrams"], out[4]["shared_ppm"]) == (0, 0)
+
+
+def test_canonical_by_quality_picks_best(spark):
+    from diseasystore_spark.pipeline.dedup import canonical_by_quality
+
+    # Docs 1/2 are near-dups (shared trigrams); doc 2 is "cleaner"
+    # under an explicit score frame. Doc 3 is a singleton.
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over a lazy dog"),
+            (3, "completely different content with nothing shared here"),
+        ],
+        "doc_id long, text string",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5)], "doc_id long, quality_score double"
+    )
+    out = {r["doc_id"]: r for r in canonical_by_quality(
+        docs, score_df=scores, n=3, threshold=0.3
+    ).collect()}
+    assert out[1]["component"] == out[2]["component"] == 1
+    assert not out[1]["is_canonical"] and out[2]["is_canonical"]
+    assert out[3]["is_canonical"]
+    # Exactly one canonical per component.
+    assert sum(1 for r in out.values() if r["is_canonical"]) == 2
