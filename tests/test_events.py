@@ -156,3 +156,68 @@ def test_knn_classify_majority_and_tiebreak(spark):
         corpus, corpus.where(F.col("vec_id") == 0), k=4
     ).collect()
     assert tie[0]["pred_label"] == 1 and tie[0]["votes"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Property-based: funnel state machine vs a brute-force Python oracle
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+STAGES = ["s0", "s1", "s2"]
+
+
+def py_funnel(events):
+    """Obviously-correct oracle: tj = min ts of stage j with
+    ts STRICTLY greater than t(j-1), computed by literal scan."""
+    reach = []
+    prev = None
+    for j, s in enumerate(STAGES):
+        cand = [
+            ts for (ts, typ) in events
+            if typ == s and (j == 0 or (prev is not None and ts > prev))
+        ]
+        cur = min(cand) if cand else None
+        reach.append(cur)
+        prev = cur
+    return reach
+
+
+ev_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # coarse ts: force ties
+        st.sampled_from(STAGES + ["noise"]),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(ev_strategy, min_size=1, max_size=4))
+def test_funnel_matches_python_oracle(spark, user_events):
+    import datetime as dt
+
+    rows = []
+    expected = {}
+    for uid, evs in enumerate(user_events):
+        for ts, typ in evs:
+            rows.append((uid, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=ts), typ))
+        if any(t in STAGES for _, t in evs):
+            expected[uid] = py_funnel(evs)
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string"
+    )
+    got = {
+        r["user_id"]: r["reach"]
+        for r in funnel_reach(df, STAGES).collect()
+    }
+    base = int(dt.datetime(2024, 1, 1).timestamp() * 1_000_000)
+    want = {
+        uid: [None if t is None else base + t * 1_000_000 for t in reach]
+        for uid, reach in expected.items()
+    }
+    assert got == want
