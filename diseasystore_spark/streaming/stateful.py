@@ -135,3 +135,136 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def funnel_stream(
+    events: DataFrame,
+    stages: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming funnel progression (the incremental form of
+    ``operators.events.funnel_reach``): per user, maintain the exact
+    reach times ``tj = min ts of stage j strictly after t(j-1)``
+    across micro-batches, emitting ``(user_id, reach)`` whenever a
+    batch CHANGES the user's reach vector. The LAST emission per user
+    equals the batch operator over the full history — exactly, even
+    with out-of-order arrival (any disorder within the watermark).
+
+    Exactness under late data rests on two monotonicity facts:
+
+    - every ``tj`` is non-increasing as events arrive (new events only
+      add candidates, and a lower ``t(j-1)`` only widens stage j's
+      candidate set), so
+    - a stage-j event time strictly greater than the CURRENT ``tj``
+      can never become the answer — it is safe to discard.
+
+    State per user is therefore one sorted time array per stage,
+    pruned to times <= the stage's current reach (everything, while
+    the stage is unreached). A completed funnel's state collapses
+    toward K near-singleton arrays; the adversarial worst case (a
+    stage never reached, its candidates unprunable) grows with that
+    user's event count for that stage — same order as any exact
+    late-data-correct formulation. Recompute per (user, batch) is a
+    merge + one K-stage scan over the kept arrays.
+
+    Requires distinct ``stages`` (same contract as the batch
+    operator). State carries epoch MICROS (int64, Arrow-stable).
+    """
+    if not stages:
+        raise ValueError("stages must be a non-empty ordered list")
+    if len(set(stages)) != len(stages):
+        raise ValueError("stages must be distinct event types")
+    k = len(stages)
+    stage_idx = {s: j for j, s in enumerate(stages)}
+
+    from pyspark.sql import functions as F  # local: keep module header lean
+    from pyspark.sql.types import ArrayType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("reach", ArrayType(LongType())),
+        ]
+    )
+    state_schema = StructType(
+        [StructField(f"cand_{j}", ArrayType(LongType())) for j in range(k)]
+        + [StructField("reach", ArrayType(LongType()))]
+    )
+
+    def _recompute(cands: list[list[int]]) -> list[int | None]:
+        reach: list[int | None] = []
+        prev: int | None = None
+        for j in range(k):
+            cur = None
+            for t in cands[j]:  # sorted ascending: first hit is the min
+                if j == 0 or (prev is not None and t > prev):
+                    cur = t
+                    break
+            reach.append(cur)
+            prev = cur
+        return reach
+
+    def fn(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        batches = list(pdf_iter)
+        if not batches:
+            return
+        pdf = pd.concat(batches)
+        ts_us = (
+            pdf[ts_col]
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype("int64")
+        )
+        types = pdf[type_col].to_numpy()
+
+        if state.exists:
+            stored = state.get
+            cands = [sorted(stored[j] or []) for j in range(k)]
+            old_reach = list(stored[k] or [])
+        else:
+            cands = [[] for _ in range(k)]
+            old_reach = [-1] * k
+
+        for t, typ in zip(ts_us, types):
+            j = stage_idx.get(typ)
+            if j is not None:
+                cands[j].append(int(t))
+        for j in range(k):
+            cands[j] = sorted(set(cands[j]))
+
+        reach = _recompute(cands)
+        # Prune: times strictly above a reached stage's answer can
+        # never matter again (reach is non-increasing).
+        for j in range(k):
+            if reach[j] is not None:
+                cands[j] = [t for t in cands[j] if t <= reach[j]]
+
+        enc = [-1 if t is None else t for t in reach]
+        state.update(tuple(cands) + (enc,))
+        if enc != list(old_reach):
+            yield pd.DataFrame(
+                {"user_id": [user], "reach": [
+                    [None if t == -1 else t for t in enc]
+                ]}
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .where(F.col(type_col).isin(list(stages)))
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -432,3 +432,80 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert any(v > 0 for v in want.values())  # screening is non-trivial
+
+
+def test_funnel_stream_matches_batch_with_late_data(spark, tmp_path):
+    """Stateful streaming funnel: the last emission per user must equal
+    the batch funnel_reach over the full history, including LATE
+    (out-of-order across micro-batches) events that retroactively
+    lower earlier-stage reach times and thereby change later stages."""
+    from diseasystore_spark.operators.events import funnel_reach
+    from diseasystore_spark.streaming.stateful import funnel_stream
+
+    TS = datetime.datetime
+    first = [
+        # user 1: click arrives before any view in batch 1 -> stalls
+        (1, TS(2024, 1, 1, 10, 0), "click"),
+        (1, TS(2024, 1, 1, 10, 30), "view"),
+        # user 3: full funnel in batch 1
+        (3, TS(2024, 1, 1, 10, 0), "view"),
+        (3, TS(2024, 1, 1, 11, 0), "click"),
+        (3, TS(2024, 1, 1, 11, 30), "purchase"),
+    ]
+    second = [
+        # late view for user 1 BEFORE the batch-1 click: the click now
+        # chains (t0 drops to 9:00, click@10:00 > 9:00)
+        (1, TS(2024, 1, 1, 9, 0), "view"),
+        # late click for user 3 between t0 and old t1: t1 drops to
+        # 10:15; late purchase@10:45 then beats the old 11:30
+        (3, TS(2024, 1, 1, 10, 15), "click"),
+        (3, TS(2024, 1, 1, 10, 45), "purchase"),
+    ]
+    schema = "user_id long, ts timestamp, event_type string"
+    src = str(tmp_path / "funnel_src")
+    spark.createDataFrame(first, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(second, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stages = ["view", "click", "purchase"]
+    emissions = []
+
+    def sink(batch_df, epoch_id):
+        for r in batch_df.collect():
+            emissions.append((epoch_id, r["user_id"], list(r["reach"])))
+
+    q = (
+        funnel_stream(stream, stages, watermark="10 hours")
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "funnel_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    last = {}
+    for epoch, user, reach in sorted(emissions, key=lambda e: e[0]):
+        last[user] = reach
+
+    batch_df = spark.createDataFrame(first + second, schema)
+    want = {
+        r["user_id"]: list(r["reach"])
+        for r in funnel_reach(batch_df, stages).collect()
+    }
+    assert last == want
+    # And the late data genuinely changed things: user 1 completed
+    # stage 1, user 3's purchase moved earlier than batch-1's answer.
+    us = lambda *a: int(TS(*a).timestamp() * 1_000_000)  # noqa: E731
+    assert last[1][1] == us(2024, 1, 1, 10, 0)
+    assert last[3] == [
+        us(2024, 1, 1, 10, 0),
+        us(2024, 1, 1, 10, 15),
+        us(2024, 1, 1, 10, 45),
+    ]
