@@ -468,3 +468,57 @@ def build_mixture(
         .where(bucket < F.col("__thr"))
         .drop("__stratum", "__thr")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key: str = "doc_id",
+    seed: str = "epoch0",
+    buckets: int = 1024,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Deterministic global training-order permutation: every row gets
+    a dense 0-based ``rank`` equal to its position in ascending
+    ``(md5(seed|key), key)`` order — the "shuffle the corpus
+    differently each epoch, reproducibly" step of a training-data
+    loader (vary ``seed`` per epoch; ties impossible since ``key``
+    breaks hash collisions deterministically).
+
+    Scale shape — the naive ``row_number() OVER (ORDER BY hash)`` is
+    a single-task global window; this is the two-level rank instead
+    (same pattern as ``select_within_budget``): hash-PREFIX range
+    buckets (monotone in the sort order, so bucket ranks concatenate),
+    per-bucket counts (map-side combinable, ``buckets`` rows), an
+    exclusive prefix over that tiny frame, and an intra-bucket
+    ``row_number`` partitioned by bucket. Only the ``buckets``-row
+    window is single-task. Result identical to the naive global
+    window (the q75 oracle IS the naive form).
+
+    With the default 1024 buckets a uniform md5 gives ~N/1024 rows
+    per window partition; raise ``buckets`` (power of two — the 32-bit
+    space must divide evenly so bucket boundaries stay exact) so a
+    partition fits in executor memory at your corpus size.
+    """
+    if buckets <= 0 or (buckets & (buckets - 1)) != 0 or buckets > _SPACE:
+        raise ValueError(
+            f"buckets must be a positive power of two <= 2^32, got {buckets}"
+        )
+    width = _SPACE // buckets
+    h = F.conv(hash_hex(F.col(key), seed), 16, 10).cast("bigint")
+    base = df.withColumn("__h", h).withColumn(
+        "__b", F.expr(f"__h DIV {width}")
+    )
+    counts = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    gw = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    prefixes = counts.select(
+        "__b", F.coalesce(F.sum("__n").over(gw), F.lit(0)).alias("__prefix")
+    )
+    iw = Window.partitionBy("__b").orderBy("__h", key)
+    return (
+        base.join(F.broadcast(prefixes), "__b")
+        .withColumn(
+            rank_col,
+            (F.col("__prefix") + F.row_number().over(iw) - 1).cast("bigint"),
+        )
+        .drop("__h", "__b", "__prefix")
+    )

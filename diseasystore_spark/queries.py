@@ -3320,6 +3320,30 @@ GROUP BY 1, 2
 """
 
 
+def q75_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order permutation (epoch
+    shuffling): dense 0-based rank in ascending (md5(seed|id), id)
+    order, computed with the two-level bucketed rank — the oracle IS
+    the naive single-window form the plan avoids."""
+    from diseasystore_spark.pipeline.sample import epoch_shuffle
+
+    return epoch_shuffle(
+        _read(spark, sf_dir, "documents"), seed="epoch0", buckets=64
+    ).select("doc_id", "rank")
+
+
+ORACLE_Q75 = """
+WITH h AS (
+  SELECT doc_id,
+         substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)), 1, 8) AS b
+  FROM documents
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY b, doc_id) - 1 AS BIGINT) AS rank
+FROM h
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3399,6 +3423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_contamination_fraction": q72_contamination_fraction,
     "q73_canonical_by_quality": q73_canonical_by_quality,
     "q74_windowed_counts": q74_windowed_counts,
+    "q75_epoch_shuffle": q75_epoch_shuffle,
 }
 
 ORACLES: dict[str, str] = {
@@ -3475,6 +3500,7 @@ ORACLES: dict[str, str] = {
     "q72_contamination_fraction": ORACLE_Q72,
     "q73_canonical_by_quality": ORACLE_Q73,
     "q74_windowed_counts": ORACLE_Q74,
+    "q75_epoch_shuffle": ORACLE_Q75,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

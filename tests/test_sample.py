@@ -282,3 +282,41 @@ def test_reshard_corpus_preserves_membership(spark, docs, tmp_path):
     one = read_shard(spark, dst, shard=1)
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(shard" in plan, plan
+
+
+def test_epoch_shuffle_dense_permutation_and_seeds(spark):
+    from diseasystore_spark.pipeline.sample import epoch_shuffle
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id bigint"
+    )
+    out = epoch_shuffle(df, buckets=8)
+    ranks = sorted(r["rank"] for r in out.collect())
+    assert ranks == list(range(500))  # dense 0-based permutation
+    # Deterministic per seed; different seeds permute differently.
+    a = {r["doc_id"]: r["rank"] for r in epoch_shuffle(df, seed="e1").collect()}
+    b = {r["doc_id"]: r["rank"] for r in epoch_shuffle(df, seed="e1").collect()}
+    c = {r["doc_id"]: r["rank"] for r in epoch_shuffle(df, seed="e2").collect()}
+    assert a == b
+    assert a != c
+    # Bucket count must not change the result.
+    d = {r["doc_id"]: r["rank"]
+         for r in epoch_shuffle(df, seed="e1", buckets=256).collect()}
+    assert d == a
+    with pytest.raises(ValueError, match="power of two"):
+        epoch_shuffle(df, buckets=100)
+
+
+def test_epoch_shuffle_no_global_window(spark):
+    """The per-row rank window must be partitioned by the hash-prefix
+    bucket — never a single unpartitioned global sort of the corpus."""
+    from diseasystore_spark.pipeline.sample import epoch_shuffle
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        epoch_shuffle(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(__b" in plan, plan
