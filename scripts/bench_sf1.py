@@ -27,6 +27,13 @@ QUERIES = [
     "q58_importance_weights",
     "q59_near_dup_groups_minhash",
     "q61_ngram_decontaminate",
+    # round-3 session additions
+    "q66_curation_e2e",
+    "q68_funnel",
+    "q70_knn_classify",
+    "q71_build_mixture",
+    "q73_canonical_by_quality",
+    "q75_epoch_shuffle",
 ]
 
 
