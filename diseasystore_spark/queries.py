@@ -3344,6 +3344,38 @@ FROM h
 """
 
 
+def q76_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-optimal) line items under (price, quantity,
+    discount) all-max: two-phase distributed dominance (local skyline
+    per partition -> tiny candidate union) vs the O(n²) NOT-EXISTS
+    self-join the oracle runs."""
+    from diseasystore_spark.operators.skyline import skyline
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity",
+        "l_discount",
+    )
+    return skyline(
+        li,
+        {"l_extendedprice": "max", "l_quantity": "max", "l_discount": "max"},
+    )
+
+
+ORACLE_Q76 = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_discount
+FROM lineitem t
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem u
+  WHERE u.l_extendedprice >= t.l_extendedprice
+    AND u.l_quantity >= t.l_quantity
+    AND u.l_discount >= t.l_discount
+    AND (u.l_extendedprice > t.l_extendedprice
+         OR u.l_quantity > t.l_quantity
+         OR u.l_discount > t.l_discount)
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3424,6 +3456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_canonical_by_quality": q73_canonical_by_quality,
     "q74_windowed_counts": q74_windowed_counts,
     "q75_epoch_shuffle": q75_epoch_shuffle,
+    "q76_skyline": q76_skyline,
 }
 
 ORACLES: dict[str, str] = {
@@ -3501,6 +3534,7 @@ ORACLES: dict[str, str] = {
     "q73_canonical_by_quality": ORACLE_Q73,
     "q74_windowed_counts": ORACLE_Q74,
     "q75_epoch_shuffle": ORACLE_Q75,
+    "q76_skyline": ORACLE_Q76,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -1,0 +1,82 @@
+"""Skyline operator vs a brute-force Python oracle, including
+partition-invariance (the two-phase merge must not lose points)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from diseasystore_spark.operators.skyline import skyline
+
+
+def py_skyline(rows, signs):
+    def dominated(a, b):  # b dominates a?
+        ge = all(sb * vb >= sa * va for (va, vb, sa, sb) in
+                 ((a[i], b[i], signs[i], signs[i]) for i in range(len(signs))))
+        gt = any(signs[i] * b[i] > signs[i] * a[i] for i in range(len(signs)))
+        return ge and gt
+
+    return sorted(
+        r for r in rows if not any(dominated(r, o) for o in rows if o != r)
+    )
+
+
+def test_skyline_golden_and_duplicates(spark):
+    rows = [
+        (1, 5.0, 5.0),
+        (2, 5.0, 5.0),   # duplicate of the skyline point: both kept
+        (3, 4.0, 6.0),
+        (4, 4.0, 4.0),   # dominated by 1
+        (5, 6.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = sorted(r["id"] for r in skyline(df, {"x": "max", "y": "max"}).collect())
+    assert got == [1, 2, 3, 5]
+    # min direction flips dominance: (4,4) now dominates (5,5) twice
+    # over AND (4,6); only (6,1) survives alongside it
+    got_min = sorted(
+        r["id"] for r in skyline(df, {"x": "min", "y": "min"}).collect()
+    )
+    assert got_min == [4, 5]
+
+
+def test_skyline_validates(spark):
+    df = spark.createDataFrame([(1, 2.0)], "id long, x double")
+    with pytest.raises(ValueError, match="at least one"):
+        skyline(df, {})
+    with pytest.raises(ValueError, match="max.*min|'max' or 'min'"):
+        skyline(df, {"x": "up"})
+    with pytest.raises(ValueError, match="not in frame"):
+        skyline(df, {"nope": "max"})
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.tuples(st.sampled_from([1, -1]), st.sampled_from([1, -1]),
+              st.sampled_from([1, -1])),
+)
+def test_skyline_matches_python_any_partitioning(spark, pts, sgn):
+    rows = [(i, float(a), float(b), float(c)) for i, (a, b, c) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "id long, x double, y double, z double"
+    ).repartition(5)  # force multi-partition two-phase merge
+    dims = {
+        "x": "max" if sgn[0] == 1 else "min",
+        "y": "max" if sgn[1] == 1 else "min",
+        "z": "max" if sgn[2] == 1 else "min",
+    }
+    got = sorted(
+        (r["x"], r["y"], r["z"]) for r in skyline(df, dims).collect()
+    )
+    want = py_skyline([(a, b, c) for _, a, b, c in rows], list(sgn))
+    assert got == want
