@@ -204,3 +204,35 @@ def retention_cohorts(
     if max_offset is not None:
         out = out.where(F.col("period_offset") <= max_offset)
     return out
+
+
+def user_journeys(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-user journey string: event types concatenated in
+    deterministic ``(ts, order_col)`` order — the representation that
+    lets every text-similarity operator (n-gram Jaccard, MinHash,
+    SimHash) run unchanged over behavioral sequences. One shuffle
+    (groupBy user); ordering via ``array_sort`` of structs, no window.
+    """
+    return events.groupBy(user_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts_col).alias("t"),
+                            F.col(order_col).alias("o"),
+                            F.col(type_col).alias("e"),
+                        )
+                    )
+                ),
+                lambda s: s["e"],
+            ),
+            " ",
+        ).alias("journey")
+    )

@@ -3376,6 +3376,57 @@ WHERE NOT EXISTS (
 """
 
 
+def q77_journey_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence similarity: per-user journey strings
+    (event types in (ts, event_id) order) fed through the SAME n-gram
+    Jaccard operator the text dedup path uses — operator reuse across
+    domains. Pairs of users with 5-gram journey Jaccard >= 0.07."""
+    from diseasystore_spark.operators.events import user_journeys
+    from diseasystore_spark.pipeline.dedup import jaccard_pairs
+
+    j = user_journeys(_read(spark, sf_dir, "events"))
+    out = jaccard_pairs(
+        j, id_col="user_id", text_col="journey", n=5, threshold=0.07
+    )
+    return out.select(
+        F.col("id_a").alias("user_a"),
+        F.col("id_b").alias("user_b"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+ORACLE_Q77 = """
+WITH j AS (
+  SELECT user_id,
+         string_agg(event_type, ' ' ORDER BY ts, event_id) AS journey
+  FROM events GROUP BY user_id
+),
+toks AS (SELECT user_id, string_split(journey, ' ') AS w FROM j),
+pos AS (
+  SELECT user_id, w, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT user_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+              || w[i+3] || ' ' || w[i+4] AS s
+  FROM pos
+),
+sizes AS (SELECT user_id, count(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.user_id < b.user_id
+  GROUP BY 1, 2
+)
+SELECT ua AS user_a, ub AS user_b,
+       round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.user_id = ua
+JOIN sizes sb ON sb.user_id = ub
+WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.07
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3457,6 +3508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_windowed_counts": q74_windowed_counts,
     "q75_epoch_shuffle": q75_epoch_shuffle,
     "q76_skyline": q76_skyline,
+    "q77_journey_similarity": q77_journey_similarity,
 }
 
 ORACLES: dict[str, str] = {
@@ -3535,6 +3587,7 @@ ORACLES: dict[str, str] = {
     "q74_windowed_counts": ORACLE_Q74,
     "q75_epoch_shuffle": ORACLE_Q75,
     "q76_skyline": ORACLE_Q76,
+    "q77_journey_similarity": ORACLE_Q77,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its
