@@ -3427,6 +3427,58 @@ WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.07
 """
 
 
+def q78_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic 3-way join OLAP (TPC-H Q3 shape, public spec): revenue
+    of orders placed before a cutoff with line items shipped after it,
+    top 10 by revenue — exercises join ordering + AQE on the star
+    schema. Revenue summed on exact cents (micro-int) for
+    cross-engine hash equality, then presented in currency units."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    cutoff = "1995-03-15"
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    out = (
+        li.where(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .join(
+            orders.where(
+                F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+            ),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev_cents).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+    return out.select(
+        "l_orderkey",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        "o_orderpriority",
+        "revenue_cents",
+    )
+
+
+ORACLE_Q78 = """
+SELECT l_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3509,6 +3561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_epoch_shuffle": q75_epoch_shuffle,
     "q76_skyline": q76_skyline,
     "q77_journey_similarity": q77_journey_similarity,
+    "q78_shipping_priority": q78_shipping_priority,
 }
 
 ORACLES: dict[str, str] = {
@@ -3588,6 +3641,7 @@ ORACLES: dict[str, str] = {
     "q75_epoch_shuffle": ORACLE_Q75,
     "q76_skyline": ORACLE_Q76,
     "q77_journey_similarity": ORACLE_Q77,
+    "q78_shipping_priority": ORACLE_Q78,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its
