@@ -3479,6 +3479,36 @@ LIMIT 10
 """
 
 
+def q79_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction: parse the events ``props``
+    JSON column with the JVM-side ``from_json`` (typed schema, no
+    Python in path) and aggregate the extracted field per event type
+    — the log-analytics shape (typed extraction -> keyed rollup)."""
+    events = _read(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        events.select("event_type", k.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("__k").cast("bigint").alias("sum_k"),
+            F.min("__k").cast("bigint").alias("min_k"),
+            F.max("__k").cast("bigint").alias("max_k"),
+        )
+    )
+
+
+ORACLE_Q79 = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3562,6 +3592,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_skyline": q76_skyline,
     "q77_journey_similarity": q77_journey_similarity,
     "q78_shipping_priority": q78_shipping_priority,
+    "q79_json_props": q79_json_props,
 }
 
 ORACLES: dict[str, str] = {
@@ -3642,6 +3673,7 @@ ORACLES: dict[str, str] = {
     "q76_skyline": ORACLE_Q76,
     "q77_journey_similarity": ORACLE_Q77,
     "q78_shipping_priority": ORACLE_Q78,
+    "q79_json_props": ORACLE_Q79,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its
