@@ -68,7 +68,8 @@ def funnel_reach(
     acc[j-1]`` is evaluated against the final ``t(j-1)`` — and the
     first such event in ascending order is the minimum. Strictness
     (``>``) means simultaneous events never chain within one instant
-    — the conservative funnel definition.
+    — the conservative funnel definition. NULL event times are
+    ignored (they can't participate in an ordered funnel).
     """
     if not stages:
         raise ValueError("stages must be a non-empty ordered list")
@@ -79,7 +80,9 @@ def funnel_reach(
         )
     k = len(stages)
     ev = (
-        events.where(F.col(type_col).isin(list(stages)))
+        events.where(
+            F.col(type_col).isin(list(stages)) & F.col(ts_col).isNotNull()
+        )
         .select(
             F.col(user_col),
             F.unix_micros(F.col(ts_col)).alias("__us"),
@@ -177,6 +180,7 @@ def retention_cohorts(
     """
     if period not in ("day", "week", "month"):
         raise ValueError(f"period must be day/week/month, got {period!r}")
+    events = events.where(F.col(ts_col).isNotNull())
     bucket = F.to_date(F.date_trunc(period, F.col(ts_col)))
     firsts = (
         events.select(F.col(user_col), bucket.alias("__p"))

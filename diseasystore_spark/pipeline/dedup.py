@@ -756,9 +756,11 @@ def contamination_fraction(
 
     Scale shape: identical to ``ngram_decontaminate`` — per-row
     distinct n-gram HASHES (never n-gram text past the map side), a
-    broadcast benchmark key set, one per-doc count — plus a map-side
-    per-row total (``size`` of the same distinct-gram array, no extra
-    pass over the text)."""
+    broadcast benchmark key set, one per-doc count. The per-doc total
+    is ``size()`` of the gram array in a second NARROW branch of the
+    same projection — a cheap map-only recompute (the repo's measured
+    rule: narrow recomputes beat materializing multi-consumer
+    frames), not a shuffle."""
     if (benchmark is None) == (benchmark_keys is None):
         raise ValueError("pass exactly one of benchmark or benchmark_keys")
     key_sql = "md5(g)" if portable else "xxhash64(g)"

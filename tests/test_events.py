@@ -221,3 +221,17 @@ def test_funnel_matches_python_oracle(spark, user_events):
         for uid, reach in expected.items()
     }
     assert got == want
+
+
+def test_funnel_and_retention_ignore_null_ts(spark):
+    rows = [
+        (1, T(2024, 1, 1), "view"),
+        (1, None, "click"),  # NULL ts: ignored, cannot chain
+    ]
+    df = _events(spark, rows)
+    m = _reach_map(spark, rows, ["view", "click"])
+    assert m[1][0] is not None and m[1][1] is None
+    out = retention_cohorts(df).collect()
+    assert {(str(r["cohort"]), r["period_offset"]) for r in out} == {
+        ("2024-01-01", 0)
+    }
