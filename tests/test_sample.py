@@ -320,3 +320,46 @@ def test_epoch_shuffle_no_global_window(spark):
         .toString()
     )
     assert "hashpartitioning(__b" in plan, plan
+
+
+def test_epoch_shuffle_matches_hashlib_oracle(spark):
+    """Rank must equal the position in ascending (md5(seed|key), key)
+    order computed independently in Python."""
+    import hashlib
+
+    from diseasystore_spark.pipeline.sample import epoch_shuffle
+
+    ids = list(range(0, 400, 3))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {r["doc_id"]: r["rank"]
+           for r in epoch_shuffle(df, seed="e7", buckets=16).collect()}
+    keyed = sorted(
+        ids,
+        key=lambda i: (hashlib.md5(f"e7|{i}".encode()).hexdigest()[:8], i),
+    )
+    want = {i: pos for pos, i in enumerate(keyed)}
+    assert got == want
+
+
+def test_build_mixture_matches_hashlib_oracle(spark):
+    """Membership must equal the Python replication of the in-plan
+    threshold math: rate = w*T/n, thr = round(rate * 2^32), keep iff
+    int(md5('mixture|id')[:8], 16) < thr."""
+    import hashlib
+
+    from diseasystore_spark.pipeline.sample import build_mixture
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    target = {"a": 0.6, "b": 0.4}
+    n = {"a": sum(1 for _, s in rows if s == "a"),
+         "b": sum(1 for _, s in rows if s == "b")}
+    t = min(n[s] / w for s, w in target.items())
+    thr = {s: round(target[s] * t / n[s] * 2**32) for s in target}
+    want = {
+        i for i, s in rows
+        if int(hashlib.md5(f"mixture|{i}".encode()).hexdigest()[:8], 16)
+        < thr[s]
+    }
+    got = {r["doc_id"] for r in build_mixture(df, target).collect()}
+    assert got == want
