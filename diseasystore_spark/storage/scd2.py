@@ -210,6 +210,43 @@ class ParquetFeatureStore:
         ).drop(*SCD2_COLUMNS)
 
     # ------------------------------------------------------------- writes
+    def payload_columns(self, table_id: str) -> list[str]:
+        """The table's data columns (SCD2 bookkeeping excluded)."""
+        return [
+            c
+            for c in self.read_raw(table_id).columns
+            if c not in SCD2_COLUMNS
+        ]
+
+    def evolve_schema(self, table_id: str, new_columns: dict[str, str]) -> None:
+        """Add NULL-backfilled columns to an existing table and
+        RECOMPUTE row checksums over the widened column set — so a row
+        whose new columns are NULL keeps its identity across the
+        evolution (no spurious close/reopen on the next merge; the
+        NULL-distinguishing checksum of (old cols) differs from
+        (old cols + NULL), so identity only survives by rewriting).
+
+        ``new_columns`` maps column name -> Spark SQL type string.
+        This writes one new version with every month changed — the one
+        deliberately unpruned rewrite in the store's lifecycle;
+        subsequent merges prune partitions again. Historical (closed)
+        rows are rewritten too: checksums are merge-compare identity,
+        not part of any read contract, so rewriting them is safe.
+        """
+        bad = [c for c in new_columns if c in SCD2_COLUMNS]
+        if bad:
+            raise ValueError(f"cannot add SCD2 bookkeeping columns: {bad}")
+        existing = self.read_raw(table_id)
+        dupes = [c for c in new_columns if c in existing.columns]
+        if dupes:
+            raise ValueError(f"columns already exist: {dupes}")
+        widened = existing.withColumns(
+            {c: F.lit(None).cast(t) for c, t in new_columns.items()}
+        )
+        payload = [c for c in widened.columns if c not in SCD2_COLUMNS]
+        evolved = widened.withColumn("checksum", row_checksum(payload))
+        self._write_version(evolved, table_id, changed_months=None)
+
     def update_snapshot(
         self,
         data: DataFrame,
@@ -217,6 +254,7 @@ class ParquetFeatureStore:
         slice_ts,
         written_range=None,
         close_absent: bool = True,
+        allow_schema_evolution: bool = False,
     ) -> None:
         """Checksum-merge ``data`` as the snapshot at ``slice_ts``.
 
@@ -254,11 +292,50 @@ class ParquetFeatureStore:
         the study-period clip contract), the violation is detected
         from the changed-months set and the merge transparently falls
         back to an unscoped full compare.
+
+        ``allow_schema_evolution=True`` widens on column mismatch:
+        extra incoming columns trigger ``evolve_schema`` (NULL
+        backfill + identity-preserving checksum rewrite of the stored
+        table) and columns the incoming frame lacks are NULL-filled
+        into it — so old- and new-schema producers interleave safely.
+        Without the flag a mismatch raises (it previously dropped
+        extra columns silently).
         """
         ts = normalize_slice_ts(slice_ts)
         bad = [c for c in data.columns if c in SCD2_COLUMNS]
         if bad:
             raise ValueError(f"incoming data must not contain SCD2 columns: {bad}")
+
+        if self.table_exists(table_id):
+            existing_payload = set(self.payload_columns(table_id))
+            incoming_cols = set(data.columns)
+            if existing_payload != incoming_cols:
+                extra = sorted(incoming_cols - existing_payload)
+                missing = sorted(existing_payload - incoming_cols)
+                if not allow_schema_evolution:
+                    # Fail loud: the previous behavior silently dropped
+                    # extra incoming columns in the final select.
+                    raise ValueError(
+                        f"schema mismatch for {table_id}: incoming adds "
+                        f"{extra or 'nothing'}, lacks {missing or 'nothing'}"
+                        " — pass allow_schema_evolution=True to widen the"
+                        " table (NULL backfill, identity-preserving"
+                        " checksum rewrite)"
+                    )
+                if extra:
+                    dtypes = {f.name: f.dataType for f in data.schema.fields}
+                    self.evolve_schema(
+                        table_id,
+                        {c: dtypes[c].simpleString() for c in extra},
+                    )
+                if missing:
+                    tbl = {
+                        f.name: f.dataType
+                        for f in self.read_raw(table_id).schema.fields
+                    }
+                    data = data.withColumns(
+                        {c: F.lit(None).cast(tbl[c]) for c in missing}
+                    )
 
         incoming = data.withColumn(
             "checksum", row_checksum(data.columns)

@@ -137,3 +137,100 @@ def test_append_only_merge_never_closes(spark, store_root, tmp_path):
         be.update_snapshot(df2, "ds.t", t2, close_absent=False)
         assert be._current_version("ds.t") == v, gran
         assert be.read_raw("ds.t").where("until_ts IS NOT NULL").count() == 0
+
+
+def test_schema_mismatch_fails_loud(spark, store_root):
+    import pytest
+
+    be = ParquetFeatureStore(spark, store_root)
+    be.update_snapshot(_df(spark, [("a", 1.0)]), "ds.t", T(2024, 1, 1))
+    wide = spark.createDataFrame(
+        [("a", 1.0, "x")], "key_id string, v double, note string"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        be.update_snapshot(wide, "ds.t", T(2024, 1, 2))
+    narrow = spark.createDataFrame([("a",)], "key_id string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        be.update_snapshot(narrow, "ds.t", T(2024, 1, 2))
+
+
+def test_schema_evolution_preserves_identity(spark, store_root):
+    """Widening with a NULL-valued new column must NOT close/reopen
+    unchanged rows (the identity-preserving checksum rewrite); a row
+    with a real value in the new column is a genuine change."""
+    be = ParquetFeatureStore(spark, store_root)
+    t1, t2 = T(2024, 1, 1), T(2024, 1, 2)
+    be.update_snapshot(_df(spark, [("a", 1.0), ("b", 2.0)]), "ds.t", t1)
+
+    wide = spark.createDataFrame(
+        [("a", 1.0, None), ("b", 2.0, "flagged")],
+        "key_id string, v double, note string",
+    )
+    be.update_snapshot(wide, "ds.t", t2, allow_schema_evolution=True)
+
+    snap2 = {r["key_id"]: (r["v"], r["note"])
+             for r in be.get_table("ds.t", t2).collect()}
+    assert snap2 == {"a": (1.0, None), "b": (2.0, "flagged")}
+    raw = be.read_raw("ds.t")
+    # a: unchanged identity -> single interval still open since t1
+    a_rows = raw.where(raw["key_id"] == "a").collect()
+    assert len(a_rows) == 1
+    assert a_rows[0]["from_ts"] == t1 and a_rows[0]["until_ts"] is None
+    # b: value-bearing new column -> closed at t2 + reopened
+    b_rows = sorted(
+        raw.where(raw["key_id"] == "b").collect(),
+        key=lambda r: (r["until_ts"] is None, r["from_ts"]),
+    )
+    assert len(b_rows) == 2
+    assert b_rows[0]["until_ts"] == t2 and b_rows[1]["from_ts"] == t2
+    # slice isolation: the pre-evolution world reads with a NULL column
+    snap1 = {r["key_id"]: (r["v"], r["note"])
+             for r in be.get_table("ds.t", t1).collect()}
+    assert snap1 == {"a": (1.0, None), "b": (2.0, None)}
+
+
+def test_schema_evolution_backfills_missing_incoming(spark, store_root):
+    """After evolution, a producer still writing the OLD schema gets
+    NULL backfill — unchanged rows keep identity."""
+    be = ParquetFeatureStore(spark, store_root)
+    t1, t2, t3 = T(2024, 1, 1), T(2024, 1, 2), T(2024, 1, 3)
+    be.update_snapshot(_df(spark, [("a", 1.0)]), "ds.t", t1)
+    wide = spark.createDataFrame(
+        [("a", 1.0, None)], "key_id string, v double, note string"
+    )
+    be.update_snapshot(wide, "ds.t", t2, allow_schema_evolution=True)
+    # old-schema producer at t3
+    be.update_snapshot(
+        _df(spark, [("a", 1.0)]), "ds.t", t3, allow_schema_evolution=True
+    )
+    a_rows = be.read_raw("ds.t").where("key_id = 'a'").collect()
+    assert len(a_rows) == 1 and a_rows[0]["until_ts"] is None
+
+
+def test_schema_evolution_partitioned(spark, store_root):
+    """Evolution on the month-partitioned layout: full rewrite once,
+    partition-pruned merges resume afterwards."""
+    be = ParquetFeatureStore(spark, store_root, partition_granularity="month")
+    t1, t2 = T(2024, 1, 1), T(2024, 1, 2)
+    rows = spark.createDataFrame(
+        [("a", D(2024, 1, 5), D(2024, 3, 1)), ("b", D(2024, 2, 10), None)],
+        "key_id string, valid_from date, valid_until date",
+    )
+    be.update_snapshot(rows, "ds.t", t1)
+    wide = rows.selectExpr("key_id", "valid_from", "valid_until",
+                           "CAST(NULL AS STRING) AS note")
+    be.update_snapshot(wide, "ds.t", t2, allow_schema_evolution=True)
+    raw = be.read_raw("ds.t")
+    assert raw.where("until_ts IS NOT NULL").count() == 0  # identity kept
+    assert "note" in raw.columns
+
+
+def test_evolve_schema_validates(spark, store_root):
+    import pytest
+
+    be = ParquetFeatureStore(spark, store_root)
+    be.update_snapshot(_df(spark, [("a", 1.0)]), "ds.t", T(2024, 1, 1))
+    with pytest.raises(ValueError, match="already exist"):
+        be.evolve_schema("ds.t", {"v": "double"})
+    with pytest.raises(ValueError, match="bookkeeping"):
+        be.evolve_schema("ds.t", {"from_ts": "timestamp"})
