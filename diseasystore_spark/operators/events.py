@@ -11,8 +11,9 @@ Scale notes (the 100 TB lens):
   sorted event array. The alternative — one join per stage — is
   K shuffles and K scans; this is one of each regardless of K.
   Per-user event counts bound the array size; for pathological
-  hot users, pre-filter to the funnel's event types first (done
-  here) so the collected array only holds relevant events.
+  hot users the K-pass ``funnel_reach_joins`` variant below never
+  materializes a user's history in one task (property-tested
+  equivalent).
 - ``retention_cohorts`` is two keyed aggregations (user -> cohort,
   then cohort x offset -> count) with the first-event frame joined
   back on the user key. Both shuffles are on natural keys; no
@@ -239,4 +240,69 @@ def user_journeys(
             ),
             " ",
         ).alias("journey")
+    )
+
+
+def funnel_reach_joins(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Skew-safe funnel variant: identical output to ``funnel_reach``,
+    computed as K sequential min-after aggregations instead of one
+    collected per-user array — the fallback when single users carry
+    pathological funnel-event counts (the collected-array equivalent
+    of the interlace hot-key hazard; here each stage is a
+    map-side-combinable ``min`` + one keyed join, so no task ever
+    materializes a user's full history).
+
+    Cost: K keyed shuffles + K-1 joins (vs 1 shuffle for the array
+    form). Prefer ``funnel_reach`` unless per-user event counts are
+    unbounded. Equivalence is property-tested against the same Python
+    oracle as the array form.
+    """
+    if not stages:
+        raise ValueError("stages must be a non-empty ordered list")
+    if len(set(stages)) != len(stages):
+        raise ValueError("stages must be distinct event types")
+    ev = events.where(F.col(ts_col).isNotNull()).select(
+        F.col(user_col),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        F.col(type_col),
+    )
+    users = (
+        ev.where(F.col(type_col).isin(list(stages)))
+        .select(user_col)
+        .distinct()
+    )
+    reach = None  # frame: (user, __t0, ..., __t{j})
+    for j, stage in enumerate(stages):
+        stage_ev = ev.where(F.col(type_col) == stage)
+        if j == 0:
+            cur = stage_ev.groupBy(user_col).agg(
+                F.min("__us").alias("__t0")
+            )
+            reach = cur
+        else:
+            prev = f"__t{j - 1}"
+            cur = (
+                stage_ev.join(
+                    reach.where(F.col(prev).isNotNull()).select(
+                        user_col, prev
+                    ),
+                    user_col,
+                )
+                .where(F.col("__us") > F.col(prev))
+                .groupBy(user_col)
+                .agg(F.min("__us").alias(f"__t{j}"))
+            )
+            reach = reach.join(cur, user_col, "left")
+    out = users.join(reach, user_col, "left")
+    return out.select(
+        F.col(user_col),
+        F.array(
+            *[F.col(f"__t{j}") for j in range(len(stages))]
+        ).alias("reach"),
     )

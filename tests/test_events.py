@@ -235,3 +235,27 @@ def test_funnel_and_retention_ignore_null_ts(spark):
     assert {(str(r["cohort"]), r["period_offset"]) for r in out} == {
         ("2024-01-01", 0)
     }
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(ev_strategy, min_size=1, max_size=3))
+def test_funnel_joins_variant_matches_array_form(spark, user_events):
+    import datetime as dt
+
+    from diseasystore_spark.operators.events import funnel_reach_joins
+
+    rows = [
+        (uid, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=ts), typ)
+        for uid, evs in enumerate(user_events)
+        for ts, typ in evs
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string"
+    )
+    a = {r["user_id"]: r["reach"]
+         for r in funnel_reach(df, STAGES).collect()}
+    b = {r["user_id"]: r["reach"]
+         for r in funnel_reach_joins(df, STAGES).collect()}
+    assert a == b
