@@ -197,6 +197,12 @@ class ParquetFeatureStore:
         pruned at the file level (the study-period clip's upper bound).
         """
         ts = normalize_slice_ts(slice_ts)
+        floor = self.retain_floor(table_id)
+        if floor is not None and ts < floor:
+            raise ValueError(
+                f"slice_ts {ts} is below {table_id}'s retention floor "
+                f"{floor}: that history was pruned (prune_history)"
+            )
         raw = self._read_raw_partitioned(table_id)
         if PARTITION_COL in raw.columns:
             if max_valid_from is not None:
@@ -210,6 +216,46 @@ class ParquetFeatureStore:
         ).drop(*SCD2_COLUMNS)
 
     # ------------------------------------------------------------- writes
+    def _retain_floor_path(self, table_id: str) -> str:
+        return os.path.join(self._table_dir(table_id), "_RETAIN_FLOOR")
+
+    def retain_floor(self, table_id: str):
+        """Earliest ``slice_ts`` still fully answerable (None = all
+        history retained)."""
+        p = self._retain_floor_path(table_id)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return datetime.datetime.fromisoformat(fh.read().strip())
+
+    def prune_history(self, table_id: str, older_than) -> int:
+        """Retention (the logical VACUUM): physically drop SCD2 rows
+        whose ``until_ts <= older_than`` — rows invisible to every
+        snapshot at or after the cutoff (``until_ts > ts`` already
+        excludes them there). Snapshots at ``slice_ts >= older_than``
+        are bit-identical before and after; earlier slices become
+        unanswerable, so the cutoff is recorded as the table's retain
+        floor and ``get_table`` refuses reads below it (fail-loud
+        instead of silently incomplete). Returns rows dropped.
+
+        One full-version rewrite (like ``evolve_schema``); run it at
+        retention cadence, not per write."""
+        cutoff = normalize_slice_ts(older_than)
+        existing = self.read_raw(table_id)
+        keep = existing.where(
+            F.col("until_ts").isNull() | (F.col("until_ts") > F.lit(cutoff))
+        )
+        dropped = existing.count() - keep.count()
+        if dropped:
+            self._write_version(keep, table_id, changed_months=None)
+        prev = self.retain_floor(table_id)
+        if prev is None or cutoff > prev:
+            tmp = self._retain_floor_path(table_id) + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(cutoff.isoformat())
+            os.replace(tmp, self._retain_floor_path(table_id))
+        return dropped
+
     def payload_columns(self, table_id: str) -> list[str]:
         """The table's data columns (SCD2 bookkeeping excluded)."""
         return [

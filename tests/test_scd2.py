@@ -234,3 +234,38 @@ def test_evolve_schema_validates(spark, store_root):
         be.evolve_schema("ds.t", {"v": "double"})
     with pytest.raises(ValueError, match="bookkeeping"):
         be.evolve_schema("ds.t", {"from_ts": "timestamp"})
+
+
+def test_prune_history_retention(spark, store_root):
+    """Rows closed before the cutoff are physically dropped; every
+    snapshot at/after the cutoff is identical; earlier reads fail
+    loud against the recorded retention floor."""
+    be = ParquetFeatureStore(spark, store_root)
+    t1, t2, t3 = T(2024, 1, 1), T(2024, 2, 1), T(2024, 3, 1)
+    be.update_snapshot(_df(spark, [("a", 1.0), ("b", 2.0)]), "ds.t", t1)
+    be.update_snapshot(_df(spark, [("a", 1.0), ("b", 9.0)]), "ds.t", t2)
+    be.update_snapshot(_df(spark, [("a", 5.0), ("b", 9.0)]), "ds.t", t3)
+
+    before_t2 = {(r["key_id"], r["v"])
+                 for r in be.get_table("ds.t", t2).collect()}
+    before_t3 = {(r["key_id"], r["v"])
+                 for r in be.get_table("ds.t", t3).collect()}
+
+    dropped = be.prune_history("ds.t", t2)
+    # (b, 2.0) closed AT t2 (until_ts <= cutoff -> invisible to every
+    # snapshot >= t2); (a, 1.0) closed at t3 survives.
+    assert dropped == 1
+
+    after_t2 = {(r["key_id"], r["v"])
+                for r in be.get_table("ds.t", t2).collect()}
+    after_t3 = {(r["key_id"], r["v"])
+                for r in be.get_table("ds.t", t3).collect()}
+    assert after_t2 == before_t2 and after_t3 == before_t3
+
+    import pytest
+
+    assert be.retain_floor("ds.t") == t2
+    with pytest.raises(ValueError, match="retention floor"):
+        be.get_table("ds.t", T(2024, 1, 15))
+    # idempotent: nothing further to drop at the same cutoff
+    assert be.prune_history("ds.t", t2) == 0
