@@ -1,3 +1,11 @@
+from diseasystore_spark.operators.events import (
+    funnel_counts,
+    funnel_reach,
+    funnel_reach_joins,
+    retention_cohorts,
+    user_journeys,
+)
+from diseasystore_spark.operators.skyline import skyline
 from diseasystore_spark.operators.aggregators import (
     key_join_count,
     key_join_max,
@@ -12,6 +20,12 @@ from diseasystore_spark.operators.missing_ranges import (
 )
 
 __all__ = [
+    "funnel_counts",
+    "funnel_reach",
+    "funnel_reach_joins",
+    "retention_cohorts",
+    "skyline",
+    "user_journeys",
     "compact_date_ranges",
     "delta_count_prevalence",
     "interlace",
