@@ -1273,3 +1273,51 @@ def canonical_by_quality(
             (F.col("__rn") == 1).alias("is_canonical"),
         )
     )
+
+
+def contamination_spans(
+    df: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    portable: bool = False,
+    benchmark_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Span-level contamination evidence: WHERE the benchmark overlap
+    sits — ``(id, first_pos, n_hit_positions)`` for contaminated
+    documents only, with ``first_pos`` the 0-based word index of the
+    earliest overlapping n-gram. The input to span excision ("cut the
+    leaked passage, keep the document") as opposed to the whole-doc
+    drop q61/q72 decide.
+
+    Positions require the NON-distinct gram stream (every occurrence
+    counts), so this explodes with ``posexplode`` — the join still
+    carries only 64-bit hashes and the benchmark side still
+    broadcasts; the per-doc rollup is min + count."""
+    if (benchmark is None) == (benchmark_keys is None):
+        raise ValueError("pass exactly one of benchmark or benchmark_keys")
+    key_fn = F.md5 if portable else F.xxhash64
+    bench_keys = (
+        benchmark_keys
+        if benchmark_keys is not None
+        else benchmark_ngram_keys(benchmark, id_col, text_col, n, portable)
+    )
+    grams = _ngram_sql(text_col, n)
+    positioned = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.expr(grams)).alias("__pos", "__g"),
+        )
+        .where(F.col("__g") != "")
+        .select(id_col, "__pos", key_fn(F.col("__g")).alias("__k"))
+    )
+    return (
+        positioned.join(F.broadcast(bench_keys), "__k")
+        .groupBy(id_col)
+        .agg(
+            F.min("__pos").cast("bigint").alias("first_pos"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hit_positions"),
+        )
+    )

@@ -3509,6 +3509,47 @@ GROUP BY event_type
 """
 
 
+def q80_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level leakage localization: for contaminated documents
+    (q61's split), the first word position of a benchmark-overlapping
+    5-gram and the count of hit positions — the excision input, not
+    just a drop flag."""
+    from diseasystore_spark.pipeline.dedup import contamination_spans
+
+    d = _read(spark, sf_dir, "documents")
+    return contamination_spans(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
+        n=5,
+        portable=True,
+    )
+
+
+ORACLE_Q80 = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i
+  FROM toks
+),
+gr AS (
+  SELECT doc_id, i,
+         w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' '
+              || w[i + 3] || ' ' || w[i + 4] AS g
+  FROM pos
+),
+bench AS (SELECT DISTINCT g FROM gr WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT doc_id, i FROM gr JOIN bench USING (g) WHERE doc_id % 97 <> 0
+)
+SELECT doc_id,
+       CAST(min(i) - 1 AS BIGINT) AS first_pos,
+       CAST(count(*) AS BIGINT) AS n_hit_positions
+FROM hits GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3593,6 +3634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_journey_similarity": q77_journey_similarity,
     "q78_shipping_priority": q78_shipping_priority,
     "q79_json_props": q79_json_props,
+    "q80_contamination_spans": q80_contamination_spans,
 }
 
 ORACLES: dict[str, str] = {
@@ -3674,6 +3716,7 @@ ORACLES: dict[str, str] = {
     "q77_journey_similarity": ORACLE_Q77,
     "q78_shipping_priority": ORACLE_Q78,
     "q79_json_props": ORACLE_Q79,
+    "q80_contamination_spans": ORACLE_Q80,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -1333,3 +1333,24 @@ def test_canonical_by_quality_picks_best(spark):
     assert out[3]["is_canonical"]
     # Exactly one canonical per component.
     assert sum(1 for r in out.values() if r["is_canonical"]) == 2
+
+
+def test_contamination_spans_positions(spark):
+    from diseasystore_spark.pipeline.dedup import contamination_spans
+
+    corpus = spark.createDataFrame(
+        [
+            # benchmark 5-gram "a b c d e" appears at word pos 2 and 8
+            (1, "x y a b c d e z q a b c d e"),
+            (2, "p q r s t u v"),  # clean -> absent from output
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "a b c d e")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           contamination_spans(corpus, bench, n=5).collect()}
+    assert set(out) == {1}
+    assert out[1]["first_pos"] == 2
+    assert out[1]["n_hit_positions"] == 2
