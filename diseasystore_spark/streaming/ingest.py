@@ -55,6 +55,42 @@ def windowed_event_counts(
     )
 
 
+def windowed_distinct_users(
+    events: DataFrame,
+    window_duration: str = "1 day",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Distinct active users per tumbling window via HyperLogLog++
+    (``approx_count_distinct``) — the streaming-legal form of the
+    metric: exact distinct needs the full value set per window in
+    state, the sketch needs O(1/rsd^2) bytes regardless of traffic.
+    Works on both batch and streaming frames (same plan); on a stream
+    the watermark bounds state and finalizes windows. ``rsd`` is the
+    target relative standard deviation (2% default).
+
+    Output: (window_start, window_end, approx_users). For the exact
+    batch twin, replace the aggregate with ``count_distinct`` — the
+    test pins the sketch's error envelope against it.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration))
+        .agg(
+            F.approx_count_distinct(F.col(user_col), rsd).alias(
+                "approx_users"
+            )
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            F.col("approx_users").cast("bigint").alias("approx_users"),
+        )
+    )
+
+
 def stream_feature_updates(
     stream_df: DataFrame,
     backend: ParquetFeatureStore,

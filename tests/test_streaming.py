@@ -509,3 +509,65 @@ def test_funnel_stream_matches_batch_with_late_data(spark, tmp_path):
         us(2024, 1, 1, 10, 15),
         us(2024, 1, 1, 10, 45),
     ]
+
+
+def test_windowed_distinct_users_stream_within_envelope(spark, tmp_path):
+    """Streaming HLL distinct-per-window must equal the batch run of
+    the SAME plan exactly (deterministic sketch) and sit within the
+    error envelope of the exact count."""
+    import random
+
+    from diseasystore_spark.streaming.ingest import windowed_distinct_users
+
+    rng = random.Random(7)
+    TS = datetime.datetime
+    rows = [
+        (rng.randrange(400), TS(2024, 1, 1 + d, rng.randrange(24)))
+        for d in range(3)
+        for _ in range(800)
+    ]
+    schema = "user_id long, ts timestamp"
+    src = str(tmp_path / "wdu_src")
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        windowed_distinct_users(stream, watermark="48 hours")
+        .writeStream.format("memory")
+        .queryName("wdu_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "wdu_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: r["approx_users"]
+        for r in spark.sql("SELECT * FROM wdu_out").collect()
+    }
+
+    batch_df = spark.createDataFrame(rows, schema)
+    batch = {
+        r["window_start"]: r["approx_users"]
+        for r in windowed_distinct_users(batch_df).collect()
+    }
+    assert got == batch  # same sketch, same result
+    exact = {
+        r["w"]: r["n"]
+        for r in batch_df.groupBy(
+            F.window("ts", "1 day").alias("win")
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .select(F.col("win.start").alias("w"), "n")
+        .collect()
+    }
+    for w, n in exact.items():
+        assert abs(got[w] - n) / n < 0.1, (w, got[w], n)
