@@ -71,6 +71,11 @@ def skyline(df: DataFrame, dims: dict[str, str]) -> DataFrame:
                 v = col.to_numpy(dtype="float64")
             cols.append(v.astype("float64") * s)
         X = np.column_stack(cols)
+        if np.isnan(X).any():
+            raise ValueError(
+                "skyline dimension columns must be non-null (NaN rows "
+                "would survive every dominance test and corrupt the set)"
+            )
         order = np.argsort(-X.sum(axis=1), kind="stable")
         kept: list[int] = []
         K = np.empty((0, X.shape[1]))

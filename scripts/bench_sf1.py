@@ -34,6 +34,9 @@ QUERIES = [
     "q71_build_mixture",
     "q73_canonical_by_quality",
     "q75_epoch_shuffle",
+    "q76_skyline",
+    "q77_journey_similarity",
+    "q80_contamination_spans",
 ]
 
 

@@ -80,3 +80,11 @@ def test_skyline_matches_python_any_partitioning(spark, pts, sgn):
     )
     want = py_skyline([(a, b, c) for _, a, b, c in rows], list(sgn))
     assert got == want
+
+
+def test_skyline_rejects_null_dimensions(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, 3.0), (2, None, 1.0)], "id long, x double, y double"
+    )
+    with pytest.raises(Exception, match="non-null"):
+        skyline(df, {"x": "max", "y": "max"}).collect()
