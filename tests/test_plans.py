@@ -332,3 +332,28 @@ def test_budget_selection_no_global_corpus_window(spark):
         )
     )
     assert "hashpartitioning(__b" in plan, plan
+
+
+def test_build_mixture_broadcasts_thresholds(spark):
+    """The corpus side of build_mixture must stream through a
+    broadcast join against the per-stratum thresholds — never a
+    sort-merge shuffle of the corpus on the stratum key."""
+    from diseasystore_spark.pipeline.sample import build_mixture
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed(
+        build_mixture(docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_knn_classify_window_is_query_partitioned(spark):
+    """kNN majority vote must window per query id, never globally."""
+    from diseasystore_spark.pipeline.similarity import knn_classify
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _executed(knn_classify(emb, emb.where(F.col("vec_id") < 5), k=3))
+    assert "partitionBy" not in plan  # textual form differs; check exchange
+    assert "hashpartitioning(query_id" in plan, plan
