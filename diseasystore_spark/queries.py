@@ -3550,6 +3550,63 @@ FROM hits GROUP BY doc_id
 """
 
 
+def q81_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel-to-analytics composition: for users completing
+    view -> click -> purchase (strict ordering, q68 semantics), the
+    view-to-purchase lag in whole seconds, rolled up per first-view
+    cohort week — n, min, max, sum all bigint-exact."""
+    from diseasystore_spark.operators.events import funnel_reach
+
+    reach = funnel_reach(
+        _read(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+    done = reach.where(F.col("reach")[2].isNotNull()).select(
+        F.to_date(
+            F.date_trunc("week", F.timestamp_micros(F.col("reach")[0]))
+        ).alias("cohort"),
+        ((F.col("reach")[2] - F.col("reach")[0]) / 1_000_000)
+        .cast("bigint")
+        .alias("lag_s"),
+    )
+    return done.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.min("lag_s").alias("min_lag_s"),
+        F.max("lag_s").alias("max_lag_s"),
+        F.sum("lag_s").alias("sum_lag_s"),
+    )
+
+
+ORACLE_Q81 = """
+WITH e AS (SELECT user_id, ts, event_type FROM events),
+s0 AS (
+  SELECT user_id, min(ts) AS t0 FROM e
+  WHERE event_type = 'view' GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1
+),
+lags AS (
+  SELECT CAST(date_trunc('week', s0.t0) AS DATE) AS cohort,
+         CAST(epoch_us(s2.t2) - epoch_us(s0.t0) AS BIGINT) // 1000000
+           AS lag_s
+  FROM s2 JOIN s0 ON s2.user_id = s0.user_id
+)
+SELECT cohort,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(min(lag_s) AS BIGINT) AS min_lag_s,
+       CAST(max(lag_s) AS BIGINT) AS max_lag_s,
+       CAST(sum(lag_s) AS BIGINT) AS sum_lag_s
+FROM lags GROUP BY cohort
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3635,6 +3692,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_shipping_priority": q78_shipping_priority,
     "q79_json_props": q79_json_props,
     "q80_contamination_spans": q80_contamination_spans,
+    "q81_conversion_lag": q81_conversion_lag,
 }
 
 ORACLES: dict[str, str] = {
@@ -3717,6 +3775,7 @@ ORACLES: dict[str, str] = {
     "q78_shipping_priority": ORACLE_Q78,
     "q79_json_props": ORACLE_Q79,
     "q80_contamination_spans": ORACLE_Q80,
+    "q81_conversion_lag": ORACLE_Q81,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its
