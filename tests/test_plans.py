@@ -355,5 +355,4 @@ def test_knn_classify_window_is_query_partitioned(spark):
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     plan = _executed(knn_classify(emb, emb.where(F.col("vec_id") < 5), k=3))
-    assert "partitionBy" not in plan  # textual form differs; check exchange
     assert "hashpartitioning(query_id" in plan, plan
