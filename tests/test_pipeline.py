@@ -1354,3 +1354,41 @@ def test_contamination_spans_positions(spark):
     assert set(out) == {1}
     assert out[1]["first_pos"] == 2
     assert out[1]["n_hit_positions"] == 2
+
+
+def test_curation_verdicts_version_through_scd2_store(spark, tmp_path):
+    """Bridge test: batch curation survivors written as SCD2 snapshots.
+    Re-curating after the corpus changes must close only the dropped
+    survivors; the earlier slice still replays the original survivor
+    set (bitemporal audit of WHAT the pipeline kept WHEN)."""
+    import datetime as dt
+
+    from diseasystore_spark.pipeline.text import curate_corpus
+    from diseasystore_spark.storage.scd2 import ParquetFeatureStore
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    be = ParquetFeatureStore(spark, str(tmp_path / "store"))
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+
+    v1 = curate_corpus(docs).select("doc_id", "pred_lang", "quality_score")
+    be.update_snapshot(v1, "curation.verdicts", t1)
+
+    # corpus change: one surviving doc degrades to noise -> drops out
+    victim = v1.orderBy("doc_id").first()["doc_id"]
+    flipped = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == victim, F.lit("@@ ## 11 $$")).otherwise(
+            F.col("text")
+        ),
+    )
+    v2 = curate_corpus(flipped).select("doc_id", "pred_lang", "quality_score")
+    be.update_snapshot(v2, "curation.verdicts", t2)
+
+    s1 = {r["doc_id"] for r in be.get_table("curation.verdicts", t1).collect()}
+    s2 = {r["doc_id"] for r in be.get_table("curation.verdicts", t2).collect()}
+    assert s1 == {r["doc_id"] for r in v1.collect()}
+    assert s2 == {r["doc_id"] for r in v2.collect()}
+    assert victim in s1 and victim not in s2
+    # only the dropped/changed verdict rows closed
+    raw = be.read_raw("curation.verdicts")
+    assert raw.where("until_ts IS NOT NULL").count() == v1.subtract(v2).count()
