@@ -1321,3 +1321,67 @@ def contamination_spans(
             F.count(F.lit(1)).cast("bigint").alias("n_hit_positions"),
         )
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list (the
+    near-dup graph's local clustering signal: a doc in many triangles
+    sits inside a dense duplicate clique, not a chance pairing).
+
+    Implements the degree-oriented (Cohen / "low-hinge") formulation,
+    public: orient every edge from the endpoint with the smaller
+    ``(degree, id)`` to the larger; enumerate wedges only at each
+    edge's LOW endpoint; close them against the oriented edge set.
+    Every triangle is found exactly once at its minimum-key corner,
+    and per-node wedge work is bounded by the smaller endpoint's
+    degree — the skew guard that keeps a celebrity node from
+    generating O(deg²) wedges. Shuffles: degree count, two keyed
+    joins, final explode + count — all equi-keyed.
+
+    Output: ``(node, n_triangles)`` for every node in >= 1 triangle.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keyed = (
+        e.join(deg.withColumnsRenamed({"n": "a", "d": "da"}), "a")
+        .join(deg.withColumnsRenamed({"n": "b", "d": "db"}), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(a_first, F.struct("db", "b")).otherwise(
+            F.struct(F.col("da").alias("db"), F.col("a").alias("b"))
+        ).alias("hik"),
+    )
+    o1 = oriented.select(
+        F.col("lo"), F.col("hi").alias("v"), F.col("hik").alias("vk")
+    )
+    o2 = oriented.select(
+        F.col("lo"), F.col("hi").alias("w"), F.col("hik").alias("wk")
+    )
+    wedges = o1.join(o2, "lo").where(
+        (F.col("vk.db") < F.col("wk.db"))
+        | ((F.col("vk.db") == F.col("wk.db")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("lo").alias("v"), F.col("hi").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).select("lo", "v", "w")
+    corners = (
+        tri.select(F.col("lo").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

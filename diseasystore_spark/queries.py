@@ -3607,6 +3607,63 @@ FROM lags GROUP BY cohort
 """
 
 
+def q82_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-clique signal on the near-dup graph: per-document triangle
+    counts over the q37 pair list, via the degree-oriented wedge
+    formulation (each triangle found once at its min-key corner;
+    wedge work bounded by the smaller endpoint degree)."""
+    from diseasystore_spark.pipeline.dedup import (
+        jaccard_pairs,
+        triangle_counts,
+    )
+
+    pairs = jaccard_pairs(_read(spark, sf_dir, "documents"), n=3, threshold=0.2)
+    return triangle_counts(pairs).select(
+        F.col("node").alias("doc_id"), "n_triangles"
+    )
+
+
+ORACLE_Q82 = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+  FROM pos
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.2
+),
+tri AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.id_a = e1.id_b
+  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3693,6 +3750,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_json_props": q79_json_props,
     "q80_contamination_spans": q80_contamination_spans,
     "q81_conversion_lag": q81_conversion_lag,
+    "q82_triangle_counts": q82_triangle_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -3776,6 +3834,7 @@ ORACLES: dict[str, str] = {
     "q79_json_props": ORACLE_Q79,
     "q80_contamination_spans": ORACLE_Q80,
     "q81_conversion_lag": ORACLE_Q81,
+    "q82_triangle_counts": ORACLE_Q82,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

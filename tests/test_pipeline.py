@@ -1392,3 +1392,26 @@ def test_curation_verdicts_version_through_scd2_store(spark, tmp_path):
     # only the dropped/changed verdict rows closed
     raw = be.read_raw("curation.verdicts")
     assert raw.where("until_ts IS NOT NULL").count() == v1.subtract(v2).count()
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from diseasystore_spark.pipeline.dedup import triangle_counts
+
+    rng = random.Random(13)
+    nodes = list(range(14))
+    edges = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(40)}
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_counts(df).collect()}
+    eset = set(edges)
+    want: dict[int, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if ((a, b) in eset and (b, c) in eset and (a, c) in eset):
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
