@@ -1385,3 +1385,65 @@ def triangle_counts(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+def adamic_adar_links(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Link prediction on the near-dup graph (Adamic-Adar, public):
+    score every NON-adjacent pair sharing >= 1 common neighbor by
+    ``sum_z 1/ln(deg(z))`` — high scorers are duplicate pairs the
+    pair generator likely missed (two docs each similar to the same
+    third). Scores are integer-micro (``round(1e6/ln(d))`` per
+    neighbor, summed as bigints) so the q83 oracle is hash-exact.
+
+    A common neighbor has degree >= 2 by construction, so ``ln`` is
+    never zero. ``max_degree`` drops hub intermediates before the
+    wedge join (a degree-d node emits d*(d-1)/2 candidate pairs —
+    same quadratic hotspot as ``max_df`` in the shingle join; at
+    scale cap it, since a hub's 1/ln(d) evidence is weakest anyway).
+
+    Output: (id_a, id_b, common_neighbors, score_micro), id_a < id_b.
+    """
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).distinct()
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("z")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    if max_degree is not None:
+        deg = deg.where(F.col("d") <= max_degree)
+    # Degree-1 intermediates can't form a wedge — and their ln(1)=0
+    # would trip ANSI division. Drop them before computing weights.
+    mid = (
+        sym.select(F.col("a").alias("z"), F.col("b").alias("n"))
+        .join(deg.where(F.col("d") >= 2), "z")
+        .withColumn(
+            "w",
+            F.round(
+                F.lit(1e6) / F.log(F.col("d").cast("double"))
+            ).cast("bigint"),
+        )
+    )
+    left = mid.select("z", F.col("n").alias("n1"), "w")
+    right = mid.select("z", F.col("n").alias("n2"))
+    wedges = left.join(right, "z").where(F.col("n1") < F.col("n2"))
+    cand = wedges.join(
+        e.withColumnsRenamed({"a": "n1", "b": "n2"}),
+        ["n1", "n2"],
+        "left_anti",
+    )
+    return cand.groupBy("n1", "n2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+        F.sum("w").cast("bigint").alias("score_micro"),
+    ).select(
+        F.col("n1").alias("id_a"),
+        F.col("n2").alias("id_b"),
+        "common_neighbors",
+        "score_micro",
+    )

@@ -3664,6 +3664,83 @@ FROM corners GROUP BY 1
 """
 
 
+def q83_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missed-pair prediction on the user-journey similarity graph:
+    Adamic-Adar scores for non-adjacent user pairs sharing common
+    neighbors (micro-int exact). The document near-dup graph is all
+    perfect cliques on this data (planted dup groups), so the
+    behavioral graph — which has open wedges — is the meaningful
+    target."""
+    from diseasystore_spark.operators.events import user_journeys
+    from diseasystore_spark.pipeline.dedup import (
+        adamic_adar_links,
+        jaccard_pairs,
+    )
+
+    j = user_journeys(_read(spark, sf_dir, "events"))
+    pairs = jaccard_pairs(
+        j, id_col="user_id", text_col="journey", n=5, threshold=0.06
+    )
+    return adamic_adar_links(pairs)
+
+
+ORACLE_Q83 = """
+WITH j AS (
+  SELECT user_id,
+         string_agg(event_type, ' ' ORDER BY ts, event_id) AS journey
+  FROM events GROUP BY user_id
+),
+toks AS (SELECT user_id, string_split(journey, ' ') AS w FROM j),
+pos AS (
+  SELECT user_id, w, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT user_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+              || w[i+3] || ' ' || w[i+4] AS s
+  FROM pos
+),
+sizes AS (SELECT user_id, count(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.user_id < b.user_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT ua AS id_a, ub AS id_b
+  FROM common
+  JOIN sizes sa ON sa.user_id = ua
+  JOIN sizes sb ON sb.user_id = ub
+  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.06
+),
+sym AS (
+  SELECT id_a AS z, id_b AS n FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+deg AS (SELECT z, count(*) AS d FROM sym GROUP BY 1),
+mid AS (
+  SELECT s.z, s.n,
+         CAST(round(1e6 / ln(CAST(deg.d AS DOUBLE))) AS BIGINT) AS w
+  FROM sym s JOIN deg ON s.z = deg.z
+  WHERE deg.d >= 2
+),
+wedges AS (
+  SELECT l.z, l.n AS n1, r.n AS n2, l.w
+  FROM mid l JOIN mid r ON l.z = r.z AND l.n < r.n
+),
+cand AS (
+  SELECT w1.* FROM wedges w1
+  LEFT JOIN pairs p ON p.id_a = w1.n1 AND p.id_b = w1.n2
+  WHERE p.id_a IS NULL
+)
+SELECT n1 AS id_a, n2 AS id_b,
+       CAST(count(*) AS BIGINT) AS common_neighbors,
+       CAST(sum(w) AS BIGINT) AS score_micro
+FROM cand GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3751,6 +3828,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_contamination_spans": q80_contamination_spans,
     "q81_conversion_lag": q81_conversion_lag,
     "q82_triangle_counts": q82_triangle_counts,
+    "q83_link_prediction": q83_link_prediction,
 }
 
 ORACLES: dict[str, str] = {
@@ -3835,6 +3913,7 @@ ORACLES: dict[str, str] = {
     "q80_contamination_spans": ORACLE_Q80,
     "q81_conversion_lag": ORACLE_Q81,
     "q82_triangle_counts": ORACLE_Q82,
+    "q83_link_prediction": ORACLE_Q83,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -1415,3 +1415,29 @@ def test_triangle_counts_matches_bruteforce(spark):
             for n in (a, b, c):
                 want[n] = want.get(n, 0) + 1
     assert got == want
+
+
+def test_adamic_adar_links_scores(spark):
+    import math
+
+    from diseasystore_spark.pipeline.dedup import adamic_adar_links
+
+    # path 1-2-3 plus hub 9 adjacent to 1,3,4: candidates include
+    # (1,3) via {2, 9} and (1,4)/(3,4) via {9}; (1,2) etc. are edges.
+    edges = [(1, 2), (2, 3), (9, 1), (9, 3), (9, 4)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): (r["common_neighbors"], r["score_micro"])
+           for r in adamic_adar_links(df).collect()}
+    w = lambda d: round(1e6 / math.log(d))  # noqa: E731
+    assert out[(1, 3)] == (2, w(2) + w(3))   # neighbors 2 (deg 2), 9 (deg 3)
+    assert out[(1, 4)] == (1, w(3))
+    assert out[(3, 4)] == (1, w(3))
+    assert (2, 9) in out  # common neighbors 1 and 3
+    assert (1, 2) not in out and (9, 4) not in out  # existing edges
+    # hub cap drops 9 (degree 3) as an intermediate: (1,4)/(3,4)
+    # vanish; (1,3) keeps only neighbor 2; (2,9) keeps 1 and 3
+    capped = {(r["id_a"], r["id_b"]): (r["common_neighbors"],
+                                       r["score_micro"])
+              for r in adamic_adar_links(df, max_degree=2).collect()}
+    assert set(capped) == {(1, 3), (2, 9)}
+    assert capped[(1, 3)] == (1, w(2))
