@@ -1337,8 +1337,10 @@ def triangle_counts(
     Every triangle is found exactly once at its minimum-key corner,
     and per-node wedge work is bounded by the smaller endpoint's
     degree — the skew guard that keeps a celebrity node from
-    generating O(deg²) wedges. Shuffles: degree count, two keyed
-    joins, final explode + count — all equi-keyed.
+    generating O(deg²) wedges. Shuffles: the degree count, two
+    degree-attach joins, the wedge self-join on the low endpoint,
+    the closing-edge join, and the final corner count — all
+    equi-keyed, no cartesian anywhere.
 
     Output: ``(node, n_triangles)`` for every node in >= 1 triangle.
     """
