@@ -259,3 +259,35 @@ def test_funnel_joins_variant_matches_array_form(spark, user_events):
     b = {r["user_id"]: r["reach"]
          for r in funnel_reach_joins(df, STAGES).collect()}
     assert a == b
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),     # user
+              st.integers(min_value=0, max_value=40)),   # day offset
+    min_size=1, max_size=25,
+))
+def test_retention_matches_python_oracle(spark, events):
+    import datetime as dt
+
+    rows = [
+        (u, dt.datetime(2024, 1, 1) + dt.timedelta(days=d), "e")
+        for u, d in events
+    ]
+    df = _events(spark, rows)
+    got = {
+        (str(r["cohort"]), r["period_offset"]): r["active_users"]
+        for r in retention_cohorts(df, period="week").collect()
+    }
+    # Python oracle: ISO-Monday week bucketing.
+    def wk(d):
+        day = (dt.date(2024, 1, 1) + dt.timedelta(days=d))
+        return day - dt.timedelta(days=day.weekday())
+    first = {}
+    for u, d in events:
+        first[u] = min(first.get(u, wk(d)), wk(d))
+    want: dict[tuple, set] = {}
+    for u, d in events:
+        off = (wk(d) - first[u]).days // 7
+        want.setdefault((str(first[u]), off), set()).add(u)
+    assert got == {k: len(v) for k, v in want.items()}

@@ -363,3 +363,12 @@ def test_build_mixture_matches_hashlib_oracle(spark):
     }
     got = {r["doc_id"] for r in build_mixture(df, target).collect()}
     assert got == want
+
+
+def test_build_mixture_empty_when_targets_absent(spark):
+    from diseasystore_spark.pipeline.sample import build_mixture
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")],
+                               "doc_id long, source string")
+    out = build_mixture(df, {"absent": 1.0})
+    assert out.count() == 0  # no target stratum present -> empty mix
