@@ -1,0 +1,119 @@
+"""Declarative data-quality validation (the dbt-tests /
+Great-Expectations-style contract gate, public pattern): evaluate
+not-null / range / accepted-values / uniqueness rules over a table
+and report violation counts per rule.
+
+Scale shape: every ROW-LEVEL rule compiles into one conditional-sum
+column of a SINGLE aggregate over a SINGLE scan — checking 50 rules
+costs one pass, not 50. Uniqueness rules are the exception (they are
+set-level): each key set adds one map-side-combinable groupBy whose
+violation count is ``n_rows - n_distinct_keys``. The report is one
+row per rule — unpivoted from the one-row aggregate with ``stack``,
+so the output frame is rule-count-sized, never data-sized.
+
+Use it as the ingest gate: ``violations.where("n_violations > 0")``
+empty -> promote the batch; else route to quarantine with the report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["validate_contract"]
+
+
+def _viol(cond: Column) -> Column:
+    """Count rows where ``cond`` (the VIOLATION predicate) holds;
+    NULL predicate results count as violations for range/accepted
+    checks only where the caller folds null-handling in."""
+    return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+
+def validate_contract(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    ranges: dict[str, tuple] | None = None,
+    accepted: dict[str, list] | None = None,
+    unique: list[list[str]] | None = None,
+    custom: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Violation counts per rule: ``(rule string, n_violations
+    bigint)``, one row per declared rule (zero rows violated ⇒ 0).
+
+    - ``not_null``: columns that must not be NULL;
+    - ``ranges``: col -> (lo, hi) inclusive bounds (NULL values do
+      NOT double-count here — declare the column in ``not_null`` to
+      flag them; a NULL comparison is not a range violation);
+    - ``accepted``: col -> allowed values (NULLs likewise exempt);
+    - ``unique``: key-column lists that must be row-unique;
+    - ``custom``: rule name -> boolean Column that is TRUE when the
+      row VIOLATES the rule.
+    """
+    not_null = not_null or []
+    ranges = ranges or {}
+    accepted = accepted or {}
+    unique = unique or []
+    custom = custom or {}
+    if not (not_null or ranges or accepted or unique or custom):
+        raise ValueError("declare at least one rule")
+    for cols in unique:
+        if not cols:
+            raise ValueError("unique rule needs at least one column")
+
+    aggs: list[Column] = []
+    names: list[str] = []
+
+    def add(name: str, cond: Column) -> None:
+        names.append(name)
+        aggs.append(_viol(cond).alias(f"__r{len(names) - 1}"))
+
+    for c in not_null:
+        add(f"not_null:{c}", F.col(c).isNull())
+    for c, (lo, hi) in ranges.items():
+        add(
+            f"range:{c}",
+            F.col(c).isNotNull()
+            & ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))),
+        )
+    for c, vals in accepted.items():
+        add(
+            f"accepted:{c}",
+            F.col(c).isNotNull() & ~F.col(c).isin(list(vals)),
+        )
+    for name, cond in custom.items():
+        add(f"custom:{name}", cond)
+
+    reports: list[DataFrame] = []
+    if names:
+        wide = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{n}', coalesce(__r{i}, CAST(0 AS BIGINT))"
+            for i, n in enumerate(names)
+        )
+        reports.append(
+            wide.select(
+                F.expr(
+                    f"stack({len(names)}, {stack_args}) "
+                    "AS (rule, n_violations)"
+                )
+            )
+        )
+    for cols in unique:
+        label = f"unique:{','.join(cols)}"
+        rep = (
+            df.groupBy(*[F.col(c) for c in cols])
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(
+                F.coalesce(F.sum(F.col("__n") - 1), F.lit(0))
+                .cast("bigint")
+                .alias("n_violations")
+            )
+            .select(F.lit(label).alias("rule"), "n_violations")
+        )
+        reports.append(rep)
+
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -3741,6 +3741,66 @@ FROM cand GROUP BY 1, 2
 """
 
 
+def q84_validate_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over lineitem: not-null / range / accepted /
+    uniqueness / custom rules in one scan + one keyed groupBy; output
+    is one row per rule with its violation count."""
+    from diseasystore_spark.pipeline.validate import validate_contract
+
+    li = _read(spark, sf_dir, "lineitem")
+    return validate_contract(
+        li,
+        not_null=["l_orderkey", "l_shipdate"],
+        ranges={"l_quantity": (1, 50), "l_discount": (0.0, 0.1)},
+        accepted={
+            "l_returnflag": ["A", "N", "R"],
+            "l_linestatus": ["O", "F"],
+        },
+        unique=[["l_orderkey", "l_linenumber"]],
+        custom={"positive_price": F.col("l_extendedprice") <= 0},
+    )
+
+
+ORACLE_Q84 = """
+SELECT 'not_null:l_orderkey' AS rule,
+       CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT) AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'not_null:l_shipdate',
+       CAST(count(*) FILTER (l_shipdate IS NULL) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'range:l_quantity',
+       CAST(count(*) FILTER (l_quantity IS NOT NULL
+            AND (l_quantity < 1 OR l_quantity > 50)) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'range:l_discount',
+       CAST(count(*) FILTER (l_discount IS NOT NULL
+            AND (l_discount < 0.0 OR l_discount > 0.1)) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'accepted:l_returnflag',
+       CAST(count(*) FILTER (l_returnflag IS NOT NULL
+            AND l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'accepted:l_linestatus',
+       CAST(count(*) FILTER (l_linestatus IS NOT NULL
+            AND l_linestatus NOT IN ('O', 'F')) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'custom:positive_price',
+       CAST(count(*) FILTER (l_extendedprice <= 0) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'unique:l_orderkey,l_linenumber',
+       CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+FROM (
+  SELECT count(*) AS n FROM lineitem
+  GROUP BY l_orderkey, l_linenumber
+) t
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3829,6 +3889,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_conversion_lag": q81_conversion_lag,
     "q82_triangle_counts": q82_triangle_counts,
     "q83_link_prediction": q83_link_prediction,
+    "q84_validate_contract": q84_validate_contract,
 }
 
 ORACLES: dict[str, str] = {
@@ -3914,6 +3975,7 @@ ORACLES: dict[str, str] = {
     "q81_conversion_lag": ORACLE_Q81,
     "q82_triangle_counts": ORACLE_Q82,
     "q83_link_prediction": ORACLE_Q83,
+    "q84_validate_contract": ORACLE_Q84,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -1441,3 +1441,44 @@ def test_adamic_adar_links_scores(spark):
               for r in adamic_adar_links(df, max_degree=2).collect()}
     assert set(capped) == {(1, 3), (2, 9)}
     assert capped[(1, 3)] == (1, w(2))
+
+
+def test_validate_contract_rules(spark):
+    from diseasystore_spark.pipeline.validate import validate_contract
+
+    df = spark.createDataFrame(
+        [
+            (1, 5.0, "A"),
+            (1, 5.0, "A"),      # duplicate key 1
+            (2, None, "B"),     # null v; B not accepted
+            (3, 99.0, None),    # out of range; null status exempt
+        ],
+        "k long, v double, status string",
+    )
+    out = {r["rule"]: r["n_violations"] for r in validate_contract(
+        df,
+        not_null=["v"],
+        ranges={"v": (0.0, 10.0)},
+        accepted={"status": ["A"]},
+        unique=[["k"]],
+        custom={"big_v": F.col("v") > 50},
+    ).collect()}
+    assert out == {
+        "not_null:v": 1,
+        "range:v": 1,          # only 99.0; the NULL is not a range hit
+        "accepted:status": 1,  # only "B"; NULL exempt
+        "unique:k": 1,         # one extra row under key 1
+        "custom:big_v": 1,
+    }
+
+
+def test_validate_contract_requires_rules(spark):
+    import pytest
+
+    from diseasystore_spark.pipeline.validate import validate_contract
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="at least one rule"):
+        validate_contract(df)
+    with pytest.raises(ValueError, match="at least one column"):
+        validate_contract(df, unique=[[]])
