@@ -1482,3 +1482,45 @@ def test_validate_contract_requires_rules(spark):
         validate_contract(df)
     with pytest.raises(ValueError, match="at least one column"):
         validate_contract(df, unique=[[]])
+
+
+def test_read_corpus_jsonl_and_csv_roundtrip(spark, tmp_path):
+    import gzip
+    import json as _json
+
+    from diseasystore_spark.pipeline.io import read_corpus
+
+    rows = [
+        {"doc_id": 1, "text": "hello world", "lang": "en",
+         "source": "s", "n_chars": 11},
+        {"doc_id": 2, "text": "bon jour", "lang": "fr",
+         "source": "s", "n_chars": 8},
+    ]
+    jl = tmp_path / "c.jsonl.gz"
+    with gzip.open(jl, "wt") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    got = read_corpus(spark, str(jl), format="jsonl")
+    assert {(r["doc_id"], r["text"]) for r in got.collect()} == {
+        (1, "hello world"), (2, "bon jour")
+    }
+
+    # no-id corpus: synthesize deterministic hash ids
+    jl2 = tmp_path / "noid.jsonl"
+    with open(jl2, "w") as fh:
+        fh.write('{"text": "alpha"}\n{"text": "alpha"}\n{"text": "beta"}\n')
+    ids = [
+        r["doc_id"]
+        for r in read_corpus(
+            spark, str(jl2), format="jsonl", schema="text string",
+            synthesize_ids=True,
+        ).collect()
+    ]
+    assert len(set(ids)) == 2  # exact dups collapse to one id
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no 'doc_id'"):
+        read_corpus(spark, str(jl2), format="jsonl", schema="text string")
+    with pytest.raises(ValueError, match="parquet/jsonl/csv"):
+        read_corpus(spark, str(jl), format="orc")
