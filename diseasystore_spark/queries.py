@@ -3801,6 +3801,51 @@ FROM (
 """
 
 
+def q85_person_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Person-time at risk — the incidence-rate denominator that
+    pairs with the engine's prevalence numerators (classic epi
+    analytics, public): each order contributes a 30-day activity
+    interval clamped to Q1-1996; summed days by order priority.
+    Half-open [start, end) day intervals, so a clamp to an empty
+    window contributes zero."""
+    orders = _read(spark, sf_dir, "orders")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    start = F.greatest(F.col("o_orderdate"), lo)
+    end = F.least(F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp"), hi)
+    days = F.greatest(F.datediff(end.cast("date"), start.cast("date")), F.lit(0))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.sum(days).cast("bigint").alias("person_days"),
+            F.sum(F.when(days > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contributing"),
+        )
+    )
+
+
+ORACLE_Q85 = """
+WITH base AS (
+  SELECT o_orderpriority,
+         greatest(o_orderdate, TIMESTAMP '1996-01-01') AS s,
+         least(o_orderdate + INTERVAL 30 DAY,
+               TIMESTAMP '1996-04-01') AS e
+  FROM orders
+),
+d AS (
+  SELECT o_orderpriority,
+         greatest(date_diff('day', CAST(s AS DATE), CAST(e AS DATE)), 0)
+           AS days
+  FROM base
+)
+SELECT o_orderpriority,
+       CAST(sum(days) AS BIGINT) AS person_days,
+       CAST(count(*) FILTER (days > 0) AS BIGINT) AS n_contributing
+FROM d GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3890,6 +3935,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q82_triangle_counts": q82_triangle_counts,
     "q83_link_prediction": q83_link_prediction,
     "q84_validate_contract": q84_validate_contract,
+    "q85_person_time": q85_person_time,
 }
 
 ORACLES: dict[str, str] = {
@@ -3976,6 +4022,7 @@ ORACLES: dict[str, str] = {
     "q82_triangle_counts": ORACLE_Q82,
     "q83_link_prediction": ORACLE_Q83,
     "q84_validate_contract": ORACLE_Q84,
+    "q85_person_time": ORACLE_Q85,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its
