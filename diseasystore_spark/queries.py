@@ -3846,6 +3846,76 @@ FROM d GROUP BY o_orderpriority
 """
 
 
+def q86_incidence_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incidence rate per order priority: line items shipped in
+    Q1-1996 (the events) over q85's person-days (the denominator),
+    micro-int exact — the numerator/denominator pair the epi engine's
+    prevalence queries complement."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    events = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    pt = q85_person_time(spark, sf_dir).select(
+        "o_orderpriority", "person_days"
+    )
+    return (
+        pt.join(events, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("n_events"), F.lit(0))
+            .cast("bigint")
+            .alias("n_events"),
+            "person_days",
+            F.round(
+                F.coalesce(F.col("n_events"), F.lit(0)).cast("double")
+                / F.col("person_days").cast("double")
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("rate_micro"),
+        )
+    )
+
+
+ORACLE_Q86 = """
+WITH base AS (
+  SELECT o_orderpriority,
+         greatest(o_orderdate, TIMESTAMP '1996-01-01') AS s,
+         least(o_orderdate + INTERVAL 30 DAY,
+               TIMESTAMP '1996-04-01') AS e
+  FROM orders
+),
+pt AS (
+  SELECT o_orderpriority,
+         CAST(sum(greatest(
+           date_diff('day', CAST(s AS DATE), CAST(e AS DATE)), 0))
+           AS BIGINT) AS person_days
+  FROM base GROUP BY o_orderpriority
+),
+ev AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_events
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY o_orderpriority
+)
+SELECT pt.o_orderpriority,
+       CAST(coalesce(ev.n_events, 0) AS BIGINT) AS n_events,
+       pt.person_days,
+       CAST(round(CAST(coalesce(ev.n_events, 0) AS DOUBLE)
+                  / CAST(pt.person_days AS DOUBLE) * 1e6) AS BIGINT)
+         AS rate_micro
+FROM pt LEFT JOIN ev USING (o_orderpriority)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3936,6 +4006,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_link_prediction": q83_link_prediction,
     "q84_validate_contract": q84_validate_contract,
     "q85_person_time": q85_person_time,
+    "q86_incidence_rate": q86_incidence_rate,
 }
 
 ORACLES: dict[str, str] = {
@@ -4023,6 +4094,7 @@ ORACLES: dict[str, str] = {
     "q83_link_prediction": ORACLE_Q83,
     "q84_validate_contract": ORACLE_Q84,
     "q85_person_time": ORACLE_Q85,
+    "q86_incidence_rate": ORACLE_Q86,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -571,3 +571,65 @@ def test_windowed_distinct_users_stream_within_envelope(spark, tmp_path):
     }
     for w, n in exact.items():
         assert abs(got[w] - n) / n < 0.1, (w, got[w], n)
+
+
+def test_funnel_stream_state_recovers_across_restarts(spark, tmp_path):
+    """Exactly-once state recovery: stop the streaming funnel after
+    batch 1, add more source data, start a NEW query on the SAME
+    checkpoint — carried state must chain batch-2 events onto batch-1
+    reach times, and the final answer must equal the batch operator."""
+    from diseasystore_spark.operators.events import funnel_reach
+    from diseasystore_spark.streaming.stateful import funnel_stream
+
+    TS = datetime.datetime
+    schema = "user_id long, ts timestamp, event_type string"
+    src = str(tmp_path / "fr_src")
+    ckpt = str(tmp_path / "fr_ckpt")
+    first = [(1, TS(2024, 1, 1, 10, 0), "view")]
+    second = [(1, TS(2024, 1, 1, 10, 30), "click"),
+              (1, TS(2024, 1, 1, 11, 0), "purchase")]
+    spark.createDataFrame(first, schema).coalesce(1).write.parquet(src)
+
+    emissions = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            funnel_stream(stream, ["view", "click", "purchase"],
+                          watermark="10 hours")
+            .writeStream.foreachBatch(
+                lambda bdf, eid: emissions.extend(
+                    (eid, r["user_id"], list(r["reach"]))
+                    for r in bdf.collect()
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # processes batch 1, then terminates (availableNow)
+    after_first = {u: r for _, u, r in emissions}
+    assert after_first[1][0] is not None and after_first[1][1] is None
+
+    spark.createDataFrame(second, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()  # NEW query, SAME checkpoint: resumes from state
+
+    last = {u: r for _, u, r in sorted(emissions, key=lambda e: e[0])}
+    batch = {
+        r["user_id"]: list(r["reach"])
+        for r in funnel_reach(
+            spark.createDataFrame(first + second, schema),
+            ["view", "click", "purchase"],
+        ).collect()
+    }
+    assert last == batch
+    assert all(t is not None for t in last[1])
