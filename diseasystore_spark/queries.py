@@ -3916,6 +3916,45 @@ FROM pt LEFT JOIN ev USING (o_orderpriority)
 """
 
 
+def q87_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing: 4 evenly-spaced byte
+    slices per payload (the video keyframe-sampling shape; payload =
+    deterministic text bytes, so DuckDB replays the exact slices and
+    md5s as the oracle — same honesty contract as q28)."""
+    from diseasystore_spark.pipeline.multimodal import (
+        attach_binary_payload,
+        frame_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    fs = frame_sample(attach_binary_payload(docs), n_frames=4)
+    return fs.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.hex("frame_bytes").alias("frame_hex"),
+        F.col("frame_len").cast("int").alias("frame_len"),
+    )
+
+
+ORACLE_Q87 = """
+WITH p AS (
+  SELECT doc_id, to_hex(encode(text)) AS h,
+         octet_length(encode(text)) AS L
+  FROM documents
+),
+f AS (
+  SELECT doc_id, i AS frame_idx,
+         substring(h, CAST(floor(L * i / 4.0) AS INT) * 2 + 1,
+                   greatest(CAST(floor(L / 4.0) AS INT), 1) * 2) AS fh
+  FROM p, (SELECT unnest(generate_series(0, 3)) AS i) g
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       fh AS frame_hex,
+       CAST(length(fh) / 2 AS INT) AS frame_len
+FROM f
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4007,6 +4046,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q84_validate_contract": q84_validate_contract,
     "q85_person_time": q85_person_time,
     "q86_incidence_rate": q86_incidence_rate,
+    "q87_frame_sample": q87_frame_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -4095,6 +4135,7 @@ ORACLES: dict[str, str] = {
     "q84_validate_contract": ORACLE_Q84,
     "q85_person_time": ORACLE_Q85,
     "q86_incidence_rate": ORACLE_Q86,
+    "q87_frame_sample": ORACLE_Q87,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its
