@@ -44,6 +44,7 @@ def funnel_reach(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    extra_group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-user funnel progression times.
 
@@ -80,17 +81,18 @@ def funnel_reach(
             "always map to its first slot and never advance)"
         )
     k = len(stages)
+    group_cols = [user_col, *(extra_group_cols or [])]
     ev = (
         events.where(
             F.col(type_col).isin(list(stages)) & F.col(ts_col).isNotNull()
         )
         .select(
-            F.col(user_col),
+            *[F.col(c) for c in group_cols],
             F.unix_micros(F.col(ts_col)).alias("__us"),
             _stage_idx_col(type_col, list(stages)).alias("__sj"),
         )
     )
-    per_user = ev.groupBy(user_col).agg(
+    per_user = ev.groupBy(*group_cols).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("__us"), F.col("__sj")))
         ).alias("__evs")
@@ -114,7 +116,7 @@ def funnel_reach(
         f"(acc, e) -> {step})"
     )
     return per_user.select(
-        F.col(user_col),
+        *[F.col(c) for c in group_cols],
         F.transform(
             reach, lambda v: F.when(v == -1, F.lit(None).cast("bigint")).otherwise(v)
         ).alias("reach"),

@@ -3955,6 +3955,98 @@ FROM f
 """
 
 
+def q88_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session conversion: q33's sessionization (gap > 30 min)
+    composed with the funnel state machine grouped per (user,
+    session) — how many SESSIONS progress view -> click -> purchase
+    in order. Output: (stage_idx, stage, sessions)."""
+    from diseasystore_spark.operators.events import funnel_reach
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("__new"),
+    ).withColumn(
+        "session_id",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    reach = funnel_reach(
+        sess,
+        ["view", "click", "purchase"],
+        extra_group_cols=["session_id"],
+    )
+    aggs = [
+        F.sum(F.when(F.col("reach")[j].isNotNull(), 1).otherwise(0)).alias(
+            f"__s{j}"
+        )
+        for j in range(3)
+    ]
+    wide = reach.agg(*aggs)
+    stack_args = ", ".join(
+        f"{j}, '{s}', coalesce(__s{j}, CAST(0 AS BIGINT))"
+        for j, s in enumerate(["view", "click", "purchase"])
+    )
+    return wide.select(
+        F.expr(f"stack(3, {stack_args}) AS (stage_idx, stage, sessions)")
+    ).select(
+        F.col("stage_idx").cast("int"),
+        "stage",
+        F.col("sessions").cast("bigint"),
+    )
+
+
+ORACLE_Q88 = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+s0 AS (
+  SELECT user_id, sid, min(ts) AS t0 FROM sessions
+  WHERE event_type = 'view' GROUP BY 1, 2
+),
+s1 AS (
+  SELECT s.user_id, s.sid, min(s.ts) AS t1
+  FROM sessions s JOIN s0 ON s.user_id = s0.user_id AND s.sid = s0.sid
+  WHERE s.event_type = 'click' AND s.ts > s0.t0 GROUP BY 1, 2
+),
+s2 AS (
+  SELECT s.user_id, s.sid, min(s.ts) AS t2
+  FROM sessions s JOIN s1 ON s.user_id = s1.user_id AND s.sid = s1.sid
+  WHERE s.event_type = 'purchase' AND s.ts > s1.t1 GROUP BY 1, 2
+)
+SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage,
+       CAST((SELECT count(*) FROM s0) AS BIGINT) AS sessions
+UNION ALL
+SELECT CAST(1 AS INT), 'click', CAST((SELECT count(*) FROM s1) AS BIGINT)
+UNION ALL
+SELECT CAST(2 AS INT), 'purchase', CAST((SELECT count(*) FROM s2) AS BIGINT)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4047,6 +4139,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q85_person_time": q85_person_time,
     "q86_incidence_rate": q86_incidence_rate,
     "q87_frame_sample": q87_frame_sample,
+    "q88_session_funnel": q88_session_funnel,
 }
 
 ORACLES: dict[str, str] = {
@@ -4136,6 +4229,7 @@ ORACLES: dict[str, str] = {
     "q85_person_time": ORACLE_Q85,
     "q86_incidence_rate": ORACLE_Q86,
     "q87_frame_sample": ORACLE_Q87,
+    "q88_session_funnel": ORACLE_Q88,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its
