@@ -291,3 +291,19 @@ def test_retention_matches_python_oracle(spark, events):
         off = (wk(d) - first[u]).days // 7
         want.setdefault((str(first[u]), off), set()).add(u)
     assert got == {k: len(v) for k, v in want.items()}
+
+
+def test_user_journeys_tie_order_deterministic(spark):
+    from diseasystore_spark.operators.events import user_journeys
+
+    # same ts, distinct event_ids: order must follow event_id
+    rows = [
+        (1, T(2024, 1, 1), "b", 2),
+        (1, T(2024, 1, 1), "a", 1),
+        (1, T(2024, 1, 1, 0, 1), "c", 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string, event_id long"
+    )
+    out = user_journeys(df).collect()
+    assert out[0]["journey"] == "a b c"

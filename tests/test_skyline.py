@@ -88,3 +88,23 @@ def test_skyline_rejects_null_dimensions(spark):
     )
     with pytest.raises(Exception, match="non-null"):
         skyline(df, {"x": "max", "y": "max"}).collect()
+
+
+def test_skyline_timestamp_dimension(spark):
+    import datetime as dt
+
+    T = dt.datetime
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, T(2024, 1, 5)),
+            (2, 10.0, T(2024, 1, 9)),   # dominates 1 on ts, ties price
+            (3, 5.0, T(2024, 1, 1)),    # dominated by both
+            (4, 12.0, T(2024, 1, 2)),
+        ],
+        "id long, price double, ts timestamp",
+    )
+    got = sorted(
+        r["id"]
+        for r in skyline(df, {"price": "max", "ts": "max"}).collect()
+    )
+    assert got == [2, 4]
