@@ -1524,3 +1524,36 @@ def test_read_corpus_jsonl_and_csv_roundtrip(spark, tmp_path):
         read_corpus(spark, str(jl2), format="jsonl", schema="text string")
     with pytest.raises(ValueError, match="parquet/jsonl/csv"):
         read_corpus(spark, str(jl), format="orc")
+
+
+def test_validate_contract_matches_python_oracle(spark):
+    import random
+
+    from diseasystore_spark.pipeline.validate import validate_contract
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(200):
+        k = rng.randrange(150)              # some duplicate keys
+        v = None if rng.random() < 0.1 else rng.uniform(-5, 15)
+        s = rng.choice(["A", "B", None])
+        rows.append((k, v, s))
+    df = spark.createDataFrame(rows, "k long, v double, status string")
+    got = {r["rule"]: r["n_violations"] for r in validate_contract(
+        df,
+        not_null=["v"],
+        ranges={"v": (0.0, 10.0)},
+        accepted={"status": ["A"]},
+        unique=[["k"]],
+    ).collect()}
+    want = {
+        "not_null:v": sum(1 for _, v, _ in rows if v is None),
+        "range:v": sum(
+            1 for _, v, _ in rows if v is not None and not 0.0 <= v <= 10.0
+        ),
+        "accepted:status": sum(
+            1 for *_, s in rows if s is not None and s != "A"
+        ),
+        "unique:k": len(rows) - len({k for k, *_ in rows}),
+    }
+    assert got == want

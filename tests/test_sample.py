@@ -372,3 +372,18 @@ def test_build_mixture_empty_when_targets_absent(spark):
                                "doc_id long, source string")
     out = build_mixture(df, {"absent": 1.0})
     assert out.count() == 0  # no target stratum present -> empty mix
+
+
+def test_epoch_shuffle_string_keys(spark):
+    import hashlib
+
+    from diseasystore_spark.pipeline.sample import epoch_shuffle
+
+    ids = [f"doc-{i}" for i in range(60)]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    got = {r["doc_id"]: r["rank"]
+           for r in epoch_shuffle(df, buckets=4, seed="s").collect()}
+    keyed = sorted(
+        ids, key=lambda i: (hashlib.md5(f"s|{i}".encode()).hexdigest()[:8], i)
+    )
+    assert got == {i: p for p, i in enumerate(keyed)}
