@@ -182,17 +182,34 @@ def main() -> None:
 
     timings.update(baselines)
     total += sum(baselines.values())
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_time",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+
+    # Full per-query detail goes to a file + stderr; stdout ends with ONE
+    # compact JSON line so the driver's tail-capture parses it (r3's
+    # 91-key line overflowed the capture window -> "parsed": null).
+    detail = {
+        "metric": "total_query_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail, indent=1))
+    print(json.dumps(detail), file=sys.stderr)
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
+    compact = {
+        "metric": "total_query_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {**baselines, **slowest},
+        "sf": sf,
+        "n_queries": len(timings),
+        "detail": str(detail_path.name),
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

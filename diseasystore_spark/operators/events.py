@@ -30,6 +30,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# "Not reached" sentinel for funnel accumulator slots. Long.MIN_VALUE
+# is below unix_micros of every representable timestamp, so it can
+# never collide with a real event time (the old -1 sentinel collided
+# with an event at 1969-12-31T23:59:59.999999).
+NOT_REACHED = -(1 << 63)
+
 
 def _stage_idx_col(type_col: str, stages: list[str]) -> Column:
     expr = F.lit(None).cast("int")
@@ -98,27 +104,33 @@ def funnel_reach(
         ).alias("__evs")
     )
     # K-slot state machine. acc[j] is the reach time of stage j
-    # (BIGINT, -1 = not reached; -1 keeps the accumulator array
-    # non-nullable inside the lambda, mapped to NULL on output).
+    # (BIGINT, Long.MIN_VALUE = not reached; the sentinel keeps the
+    # accumulator array non-nullable inside the lambda and is mapped
+    # to NULL on output. Long.MIN_VALUE is unreachable: unix_micros
+    # of any representable timestamp is > it, unlike the old -1
+    # sentinel which collided with 1969-12-31T23:59:59.999999).
     # `acc[i - 1]` uses Spark SQL's 0-based [] array indexing.
     # CASE branches evaluate sequentially, so acc[i - 1] is only
     # reached when i >= 1 (ANSI mode would reject acc[-1]).
     step = (
         "transform(acc, (v, i) -> CASE "
-        "WHEN v != -1 OR i != e.__sj THEN v "
+        f"WHEN v != {NOT_REACHED} OR i != e.__sj THEN v "
         "WHEN i = 0 THEN e.__us "
-        "WHEN acc[i - 1] != -1 AND e.__us > acc[i - 1] THEN e.__us "
+        f"WHEN acc[i - 1] != {NOT_REACHED} AND e.__us > acc[i - 1] "
+        "THEN e.__us "
         "ELSE v END)"
     )
     reach = F.expr(
         "aggregate(__evs, "
-        f"array_repeat(CAST(-1 AS BIGINT), {k}), "
+        f"array_repeat(CAST({NOT_REACHED} AS BIGINT), {k}), "
         f"(acc, e) -> {step})"
     )
     return per_user.select(
         *[F.col(c) for c in group_cols],
         F.transform(
-            reach, lambda v: F.when(v == -1, F.lit(None).cast("bigint")).otherwise(v)
+            reach,
+            lambda v: F.when(v == NOT_REACHED, F.lit(None).cast("bigint"))
+            .otherwise(v),
         ).alias("reach"),
     )
 
@@ -146,19 +158,23 @@ def funnel_counts(
         for j in range(len(stages))
     ]
     wide = reach.agg(*aggs)
-    stack_args = ", ".join(
-        f"{j}, '{s}', coalesce(__s{j}, CAST(0 AS BIGINT))"
-        for j, s in enumerate(stages)
+    # Typed unpivot (explode of an array of structs) instead of a
+    # stack() SQL string: stage names are caller-supplied and would
+    # need escaping inside a string literal — F.lit carries them as
+    # data, so quotes/backslashes in a stage name are fine.
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("stage_idx"),
+                F.lit(s).alias("stage"),
+                F.coalesce(
+                    F.col(f"__s{j}").cast("bigint"), F.lit(0).cast("bigint")
+                ).alias("users"),
+            )
+            for j, s in enumerate(stages)
+        ]
     )
-    return wide.select(
-        F.expr(
-            f"stack({len(stages)}, {stack_args}) AS (stage_idx, stage, users)"
-        )
-    ).select(
-        F.col("stage_idx").cast("int"),
-        "stage",
-        F.col("users").cast("bigint"),
-    )
+    return wide.select(F.explode(rows).alias("__r")).select("__r.*")
 
 
 def retention_cohorts(

@@ -15,16 +15,22 @@ Plan: the classic two-phase distributed algorithm —
    set is always the partition's true skyline). Correct because
    global domination implies domination by some member of the
    dominator's local skyline (dominance is transitive);
-2. **global skyline of the union of local skylines** — one
-   ``coalesce(1)`` task over the (typically tiny) candidate union.
+2. **tree merge of the local skylines** — iterated
+   ``coalesce(p // k)`` + local-skyline rounds, so every merge task
+   sees a bounded number (~k) of already-pruned candidate sets, and
+   the final single task merges k sets instead of ALL partitions'
+   candidates at once (the old ``coalesce(1)`` design was O(S²) on
+   one core for anti-correlated dimensions, where the candidate
+   union S is large even when the true skyline is not).
 
 The deliberate Python-in-path exception: dominance is a set-based
 filter with no efficient relational form — the SQL formulation the
 oracle uses IS the quadratic self-join this plan avoids. Work is
-O(n_p · s_p) per partition (s_p = local skyline size) + O(S²) in the
-final task (S = candidate union size). For strongly correlated
-dimensions S is near-constant; for adversarial anti-correlated data
-the skyline itself is large and the output bound is irreducible.
+O(n_p · s_p) per partition (s_p = local skyline size); every merge
+round prunes dominated candidates before they reach the next level.
+For adversarial data where the skyline ITSELF is large the output
+bound is irreducible — the tree merge bounds the per-task fan-in,
+not the final skyline size.
 
 Dimension columns must be non-null numerics or timestamps (compared
 on their int64 micros); int64 magnitudes above 2^53 would lose
@@ -65,6 +71,15 @@ def skyline(df: DataFrame, dims: dict[str, str]) -> DataFrame:
         cols = []
         for c, s in zip(dim_cols, signs):
             col = pdf[c]
+            # Null check BEFORE any dtype conversion: a NaT in a
+            # timestamp dimension would otherwise become int64 min,
+            # slip past np.isnan, and silently corrupt dominance
+            # (under "min" it dominates the whole partition).
+            if col.isna().any():
+                raise ValueError(
+                    f"skyline dimension column {c!r} must be non-null "
+                    "(null rows would corrupt the dominance set)"
+                )
             if pd.api.types.is_datetime64_any_dtype(col):
                 v = col.to_numpy().astype("datetime64[us]").astype("int64")
             else:
@@ -90,5 +105,15 @@ def skyline(df: DataFrame, dims: dict[str, str]) -> DataFrame:
         yield pdf.iloc[sorted(kept)]
 
     schema = df.schema
-    local_sky = df.mapInPandas(local, schema)
-    return local_sky.coalesce(1).mapInPandas(local, schema)
+    out = df.mapInPandas(local, schema)
+    # Tree merge: halve-by-8 coalesce rounds sized off the cluster's
+    # parallelism, so each merge task fans in ~8 pruned candidate
+    # sets and the final task is bounded — never a coalesce(1) over
+    # ALL partitions' local skylines. coalesce() is narrow (no
+    # shuffle); a round whose target exceeds the actual partition
+    # count is a cheap re-prune pass over already-minimal sets.
+    t = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    while t > 1:
+        t = max(1, t // 8)
+        out = out.coalesce(t).mapInPandas(local, schema)
+    return out

@@ -1323,6 +1323,226 @@ def contamination_spans(
     )
 
 
+def _exact_collapse(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared exact-duplicate pre-collapse for the graph pipelines.
+
+    Returns ``(member, rep_docs, rep_info)``:
+
+    - ``member``: (id_col, __rep) — every doc mapped to its exact
+      group's representative (min id of identical-text docs);
+    - ``rep_docs``: the input rows of the representatives only (the
+      frame pair generation runs over);
+    - ``rep_info``: (__rep, __m, __has) — group size and whether the
+      content yields >= 1 word-n-gram shingle (empty contents produce
+      NO pairs, so their groups must not get implicit jaccard-1
+      intra-group edges).
+
+    Collapsing before pair generation removes the dominant quadratic
+    hotspot of the shingle self-join: a group of e identical docs
+    otherwise contributes e×-fan-out against every neighbor plus
+    e(e-1)/2 trivial pairs carrying zero information. Identical docs
+    have Jaccard exactly 1 with each other and identical similarity
+    to everything else, so every full-corpus pair quantity can be
+    recovered from the representative graph plus group sizes — the
+    expansions below are exactness-preserving, not approximations.
+    """
+    digests = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+    groups = digests.groupBy("__h").agg(
+        F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__m")
+    )
+    member = digests.join(groups, "__h").select(F.col(id_col), "__rep")
+    rep_docs = df.join(
+        groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    )
+    rep_info = rep_docs.select(
+        F.col(id_col).alias("__rep"),
+        (
+            F.size(
+                F.expr(
+                    f"array_remove(array_distinct("
+                    f"{_ngram_sql(text_col, n)}), '')"
+                )
+            )
+            > 0
+        ).alias("__has"),
+    ).join(groups.select("__rep", "__m"), "__rep")
+    return member, rep_docs, rep_info
+
+
+def dedup_components_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    collect_threshold: int = 2_000_000,
+    algorithm: str = "label",
+) -> DataFrame:
+    """Connected components over the FULL n-gram-Jaccard pair list of
+    a corpus, computed via exact-duplicate pre-collapse — the
+    scale-safe entry path for ``jaccard_pairs -> dedup_components``
+    compositions (the unguarded full-corpus form is quadratic in the
+    hottest exact-duplicate group; see ``near_dup_groups``).
+
+    Output is IDENTICAL to
+    ``dedup_components(jaccard_pairs(df, ...))``: ``(id, component)``
+    for exactly the docs that appear in >= 1 full-corpus pair — a doc
+    qualifies iff its representative has a rep-level pair, OR its
+    exact group has >= 2 members with shingled (non-empty) content
+    (the twins pair with each other at Jaccard 1). Component labels
+    agree because each group's rep IS its min id, so the min id of a
+    merged cluster equals the min rep id of its rep-component.
+    """
+    member, rep_docs, rep_info = _exact_collapse(df, id_col, text_col, n)
+    pairs = jaccard_pairs(
+        rep_docs, id_col, text_col, n=n, threshold=threshold, max_df=max_df
+    )
+    comps = dedup_components(
+        pairs, collect_threshold=collect_threshold, algorithm=algorithm
+    ).select(F.col("id").alias("__cid"), F.col("component").alias("__comp"))
+    intra = threshold <= 1.0  # twins pair iff Jaccard 1 clears the bar
+    return (
+        member.join(rep_info, "__rep")
+        .join(comps, member["__rep"] == comps["__cid"], "left")
+        .where(
+            F.col("__cid").isNotNull()
+            | ((F.col("__m") >= 2) & F.col("__has") & F.lit(intra))
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            F.coalesce(F.col("__comp"), F.col("__rep")).alias("component"),
+        )
+    )
+
+
+def triangle_counts_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Per-document triangle counts over the FULL n-gram-Jaccard
+    near-dup graph, computed on the exact-collapsed representative
+    graph — identical output to
+    ``triangle_counts(jaccard_pairs(df, ...))`` without ever
+    materializing the full pair list (which is quadratic in exact-dup
+    group size: a group of e identical docs is an e-clique).
+
+    Exactness: every doc in an exact group of size m with shingled
+    content is adjacent to its m-1 twins (Jaccard 1) and to every
+    member of each rep-adjacent group. For a doc u in group r, the
+    triangles at u partition by where the other two corners live::
+
+        C(m_r - 1, 2)                      both corners are twins
+        (m_r - 1) * sum_{s~r} m_s          one twin, one neighbor doc
+        sum_{s~r} C(m_s, 2)                two docs of one adj group
+        sum_{triangles {r,s,t}} m_s * m_t  two distinct adj groups
+                                           that are also adjacent
+
+    All terms are integer arithmetic over the rep graph: the first
+    three from one degree-style neighbor aggregation, the last from
+    the shared degree-oriented triangle enumeration with group-size
+    weights at the two non-corner vertices. Groups with empty
+    contents have no edges at all and are excluded; all counts are
+    per-group constants expanded back to members at the end.
+    """
+    member, rep_docs, rep_info = _exact_collapse(df, id_col, text_col, n)
+    pairs = jaccard_pairs(
+        rep_docs, id_col, text_col, n=n, threshold=threshold, max_df=max_df
+    )
+    e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    sizes = rep_info.where("__has").select(
+        F.col("__rep").alias("node"), F.col("__m").alias("m")
+    )
+
+    # Neighbor aggregates over the symmetrized rep edges:
+    #   nb_m  = sum of neighbor group sizes, nb_c2 = sum of C(m_s, 2)
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    nbr = (
+        sym.join(
+            sizes.select(F.col("node").alias("b"), F.col("m").alias("mb")),
+            "b",
+        )
+        .groupBy("a")
+        .agg(
+            F.sum("mb").cast("bigint").alias("nb_m"),
+            F.sum(
+                (F.col("mb") * (F.col("mb") - 1) / 2).cast("bigint")
+            ).alias("nb_c2"),
+        )
+        .withColumnRenamed("a", "node")
+    )
+
+    # Weighted rep-graph triangles: triangle (lo, v, w) contributes
+    # m_v*m_w to lo, m_lo*m_w to v, m_lo*m_v to w.
+    tri = _oriented_triangles(e)
+    with_m = (
+        tri.join(
+            sizes.select(F.col("node").alias("lo"), F.col("m").alias("ml")),
+            "lo",
+        )
+        .join(
+            sizes.select(F.col("node").alias("v"), F.col("m").alias("mv")),
+            "v",
+        )
+        .join(
+            sizes.select(F.col("node").alias("w"), F.col("m").alias("mw")),
+            "w",
+        )
+    )
+    wtri = (
+        with_m.select(
+            F.col("lo").alias("node"),
+            (F.col("mv") * F.col("mw")).cast("bigint").alias("t4"),
+        )
+        .unionAll(
+            with_m.select(
+                F.col("v").alias("node"),
+                (F.col("ml") * F.col("mw")).cast("bigint").alias("t4"),
+            )
+        )
+        .unionAll(
+            with_m.select(
+                F.col("w").alias("node"),
+                (F.col("ml") * F.col("mv")).cast("bigint").alias("t4"),
+            )
+        )
+        .groupBy("node")
+        .agg(F.sum("t4").cast("bigint").alias("t4"))
+    )
+
+    intra = 1 if threshold <= 1.0 else 0  # twins adjacent iff 1 >= thr
+    per_rep = (
+        sizes.join(nbr, "node", "left")
+        .join(wtri, "node", "left")
+        .select(
+            "node",
+            (
+                F.lit(intra)
+                * (
+                    (F.col("m") - 1) * (F.col("m") - 2) / 2
+                ).cast("bigint")
+                + F.lit(intra)
+                * (F.col("m") - 1)
+                * F.coalesce(F.col("nb_m"), F.lit(0))
+                + F.lit(intra) * F.coalesce(F.col("nb_c2"), F.lit(0))
+                + F.coalesce(F.col("t4"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_triangles"),
+        )
+        .where(F.col("n_triangles") >= 1)
+    )
+    return member.join(
+        per_rep, member["__rep"] == per_rep["node"]
+    ).select(F.col(id_col).alias("node"), "n_triangles")
+
+
 def triangle_counts(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b"
 ) -> DataFrame:
@@ -1345,6 +1565,21 @@ def triangle_counts(
     Output: ``(node, n_triangles)`` for every node in >= 1 triangle.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    tri = _oriented_triangles(e)
+    corners = (
+        tri.select(F.col("lo").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+
+def _oriented_triangles(e: DataFrame) -> DataFrame:
+    """Each undirected triangle of edge list ``(a, b)`` exactly once,
+    as ``(lo, v, w)`` — the degree-oriented wedge enumeration shared
+    by ``triangle_counts`` and the collapsed-graph weighted variant."""
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
@@ -1378,15 +1613,7 @@ def triangle_counts(
     closing = oriented.select(
         F.col("lo").alias("v"), F.col("hi").alias("w")
     )
-    tri = wedges.join(closing, ["v", "w"]).select("lo", "v", "w")
-    corners = (
-        tri.select(F.col("lo").alias("node"))
-        .unionAll(tri.select(F.col("v").alias("node")))
-        .unionAll(tri.select(F.col("w").alias("node")))
-    )
-    return corners.groupBy("node").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
-    )
+    return wedges.join(closing, ["v", "w"]).select("lo", "v", "w")
 
 
 def adamic_adar_links(

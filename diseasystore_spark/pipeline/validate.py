@@ -87,17 +87,23 @@ def validate_contract(
     reports: list[DataFrame] = []
     if names:
         wide = df.agg(*aggs)
-        stack_args = ", ".join(
-            f"'{n}', coalesce(__r{i}, CAST(0 AS BIGINT))"
-            for i, n in enumerate(names)
+        # Typed unpivot (explode of array<struct>) instead of a
+        # stack() SQL string: rule labels embed caller-supplied
+        # column/rule names — F.lit carries them as data, so a name
+        # containing a quote can't break the plan.
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("rule"),
+                    F.coalesce(
+                        F.col(f"__r{i}"), F.lit(0).cast("bigint")
+                    ).alias("n_violations"),
+                )
+                for i, n in enumerate(names)
+            ]
         )
         reports.append(
-            wide.select(
-                F.expr(
-                    f"stack({len(names)}, {stack_args}) "
-                    "AS (rule, n_violations)"
-                )
-            )
+            wide.select(F.explode(rows).alias("__r")).select("__r.*")
         )
     for cols in unique:
         label = f"unique:{','.join(cols)}"

@@ -1435,16 +1435,18 @@ FROM documents GROUP BY lang
 
 def q37_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters: word-trigram Jaccard pairs (the
-    q19 pair list) -> connected components by iterative min-label
-    propagation -> (id, component, is_canonical). Oracle = recursive
-    CTE transitive closure in DuckDB."""
-    from diseasystore_spark.pipeline.dedup import (
-        dedup_components,
-        jaccard_pairs,
-    )
+    q19 pair list) -> connected components -> (id, component,
+    is_canonical). Runs the exact-collapse entry path
+    (``dedup_components_text``): pair generation over distinct
+    contents only, identical output to the full-corpus pair list —
+    the unguarded form is quadratic in the hottest exact-dup group.
+    Oracle = recursive CTE transitive closure in DuckDB over the FULL
+    pair list (unchanged — the collapse is exactness-preserving)."""
+    from diseasystore_spark.pipeline.dedup import dedup_components_text
 
-    pairs = jaccard_pairs(_read(spark, sf_dir, "documents"), n=3, threshold=0.2)
-    comps = dedup_components(pairs)
+    comps = dedup_components_text(
+        _read(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
     return comps.select(
         F.col("id").alias("doc_id"),
         "component",
@@ -3610,17 +3612,16 @@ FROM lags GROUP BY cohort
 def q82_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense-clique signal on the near-dup graph: per-document triangle
     counts over the q37 pair list, via the degree-oriented wedge
-    formulation (each triangle found once at its min-key corner;
-    wedge work bounded by the smaller endpoint degree)."""
-    from diseasystore_spark.pipeline.dedup import (
-        jaccard_pairs,
-        triangle_counts,
-    )
+    formulation on the exact-collapsed representative graph
+    (``triangle_counts_text``) — identical counts to the full pair
+    list (exact-dup groups are cliques whose triangles are recovered
+    by integer group-size arithmetic) without the quadratic pair
+    materialization. Oracle unchanged (full pair list in DuckDB)."""
+    from diseasystore_spark.pipeline.dedup import triangle_counts_text
 
-    pairs = jaccard_pairs(_read(spark, sf_dir, "documents"), n=3, threshold=0.2)
-    return triangle_counts(pairs).select(
-        F.col("node").alias("doc_id"), "n_triangles"
-    )
+    return triangle_counts_text(
+        _read(spark, sf_dir, "documents"), n=3, threshold=0.2
+    ).select(F.col("node").alias("doc_id"), "n_triangles")
 
 
 ORACLE_Q82 = """
@@ -3995,17 +3996,21 @@ def q88_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(3)
     ]
     wide = reach.agg(*aggs)
-    stack_args = ", ".join(
-        f"{j}, '{s}', coalesce(__s{j}, CAST(0 AS BIGINT))"
-        for j, s in enumerate(["view", "click", "purchase"])
+    # Typed unpivot (same fix as funnel_counts: stage names as F.lit
+    # data, not interpolated into a stack() SQL string).
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("stage_idx"),
+                F.lit(s).alias("stage"),
+                F.coalesce(
+                    F.col(f"__s{j}").cast("bigint"), F.lit(0).cast("bigint")
+                ).alias("sessions"),
+            )
+            for j, s in enumerate(["view", "click", "purchase"])
+        ]
     )
-    return wide.select(
-        F.expr(f"stack(3, {stack_args}) AS (stage_idx, stage, sessions)")
-    ).select(
-        F.col("stage_idx").cast("int"),
-        "stage",
-        F.col("sessions").cast("bigint"),
-    )
+    return wide.select(F.explode(rows).alias("__r")).select("__r.*")
 
 
 ORACLE_Q88 = """

@@ -246,14 +246,19 @@ class ParquetFeatureStore:
             F.col("until_ts").isNull() | (F.col("until_ts") > F.lit(cutoff))
         )
         dropped = existing.count() - keep.count()
-        if dropped:
-            self._write_version(keep, table_id, changed_months=None)
+        # Persist the retain floor BEFORE physically dropping history:
+        # a crash between the two steps then fails loud (floor set,
+        # data intact — reads below the cutoff refused) instead of
+        # silent (history pruned but reads below the cutoff still
+        # permitted against an incomplete snapshot).
         prev = self.retain_floor(table_id)
         if prev is None or cutoff > prev:
             tmp = self._retain_floor_path(table_id) + ".tmp"
             with open(tmp, "w") as fh:
                 fh.write(cutoff.isoformat())
             os.replace(tmp, self._retain_floor_path(table_id))
+        if dropped:
+            self._write_version(keep, table_id, changed_months=None)
         return dropped
 
     def payload_columns(self, table_id: str) -> list[str]:

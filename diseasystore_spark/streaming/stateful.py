@@ -33,6 +33,8 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from diseasystore_spark.operators.events import NOT_REACHED
 from pyspark.sql.types import (
     LongType,
     StructField,
@@ -231,7 +233,7 @@ def funnel_stream(
             old_reach = list(stored[k] or [])
         else:
             cands = [[] for _ in range(k)]
-            old_reach = [-1] * k
+            old_reach = [NOT_REACHED] * k
 
         for t, typ in zip(ts_us, types):
             j = stage_idx.get(typ)
@@ -247,18 +249,25 @@ def funnel_stream(
             if reach[j] is not None:
                 cands[j] = [t for t in cands[j] if t <= reach[j]]
 
-        enc = [-1 if t is None else t for t in reach]
+        enc = [NOT_REACHED if t is None else t for t in reach]
         state.update(tuple(cands) + (enc,))
         if enc != list(old_reach):
             yield pd.DataFrame(
                 {"user_id": [user], "reach": [
-                    [None if t == -1 else t for t in enc]
+                    [None if t == NOT_REACHED else t for t in enc]
                 ]}
             )
 
     return (
         events.withWatermark(ts_col, watermark)
-        .where(F.col(type_col).isin(list(stages)))
+        # NULL event times are dropped here exactly as the batch twin
+        # funnel_reach does (ts.isNotNull()) — a NaT would otherwise
+        # become int64 min in ts_us and pollute the reach state,
+        # breaking the stream==batch contract.
+        .where(
+            F.col(type_col).isin(list(stages))
+            & F.col(ts_col).isNotNull()
+        )
         .groupBy(user_col)
         .applyInPandasWithState(
             fn,

@@ -307,3 +307,42 @@ def test_user_journeys_tie_order_deterministic(spark):
     )
     out = user_journeys(df).collect()
     assert out[0]["journey"] == "a b c"
+
+
+def test_funnel_epoch_micros_minus_one_not_sentinel(spark):
+    """Regression: an event at 1969-12-31T23:59:59.999999 has
+    unix_micros == -1, which collided with the old 'not reached'
+    sentinel (slot mapped to NULL and stayed overwritable). The
+    sentinel is now Long.MIN_VALUE, unreachable by any timestamp."""
+    t0 = T(1969, 12, 31, 23, 59, 59, 999999)   # unix_micros == -1
+    rows = [
+        (1, t0, "view"),
+        (1, T(1970, 1, 1, 0, 0, 1), "click"),
+    ]
+    m = _reach_map(spark, rows, ["view", "click"])
+    assert m[1][0] == -1           # the real epoch value, not NULL
+    assert m[1][1] is not None     # chained: slot 0 was NOT overwritable
+
+    counts = {
+        r["stage"]: r["users"]
+        for r in funnel_counts(
+            _events(spark, rows), ["view", "click"]
+        ).collect()
+    }
+    assert counts == {"view": 1, "click": 1}
+
+
+def test_funnel_counts_quoted_stage_names(spark):
+    """Stage names containing quotes/backslashes must flow through as
+    data (typed unpivot), never into a SQL string."""
+    rows = [
+        (1, T(2024, 1, 1), "o'brien \\ stage"),
+        (1, T(2024, 1, 2), 'say "go"'),
+    ]
+    counts = {
+        r["stage"]: r["users"]
+        for r in funnel_counts(
+            _events(spark, rows), ["o'brien \\ stage", 'say "go"']
+        ).collect()
+    }
+    assert counts == {"o'brien \\ stage": 1, 'say "go"': 1}

@@ -1557,3 +1557,120 @@ def test_validate_contract_matches_python_oracle(spark):
         "unique:k": len(rows) - len({k for k, *_ in rows}),
     }
     assert got == want
+
+
+def _planted_corpus(spark):
+    """Adversarial corpus for the collapsed-graph paths: exact-dup
+    cliques of several sizes, an isolated twin pair, empty and
+    whitespace-only contents (no shingles -> no pairs), a singleton,
+    and near-dup bridges between groups."""
+    A = "the quick brown fox jumps over the lazy dog again and again"
+    A2 = "the quick brown fox jumps over the lazy dog again and AGAIN"
+    C = "pack my box with five dozen liquor jugs for the long trip"
+    D = "pack my box with five dozen liquor jugs for the long haul"
+    B = "completely unrelated content that matches nothing else here"
+    rows = (
+        [(i, A) for i in (1, 2, 3, 4)]      # 4-clique exact group
+        + [(5, A2)]                          # near-dup bridge to A
+        + [(6, B), (7, B)]                   # isolated twin pair
+        + [(8, ""), (9, "")]                 # empty: exact group, 0 shingles
+        + [(10, "just one singleton document standing alone right here")]
+        + [(11, "   ")]                      # whitespace-only
+        + [(12, C), (13, C), (14, C)]        # 3-clique group
+        + [(15, D), (16, D)]                 # twin group near-dup of C
+    )
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_components_text_equals_direct(spark):
+    from diseasystore_spark.pipeline.dedup import (
+        dedup_components,
+        dedup_components_text,
+        jaccard_pairs,
+    )
+
+    df = _planted_corpus(spark)
+    direct = {
+        r["id"]: r["component"]
+        for r in dedup_components(
+            jaccard_pairs(df, n=3, threshold=0.2)
+        ).collect()
+    }
+    got = {
+        r["id"]: r["component"]
+        for r in dedup_components_text(df, n=3, threshold=0.2).collect()
+    }
+    assert direct, "fixture must produce pairs"
+    assert got == direct
+    # empty/whitespace docs and the singleton must NOT appear
+    assert not {8, 9, 10, 11} & set(got)
+    # isolated twins DO appear (jaccard-1 intra-group pair)
+    assert got[6] == 6 and got[7] == 6
+
+
+def test_triangle_counts_text_equals_direct(spark):
+    from diseasystore_spark.pipeline.dedup import (
+        jaccard_pairs,
+        triangle_counts,
+        triangle_counts_text,
+    )
+
+    df = _planted_corpus(spark)
+    direct = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(
+            jaccard_pairs(df, n=3, threshold=0.2)
+        ).collect()
+    }
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts_text(df, n=3, threshold=0.2).collect()
+    }
+    assert direct, "fixture must produce triangles"
+    assert got == direct
+
+
+def test_collapsed_graph_paths_random_corpus(spark):
+    """Seeded-random multiplicities over a tiny phrase pool: every
+    near-dup relation and clique size arises by chance; both
+    collapsed paths must match the direct full-pair compositions."""
+    import random
+
+    from diseasystore_spark.pipeline.dedup import (
+        dedup_components,
+        dedup_components_text,
+        jaccard_pairs,
+        triangle_counts,
+        triangle_counts_text,
+    )
+
+    rng = random.Random(424)
+    phrases = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+        "alpha beta gamma delta epsilon zeta xi iota",
+        "one two three four five six seven eight nine",
+        "one two three four five six seven eight ten",
+        "",
+    ]
+    rows, i = [], 0
+    for p in phrases:
+        for _ in range(rng.randrange(1, 5)):
+            i += 1
+            rows.append((i, p))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = jaccard_pairs(df, n=3, threshold=0.3)
+    assert {
+        r["id"]: r["component"]
+        for r in dedup_components_text(df, n=3, threshold=0.3).collect()
+    } == {
+        r["id"]: r["component"] for r in dedup_components(pairs).collect()
+    }
+    assert {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts_text(df, n=3, threshold=0.3).collect()
+    } == {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(pairs).collect()
+    }

@@ -269,3 +269,76 @@ def test_prune_history_retention(spark, store_root):
         be.get_table("ds.t", T(2024, 1, 15))
     # idempotent: nothing further to drop at the same cutoff
     assert be.prune_history("ds.t", t2) == 0
+
+
+def test_lock_contention_cross_process(store_root, tmp_path):
+    """I3 advisory lock across REAL process boundaries: a second
+    process holding the lock blocks this one (spin + timeout message
+    parity with ``R/DiseasystoreBase.R:145-156``); releasing from the
+    other process unblocks acquisition here. The lock layer is pure
+    filesystem — no SparkSession involved."""
+    import subprocess
+    import sys
+
+    import pytest
+
+    code = (
+        "from diseasystore_spark.storage.scd2 import ParquetFeatureStore;"
+        f"be = ParquetFeatureStore(None, {store_root!r});"
+        "import sys; sys.exit(0 if be.try_lock('ds.t') else 1)"
+    )
+    env_path = "/root/repo"
+    r = subprocess.run(
+        [sys.executable, "-c", code], cwd=env_path, capture_output=True
+    )
+    assert r.returncode == 0, r.stderr.decode()
+
+    be = ParquetFeatureStore(None, store_root)
+    assert not be.try_lock("ds.t")  # held by the other process
+    with pytest.raises(
+        TimeoutError, match=r"Lock not released within .* minutes\. Giving up\."
+    ):
+        be.lock("ds.t", wait_increment=0.05, wait_max=0.15)
+
+    unlock_code = (
+        "from diseasystore_spark.storage.scd2 import ParquetFeatureStore;"
+        f"ParquetFeatureStore(None, {store_root!r}).unlock('ds.t')"
+    )
+    r2 = subprocess.run(
+        [sys.executable, "-c", unlock_code], cwd=env_path, capture_output=True
+    )
+    assert r2.returncode == 0, r2.stderr.decode()
+    be.lock("ds.t", wait_increment=0.05, wait_max=0.15)  # acquires now
+    be.unlock("ds.t")
+
+
+def test_prune_history_crash_fails_loud(spark, store_root, monkeypatch):
+    """The retain floor is persisted BEFORE history is physically
+    dropped: a crash mid-prune leaves floor set + data intact
+    (fail-loud refusal below the cutoff) — never silently-incomplete
+    snapshots with reads still permitted."""
+    import pytest
+
+    be = ParquetFeatureStore(spark, store_root)
+    t1, t2, t3 = T(2024, 1, 1), T(2024, 2, 1), T(2024, 3, 1)
+    be.update_snapshot(_df(spark, [("a", 1.0), ("b", 2.0)]), "ds.t", t1)
+    be.update_snapshot(_df(spark, [("a", 1.0), ("b", 9.0)]), "ds.t", t2)
+    be.update_snapshot(_df(spark, [("a", 5.0), ("b", 9.0)]), "ds.t", t3)
+    n_before = be.read_raw("ds.t").count()
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash during prune rewrite")
+
+    monkeypatch.setattr(be, "_write_version", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        be.prune_history("ds.t", t2)
+
+    # Floor recorded (reads below cutoff refuse loudly) ...
+    assert be.retain_floor("ds.t") == t2
+    with pytest.raises(ValueError, match="retention floor"):
+        be.get_table("ds.t", T(2024, 1, 15))
+    # ... and NO history was physically dropped.
+    assert be.read_raw("ds.t").count() == n_before
+
+    monkeypatch.undo()
+    assert be.prune_history("ds.t", t2) == 1

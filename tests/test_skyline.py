@@ -108,3 +108,51 @@ def test_skyline_timestamp_dimension(spark):
         for r in skyline(df, {"price": "max", "ts": "max"}).collect()
     )
     assert got == [2, 4]
+
+
+def test_skyline_anticorrelated_stress_tree_merge(spark):
+    """Adversarial anti-correlated data: EVERY point is on a local
+    Pareto front somewhere (x + y == const plus jitter rows that are
+    dominated), so the candidate union is large relative to the true
+    skyline. The tree merge must still produce exactly the
+    brute-force skyline regardless of partitioning."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # 400 anti-correlated skyline points (x + y = 1000, all mutually
+    # non-dominating) + 1600 dominated jitter points
+    for i in range(400):
+        x = float(i)
+        rows.append((i, x, 1000.0 - x))
+    for i in range(400, 2000):
+        x = rng.uniform(0, 399)
+        rows.append((i, x, 1000.0 - x - rng.uniform(1.0, 50.0)))
+    df = spark.createDataFrame(
+        rows, "id long, x double, y double"
+    ).repartition(32)
+    got = sorted(
+        r["id"] for r in skyline(df, {"x": "max", "y": "max"}).collect()
+    )
+    want = sorted(
+        i for (i, x, y) in rows
+        if not any(
+            (ox >= x and oy >= y and (ox > x or oy > y))
+            for (_, ox, oy) in rows
+        )
+    )
+    assert got == want
+    assert len(want) == 400  # the full anti-correlated front survives
+
+
+def test_skyline_rejects_null_timestamp_dimension(spark):
+    """NaT in a timestamp dimension must fail loud, not silently
+    become int64 min and corrupt dominance under a 'min' direction."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0), (2, None, 2.0)],
+        "id long, ts timestamp, v double",
+    )
+    with pytest.raises(Exception, match="non-null"):
+        skyline(df, {"ts": "min", "v": "max"}).collect()
