@@ -1472,7 +1472,7 @@ def triangle_counts_text(
         .agg(
             F.sum("mb").cast("bigint").alias("nb_m"),
             F.sum(
-                (F.col("mb") * (F.col("mb") - 1) / 2).cast("bigint")
+                F.expr("(mb * (mb - 1)) DIV 2").cast("bigint")
             ).alias("nb_c2"),
         )
         .withColumnRenamed("a", "node")
@@ -1524,9 +1524,7 @@ def triangle_counts_text(
             "node",
             (
                 F.lit(intra)
-                * (
-                    (F.col("m") - 1) * (F.col("m") - 2) / 2
-                ).cast("bigint")
+                * F.expr("((m - 1) * (m - 2)) DIV 2").cast("bigint")
                 + F.lit(intra)
                 * (F.col("m") - 1)
                 * F.coalesce(F.col("nb_m"), F.lit(0))

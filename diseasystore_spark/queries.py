@@ -4052,6 +4052,141 @@ SELECT CAST(2 AS INT), 'purchase', CAST((SELECT count(*) FROM s2) AS BIGINT)
 """
 
 
+def q89_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination (q61's scale variant):
+    the same every-97th-doc benchmark, screened through a fixed-size
+    m=2^16 / k=4 Bloom filter instead of the exact broadcast key set
+    — constant executor state regardless of benchmark size. The
+    filter hashing is deterministic md5 double-hashing, so the DuckDB
+    oracle rebuilds the identical bit set and the match is hash-exact
+    INCLUDING any false positives."""
+    from diseasystore_spark.pipeline.sketch import bloom_decontaminate
+
+    d = _read(spark, sf_dir, "documents")
+    return bloom_decontaminate(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
+        n=5,
+        m=1 << 16,
+        k=4,
+    )
+
+
+ORACLE_Q89 = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i
+  FROM toks
+),
+gr AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' '
+              || w[i + 3] || ' ' || w[i + 4] AS g
+  FROM pos
+),
+bench_ab AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS a,
+         ('0x' || substr(md5(g), 9, 8))::BIGINT % 2147483647 AS b
+  FROM gr WHERE doc_id % 97 = 0
+),
+seeds AS (SELECT unnest(generate_series(0, 3)) AS i),
+bits AS (SELECT DISTINCT (a + i * b) % 65536 AS p FROM bench_ab, seeds),
+corp_ab AS (
+  SELECT doc_id, g,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS a,
+         ('0x' || substr(md5(g), 9, 8))::BIGINT % 2147483647 AS b
+  FROM gr WHERE doc_id % 97 <> 0
+),
+probes AS (
+  SELECT doc_id, g, i, (a + i * b) % 65536 AS p FROM corp_ab, seeds
+),
+hits AS (
+  SELECT doc_id, g, count(*) AS nh
+  FROM probes JOIN bits USING (p)
+  GROUP BY 1, 2
+),
+flagged AS (
+  SELECT doc_id, count(*) AS n_flagged FROM hits WHERE nh = 4 GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(f.n_flagged, 0) AS BIGINT) AS n_flagged_ngrams,
+       coalesce(f.n_flagged, 0) > 0 AS flagged
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN flagged f USING (doc_id)
+"""
+
+
+def q90_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketched term frequencies for the corpus's 25 most
+    frequent tokens, next to their true counts: counters are a fixed
+    depth=4 x width=2048 frame regardless of vocabulary size
+    (map-side combinable to <= 8192 rows), and the md5 double-hash is
+    deterministic, so the DuckDB oracle reproduces the identical
+    estimates — overcounts included."""
+    from diseasystore_spark.pipeline.sketch import (
+        cms_build_tokens,
+        cms_estimate,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    true_counts = (
+        docs.select(
+            F.explode(
+                F.expr("filter(split(trim(text), '\\\\s+'), t -> t != '')")
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    )
+    top = true_counts.orderBy(
+        F.col("true_count").desc(), F.col("term")
+    ).limit(25)
+    cms = cms_build_tokens(docs, depth=4, width=2048)
+    est = cms_estimate(cms, top.select("term"), depth=4, width=2048)
+    return top.join(est, "term").select("term", "true_count", "est_count")
+
+
+ORACLE_Q90 = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            t -> t <> '')) AS t
+  FROM documents
+),
+true_counts AS (SELECT t AS term, count(*) AS true_count FROM toks GROUP BY 1),
+top AS (
+  SELECT term, true_count FROM true_counts
+  ORDER BY true_count DESC, term LIMIT 25
+),
+tok_ab AS (
+  SELECT ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647 AS a,
+         ('0x' || substr(md5(t), 9, 8))::BIGINT % 2147483647 AS b
+  FROM toks
+),
+ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+counters AS (
+  SELECT d, (a + d * b) % 2048 AS bucket, count(*) AS cnt
+  FROM tok_ab, ds GROUP BY 1, 2
+),
+probe AS (
+  SELECT term, true_count, d, (a + d * b) % 2048 AS bucket
+  FROM (
+    SELECT term, true_count,
+           ('0x' || substr(md5(term), 1, 8))::BIGINT % 2147483647 AS a,
+           ('0x' || substr(md5(term), 9, 8))::BIGINT % 2147483647 AS b
+    FROM top
+  ), ds
+)
+SELECT term,
+       CAST(true_count AS BIGINT) AS true_count,
+       CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_count
+FROM probe p LEFT JOIN counters c USING (d, bucket)
+GROUP BY term, true_count
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4145,6 +4280,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q86_incidence_rate": q86_incidence_rate,
     "q87_frame_sample": q87_frame_sample,
     "q88_session_funnel": q88_session_funnel,
+    "q89_bloom_decontaminate": q89_bloom_decontaminate,
+    "q90_cms_term_counts": q90_cms_term_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -4235,6 +4372,8 @@ ORACLES: dict[str, str] = {
     "q86_incidence_rate": ORACLE_Q86,
     "q87_frame_sample": ORACLE_Q87,
     "q88_session_funnel": ORACLE_Q88,
+    "q89_bloom_decontaminate": ORACLE_Q89,
+    "q90_cms_term_counts": ORACLE_Q90,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

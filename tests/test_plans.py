@@ -374,3 +374,20 @@ def test_graph_registry_queries_pre_collapse(spark):
         plan = _optimized(q(spark, SF))
         assert "md5" in plan, plan          # content digest collapse
         assert "min(doc_id" in plan, plan   # representative selection
+
+
+def test_bloom_decontaminate_broadcast_and_jvm_side(spark):
+    """The Bloom filter enters the doc scan as a one-row BROADCAST
+    join (constant executor state), and the probe is pure JVM
+    higher-order functions — no Python eval anywhere."""
+    from diseasystore_spark.pipeline.sketch import bloom_decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = bloom_decontaminate(
+        docs.where("doc_id % 97 != 0"),
+        docs.where("doc_id % 97 = 0"),
+        n=5, m=1 << 16, k=4,
+    )
+    plan = _executed(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -54,3 +54,170 @@ def test_sketch_validates(spark):
     df = _data(spark)
     with pytest.raises(ValueError, match="at least one"):
         distinct_sketches(df, [], "user_id")
+
+
+def test_bloom_no_false_negatives_and_superset(spark):
+    """Bloom flags must be a SUPERSET of the exact n-gram
+    decontamination flags (no false negatives by construction), and
+    with a roomy filter at this corpus size, exactly equal."""
+    from diseasystore_spark.pipeline.dedup import ngram_decontaminate
+    from diseasystore_spark.pipeline.sketch import bloom_decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corp = docs.where("doc_id % 97 != 0")
+    bench = docs.where("doc_id % 97 = 0")
+    exact = {
+        r["doc_id"]
+        for r in ngram_decontaminate(corp, bench, n=5, portable=True)
+        .where("contaminated").collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in bloom_decontaminate(corp, bench, n=5, m=1 << 20, k=4)
+        .where("flagged").collect()
+    }
+    assert exact, "fixture should contain contaminated docs"
+    assert got >= exact
+    assert got == exact  # m=2^20 at this scale: FP odds ~ 0
+
+
+def test_bloom_matches_python_reference_including_fps(spark):
+    """Tiny filter (m=256, k=2) on a synthetic corpus: flags must
+    equal a pure-Python md5 double-hash Bloom bit-for-bit — false
+    positives included (they are deterministic, not noise)."""
+    import hashlib
+
+    from diseasystore_spark.pipeline.sketch import bloom_decontaminate
+
+    P, M, K, N = 2147483647, 256, 2, 3
+
+    def ab(g):
+        h = hashlib.md5(g.encode()).hexdigest()
+        return int(h[0:8], 16) % P, int(h[8:16], 16) % P
+
+    def ngrams(text, n=N):
+        w = text.strip().split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    import random
+
+    rng = random.Random(11)
+    bench_rows = [(100 + i, " ".join(rng.choices(words, k=8)))
+                  for i in range(5)]
+    corp_rows = [(i, " ".join(rng.choices(words, k=8))) for i in range(60)]
+
+    bits = set()
+    for _, t in bench_rows:
+        for g in ngrams(t):
+            a, b = ab(g)
+            for i in range(K):
+                bits.add((a + i * b) % M)
+
+    def flagged_py(text):
+        cnt = 0
+        for g in ngrams(text):
+            a, b = ab(g)
+            if all((a + i * b) % M in bits for i in range(K)):
+                cnt += 1
+        return cnt
+
+    want = {i: flagged_py(t) for i, t in corp_rows}
+    corp = spark.createDataFrame(corp_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_flagged_ngrams"]
+        for r in bloom_decontaminate(corp, bench, n=N, m=M, k=K).collect()
+    }
+    assert got == want
+    assert any(v > 0 for v in want.values()), "fixture should flag some"
+
+
+def test_bloom_prebuilt_filter_reuse(spark):
+    """The prebuilt-filter path (build once, screen many batches) must
+    equal the build-inline path."""
+    from diseasystore_spark.pipeline.sketch import (
+        bloom_build_ngrams,
+        bloom_decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "c d e f g h"), (3, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "b c d e f g")], "doc_id long, text string")
+    filt = bloom_build_ngrams(bench, n=4, m=1 << 12, k=3).localCheckpoint()
+    inline = bloom_decontaminate(docs, bench, n=4, m=1 << 12, k=3).collect()
+    reused = bloom_decontaminate(docs, n=4, bloom=filt).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, reused))
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        bloom_decontaminate(docs, bench, bloom=filt)
+    with pytest.raises(ValueError, match="exactly one"):
+        bloom_decontaminate(docs)
+
+
+def test_cms_overcount_only_and_exact_at_width(spark):
+    """Count-Min estimates are >= true counts ALWAYS, and equal when
+    the width comfortably exceeds the vocabulary (no collisions)."""
+    import collections
+    import random
+
+    from diseasystore_spark.pipeline.sketch import (
+        cms_build_tokens,
+        cms_estimate,
+    )
+
+    rng = random.Random(5)
+    words = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choices(words, k=rng.randrange(3, 12))))
+        for i in range(100)
+    ]
+    true = collections.Counter(
+        t for _, text in rows for t in text.split()
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = spark.createDataFrame([(w,) for w in words], "term string")
+
+    wide = cms_build_tokens(docs, depth=4, width=4096)
+    got_wide = {
+        r["term"]: r["est_count"]
+        for r in cms_estimate(wide, terms, depth=4, width=4096).collect()
+    }
+    assert got_wide == dict(true)  # wide sketch: collision-free here
+
+    narrow = cms_build_tokens(docs, depth=3, width=16)
+    got_narrow = {
+        r["term"]: r["est_count"]
+        for r in cms_estimate(narrow, terms, depth=3, width=16).collect()
+    }
+    assert all(got_narrow[w] >= true[w] for w in words)
+    assert any(got_narrow[w] > true[w] for w in words)  # collisions real
+
+
+def test_cms_shard_merge_is_counter_sum(spark):
+    """Linearity: counters built per shard and summed by (d, bucket)
+    equal counters built over the whole corpus — the roll-up that
+    lets incremental loads extend the sketch without re-scanning."""
+    from pyspark.sql import functions as F
+
+    from diseasystore_spark.pipeline.sketch import cms_build_tokens
+
+    rows = [(i, f"t{i % 7} t{i % 3} shared") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    whole = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms_build_tokens(docs, depth=3, width=32).collect()
+    }
+    a = cms_build_tokens(docs.where("doc_id % 2 = 0"), depth=3, width=32)
+    b = cms_build_tokens(docs.where("doc_id % 2 = 1"), depth=3, width=32)
+    merged = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in a.unionByName(b)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .collect()
+    }
+    assert merged == whole
