@@ -806,3 +806,82 @@ def doc_fingerprints(
         .select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint"))
         .distinct()
     )
+
+
+def perplexity_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    coarse_div: int = 100_000,
+    scored: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style head/middle/tail split per language (public:
+    Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data", 2020): rank every document within
+    its language by LM score (best first) and cut the ranking into
+    terciles — ``head`` is the cleanest third, ``tail`` the third a
+    curation pipeline drops or down-samples.
+
+    Output: ``(id, lang, score_micro, bucket)`` with bucket in
+    {'head','middle','tail'}; ranking is ``(score_micro DESC, id)``
+    so the split is total-order deterministic.
+
+    Scale shape — the naive form is ``row_number() OVER (PARTITION BY
+    lang ORDER BY score)``: one window task PER LANGUAGE, each
+    holding that language's whole corpus (English = most of a crawl).
+    This uses the same two-level rank as ``epoch_shuffle`` /
+    ``select_within_budget``, nested per language: quantize the score
+    (``DIV coarse_div`` — truncating division is monotone, order
+    preserved), per-(lang, bucket) counts (map-side combinable),
+    an exclusive prefix over the tiny per-lang bucket frame, and an
+    intra-bucket ``row_number`` partitioned by (lang, bucket).
+    Identical ranks to the naive window (the q91 oracle IS the naive
+    form); no partition ever holds more than one (lang, score-band).
+
+    ``scored``: pass a precomputed ``unigram_logprob_score`` frame
+    (id, dl, score_micro) to reuse it across splits; default trains
+    on ``df`` itself.
+    """
+    s = (
+        scored
+        if scored is not None
+        else unigram_logprob_score(df, id_col, text_col)
+    )
+    base = (
+        s.select(F.col(id_col), "score_micro")
+        .join(df.select(F.col(id_col), F.col(lang_col)), id_col)
+        .withColumn("__b", F.expr(f"score_micro DIV {coarse_div}"))
+    )
+    counts = base.groupBy(lang_col, "__b").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    gw = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.col("__b").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = counts.select(
+        lang_col,
+        "__b",
+        F.coalesce(F.sum("__n").over(gw), F.lit(0)).alias("__prefix"),
+    )
+    totals = counts.groupBy(lang_col).agg(F.sum("__n").alias("__total"))
+    iw = Window.partitionBy(lang_col, "__b").orderBy(
+        F.col("score_micro").desc(), F.col(id_col)
+    )
+    ranked = (
+        base.join(F.broadcast(prefixes), [lang_col, "__b"])
+        .join(F.broadcast(totals), lang_col)
+        .withColumn("__r", F.col("__prefix") + F.row_number().over(iw))
+    )
+    pos = (F.col("__r") - 1) * 3
+    return ranked.select(
+        F.col(id_col),
+        F.col(lang_col),
+        "score_micro",
+        F.when(pos < F.col("__total"), F.lit("head"))
+        .when(pos < 2 * F.col("__total"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

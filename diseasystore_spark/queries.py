@@ -4187,6 +4187,41 @@ GROUP BY term, true_count
 """
 
 
+def q91_perplexity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split: per-language terciles of the q52
+    unigram-LM score, computed with the two-level distributed rank
+    (never one window task per language). Oracle = the naive
+    ``row_number() OVER (PARTITION BY lang ORDER BY score DESC, id)``
+    form, which the distributed rank must equal exactly."""
+    from diseasystore_spark.pipeline.text import perplexity_split
+
+    return perplexity_split(_read(spark, sf_dir, "documents"))
+
+
+ORACLE_Q91 = (
+    "WITH sd AS ("
+    + ORACLE_Q52
+    + """),
+wl AS (
+  SELECT s.doc_id, d.lang, s.score_micro
+  FROM sd s JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, lang, score_micro,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score_micro DESC, doc_id) AS r,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM wl
+)
+SELECT doc_id, lang, score_micro,
+       CASE WHEN (r - 1) * 3 < n THEN 'head'
+            WHEN (r - 1) * 3 < 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4282,6 +4317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q88_session_funnel": q88_session_funnel,
     "q89_bloom_decontaminate": q89_bloom_decontaminate,
     "q90_cms_term_counts": q90_cms_term_counts,
+    "q91_perplexity_split": q91_perplexity_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -4374,6 +4410,7 @@ ORACLES: dict[str, str] = {
     "q88_session_funnel": ORACLE_Q88,
     "q89_bloom_decontaminate": ORACLE_Q89,
     "q90_cms_term_counts": ORACLE_Q90,
+    "q91_perplexity_split": ORACLE_Q91,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

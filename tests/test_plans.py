@@ -391,3 +391,19 @@ def test_bloom_decontaminate_broadcast_and_jvm_side(spark):
     plan = _executed(out)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_perplexity_split_no_per_language_corpus_window(spark):
+    """The only lang-partitioned window runs over the per-(lang,
+    score-band) COUNTS frame, never the corpus: every corpus-sized
+    window must be keyed by (lang, band), so no single task ever
+    holds a whole language."""
+    from diseasystore_spark.pipeline.text import perplexity_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed(perplexity_split(docs))
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "score_micro" in spec:  # the corpus-ranking window
+            assert "__b" in spec, spec  # partitioned by (lang, band)

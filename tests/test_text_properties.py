@@ -275,3 +275,59 @@ def test_redact_pii_matches_python_re(spark, texts):
             assert got[i][f"n_{name}"] == len(_re.findall(rx, t)), (name, t)
             red = _re.sub(rx, tok, red)
         assert got[i]["text_redacted"] == red, repr(t)
+
+
+def test_perplexity_split_equals_naive_window(spark):
+    """The two-level distributed rank must reproduce the naive
+    row_number() OVER (PARTITION BY lang ORDER BY score DESC, id)
+    terciles exactly, including under heavy language skew and heavy
+    score ties."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from diseasystore_spark.pipeline.text import (
+        perplexity_split,
+        unigram_logprob_score,
+    )
+
+    rng = random.Random(17)
+    words = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(400):
+        lang = "en" if i % 10 else rng.choice(["de", "zh"])  # 90% en
+        # small word pool -> many tied scores
+        rows.append(
+            (i, " ".join(rng.choices(words[:5], k=rng.randrange(2, 6))), lang)
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    got = {
+        r["doc_id"]: (r["lang"], r["score_micro"], r["bucket"])
+        for r in perplexity_split(docs, coarse_div=7).collect()
+    }
+
+    scored = unigram_logprob_score(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    naive = (
+        scored.withColumn("r", F.row_number().over(w))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+        )
+        .withColumn(
+            "bucket",
+            F.when((F.col("r") - 1) * 3 < F.col("n"), "head")
+            .when((F.col("r") - 1) * 3 < 2 * F.col("n"), "middle")
+            .otherwise("tail"),
+        )
+    )
+    want = {
+        r["doc_id"]: (r["lang"], r["score_micro"], r["bucket"])
+        for r in naive.collect()
+    }
+    assert got == want
