@@ -1349,25 +1349,39 @@ def _exact_collapse(
     expansions below are exactness-preserving, not approximations.
     """
     digests = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
-    groups = digests.groupBy("__h").agg(
-        F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__m")
+    # Carry the text through the digest groupBy (every value in a
+    # group is identical, so any_value is deterministic here): the
+    # representative frame falls out of the same shuffle instead of a
+    # second semi-join pass over the corpus.
+    groups = (
+        df.select(F.col(id_col), F.col(text_col), F.md5(text_col).alias("__h"))
+        .groupBy("__h")
+        .agg(
+            F.min(id_col).alias("__rep"),
+            F.count(F.lit(1)).alias("__m"),
+            F.any_value(F.col(text_col)).alias("__txt"),
+        )
+        .localCheckpoint()
     )
-    member = digests.join(groups, "__h").select(F.col(id_col), "__rep")
-    rep_docs = df.join(
-        groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    member = digests.join(groups.select("__h", "__rep"), "__h").select(
+        F.col(id_col), "__rep"
     )
-    rep_info = rep_docs.select(
-        F.col(id_col).alias("__rep"),
+    rep_docs = groups.select(
+        F.col("__rep").alias(id_col), F.col("__txt").alias(text_col)
+    )
+    rep_info = groups.select(
+        "__rep",
+        "__m",
         (
             F.size(
                 F.expr(
                     f"array_remove(array_distinct("
-                    f"{_ngram_sql(text_col, n)}), '')"
+                    f"{_ngram_sql('__txt', n)}), '')"
                 )
             )
             > 0
         ).alias("__has"),
-    ).join(groups.select("__rep", "__m"), "__rep")
+    )
     return member, rep_docs, rep_info
 
 
@@ -1479,21 +1493,26 @@ def triangle_counts_text(
     )
 
     # Weighted rep-graph triangles: triangle (lo, v, w) contributes
-    # m_v*m_w to lo, m_lo*m_w to v, m_lo*m_v to w.
-    tri = _oriented_triangles(e)
-    with_m = (
-        tri.join(
-            sizes.select(F.col("node").alias("lo"), F.col("m").alias("ml")),
-            "lo",
-        )
-        .join(
-            sizes.select(F.col("node").alias("v"), F.col("m").alias("mv")),
-            "v",
-        )
-        .join(
-            sizes.select(F.col("node").alias("w"), F.col("m").alias("mw")),
-            "w",
-        )
+    # m_v*m_w to lo, m_lo*m_w to v, m_lo*m_v to w. Group sizes ride
+    # through the wedge enumeration inside the edge structs (two
+    # joins on the EDGE list, which is smaller than the triangle
+    # list for the near-clique graphs this serves) instead of three
+    # post-joins on tri.
+    e_m = e.join(
+        sizes.select(F.col("node").alias("a"), F.col("m").alias("__ma")),
+        "a",
+    ).join(
+        sizes.select(F.col("node").alias("b"), F.col("m").alias("__mb")),
+        "b",
+    )
+    with_m = _oriented_triangles(e_m, a_payload="__ma", b_payload="__mb")
+    with_m = with_m.select(
+        "lo",
+        "v",
+        "w",
+        F.col("lo_p").alias("ml"),
+        F.col("v_p").alias("mv"),
+        F.col("w_p").alias("mw"),
     )
     wtri = (
         with_m.select(
@@ -1574,10 +1593,21 @@ def triangle_counts(
     )
 
 
-def _oriented_triangles(e: DataFrame) -> DataFrame:
+def _oriented_triangles(
+    e: DataFrame,
+    a_payload: str | None = None,
+    b_payload: str | None = None,
+) -> DataFrame:
     """Each undirected triangle of edge list ``(a, b)`` exactly once,
     as ``(lo, v, w)`` — the degree-oriented wedge enumeration shared
-    by ``triangle_counts`` and the collapsed-graph weighted variant."""
+    by ``triangle_counts`` and the collapsed-graph weighted variant.
+
+    ``a_payload``/``b_payload`` (both or neither): per-ENDPOINT
+    payload columns of ``e`` to ride through the enumeration; the
+    output gains ``(lo_p, v_p, w_p)`` — cheaper than joining payloads
+    onto the triangle list afterwards when triangles outnumber edges
+    (near-clique graphs)."""
+    with_payload = a_payload is not None
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
@@ -1591,18 +1621,34 @@ def _oriented_triangles(e: DataFrame) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = keyed.select(
+    cols = [
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
         F.when(a_first, F.struct("db", "b")).otherwise(
             F.struct(F.col("da").alias("db"), F.col("a").alias("b"))
         ).alias("hik"),
-    )
+    ]
+    if with_payload:
+        cols += [
+            F.when(a_first, F.col(a_payload))
+            .otherwise(F.col(b_payload))
+            .alias("lo_p"),
+            F.when(a_first, F.col(b_payload))
+            .otherwise(F.col(a_payload))
+            .alias("hi_p"),
+        ]
+    oriented = keyed.select(*cols)
     o1 = oriented.select(
-        F.col("lo"), F.col("hi").alias("v"), F.col("hik").alias("vk")
+        "lo",
+        F.col("hi").alias("v"),
+        F.col("hik").alias("vk"),
+        *([F.col("lo_p"), F.col("hi_p").alias("v_p")] if with_payload else []),
     )
     o2 = oriented.select(
-        F.col("lo"), F.col("hi").alias("w"), F.col("hik").alias("wk")
+        "lo",
+        F.col("hi").alias("w"),
+        F.col("hik").alias("wk"),
+        *([F.col("hi_p").alias("w_p")] if with_payload else []),
     )
     wedges = o1.join(o2, "lo").where(
         (F.col("vk.db") < F.col("wk.db"))
@@ -1611,7 +1657,10 @@ def _oriented_triangles(e: DataFrame) -> DataFrame:
     closing = oriented.select(
         F.col("lo").alias("v"), F.col("hi").alias("w")
     )
-    return wedges.join(closing, ["v", "w"]).select("lo", "v", "w")
+    out_cols = ["lo", "v", "w"] + (
+        ["lo_p", "v_p", "w_p"] if with_payload else []
+    )
+    return wedges.join(closing, ["v", "w"]).select(*out_cols)
 
 
 def adamic_adar_links(
@@ -1673,4 +1722,106 @@ def adamic_adar_links(
         F.col("n2").alias("id_b"),
         "common_neighbors",
         "score_micro",
+    )
+
+
+def verify_pairs_edit_similarity(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_similarity: float = 0.8,
+    max_len: int | None = 20_000,
+) -> DataFrame:
+    """Exact verification stage for candidate near-dup pairs — the
+    second half of the standard candidate->verify dedup pipeline
+    (generate cheap candidates with MinHash/SimHash banding, then
+    CONFIRM each with a real string metric before acting on it).
+
+    Scores every candidate pair with normalized Levenshtein
+    similarity ``1 - dist/max(len_a, len_b)`` (integer-micro, so the
+    q92 oracle is hash-exact) and keeps pairs at or above
+    ``min_similarity``. Output: (id_a, id_b, len_a, len_b,
+    edit_sim_micro), id order preserved from the candidate list.
+
+    Scale shape: work is CANDIDATE-list-sized, never corpus² — two
+    equi-joins recover the texts, then a per-row JVM ``levenshtein``
+    (no Python). Two guards bound the per-pair cost: the length-ratio
+    prefilter (a pair whose length difference alone breaks
+    ``min_similarity`` is dropped BEFORE computing the O(L²) distance
+    — ``dist >= |len_a - len_b|`` always), and ``max_len`` truncates
+    pathological documents (Spark's levenshtein also accepts a
+    threshold bound, which we pass to cap the DP early).
+
+    The texts join is the candidate list's shuffle twice over doc
+    ids; at production scale feed it the DISTINCT-content pair list
+    from the exact-collapse path so each text pair is verified once.
+    """
+    t = df.select(F.col(id_col), F.col(text_col).alias("__txt"))
+    if max_len is not None:
+        t = t.select(
+            id_col, F.substring("__txt", 1, max_len).alias("__txt")
+        )
+    a = t.select(
+        F.col(id_col).alias("id_a"), F.col("__txt").alias("__ta")
+    )
+    b = t.select(
+        F.col(id_col).alias("id_b"), F.col("__txt").alias("__tb")
+    )
+    cand = (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.length("__ta").alias("len_a"),
+            F.length("__tb").alias("len_b"),
+            "__ta",
+            "__tb",
+        )
+    )
+    max_len_col = F.greatest("len_a", "len_b")
+    # Length prefilter: dist >= |len_a - len_b|, so similarity can
+    # reach the bar only if the length gap is small enough. The
+    # max_len > 0 guard drops zero-length-vs-zero-length pairs (a
+    # shingle-based candidate generator never emits them; the
+    # similarity ratio is undefined there).
+    feasible = cand.where(
+        (max_len_col > 0)
+        & (
+            (max_len_col - F.abs(F.col("len_a") - F.col("len_b")))
+            >= F.ceil(F.lit(min_similarity) * max_len_col)
+        )
+    )
+    # Threshold-bounded levenshtein: pairs beyond the implied max
+    # distance return -1 (capped DP), mapped to "below bar".
+    bound = (
+        max_len_col - F.ceil(F.lit(min_similarity) * max_len_col) + 1
+    ).cast("int")
+    dist = F.expr("levenshtein(__ta, __tb, __bound)")
+    scored = (
+        feasible.withColumn("__bound", bound)
+        .withColumn("__d", dist)
+        .where(F.col("__d") >= 0)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("len_a").cast("bigint").alias("len_a"),
+            F.col("len_b").cast("bigint").alias("len_b"),
+            F.round(
+                (
+                    F.lit(1.0)
+                    - F.col("__d")
+                    / F.greatest("len_a", "len_b").cast("double")
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("edit_sim_micro"),
+        )
+    )
+    return scored.where(
+        F.col("edit_sim_micro")
+        >= F.round(F.lit(min_similarity) * 1_000_000).cast("bigint")
     )

@@ -4222,6 +4222,55 @@ FROM ranked
 )
 
 
+def q92_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate -> verify dedup pipeline: portable MinHash LSH
+    candidates (q23's generator, est_jaccard >= 0.5) CONFIRMED by
+    exact normalized Levenshtein similarity >= 0.7 (integer-micro).
+    The verify stage is candidate-list-sized with a length-ratio
+    prefilter and a threshold-bounded DP — never corpus². (Engine
+    note: Spark's levenshtein counts codepoints, DuckDB's counts
+    bytes; identical on this ASCII corpus, and the operator contract
+    is codepoints.)"""
+    from diseasystore_spark.pipeline.dedup import (
+        minhash_lsh_pairs,
+        verify_pairs_edit_similarity,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs,
+        num_hashes=16,
+        bands=4,
+        n=3,
+        min_est_jaccard=0.5,
+        portable=True,
+    )
+    return verify_pairs_edit_similarity(docs, pairs, min_similarity=0.7)
+
+
+ORACLE_Q92 = (
+    "WITH mh AS ("
+    + ORACLE_Q23
+    + """),
+cand AS (SELECT id_a, id_b FROM mh WHERE est_jaccard >= 0.5),
+t AS (SELECT doc_id, substr(text, 1, 20000) AS txt FROM documents),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(length(ta.txt) AS BIGINT) AS len_a,
+         CAST(length(tb.txt) AS BIGINT) AS len_b,
+         CAST(round((1.0 - CAST(levenshtein(ta.txt, tb.txt) AS DOUBLE)
+                     / greatest(length(ta.txt), length(tb.txt)))
+                    * 1000000) AS BIGINT) AS edit_sim_micro
+  FROM cand c
+  JOIN t ta ON ta.doc_id = c.id_a
+  JOIN t tb ON tb.doc_id = c.id_b
+  WHERE greatest(length(ta.txt), length(tb.txt)) > 0
+)
+SELECT * FROM scored WHERE edit_sim_micro >= 700000
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4318,6 +4367,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_bloom_decontaminate": q89_bloom_decontaminate,
     "q90_cms_term_counts": q90_cms_term_counts,
     "q91_perplexity_split": q91_perplexity_split,
+    "q92_verified_near_dups": q92_verified_near_dups,
 }
 
 ORACLES: dict[str, str] = {
@@ -4411,6 +4461,7 @@ ORACLES: dict[str, str] = {
     "q89_bloom_decontaminate": ORACLE_Q89,
     "q90_cms_term_counts": ORACLE_Q90,
     "q91_perplexity_split": ORACLE_Q91,
+    "q92_verified_near_dups": ORACLE_Q92,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

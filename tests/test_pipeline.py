@@ -1674,3 +1674,60 @@ def test_collapsed_graph_paths_random_corpus(spark):
         r["node"]: r["n_triangles"]
         for r in triangle_counts(pairs).collect()
     }
+
+
+def test_verify_pairs_edit_similarity_matches_python_dp(spark):
+    """The verify stage (length prefilter + threshold-bounded JVM
+    levenshtein) must equal a plain Python DP over ALL candidate
+    pairs — the guards are performance-only, never result-changing."""
+    import random
+
+    from diseasystore_spark.pipeline.dedup import (
+        verify_pairs_edit_similarity,
+    )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(3)
+    alphabet = "abcd "
+    texts = {}
+    for i in range(30):
+        base = "".join(rng.choices(alphabet, k=rng.randrange(0, 25)))
+        texts[i] = base
+        # near-dup twin: small edit of an earlier doc
+        if i >= 15:
+            src = texts[i - 15]
+            pos = rng.randrange(0, len(src) + 1)
+            texts[i] = src[:pos] + rng.choice(alphabet) + src[pos:]
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    cand = [(a, b) for a in range(30) for b in range(a + 1, 30)]
+    pairs = spark.createDataFrame(cand, "id_a long, id_b long")
+
+    thr = 0.6
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_sim_micro"]
+        for r in verify_pairs_edit_similarity(
+            docs, pairs, min_similarity=thr
+        ).collect()
+    }
+    want = {}
+    for a, b in cand:
+        ta, tb = texts[a], texts[b]
+        m = max(len(ta), len(tb))
+        if m == 0:
+            continue
+        sim = round((1.0 - lev(ta, tb) / m) * 1_000_000)
+        if sim >= round(thr * 1_000_000):
+            want[(a, b)] = sim
+    assert want, "fixture should verify some pairs"
+    assert got == want
