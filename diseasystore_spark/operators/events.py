@@ -27,7 +27,7 @@ test table.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # "Not reached" sentinel for funnel accumulator slots. Long.MIN_VALUE
@@ -323,4 +323,76 @@ def funnel_reach_joins(
         F.array(
             *[F.col(f"__t{j}") for j in range(len(stages))]
         ).alias("reach"),
+    )
+
+
+def anomaly_days(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    trailing: int = 7,
+    z: int = 3,
+) -> DataFrame:
+    """Daily event-count anomaly flags per event type: a day is
+    anomalous when its count deviates from the TRAILING ``trailing``
+    observed days' mean by more than ``z`` standard deviations — the
+    monitoring primitive over an ingest/event stream.
+
+    Integer-exact contract (cross-engine reproducible, no float
+    sigma): with S = Σ counts and Q = Σ counts² over the k prior
+    days, the z-test ``(n - S/k)² > z²·var`` multiplies through by
+    k² into pure integer arithmetic::
+
+        (n·k - S)² > z² · (Q·k - S²)
+
+    Output: ``(event_type, day, n_events, trail_sum, trail_sumsq,
+    flagged)`` for every (type, day) with a FULL trailing window (the
+    first ``trailing`` observed days per type have no verdict and are
+    omitted). Trailing = previous OBSERVED days for the type; a day
+    with zero events is absent from the series (gap semantics are the
+    caller's spine join if needed).
+
+    Scale shape: one map-side-combinable (type, day) count, then
+    per-type windows ordered by day — partition size is the day
+    count, never the event count, so the window is bounded regardless
+    of corpus scale. NULL timestamps are dropped (can't be dated).
+    """
+    if trailing <= 0:
+        raise ValueError("trailing must be positive")
+    daily = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(type_col).alias("event_type"),
+            F.col(ts_col).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-trailing, -1)
+    )
+    stats = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).cast("bigint").alias("trail_sum"),
+        F.sum(F.col("n_events") * F.col("n_events"))
+        .over(w)
+        .cast("bigint")
+        .alias("trail_sumsq"),
+        F.count(F.lit(1)).over(w).alias("__k"),
+    )
+    k = F.lit(trailing).cast("bigint")
+    dev = F.col("n_events") * k - F.col("trail_sum")
+    spread_bound = F.lit(z * z).cast("bigint") * (
+        F.col("trail_sumsq") * k - F.col("trail_sum") * F.col("trail_sum")
+    )
+    return stats.where(F.col("__k") == trailing).select(
+        "event_type",
+        "day",
+        "n_events",
+        "trail_sum",
+        "trail_sumsq",
+        (dev * dev > spread_bound).alias("flagged"),
     )

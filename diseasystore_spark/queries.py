@@ -4271,6 +4271,68 @@ SELECT * FROM scored WHERE edit_sim_micro >= 700000
 )
 
 
+def q93_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-count anomaly detection per type: trailing-7-day
+    z>3 test in pure integer arithmetic ((n·k − S)² > z²·(Q·k − S²)),
+    so the flag is bit-identical across engines — no float sigma."""
+    from diseasystore_spark.operators.events import anomaly_days
+
+    return anomaly_days(
+        _read(spark, sf_dir, "events"), trailing=7, z=3
+    )
+
+
+ORACLE_Q93 = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, day, n_events,
+         CAST(sum(n_events) OVER w AS BIGINT) AS trail_sum,
+         CAST(sum(n_events * n_events) OVER w AS BIGINT) AS trail_sumsq,
+         count(*) OVER w AS k
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n_events, trail_sum, trail_sumsq,
+       (n_events * 7 - trail_sum) * (n_events * 7 - trail_sum)
+         > 9 * (trail_sumsq * 7 - trail_sum * trail_sum) AS flagged
+FROM stats WHERE k = 7
+"""
+
+
+def q94_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval attribution (the batch twin of the
+    stream-stream watermarked join in ``streaming/joins.py``): every
+    (view, purchase) pair per user with the purchase in the hour
+    after the view. Same function runs on unbounded streams with
+    bounded state (watermark + time-range condition)."""
+    from diseasystore_spark.streaming.joins import attribute_conversions
+
+    ev = _read(spark, sf_dir, "events")
+    return attribute_conversions(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+        window_seconds=3600,
+    )
+
+
+ORACLE_Q94 = """
+SELECT i.user_id, i.ts AS imp_ts, c.ts AS conv_ts,
+       CAST(epoch_us(c.ts) - epoch_us(i.ts) AS BIGINT) AS lag_us
+FROM events i
+JOIN events c
+  ON c.user_id = i.user_id
+ AND i.event_type = 'view' AND c.event_type = 'purchase'
+ AND c.ts > i.ts AND c.ts <= i.ts + INTERVAL 3600 SECONDS
+WHERE i.ts IS NOT NULL AND c.ts IS NOT NULL
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4368,6 +4430,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q90_cms_term_counts": q90_cms_term_counts,
     "q91_perplexity_split": q91_perplexity_split,
     "q92_verified_near_dups": q92_verified_near_dups,
+    "q93_anomaly_days": q93_anomaly_days,
+    "q94_attribution_join": q94_attribution_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -4462,6 +4526,8 @@ ORACLES: dict[str, str] = {
     "q90_cms_term_counts": ORACLE_Q90,
     "q91_perplexity_split": ORACLE_Q91,
     "q92_verified_near_dups": ORACLE_Q92,
+    "q93_anomaly_days": ORACLE_Q93,
+    "q94_attribution_join": ORACLE_Q94,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

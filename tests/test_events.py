@@ -346,3 +346,45 @@ def test_funnel_counts_quoted_stage_names(spark):
         ).collect()
     }
     assert counts == {"o'brien \\ stage": 1, 'say "go"': 1}
+
+
+def test_anomaly_days_integer_exact_semantics(spark):
+    """Flag semantics on constructed series: spikes flag, the
+    mean-equal day doesn't, and a zero-variance trailing window flags
+    ANY deviation (dev² > 0) but not equality (0 > 0 is false)."""
+    import datetime as dtm
+
+    from diseasystore_spark.operators.events import anomaly_days
+
+    rows = []
+    eid = 0
+    # type "a": constant 5/day for 7 days, then a day of 5 (equal,
+    # not flagged), then a day of 6 (flagged: zero-variance window)
+    day0 = dtm.datetime(2024, 1, 1)
+    counts_a = [5] * 7 + [5, 6]
+    for d, c in enumerate(counts_a):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, day0 + dtm.timedelta(days=d), 1, "a"))
+    # type "b": noisy baseline then a 100x spike
+    counts_b = [4, 6, 5, 7, 5, 6, 4, 500]
+    for d, c in enumerate(counts_b):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, day0 + dtm.timedelta(days=d), 1, "b"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id int, event_type string"
+    )
+    got = {
+        (r["event_type"], str(r["day"])): r["flagged"]
+        for r in anomaly_days(ev, trailing=7, z=3).collect()
+    }
+    assert got == {
+        ("a", "2024-01-08"): False,   # equals the mean
+        ("a", "2024-01-09"): True,    # zero-variance window, +1 dev
+        ("b", "2024-01-08"): True,    # 100x spike
+    }
+
+    # python cross-check of the integer inequality on the spike row
+    S = sum(counts_b[:7]); Q = sum(c * c for c in counts_b[:7])
+    assert (500 * 7 - S) ** 2 > 9 * (Q * 7 - S * S)

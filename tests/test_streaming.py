@@ -633,3 +633,74 @@ def test_funnel_stream_state_recovers_across_restarts(spark, tmp_path):
     }
     assert last == batch
     assert all(t is not None for t in last[1])
+
+
+def test_attribution_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream watermarked interval join: candidate pairs from
+    two micro-batched streams (files split so some pairs span the
+    batch boundary) must equal the batch formulation exactly."""
+    from diseasystore_spark.streaming.joins import attribute_conversions
+
+    TS = datetime.datetime
+    base = TS(2024, 1, 1, 10, 0)
+    imp_rows, conv_rows = [], []
+    # user 1: two views, purchase 30 min after the second (pairs with
+    # both: the first is 40 min before). user 2: view, purchase 2h
+    # later (outside the window -> no pair). user 3: purchase with no
+    # prior view. pair-spanning-batches: user 4 view in file 1,
+    # purchase in file 2.
+    imp_rows += [(1, base), (1, base + datetime.timedelta(minutes=10))]
+    conv_rows += [(1, base + datetime.timedelta(minutes=40))]
+    imp_rows += [(2, base)]
+    conv_rows += [(2, base + datetime.timedelta(hours=2))]
+    conv_rows += [(3, base + datetime.timedelta(minutes=5))]
+    imp4 = [(4, base + datetime.timedelta(minutes=20))]
+    conv4 = [(4, base + datetime.timedelta(minutes=50))]
+
+    schema = "user_id long, ts timestamp"
+    imp_src = str(tmp_path / "imp"); conv_src = str(tmp_path / "conv")
+    spark.createDataFrame(imp_rows, schema).coalesce(1).write.parquet(imp_src)
+    spark.createDataFrame(imp4, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(imp_src)
+    spark.createDataFrame(conv_rows, schema).coalesce(1).write.parquet(
+        conv_src
+    )
+    spark.createDataFrame(conv4, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(conv_src)
+
+    batch = attribute_conversions(
+        spark.read.parquet(imp_src),
+        spark.read.parquet(conv_src),
+        window_seconds=3600,
+    )
+    want = {tuple(r) for r in batch.collect()}
+    users = {t[0] for t in want}
+    assert users >= {1, 4}
+    assert 2 not in users and 3 not in users
+
+    imp_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(imp_src)
+    )
+    conv_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(conv_src)
+    )
+    out = attribute_conversions(
+        imp_stream, conv_stream, window_seconds=3600
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "attr_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from attr_out").collect()}
+    assert got == want
