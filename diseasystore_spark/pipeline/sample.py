@@ -522,3 +522,56 @@ def epoch_shuffle(
         )
         .drop("__h", "__b", "__prefix")
     )
+
+
+def stratified_sample_scalable(
+    df: DataFrame,
+    strata: list[str],
+    n_per_stratum: int,
+    key: str,
+    salt: str = "",
+    buckets: int = 1024,
+) -> DataFrame:
+    """``stratified_sample`` with the two-level distributed rank — the
+    scale path when a single stratum is corpus-sized (one web-crawl
+    language, one source domain) and the naive per-stratum
+    ``row_number`` window would funnel it through one task.
+
+    Selection is IDENTICAL to ``stratified_sample`` (same hash order,
+    same tie-break on ``key``): the 32-bit hash space is cut into
+    ``buckets`` range bands (monotone in the hash, so band ranks
+    concatenate), per-(strata, band) counts are map-side combinable,
+    the exclusive prefix runs over the tiny per-stratum band frame,
+    and ``row_number`` only ever partitions by (strata, band). A row
+    is kept when band-prefix + in-band rank <= n. Same contract:
+    ``key`` unique and non-null.
+    """
+    if buckets <= 0 or (buckets & (buckets - 1)) != 0 or buckets > _SPACE:
+        raise ValueError(
+            f"buckets must be a positive power of two <= 2^32, got {buckets}"
+        )
+    width = _SPACE // buckets
+    h = _temp_col(df, "__h")
+    b = _temp_col(df, "__b")
+    base = df.withColumn(h, hash_hex(F.col(key), salt)).withColumn(
+        b, F.expr(f"cast(conv({h}, 16, 10) as bigint) DIV {width}")
+    )
+    counts = base.groupBy(*strata, b).agg(F.count(F.lit(1)).alias("__n"))
+    gw = (
+        Window.partitionBy(*strata)
+        .orderBy(F.col(b))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = counts.select(
+        *strata,
+        b,
+        F.coalesce(F.sum("__n").over(gw), F.lit(0)).alias("__prefix"),
+    )
+    iw = Window.partitionBy(*strata, b).orderBy(F.col(h), F.col(key))
+    rk = _temp_col(df, "__rk")
+    return (
+        base.join(F.broadcast(prefixes), [*strata, b])
+        .withColumn(rk, F.col("__prefix") + F.row_number().over(iw))
+        .where(F.col(rk) <= n_per_stratum)
+        .drop(h, b, "__prefix", rk)
+    )

@@ -4333,6 +4333,38 @@ WHERE i.ts IS NOT NULL AND c.ts IS NOT NULL
 """
 
 
+def q95_stratified_sample_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q41's exact-N-per-stratum sample through the two-level
+    distributed rank (`stratified_sample_scalable`): hash-band
+    prefix + per-(stratum, band) row_number — no per-stratum corpus
+    window, selection identical to the naive form. Finer strata
+    (lang × source) and a different salt than q41 so the two queries
+    pin independent paths. Oracle = the naive per-stratum window."""
+    from diseasystore_spark.pipeline.sample import (
+        stratified_sample_scalable,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_sample_scalable(
+        docs, ["lang", "source"], 5, "doc_id", salt="sc"
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+ORACLE_Q95 = """
+WITH ranked AS (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY substr(md5('sc|' || doc_id::VARCHAR), 1, 8) NULLS FIRST,
+                    doc_id NULLS FIRST
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars FROM ranked WHERE rk <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4432,6 +4464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_verified_near_dups": q92_verified_near_dups,
     "q93_anomaly_days": q93_anomaly_days,
     "q94_attribution_join": q94_attribution_join,
+    "q95_stratified_sample_scalable": q95_stratified_sample_scalable,
 }
 
 ORACLES: dict[str, str] = {
@@ -4528,6 +4561,7 @@ ORACLES: dict[str, str] = {
     "q92_verified_near_dups": ORACLE_Q92,
     "q93_anomaly_days": ORACLE_Q93,
     "q94_attribution_join": ORACLE_Q94,
+    "q95_stratified_sample_scalable": ORACLE_Q95,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -261,6 +261,42 @@ class ParquetFeatureStore:
             self._write_version(keep, table_id, changed_months=None)
         return dropped
 
+    def compact(self, table_id: str, files_per_partition: int = 1) -> int:
+        """Rewrite the current version with a bounded file count — the
+        small-file maintenance op (Delta OPTIMIZE analog). Incremental
+        merges accumulate one-or-more files per write; after many
+        writes a snapshot read opens hundreds of tiny parquet files,
+        and at cluster scale the task-per-file floor dominates.
+
+        Logical content is untouched (every snapshot at every
+        ``slice_ts`` is bit-identical before and after — the rewrite
+        is a pure physical re-layout written as a NEW immutable
+        version, so readers of the old version are never disturbed
+        and a crash mid-compact changes nothing). In month-partitioned
+        mode the existing per-month shuffle already yields
+        ``files_per_partition`` files per month; in flat mode the
+        table is coalesced to ``files_per_partition`` files total.
+        Returns the number of data files in the new version.
+        """
+        if files_per_partition <= 0:
+            raise ValueError("files_per_partition must be positive")
+        current = self.read_raw(table_id)  # partition column dropped
+        if self.partition_granularity == "month":
+            # every month changed -> no hard links, full rewrite
+            self._write_version(current, table_id, changed_months=None)
+        else:
+            self._write_version(
+                current.coalesce(files_per_partition),
+                table_id,
+                changed_months=None,
+            )
+        version = self._current_version(table_id)
+        out_dir = os.path.join(self._table_dir(table_id), f"_v{version}")
+        n = 0
+        for root, _dirs, files in os.walk(out_dir):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
     def payload_columns(self, table_id: str) -> list[str]:
         """The table's data columns (SCD2 bookkeeping excluded)."""
         return [

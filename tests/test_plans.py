@@ -407,3 +407,21 @@ def test_perplexity_split_no_per_language_corpus_window(spark):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         if "score_micro" in spec:  # the corpus-ranking window
             assert "__b" in spec, spec  # partitioned by (lang, band)
+
+
+def test_stratified_sample_scalable_no_per_stratum_window(spark):
+    """Every row_number window must be keyed by (strata, hash band),
+    never by the strata alone — no task ever holds a whole stratum."""
+    from diseasystore_spark.pipeline.sample import (
+        stratified_sample_scalable,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed(
+        stratified_sample_scalable(docs, ["lang"], 10, "doc_id")
+    )
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "row_number" in spec or "__h" in spec:
+            assert "__b" in spec, spec

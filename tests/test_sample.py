@@ -387,3 +387,40 @@ def test_epoch_shuffle_string_keys(spark):
         ids, key=lambda i: (hashlib.md5(f"s|{i}".encode()).hexdigest()[:8], i)
     )
     assert got == {i: p for p, i in enumerate(keyed)}
+
+
+def test_stratified_sample_scalable_equals_naive(spark):
+    """The two-level rank variant must select EXACTLY the rows the
+    naive per-stratum window selects, including under a skewed
+    stratum, tiny strata (|stratum| < n), and any bucket count."""
+    import random
+
+    from diseasystore_spark.pipeline.sample import (
+        stratified_sample,
+        stratified_sample_scalable,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(500):
+        s = "big" if i % 10 else rng.choice(["small_a", "small_b"])
+        rows.append((i, s))
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    want = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df, ["stratum"], 7, "doc_id", salt="x"
+        ).collect()
+    }
+    for buckets in (1, 16, 1024):
+        got = {
+            r["doc_id"]
+            for r in stratified_sample_scalable(
+                df, ["stratum"], 7, "doc_id", salt="x", buckets=buckets
+            ).collect()
+        }
+        assert got == want, buckets
+    import pytest
+
+    with pytest.raises(ValueError, match="power of two"):
+        stratified_sample_scalable(df, ["stratum"], 7, "doc_id", buckets=3)

@@ -342,3 +342,45 @@ def test_prune_history_crash_fails_loud(spark, store_root, monkeypatch):
 
     monkeypatch.undo()
     assert be.prune_history("ds.t", t2) == 1
+
+
+def test_compact_preserves_every_snapshot(spark, store_root):
+    """compact() is a pure physical re-layout: file count drops to
+    the requested bound and every slice_ts snapshot is identical
+    before and after; written as a new immutable version (old one
+    untouched)."""
+    import os
+
+    import pytest
+
+    be = ParquetFeatureStore(spark, store_root)
+    t1, t2, t3 = T(2024, 1, 1), T(2024, 2, 1), T(2024, 3, 1)
+    be.update_snapshot(
+        _df(spark, [("a", 1.0), ("b", 2.0)]).repartition(8), "ds.t", t1
+    )
+    be.update_snapshot(
+        _df(spark, [("a", 1.0), ("b", 9.0)]).repartition(8), "ds.t", t2
+    )
+    be.update_snapshot(
+        _df(spark, [("a", 5.0), ("b", 9.0)]).repartition(8), "ds.t", t3
+    )
+
+    def snap(ts):
+        return {(r["key_id"], r["v"]) for r in be.get_table("ds.t", ts).collect()}
+
+    before = {ts: snap(ts) for ts in (t1, t2, t3)}
+    v_before = be._current_version("ds.t")
+
+    n_files = be.compact("ds.t", files_per_partition=1)
+    assert n_files == 1
+    assert be._current_version("ds.t") == v_before + 1
+    # old version directory untouched (readers mid-flight unaffected)
+    assert os.path.isdir(
+        os.path.join(store_root, "ds", "t", f"_v{v_before}")
+    )
+    assert {ts: snap(ts) for ts in (t1, t2, t3)} == before
+
+    with pytest.raises(ValueError, match="positive"):
+        be.compact("ds.t", files_per_partition=0)
+
+

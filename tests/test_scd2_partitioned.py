@@ -193,3 +193,43 @@ def test_scoped_merge_noop_skips_version(spark, pstore):
         _df(spark, scoped), "ds.t", t1, written_range=(D(2020, 1, 1), D(2020, 2, 28))
     )
     assert pstore._current_version("ds.t") == 1
+
+
+def test_compact_partitioned_keeps_month_layout(spark, pstore):
+    """Month-partitioned mode: compaction rewrites every month at one
+    file per month and snapshots stay identical."""
+    t1, t2 = T(2024, 1, 1), T(2024, 2, 1)
+    pstore.update_snapshot(_df(spark, ROWS_V1).repartition(8), "ds.t", t1)
+    pstore.update_snapshot(
+        _df(
+            spark,
+            [
+                ("a", 9.0, D(2020, 1, 10), D(2020, 1, 20)),
+                ("b", 2.0, D(2020, 2, 10), D(2020, 2, 20)),
+                ("c", 3.0, D(2020, 3, 10), None),
+            ],
+        ).repartition(8),
+        "ds.t",
+        t2,
+    )
+
+    def snap(ts):
+        return {
+            (r["key_id"], r["v"])
+            for r in pstore.get_table("ds.t", ts).collect()
+        }
+
+    before = {ts: snap(ts) for ts in (t1, t2)}
+    pstore.compact("ds.t")
+    v = pstore._current_version("ds.t")
+    vdir = os.path.join(pstore.root, "ds", "t", f"_v{v}")
+    months = [e for e in os.listdir(vdir) if e.startswith(f"{PARTITION_COL}=")]
+    assert months, vdir
+    for m in months:
+        files = [
+            f
+            for f in os.listdir(os.path.join(vdir, m))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (m, files)
+    assert {ts: snap(ts) for ts in (t1, t2)} == before
