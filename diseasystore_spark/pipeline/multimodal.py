@@ -3,9 +3,11 @@
 Design: image/audio/video payloads are ``binary`` columns with a typed
 metadata struct alongside (``modality``, ``format``, byte length). The
 Spark-side plumbing — schema, partition sizing, Arrow-batched
-``mapInPandas`` signatures — is real and tested; the *decode* step is
-stubbed because codec libraries (PIL / torchaudio / av) are not in
-this environment. Each stub either raises ``NotImplementedError`` or
+``mapInPandas`` signatures — is real and tested. Decoding: uncompressed
+24-bit BMP decodes FOR REAL (``decode_bmp`` — pure struct + numpy,
+q96-oracle-verified); codec-bound formats (JPEG/PNG/audio/video) are
+stubbed because the libraries (PIL / torchaudio / av) are not in this
+environment. Each stub either raises ``NotImplementedError`` or
 computes a deterministic fake feature (clearly marked), so swapping in
 a real decoder changes one function body, not the pipeline shape.
 
@@ -184,3 +186,96 @@ def resize_payload(
             )
 
     return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def decode_bmp(payload: bytes):
+    """REAL image decode for uncompressed 24-bit BMP — pure
+    struct-parsing + numpy, zero codec dependencies, so at least one
+    image format decodes for real in this environment (PIL/av-backed
+    formats stay stubbed behind ``decode_image``).
+
+    Returns an ``H x W x 3`` uint8 RGB array. Supports the standard
+    BITMAPINFOHEADER layout: bottom-up (positive height) and top-down
+    (negative height) row order, 4-byte row padding, BGR channel
+    order. Raises ``ValueError`` for non-BMP bytes and
+    ``NotImplementedError`` for compressed / non-24-bit variants.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = height > 0
+    h, w = abs(height), width
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate BMP dimensions")
+    stride = (w * 3 + 3) & ~3
+    need = pixel_off + stride * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    data = np.frombuffer(payload, np.uint8, count=stride * h, offset=pixel_off)
+    rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BGR -> RGB
+    if bottom_up:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+IMAGE_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, mean_rgb array<double>, "
+    "decode_error string"
+)
+
+
+def image_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-image decode + basic stats over BMP payloads: (doc_id,
+    width, height, mean_rgb, decode_error). Real decode via
+    ``decode_bmp``; rows whose payload fails to decode carry the
+    error string with NULL stats instead of failing the job (the
+    standard large-corpus posture: corrupt members are data, not
+    exceptions).
+
+    Same Arrow-batched ``mapInPandas`` shape as ``extract_features``
+    — bounded batches, no Python in any other stage.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, means, errs = [], [], [], []
+            for payload in pdf[payload_col].tolist():
+                try:
+                    rgb = decode_bmp(bytes(payload))
+                except (ValueError, NotImplementedError) as exc:
+                    widths.append(None)
+                    heights.append(None)
+                    means.append(None)
+                    errs.append(str(exc))
+                    continue
+                h, w = rgb.shape[0], rgb.shape[1]
+                widths.append(w)
+                heights.append(h)
+                means.append(rgb.reshape(-1, 3).mean(axis=0).tolist())
+                errs.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "mean_rgb": means,
+                    "decode_error": errs,
+                }
+            )
+
+    return df.mapInPandas(run, schema=IMAGE_STATS_SCHEMA)

@@ -4365,6 +4365,53 @@ SELECT doc_id, lang, source, n_chars FROM ranked WHERE rk <= 5
 """
 
 
+def q96_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checked: every document becomes a
+    valid 1x1 24-bit BMP whose pixel is the first three md5 bytes of
+    its text (assembled JVM-side as binary concat), then
+    ``image_stats`` runs the dependency-free BMP decoder over Arrow
+    batches. The oracle never decodes — it derives the expected
+    (width, height, r, g, b) directly from md5, so the hash match
+    proves the encode -> decode pipeline is the identity."""
+    import struct
+
+    from diseasystore_spark.pipeline.multimodal import image_stats
+
+    header = b"BM" + struct.pack("<IHHI", 54 + 4, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, 4, 2835, 2835, 0, 0
+    )
+    docs = _read(spark, sf_dir, "documents")
+    # pixel on disk is BGR + 1 pad byte; md5 bytes 1..3 are R,G,B
+    payload = F.concat(
+        F.lit(bytearray(header + info)),
+        F.expr("substr(unhex(md5(text)), 3, 1)"),  # B
+        F.expr("substr(unhex(md5(text)), 2, 1)"),  # G
+        F.expr("substr(unhex(md5(text)), 1, 1)"),  # R
+        F.lit(bytearray(b"\x00")),
+    )
+    imgs = docs.select("doc_id", payload.alias("payload"))
+    stats = image_stats(imgs)
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.col("mean_rgb")[0].alias("r"),
+        F.col("mean_rgb")[1].alias("g"),
+        F.col("mean_rgb")[2].alias("b"),
+    )
+
+
+ORACLE_Q96 = """
+SELECT doc_id,
+       1 AS width, 1 AS height,
+       CAST(('0x' || substr(md5(text), 1, 2))::INT AS DOUBLE) AS r,
+       CAST(('0x' || substr(md5(text), 3, 2))::INT AS DOUBLE) AS g,
+       CAST(('0x' || substr(md5(text), 5, 2))::INT AS DOUBLE) AS b
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4465,6 +4512,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q93_anomaly_days": q93_anomaly_days,
     "q94_attribution_join": q94_attribution_join,
     "q95_stratified_sample_scalable": q95_stratified_sample_scalable,
+    "q96_image_decode_stats": q96_image_decode_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -4562,6 +4610,7 @@ ORACLES: dict[str, str] = {
     "q93_anomaly_days": ORACLE_Q93,
     "q94_attribution_join": ORACLE_Q94,
     "q95_stratified_sample_scalable": ORACLE_Q95,
+    "q96_image_decode_stats": ORACLE_Q96,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

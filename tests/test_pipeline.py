@@ -1731,3 +1731,61 @@ def test_verify_pairs_edit_similarity_matches_python_dp(spark):
             want[(a, b)] = sim
     assert want, "fixture should verify some pairs"
     assert got == want
+
+
+def _encode_bmp(arr, top_down=False):
+    """Test-side 24-bit BMP encoder (numpy HxWx3 RGB uint8)."""
+    import struct
+
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    stride = (w * 3 + 3) & ~3
+    rows = arr if top_down else arr[::-1]
+    body = bytearray()
+    for r in range(h):
+        line = rows[r][:, ::-1].astype(np.uint8).tobytes()  # RGB->BGR
+        body += line + b"\x00" * (stride - len(line))
+    pixel_off = 54
+    size = pixel_off + len(body)
+    header = b"BM" + struct.pack("<IHHI", size, 0, 0, pixel_off)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, (h if not top_down else -h), 1, 24, 0,
+        len(body), 2835, 2835, 0, 0,
+    )
+    return bytes(header + info + body)
+
+
+def test_bmp_decode_roundtrip_and_image_stats(spark):
+    """decode_bmp is a REAL decoder: byte-exact roundtrip through the
+    test-side encoder (bottom-up AND top-down, padded widths), and the
+    Spark image_stats pipeline reports exact dimensions/means with
+    corrupt payloads surfaced as data, not exceptions."""
+    import numpy as np
+
+    from diseasystore_spark.pipeline.multimodal import (
+        decode_bmp,
+        image_stats,
+    )
+
+    rng = np.random.RandomState(7)
+    img_a = rng.randint(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    img_b = rng.randint(0, 256, size=(3, 3, 3), dtype=np.uint8)  # padded
+    assert (decode_bmp(_encode_bmp(img_a)) == img_a).all()
+    assert (decode_bmp(_encode_bmp(img_b)) == img_b).all()
+    assert (decode_bmp(_encode_bmp(img_b, top_down=True)) == img_b).all()
+
+    rows = [
+        (1, bytearray(_encode_bmp(img_a))),
+        (2, bytearray(_encode_bmp(img_b))),
+        (3, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in image_stats(df).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (2, 2)
+    assert (got[2]["width"], got[2]["height"]) == (3, 3)
+    for doc, img in ((1, img_a), (2, img_b)):
+        want = img.reshape(-1, 3).mean(axis=0)
+        assert np.allclose(got[doc]["mean_rgb"], want)
+    assert got[3]["width"] is None and "not a BMP" in got[3]["decode_error"]
