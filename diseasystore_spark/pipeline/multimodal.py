@@ -279,3 +279,100 @@ def image_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
+
+
+def decode_wav(payload: bytes):
+    """REAL audio decode for RIFF/WAVE PCM — pure struct-parsing +
+    numpy, zero codec dependencies (the audio analog of
+    ``decode_bmp``; compressed codecs stay stubbed).
+
+    Returns ``(samples, sample_rate)`` where samples is an
+    ``n_frames x n_channels`` int32 array (16-bit PCM widened; 8-bit
+    PCM is unsigned per the spec and is centered to signed). Raises
+    ``ValueError`` for non-WAV bytes and ``NotImplementedError`` for
+    non-PCM encodings or other bit depths.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (csize,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate = struct.unpack_from("<HHI", fmt, 0)
+    (bits,) = struct.unpack_from("<H", fmt, 14)
+    if audio_format != 1:
+        raise NotImplementedError(f"only PCM supported (format={audio_format})")
+    if bits == 16:
+        samples = np.frombuffer(
+            data, "<i2", count=len(data) // 2
+        ).astype(np.int32)
+    elif bits == 8:
+        samples = np.frombuffer(data, np.uint8).astype(np.int32) - 128
+    else:
+        raise NotImplementedError(f"only 8/16-bit PCM supported (bits={bits})")
+    if n_channels <= 0:
+        raise ValueError("degenerate channel count")
+    frames = samples.size // n_channels
+    return samples[: frames * n_channels].reshape(frames, n_channels), sample_rate
+
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, n_frames bigint, "
+    "sum_abs bigint, peak int, decode_error string"
+)
+
+
+def audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-clip decode + INTEGER-EXACT stats over PCM WAV payloads:
+    (doc_id, sample_rate, n_channels, n_frames, sum_abs, peak,
+    decode_error). sum_abs / peak are integer sums over the raw PCM
+    values, so the q97 oracle reproduces them bit-for-bit — no float
+    RMS in the contract (compute RMS downstream as
+    ``sqrt(sum_sq/n)`` if needed). Corrupt payloads are data rows.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rates, chans, frames, sums, peaks, errs = [], [], [], [], [], []
+            for payload in pdf[payload_col].tolist():
+                try:
+                    samples, rate = decode_wav(bytes(payload))
+                except (ValueError, NotImplementedError) as exc:
+                    rates.append(None); chans.append(None)
+                    frames.append(None); sums.append(None)
+                    peaks.append(None); errs.append(str(exc))
+                    continue
+                a = np.abs(samples)
+                rates.append(rate)
+                chans.append(samples.shape[1])
+                frames.append(samples.shape[0])
+                sums.append(int(a.sum()))
+                peaks.append(int(a.max()) if a.size else 0)
+                errs.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_channels": pd.array(chans, dtype="Int32"),
+                    "n_frames": pd.array(frames, dtype="Int64"),
+                    "sum_abs": pd.array(sums, dtype="Int64"),
+                    "peak": pd.array(peaks, dtype="Int32"),
+                    "decode_error": errs,
+                }
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)

@@ -4412,6 +4412,59 @@ FROM documents
 """
 
 
+def q97_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-checked (q96's audio twin): every
+    document becomes a valid 16-bit PCM mono WAV whose two samples
+    are its text's first four md5 bytes (little-endian), assembled
+    JVM-side; ``audio_stats`` runs the dependency-free RIFF/PCM
+    decoder, and the oracle derives the expected integer stats
+    (signed-sample |sum| and peak) straight from md5 arithmetic."""
+    import struct
+
+    from diseasystore_spark.pipeline.multimodal import audio_stats
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    header = (
+        b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 4)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit(bytearray(header)),
+        F.expr("substr(unhex(md5(text)), 1, 4)"),
+    )
+    stats = audio_stats(docs.select("doc_id", payload.alias("payload")))
+    return stats.select(
+        "doc_id", "sample_rate", "n_channels", "n_frames", "sum_abs", "peak"
+    )
+
+
+ORACLE_Q97 = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 1, 2))::INT AS b1,
+         ('0x' || substr(md5(text), 3, 2))::INT AS b2,
+         ('0x' || substr(md5(text), 5, 2))::INT AS b3,
+         ('0x' || substr(md5(text), 7, 2))::INT AS b4
+  FROM documents
+),
+v AS (
+  SELECT doc_id,
+         CASE WHEN b1 + 256 * b2 >= 32768
+              THEN b1 + 256 * b2 - 65536 ELSE b1 + 256 * b2 END AS v1,
+         CASE WHEN b3 + 256 * b4 >= 32768
+              THEN b3 + 256 * b4 - 65536 ELSE b3 + 256 * b4 END AS v2
+  FROM b
+)
+SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels,
+       CAST(2 AS BIGINT) AS n_frames,
+       CAST(abs(v1) + abs(v2) AS BIGINT) AS sum_abs,
+       greatest(abs(v1), abs(v2)) AS peak
+FROM v
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4513,6 +4566,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q94_attribution_join": q94_attribution_join,
     "q95_stratified_sample_scalable": q95_stratified_sample_scalable,
     "q96_image_decode_stats": q96_image_decode_stats,
+    "q97_audio_decode_stats": q97_audio_decode_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -4611,6 +4665,7 @@ ORACLES: dict[str, str] = {
     "q94_attribution_join": ORACLE_Q94,
     "q95_stratified_sample_scalable": ORACLE_Q95,
     "q96_image_decode_stats": ORACLE_Q96,
+    "q97_audio_decode_stats": ORACLE_Q97,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its
