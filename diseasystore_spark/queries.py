@@ -4465,6 +4465,116 @@ FROM v
 """
 
 
+def q98_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per calendar day by volume (the trending-
+    per-window rollup): one map-side-combinable (day, type) count,
+    then a per-day row_number — the window partitions on the day, so
+    no task ever holds more than one day's type table (type
+    cardinality, not event cardinality)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        daily.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("day", "rank", "event_type", "n_events")
+    )
+
+
+ORACLE_Q98 = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+ranked AS (
+  SELECT day, event_type, n_events,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY n_events DESC, event_type) AS rank
+  FROM daily
+)
+SELECT day, CAST(rank AS INT) AS rank, event_type, n_events
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q99_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous open orders per customer segment — the
+    interval-concurrency sweep, reusing the engine's delta-counting
+    shape: +1 at each order date, −1 the day AFTER each (half-open)
+    close, cumulative sum in date order, max per segment. All keyed
+    shuffles; the cumsum window partitions by segment over the
+    DISTINCT-date frame."""
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    o = orders.join(
+        cust.select("c_custkey", "c_mktsegment"),
+        orders["o_custkey"] == cust["c_custkey"],
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderdate").cast("date").alias("d0"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("d1"),
+    )
+    deltas = (
+        o.select("segment", F.col("d0").alias("day"), F.lit(1).alias("dlt"))
+        .unionAll(
+            o.select(
+                "segment", F.col("d1").alias("day"), F.lit(-1).alias("dlt")
+            )
+        )
+        .groupBy("segment", "day")
+        .agg(F.sum("dlt").cast("bigint").alias("delta"))
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        deltas.withColumn("open", F.sum("delta").over(w))
+        .groupBy("segment")
+        .agg(F.max("open").cast("bigint").alias("peak_open"))
+    )
+
+
+ORACLE_Q99 = """
+WITH o AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(o_orderdate AS DATE) AS d0,
+         CAST(o_orderdate AS DATE) + 30 AS d1
+  FROM orders JOIN customer c ON o_custkey = c_custkey
+),
+deltas AS (
+  SELECT segment, day, CAST(sum(dlt) AS BIGINT) AS delta
+  FROM (
+    SELECT segment, d0 AS day, 1 AS dlt FROM o
+    UNION ALL
+    SELECT segment, d1 AS day, -1 AS dlt FROM o
+  ) GROUP BY 1, 2
+),
+cum AS (
+  SELECT segment, day, delta,
+         sum(delta) OVER (PARTITION BY segment ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS open
+  FROM deltas
+)
+SELECT segment, CAST(max(open) AS BIGINT) AS peak_open
+FROM cum GROUP BY segment
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4567,6 +4677,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_stratified_sample_scalable": q95_stratified_sample_scalable,
     "q96_image_decode_stats": q96_image_decode_stats,
     "q97_audio_decode_stats": q97_audio_decode_stats,
+    "q98_trending_terms": q98_trending_terms,
+    "q99_peak_concurrency": q99_peak_concurrency,
 }
 
 ORACLES: dict[str, str] = {
@@ -4666,6 +4778,8 @@ ORACLES: dict[str, str] = {
     "q95_stratified_sample_scalable": ORACLE_Q95,
     "q96_image_decode_stats": ORACLE_Q96,
     "q97_audio_decode_stats": ORACLE_Q97,
+    "q98_trending_terms": ORACLE_Q98,
+    "q99_peak_concurrency": ORACLE_Q99,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

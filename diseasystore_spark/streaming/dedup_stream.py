@@ -214,3 +214,34 @@ def stream_decontaminate_against_benchmark(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_exact_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-key stream dedup via the engine-native
+    ``dropDuplicatesWithinWatermark`` — the right primitive when the
+    at-least-once upstream (Kafka replays, retried producers) can
+    re-deliver the same record within a bounded interval.
+
+    State holds one entry per distinct key seen within the watermark
+    horizon and is evicted as event time advances — bounded by
+    key-rate × watermark, never by stream length (the reason NOT to
+    use plain ``dropDuplicates`` on a stream: its state grows
+    forever). Duplicates arriving farther apart than the watermark
+    are NOT collapsed — that is the documented trade; use the
+    signature-index path (``stream_dedup_against_corpus``) when the
+    dedup horizon is the whole corpus.
+
+    Works on batch frames too (falls back to plain dropDuplicates
+    semantics over the batch), which the stream==batch test uses.
+    """
+    if not keys:
+        raise ValueError("keys must name at least one column")
+    out = events.withWatermark(ts_col, watermark)
+    if events.isStreaming:
+        return out.dropDuplicatesWithinWatermark(keys)
+    return out.dropDuplicates(keys)

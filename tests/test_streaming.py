@@ -704,3 +704,63 @@ def test_attribution_join_stream_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("select * from attr_out").collect()}
     assert got == want
+
+
+def test_stream_exact_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark path: replayed keys inside the
+    watermark horizon are emitted once; the kept-row key set equals
+    the batch dropDuplicates key set."""
+    from diseasystore_spark.streaming.dedup_stream import (
+        stream_exact_dedup,
+    )
+
+    TS = datetime.datetime
+    rows1 = [
+        (100, TS(2024, 1, 1, 10, 0), "a"),
+        (101, TS(2024, 1, 1, 10, 1), "b"),
+        (100, TS(2024, 1, 1, 10, 2), "a-replay"),   # dup key, same batch
+    ]
+    rows2 = [
+        (101, TS(2024, 1, 1, 10, 10), "b-replay"),  # dup key, next batch
+        (102, TS(2024, 1, 1, 10, 11), "c"),
+    ]
+    schema = "event_id long, ts timestamp, payload string"
+    src = str(tmp_path / "dedup_src")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    batch_keys = {
+        r["event_id"]
+        for r in stream_exact_dedup(
+            spark.read.parquet(src), ["event_id"]
+        ).collect()
+    }
+    assert batch_keys == {100, 101, 102}
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_exact_dedup(stream, ["event_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("exact_dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        r["event_id"]
+        for r in spark.sql("select * from exact_dedup_out").collect()
+    ]
+    assert sorted(got) == [100, 101, 102]  # each key exactly once
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        stream_exact_dedup(spark.read.parquet(src), [])
