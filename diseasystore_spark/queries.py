@@ -4575,6 +4575,97 @@ FROM cum GROUP BY segment
 """
 
 
+def _rev2_compute(start_date, end_date, slice_ts, source_conn, ds):
+    """Two-axis revision scenario for the snapshot diff: the January
+    slice sees 2/3 of orders at value 1.0; the February slice sees
+    ALL orders, with every %5==0 order revised to value 2.0 — so the
+    A->B diff contains pure additions (%3==0), value revisions
+    (closed 1.0 + added 2.0 for %3!=0 and %5==0), and untouched
+    rows (neither)."""
+    orders = ds.spark.read.parquet(f"{source_conn}/orders.parquet")
+    vf = F.col("o_orderdate").cast("date")
+    framed = orders.select(
+        F.col("o_custkey").alias("key_cust"),
+        F.col("o_orderkey").alias("key_order"),
+        vf.alias("valid_from"),
+        F.date_add(vf, 30).alias("valid_until"),
+    ).where(
+        (F.col("valid_from") <= F.lit(end_date))
+        & (F.col("valid_until") > F.lit(start_date))
+    )
+    if slice_ts.month == 1:
+        return framed.where(F.col("key_order") % 3 != 0).withColumn(
+            "n_rev2_orders", F.lit(1.0)
+        )
+    return framed.withColumn(
+        "n_rev2_orders",
+        F.when(F.col("key_order") % 5 == 0, F.lit(2.0)).otherwise(
+            F.lit(1.0)
+        ),
+    )
+
+
+class _Rev2Store(Diseasystore):
+    _ds_map = {"n_rev2_orders": "rev2_orders"}
+    rev2_orders = FeatureHandler(compute=_rev2_compute, key_join=key_join_sum)
+
+
+def q100_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal snapshot diff: write the q31-style revision scenario
+    at two slices (additions AND value revisions), then
+    ``snapshot_diff`` derives added/removed rows from the SCD2
+    transaction intervals in ONE scan — no snapshot anti-joins. A
+    revision shows as one removed (old value) + one added (new);
+    untouched rows appear in neither. Oracle recomputes both change
+    sets from orders directly."""
+    ds = _Rev2Store(
+        spark,
+        target_conn=tempfile.mkdtemp(prefix="ds_rev2_"),
+        source_conn=sf_dir,
+        verbose=False,
+        partition_granularity="month",
+    )
+    slice_a = datetime.date(2024, 1, 15)
+    slice_b = datetime.date(2024, 2, 15)
+    ds.get_feature("n_rev2_orders", START, END, slice_ts=slice_a)
+    ds.get_feature("n_rev2_orders", START, END, slice_ts=slice_b)
+    diff = ds.backend.snapshot_diff("ds.rev2_orders", slice_a, slice_b)
+    return diff.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("key_order").cast("bigint").alias("sum_orderkeys"),
+        F.round(F.sum("n_rev2_orders"), 4).alias("sum_values"),
+    )
+
+
+ORACLE_Q100 = """
+WITH f AS (
+  SELECT o_orderkey AS key_order
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) <= DATE '1996-03-31'
+    AND CAST(o_orderdate AS DATE) + 30 > DATE '1996-01-01'
+),
+added AS (
+  SELECT key_order,
+         CASE WHEN key_order % 5 = 0 THEN 2.0 ELSE 1.0 END AS v
+  FROM f WHERE key_order % 3 = 0
+  UNION ALL
+  SELECT key_order, 2.0 FROM f
+  WHERE key_order % 3 <> 0 AND key_order % 5 = 0
+),
+removed AS (
+  SELECT key_order, 1.0 AS v FROM f
+  WHERE key_order % 3 <> 0 AND key_order % 5 = 0
+)
+SELECT 'added' AS change, COUNT(*) AS n_rows,
+       CAST(SUM(key_order) AS BIGINT) AS sum_orderkeys,
+       round(SUM(v), 4) AS sum_values
+FROM added
+UNION ALL
+SELECT 'removed', COUNT(*), CAST(SUM(key_order) AS BIGINT), round(SUM(v), 4)
+FROM removed
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4679,6 +4770,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q97_audio_decode_stats": q97_audio_decode_stats,
     "q98_trending_terms": q98_trending_terms,
     "q99_peak_concurrency": q99_peak_concurrency,
+    "q100_snapshot_diff": q100_snapshot_diff,
 }
 
 ORACLES: dict[str, str] = {
@@ -4780,6 +4872,7 @@ ORACLES: dict[str, str] = {
     "q97_audio_decode_stats": ORACLE_Q97,
     "q98_trending_terms": ORACLE_Q98,
     "q99_peak_concurrency": ORACLE_Q99,
+    "q100_snapshot_diff": ORACLE_Q100,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

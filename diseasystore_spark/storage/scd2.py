@@ -261,6 +261,50 @@ class ParquetFeatureStore:
             self._write_version(keep, table_id, changed_months=None)
         return dropped
 
+    def snapshot_diff(self, table_id: str, ts_a, ts_b) -> DataFrame:
+        """What changed between two logical snapshots — computed from
+        the SCD2 transaction-time intervals alone, ONE scan, no join
+        (the naive form is two snapshot reads + two full-width
+        anti-joins):
+
+        - ``added``   (in B, not in A): ``from_ts  in (a, b]`` and
+          alive at b;
+        - ``removed`` (in A, not in B): alive at a and
+          ``until_ts in (a, b]``.
+
+        A value revision is one ``removed`` (the closed row) plus one
+        ``added`` (its replacement); a transient row both created and
+        closed inside ``(a, b]`` appears in neither snapshot and is
+        correctly excluded by the alive conditions. Output: payload
+        columns + ``change`` ('added' | 'removed').
+        """
+        a, b = normalize_slice_ts(ts_a), normalize_slice_ts(ts_b)
+        if not a < b:
+            raise ValueError(f"ts_a must precede ts_b (got {a} >= {b})")
+        floor = self.retain_floor(table_id)
+        if floor is not None and a < floor:
+            raise ValueError(
+                f"slice_ts {a} is below {table_id}'s retention floor "
+                f"{floor}: that history was pruned (prune_history)"
+            )
+        raw = self.read_raw(table_id)
+        alive_a = (F.col("from_ts") <= F.lit(a)) & (
+            F.col("until_ts").isNull() | (F.col("until_ts") > F.lit(a))
+        )
+        alive_b = (F.col("from_ts") <= F.lit(b)) & (
+            F.col("until_ts").isNull() | (F.col("until_ts") > F.lit(b))
+        )
+        change = (
+            F.when(~alive_a & alive_b, F.lit("added"))
+            .when(alive_a & ~alive_b, F.lit("removed"))
+        )
+        payload = [c for c in raw.columns if c not in SCD2_COLUMNS]
+        return (
+            raw.withColumn("change", change)
+            .where(F.col("change").isNotNull())
+            .select(*payload, "change")
+        )
+
     def compact(self, table_id: str, files_per_partition: int = 1) -> int:
         """Rewrite the current version with a bounded file count — the
         small-file maintenance op (Delta OPTIMIZE analog). Incremental

@@ -384,3 +384,50 @@ def test_compact_preserves_every_snapshot(spark, store_root):
         be.compact("ds.t", files_per_partition=0)
 
 
+
+
+def test_snapshot_diff_single_scan_semantics(spark, store_root):
+    """added/removed derived from transaction intervals: a revision
+    is one removed + one added; transient rows (created AND closed
+    between the slices) appear in neither; untouched rows absent."""
+    import pytest
+
+    be = ParquetFeatureStore(spark, store_root)
+    t1, t2, t3, t4 = (
+        T(2024, 1, 1), T(2024, 2, 1), T(2024, 3, 1), T(2024, 4, 1)
+    )
+    be.update_snapshot(_df(spark, [("a", 1.0), ("b", 2.0)]), "ds.t", t1)
+    # t2: c appears (transient: gone again by t3), b revised
+    be.update_snapshot(
+        _df(spark, [("a", 1.0), ("b", 9.0), ("c", 3.0)]), "ds.t", t2
+    )
+    # t3: c removed, d added
+    be.update_snapshot(
+        _df(spark, [("a", 1.0), ("b", 9.0), ("d", 4.0)]), "ds.t", t3
+    )
+
+    got = {
+        (r["key_id"], r["v"], r["change"])
+        for r in be.snapshot_diff("ds.t", t1, t3).collect()
+    }
+    assert got == {
+        ("b", 2.0, "removed"),   # revision: old value out...
+        ("b", 9.0, "added"),     # ...new value in
+        ("d", 4.0, "added"),
+        # a untouched -> absent; c transient within (t1, t3] -> absent
+    }
+    # adjacent slices see the transient
+    got2 = {
+        (r["key_id"], r["change"])
+        for r in be.snapshot_diff("ds.t", t1, t2).collect()
+    }
+    assert ("c", "added") in got2
+
+    with pytest.raises(ValueError, match="must precede"):
+        be.snapshot_diff("ds.t", t3, t1)
+
+    # empty diff between identical worlds
+    be.update_snapshot(
+        _df(spark, [("a", 1.0), ("b", 9.0), ("d", 4.0)]), "ds.t", t4
+    )
+    assert be.snapshot_diff("ds.t", t3, t4).count() == 0
