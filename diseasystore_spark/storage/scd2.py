@@ -275,8 +275,12 @@ class ParquetFeatureStore:
         A value revision is one ``removed`` (the closed row) plus one
         ``added`` (its replacement); a transient row both created and
         closed inside ``(a, b]`` appears in neither snapshot and is
-        correctly excluded by the alive conditions. Output: payload
-        columns + ``change`` ('added' | 'removed').
+        correctly excluded by the alive conditions. The diff is
+        CONTENT-exact, not interval-churn: a row removed and later
+        re-added with identical content between the slices nets to no
+        change — a per-checksum rollup cancels the interval pair (the
+        checksum IS the logical row identity the merge dedups on).
+        Output: payload columns + ``change`` ('added' | 'removed').
         """
         a, b = normalize_slice_ts(ts_a), normalize_slice_ts(ts_b)
         if not a < b:
@@ -299,10 +303,28 @@ class ParquetFeatureStore:
             .when(alive_a & ~alive_b, F.lit("removed"))
         )
         payload = [c for c in raw.columns if c not in SCD2_COLUMNS]
+        flagged = raw.withColumn("change", change).where(
+            F.col("change").isNotNull()
+        )
+        # Per-checksum net: at most one 'added' and one 'removed'
+        # interval can carry flags for a given logical row (the merge
+        # keeps checksums unique among open rows), so the net is -1,
+        # 0, or +1; zero = content unchanged (left and came back).
         return (
-            raw.withColumn("change", change)
-            .where(F.col("change").isNotNull())
-            .select(*payload, "change")
+            flagged.groupBy("checksum")
+            .agg(
+                *[F.any_value(F.col(c)).alias(c) for c in payload],
+                F.sum(
+                    F.when(F.col("change") == "added", 1).otherwise(-1)
+                ).alias("__net"),
+            )
+            .where(F.col("__net") != 0)
+            .select(
+                *payload,
+                F.when(F.col("__net") > 0, F.lit("added"))
+                .otherwise(F.lit("removed"))
+                .alias("change"),
+            )
         )
 
     def compact(self, table_id: str, files_per_partition: int = 1) -> int:

@@ -431,3 +431,53 @@ def test_snapshot_diff_single_scan_semantics(spark, store_root):
         _df(spark, [("a", 1.0), ("b", 9.0), ("d", 4.0)]), "ds.t", t4
     )
     assert be.snapshot_diff("ds.t", t3, t4).count() == 0
+
+
+def test_snapshot_diff_random_histories_match_set_diff(spark, tmp_path):
+    """Randomized: for arbitrary snapshot histories (adds, deletes,
+    revisions, reappearing keys), snapshot_diff between EVERY slice
+    pair must equal the brute-force set difference of the two
+    get_table reads."""
+    import random
+
+    rng = random.Random(77)
+    keys = [f"k{i}" for i in range(8)]
+    for scenario in range(4):
+        be = ParquetFeatureStore(
+            spark, str(tmp_path / f"sd{scenario}")
+        )
+        slices = [T(2024, 1, 1 + i) for i in range(4)]
+        worlds = []
+        for ts in slices:
+            world = {
+                k: float(rng.randrange(3))
+                for k in keys
+                if rng.random() < 0.7
+            }
+            worlds.append(world)
+            be.update_snapshot(
+                _df(spark, list(world.items()) or [("sentinel", 0.0)]),
+                "ds.t",
+                ts,
+            )
+        # sentinel guard: empty worlds get a placeholder row
+        for i in range(len(slices)):
+            for j in range(i + 1, len(slices)):
+                a = {
+                    (r["key_id"], r["v"])
+                    for r in be.get_table("ds.t", slices[i]).collect()
+                }
+                b = {
+                    (r["key_id"], r["v"])
+                    for r in be.get_table("ds.t", slices[j]).collect()
+                }
+                want = {(k, v, "added") for (k, v) in b - a} | {
+                    (k, v, "removed") for (k, v) in a - b
+                }
+                got = {
+                    (r["key_id"], r["v"], r["change"])
+                    for r in be.snapshot_diff(
+                        "ds.t", slices[i], slices[j]
+                    ).collect()
+                }
+                assert got == want, (scenario, i, j)
