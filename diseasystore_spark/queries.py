@@ -335,11 +335,15 @@ def _supplier_ab(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
 
 
 def q05_interlace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interlace (J3): align two interval-valid feature tables onto
+    the union breakpoint spine per supplier key."""
     a, b = _supplier_ab(spark, sf_dir)
     return interlace([a, b], by=["key_supp"])
 
 
 def q06_truncate_interlace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncate-interlace (J2): secondaries clipped to the primary's
+    validity before interlacing."""
     a, b = _supplier_ab(spark, sf_dir)
     s = _read(spark, sf_dir, "supplier")
     primary = s.select(
@@ -432,6 +436,8 @@ LEFT JOIN tb ON tb.key_supp = iv.key_supp
 # --------------------------------------------------------------------------
 
 def q07_overlap_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-open study-period overlap filter + interval clamp
+    (P3/P4), preserving the reference's NULL-open quirks."""
     orders = _read(spark, sf_dir, "orders")
     vf = F.col("o_orderdate").cast("date")
     framed = orders.select(
@@ -950,6 +956,8 @@ WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.2
 
 
 def q20_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality stats (length / punctuation / stopword /
+    token ratios) in one zero-shuffle projection."""
     from diseasystore_spark.pipeline.text import text_stats
 
     return text_stats(_read(spark, sf_dir, "documents"))
@@ -987,6 +995,8 @@ FROM stats
 
 
 def q21_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-marker language identification heuristic, single-scan
+    per-row scoring."""
     from diseasystore_spark.pipeline.text import langid_heuristic
 
     return langid_heuristic(_read(spark, sf_dir, "documents"))
