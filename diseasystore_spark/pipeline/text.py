@@ -184,10 +184,18 @@ def term_frequencies(
     (id, term) — the canonical scalable term-count plan (partial
     counts combine before the shuffle, so the shuffle carries the
     per-task vocabulary, not the token stream). ``dl`` is constant
-    within a document and rides along via ``first``."""
+    within a document and rides along via ``first``.
+
+    The token array is materialized in its OWN projection before the
+    generator: with ``size(tk)`` and ``explode(tk)`` in one select,
+    the Generate operator re-evaluates the tokenization lambda per
+    OUTPUT row (once per token, not once per document) — measured
+    10x on the sf1 corpus (32 s -> 3.4 s for the tf frame)."""
     tk = F.filter(_tokens(text_col), lambda t: t != F.lit(""))
-    base = df.select(
-        F.col(id_col), F.size(tk).alias("dl"), F.explode(tk).alias("term")
+    base = df.select(F.col(id_col), tk.alias("__toks")).select(
+        F.col(id_col),
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("term"),
     )
     return base.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
