@@ -91,18 +91,49 @@ def skyline(df: DataFrame, dims: dict[str, str]) -> DataFrame:
                 "skyline dimension columns must be non-null (NaN rows "
                 "would survive every dominance test and corrupt the set)"
             )
+        # Decreasing-coordinate-sum order: any dominator sorts
+        # strictly before everything it dominates (y dom x => every
+        # coord >=, one > => sum(y) > sum(x)), so testing each row
+        # against the KEPT set alone is exact. The scan is chunked:
+        # each chunk is tested against the kept matrix in one
+        # vectorized comparison (blocked over K to bound memory), and
+        # only the survivors fall through to a Python loop against
+        # THIS chunk's new keeps — so Python-level iteration is
+        # proportional to the candidate set, not the partition (the
+        # old per-row loop was the sf1 bottleneck: ~6M iterations).
+        n, d = X.shape
         order = np.argsort(-X.sum(axis=1), kind="stable")
-        kept: list[int] = []
-        K = np.empty((0, X.shape[1]))
-        for i in order:
-            x = X[i]
-            if K.shape[0]:
-                dom = (K >= x).all(axis=1) & (K > x).any(axis=1)
-                if dom.any():
-                    continue
-            kept.append(int(i))
-            K = np.vstack([K, x[None, :]])
-        yield pdf.iloc[sorted(kept)]
+        Xs = X[order]
+        kept_pos: list[int] = []
+        K = np.empty((0, d))
+        CH, KB = 2048, 8192
+        for start in range(0, n, CH):
+            C = Xs[start:start + CH]
+            dom = np.zeros(len(C), dtype=bool)
+            for kb in range(0, K.shape[0], KB):
+                alive = np.nonzero(~dom)[0]
+                if alive.size == 0:
+                    break
+                Kb = K[kb:kb + KB]
+                Ca = C[alive]
+                blk = (
+                    (Kb[None, :, :] >= Ca[:, None, :]).all(axis=2)
+                    & (Kb[None, :, :] > Ca[:, None, :]).any(axis=2)
+                ).any(axis=1)
+                dom[alive[blk]] = True
+            new_start = len(kept_pos)
+            for i in np.nonzero(~dom)[0]:
+                x = C[i]
+                ok = True
+                for j in kept_pos[new_start:]:  # this chunk's keeps
+                    y = Xs[j]
+                    if (y >= x).all() and (y > x).any():
+                        ok = False
+                        break
+                if ok:
+                    kept_pos.append(start + int(i))
+            K = Xs[kept_pos]
+        yield pdf.iloc[sorted(int(order[j]) for j in kept_pos)]
 
     schema = df.schema
     out = df.mapInPandas(local, schema)
