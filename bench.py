@@ -166,11 +166,15 @@ def main() -> None:
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # noop sink: materializes EVERY output column (a .count()
+        # action lets Catalyst prune expensive result columns, which
+        # hid a 5x cost on the LM-score family until sf1 profiling
+        # caught it) — the honest "run the whole query" action.
+        df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {n} rows in {dt:.3f}s", file=sys.stderr)
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
         # Release the query's localCheckpoint blocks between timings:
         # dropping the Python refs + forcing both GCs lets the
         # ContextCleaner unpersist, so later queries aren't taxed by
