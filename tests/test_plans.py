@@ -429,3 +429,45 @@ def test_stratified_sample_scalable_no_per_stratum_window(spark):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         if "row_number" in spec or "__h" in spec:
             assert "__b" in spec, spec
+
+
+def test_cms_counters_partial_agg_and_broadcast_probe(spark):
+    """Count-Min scale shape: the counter build must show two-phase
+    (partial -> final) hash aggregation so the shuffle carries at
+    most depth*width partial rows per task, and the estimate probe
+    must broadcast the bounded counter frame, never shuffle terms
+    against it."""
+    from pyspark.sql import functions as F
+
+    from diseasystore_spark.pipeline.sketch import (
+        cms_build_tokens,
+        cms_estimate,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cms = cms_build_tokens(docs, depth=4, width=1024)
+    build_plan = _executed(cms)
+    assert build_plan.count("HashAggregate") >= 2, build_plan
+    terms = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).limit(20)
+    est_plan = _executed(cms_estimate(cms, terms, depth=4, width=1024))
+    assert "BroadcastHashJoin" in est_plan, est_plan
+
+
+def test_verify_pairs_candidate_sized_jvm_plan(spark):
+    """The edit-similarity verify stage must stay candidate-list-sized
+    (equi id joins, no cartesian) and fully JVM-side (levenshtein is
+    a builtin — no Python/Arrow eval in the plan)."""
+    from diseasystore_spark.pipeline.dedup import (
+        verify_pairs_edit_similarity,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3)], "id_a long, id_b long"
+    )
+    plan = _executed(verify_pairs_edit_similarity(docs, pairs))
+    assert "CartesianProduct" not in plan, plan
+    assert "levenshtein" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
