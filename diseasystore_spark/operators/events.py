@@ -383,10 +383,17 @@ def anomaly_days(
         .alias("trail_sumsq"),
         F.count(F.lit(1)).over(w).alias("__k"),
     )
-    k = F.lit(trailing).cast("bigint")
-    dev = F.col("n_events") * k - F.col("trail_sum")
-    spread_bound = F.lit(z * z).cast("bigint") * (
-        F.col("trail_sumsq") * k - F.col("trail_sum") * F.col("trail_sum")
+    # The z-test comparison runs in DECIMAL(38,0): with bigint, the
+    # squared deviation overflows int64 once a (type, day) count
+    # passes ~3e9 — realistic at corpus scale — and ANSI mode would
+    # fail the job on legitimate data. 38 digits covers counts to
+    # ~1e15/day; still exact integer arithmetic.
+    dec = "decimal(38,0)"
+    k = F.lit(trailing).cast(dec)
+    dev = F.col("n_events").cast(dec) * k - F.col("trail_sum").cast(dec)
+    spread_bound = F.lit(z * z).cast(dec) * (
+        F.col("trail_sumsq").cast(dec) * k
+        - F.col("trail_sum").cast(dec) * F.col("trail_sum").cast(dec)
     )
     return stats.where(F.col("__k") == trailing).select(
         "event_type",
