@@ -4676,6 +4676,92 @@ FROM removed
 """
 
 
+def q101_media_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality decode in ONE scan: even doc_ids become 1x1
+    BMPs (pixel = first 3 md5 bytes, q96's construction), odd ones
+    2-sample PCM WAVs (q97's); ``media_stats`` sniffs each container
+    by magic bytes and runs the matching REAL decoder. The oracle
+    derives every expected stat from md5 arithmetic per parity —
+    hash-exact across both modalities and the dispatch itself."""
+    import struct
+
+    from diseasystore_spark.pipeline.multimodal import media_stats
+
+    bmp_header = (
+        b"BM" + struct.pack("<IHHI", 58, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, 4, 2835, 2835, 0, 0)
+    )
+    wav_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav_header = (
+        b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + wav_fmt
+        + b"data" + struct.pack("<I", 4)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    bmp_payload = F.concat(
+        F.lit(bytearray(bmp_header)),
+        F.expr("substr(unhex(md5(text)), 3, 1)"),
+        F.expr("substr(unhex(md5(text)), 2, 1)"),
+        F.expr("substr(unhex(md5(text)), 1, 1)"),
+        F.lit(bytearray(b"\x00")),
+    )
+    wav_payload = F.concat(
+        F.lit(bytearray(wav_header)),
+        F.expr("substr(unhex(md5(text)), 1, 4)"),
+    )
+    media = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, bmp_payload)
+        .otherwise(wav_payload)
+        .alias("payload"),
+    )
+    stats = media_stats(media)
+    return stats.select(
+        "doc_id",
+        "format",
+        "ok",
+        "width",
+        "n_frames",
+        "sum_abs",
+        "peak",
+        F.col("mean_rgb")[0].alias("r"),
+        F.col("mean_rgb")[1].alias("g"),
+        F.col("mean_rgb")[2].alias("b"),
+    )
+
+
+ORACLE_Q101 = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 1, 2))::INT AS b1,
+         ('0x' || substr(md5(text), 3, 2))::INT AS b2,
+         ('0x' || substr(md5(text), 5, 2))::INT AS b3,
+         ('0x' || substr(md5(text), 7, 2))::INT AS b4
+  FROM documents
+),
+v AS (
+  SELECT doc_id, b1, b2, b3,
+         CASE WHEN b1 + 256 * b2 >= 32768
+              THEN b1 + 256 * b2 - 65536 ELSE b1 + 256 * b2 END AS v1,
+         CASE WHEN b3 + 256 * b4 >= 32768
+              THEN b3 + 256 * b4 - 65536 ELSE b3 + 256 * b4 END AS v2
+  FROM b
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+       TRUE AS ok,
+       CASE WHEN doc_id % 2 = 0 THEN 1 END AS width,
+       CASE WHEN doc_id % 2 <> 0 THEN CAST(2 AS BIGINT) END AS n_frames,
+       CASE WHEN doc_id % 2 <> 0
+            THEN CAST(abs(v1) + abs(v2) AS BIGINT) END AS sum_abs,
+       CASE WHEN doc_id % 2 <> 0 THEN greatest(abs(v1), abs(v2)) END AS peak,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(b1 AS DOUBLE) END AS r,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(b2 AS DOUBLE) END AS g,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(b3 AS DOUBLE) END AS b
+FROM v
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4781,6 +4867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_trending_terms": q98_trending_terms,
     "q99_peak_concurrency": q99_peak_concurrency,
     "q100_snapshot_diff": q100_snapshot_diff,
+    "q101_media_dispatch": q101_media_dispatch,
 }
 
 ORACLES: dict[str, str] = {
@@ -4883,6 +4970,7 @@ ORACLES: dict[str, str] = {
     "q98_trending_terms": ORACLE_Q98,
     "q99_peak_concurrency": ORACLE_Q99,
     "q100_snapshot_diff": ORACLE_Q100,
+    "q101_media_dispatch": ORACLE_Q101,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -1839,3 +1839,41 @@ def test_wav_decode_roundtrip_and_audio_stats(spark):
     assert got[1]["peak"] == 32768
     assert got[2]["sum_abs"] == 128 + 0 + 127 and got[2]["peak"] == 128
     assert got[3]["sum_abs"] is None and got[3]["decode_error"]
+
+
+def test_media_stats_mixed_corpus_dispatch(spark):
+    """One scan over a heterogeneous binary column: BMP rows get image
+    stats, WAV rows audio stats, corrupt/unknown payloads ride along
+    as ok=false data."""
+    import struct
+
+    import numpy as np
+
+    from diseasystore_spark.pipeline.multimodal import media_stats
+
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    bmp = _encode_bmp(img)
+    samples = np.array([100, -200], dtype="<i2")
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 4) + samples.tobytes()
+    )
+    rows = [
+        (1, bytearray(bmp)),
+        (2, bytearray(wav)),
+        (3, bytearray(b"PK\x03\x04zipfile")),        # unknown container
+        (4, bytearray(b"BM\x00trunc")),              # corrupt bmp
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in media_stats(df).collect()}
+    assert got[1]["format"] == "bmp" and got[1]["ok"]
+    assert (got[1]["width"], got[1]["height"]) == (2, 2)
+    assert got[1]["sum_abs"] is None
+    assert got[2]["format"] == "wav" and got[2]["ok"]
+    assert got[2]["sum_abs"] == 300 and got[2]["peak"] == 200
+    assert got[2]["width"] is None
+    assert not got[3]["ok"] and got[3]["decode_error"] == "unknown container"
+    assert got[4]["format"] == "bmp" and not got[4]["ok"]
+    assert got[4]["decode_error"]
