@@ -1469,7 +1469,14 @@ def triangle_counts_text(
     pairs = jaccard_pairs(
         rep_docs, id_col, text_col, n=n, threshold=threshold, max_df=max_df
     )
-    e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    # Checkpoint the rep-level edge list: the shingle-join pair plan
+    # feeds five downstream branches (sym union, neighbor aggregates,
+    # both oriented sides, the closing join) and would re-execute per
+    # branch otherwise. Pair lists are edge-count-sized — far smaller
+    # than the corpus.
+    e = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).localCheckpoint()
     sizes = rep_info.where("__has").select(
         F.col("__rep").alias("node"), F.col("__m").alias("m")
     )
@@ -1580,8 +1587,16 @@ def triangle_counts(
     equi-keyed, no cartesian anywhere.
 
     Output: ``(node, n_triangles)`` for every node in >= 1 triangle.
+
+    The edge list is ``localCheckpoint``ed on entry: the enumeration
+    consumes it from several branches (degree count, both oriented
+    sides, the closing join), and when ``edges`` is an expensive plan
+    (a jaccard/minhash pair generator) each branch would otherwise
+    re-execute it.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint()
     tri = _oriented_triangles(e)
     corners = (
         tri.select(F.col("lo").alias("node"))
@@ -1684,10 +1699,14 @@ def adamic_adar_links(
 
     Output: (id_a, id_b, common_neighbors, score_micro), id_a < id_b.
     """
+    # Checkpoint after the normalization: the edge list feeds the
+    # symmetrized union (twice), the degree count, and the final
+    # anti-join — an expensive upstream pair generator would
+    # re-execute per consumer otherwise.
     e = edges.select(
         F.least(F.col(src), F.col(dst)).alias("a"),
         F.greatest(F.col(src), F.col(dst)).alias("b"),
-    ).distinct()
+    ).distinct().localCheckpoint()
     sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy(F.col("a").alias("z")).agg(
         F.count(F.lit(1)).alias("d")
