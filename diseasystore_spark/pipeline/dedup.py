@@ -528,14 +528,10 @@ def near_dup_groups(
         raise ValueError(
             f"pair_method must be 'jaccard' or 'minhash', got {pair_method!r}"
         )
-    digests = df.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("__h")
-    )
-    reps = digests.groupBy("__h").agg(F.min(id_col).alias("__rep"))
-    member = digests.join(reps, "__h").select(F.col(id_col), F.col("__rep"))
-    rep_docs = df.join(
-        reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
-    )
+    # Shared collapse helper: one digest shuffle (text rides along),
+    # groups checkpointed for the member/rep_docs consumers — the
+    # same plan q37/q82's entry paths run.
+    member, rep_docs, _rep_info = _exact_collapse(df, id_col, text_col, n)
     if pair_method == "minhash":
         pairs = minhash_lsh_pairs(
             rep_docs,
