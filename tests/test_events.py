@@ -388,3 +388,79 @@ def test_anomaly_days_integer_exact_semantics(spark):
     # python cross-check of the integer inequality on the spike row
     S = sum(counts_b[:7]); Q = sum(c * c for c in counts_b[:7])
     assert (500 * 7 - S) ** 2 > 9 * (Q * 7 - S * S)
+
+
+def test_anomaly_days_random_series_match_python(spark):
+    """Randomized: anomaly flags over arbitrary event streams equal a
+    pure-Python recomputation of the integer z-test on the observed
+    per-(type, day) count series."""
+    import collections
+    import random
+
+    from diseasystore_spark.operators.events import anomaly_days
+
+    rng = random.Random(31)
+    rows, eid = [], 0
+    for _ in range(1200):
+        typ = rng.choice(["a", "b", "c"])
+        day = rng.randrange(0, 20)
+        eid += 1
+        rows.append((eid, T(2024, 1, 1 + day), 1, typ))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id int, event_type string"
+    )
+    k, z = 5, 2
+    got = {
+        (r["event_type"], str(r["day"])): (
+            r["n_events"], r["trail_sum"], r["trail_sumsq"], r["flagged"]
+        )
+        for r in anomaly_days(ev, trailing=k, z=z).collect()
+    }
+
+    counts = collections.Counter((t, ts.date()) for _, ts, _, t in rows)
+    series = collections.defaultdict(list)
+    for (t, d), c in sorted(counts.items(), key=lambda kv: kv[0]):
+        series[t].append((d, c))
+    want = {}
+    for t, days in series.items():
+        for i in range(k, len(days)):
+            d, n = days[i]
+            window = [c for _, c in days[i - k:i]]
+            S, Q = sum(window), sum(c * c for c in window)
+            flag = (n * k - S) ** 2 > z * z * (Q * k - S * S)
+            want[(t, str(d))] = (n, S, Q, flag)
+    assert got == want
+    assert any(v[3] for v in want.values()), "fixture should flag something"
+
+
+def test_attribution_pairs_match_python_brute_force(spark):
+    """Randomized: the interval-attribution join equals a brute-force
+    Python double loop over (impression, conversion) pairs."""
+    import random
+
+    from diseasystore_spark.streaming.joins import attribute_conversions
+
+    rng = random.Random(13)
+    imps, convs = [], []
+    base = T(2024, 3, 1)
+    for i in range(120):
+        u = rng.randrange(12)
+        t = base + dt.timedelta(minutes=rng.randrange(0, 600))
+        (imps if i % 2 else convs).append((u, t))
+    schema = "user_id long, ts timestamp"
+    W = 1800
+    got = {
+        (r["user_id"], r["imp_ts"], r["conv_ts"], r["lag_us"])
+        for r in attribute_conversions(
+            spark.createDataFrame(imps, schema),
+            spark.createDataFrame(convs, schema),
+            window_seconds=W,
+        ).collect()
+    }
+    want = set()
+    for u, it in imps:
+        for v, ct in convs:
+            if u == v and it < ct <= it + dt.timedelta(seconds=W):
+                want.add((u, it, ct, int((ct - it).total_seconds() * 1e6)))
+    assert got == want
+    assert want, "fixture should attribute something"
