@@ -851,6 +851,8 @@ def perplexity_split(
     (id, dl, score_micro) to reuse it across splits; default trains
     on ``df`` itself.
     """
+    if coarse_div <= 0:
+        raise ValueError("coarse_div must be positive")
     s = (
         scored
         if scored is not None

@@ -339,9 +339,9 @@ class ParquetFeatureStore:
         is a pure physical re-layout written as a NEW immutable
         version, so readers of the old version are never disturbed
         and a crash mid-compact changes nothing). In month-partitioned
-        mode the existing per-month shuffle already yields
-        ``files_per_partition`` files per month; in flat mode the
-        table is coalesced to ``files_per_partition`` files total.
+        mode the per-month shuffle yields ONE file per month
+        (``files_per_partition`` applies to the flat layout, where
+        the table is coalesced to that many files total).
         Returns the number of data files in the new version.
         """
         if files_per_partition <= 0:
