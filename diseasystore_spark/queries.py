@@ -4762,6 +4762,64 @@ FROM v
 """
 
 
+def q102_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (the canonical OLAP scan-agg): per
+    (returnflag, linestatus) sums and counts over shipped line items.
+    Money enters as integer CENTS (prices/discounts/taxes are
+    2-decimal by TPC-H construction) so every aggregate is bigint-
+    exact across engines — sum-of-doubles float ordering never
+    appears. Single scan, one map-side-combinable groupBy; the date
+    filter reaches the parquet scan (pushdown)."""
+    li = _read(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
+    base = li.where(
+        F.col("l_shipdate").cast("date") <= F.lit(datetime.date(1998, 9, 2))
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        cents("l_extendedprice").alias("price_c"),
+        cents("l_discount").alias("disc_c"),
+        cents("l_tax").alias("tax_c"),
+    )
+    return base.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").cast("bigint").alias("sum_qty"),
+        F.sum("price_c").cast("bigint").alias("sum_base_price_c"),
+        F.sum(F.col("price_c") * (F.lit(100) - F.col("disc_c")))
+        .cast("bigint")
+        .alias("sum_disc_price_c2"),
+        F.sum(
+            F.col("price_c")
+            * (F.lit(100) - F.col("disc_c"))
+            * (F.lit(100) + F.col("tax_c"))
+        )
+        .cast("bigint")
+        .alias("sum_charge_c3"),
+        F.count(F.lit(1)).cast("bigint").alias("count_order"),
+    )
+
+
+ORACLE_Q102 = """
+WITH base AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(price_c) AS BIGINT) AS sum_base_price_c,
+       CAST(sum(price_c * (100 - disc_c)) AS BIGINT) AS sum_disc_price_c2,
+       CAST(sum(price_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT)
+         AS sum_charge_c3,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM base GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4868,6 +4926,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q99_peak_concurrency": q99_peak_concurrency,
     "q100_snapshot_diff": q100_snapshot_diff,
     "q101_media_dispatch": q101_media_dispatch,
+    "q102_pricing_summary": q102_pricing_summary,
 }
 
 ORACLES: dict[str, str] = {
@@ -4971,6 +5030,7 @@ ORACLES: dict[str, str] = {
     "q99_peak_concurrency": ORACLE_Q99,
     "q100_snapshot_diff": ORACLE_Q100,
     "q101_media_dispatch": ORACLE_Q101,
+    "q102_pricing_summary": ORACLE_Q102,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its
