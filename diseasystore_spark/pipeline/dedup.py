@@ -107,12 +107,40 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    df_weight_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-n-gram Jaccard similarity.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    ``max_df`` drops shingles occurring in more than that many docs
-    (skew guard for the self-join at scale).
+    ``max_df`` drops shingles whose document frequency exceeds it
+    (skew guard for the self-join at scale). ``df_weight_col`` names
+    an integer column counting how many corpus documents each input
+    row stands for (1 if absent): the exact-collapse entry paths pass
+    their group size so a shingle's DF is counted over the FULL
+    corpus, keeping ``max_df`` semantics identical to running the
+    un-collapsed form.
+    """
+    pairs, _sizes = _jaccard_pairs_sized(
+        df, id_col, text_col, n, threshold, max_df, df_weight_col
+    )
+    return pairs
+
+
+def _jaccard_pairs_sized(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    max_df: int | None,
+    df_weight_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """``jaccard_pairs`` plus the per-document POST-``max_df`` shingle
+    set sizes ``(id_col, sz)`` — a doc is present iff >= 1 shingle
+    survives the hot-shingle filter (all docs with any shingle when
+    ``max_df`` is None). The graph entry paths need this survival
+    frame to decide which exact-duplicate groups still carry
+    intra-group Jaccard-1 edges after filtering.
     """
     # The self-join only tests shingle equality — join on the 64-bit
     # xxhash64 of the shingle instead of the string: fixed-width keys
@@ -126,23 +154,26 @@ def jaccard_pairs(
     # larger, and checkpointing it was the dominant cost of this
     # operator. The explode is re-run per consumer from the
     # checkpointed arrays, which is a cheap narrow map.
-    arr = (
-        spread(df)
-        .select(
-            F.col(id_col),
-            F.expr(
-                f"transform(array_remove(array_distinct("
-                f"{_ngram_sql(text_col, n)}), ''), s -> xxhash64(s))"
-            ).alias("_sh"),
-        )
-        .where(F.size("_sh") > 0)
-        .localCheckpoint()
-    )
+    sel = [
+        F.col(id_col),
+        F.expr(
+            f"transform(array_remove(array_distinct("
+            f"{_ngram_sql(text_col, n)}), ''), s -> xxhash64(s))"
+        ).alias("_sh"),
+    ]
+    if df_weight_col is not None:
+        sel.append(F.col(df_weight_col).cast("bigint").alias("_w"))
+    arr = spread(df).select(*sel).where(F.size("_sh") > 0).localCheckpoint()
     sh = arr.select(F.col(id_col), F.explode("_sh").alias("shingle"))
     if max_df is not None:
+        w = F.col("_w") if df_weight_col is not None else F.lit(1)
         hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
+            arr.select(
+                *([F.col("_w")] if df_weight_col is not None else []),
+                F.explode("_sh").alias("shingle"),
+            )
+            .groupBy("shingle")
+            .agg(F.sum(w).cast("bigint").alias("df"))
             .where(F.col("df") > max_df)
             .select("shingle")
         )
@@ -163,7 +194,7 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
+    pairs = (
         common.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -176,6 +207,7 @@ def jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    return pairs, sizes
 
 
 def minhash_signatures(
@@ -531,7 +563,7 @@ def near_dup_groups(
     # Shared collapse helper: one digest shuffle (text rides along),
     # groups checkpointed for the member/rep_docs consumers — the
     # same plan q37/q82's entry paths run.
-    member, rep_docs, _rep_info = _exact_collapse(df, id_col, text_col, n)
+    member, rep_docs, _rep_info = _exact_collapse(df, id_col, text_col)
     if pair_method == "minhash":
         pairs = minhash_lsh_pairs(
             rep_docs,
@@ -545,8 +577,17 @@ def near_dup_groups(
             max_bucket=max_bucket,
         )
     else:
+        # __m-weighted DF: max_df counts document frequency over the
+        # FULL corpus (each exact duplicate counts), identical to the
+        # un-collapsed form's semantics.
         pairs = jaccard_pairs(
-            rep_docs, id_col, text_col, n=n, threshold=threshold, max_df=max_df
+            rep_docs,
+            id_col,
+            text_col,
+            n=n,
+            threshold=threshold,
+            max_df=max_df,
+            df_weight_col="__m",
         )
     comps = dedup_components(
         pairs,
@@ -1320,7 +1361,7 @@ def contamination_spans(
 
 
 def _exact_collapse(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared exact-duplicate pre-collapse for the graph pipelines.
 
@@ -1329,11 +1370,14 @@ def _exact_collapse(
     - ``member``: (id_col, __rep) — every doc mapped to its exact
       group's representative (min id of identical-text docs);
     - ``rep_docs``: the input rows of the representatives only (the
-      frame pair generation runs over);
-    - ``rep_info``: (__rep, __m, __has) — group size and whether the
-      content yields >= 1 word-n-gram shingle (empty contents produce
-      NO pairs, so their groups must not get implicit jaccard-1
-      intra-group edges).
+      frame pair generation runs over), carrying the group size as
+      ``__m`` so pair generation can weight shingle document
+      frequency back to full-corpus counts;
+    - ``rep_info``: (__rep, __m) — group size. Whether a group still
+      carries intra-group Jaccard-1 edges is decided POST hot-shingle
+      filtering from ``_jaccard_pairs_sized``'s survival frame (empty
+      or fully-filtered contents produce NO pairs, so their groups
+      must not get implicit jaccard-1 intra-group edges).
 
     Collapsing before pair generation removes the dominant quadratic
     hotspot of the shingle self-join: a group of e identical docs
@@ -1363,21 +1407,9 @@ def _exact_collapse(
         F.col(id_col), "__rep"
     )
     rep_docs = groups.select(
-        F.col("__rep").alias(id_col), F.col("__txt").alias(text_col)
+        F.col("__rep").alias(id_col), F.col("__txt").alias(text_col), "__m"
     )
-    rep_info = groups.select(
-        "__rep",
-        "__m",
-        (
-            F.size(
-                F.expr(
-                    f"array_remove(array_distinct("
-                    f"{_ngram_sql('__txt', n)}), '')"
-                )
-            )
-            > 0
-        ).alias("__has"),
-    )
+    rep_info = groups.select("__rep", "__m")
     return member, rep_docs, rep_info
 
 
@@ -1398,28 +1430,45 @@ def dedup_components_text(
     hottest exact-duplicate group; see ``near_dup_groups``).
 
     Output is IDENTICAL to
-    ``dedup_components(jaccard_pairs(df, ...))``: ``(id, component)``
-    for exactly the docs that appear in >= 1 full-corpus pair — a doc
-    qualifies iff its representative has a rep-level pair, OR its
-    exact group has >= 2 members with shingled (non-empty) content
-    (the twins pair with each other at Jaccard 1). Component labels
+    ``dedup_components(jaccard_pairs(df, ...))`` for ALL parameters,
+    ``max_df`` included: ``(id, component)`` for exactly the docs
+    that appear in >= 1 full-corpus pair — a doc qualifies iff its
+    representative has a rep-level pair, OR its exact group has >= 2
+    members with >= 1 shingle SURVIVING the hot-shingle filter (the
+    twins pair with each other at Jaccard 1; a group whose shingles
+    are all dropped by ``max_df`` produces no pairs at all, matching
+    the full-corpus form). Shingle document frequency is weighted by
+    exact-group size (``__m``) so ``max_df`` counts the same
+    full-corpus DF the un-collapsed form sees. Component labels
     agree because each group's rep IS its min id, so the min id of a
     merged cluster equals the min rep id of its rep-component.
     """
-    member, rep_docs, rep_info = _exact_collapse(df, id_col, text_col, n)
-    pairs = jaccard_pairs(
-        rep_docs, id_col, text_col, n=n, threshold=threshold, max_df=max_df
+    member, rep_docs, rep_info = _exact_collapse(df, id_col, text_col)
+    pairs, surv = _jaccard_pairs_sized(
+        rep_docs,
+        id_col,
+        text_col,
+        n=n,
+        threshold=threshold,
+        max_df=max_df,
+        df_weight_col="__m",
     )
     comps = dedup_components(
         pairs, collect_threshold=collect_threshold, algorithm=algorithm
     ).select(F.col("id").alias("__cid"), F.col("component").alias("__comp"))
     intra = threshold <= 1.0  # twins pair iff Jaccard 1 clears the bar
+    has = surv.select(F.col(id_col).alias("__rep"), F.lit(True).alias("__has"))
     return (
         member.join(rep_info, "__rep")
+        .join(has, "__rep", "left")
         .join(comps, member["__rep"] == comps["__cid"], "left")
         .where(
             F.col("__cid").isNotNull()
-            | ((F.col("__m") >= 2) & F.col("__has") & F.lit(intra))
+            | (
+                (F.col("__m") >= 2)
+                & F.coalesce(F.col("__has"), F.lit(False))
+                & F.lit(intra)
+            )
         )
         .select(
             F.col(id_col).alias("id"),
@@ -1439,9 +1488,11 @@ def triangle_counts_text(
     """Per-document triangle counts over the FULL n-gram-Jaccard
     near-dup graph, computed on the exact-collapsed representative
     graph — identical output to
-    ``triangle_counts(jaccard_pairs(df, ...))`` without ever
-    materializing the full pair list (which is quadratic in exact-dup
-    group size: a group of e identical docs is an e-clique).
+    ``triangle_counts(jaccard_pairs(df, ...))`` for ALL parameters
+    (``max_df`` DF is __m-weighted back to full-corpus counts, and
+    fully-filtered groups drop out of the clique arithmetic) without
+    ever materializing the full pair list (which is quadratic in
+    exact-dup group size: a group of e identical docs is an e-clique).
 
     Exactness: every doc in an exact group of size m with shingled
     content is adjacent to its m-1 twins (Jaccard 1) and to every
@@ -1461,9 +1512,15 @@ def triangle_counts_text(
     contents have no edges at all and are excluded; all counts are
     per-group constants expanded back to members at the end.
     """
-    member, rep_docs, rep_info = _exact_collapse(df, id_col, text_col, n)
-    pairs = jaccard_pairs(
-        rep_docs, id_col, text_col, n=n, threshold=threshold, max_df=max_df
+    member, rep_docs, rep_info = _exact_collapse(df, id_col, text_col)
+    pairs, surv = _jaccard_pairs_sized(
+        rep_docs,
+        id_col,
+        text_col,
+        n=n,
+        threshold=threshold,
+        max_df=max_df,
+        df_weight_col="__m",
     )
     # Checkpoint the rep-level edge list: the shingle-join pair plan
     # feeds five downstream branches (sym union, neighbor aggregates,
@@ -1473,9 +1530,12 @@ def triangle_counts_text(
     e = pairs.select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     ).localCheckpoint()
-    sizes = rep_info.where("__has").select(
-        F.col("__rep").alias("node"), F.col("__m").alias("m")
-    )
+    # Groups participating in edges: >= 1 shingle surviving the
+    # hot-shingle filter (post-max_df — a fully-filtered group has no
+    # intra-group edges in the full-corpus form either).
+    sizes = rep_info.join(
+        surv.select(F.col(id_col).alias("__rep")), "__rep"
+    ).select(F.col("__rep").alias("node"), F.col("__m").alias("m"))
 
     # Neighbor aggregates over the symmetrized rep edges:
     #   nb_m  = sum of neighbor group sizes, nb_c2 = sum of C(m_s, 2)

@@ -20,6 +20,7 @@ bounded.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -257,7 +258,7 @@ def image_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             for payload in pdf[payload_col].tolist():
                 try:
                     rgb = decode_bmp(bytes(payload))
-                except (ValueError, NotImplementedError) as exc:
+                except (ValueError, NotImplementedError, struct.error) as exc:
                     widths.append(None)
                     heights.append(None)
                     means.append(None)
@@ -303,6 +304,8 @@ def decode_wav(payload: bytes):
         cid = payload[pos:pos + 4]
         (csize,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8:pos + 8 + csize]
+        if len(body) != csize:
+            raise ValueError("truncated chunk (declared size exceeds payload)")
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
@@ -310,6 +313,8 @@ def decode_wav(payload: bytes):
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"fmt chunk too short ({len(fmt)} < 16 bytes)")
     audio_format, n_channels, sample_rate = struct.unpack_from("<HHI", fmt, 0)
     (bits,) = struct.unpack_from("<H", fmt, 14)
     if audio_format != 1:
@@ -351,7 +356,7 @@ def audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             for payload in pdf[payload_col].tolist():
                 try:
                     samples, rate = decode_wav(bytes(payload))
-                except (ValueError, NotImplementedError) as exc:
+                except (ValueError, NotImplementedError, struct.error) as exc:
                     rates.append(None); chans.append(None)
                     frames.append(None); sums.append(None)
                     peaks.append(None); errs.append(str(exc))
@@ -437,7 +442,7 @@ def media_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                         )
                     else:
                         base["decode_error"] = "unknown container"
-                except (ValueError, NotImplementedError) as exc:
+                except (ValueError, NotImplementedError, struct.error) as exc:
                     base["decode_error"] = str(exc)
                 rows.append(base)
             out = pd.DataFrame(rows)

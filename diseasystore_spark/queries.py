@@ -1450,13 +1450,18 @@ def q37_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``dedup_components_text``): pair generation over distinct
     contents only, identical output to the full-corpus pair list —
     the unguarded form is quadratic in the hottest exact-dup group.
-    Oracle = recursive CTE transitive closure in DuckDB over the FULL
-    pair list (unchanged — the collapse is exactness-preserving)."""
+    Hot-shingle guard: shingles appearing in more than 10% of the
+    corpus (boilerplate headers) are dropped BEFORE the self-join —
+    DF is exact-group-weighted, so the cap counts full-corpus
+    document frequency. The oracle applies the identical cap over
+    the full corpus, so the result stays hash-exact at every sf
+    (at the test sfs no shingle reaches 10%, so the pair list is
+    also unchanged vs the unguarded form)."""
     from diseasystore_spark.pipeline.dedup import dedup_components_text
 
-    comps = dedup_components_text(
-        _read(spark, sf_dir, "documents"), n=3, threshold=0.2
-    )
+    docs = _read(spark, sf_dir, "documents")
+    cap = max(docs.count() // 10, 1)
+    comps = dedup_components_text(docs, n=3, threshold=0.2, max_df=cap)
     return comps.select(
         F.col("id").alias("doc_id"),
         "component",
@@ -1473,9 +1478,14 @@ WITH RECURSIVE pairs AS (
     SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
     FROM toks
   ),
-  sh AS (
+  sh0 AS (
     SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
     FROM pos
+  ),
+  sh AS (
+    SELECT doc_id, shingle FROM sh0
+    QUALIFY COUNT(*) OVER (PARTITION BY shingle)
+      <= greatest((SELECT COUNT(*) FROM documents) // 10, 1)
   ),
   sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
   common AS (
@@ -3626,11 +3636,16 @@ def q82_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``triangle_counts_text``) — identical counts to the full pair
     list (exact-dup groups are cliques whose triangles are recovered
     by integer group-size arithmetic) without the quadratic pair
-    materialization. Oracle unchanged (full pair list in DuckDB)."""
+    materialization. Hot-shingle guard as in q37: shingles in more
+    than 10% of the corpus are dropped before the self-join (exact
+    full-corpus DF via group weighting); the oracle applies the same
+    cap, so results stay hash-exact at every sf."""
     from diseasystore_spark.pipeline.dedup import triangle_counts_text
 
+    docs = _read(spark, sf_dir, "documents")
+    cap = max(docs.count() // 10, 1)
     return triangle_counts_text(
-        _read(spark, sf_dir, "documents"), n=3, threshold=0.2
+        docs, n=3, threshold=0.2, max_df=cap
     ).select(F.col("node").alias("doc_id"), "n_triangles")
 
 
@@ -3642,9 +3657,14 @@ pos AS (
   SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
   FROM toks
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
   FROM pos
+),
+sh AS (
+  SELECT doc_id, shingle FROM sh0
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle)
+    <= greatest((SELECT COUNT(*) FROM documents) // 10, 1)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
 common AS (
@@ -4084,7 +4104,7 @@ def q89_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q89 = """
 WITH toks AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
 ),
 pos AS (
   SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i

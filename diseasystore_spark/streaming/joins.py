@@ -35,7 +35,8 @@ def attribute_conversions(
     standard last/any-touch attribution candidate set (pick a policy
     downstream: ``row_number`` by recency for last-touch).
 
-    Output: ``(user_id, imp_ts, conv_ts, lag_s bigint)``; NULL event
+    Output: ``(user_id, imp_ts, conv_ts, lag_us bigint)`` — microsecond
+    lag; NULL event
     times are dropped on both sides (they cannot be ordered).
 
     Streaming contract: both inputs get a ``watermark`` on their event

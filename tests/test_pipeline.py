@@ -1676,6 +1676,68 @@ def test_collapsed_graph_paths_random_corpus(spark):
     }
 
 
+def test_collapsed_graph_paths_max_df_equals_direct(spark):
+    """Hot-shingle guard semantics: with ``max_df`` set, the collapsed
+    entry paths must STILL equal the direct full-corpus compositions.
+    The corpus is built so the guard only fires if shingle DF is
+    weighted by exact-group size (6 identical copies of the
+    boilerplate → full-corpus DF 6 > max_df 4, rep-level DF 1), and
+    so a twin group's shingles are ALL dropped (post-filter survival
+    must suppress its implicit Jaccard-1 intra pair)."""
+    from diseasystore_spark.pipeline.dedup import (
+        dedup_components,
+        dedup_components_text,
+        jaccard_pairs,
+        triangle_counts,
+        triangle_counts_text,
+    )
+
+    P = "the quick brown fox jumps"          # 3 trigrams, all hot (DF 6)
+    rows = (
+        [(i, P) for i in range(1, 7)]        # boilerplate-only twin group
+        + [(7, "unique seven content row alpha beta gamma delta")]
+        + [(8, "unique seven content row alpha beta gamma epsilon")]
+        + [(9, P + " plus nine specific trailing words here")]
+        + [(10, P + " plus nine specific trailing words there")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for max_df in (4, None):
+        pairs = jaccard_pairs(df, n=3, threshold=0.2, max_df=max_df)
+        direct_c = {
+            r["id"]: r["component"]
+            for r in dedup_components(pairs).collect()
+        }
+        got_c = {
+            r["id"]: r["component"]
+            for r in dedup_components_text(
+                df, n=3, threshold=0.2, max_df=max_df
+            ).collect()
+        }
+        assert got_c == direct_c, f"components diverge at max_df={max_df}"
+        direct_t = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts(pairs).collect()
+        }
+        got_t = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts_text(
+                df, n=3, threshold=0.2, max_df=max_df
+            ).collect()
+        }
+        assert got_t == direct_t, f"triangles diverge at max_df={max_df}"
+        if max_df is None:
+            # unguarded: the boilerplate group IS a component (+clique)
+            assert {1, 2, 3, 4, 5, 6} <= set(got_c)
+            assert got_t.get(1, 0) >= 1
+        else:
+            # guard fires: every shingle of group 1-6 is hot → no pairs
+            assert not ({1, 2, 3, 4, 5, 6} & set(got_c))
+            # near-dups whose distinguishing shingles are cold survive
+            assert got_c[7] == 7 and got_c[8] == 7
+            assert got_c[9] == 9 and got_c[10] == 9
+
+
 def test_verify_pairs_edit_similarity_matches_python_dp(spark):
     """The verify stage (length prefilter + threshold-bounded JVM
     levenshtein) must equal a plain Python DP over ALL candidate
@@ -1839,6 +1901,34 @@ def test_wav_decode_roundtrip_and_audio_stats(spark):
     assert got[1]["peak"] == 32768
     assert got[2]["sum_abs"] == 128 + 0 + 127 and got[2]["peak"] == 128
     assert got[3]["sum_abs"] is None and got[3]["decode_error"]
+
+    # truncated fmt chunk (declared 16 bytes, payload cut at 8): must
+    # surface as a ValueError data row, never a struct.error that
+    # fails the whole task
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x01\x00\x40\x1f\x00\x00"
+    )
+    with pytest.raises(ValueError):
+        decode_wav(short_fmt)
+    # fmt declares 16 but only 12 bytes present before data chunk
+    fmt12 = struct.pack("<HHII", 1, 1, 8000, 16000)
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 12 + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 12) + fmt12
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError):
+        decode_wav(bad)
+    got2 = {
+        r["doc_id"]: r
+        for r in audio_stats(
+            spark.createDataFrame(
+                [(9, bytearray(short_fmt))], "doc_id long, payload binary"
+            )
+        ).collect()
+    }
+    assert got2[9]["sum_abs"] is None and got2[9]["decode_error"]
 
 
 def test_media_stats_mixed_corpus_dispatch(spark):
