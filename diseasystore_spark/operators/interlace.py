@@ -71,10 +71,86 @@ def _bucket_of(col: F.Column | str, width_days: int) -> F.Column:
     return F.floor(F.datediff(col, F.lit(_EPOCH)) / width_days).cast("int")
 
 
+#: target candidate rows per (key, bucket) group for the auto path —
+#: large enough that bucket overhead (row replication, the extra join
+#: key) is negligible, small enough that no single sort-merge group
+#: degenerates to a quadratic residual scan.
+AUTO_TARGET_ROWS_PER_BUCKET = 4096
+
+
+def resolve_bucket_days(
+    tables: list[DataFrame],
+    by: list[str],
+    auto_threshold: float = 2000.0,
+) -> int | None:
+    """Decide whether (and how wide) to bucket the interlace
+    containment joins, from ONE cheap probe job over the unioned key
+    projections: row count, ``approx_count_distinct`` of the key
+    tuple, the date span, and the mean row validity span.
+
+    Returns ``None`` (default sort-merge path) when the average rows
+    per key is below ``auto_threshold`` — per-key join groups that
+    small are handled fine by a plain sort-merge join, and bucketing
+    would only add row replication. Above it, the width targets
+    ``AUTO_TARGET_ROWS_PER_BUCKET`` candidate rows per (key, bucket)
+    and is floored at a quarter of the mean row span so replication
+    (span/width) stays bounded by ~4x.
+
+    This is the scale guard for the engine's core temporal-alignment
+    operator (reference ``R/truncate_interlace.R:104-120``): a typical
+    epi feature table keys on a handful of regions, so at 100x data
+    every key is a hot key and the unbucketed sort-merge join buffers
+    an entire key group per task.
+    """
+    probe = None
+    for t in tables:
+        keys = [k for k in by if k in t.columns]
+        # Hash the key tuple to one bigint: tables may carry different
+        # key subsets, so a struct column would not union across them.
+        kc = (
+            F.xxhash64(*[F.col(k) for k in keys])
+            if keys
+            else F.lit(0).cast("bigint")
+        )
+        p = t.select(
+            kc.alias("__k"),
+            F.col("valid_from").alias("__vf"),
+            F.col("valid_until").alias("__vu"),
+        )
+        probe = p if probe is None else probe.unionByName(p)
+    if probe is None:
+        return None
+    row = probe.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("__k").alias("k"),
+        F.min("__vf").alias("lo"),
+        F.greatest(F.max("__vf"), F.max("__vu")).alias("hi"),
+        F.avg(
+            F.datediff(F.coalesce("__vu", "__vf"), "__vf")
+        ).alias("avg_span"),
+    ).first()
+    if not row or not row["n"] or not row["k"]:
+        return None
+    rows_per_key = row["n"] / row["k"]
+    if rows_per_key < auto_threshold:
+        return None
+    if row["lo"] is None or row["hi"] is None:
+        return None
+    span = max((row["hi"] - row["lo"]).days, 1)
+    density = row["n"] / (row["k"] * span)  # rows per key per day
+    width = max(
+        AUTO_TARGET_ROWS_PER_BUCKET / max(density, 1e-9),
+        (row["avg_span"] or 0.0) / 4.0,
+        1.0,
+    )
+    return max(int(min(width, span)), 1)
+
+
 def interlace(
     tables: list[DataFrame],
     by: list[str] | str,
-    bucket_days: int | None = None,
+    bucket_days: int | str | None = "auto",
+    auto_threshold: float = 2000.0,
 ) -> DataFrame:
     """Temporally align ``tables`` on key columns ``by``.
 
@@ -98,6 +174,14 @@ def interlace(
     is span/W; open-ended rows are capped at the global max breakpoint
     (no pair is lost: spine starts never exceed it). Output is
     identical to the default path — asserted by the test suite.
+
+    ``bucket_days="auto"`` (the default) self-selects: one cheap probe
+    job (:func:`resolve_bucket_days`) measures rows-per-key, and the
+    bucketed path switches on only when the average key group exceeds
+    ``auto_threshold`` rows — so low-cardinality stores get the scale
+    path without a knob, and high-cardinality inputs skip the
+    replication overhead entirely. ``None`` forces the plain
+    sort-merge path; an int forces that bucket width.
     """
     if isinstance(by, str):
         by = [by]
@@ -105,6 +189,15 @@ def interlace(
         return tables[0]
     if not tables:
         raise ValueError("interlace requires at least one table")
+    if bucket_days == "auto":
+        bucket_days = resolve_bucket_days(tables, by, auto_threshold)
+    elif bucket_days is not None and (
+        not isinstance(bucket_days, int) or bucket_days < 1
+    ):
+        raise ValueError(
+            f"bucket_days must be a positive int, 'auto', or None, "
+            f"got {bucket_days!r}"
+        )
 
     # 1. Breakpoint spine: distinct union of all validity endpoints per key.
     pieces = []
@@ -196,12 +289,16 @@ def interlace(
 def truncate_interlace(
     primary: DataFrame,
     secondary: list[DataFrame] | DataFrame | None = None,
-    bucket_days: int | None = None,
+    bucket_days: int | str | None = "auto",
+    auto_threshold: float = 2000.0,
 ) -> DataFrame:
     """Clip each secondary table to the primary's validity, then
     interlace. See module docstring for parity notes
-    (``R/truncate_interlace.R:80-120``). ``bucket_days`` enables the
-    bucketed range-join scale path of :func:`interlace`."""
+    (``R/truncate_interlace.R:80-120``). ``bucket_days`` selects the
+    bucketed range-join scale path of :func:`interlace`; ``"auto"``
+    (default) probes the RAW inputs (not the truncated plans, which
+    would re-execute the clip joins) and self-selects when the
+    average key group exceeds ``auto_threshold`` rows."""
     if secondary is None:
         return primary
     if isinstance(secondary, DataFrame):
@@ -210,6 +307,13 @@ def truncate_interlace(
         return primary
 
     primary_keys = key_columns(primary)
+    for s in secondary:
+        if not any(k in key_columns(s) for k in primary_keys):
+            raise ValueError("No common keys found to interlace by!")
+    if bucket_days == "auto":
+        bucket_days = resolve_bucket_days(
+            [primary, *secondary], primary_keys, auto_threshold
+        )
     truncated = []
     for s in secondary:
         common = [k for k in primary_keys if k in key_columns(s)]

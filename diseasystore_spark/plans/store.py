@@ -385,16 +385,24 @@ class Diseasystore:
                     clamp_to_study_period(feat_df, start_date, until_date)
                 )
 
-        # ``interlace_bucket_days`` (scoped option, default off) turns
-        # the interlace containment joins into equi joins on
-        # ``(keys..., W-day bucket)`` — the scale path for stores whose
-        # key columns have few distinct values (see
-        # ``operators/interlace.py``).
+        # ``interlace_bucket_days`` (scoped option, default "auto")
+        # governs the interlace containment joins: "auto" runs a cheap
+        # key-cardinality probe and switches to equi joins on
+        # ``(keys..., W-day bucket)`` when the average key group
+        # exceeds ``interlace_auto_threshold`` rows — the scale path
+        # for stores whose key columns have few distinct values (see
+        # ``operators/interlace.py``). An int forces that width; None
+        # forces the plain sort-merge path.
         out = (
             truncate_interlace(
                 observable_data,
                 strat_data,
-                bucket_days=diseasyoption("interlace_bucket_days", self),
+                bucket_days=diseasyoption(
+                    "interlace_bucket_days", self, default="auto"
+                ),
+                auto_threshold=diseasyoption(
+                    "interlace_auto_threshold", self, default=2000.0
+                ),
             )
             if strat_data
             else observable_data

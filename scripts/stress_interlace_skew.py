@@ -46,7 +46,15 @@ def make_pair(spark, n: int, span_days: int = 36500):
             "valid_until"
         ),
     )
-    return a, b
+    c = base.select(
+        "key_nation",
+        (F.col("id") % 7).cast("double").alias("n_admits"),
+        F.date_add("valid_from", 1).alias("valid_from"),
+        F.date_add("valid_from", (F.col("id") % 20 + 2).cast("int")).alias(
+            "valid_until"
+        ),
+    )
+    return a, b, c
 
 
 def main() -> None:
@@ -56,13 +64,18 @@ def main() -> None:
     spark = get_spark("stress_interlace")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm
 
+    from diseasystore_spark.operators.interlace import resolve_bucket_days
+
     for n in (30_000, 100_000):
-        a, b = make_pair(spark, n)
+        a, b, c = make_pair(spark, n)
         a = a.localCheckpoint()
         b = b.localCheckpoint()
-        for bucket in (None, 30):
+        c = c.localCheckpoint()
+        auto_w = resolve_bucket_days([a, b, c], ["key_nation"])
+        print(f"n={n} auto-resolved width: {auto_w}", flush=True)
+        for bucket in (None, 30, "auto"):
             t0 = time.perf_counter()
-            cnt = truncate_interlace(a, [b], bucket_days=bucket).count()
+            cnt = truncate_interlace(a, [b, c], bucket_days=bucket).count()
             dt = time.perf_counter() - t0
             print(
                 f"n={n} bucket_days={bucket}: {cnt} rows in {dt:.2f}s",

@@ -265,3 +265,78 @@ def test_bucketed_interlace_single_key_skew_bounded(spark):
     dt = time.perf_counter() - t0
     assert cnt > 0
     assert dt < 120, f"bucketed skew interlace took {dt:.1f}s"
+
+
+def _skewed_pair(spark, n=3000, keys=1):
+    """n SEQUENTIAL (SCD2-style, non-overlapping per key) interval
+    rows spread over ``keys`` distinct key values — hot keys without a
+    combinatorial join blow-up."""
+    per_key = max(n // keys, 1)
+    base = spark.range(n).select(
+        F.concat(F.lit("k"), (F.col("id") % keys)).alias("key_k"),
+        F.col("id"),
+        F.date_add(
+            F.lit(D(2000, 1, 1)), (F.col("id") / keys).cast("int")
+        ).alias("valid_from"),
+    )
+    a = base.select(
+        "key_k",
+        (F.col("id") % 97).cast("double").alias("n_cases"),
+        "valid_from",
+        F.date_add("valid_from", 1).alias("valid_until"),
+    )
+    b = base.select(
+        "key_k",
+        (F.col("id") % 13).cast("double").alias("n_tests"),
+        F.date_add("valid_from", per_key).alias("valid_from"),
+        F.date_add("valid_from", per_key + 1).alias("valid_until"),
+    )
+    c = base.select(
+        "key_k",
+        (F.col("id") % 7).cast("double").alias("n_admits"),
+        F.date_add("valid_from", 2 * per_key).alias("valid_from"),
+        F.date_add("valid_from", 2 * per_key + 1).alias("valid_until"),
+    )
+    return a.localCheckpoint(), b.localCheckpoint(), c.localCheckpoint()
+
+
+def test_auto_bucket_selects_on_hot_keys_and_skips_on_wide_keys(spark):
+    """``resolve_bucket_days`` must switch the bucketed path ON for a
+    low-cardinality corpus (rows-per-key above threshold) and OFF for
+    a high-cardinality one — and the auto plan must carry the bucket
+    id as an equi join key, with rows identical to the forced plain
+    path."""
+    from diseasystore_spark.operators.interlace import resolve_bucket_days
+
+    hot_a, hot_b, hot_c = _skewed_pair(spark, n=3000, keys=1)
+    w = resolve_bucket_days([hot_a, hot_b], ["key_k"], auto_threshold=1000)
+    assert isinstance(w, int) and w >= 1
+
+    wide_a, wide_b, wide_c = _skewed_pair(spark, n=3000, keys=3000)
+    assert (
+        resolve_bucket_days([wide_a, wide_b], ["key_k"], auto_threshold=1000)
+        is None
+    )
+
+    auto = truncate_interlace(hot_a, [hot_b, hot_c], auto_threshold=1000)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "Join" in ln and "__bkt" in ln for ln in plan.splitlines()
+    ), f"auto path did not bucket the containment join:\n{plan}"
+
+    plain = truncate_interlace(hot_a, [hot_b, hot_c], bucket_days=None)
+    wide_auto = truncate_interlace(
+        wide_a, [wide_b, wide_c], auto_threshold=1000
+    )
+    assert "__bkt" not in (
+        wide_auto._jdf.queryExecution().executedPlan().toString()
+    )
+    assert _sorted_rows(auto.select(plain.columns)) == _sorted_rows(plain)
+
+
+def test_auto_bucket_rejects_bad_widths(spark):
+    a, b, _ = _skewed_pair(spark, n=50, keys=5)
+    with pytest.raises(ValueError, match="bucket_days"):
+        interlace([a, b], by=["key_k"], bucket_days=0)
+    with pytest.raises(ValueError, match="bucket_days"):
+        interlace([a, b], by=["key_k"], bucket_days="weekly")
