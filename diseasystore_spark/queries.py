@@ -4840,6 +4840,37 @@ FROM base GROUP BY 1, 2
 """
 
 
+def q103_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed mergeable quantile sketch (KLL-family multi-level
+    compactor, ``pipeline/sketch.py``) over ``orders.o_totalprice``:
+    per-batch compaction via mapInPandas, one bounded merge task,
+    then quantile_cont-semantics interpolation over the weighted
+    sketch rows. k=32768 exceeds the sf0.01 row count, so the sketch
+    never compacts and every quantile is EXACT — the DuckDB
+    ``quantile_cont`` oracle matches bit-for-bit (the production
+    k=200-ish regime is property-tested against rank-error bounds in
+    ``tests/test_sketch.py`` instead)."""
+    from diseasystore_spark.pipeline.sketch import kll_build, kll_quantiles
+
+    sk = kll_build(_read(spark, sf_dir, "orders"), "o_totalprice", k=32768)
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    return kll_quantiles(sk, qs).select(
+        F.round("q", 2).alias("q"), F.round("value", 4).alias("value")
+    )
+
+
+ORACLE_Q103 = """
+WITH qv AS (
+  SELECT quantile_cont(o_totalprice,
+                       [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS vs
+  FROM orders
+)
+SELECT qs.q, round(qv.vs[qs.i], 4) AS value
+FROM qv, (SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+                 unnest([1, 2, 3, 4, 5, 6, 7]) AS i) qs
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4947,6 +4978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q100_snapshot_diff": q100_snapshot_diff,
     "q101_media_dispatch": q101_media_dispatch,
     "q102_pricing_summary": q102_pricing_summary,
+    "q103_kll_quantiles": q103_kll_quantiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -5051,6 +5083,7 @@ ORACLES: dict[str, str] = {
     "q100_snapshot_diff": ORACLE_Q100,
     "q101_media_dispatch": ORACLE_Q101,
     "q102_pricing_summary": ORACLE_Q102,
+    "q103_kll_quantiles": ORACLE_Q103,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

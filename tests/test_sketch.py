@@ -221,3 +221,134 @@ def test_cms_shard_merge_is_counter_sum(spark):
         .collect()
     }
     assert merged == whole
+
+
+def test_cms_geometry_metadata_validated(spark):
+    """The counter frame is self-describing: estimate reads
+    depth/width from it, and a caller-supplied mismatch raises
+    instead of silently probing wrong buckets."""
+    import pytest
+
+    from diseasystore_spark.pipeline.sketch import (
+        cms_build_tokens,
+        cms_estimate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "b c d")], "doc_id long, text string"
+    )
+    cms = cms_build_tokens(docs, depth=3, width=64)
+    terms = spark.createDataFrame([("a",), ("b",)], "term string")
+    # geometry from the frame alone
+    got = {r["term"]: r["est_count"] for r in cms_estimate(cms, terms).collect()}
+    assert got["a"] >= 2 and got["b"] >= 2
+    # explicit matching geometry is accepted
+    assert cms_estimate(cms, terms, depth=3, width=64).count() == 2
+    with pytest.raises(ValueError, match="depth mismatch"):
+        cms_estimate(cms, terms, depth=4, width=64).count()
+    with pytest.raises(ValueError, match="width mismatch"):
+        cms_estimate(cms, terms, depth=3, width=128).count()
+    # a frame stripped of metadata needs explicit geometry
+    bare = cms.drop("depth", "width")
+    with pytest.raises(ValueError, match="no depth/width"):
+        cms_estimate(bare, terms).count()
+    assert cms_estimate(bare, terms, depth=3, width=64).count() == 2
+
+
+def test_kll_exact_regime_matches_numpy_quantiles(spark):
+    """k >= n: the sketch never compacts, and kll_quantiles IS
+    quantile_cont (numpy linear interpolation) of the raw data."""
+    import random
+
+    import numpy as np
+
+    from diseasystore_spark.pipeline.sketch import kll_build, kll_quantiles
+
+    rng = random.Random(7)
+    vals = [rng.uniform(-100, 100) for _ in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    sk = kll_build(df, "x", k=4096)
+    rows = sk.collect()
+    assert all(r["level"] == 0 for r in rows) and len(rows) == 2000
+    qs = [0.0, 0.01, 0.37, 0.5, 0.925, 1.0]
+    got = {r["q"]: r["value"] for r in kll_quantiles(sk, qs).collect()}
+    exp = np.quantile(np.array(vals), qs)  # linear interpolation
+    for q, e in zip(qs, exp):
+        assert abs(got[q] - e) < 1e-9, (q, got[q], e)
+
+
+def test_kll_compacted_rank_error_bounded(spark):
+    """Production regime: k << n. The estimated quantile's RANK in
+    the raw data must stay within a small fraction of n of the target
+    rank (the KLL-style guarantee), across a skewed and a uniform
+    distribution, and the sketch must stay small."""
+    import random
+
+    from diseasystore_spark.pipeline.sketch import kll_build, kll_quantiles
+
+    rng = random.Random(31)
+    n = 60_000
+    datasets = {
+        "uniform": [rng.uniform(0, 1) for _ in range(n)],
+        "lognorm": [rng.lognormvariate(0, 2) for _ in range(n)],
+    }
+    for name, vals in datasets.items():
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        sk = kll_build(df, "x", k=256)
+        rows = sk.collect()
+        assert len(rows) < 256 * 12, f"{name}: sketch too large"
+        svals = sorted(vals)
+        qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+        got = {r["q"]: r["value"] for r in kll_quantiles(sk, qs).collect()}
+        import bisect
+
+        for q in qs:
+            est = got[q]
+            rank = bisect.bisect_left(svals, est)
+            assert abs(rank - q * (n - 1)) <= 0.03 * n, (
+                name, q, rank, q * n,
+            )
+
+
+def test_kll_merge_of_shards_bounds_and_k_mismatch(spark):
+    """Sharded build + kll_merge answers like a whole-corpus build
+    (both within the rank-error envelope; weights conserved exactly),
+    and merging sketches with different k raises."""
+    import bisect
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from diseasystore_spark.pipeline.sketch import (
+        kll_build,
+        kll_merge,
+        kll_quantiles,
+    )
+
+    rng = random.Random(97)
+    n = 30_000
+    vals = [rng.gauss(0, 10) for _ in range(n)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, x double"
+    )
+    shards = [
+        kll_build(df.where(F.col("i") % 3 == m), "x", k=256) for m in range(3)
+    ]
+    merged = kll_merge(shards[0].unionByName(shards[1]).unionByName(shards[2]))
+    # weight conservation: sum of 2^level == n exactly
+    total = merged.selectExpr(
+        "sum(shiftleft(cast(1 as bigint), level)) AS w"
+    ).first()["w"]
+    assert total == n
+    svals = sorted(vals)
+    got = {
+        r["q"]: r["value"]
+        for r in kll_quantiles(merged, [0.1, 0.5, 0.9]).collect()
+    }
+    for q in (0.1, 0.5, 0.9):
+        rank = bisect.bisect_left(svals, got[q])
+        assert abs(rank - q * (n - 1)) <= 0.04 * n
+    other = kll_build(df, "x", k=128)
+    with pytest.raises(Exception, match="different k"):
+        kll_merge(shards[0].unionByName(other)).collect()
