@@ -837,6 +837,120 @@ def dedup_lines(
     )
 
 
+def remove_boilerplate_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_sep: str = "\n\n",
+    min_chars: int = 20,
+    max_df: int = 10,
+    near: bool = False,
+    k: int = 9,
+    window: int = 4,
+    min_containment: float = 0.6,
+) -> DataFrame:
+    """Boilerplate-paragraph removal — the practical web-crawl cleaner
+    (C4 / CCNet-style, public): split every document into paragraphs,
+    find paragraphs whose content recurs across MORE than ``max_df``
+    DISTINCT documents (navigation, headers, cookie banners), drop
+    every occurrence, and reassemble the documents. Unlike
+    ``dedup_lines`` (keep globally-first occurrence), boilerplate is
+    removed everywhere — a span that appears in half the crawl is
+    noise in all of its hosts.
+
+    ``near=True`` composes the paragraph table with
+    ``containment_pairs`` (winnowing fingerprints, ``portable``
+    hashing) + ``dedup_components``: near-identical paragraph variants
+    (dynamic dates, counters) CLUSTER first, and a cluster counts as
+    boilerplate when the union of its members' host documents exceeds
+    ``max_df`` — catching templated boilerplate that exact content
+    matching misses. Exact mode is the ``near=False`` fast path.
+
+    Paragraphs shorter than ``min_chars`` are exempt (always kept):
+    separators and stub lines should not be removable.
+
+    Output: ``(id, text_clean, n_paras, n_paras_kept)`` for EVERY
+    input document.
+
+    Scale shape: the paragraph table shuffles 16-byte digests (one
+    md5 per paragraph, ``min(struct)``-combinable aggregations); the
+    containment stage runs over DISTINCT paragraph contents only
+    (fingerprint-bucketed, never all-pairs); the boilerplate digest
+    list is ``<= |boilerplate contents|`` — broadcast into a
+    ``left_anti``-shaped null-preserving join; reassembly is
+    ``dedup_lines``'s array_sort/array_join groupBy.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), f"\\Q{para_sep}\\E")
+        ).alias("__pos", "__para"),
+    ).withColumn(
+        "__d",
+        F.when(F.length("__para") >= min_chars, F.md5("__para")),
+    )
+    eligible = paras.where(F.col("__d").isNotNull())
+    if near:
+        from diseasystore_spark.pipeline.dedup import (
+            containment_pairs,
+            dedup_components,
+        )
+
+        contents = eligible.select("__d", "__para").dropDuplicates(["__d"])
+        pairs = containment_pairs(
+            contents,
+            id_col="__d",
+            text_col="__para",
+            k=k,
+            window=window,
+            min_containment=min_containment,
+            portable=True,
+        )
+        comps = dedup_components(pairs).select(
+            F.col("id").alias("__d"), F.col("component").alias("__g")
+        )
+        grouped = eligible.join(comps, "__d", "left").withColumn(
+            "__g", F.coalesce(F.col("__g"), F.col("__d"))
+        )
+        gdf = grouped.groupBy("__g").agg(
+            F.countDistinct(id_col).alias("__ddf")
+        )
+        boiler = (
+            grouped.select("__d", "__g")
+            .distinct()
+            .join(gdf.where(F.col("__ddf") > max_df), "__g")
+            .select("__d")
+        )
+    else:
+        boiler = (
+            eligible.groupBy("__d")
+            .agg(F.countDistinct(id_col).alias("__ddf"))
+            .where(F.col("__ddf") > max_df)
+            .select("__d")
+        )
+    marked = paras.join(
+        F.broadcast(boiler.withColumn("__boiler", F.lit(True))), "__d", "left"
+    ).withColumn("__kept", F.col("__boiler").isNull())
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("__kept").cast("int")).cast("bigint").alias(
+                "n_paras_kept"
+            ),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "CASE WHEN __kept THEN struct(__pos, __para) END)), "
+                    "s -> s.__para)"
+                ),
+                para_sep,
+            ).alias("text_clean"),
+        )
+        .select(id_col, "text_clean", "n_paras", "n_paras_kept")
+    )
+
+
 def doc_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -4871,6 +4871,133 @@ FROM qv, (SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
 """
 
 
+def q104_boilerplate_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-paragraph removal, NEAR mode — the practical
+    web-crawl cleaner: paragraphs cluster by winnowing-fingerprint
+    containment (``containment_pairs`` + ``dedup_components`` over
+    DISTINCT paragraph contents), and every occurrence of a cluster
+    hosted by more than ``max_df`` distinct documents is dropped
+    before reassembly. The corpus is single-line word soup, so the
+    query first breaks each document into 8-token paragraphs with a
+    pure regex (q55's trick, applied identically in both engines).
+    Oracle = the full composition in SQL: q55's split/reassembly,
+    q50's winnowing fingerprints, q53's recursive-CTE closure."""
+    from diseasystore_spark.pipeline.text import (
+        remove_boilerplate_paragraphs,
+    )
+
+    sep = "\n\n"
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.trim(F.col("text")),
+            r"(\S+ \S+ \S+ \S+ \S+ \S+ \S+ \S+) ",
+            "$1" + sep,
+        ).alias("text"),
+    )
+    return remove_boilerplate_paragraphs(
+        docs,
+        para_sep=sep,
+        min_chars=20,
+        max_df=2,
+        near=True,
+        min_containment=0.6,
+    )
+
+
+ORACLE_Q104 = """
+WITH RECURSIVE docs AS (
+  SELECT doc_id,
+         regexp_replace(trim(text),
+                        '(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ',
+                        '\\1' || chr(10) || chr(10), 'g') AS t
+  FROM documents
+),
+split AS (
+  SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ps FROM docs
+),
+prow AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ps[i] AS para
+  FROM (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i
+        FROM split)
+),
+keyed AS (
+  SELECT doc_id, pos, para,
+         CASE WHEN length(para) >= 20 THEN md5(para) END AS d
+  FROM prow
+),
+contents AS (
+  SELECT d, any_value(para) AS para FROM keyed WHERE d IS NOT NULL
+  GROUP BY d
+),
+grams AS (
+  SELECT d,
+         list_transform(
+           generate_series(1, greatest(length(para) - 8, 1)),
+           i -> substr(md5(substr(para, i, 9)), 1, 15)) AS g
+  FROM contents
+),
+mins AS (
+  SELECT d,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(g) - 3, 1)),
+           i -> list_min(g[i:i + 3]))) AS m
+  FROM grams
+),
+fp AS (SELECT DISTINCT d, unnest(m) AS fingerprint FROM mins),
+sizes AS (SELECT d, count(*) AS sz FROM fp GROUP BY d),
+pairs AS (
+  SELECT s.id_a, s.id_b
+  FROM (SELECT a.d AS id_a, b.d AS id_b, count(*) AS shared
+        FROM fp a JOIN fp b
+          ON a.fingerprint = b.fingerprint AND a.d < b.d
+        GROUP BY 1, 2) s
+  JOIN sizes x ON x.d = s.id_a
+  JOIN sizes y ON y.d = s.id_b
+  WHERE s.shared / least(x.sz, y.sz) >= 0.6
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+comp AS (
+  SELECT id AS d, least(id, min(r)) AS g FROM reach GROUP BY id
+),
+grouped AS (
+  SELECT k.doc_id, k.d, coalesce(c.g, k.d) AS g
+  FROM keyed k LEFT JOIN comp c ON k.d = c.d
+  WHERE k.d IS NOT NULL
+),
+gdf AS (
+  SELECT g, count(DISTINCT doc_id) AS ddf FROM grouped GROUP BY g
+),
+boiler AS (
+  SELECT DISTINCT gr.d
+  FROM (SELECT DISTINCT d, g FROM grouped) gr
+  JOIN gdf ON gdf.g = gr.g
+  WHERE gdf.ddf > 2
+),
+marked AS (
+  SELECT k.doc_id, k.pos, k.para,
+         (k.d IS NULL OR b.d IS NULL) AS kept
+  FROM keyed k LEFT JOIN boiler b ON k.d = b.d
+)
+SELECT doc_id,
+       coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                  FILTER (WHERE kept), '') AS text_clean,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_paras_kept
+FROM marked
+GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4979,6 +5106,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q101_media_dispatch": q101_media_dispatch,
     "q102_pricing_summary": q102_pricing_summary,
     "q103_kll_quantiles": q103_kll_quantiles,
+    "q104_boilerplate_paragraphs": q104_boilerplate_paragraphs,
 }
 
 ORACLES: dict[str, str] = {
@@ -5084,6 +5212,7 @@ ORACLES: dict[str, str] = {
     "q101_media_dispatch": ORACLE_Q101,
     "q102_pricing_summary": ORACLE_Q102,
     "q103_kll_quantiles": ORACLE_Q103,
+    "q104_boilerplate_paragraphs": ORACLE_Q104,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -1967,3 +1967,65 @@ def test_media_stats_mixed_corpus_dispatch(spark):
     assert not got[3]["ok"] and got[3]["decode_error"] == "unknown container"
     assert got[4]["format"] == "bmp" and not got[4]["ok"]
     assert got[4]["decode_error"]
+
+
+def test_remove_boilerplate_paragraphs_exact_and_near(spark):
+    """Web-crawl cleaner semantics: exact mode drops only paragraphs
+    whose EXACT content spans > max_df distinct docs; near mode
+    clusters templated variants via winnowing containment first, so a
+    header differing per-document still counts as ONE boilerplate
+    cluster. Short paragraphs are exempt; documents reassemble in
+    original order with the separator preserved."""
+    from diseasystore_spark.pipeline.text import (
+        remove_boilerplate_paragraphs,
+    )
+
+    hdr = "subscribe to our newsletter for daily updates and offers"
+    rows = []
+    for i in range(6):
+        rows.append(
+            (
+                i,
+                f"{hdr} issue {i}\n\n"
+                f"document body {i} discusses topic-{i} extensively today\n\n"
+                "ok",
+            )
+        )
+    # exact repeated footer in 4 docs; bodies genuinely dissimilar
+    footer = "copyright example corporation all rights reserved forever"
+    bodies = {
+        6: "alpine meadows bloom quietly under tremendous glacier light",
+        7: "quantum harpsichord melodies reverberate across velvet auditoriums",
+        8: "seventeen turtles navigated bureaucratic estuaries before dawn",
+        9: "mercury vapor lanterns illuminate derelict funicular stations",
+    }
+    for i in range(6, 10):
+        rows.append((i, f"{bodies[i]}\n\n{footer}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_paragraphs(df, max_df=3).collect()
+    }
+    # the exact footer (4 docs > 3) is dropped everywhere
+    assert all(footer not in exact[i]["text_clean"] for i in range(6, 10))
+    assert exact[6]["n_paras_kept"] == 1 and exact[6]["n_paras"] == 2
+    # per-doc header variants are each unique -> kept in exact mode
+    assert hdr in exact[0]["text_clean"]
+    # ordering + separator survive reassembly
+    assert exact[0]["text_clean"].startswith(hdr)
+    assert "\n\n" in exact[0]["text_clean"]
+
+    near = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_paragraphs(
+            df, max_df=3, near=True, min_containment=0.5
+        ).collect()
+    }
+    # the templated header clusters across 6 docs -> dropped
+    assert all(hdr not in near[i]["text_clean"] for i in range(6))
+    # the short "ok" paragraph is exempt (always kept)
+    assert all(near[i]["text_clean"].endswith("ok") for i in range(6))
+    # genuinely dissimilar bodies survive near mode
+    assert near[6]["text_clean"] == bodies[6]
+    assert all(footer not in near[i]["text_clean"] for i in range(6, 10))
