@@ -71,11 +71,45 @@ def _bucket_of(col: F.Column | str, width_days: int) -> F.Column:
     return F.floor(F.datediff(col, F.lit(_EPOCH)) / width_days).cast("int")
 
 
-#: target candidate rows per (key, bucket) group for the auto path —
-#: large enough that bucket overhead (row replication, the extra join
-#: key) is negligible, small enough that no single sort-merge group
-#: degenerates to a quadratic residual scan.
-AUTO_TARGET_ROWS_PER_BUCKET = 4096
+#: target candidate PAIRS per (key, bucket) group for the auto path.
+#: The containment join's residual scan inside one group costs
+#: ~(density * W)^2 comparisons (spine breakpoints x table rows, both
+#: ~density * W), so the width is sized to sqrt(target) / density:
+#: total work across buckets is then ~n * sqrt(target) — linear in the
+#: data — while each group stays far below sort-merge buffering
+#: pressure. Large enough that replication + per-group overhead is
+#: negligible, small enough that no group degenerates quadratically
+#: (measured: a 4096-ROW target left 16M-comparison groups and ran
+#: 1.3-1.7x slower than a hand-tuned width on the single-key stress).
+AUTO_TARGET_PAIRS_PER_BUCKET = 4096
+
+
+def width_from_stats(
+    n: int,
+    k: int,
+    span_days: int,
+    avg_span: float,
+    auto_threshold: float = 2000.0,
+) -> int | None:
+    """The auto-bucketing decision as a pure function of table
+    statistics (row count, distinct key tuples, date span in days,
+    mean row validity span in days) — shared by the live probe
+    (:func:`resolve_bucket_days`) and the engine's write-time stats
+    path (``storage/scd2.py`` persists these numbers with every
+    version, so ``key_join_features`` decides with ZERO extra jobs).
+    """
+    if not n or not k:
+        return None
+    if n / k < auto_threshold:
+        return None
+    span = max(span_days, 1)
+    density = n / (k * span)  # rows per key per day
+    width = max(
+        AUTO_TARGET_PAIRS_PER_BUCKET ** 0.5 / max(density, 1e-9),
+        (avg_span or 0.0) / 4.0,
+        1.0,
+    )
+    return max(int(min(width, span)), 1)
 
 
 def resolve_bucket_days(
@@ -92,8 +126,9 @@ def resolve_bucket_days(
     per key is below ``auto_threshold`` — per-key join groups that
     small are handled fine by a plain sort-merge join, and bucketing
     would only add row replication. Above it, the width targets
-    ``AUTO_TARGET_ROWS_PER_BUCKET`` candidate rows per (key, bucket)
-    and is floored at a quarter of the mean row span so replication
+    ``AUTO_TARGET_PAIRS_PER_BUCKET`` candidate pairs per (key,
+    bucket) — i.e. width ~ sqrt(target) / (rows per key-day) — and is
+    floored at a quarter of the mean row span so replication
     (span/width) stays bounded by ~4x.
 
     This is the scale guard for the engine's core temporal-alignment
@@ -131,19 +166,15 @@ def resolve_bucket_days(
     ).first()
     if not row or not row["n"] or not row["k"]:
         return None
-    rows_per_key = row["n"] / row["k"]
-    if rows_per_key < auto_threshold:
-        return None
     if row["lo"] is None or row["hi"] is None:
         return None
-    span = max((row["hi"] - row["lo"]).days, 1)
-    density = row["n"] / (row["k"] * span)  # rows per key per day
-    width = max(
-        AUTO_TARGET_ROWS_PER_BUCKET / max(density, 1e-9),
-        (row["avg_span"] or 0.0) / 4.0,
-        1.0,
+    return width_from_stats(
+        row["n"],
+        row["k"],
+        (row["hi"] - row["lo"]).days,
+        row["avg_span"] or 0.0,
+        auto_threshold,
     )
-    return max(int(min(width, span)), 1)
 
 
 def interlace(

@@ -176,11 +176,21 @@ def _jaccard_pairs_sized(
             .agg(F.sum(w).cast("bigint").alias("df"))
             .where(F.col("df") > max_df)
             .select("shingle")
+            .localCheckpoint()  # bounded: hot shingles only
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-        # sizes must reflect the post-filter shingle sets
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    else:
+        if not hot.take(1):
+            # Conservative caps usually catch nothing: skip the
+            # anti-join AND the post-filter size shuffle (the sizes
+            # are provably the pre-filter array sizes), so a guarded
+            # call on a clean corpus costs one aggregation, not three
+            # extra shuffles. The take(1) is a bounded action on the
+            # already-materialized hot frame.
+            max_df = None
+        else:
+            sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+            # sizes must reflect the post-filter shingle sets
+            sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if max_df is None:
         # per-doc set size needs no shuffle at all — it's the array size
         sizes = arr.select(F.col(id_col), F.size("_sh").alias("sz"))
 

@@ -848,6 +848,7 @@ def remove_boilerplate_paragraphs(
     k: int = 9,
     window: int = 4,
     min_containment: float = 0.6,
+    containment_max_df: int | None = None,
 ) -> DataFrame:
     """Boilerplate-paragraph removal — the practical web-crawl cleaner
     (C4 / CCNet-style, public): split every document into paragraphs,
@@ -868,6 +869,14 @@ def remove_boilerplate_paragraphs(
 
     Paragraphs shorter than ``min_chars`` are exempt (always kept):
     separators and stub lines should not be removable.
+
+    ``containment_max_df`` caps a winnowing fingerprint's document
+    frequency across DISTINCT paragraph contents (``containment_pairs``'
+    hot-fingerprint guard): a 9-char shingle shared by thousands of
+    unrelated paragraphs is stopword noise whose self-join is
+    quadratic in its DF, while a genuinely templated paragraph still
+    clusters through its remaining fingerprints. Set it for
+    low-entropy corpora; the q104 oracle applies the identical cap.
 
     Output: ``(id, text_clean, n_paras, n_paras_kept)`` for EVERY
     input document.
@@ -905,6 +914,7 @@ def remove_boilerplate_paragraphs(
             window=window,
             min_containment=min_containment,
             portable=True,
+            max_df=containment_max_df,
         )
         comps = dedup_components(pairs).select(
             F.col("id").alias("__d"), F.col("component").alias("__g")

@@ -386,23 +386,47 @@ class Diseasystore:
                 )
 
         # ``interlace_bucket_days`` (scoped option, default "auto")
-        # governs the interlace containment joins: "auto" runs a cheap
-        # key-cardinality probe and switches to equi joins on
-        # ``(keys..., W-day bucket)`` when the average key group
-        # exceeds ``interlace_auto_threshold`` rows — the scale path
-        # for stores whose key columns have few distinct values (see
-        # ``operators/interlace.py``). An int forces that width; None
-        # forces the plain sort-merge path.
+        # governs the interlace containment joins: "auto" switches to
+        # equi joins on ``(keys..., W-day bucket)`` when the average
+        # key group exceeds ``interlace_auto_threshold`` rows — the
+        # scale path for stores whose key columns have few distinct
+        # values (see ``operators/interlace.py``). The decision is
+        # made from the backend's WRITE-time table statistics
+        # (``storage/scd2.py:_write_stats`` — the ANALYZE analog), so
+        # it costs ZERO query-time jobs; only a table missing stats
+        # falls back to the one-job live probe. An int forces that
+        # width; None forces the plain sort-merge path.
+        bucket_days = diseasyoption(
+            "interlace_bucket_days", self, default="auto"
+        )
+        auto_threshold = diseasyoption(
+            "interlace_auto_threshold", self, default=2000.0
+        )
+        if bucket_days == "auto" and strat_data:
+            stats = [
+                self.backend.table_stats(
+                    f"{self.target_schema}.{ds_map[f]}"
+                )
+                for f in [observable, *stratification_features]
+            ]
+            if all(s is not None for s in stats):
+                from diseasystore_spark.operators.interlace import (
+                    width_from_stats,
+                )
+
+                bucket_days = width_from_stats(
+                    sum(s["n"] for s in stats),
+                    max(s["k"] for s in stats),
+                    max(s["span_days"] for s in stats),
+                    max(s["avg_span"] for s in stats),
+                    auto_threshold,
+                )
         out = (
             truncate_interlace(
                 observable_data,
                 strat_data,
-                bucket_days=diseasyoption(
-                    "interlace_bucket_days", self, default="auto"
-                ),
-                auto_threshold=diseasyoption(
-                    "interlace_auto_threshold", self, default=2000.0
-                ),
+                bucket_days=bucket_days,
+                auto_threshold=auto_threshold,
             )
             if strat_data
             else observable_data

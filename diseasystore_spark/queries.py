@@ -4902,6 +4902,13 @@ def q104_boilerplate_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df=2,
         near=True,
         min_containment=0.6,
+        # The word-soup vocabulary is tiny, so a few 9-char shingles
+        # recur across thousands of unrelated paragraphs — their
+        # self-join contributed 87M of 92M candidate rows at sf0.1.
+        # The cap drops fingerprints in >100 distinct contents
+        # (mirrored in the oracle); template clusters keep their
+        # lower-DF fingerprints.
+        containment_max_df=100,
     )
 
 
@@ -4944,7 +4951,14 @@ mins AS (
            i -> list_min(g[i:i + 3]))) AS m
   FROM grams
 ),
-fp AS (SELECT DISTINCT d, unnest(m) AS fingerprint FROM mins),
+fp0 AS (SELECT DISTINCT d, unnest(m) AS fingerprint FROM mins),
+hotfp AS (
+  SELECT fingerprint FROM fp0 GROUP BY fingerprint HAVING count(*) > 100
+),
+fp AS (
+  SELECT * FROM fp0
+  WHERE fingerprint NOT IN (SELECT fingerprint FROM hotfp)
+),
 sizes AS (SELECT d, count(*) AS sz FROM fp GROUP BY d),
 pairs AS (
   SELECT s.id_a, s.id_b

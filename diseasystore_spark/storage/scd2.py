@@ -39,6 +39,7 @@ Delta backend can be slotted in behind the same five methods.
 from __future__ import annotations
 
 import datetime
+import json
 import os
 import shutil
 import time
@@ -717,7 +718,129 @@ class ParquetFeatureStore:
                                 )
         else:
             new_table.write.mode("overwrite").parquet(out_dir)
+        self._write_stats(table_id, out_dir)
         self._swap_pointer(table_id, version)
+
+    #: above this row count the stats aggregation runs as a Spark job
+    #: instead of a driver-side DuckDB scan (the scan reads only key +
+    #: validity columns, but at billions of rows even that belongs on
+    #: the executors — where it is noise next to the write itself).
+    _STATS_DRIVER_MAX_ROWS = 50_000_000
+
+    def _write_stats(self, table_id: str, version_dir: str) -> None:
+        """Persist table statistics next to the version's data
+        (``_STATS.json`` — leading underscore, so parquet readers skip
+        it): row count, approx distinct key tuples (``key_*``
+        columns), validity span, mean row span. The analog of an
+        RDBMS ANALYZE, computed at WRITE time so query-time planning
+        decisions (the interlace auto-bucketing width,
+        ``operators/interlace.py:width_from_stats``) cost zero extra
+        jobs.
+
+        Cost discipline: the row count comes FREE from the parquet
+        footers (pyarrow metadata, no data read — and it covers
+        hard-linked unchanged months too); the key-cardinality /
+        span aggregation is a driver-side DuckDB scan of just the key
+        + validity columns for ordinary tables (no Spark job, ~ms),
+        escalating to a column-pruned Spark aggregation only above
+        ``_STATS_DRIVER_MAX_ROWS``. Stats are advisory: any failure
+        is swallowed and the readers treat the table as stats-less.
+        """
+        files = []
+        for dirpath, _dirs, names in os.walk(version_dir):
+            files += [
+                os.path.join(dirpath, f)
+                for f in names
+                if f.endswith(".parquet")
+            ]
+        if not files:
+            return
+        try:
+            schema = pq.ParquetFile(files[0]).schema_arrow
+            if "valid_from" not in schema.names:
+                return
+            n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        except Exception:
+            return
+        if not n:
+            return
+        keys = [c for c in schema.names if c.startswith("key_")]
+        has_until = "valid_until" in schema.names
+        try:
+            if n <= self._STATS_DRIVER_MAX_ROWS:
+                import duckdb
+
+                ktuple = (
+                    "approx_count_distinct(concat_ws(chr(31), "
+                    + ", ".join(f'CAST("{c}" AS VARCHAR)' for c in keys)
+                    + "))"
+                    if keys
+                    else "1"
+                )
+                until = (
+                    'coalesce("valid_until", "valid_from")'
+                    if has_until
+                    else '"valid_from"'
+                )
+                row = duckdb.sql(
+                    f"SELECT {ktuple} AS k, min(valid_from) AS lo, "
+                    f"greatest(max(valid_from), max({until})) AS hi, "
+                    f"avg(date_diff('day', CAST(valid_from AS DATE), "
+                    f"CAST({until} AS DATE))) AS avg_span "
+                    f"FROM read_parquet({files!r})"
+                ).fetchone()
+                k, lo, hi, avg_span = row
+            else:
+                df = self.spark.read.parquet(version_dir)
+                kc = (
+                    F.approx_count_distinct(
+                        F.xxhash64(*[F.col(c) for c in keys])
+                    )
+                    if keys
+                    else F.lit(1)
+                )
+                until = (
+                    F.coalesce("valid_until", "valid_from")
+                    if has_until
+                    else F.col("valid_from")
+                )
+                r = df.agg(
+                    kc.alias("k"),
+                    F.min("valid_from").alias("lo"),
+                    F.greatest(F.max("valid_from"), F.max(until)).alias("hi"),
+                    F.avg(F.datediff(until, "valid_from")).alias("avg_span"),
+                ).first()
+                k, lo, hi, avg_span = r["k"], r["lo"], r["hi"], r["avg_span"]
+        except Exception:
+            return
+        if lo is None or hi is None:
+            return
+        if hasattr(lo, "date"):
+            lo, hi = lo.date(), hi.date()
+        stats = {
+            "n": int(n),
+            "k": int(k or 1),
+            "lo": str(lo),
+            "hi": str(hi),
+            "span_days": max((hi - lo).days, 1),
+            "avg_span": float(avg_span or 0.0),
+        }
+        with open(os.path.join(version_dir, "_STATS.json"), "w") as fh:
+            json.dump(stats, fh)
+
+    def table_stats(self, table_id: str) -> dict | None:
+        """Read the current version's write-time statistics (see
+        ``_write_stats``); None when absent (pre-stats tables)."""
+        cur = self._current_version(table_id)
+        if cur is None:
+            return None
+        path = os.path.join(
+            self._table_dir(table_id), f"_v{cur}", "_STATS.json"
+        )
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
 
     # --------------------------------------------------------------- logs
     # The log table is driver-side metadata: one row per completed

@@ -21,38 +21,38 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def make_pair(spark, n: int, span_days: int = 36500):
+def make_pair(spark, n: int):
+    """SCD2-shaped hot key: every row in ONE key group, validity
+    intervals SEQUENTIAL per table (feature tables never overlap per
+    key — that is the SCD2 contract the engine stores enforce), the
+    three tables' breakpoints mutually offset so the interlace spine
+    is dense. Output cardinality is linear in n; the only quadratic
+    risk is the single-group sort-merge residual scan the bucketed
+    path exists to break up."""
     base = spark.range(n).select(
         F.lit("DK").alias("key_nation"),
         F.col("id"),
         F.date_add(
-            F.lit(datetime.date(1950, 1, 1)),
-            (F.col("id") % span_days).cast("int"),
+            F.lit(datetime.date(1950, 1, 1)), (F.col("id") * 3).cast("int")
         ).alias("valid_from"),
     )
     a = base.select(
         "key_nation",
         (F.col("id") % 97).cast("double").alias("n_cases"),
         "valid_from",
-        F.date_add("valid_from", (F.col("id") % 30 + 1).cast("int")).alias(
-            "valid_until"
-        ),
+        F.date_add("valid_from", 3).alias("valid_until"),
     )
     b = base.select(
         "key_nation",
         (F.col("id") % 13).cast("double").alias("n_tests"),
-        F.date_add("valid_from", 3).alias("valid_from"),
-        F.date_add("valid_from", (F.col("id") % 45 + 5).cast("int")).alias(
-            "valid_until"
-        ),
+        F.date_add("valid_from", 1).alias("valid_from"),
+        F.date_add("valid_from", 4).alias("valid_until"),
     )
     c = base.select(
         "key_nation",
         (F.col("id") % 7).cast("double").alias("n_admits"),
-        F.date_add("valid_from", 1).alias("valid_from"),
-        F.date_add("valid_from", (F.col("id") % 20 + 2).cast("int")).alias(
-            "valid_until"
-        ),
+        F.date_add("valid_from", 2).alias("valid_from"),
+        F.date_add("valid_from", 5).alias("valid_until"),
     )
     return a, b, c
 

@@ -336,3 +336,34 @@ def test_interlace_bucket_days_option_wires_through(spark, tmp_path):
     finally:
         set_diseasyoption("interlace_bucket_days", "", scope="SumStore")
     assert plain == bucketed and len(plain) > 0
+
+
+def test_write_time_stats_drive_bucket_decision(spark, tmp_path):
+    """Every version write persists _STATS.json (the ANALYZE analog);
+    table_stats() reads it; width_from_stats turns it into the
+    interlace bucketing decision with zero query-time jobs."""
+    from diseasystore_spark.operators.interlace import width_from_stats
+
+    ds = SumStore(
+        spark, target_conn=str(tmp_path / "s"), source_conn="x",
+        slice_ts=TODAY, verbose=False,
+    )
+    start, end = TODAY - datetime.timedelta(days=120), TODAY
+    ds.get_feature("n_cyl", start, end)
+    st = ds.backend.table_stats("ds.dummy_cyl")
+    assert st is not None
+    assert st["n"] == 32 and 1 <= st["k"] <= 40
+    assert st["span_days"] >= 1 and st["avg_span"] == pytest.approx(2.0)
+    # the fixture's 32 rows over 32 keys -> plain path
+    assert (
+        width_from_stats(
+            st["n"], st["k"], st["span_days"], st["avg_span"], 2000.0
+        )
+        is None
+    )
+    # a hot-key profile at scale -> bucketed with a bounded width
+    w = width_from_stats(10_000_000, 5, 3650, 3.0, 2000.0)
+    assert isinstance(w, int) and 1 <= w <= 3650
+    # unknown table -> no stats
+    assert ds.backend.table_stats("ds.nope") is None
+    ds.release_cached_plans()
