@@ -45,6 +45,7 @@ __all__ = [
     "hash_split",
     "stratified_sample",
     "pack_sequences",
+    "weighted_sample",
 ]
 
 #: Width of the hex prefix used for thresholding. 8 hex chars = 32
@@ -575,3 +576,64 @@ def stratified_sample_scalable(
         .where(F.col(rk) <= n_per_stratum)
         .drop(h, b, "__prefix", rk)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+    by: list[str] | None = None,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006, public — the "A-ES" exponential-key
+    method): each row gets key ``ln(u) / w`` with ``u`` a
+    hash-derived uniform in (0, 1), and the top ``n`` keys ARE a
+    weighted sample without replacement. Derandomized: ``u`` comes
+    from ``md5(salt | id)``, so the same (corpus, salt) selects the
+    same rows on every run and engine — the reproducibility contract
+    every training-data pipeline needs from its sampler, which
+    ``df.sample()`` cannot give across partitionings.
+
+    ``by`` switches to top-``n`` PER GROUP (weighted stratified
+    sampling). Rows with NULL or non-positive weight are never
+    sampled (dropped before keying — zero weight means zero
+    inclusion probability; A-ES is undefined for w <= 0).
+
+    Scale shape: global form is one narrow projection +
+    ``TakeOrderedAndProject`` (distributed partial top-n, no global
+    sort, no single-task window); grouped form is a per-group
+    ``row_number`` window. ``key_col`` exposes the sampling key for
+    audit. Ties (impossible barring md5 collisions) break by id.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    u = (
+        F.expr(
+            f"cast(conv(substr(md5(concat('{salt}', '|', "
+            f"cast({id_col} as string))), 1, 8), 16, 10) as bigint)"
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(_SPACE))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    kc = key_col or "__wkey"
+    out = (
+        df.where(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .withColumn(kc, key)
+    )
+    if by:
+        w = Window.partitionBy(*by).orderBy(
+            F.col(kc).desc(), F.col(id_col)
+        )
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n)
+            .drop("__rn")
+        )
+    else:
+        out = out.orderBy(F.col(kc).desc(), F.col(id_col)).limit(n)
+    return out if key_col else out.drop(kc)

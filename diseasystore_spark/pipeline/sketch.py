@@ -555,3 +555,131 @@ def kll_quantiles(sketch: DataFrame, qs: list[float]) -> DataFrame:
             * (F.col("__vhi") - F.col("__vlo"))
         ).alias("value"),
     )
+
+
+def kll_build_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """Per-group quantile sketches — the stratified twin of
+    :func:`kll_build` (per-language token-length distributions,
+    per-day latency percentiles): ``(group_cols..., level int,
+    value double, k int)``, one independent sketch per group.
+
+    Same two-stage shape: the Arrow-batched stage folds each batch's
+    rows into per-group compactors (state <= groups-in-batch * k *
+    levels), the merge stage is ONE ``applyInPandas`` per group over
+    already-compacted rows — grouped state never exceeds the sketch
+    bound, and groups parallelize across executors (no single merge
+    task, unlike the global build).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+
+    out_schema = (
+        ", ".join(f"{c} string" for c in group_cols)
+        + ", level int, value double, k int"
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            frames = []
+            for gkey, sub in pdf.groupby(group_cols, dropna=False, sort=True):
+                vals = pd.to_numeric(sub[value_col], errors="raise").dropna()
+                levels: list = [[]]
+                for v in vals.astype("float64").tolist():
+                    levels[0].append(v)
+                    if len(levels[0]) > k:
+                        _kll_compact_levels(levels, k)
+                rows = _kll_rows(levels, k)
+                if not isinstance(gkey, tuple):
+                    gkey = (gkey,)
+                for c, v in zip(group_cols, gkey):
+                    rows[c] = str(v)
+                frames.append(rows)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)[
+                    group_cols + ["level", "value", "k"]
+                ]
+
+    partial = (
+        df.select(
+            *[F.col(c).cast("string") for c in group_cols],
+            F.col(value_col).cast("double").alias(value_col),
+        )
+        .where(F.col(value_col).isNotNull())
+        .mapInPandas(build, schema=out_schema)
+    )
+
+    def merge(key, pdf):
+        levels: list = [[]]
+        for lvl, val in sorted(
+            zip(pdf["level"].tolist(), pdf["value"].tolist())
+        ):
+            while len(levels) <= lvl:
+                levels.append([])
+            levels[lvl].append(val)
+        _kll_compact_levels(levels, k)
+        rows = _kll_rows(levels, k)
+        for c, v in zip(group_cols, key):
+            rows[c] = v
+        return rows[group_cols + ["level", "value", "k"]]
+
+    return partial.groupBy(*group_cols).applyInPandas(
+        merge, schema=out_schema
+    )
+
+
+def kll_quantiles_grouped(
+    sketch: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+) -> DataFrame:
+    """Per-group quantile estimates from grouped sketches:
+    ``(group_cols..., q double, value double)`` with the same
+    quantile_cont semantics as :func:`kll_quantiles` (weighted order
+    statistics; target rank q*(n-1); linear interpolation — exact
+    when the group never compacted). One ``applyInPandas`` per group
+    over the sketch rows (bounded by the sketch size)."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile {q} outside [0, 1]")
+
+    out_schema = (
+        ", ".join(f"{c} string" for c in group_cols)
+        + ", q double, value double"
+    )
+    qlist = [float(q) for q in qs]
+
+    def quants(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        order = np.lexsort((pdf["level"].values, pdf["value"].values))
+        vals = pdf["value"].values[order]
+        w = (1 << pdf["level"].values[order].astype("int64"))
+        end = np.cumsum(w)
+        n = int(end[-1])
+        outv = []
+        for q in qlist:
+            t = q * (n - 1)
+            rlo, rhi = int(np.floor(t)), min(int(np.ceil(t)), n - 1)
+            vlo = vals[np.searchsorted(end, rlo, side="right")]
+            vhi = vals[np.searchsorted(end, rhi, side="right")]
+            outv.append(vlo + (t - rlo) * (vhi - vlo))
+        rows = pd.DataFrame({"q": qlist, "value": outv})
+        for c, v in zip(group_cols, key):
+            rows[c] = v
+        return rows[group_cols + ["q", "value"]]
+
+    return sketch.groupBy(*group_cols).applyInPandas(
+        quants, schema=out_schema
+    )

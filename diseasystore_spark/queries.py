@@ -5012,6 +5012,100 @@ GROUP BY doc_id
 """
 
 
+def q105_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length quantiles via GROUPED KLL sketches
+    (``kll_build_grouped`` / ``kll_quantiles_grouped``): one
+    independent mergeable sketch per group, merged per-group in
+    parallel (no single merge task). k=32768 exceeds every group's
+    row count at sf0.01, so the answers are exact quantile_cont —
+    the per-group analog of q103's contract; compacted-regime rank
+    bounds are property-tested in ``tests/test_sketch.py``."""
+    from diseasystore_spark.pipeline.sketch import (
+        kll_build_grouped,
+        kll_quantiles_grouped,
+    )
+
+    tok = _read(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("double")
+        .alias("n_tokens"),
+    )
+    sk = kll_build_grouped(tok, ["lang"], "n_tokens", k=32768)
+    out = kll_quantiles_grouped(sk, ["lang"], [0.1, 0.5, 0.9, 0.99])
+    return out.select(
+        "lang", F.round("q", 2).alias("q"), F.round("value", 4).alias("value")
+    )
+
+
+ORACLE_Q105 = """
+WITH t AS (
+  SELECT lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+           AS n_tokens
+  FROM documents
+),
+qv AS (
+  SELECT lang, quantile_cont(n_tokens, [0.1, 0.5, 0.9, 0.99]) AS vs
+  FROM t GROUP BY lang
+)
+SELECT qv.lang, qs.q, round(qv.vs[qs.i], 4) AS value
+FROM qv, (SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS q,
+                 unnest([1, 2, 3, 4]) AS i) qs
+"""
+
+
+def q106_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES, hash-derandomized): top-10 documents
+    PER LANGUAGE with inclusion probability proportional to token
+    count — the reproducible "sample long documents more often"
+    primitive. The sampling key ``ln(u)/w`` (u from md5) is pure
+    arithmetic, so DuckDB reproduces the exact selection AND key
+    values."""
+    from diseasystore_spark.pipeline.sample import weighted_sample
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("double")
+        .alias("n_tokens"),
+    )
+    out = weighted_sample(
+        docs, 10, "n_tokens", by=["lang"], salt="q106", key_col="wkey"
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("wkey", 6).alias("wkey"),
+    )
+
+
+ORACLE_Q106 = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS w
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, lang, w,
+         ln((('0x' || substr(md5('q106|' || CAST(doc_id AS VARCHAR)), 1, 8)
+             )::BIGINT + 0.5) / 4294967296.0) / w AS wkey
+  FROM t WHERE w > 0
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY wkey DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT doc_id, lang, CAST(w AS BIGINT) AS n_tokens,
+       round(wkey, 6) AS wkey
+FROM r WHERE rn <= 10
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5121,6 +5215,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q102_pricing_summary": q102_pricing_summary,
     "q103_kll_quantiles": q103_kll_quantiles,
     "q104_boilerplate_paragraphs": q104_boilerplate_paragraphs,
+    "q105_grouped_quantiles": q105_grouped_quantiles,
+    "q106_weighted_sample": q106_weighted_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -5227,6 +5323,8 @@ ORACLES: dict[str, str] = {
     "q102_pricing_summary": ORACLE_Q102,
     "q103_kll_quantiles": ORACLE_Q103,
     "q104_boilerplate_paragraphs": ORACLE_Q104,
+    "q105_grouped_quantiles": ORACLE_Q105,
+    "q106_weighted_sample": ORACLE_Q106,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

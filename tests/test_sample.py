@@ -424,3 +424,56 @@ def test_stratified_sample_scalable_equals_naive(spark):
 
     with pytest.raises(ValueError, match="power of two"):
         stratified_sample_scalable(df, ["stratum"], 7, "doc_id", buckets=3)
+
+
+def test_weighted_sample_aes_properties(spark):
+    """A-ES correctness: selection frequency tracks the weights
+    across salts (heavy item wins ~w_h / sum(w) of the time), samples
+    are without replacement, zero/NULL weights never appear, identical
+    (corpus, salt) reproduces the identical selection, and the global
+    form plans as a distributed TakeOrdered (no single-task window)."""
+    from diseasystore_spark.pipeline.sample import weighted_sample
+
+    rows = [(1, 1.0), (2, 1.0), (3, 1.0), (4, 10.0), (5, 0.0), (6, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    wins = 0
+    trials = 120
+    for s in range(trials):
+        got = [
+            r["doc_id"]
+            for r in weighted_sample(df, 1, "w", salt=f"s{s}").collect()
+        ]
+        assert len(got) == 1 and got[0] in (1, 2, 3, 4)
+        wins += got[0] == 4
+    # P(heavy) = 10/13 ~ 0.77; allow a generous binomial envelope
+    assert 0.6 <= wins / trials <= 0.92, wins / trials
+
+    # without replacement: n=3 distinct ids, never the w<=0/NULL rows
+    got3 = [
+        r["doc_id"] for r in weighted_sample(df, 3, "w", salt="x").collect()
+    ]
+    assert len(set(got3)) == 3 and not {5, 6} & set(got3)
+    # reproducibility
+    again = [
+        r["doc_id"] for r in weighted_sample(df, 3, "w", salt="x").collect()
+    ]
+    assert got3 == again
+
+    plan = (
+        weighted_sample(df, 3, "w", salt="x")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+    # grouped form: exactly n per group
+    g = spark.createDataFrame(
+        [(i, "g" + str(i % 2), float(i % 7 + 1)) for i in range(1, 41)],
+        "doc_id long, grp string, w double",
+    )
+    per = weighted_sample(g, 5, "w", by=["grp"], salt="y").groupBy(
+        "grp"
+    ).count().collect()
+    assert {r["grp"]: r["count"] for r in per} == {"g0": 5, "g1": 5}

@@ -352,3 +352,51 @@ def test_kll_merge_of_shards_bounds_and_k_mismatch(spark):
     other = kll_build(df, "x", k=128)
     with pytest.raises(Exception, match="different k"):
         kll_merge(shards[0].unionByName(other)).collect()
+
+
+def test_kll_grouped_exact_and_compacted(spark):
+    """Grouped sketches: exact per-group quantiles when k >= group
+    size, bounded per-group rank error when compacted, groups fully
+    independent (skewed group sizes don't cross-contaminate)."""
+    import bisect
+    import random
+
+    import numpy as np
+
+    from diseasystore_spark.pipeline.sketch import (
+        kll_build_grouped,
+        kll_quantiles_grouped,
+    )
+
+    rng = random.Random(11)
+    data = {
+        "a": [rng.uniform(0, 1) for _ in range(500)],
+        "b": [rng.gauss(100, 5) for _ in range(3000)],
+        "c": [float(i) for i in range(40)],
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, x double")
+
+    exact = kll_build_grouped(df, ["g"], "x", k=8192)
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in kll_quantiles_grouped(
+            exact, ["g"], [0.0, 0.25, 0.5, 0.9, 1.0]
+        ).collect()
+    }
+    for g, vs in data.items():
+        exp = np.quantile(np.array(vs), [0.0, 0.25, 0.5, 0.9, 1.0])
+        for q, e in zip([0.0, 0.25, 0.5, 0.9, 1.0], exp):
+            assert abs(got[(g, q)] - e) < 1e-9, (g, q)
+
+    small = kll_build_grouped(df, ["g"], "x", k=128)
+    gq = {
+        (r["g"], r["q"]): r["value"]
+        for r in kll_quantiles_grouped(small, ["g"], [0.1, 0.5, 0.9]).collect()
+    }
+    for g, vs in data.items():
+        sv = sorted(vs)
+        n = len(sv)
+        for q in (0.1, 0.5, 0.9):
+            rank = bisect.bisect_left(sv, gq[(g, q)])
+            assert abs(rank - q * (n - 1)) <= max(0.05 * n, 1.5), (g, q)
