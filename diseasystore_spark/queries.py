@@ -5106,6 +5106,72 @@ FROM r WHERE rn <= 10
 """
 
 
+def q107_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue per nation for
+    ASIA-region customers served by SAME-nation suppliers in one
+    order year — the canonical 6-table snowflake join. Declarative
+    joins let Catalyst/AQE order them and broadcast the three
+    dimension tables (region 5 rows, nation 25, supplier small);
+    money is integer cents (q102's convention) so the aggregate is
+    bigint-exact across engines. The c_nationkey = s_nationkey
+    equi-condition rides the supplier join — no post-filter scan."""
+    region = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _read(spark, sf_dir, "nation")
+    customer = _read(spark, sf_dir, "customer")
+    supplier = _read(spark, sf_dir, "supplier")
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(datetime.datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime.datetime(1997, 1, 1)))
+    )
+    lineitem = _read(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc = F.round(F.col("l_discount") * 100).cast("bigint")
+    joined = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                )
+            ),
+            customer["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .join(orders, F.col("c_custkey") == orders["o_custkey"])
+        .join(lineitem, F.col("o_orderkey") == lineitem["l_orderkey"])
+        .join(
+            supplier,
+            (F.col("l_suppkey") == supplier["s_suppkey"])
+            & (F.col("c_nationkey") == supplier["s_nationkey"]),
+        )
+    )
+    return (
+        joined.select(
+            F.col("n_name"),
+            (cents * (F.lit(100) - disc)).alias("rev_c2"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("rev_c2").cast("bigint").alias("revenue_c2"))
+    )
+
+
+ORACLE_Q107 = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_c2
+FROM customer
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5217,6 +5283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q104_boilerplate_paragraphs": q104_boilerplate_paragraphs,
     "q105_grouped_quantiles": q105_grouped_quantiles,
     "q106_weighted_sample": q106_weighted_sample,
+    "q107_local_supplier_volume": q107_local_supplier_volume,
 }
 
 ORACLES: dict[str, str] = {
@@ -5325,6 +5392,7 @@ ORACLES: dict[str, str] = {
     "q104_boilerplate_paragraphs": ORACLE_Q104,
     "q105_grouped_quantiles": ORACLE_Q105,
     "q106_weighted_sample": ORACLE_Q106,
+    "q107_local_supplier_volume": ORACLE_Q107,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

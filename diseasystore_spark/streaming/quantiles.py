@@ -1,0 +1,180 @@
+"""Streaming windowed quantiles — KLL sketch state per event-time
+window (``applyInPandasWithState``).
+
+The batch twin is ``pipeline/sketch.kll_build`` + ``kll_quantiles``;
+here the sketch lives in GROUP STATE keyed by the tumbling window
+start, so per-window latency percentiles (the standard SLO monitor)
+come off an unbounded stream with bounded memory: state per window is
+the compactor's <= k * levels retained values, NOT the event count,
+and a window emits exactly once — when the event-time watermark
+passes its end (late events beyond the watermark are dropped by the
+engine, the standard contract).
+
+Determinism note: with ``k`` large enough that no window compacts,
+the emitted quantiles are EXACTLY the batch ``quantile_cont`` of that
+window's values regardless of micro-batch boundaries (the stream ==
+batch test pins this); once compaction kicks in, micro-batch
+arrival order can select different (equally rank-bounded) survivors —
+the KLL guarantee holds, bit-identity does not. Same trade as every
+mergeable-sketch pipeline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from diseasystore_spark.pipeline.sketch import _kll_compact_levels
+
+__all__ = ["stream_windowed_quantiles"]
+
+QUANTILE_SCHEMA = StructType(
+    [
+        StructField("window_start", TimestampType()),
+        StructField("q", DoubleType()),
+        StructField("value", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("levels", ArrayType(LongType())),
+        StructField("values", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _quantile_rows(
+    window_start_us: int, levels: list, values: list, qs: list[float]
+) -> pd.DataFrame:
+    """quantile_cont-semantics interpolation over the weighted sketch
+    rows — the same math as ``kll_quantiles_grouped``."""
+    import numpy as np
+
+    lv = np.asarray(levels, dtype="int64")
+    vv = np.asarray(values, dtype="float64")
+    order = np.lexsort((lv, vv))
+    vv, lv = vv[order], lv[order]
+    w = 1 << lv
+    end = np.cumsum(w)
+    n = int(end[-1])
+    out = []
+    for q in qs:
+        t = q * (n - 1)
+        rlo, rhi = int(np.floor(t)), min(int(np.ceil(t)), n - 1)
+        vlo = vv[np.searchsorted(end, rlo, side="right")]
+        vhi = vv[np.searchsorted(end, rhi, side="right")]
+        out.append(vlo + (t - rlo) * (vhi - vlo))
+    return pd.DataFrame(
+        {
+            "window_start": [pd.Timestamp(window_start_us, unit="us")] * len(qs),
+            "q": [float(q) for q in qs],
+            "value": out,
+            "n": [n] * len(qs),
+        }
+    )
+
+
+def stream_windowed_quantiles(
+    events: DataFrame,
+    value_col: str,
+    window_seconds: int = 60,
+    qs: list[float] = (0.5, 0.9, 0.99),
+    k: int = 200,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-tumbling-window quantiles of ``value_col`` over a stream:
+    ``(window_start, q, value, n)`` rows emitted once per window when
+    the watermark passes ``window_start + window_seconds``. NULL
+    values/timestamps are dropped (they carry no rank / cannot be
+    assigned a window). Works identically on a batch frame for tests.
+    """
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    qs = [float(q) for q in qs]
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    win_us = window_seconds * 1_000_000
+
+    def fn(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (ws,) = key
+        ws_us = int(pd.Timestamp(ws).value // 1000)
+        if state.hasTimedOut:
+            levels_flat, values_flat = state.get
+            state.remove()
+            if len(values_flat):
+                yield _quantile_rows(ws_us, levels_flat, values_flat, qs)
+            return
+
+        vals: list[float] = []
+        for pdf in pdf_iter:
+            vals.extend(
+                pd.to_numeric(pdf[value_col], errors="raise")
+                .dropna()
+                .astype("float64")
+                .tolist()
+            )
+        if state.exists:
+            lv, vv = state.get
+        else:
+            lv, vv = [], []
+        levels: list = [[]]
+        for l_, v_ in sorted(zip(lv, vv)):
+            while len(levels) <= l_:
+                levels.append([])
+            levels[l_].append(v_)
+        # fold the batch in sorted order: batch-internal order never
+        # affects which values a level can hold
+        for v in sorted(vals):
+            levels[0].append(v)
+            if len(levels[0]) > k:
+                _kll_compact_levels(levels, k)
+        flat_l, flat_v = [], []
+        for l_, buf in enumerate(levels):
+            flat_l.extend([l_] * len(buf))
+            flat_v.extend(buf)
+        state.update((flat_l, flat_v))
+        # emit when the watermark proves the window complete
+        state.setTimeoutTimestamp((ws_us + win_us) // 1000)
+
+    start = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts_col)) / window_seconds).cast("bigint")
+        * window_seconds
+    )
+    return (
+        events.where(
+            F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .withWatermark(ts_col, watermark)
+        .withColumn("__ws", start)
+        .groupBy("__ws")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=QUANTILE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -471,3 +471,21 @@ def test_verify_pairs_candidate_sized_jvm_plan(spark):
     assert "CartesianProduct" not in plan, plan
     assert "levenshtein" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q107_snowflake_broadcasts_dims_and_pushes_date(spark):
+    """TPC-H Q5 shape: the region/nation (and, via AQE sizing, the
+    supplier) dimensions must enter as broadcast joins — never a
+    shuffle of the fact table against a 5-row dim — and the order-year
+    predicate must reach the orders parquet scan."""
+    from diseasystore_spark.queries import QUERIES
+
+    df = QUERIES["q107_local_supplier_volume"](spark, SF)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert any(
+        "PushedFilters" in ln and "GreaterThanOrEqual(o_orderdate" in ln
+        for ln in plan.splitlines()
+    ), plan
+    # no cartesian anywhere in the 6-table join
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -764,3 +764,66 @@ def test_stream_exact_dedup_within_watermark(spark, tmp_path):
 
     with pytest.raises(ValueError, match="at least one"):
         stream_exact_dedup(spark.read.parquet(src), [])
+
+
+def test_stream_windowed_quantiles_exact_regime_matches_numpy(spark, tmp_path):
+    """stream_windowed_quantiles with k >= window size: when the
+    watermark passes a window's end, its emitted quantiles equal the
+    batch quantile_cont (numpy linear interpolation) of exactly that
+    window's values — across a micro-batch split through the middle
+    of the window."""
+    import random
+
+    import numpy as np
+
+    from diseasystore_spark.streaming.quantiles import (
+        stream_windowed_quantiles,
+    )
+
+    TS = datetime.datetime
+    rng = random.Random(5)
+    w1 = [(TS(2024, 1, 1, 10, 0, s % 60), rng.uniform(0, 100))
+          for s in range(40)]                      # window 10:00
+    w1b = [(TS(2024, 1, 1, 10, 0, s % 60), rng.uniform(50, 150))
+           for s in range(25)]                     # same window, file 2
+    late_driver = [(TS(2024, 1, 1, 12, 0, 0), 1.0)]  # advances watermark
+    cols = "ts timestamp, v double"
+    src = str(tmp_path / "wq_src")
+    spark.createDataFrame(w1, cols).coalesce(1).write.parquet(src)
+    spark.createDataFrame(w1b, cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(late_driver, cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_windowed_quantiles(
+        stream, "v", window_seconds=60, qs=[0.1, 0.5, 0.9],
+        k=4096, watermark="5 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wq_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql(
+        "select * from wq_out where window_start = timestamp'2024-01-01 10:00:00'"
+    ).collect()
+    got = {r["q"]: (r["value"], r["n"]) for r in rows}
+    vals = [v for _, v in w1 + w1b]
+    exp = np.quantile(np.array(vals), [0.1, 0.5, 0.9])
+    assert len(rows) == 3
+    for qq, e in zip([0.1, 0.5, 0.9], exp):
+        v, n = got[qq]
+        assert n == len(vals)
+        assert abs(v - e) < 1e-9, (qq, v, e)
