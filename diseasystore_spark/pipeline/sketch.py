@@ -683,3 +683,50 @@ def kll_quantiles_grouped(
     return sketch.groupBy(*group_cols).applyInPandas(
         quants, schema=out_schema
     )
+
+
+def kll_rolling_quantiles(
+    sketches: DataFrame,
+    day_col: str,
+    qs: list[float],
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window quantiles from PERSISTED per-day sketches —
+    the rollup that justifies keeping sketch rows next to the data:
+    each day's ``(day, level, value, k)`` rows (from
+    ``kll_build_grouped`` keyed by day) are re-labeled to every day
+    of the trailing window they contribute to (a bounded
+    ``window_days``-way explode of SKETCH rows, never raw data), and
+    per-day quantiles come from the same weighted-order-statistic
+    interpolation. Raw events are NEVER re-read: a 90-day p99 over a
+    year of persisted daily sketches touches ~365 * k rows total.
+
+    Output: ``(day_col, q double, value double)`` for every day
+    present in ``sketches``. Exact (quantile_cont of the window's
+    raw values) whenever no contributing sketch compacted; otherwise
+    rank-bounded per the KLL guarantee. The union of sketches is a
+    valid sketch of the union without re-compaction — weights just
+    add — so no merge pass is needed before interpolation.
+    """
+    if window_days <= 0:
+        raise ValueError("window_days must be positive")
+    days = sketches.select(F.col(day_col).alias("__day")).distinct()
+    contrib = sketches.withColumn(
+        "__day",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {window_days - 1}), "
+                f"i -> date_add(CAST({day_col} AS DATE), i))"
+            )
+        ),
+    ).drop(day_col)
+    # keep only output days that actually exist in the input (the
+    # trailing window of a day with no sketch row is not a row)
+    contrib = contrib.join(
+        F.broadcast(days.withColumn("__day", F.col("__day").cast("date"))),
+        "__day",
+    ).withColumn("__day", F.col("__day").cast("string"))
+    out = kll_quantiles_grouped(contrib, ["__day"], qs)
+    return out.select(
+        F.col("__day").cast("date").alias(day_col), "q", "value"
+    )

@@ -5172,6 +5172,50 @@ GROUP BY n_name
 """
 
 
+def q108_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day value quantiles per day from PERSISTED daily
+    KLL sketches (``kll_build_grouped`` by day ->
+    ``kll_rolling_quantiles``): the mergeable-artifact rollup — raw
+    events are scanned ONCE to build the daily sketches; every
+    rolling window is answered from sketch rows alone (bounded
+    7-way relabel of <= k-sized frames). k=32768 >> any day's row
+    count at the test sfs, so the answers are exact quantile_cont of
+    each window's raw values — the oracle recomputes them from the
+    raw events directly."""
+    from diseasystore_spark.pipeline.sketch import (
+        kll_build_grouped,
+        kll_rolling_quantiles,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").cast("string").alias("day"),
+        F.col("value"),
+    )
+    sk = kll_build_grouped(ev, ["day"], "value", k=32768)
+    out = kll_rolling_quantiles(sk, "day", [0.5, 0.9], window_days=7)
+    return out.select(
+        "day", F.round("q", 2).alias("q"), F.round("value", 6).alias("value")
+    )
+
+
+ORACLE_Q108 = """
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day, value FROM events
+  WHERE value IS NOT NULL
+),
+days AS (SELECT DISTINCT day FROM e),
+win AS (
+  SELECT d.day, e.value
+  FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+),
+qv AS (
+  SELECT day, quantile_cont(value, [0.5, 0.9]) AS vs FROM win GROUP BY day
+)
+SELECT qv.day, qs.q, round(qv.vs[qs.i], 6) AS value
+FROM qv, (SELECT unnest([0.5, 0.9]) AS q, unnest([1, 2]) AS i) qs
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5284,6 +5328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q105_grouped_quantiles": q105_grouped_quantiles,
     "q106_weighted_sample": q106_weighted_sample,
     "q107_local_supplier_volume": q107_local_supplier_volume,
+    "q108_rolling_quantiles": q108_rolling_quantiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -5393,6 +5438,7 @@ ORACLES: dict[str, str] = {
     "q105_grouped_quantiles": ORACLE_Q105,
     "q106_weighted_sample": ORACLE_Q106,
     "q107_local_supplier_volume": ORACLE_Q107,
+    "q108_rolling_quantiles": ORACLE_Q108,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -400,3 +400,59 @@ def test_kll_grouped_exact_and_compacted(spark):
         for q in (0.1, 0.5, 0.9):
             rank = bisect.bisect_left(sv, gq[(g, q)])
             assert abs(rank - q * (n - 1)) <= max(0.05 * n, 1.5), (g, q)
+
+
+def test_kll_rolling_quantiles_windows_and_compaction(spark):
+    """Rolling rollup correctness: each day's answer covers exactly
+    its trailing window (verified exactly in the no-compaction
+    regime), and in the compacted regime the answers stay within the
+    per-window rank bound — without ever re-reading raw rows."""
+    import bisect
+    import datetime
+    import random
+
+    import numpy as np
+
+    from diseasystore_spark.pipeline.sketch import (
+        kll_build_grouped,
+        kll_rolling_quantiles,
+    )
+
+    rng = random.Random(19)
+    D0 = datetime.date(2024, 3, 1)
+    per_day = {}
+    rows = []
+    for d in range(10):
+        day = D0 + datetime.timedelta(days=d)
+        vals = [rng.gauss(d * 10, 3) for _ in range(300)]
+        per_day[day] = vals
+        rows += [(str(day), v) for v in vals]
+    df = spark.createDataFrame(rows, "day string, x double")
+
+    sk = kll_build_grouped(df, ["day"], "x", k=4096)  # exact regime
+    got = {
+        (r["day"], r["q"]): r["value"]
+        for r in kll_rolling_quantiles(sk, "day", [0.25, 0.75], 3).collect()
+    }
+    for day in per_day:
+        window = []
+        for b in range(3):
+            window += per_day.get(day - datetime.timedelta(days=b), [])
+        exp = np.quantile(np.array(window), [0.25, 0.75])
+        for q, e in zip([0.25, 0.75], exp):
+            assert abs(got[(day, q)] - e) < 1e-9, (day, q)
+
+    sk2 = kll_build_grouped(df, ["day"], "x", k=64)  # compacted
+    got2 = {
+        (r["day"], r["q"]): r["value"]
+        for r in kll_rolling_quantiles(sk2, "day", [0.5], 3).collect()
+    }
+    for day in per_day:
+        window = sorted(
+            v
+            for b in range(3)
+            for v in per_day.get(day - datetime.timedelta(days=b), [])
+        )
+        n = len(window)
+        rank = bisect.bisect_left(window, got2[(day, 0.5)])
+        assert abs(rank - 0.5 * (n - 1)) <= max(0.06 * n, 2), (day, rank, n)
