@@ -429,10 +429,14 @@ def kll_build(
         levels: list = [[]]
         for pdf in batches:
             vals = pd.to_numeric(pdf[value_col], errors="raise").dropna()
-            for v in vals.astype("float64").tolist():
-                levels[0].append(v)
-                if len(levels[0]) > k:
-                    _kll_compact_levels(levels, k)
+            # lazy fold: extend with the whole Arrow batch, compact
+            # once — _kll_compact_levels' while-loop reduces an
+            # arbitrarily oversized buffer, and fewer, larger
+            # compactions carry the same rank-error budget (lazy KLL)
+            # at a fraction of the Python per-value cost.
+            levels[0].extend(vals.astype("float64").tolist())
+            if len(levels[0]) > k:
+                _kll_compact_levels(levels, k)
         yield _kll_rows(levels, k)
 
     partial = df.select(F.col(value_col).cast("double").alias(value_col)) \
@@ -593,10 +597,9 @@ def kll_build_grouped(
             for gkey, sub in pdf.groupby(group_cols, dropna=False, sort=True):
                 vals = pd.to_numeric(sub[value_col], errors="raise").dropna()
                 levels: list = [[]]
-                for v in vals.astype("float64").tolist():
-                    levels[0].append(v)
-                    if len(levels[0]) > k:
-                        _kll_compact_levels(levels, k)
+                levels[0].extend(vals.astype("float64").tolist())
+                if len(levels[0]) > k:
+                    _kll_compact_levels(levels, k)
                 rows = _kll_rows(levels, k)
                 if not isinstance(gkey, tuple):
                     gkey = (gkey,)

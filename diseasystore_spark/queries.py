@@ -4902,13 +4902,13 @@ def q104_boilerplate_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df=2,
         near=True,
         min_containment=0.6,
-        # The word-soup vocabulary is tiny, so a few 9-char shingles
-        # recur across thousands of unrelated paragraphs — their
-        # self-join contributed 87M of 92M candidate rows at sf0.1.
-        # The cap drops fingerprints in >100 distinct contents
-        # (mirrored in the oracle); template clusters keep their
-        # lower-DF fingerprints.
-        containment_max_df=100,
+        # The word-soup vocabulary is tiny, so mid-frequency 9-char
+        # shingles dominate the fingerprint self-join: uncapped it is
+        # 4.8e9 candidate pairs at sf1; cap 100 leaves 10.5M, cap 20
+        # leaves 59k. 20 is also q50's precedent; template clusters
+        # keep their <=20-content fingerprints, and the oracle
+        # applies the identical cap.
+        containment_max_df=20,
     )
 
 
@@ -4953,7 +4953,7 @@ mins AS (
 ),
 fp0 AS (SELECT DISTINCT d, unnest(m) AS fingerprint FROM mins),
 hotfp AS (
-  SELECT fingerprint FROM fp0 GROUP BY fingerprint HAVING count(*) > 100
+  SELECT fingerprint FROM fp0 GROUP BY fingerprint HAVING count(*) > 20
 ),
 fp AS (
   SELECT * FROM fp0

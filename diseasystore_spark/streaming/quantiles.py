@@ -145,12 +145,12 @@ def stream_windowed_quantiles(
             while len(levels) <= l_:
                 levels.append([])
             levels[l_].append(v_)
-        # fold the batch in sorted order: batch-internal order never
-        # affects which values a level can hold
-        for v in sorted(vals):
-            levels[0].append(v)
-            if len(levels[0]) > k:
-                _kll_compact_levels(levels, k)
+        # lazy fold: extend with the whole batch, compact once —
+        # batch-internal order never affects which values a level can
+        # hold (the compactor sorts before promoting)
+        levels[0].extend(vals)
+        if len(levels[0]) > k:
+            _kll_compact_levels(levels, k)
         flat_l, flat_v = [], []
         for l_, buf in enumerate(levels):
             flat_l.extend([l_] * len(buf))
