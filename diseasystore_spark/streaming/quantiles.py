@@ -50,6 +50,14 @@ QUANTILE_SCHEMA = StructType(
     ]
 )
 
+
+def _grouped_schema(group_col: str) -> StructType:
+    from pyspark.sql.types import StringType
+
+    return StructType(
+        [StructField(group_col, StringType()), *QUANTILE_SCHEMA.fields]
+    )
+
 _STATE_SCHEMA = StructType(
     [
         StructField("levels", ArrayType(LongType())),
@@ -97,12 +105,19 @@ def stream_windowed_quantiles(
     k: int = 200,
     ts_col: str = "ts",
     watermark: str = "10 minutes",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Per-tumbling-window quantiles of ``value_col`` over a stream:
     ``(window_start, q, value, n)`` rows emitted once per window when
     the watermark passes ``window_start + window_seconds``. NULL
     values/timestamps are dropped (they carry no rank / cannot be
     assigned a window). Works identically on a batch frame for tests.
+
+    ``group_col`` adds a dimension: one independent sketch per
+    (window, group) — per-endpoint latency percentiles, per-language
+    length percentiles — output gains the group column (cast to
+    string for a stable Arrow state key), state stays sketch-bounded
+    PER GROUP, and every (window, group) still emits exactly once.
     """
     if window_seconds <= 0:
         raise ValueError("window_seconds must be positive")
@@ -119,13 +134,20 @@ def stream_windowed_quantiles(
         pdf_iter: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        (ws,) = key
+        ws, grp = (key[0], None) if group_col is None else key
         ws_us = int(pd.Timestamp(ws).value // 1000)
+
+        def emit(levels_flat, values_flat):
+            rows = _quantile_rows(ws_us, levels_flat, values_flat, qs)
+            if group_col is not None:
+                rows.insert(0, group_col, [grp] * len(rows))
+            return rows
+
         if state.hasTimedOut:
             levels_flat, values_flat = state.get
             state.remove()
             if len(values_flat):
-                yield _quantile_rows(ws_us, levels_flat, values_flat, qs)
+                yield emit(levels_flat, values_flat)
             return
 
         vals: list[float] = []
@@ -163,18 +185,24 @@ def stream_windowed_quantiles(
         (F.unix_timestamp(F.col(ts_col)) / window_seconds).cast("bigint")
         * window_seconds
     )
-    return (
+    events = (
         events.where(
             F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
         )
         .withWatermark(ts_col, watermark)
         .withColumn("__ws", start)
-        .groupBy("__ws")
-        .applyInPandasWithState(
-            fn,
-            outputStructType=QUANTILE_SCHEMA,
-            stateStructType=_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
+    )
+    if group_col is not None:
+        events = events.withColumn(group_col, F.col(group_col).cast("string"))
+        grouped = events.groupBy("__ws", group_col)
+        schema = _grouped_schema(group_col)
+    else:
+        grouped = events.groupBy("__ws")
+        schema = QUANTILE_SCHEMA
+    return grouped.applyInPandasWithState(
+        fn,
+        outputStructType=schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -456,3 +456,47 @@ def test_kll_rolling_quantiles_windows_and_compaction(spark):
         n = len(window)
         rank = bisect.bisect_left(window, got2[(day, 0.5)])
         assert abs(rank - 0.5 * (n - 1)) <= max(0.06 * n, 2), (day, rank, n)
+
+
+def test_kll_sketch_parquet_roundtrip_and_cross_load_merge(spark, tmp_path):
+    """Persistence contract: a sketch frame is plain (level, value, k)
+    rows — write it as parquet, read it back later (or elsewhere),
+    merge it with a sketch built from NEW data, and quantiles stay
+    exact in the no-compaction regime. This is the epoch-over-epoch
+    artifact workflow (build daily, persist, roll up any time) the
+    Bloom/CMS sketches already test."""
+    import random
+
+    import numpy as np
+
+    from diseasystore_spark.pipeline.sketch import (
+        kll_build,
+        kll_merge,
+        kll_quantiles,
+    )
+
+    rng = random.Random(23)
+    old = [rng.uniform(0, 50) for _ in range(800)]
+    new = [rng.uniform(25, 100) for _ in range(700)]
+    p = str(tmp_path / "epoch1_sketch")
+    kll_build(
+        spark.createDataFrame([(v,) for v in old], "x double"), "x", k=4096
+    ).write.parquet(p)
+
+    loaded = spark.read.parquet(p)
+    merged = kll_merge(
+        loaded.unionByName(
+            kll_build(
+                spark.createDataFrame([(v,) for v in new], "x double"),
+                "x",
+                k=4096,
+            )
+        )
+    )
+    got = {
+        r["q"]: r["value"]
+        for r in kll_quantiles(merged, [0.1, 0.5, 0.99]).collect()
+    }
+    exp = np.quantile(np.array(old + new), [0.1, 0.5, 0.99])
+    for q, e in zip([0.1, 0.5, 0.99], exp):
+        assert abs(got[q] - e) < 1e-9, (q, got[q], e)

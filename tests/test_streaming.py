@@ -827,3 +827,56 @@ def test_stream_windowed_quantiles_exact_regime_matches_numpy(spark, tmp_path):
         v, n = got[qq]
         assert n == len(vals)
         assert abs(v - e) < 1e-9, (qq, v, e)
+
+
+def test_stream_windowed_quantiles_grouped(spark, tmp_path):
+    """group_col: one independent sketch per (window, group); each
+    group's emitted quantiles equal numpy quantiles of exactly its own
+    values (k >= n regime)."""
+    import numpy as np
+
+    from diseasystore_spark.streaming.quantiles import (
+        stream_windowed_quantiles,
+    )
+
+    TS = datetime.datetime
+    a = [(TS(2024, 1, 1, 10, 0, i % 60), "api", float(i)) for i in range(30)]
+    b = [(TS(2024, 1, 1, 10, 0, i % 60), "web", float(1000 + i))
+         for i in range(20)]
+    drv = [(TS(2024, 1, 1, 12, 0, 0), "api", 1.0)]
+    cols = "ts timestamp, ep string, v double"
+    src = str(tmp_path / "gwq_src")
+    spark.createDataFrame(a + b, cols).coalesce(1).write.parquet(src)
+    spark.createDataFrame(drv, cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(cols)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_windowed_quantiles(
+        stream, "v", window_seconds=60, qs=[0.5, 0.9], k=1024,
+        watermark="5 minutes", group_col="ep",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gwq_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "gwq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select * from gwq_out "
+        "where window_start = timestamp'2024-01-01 10:00:00'"
+    ).collect()
+    got = {(r["ep"], r["q"]): (r["value"], r["n"]) for r in rows}
+    assert len(rows) == 4
+    for ep, vals in (("api", [v for *_, v in a]), ("web", [v for *_, v in b])):
+        exp = np.quantile(np.array(vals), [0.5, 0.9])
+        for qq, e in zip([0.5, 0.9], exp):
+            v, n = got[(ep, qq)]
+            assert n == len(vals) and abs(v - e) < 1e-9, (ep, qq)
