@@ -447,45 +447,45 @@ def curate_corpus(
     representative), in the requested language, above the quality
     floor. Output: (id, pred_lang, quality_score, n_tokens).
 
-    Single-pass shape: quality stats and language-ID are per-row
-    projections computed in ONE scan (no self-joins); the only
-    shuffles are the content-digest groupBy and the canonical-rep
-    join, both keyed on the md5 digest. The rep frame is one row per
-    distinct content — broadcastable for any corpus whose distinct
-    contents fit a broadcast, equi-join otherwise.
+    Collapse-first shape (the ``_exact_collapse`` pattern proven on
+    the graph pipelines): ONE content-digest groupBy carries
+    ``min(id)`` and ``any_value(text)`` — deterministic, every value
+    in a group is identical — so the expensive token-stats / language
+    projection runs ONCE PER DISTINCT CONTENT on the collapsed frame.
+    No rep join (the previous join recomputed the stats projection on
+    both branches), no trailing distinct; the single shuffle moves
+    each distinct text exactly once, and on dup-heavy web corpora the
+    stat work scales with distinct contents, not corpus rows.
     """
     pred, best = _langid_cols(text_col)
-    with_ts = df.select(
+    collapsed = (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.md5(F.col(text_col)).alias("__digest"),
+        )
+        .groupBy("__digest")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.any_value(F.col(text_col)).alias(text_col),
+        )
+    )
+    with_ts = collapsed.select(
         F.col(id_col),
         F.col(text_col),
         token_stats_struct(text_col).alias(_TS),
     )
-    scored = with_ts.select(
+    out = with_ts.select(
         F.col(id_col),
-        F.md5(F.col(text_col)).alias("__digest"),
         *_stats_cols(text_col),
         pred.alias("pred_lang"),
     ).withColumn("quality_score", _quality_col())
-    reps = (
-        scored.groupBy("__digest")
-        .agg(F.min(id_col).alias("__rep_id"))
-    )
-    out = (
-        scored.join(reps, "__digest")
-        .where(F.col(id_col) == F.col("__rep_id"))
-        .where(F.col("quality_score") >= min_quality)
-    )
+    out = out.where(F.col("quality_score") >= min_quality)
     if lang is not None:
         out = out.where(F.col("pred_lang") == lang)
     if max_stopword_ratio is not None:
         out = out.where(F.col("stopword_ratio") <= max_stopword_ratio)
-    # Exact-duplicate rows that share the representative's id survive
-    # the rep filter as identical projections — a curated corpus is a
-    # set, so collapse them. The distinct runs on post-filter
-    # survivors only (tiny relative to the corpus).
-    return out.select(
-        id_col, "pred_lang", "quality_score", "n_tokens"
-    ).distinct()
+    return out.select(id_col, "pred_lang", "quality_score", "n_tokens")
 
 
 def chunk_documents(
