@@ -18,7 +18,11 @@ Spark-first design (scales to 100 TB):
 
 - The breakpoint spine is a union + distinct (one shuffle on the key),
   and intervals come from a ``lead`` window over the same partitioning
-  — the shuffle is reused, no extra exchange.
+  — the shuffle is reused, no extra exchange. On the bucketed scale
+  path the ``lead`` runs within (key, bucket) partitions — a hot key's
+  breakpoints never sort in one task — and each bucket's last
+  breakpoint is closed by the next non-empty bucket's minimum via a
+  one-row-per-(key, bucket) boundary frame.
 - Each table joins back to the spine with an equi condition on the
   keys plus a range residual — Catalyst executes this as a sort-merge
   join on the equi keys; the range predicate is evaluated as a cheap
@@ -244,14 +248,49 @@ def interlace(
         spine = spine.unionByName(p)
     spine = spine.where(F.col("__ts").isNotNull()).distinct()
 
-    # 2. Consecutive breakpoints -> half-open sub-intervals. The lead
-    #    window reuses the hash partitioning of the distinct above.
-    w = Window.partitionBy(*by).orderBy("__ts")
-    intervals = spine.select(
-        *by,
-        F.col("__ts").alias("valid_from"),
-        F.lead("__ts").over(w).alias("valid_until"),
-    )
+    # 2. Consecutive breakpoints -> half-open sub-intervals. Plain
+    #    path: the lead window reuses the hash partitioning of the
+    #    distinct above. Bucketed path: a hot key would sort ALL its
+    #    breakpoints in one window task, so lead runs within (key,
+    #    bucket) partitions and each bucket's last breakpoint is paired
+    #    with the next non-empty bucket's minimum — the boundary frame
+    #    is one row per (key, bucket), so its per-key window is over
+    #    #buckets rows, not #breakpoints.
+    if bucket_days:
+        spine_b = spine.withColumn("__bktl", _bucket_of("__ts", bucket_days))
+        w_local = Window.partitionBy(*by, "__bktl").orderBy("__ts")
+        w_bkt = Window.partitionBy(*by).orderBy("__bktl")
+        nxt = (
+            spine_b.groupBy(*by, "__bktl")
+            .agg(F.min("__ts").alias("__bmin"))
+            .select(
+                *by,
+                "__bktl",
+                F.lead("__bmin").over(w_bkt).alias("__next_min"),
+            )
+            .select(
+                *[F.col(k).alias(f"__nk_{k}") for k in by],
+                F.col("__bktl").alias("__nb"),
+                "__next_min",
+            )
+        )
+        left = spine_b.withColumn("__lead", F.lead("__ts").over(w_local))
+        bcond = left["__bktl"] == nxt["__nb"]
+        for k in by:  # NULL key values are legal partition values
+            bcond = bcond & left[k].eqNullSafe(nxt[f"__nk_{k}"])
+        intervals = left.join(nxt, bcond, "left").select(
+            *[left[k] for k in by],
+            "__bktl",
+            F.col("__ts").alias("valid_from"),
+            F.coalesce("__lead", "__next_min").alias("valid_until"),
+        )
+    else:
+        w = Window.partitionBy(*by).orderBy("__ts")
+        intervals = spine.select(
+            *by,
+            F.col("__ts").alias("valid_from"),
+            F.lead("__ts").over(w).alias("valid_until"),
+        )
 
     # 3. Join each table's payload onto the containing sub-intervals.
     #    Containment needs only the start point: every row's own
@@ -260,9 +299,9 @@ def interlace(
     out = intervals
     if bucket_days:
         # 1-row global max breakpoint, broadcast onto each right side
-        # to cap open-ended intervals' bucket ranges.
+        # to cap open-ended intervals' bucket ranges. (`out` already
+        # carries `__bktl`, the bucket of valid_from, from step 2.)
         gmax = F.broadcast(spine.agg(F.max("__ts").alias("__gmax")))
-        out = out.withColumn("__bktl", _bucket_of("valid_from", bucket_days))
     for i, t in enumerate(tables):
         payload = [c for c in t.columns if c not in by and c not in VALIDITY]
         new_payload = [c for c in payload if c not in out.columns]

@@ -224,6 +224,27 @@ def test_bucketed_interlace_plan_is_equi_on_bucket(spark):
     assert joins, f"no join keyed on the bucket column in plan:\n{plan}"
 
 
+def test_bucketed_interlace_spine_window_is_bucket_partitioned(spark):
+    """On the scale path the spine's lead window must partition on
+    (keys, bucket), never on the keys alone — otherwise one hot key
+    sorts all its breakpoints in a single window task. Every window in
+    the bucketed plan must carry __bktl in its partition spec (the
+    boundary frame's per-key window is over the tiny per-bucket-min
+    frame and orders BY __bktl, which also satisfies the check)."""
+    x, y, _ = interlace_xyz(spark)
+    _, p2, _ = primaries(spark)
+    plan = (
+        truncate_interlace(p2, [x, y], bucket_days=30)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    windows = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert windows, f"no window in bucketed plan:\n{plan}"
+    bad = [ln for ln in windows if "__bkt" not in ln]
+    assert not bad, f"window not bucket-partitioned:\n{bad}"
+
+
 def test_bucketed_interlace_single_key_skew_bounded(spark):
     """Perf-regression guard for the worst-case key skew (VERDICT r2
     #3): a single-nation feature pair puts every interval row in ONE
