@@ -356,6 +356,96 @@ def interlace(
     return out.drop("__bktl") if bucket_days else out
 
 
+def _bucketed_clip_join(
+    primary: DataFrame,
+    right: DataFrame,
+    common: list[str],
+    width: int,
+    gmax: DataFrame,
+) -> DataFrame:
+    """Bucketed equivalent of ``primary.join(right, on=common,
+    how="left")`` for the truncation clip — row-identical output
+    (pre-overlap-filter rows that the shared overlap filter would drop
+    anyway may be absent; every row the filter keeps is present with
+    identical multiplicity).
+
+    The plain left join is equi on the key columns only, so a hot key
+    degenerates to |primary_key_group| x |secondary_key_group|
+    comparisons inside one sort-merge task — at 100x data this is the
+    engine's core-operator bottleneck (measured: the clip, not the
+    interlace containment, dominated the single-key stress). Here both
+    sides replicate to the W-day buckets their validity spans (capped
+    at the global max ``valid_from`` — every retained pair's overlap
+    start is some row's ``valid_from``) and join equi on ``(keys...,
+    bucket)``; a pair is kept only in the bucket containing
+    ``greatest(valid_from, __vf_y)``, its overlap start, so each pair
+    appears exactly once. NULL ``valid_from`` rows (never produced by
+    the SCD2 stores, but legal inputs) can't be bucketed and take the
+    plain per-key join; key-unmatched primary rows are re-added
+    NULL-extended to reproduce the left join (the downstream overlap
+    filter keeps them only when the primary interval is open-ended,
+    exactly as on the plain path)."""
+    r_keyed = right.select(
+        *[F.col(k).alias(f"__rk_{k}") for k in common],
+        *[c for c in right.columns if c not in common],
+    )
+    p_nn = primary.where(F.col("valid_from").isNotNull())
+    p_null = primary.where(F.col("valid_from").isNull())
+    r_nn = r_keyed.where(F.col("__vf_y").isNotNull())
+    r_null = r_keyed.where(F.col("__vf_y").isNull())
+
+    def _rep(df: DataFrame, vf: str, vu: str, bkt: str) -> DataFrame:
+        end = F.least(
+            F.coalesce(F.date_sub(F.col(vu), 1), F.col("__cgmax")),
+            F.col("__cgmax"),
+        )
+        return (
+            df.crossJoin(gmax)
+            .withColumn(
+                bkt,
+                F.explode(F.sequence(_bucket_of(vf, width), _bucket_of(end, width))),
+            )
+            .drop("__cgmax")
+        )
+
+    pb = _rep(p_nn, "valid_from", "valid_until", "__bktp")
+    rb = _rep(r_nn, "__vf_y", "__vu_y", "__bktr")
+    cond = pb["__bktp"] == rb["__bktr"]
+    for k in common:
+        cond = cond & (pb[k] == rb[f"__rk_{k}"])
+    # keep each pair only in its overlap-start bucket
+    cond = cond & (
+        pb["__bktp"]
+        == _bucket_of(F.greatest(pb["valid_from"], rb["__vf_y"]), width)
+    )
+    matched = pb.join(rb, cond, "inner").drop("__bktp", "__bktr")
+
+    # exactness fallbacks for NULL valid_from rows (plain per-key join;
+    # empty under the SCD2 contract)
+    def _plain(left: DataFrame, r: DataFrame) -> DataFrame:
+        c = None
+        for k in common:
+            e = left[k] == r[f"__rk_{k}"]
+            c = e if c is None else c & e
+        return left.join(r, c, "inner")
+
+    matched = matched.unionByName(_plain(p_null, r_keyed)).unionByName(
+        _plain(p_nn, r_null)
+    )
+    matched = matched.drop(*[f"__rk_{k}" for k in common])
+
+    # key-unmatched primary rows, NULL-extended (left-join parity)
+    unmatched = primary.join(
+        right.select(*common).distinct(), on=common, how="left_anti"
+    )
+    for c in right.columns:
+        if c not in common:
+            unmatched = unmatched.withColumn(
+                c, F.lit(None).cast(right.schema[c].dataType)
+            )
+    return matched.unionByName(unmatched.select(matched.columns))
+
+
 def truncate_interlace(
     primary: DataFrame,
     secondary: list[DataFrame] | DataFrame | None = None,
@@ -384,6 +474,17 @@ def truncate_interlace(
         bucket_days = resolve_bucket_days(
             [primary, *secondary], primary_keys, auto_threshold
         )
+    gmax_clip = None
+    if bucket_days:
+        # global max valid_from across all tables: caps open-ended
+        # rows' bucket ranges in the bucketed clip joins (every
+        # retained pair's overlap start is some row's valid_from).
+        vf_union = primary.select(F.col("valid_from").alias("__vf"))
+        for s in secondary:
+            vf_union = vf_union.unionByName(
+                s.select(F.col("valid_from").alias("__vf"))
+            )
+        gmax_clip = F.broadcast(vf_union.agg(F.max("__vf").alias("__cgmax")))
     truncated = []
     for s in secondary:
         common = [k for k in primary_keys if k in key_columns(s)]
@@ -402,7 +503,12 @@ def truncate_interlace(
             F.col("valid_from").alias("__vf_y"),
             F.col("valid_until").alias("__vu_y"),
         )
-        j = primary.join(right, on=common, how="left")
+        if bucket_days:
+            j = _bucketed_clip_join(
+                primary, right, common, bucket_days, gmax_clip
+            )
+        else:
+            j = primary.join(right, on=common, how="left")
         # Overlap filter, three-valued logic intact (R/truncate_interlace.R:105-108).
         j = j.where(
             ((F.col("valid_from") < F.col("__vu_y")) | F.col("__vu_y").isNull())
