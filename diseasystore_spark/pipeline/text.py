@@ -849,6 +849,12 @@ def remove_boilerplate_paragraphs(
     window: int = 4,
     min_containment: float = 0.6,
     containment_max_df: int | None = None,
+    pair_method: str = "containment",
+    num_hashes: int = 16,
+    bands: int = 4,
+    minhash_ngram: int = 3,
+    min_est_jaccard: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Boilerplate-paragraph removal — the practical web-crawl cleaner
     (C4 / CCNet-style, public): split every document into paragraphs,
@@ -878,6 +884,17 @@ def remove_boilerplate_paragraphs(
     clusters through its remaining fingerprints. Set it for
     low-entropy corpora; the q104 oracle applies the identical cap.
 
+    ``pair_method="minhash"`` is the banded-LSH scale path for the
+    ``near=True`` clustering (the q59 shape): paragraph variants pair
+    through banded MinHash over ``minhash_ngram``-word shingles
+    (``num_hashes``/``bands``/``min_est_jaccard``/``max_bucket``
+    forwarded to ``minhash_lsh_pairs``) instead of the exact
+    winnowing-containment join — per-paragraph signature cost is flat
+    and the candidate join is band-bucketed, so a 100-TB crawl never
+    pays a fingerprint self-join. Candidate-based, so recall is
+    probabilistic where exact containment is deterministic; the q104
+    oracle pins the default ``"containment"`` mode.
+
     Output: ``(id, text_clean, n_paras, n_paras_kept)`` for EVERY
     input document.
 
@@ -903,19 +920,38 @@ def remove_boilerplate_paragraphs(
         from diseasystore_spark.pipeline.dedup import (
             containment_pairs,
             dedup_components,
+            minhash_lsh_pairs,
         )
 
         contents = eligible.select("__d", "__para").dropDuplicates(["__d"])
-        pairs = containment_pairs(
-            contents,
-            id_col="__d",
-            text_col="__para",
-            k=k,
-            window=window,
-            min_containment=min_containment,
-            portable=True,
-            max_df=containment_max_df,
-        )
+        if pair_method == "minhash":
+            pairs = minhash_lsh_pairs(
+                contents,
+                id_col="__d",
+                text_col="__para",
+                num_hashes=num_hashes,
+                bands=bands,
+                n=minhash_ngram,
+                min_est_jaccard=min_est_jaccard,
+                portable=True,
+                max_bucket=max_bucket,
+            )
+        elif pair_method == "containment":
+            pairs = containment_pairs(
+                contents,
+                id_col="__d",
+                text_col="__para",
+                k=k,
+                window=window,
+                min_containment=min_containment,
+                portable=True,
+                max_df=containment_max_df,
+            )
+        else:
+            raise ValueError(
+                f"pair_method must be 'containment' or 'minhash', "
+                f"got {pair_method!r}"
+            )
         comps = dedup_components(pairs).select(
             F.col("id").alias("__d"), F.col("component").alias("__g")
         )

@@ -2029,3 +2029,32 @@ def test_remove_boilerplate_paragraphs_exact_and_near(spark):
     # genuinely dissimilar bodies survive near mode
     assert near[6]["text_clean"] == bodies[6]
     assert all(footer not in near[i]["text_clean"] for i in range(6, 10))
+
+    # banded-MinHash scale path: the templated header (one token out
+    # of ~11 differs -> high word-shingle jaccard) clusters and drops;
+    # the exact footer drops; bodies survive. (Char-level containment
+    # also clusters the "document body {i}" template — word-trigram
+    # jaccard between those is 0, so minhash keeps them: the two
+    # similarity granularities legitimately differ there.)
+    mh = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_paragraphs(
+            df,
+            max_df=3,
+            near=True,
+            pair_method="minhash",
+            min_est_jaccard=0.5,
+        ).collect()
+    }
+    assert all(hdr not in mh[i]["text_clean"] for i in range(6))
+    assert all(
+        mh[i]["text_clean"]
+        == f"document body {i} discusses topic-{i} extensively today\n\nok"
+        for i in range(6)
+    )
+    assert all(mh[i]["text_clean"] == bodies[i] for i in range(6, 10))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pair_method"):
+        remove_boilerplate_paragraphs(df, near=True, pair_method="bogus")
