@@ -131,6 +131,37 @@ def test_interlace_matches_python_oracle(tables):
         assert got_rows == expected, f"bucket_days={bucket_days}"
 
 
+@settings(max_examples=10, deadline=None)
+@given(tables_strategy())
+def test_truncate_interlace_bucketed_clip_equals_plain(tables):
+    """The bucketed clip join (_bucketed_clip_join) plus bucketed
+    spine must be a pure physical rewrite of truncate_interlace:
+    row-identical to the plain path on random interval tables,
+    including key-unmatched primaries (left-join NULL-extension) and
+    open-ended rows (global-max bucket cap)."""
+    from diseasystore_spark.operators.interlace import truncate_interlace
+
+    spark = _get_spark()
+    if not any(tables):
+        return
+    sdfs = []
+    for i, t in enumerate(tables):
+        schema = f"key_k string, p{i} double, valid_from date, valid_until date"
+        sdfs.append(
+            spark.createDataFrame(t or [("__none__", 0.0, D0, D0)], schema)
+            .where("key_k != '__none__'")
+        )
+    primary, secondary = sdfs[0], sdfs[1:]
+    plain = truncate_interlace(primary, secondary, bucket_days=None)
+    bucketed = truncate_interlace(primary, secondary, bucket_days=3)
+    key = lambda r: tuple((x is None, x) for x in r)  # noqa: E731
+    a = sorted((tuple(r) for r in plain.collect()), key=key)
+    b = sorted(
+        (tuple(r) for r in bucketed.select(plain.columns).collect()), key=key
+    )
+    assert a == b
+
+
 @settings(max_examples=30, deadline=None)
 @given(
     st.lists(
