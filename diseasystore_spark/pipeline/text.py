@@ -1118,3 +1118,124 @@ def perplexity_split(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+#: Gopher rule-7 stopword list (Rae et al. 2021, appendix A1.1 —
+#: public): a document must contain at least 2 of these.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_word_pct: int = 10,
+    max_bullet_line_pct: int = 90,
+    max_ellipsis_line_pct: int = 30,
+    min_alpha_word_pct: int = 80,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The published Gopher quality rules (Rae et al. 2021, appendix
+    A1.1 — public) as one shuffle-free projection: per document,
+    evaluate every rule and return the verdict plus each rule's
+    boolean (full diagnosability, not just a pass bit).
+
+    Rules (thresholds as integer percentages so every comparison is
+    integer cross-multiplication — bit-identical in any engine, no
+    float division anywhere):
+
+    - ``r_words``: ``min_words <= word count <= max_words``
+    - ``r_mean_len``: mean word length in
+      ``[min_mean_word_len, max_mean_word_len]`` (as
+      ``lo * n <= total_chars <= hi * n``)
+    - ``r_symbols``: symbol-to-word ratio (``#`` and ``…``
+      occurrences) at most ``max_symbol_word_pct`` per 100 words
+    - ``r_bullets``: fewer than ``max_bullet_line_pct``% of lines
+      start with a bullet (``•`` or ``- ``)
+    - ``r_ellipsis``: fewer than ``max_ellipsis_line_pct``% of lines
+      end with an ellipsis (``…`` or ``...``)
+    - ``r_alpha``: at least ``min_alpha_word_pct``% of words contain
+      an alphabetic character
+    - ``r_stopwords``: at least ``min_stopwords`` DISTINCT
+      ``GOPHER_STOPWORDS`` members present
+
+    Tokenization is the module-wide convention (``\\s+`` split of the
+    trimmed text, the same split every stats/langid/oracle query
+    uses); lines split on ``\\n``. Both arrays are bound ONCE via the
+    single-element ``transform`` trick (``token_stats_struct``) so
+    each counter is an int-accumulator ``aggregate`` over an array
+    materialized exactly once — per-row JVM work, whole-stage codegen,
+    zero shuffles, zero Python.
+
+    Output: ``(id, n_words, n_lines, r_* booleans..., passed)``.
+    """
+    sq = "'"
+    stop_terms = " + ".join(
+        f"IF(array_contains(w, {sq}{s}{sq}), 1, 0)" for s in GOPHER_STOPWORDS
+    )
+    counters = (
+        "struct("
+        "size(w) AS n_words, "
+        "size(l) AS n_lines, "
+        "aggregate(w, 0, (a, t) -> a + length(t)) AS word_chars, "
+        "aggregate(w, 0, (a, t) -> a + IF(t rlike '[A-Za-z]', 1, 0)) "
+        "AS alpha_words, "
+        f"{stop_terms} AS stop_distinct, "
+        "aggregate(l, 0, (a, x) -> a + IF(x LIKE '•%' "
+        "OR x LIKE '- %', 1, 0)) AS bullet_lines, "
+        "aggregate(l, 0, (a, x) -> a + IF(x LIKE '%…' "
+        "OR x LIKE '%...', 1, 0)) AS ellipsis_lines)"
+    )
+    stats = F.expr(
+        f"element_at(transform(array(split(trim({text_col}), '\\\\s+')), "
+        f"w -> element_at(transform(array(split({text_col}, '\\n')), "
+        f"l -> {counters}), 1)), 1)"
+    )
+    symbols = (
+        F.length(text_col) - F.length(F.regexp_replace(text_col, "#", ""))
+    ) + (
+        F.length(text_col) - F.length(F.regexp_replace(text_col, "…", ""))
+    )
+    g = df.select(
+        F.col(id_col), stats.alias("__g"), symbols.alias("__sym")
+    ).select(
+        F.col(id_col),
+        F.col("__g.n_words").alias("n_words"),
+        F.col("__g.n_lines").alias("n_lines"),
+        (
+            (F.col("__g.n_words") >= min_words)
+            & (F.col("__g.n_words") <= max_words)
+        ).alias("r_words"),
+        (
+            (min_mean_word_len * F.col("__g.n_words") <= F.col("__g.word_chars"))
+            & (F.col("__g.word_chars") <= max_mean_word_len * F.col("__g.n_words"))
+        ).alias("r_mean_len"),
+        (100 * F.col("__sym") <= max_symbol_word_pct * F.col("__g.n_words")).alias(
+            "r_symbols"
+        ),
+        (
+            100 * F.col("__g.bullet_lines")
+            < max_bullet_line_pct * F.col("__g.n_lines")
+        ).alias("r_bullets"),
+        (
+            100 * F.col("__g.ellipsis_lines")
+            < max_ellipsis_line_pct * F.col("__g.n_lines")
+        ).alias("r_ellipsis"),
+        (
+            100 * F.col("__g.alpha_words")
+            >= min_alpha_word_pct * F.col("__g.n_words")
+        ).alias("r_alpha"),
+        (F.col("__g.stop_distinct") >= min_stopwords).alias("r_stopwords"),
+    )
+    rules = [
+        "r_words", "r_mean_len", "r_symbols", "r_bullets",
+        "r_ellipsis", "r_alpha", "r_stopwords",
+    ]
+    passed = F.lit(True)
+    for r in rules:
+        passed = passed & F.col(r)
+    return g.withColumn("passed", passed)

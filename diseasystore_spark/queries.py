@@ -5216,6 +5216,72 @@ FROM qv, (SELECT unnest([0.5, 0.9]) AS q, unnest([1, 2]) AS i) qs
 """
 
 
+def q109_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality rules (Rae et al. 2021, appendix
+    A1.1) over the documents table: per document, every rule's
+    boolean plus the composite verdict, with thresholds lowered to
+    the testdata's short-document regime (min_words=20) so both
+    verdicts occur. All rule arithmetic is integer
+    cross-multiplication — no float division anywhere — so the DuckDB
+    oracle reproduces it bit-exactly."""
+    from diseasystore_spark.pipeline.text import gopher_quality_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_quality_filter(docs, min_words=20)
+
+
+ORACLE_Q109 = """
+WITH tok AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS w,
+         string_split(text, chr(10)) AS l,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '…', ''))) AS sym
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(w) AS INT) AS n_words,
+         CAST(len(l) AS INT) AS n_lines,
+         CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT)
+           AS word_chars,
+         CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+           AS BIGINT) AS alpha_words,
+         (CAST(list_contains(w, 'the') AS INT)
+          + CAST(list_contains(w, 'be') AS INT)
+          + CAST(list_contains(w, 'to') AS INT)
+          + CAST(list_contains(w, 'of') AS INT)
+          + CAST(list_contains(w, 'and') AS INT)
+          + CAST(list_contains(w, 'that') AS INT)
+          + CAST(list_contains(w, 'have') AS INT)
+          + CAST(list_contains(w, 'with') AS INT)) AS stop_distinct,
+         CAST(len(list_filter(l, x -> x LIKE '•%' OR x LIKE '- %'))
+           AS BIGINT) AS bullet_lines,
+         CAST(len(list_filter(l, x -> x LIKE '%…' OR x LIKE '%...'))
+           AS BIGINT) AS ellipsis_lines,
+         sym
+  FROM tok
+),
+r AS (
+  SELECT doc_id, n_words, n_lines,
+         (n_words >= 20 AND n_words <= 100000) AS r_words,
+         (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+           AS r_mean_len,
+         (100 * sym <= 10 * n_words) AS r_symbols,
+         (100 * bullet_lines < 90 * n_lines) AS r_bullets,
+         (100 * ellipsis_lines < 30 * n_lines) AS r_ellipsis,
+         (100 * alpha_words >= 80 * n_words) AS r_alpha,
+         (stop_distinct >= 2) AS r_stopwords
+  FROM c
+)
+SELECT doc_id, n_words, n_lines, r_words, r_mean_len, r_symbols,
+       r_bullets, r_ellipsis, r_alpha, r_stopwords,
+       (r_words AND r_mean_len AND r_symbols AND r_bullets
+        AND r_ellipsis AND r_alpha AND r_stopwords) AS passed
+FROM r
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5329,6 +5395,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q106_weighted_sample": q106_weighted_sample,
     "q107_local_supplier_volume": q107_local_supplier_volume,
     "q108_rolling_quantiles": q108_rolling_quantiles,
+    "q109_gopher_rules": q109_gopher_rules,
 }
 
 ORACLES: dict[str, str] = {
@@ -5439,6 +5506,7 @@ ORACLES: dict[str, str] = {
     "q106_weighted_sample": ORACLE_Q106,
     "q107_local_supplier_volume": ORACLE_Q107,
     "q108_rolling_quantiles": ORACLE_Q108,
+    "q109_gopher_rules": ORACLE_Q109,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

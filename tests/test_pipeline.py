@@ -2058,3 +2058,42 @@ def test_remove_boilerplate_paragraphs_exact_and_near(spark):
 
     with _pytest.raises(ValueError, match="pair_method"):
         remove_boilerplate_paragraphs(df, near=True, pair_method="bogus")
+
+
+def test_gopher_quality_filter_rules(spark):
+    """Each Gopher rule (Rae et al. 2021 A1.1) trips on its crafted
+    document and ONLY the intended rules trip; arithmetic is integer
+    cross-multiplication (no float thresholds)."""
+    from diseasystore_spark.pipeline.text import gopher_quality_filter
+
+    filler = " ".join(f"word{i}" for i in range(30))
+    good = (
+        "the quick brown fox jumps over that lazy dog and runs off to "
+        "be with every other woodland creature of the forest " + filler
+    )
+    docs = [
+        (1, good),
+        (2, "short text"),                       # r_words (and stopwords)
+        (3, good + " ####" * 40),                # r_symbols (+alpha)
+        (4, "\n".join(["• the item to be of"] * 10)),  # r_bullets
+        (5, good + ("\nthe end…" * 9)),          # r_ellipsis (9 of 10 lines)
+        (6, " ".join(["1234"] * 60)),            # r_alpha + r_stopwords
+        (7, " ".join(["a"] * 60)),               # r_mean_len (+stopwords)
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_filter(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["passed"] and all(
+        out[1][c] for c in out[1].asDict() if c.startswith("r_")
+    )
+    assert not out[2]["r_words"] and not out[2]["passed"]
+    assert not out[3]["r_symbols"]
+    assert not out[4]["r_bullets"] and out[4]["r_words"]
+    assert not out[5]["r_ellipsis"] and out[5]["r_words"]
+    assert not out[6]["r_alpha"] and not out[6]["r_stopwords"]
+    assert not out[7]["r_mean_len"]
+    # every other rule on doc 7 is sane: words ok, no bullets/ellipsis
+    assert out[7]["r_words"] and out[7]["r_bullets"] and out[7]["r_ellipsis"]
