@@ -1239,3 +1239,65 @@ def gopher_quality_filter(
     for r in rules:
         passed = passed & F.col(r)
     return g.withColumn("passed", passed)
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+    badwords: tuple[str, ...] = (),
+) -> DataFrame:
+    """The published C4 cleaning rules (Raffel et al. 2020 §2.2 —
+    public) as one shuffle-free projection. Line level: keep only
+    lines that end in a terminal punctuation mark (``. ! ?``,
+    optionally followed by a closing quote), contain at least
+    ``min_line_words`` words, and do not mention "javascript"
+    (case-insensitive). Document level: drop any page containing a
+    curly brace, the phrase "lorem ipsum" (case-insensitive), any
+    ``badwords`` member as a whole word, or fewer than
+    ``min_sentences`` sentences after line cleaning (sentences
+    counted as terminal-punctuation marks in the cleaned text).
+
+    Output: ``(id, text_clean, n_lines, n_lines_kept, kept)`` for
+    EVERY input document — ``kept=false`` rows carry their cleaned
+    text too, so callers can audit why a page fell. Everything is
+    array-lambda Column expressions over one line split: per-row JVM
+    work, whole-stage codegen, zero shuffles, zero Python.
+    """
+    keep_line = (
+        f"size(split(trim(x), '\\\\s+')) >= {min_line_words} "
+        f"AND x rlike '[.!?][\"\\']?$' "
+        f"AND NOT lower(x) rlike 'javascript'"
+    )
+    kept_lines = F.expr(
+        f"filter(split({text_col}, '\\n'), x -> {keep_line})"
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+        kept_lines.alias("__kl"),
+    ).select(
+        F.col(id_col),
+        F.col(text_col),
+        "n_lines",
+        F.size("__kl").alias("n_lines_kept"),
+        F.array_join("__kl", "\n").alias("text_clean"),
+    )
+    n_sentences = F.size(F.split(F.col("text_clean"), r"[.!?]")) - 1
+    bad = F.lit(False)
+    lowered = F.lower(F.col(text_col))
+    for w in badwords:
+        bad = bad | lowered.rlike(rf"\b{w}\b")
+    kept = (
+        ~F.col(text_col).contains("{")
+        & ~F.col(text_col).contains("}")
+        & ~lowered.contains("lorem ipsum")
+        & ~bad
+        & (n_sentences >= min_sentences)
+    )
+    return base.select(
+        id_col, "text_clean", "n_lines", "n_lines_kept", kept.alias("kept")
+    )

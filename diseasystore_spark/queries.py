@@ -5282,6 +5282,63 @@ FROM r
 """
 
 
+def q110_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published C4 cleaning rules (Raffel et al. 2020 §2.2) over
+    the documents table. The corpus is single-line word soup, so the
+    query first breaks each document into 6-token sentences with a
+    pure regex (q104's trick, applied identically in both engines):
+    every complete 6-token chunk becomes a period-terminated line and
+    the trailing partial chunk keeps no terminal (so the line filter
+    exercises both branches). Badword "slow" is a common soup token,
+    so the document-level drop fires on a real subset."""
+    from diseasystore_spark.pipeline.text import c4_clean
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.trim(F.col("text")),
+            r"(\S+ \S+ \S+ \S+ \S+ \S+) ",
+            "$1.\n",
+        ).alias("text"),
+    )
+    return c4_clean(
+        docs, min_line_words=5, min_sentences=3, badwords=("slow",)
+    )
+
+
+ORACLE_Q110 = """
+WITH docs AS (
+  SELECT doc_id,
+         regexp_replace(trim(text),
+                        '(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ',
+                        '\\1.' || chr(10), 'g') AS t
+  FROM documents
+),
+k AS (
+  SELECT doc_id, t,
+         CAST(len(string_split(t, chr(10))) AS INT) AS n_lines,
+         list_filter(string_split(t, chr(10)),
+                     x -> len(string_split_regex(trim(x), '\\s+')) >= 5
+                          AND regexp_matches(x, '[.!?]["'']?$')
+                          AND NOT regexp_matches(lower(x), 'javascript')
+         ) AS kl
+  FROM docs
+),
+c AS (
+  SELECT doc_id, t, n_lines,
+         CAST(len(kl) AS INT) AS n_lines_kept,
+         array_to_string(kl, chr(10)) AS text_clean
+  FROM k
+)
+SELECT doc_id, text_clean, n_lines, n_lines_kept,
+       (NOT contains(t, '{') AND NOT contains(t, '}')
+        AND NOT contains(lower(t), 'lorem ipsum')
+        AND NOT regexp_matches(lower(t), '\\bslow\\b')
+        AND len(string_split_regex(text_clean, '[.!?]')) - 1 >= 3) AS kept
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5396,6 +5453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q107_local_supplier_volume": q107_local_supplier_volume,
     "q108_rolling_quantiles": q108_rolling_quantiles,
     "q109_gopher_rules": q109_gopher_rules,
+    "q110_c4_clean": q110_c4_clean,
 }
 
 ORACLES: dict[str, str] = {
@@ -5507,6 +5565,7 @@ ORACLES: dict[str, str] = {
     "q107_local_supplier_volume": ORACLE_Q107,
     "q108_rolling_quantiles": ORACLE_Q108,
     "q109_gopher_rules": ORACLE_Q109,
+    "q110_c4_clean": ORACLE_Q110,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

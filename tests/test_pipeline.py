@@ -2097,3 +2097,43 @@ def test_gopher_quality_filter_rules(spark):
     assert not out[7]["r_mean_len"]
     # every other rule on doc 7 is sane: words ok, no bullets/ellipsis
     assert out[7]["r_words"] and out[7]["r_bullets"] and out[7]["r_ellipsis"]
+
+
+def test_c4_clean_rules(spark):
+    """C4 rules (Raffel et al. 2020 §2.2): line filter (terminal
+    punctuation incl. closing quote, >=5 words, no 'javascript') and
+    doc drops (braces, lorem ipsum, badword, <3 sentences)."""
+    from diseasystore_spark.pipeline.text import c4_clean
+
+    docs = [
+        (1, "This is a perfectly good first sentence here.\n"
+            "And here is another one that also ends properly!\n"
+            "Does this page have enough sentences now?"),
+        (2, "short line.\nno terminal here\n"
+            "Enable javascript to view this page now.\n"
+            "This line is long enough and ends fine."),
+        (3, "Some text with lorem ipsum placeholder filler in it today.\n"
+            "Another fine sentence right here to count on.\n"
+            "And a third one to be safe today."),
+        (4, "function f() { return 1; } is code.\n"
+            "A normal sentence appears right here today.\n"
+            "And another full sentence closes it out."),
+        (5, 'The speaker said "this ends with a quote."\n'
+            "Here is another complete sentence for the count.\n"
+            "And one final sentence wraps the page up."),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in c4_clean(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            badwords=("filler",),
+        ).collect()
+    }
+    assert out[1]["kept"] and out[1]["n_lines_kept"] == 3
+    # doc 2: 'short line.' fails word count, bare line fails terminal,
+    # javascript line dropped -> 1 kept line -> 1 sentence < 3
+    assert out[2]["n_lines_kept"] == 1 and not out[2]["kept"]
+    assert not out[3]["kept"]  # lorem ipsum + badword
+    assert not out[4]["kept"]  # curly braces
+    assert out[5]["kept"]      # quote-terminated line counts
+    assert out[5]["text_clean"].startswith('The speaker said "')
