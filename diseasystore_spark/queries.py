@@ -3225,11 +3225,19 @@ LEFT JOIN hits h ON d.doc_id = h.doc_id
 def q73_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection: q53's near-dup clusters, but
     the keeper per cluster is the highest-quality member (q20's
-    composite score, tie-broken by id) instead of the min id."""
+    composite score, tie-broken by id) instead of the min id.
+
+    ``max_df=500`` is the q37/q82-style hot-shingle guard: it never
+    fires on this corpus (max trigram DF over distinct contents is
+    ~130 at sf1, so the short-circuit keeps the plan shuffle-free and
+    the oracle exact) but bounds the shingle self-join on a
+    pathological input. The exact pair stage is pair-volume-bound by
+    contract (sum(df^2) comparisons); ``pair_method="minhash"`` is
+    the composition's scale path."""
     from diseasystore_spark.pipeline.dedup import canonical_by_quality
 
     return canonical_by_quality(
-        _read(spark, sf_dir, "documents"), n=3, threshold=0.2
+        _read(spark, sf_dir, "documents"), n=3, threshold=0.2, max_df=500
     ).select(
         "doc_id", "component", F.round("score", 4).alias("score"),
         "is_canonical",
