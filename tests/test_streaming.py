@@ -880,3 +880,61 @@ def test_stream_windowed_quantiles_grouped(spark, tmp_path):
         for qq, e in zip([0.5, 0.9], exp):
             v, n = got[(ep, qq)]
             assert n == len(vals) and abs(v - e) < 1e-9, (ep, qq)
+
+
+def test_quality_filters_stream_match_batch(spark, tmp_path):
+    """gopher_quality_filter and c4_clean are stateless per-row
+    projections, so they run unchanged on a streaming source and emit
+    exactly the batch verdicts across micro-batch boundaries."""
+    from diseasystore_spark.pipeline.text import (
+        c4_clean,
+        gopher_quality_filter,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = docs.collect()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.parquet(
+            str(src / f"b{i}"), mode="overwrite"
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+
+    got_g: dict = {}
+    got_c: dict = {}
+
+    def sink(batch, epoch_id):
+        got_g.update(
+            {r["doc_id"]: r["passed"]
+             for r in gopher_quality_filter(batch, min_words=20).collect()}
+        )
+        got_c.update(
+            {r["doc_id"]: (r["kept"], r["n_lines_kept"])
+             for r in c4_clean(batch).collect()}
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want_g = {
+        r["doc_id"]: r["passed"]
+        for r in gopher_quality_filter(docs, min_words=20).collect()
+    }
+    want_c = {
+        r["doc_id"]: (r["kept"], r["n_lines_kept"])
+        for r in c4_clean(docs).collect()
+    }
+    assert got_g == want_g and got_c == want_c
+    assert len(want_g) == len(rows)
