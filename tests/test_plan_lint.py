@@ -1,0 +1,71 @@
+"""plan_summary / assert_distributed — the user-facing plan-shape
+gate (plans/lint.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from diseasystore_spark.plans.lint import assert_distributed, plan_summary
+
+
+def test_partitioned_window_passes(spark):
+    df = spark.range(100).withColumn("k", F.col("id") % 3)
+    part = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+    )
+    s = assert_distributed(part)
+    assert s["unpartitioned_windows"] == 0 and s["cartesian"] == 0
+
+
+def test_global_window_flagged_and_cappable(spark):
+    df = spark.range(100)
+    glob = df.withColumn("r", F.row_number().over(Window.orderBy("id")))
+    assert plan_summary(glob)["unpartitioned_windows"] == 1
+    with pytest.raises(AssertionError, match="unpartitioned window"):
+        assert_distributed(glob)
+    # a provably bounded frame may raise the cap explicitly
+    assert_distributed(glob, max_unpartitioned_windows=1)
+
+
+def test_cartesian_flagged(spark):
+    a = spark.range(100)
+    b = spark.range(50).select(F.col("id").alias("j"))
+    cart = a.hint("shuffle_replicate_nl").crossJoin(b)
+    assert plan_summary(cart)["cartesian"] >= 1
+    with pytest.raises(AssertionError, match="cartesian"):
+        assert_distributed(cart)
+
+
+def test_arrow_python_is_acceptable_row_python_is_not(spark):
+    df = spark.range(100).withColumn("v", F.col("id").cast("double"))
+
+    def doubler(it):
+        for pdf in it:
+            yield pdf.assign(v=pdf.v * 2)
+
+    arrow = df.mapInPandas(doubler, "id long, v double")
+    s = assert_distributed(arrow)
+    assert s["arrow_python"] == 1 and s["row_python"] == 0
+
+    from pyspark.sql.types import DoubleType
+
+    slow = df.withColumn(
+        "w", F.udf(lambda v: v * 2, DoubleType(), useArrow=False)("v")
+    )
+    assert plan_summary(slow)["row_python"] >= 1
+    with pytest.raises(AssertionError, match="BatchEvalPython"):
+        assert_distributed(slow)
+    assert_distributed(slow, allow_row_python=True)
+
+
+def test_registry_flagship_is_scale_safe(spark):
+    """The flagship engine query passes the gate end-to-end (cumsum
+    windows are strata-partitioned, joins never cartesian)."""
+    from diseasystore_spark.queries import QUERIES
+
+    df = QUERIES["q12_date_spine"](spark, "/root/testdata/sf0.001")
+    s = assert_distributed(df)
+    assert s["exchanges"] > 0  # real aggregation plan, not a stub
