@@ -69,3 +69,45 @@ def test_registry_flagship_is_scale_safe(spark):
     df = QUERIES["q12_date_spine"](spark, "/root/testdata/sf0.001")
     s = assert_distributed(df)
     assert s["exchanges"] > 0  # real aggregation plan, not a stub
+
+
+def test_all_registry_queries_are_scale_safe(spark):
+    """Repo-wide plan gate: NO registry query may contain a cartesian
+    product or a row-at-a-time Python eval, and unpartitioned windows
+    are allowed only where the windowed frame is provably bounded
+    (pinned per query below — a new global window anywhere else is a
+    regression, not a judgment call).
+
+    Bounded-frame allowances: q01 unstratified cumsum (rows = study
+    days), q08 day-level gap spine, q45 top-k rank over the heavy-
+    hitter candidates, q64/q66 budget prefix-sum bucket frame
+    (coarse_div-bounded), q65 vocab rank (vocab-sized), q75 epoch
+    1024-row bucket frame, q103 single KLL merge task (sketch rows).
+    """
+    from diseasystore_spark.plans.lint import plan_summary
+    from diseasystore_spark.queries import QUERIES
+
+    allowed_global_windows = {
+        "q01_prevalence_total": 1,
+        "q08_gap_islands": 2,
+        "q45_heavy_hitters": 1,
+        "q64_budget_selection": 1,
+        "q65_tokenize_to_ids": 1,
+        "q66_curation_e2e": 1,
+        "q75_epoch_shuffle": 1,
+        "q103_kll_quantiles": 1,
+    }
+    problems = []
+    for name, fn in QUERIES.items():
+        s = plan_summary(fn(spark, "/root/testdata/sf0.001"))
+        if s["cartesian"]:
+            problems.append(f"{name}: {s['cartesian']} cartesian")
+        if s["row_python"]:
+            problems.append(f"{name}: {s['row_python']} row-python")
+        cap = allowed_global_windows.get(name, 0)
+        if s["unpartitioned_windows"] > cap:
+            problems.append(
+                f"{name}: {s['unpartitioned_windows']} global windows "
+                f"(cap {cap})"
+            )
+    assert not problems, "; ".join(problems)
