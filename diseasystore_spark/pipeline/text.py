@@ -710,6 +710,7 @@ def tokenize_to_ids(
     min_count: int = 2,
     vocab: DataFrame | None = None,
     unk_id: int = 0,
+    rank_buckets: int | None = None,
 ) -> DataFrame:
     """Map every token to a deterministic integer vocabulary id — the
     final tokenize-to-tensors prep step. Ids are frequency-ranked
@@ -727,19 +728,59 @@ def tokenize_to_ids(
     frequency-rank ids via ONE window over the vocabulary frame
     (vocab-sized, not corpus-sized — the only single-task stage) ->
     posexplode of the token stream -> broadcast-friendly equi-join on
-    term (AQE broadcasts any realistic vocabulary)."""
+    term (AQE broadcasts any realistic vocabulary).
+
+    ``rank_buckets=N`` replaces the vocab-frame global window with the
+    two-level rank (the ``epoch_shuffle`` pattern): range-partition
+    the vocabulary on the rank order, row-number WITHIN partitions,
+    and add per-partition offsets from an N-row count frame — the only
+    single-task stage is over N rows. The ids are IDENTICAL for any
+    bucketing because (ct desc, term) is a strict total order (terms
+    are unique), so offset + local rank reproduces the exact global
+    rank regardless of where the range boundaries fall. Use it when
+    the vocabulary itself is too large to sort in one task."""
     v = (
         vocab
         if vocab is not None
         else build_vocab(df, id_col, text_col, min_count)
     )
-    ranked = v.select(
-        "term",
-        F.row_number()
-        .over(Window.orderBy(F.col("ct").desc(), F.col("term")))
-        .cast("bigint")
-        .alias("term_id"),
-    )
+    if rank_buckets:
+        rv = v.repartitionByRange(
+            rank_buckets, F.col("ct").desc(), F.col("term")
+        ).withColumn("__p", F.spark_partition_id())
+        per = rv.groupBy("__p").agg(F.count(F.lit(1)).alias("__n"))
+        # N-row frame: cumulative offset of each range partition
+        offs = per.select(
+            "__p",
+            (
+                F.sum("__n").over(
+                    Window.orderBy("__p").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                )
+            ).alias("__off"),
+        ).fillna(0, subset=["__off"])
+        wloc = Window.partitionBy("__p").orderBy(
+            F.col("ct").desc(), F.col("term")
+        )
+        ranked = (
+            rv.withColumn("__rn", F.row_number().over(wloc))
+            .join(offs, "__p")
+            .select(
+                "term",
+                (F.col("__off") + F.col("__rn")).cast("bigint").alias(
+                    "term_id"
+                ),
+            )
+        )
+    else:
+        ranked = v.select(
+            "term",
+            F.row_number()
+            .over(Window.orderBy(F.col("ct").desc(), F.col("term")))
+            .cast("bigint")
+            .alias("term_id"),
+        )
     toks = df.select(
         F.col(id_col),
         F.posexplode(

@@ -46,7 +46,7 @@ def plan_summary(df: DataFrame) -> dict:
     simple = df._jdf.queryExecution().executedPlan().toString()
     unpart = 0
     for line in simple.splitlines():
-        s = line.strip().lstrip("+-*( ").rstrip()
+        s = line.strip().lstrip(":+-*( ").rstrip()
         if s.startswith("Window ") or s.startswith("RunningWindowFunction"):
             # "Window [f(x) windowspecdefinition(part, order, ...)]":
             # a windowspecdefinition whose first argument is the

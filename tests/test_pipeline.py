@@ -2137,3 +2137,26 @@ def test_c4_clean_rules(spark):
     assert not out[4]["kept"]  # curly braces
     assert out[5]["kept"]      # quote-terminated line counts
     assert out[5]["text_clean"].startswith('The speaker said "')
+
+
+def test_tokenize_to_ids_bucketed_rank_identical(spark):
+    """rank_buckets (two-level range rank) must produce ids identical
+    to the single-window path: (ct desc, term) is a strict total
+    order, so offsets + local ranks reproduce the global rank for any
+    bucket boundaries. Also pins the scale shape: the vocab window is
+    partition-local (no unpartitioned window over the vocab frame)."""
+    from diseasystore_spark.pipeline.text import tokenize_to_ids
+    from diseasystore_spark.plans.lint import plan_summary
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    plain = tokenize_to_ids(docs, min_count=2)
+    bucketed = tokenize_to_ids(docs, min_count=2, rank_buckets=7)
+    key = ["doc_id", "pos"]
+    a = {(r["doc_id"], r["pos"]): (r["term"], r["term_id"])
+         for r in plain.collect()}
+    b = {(r["doc_id"], r["pos"]): (r["term"], r["term_id"])
+         for r in bucketed.collect()}
+    assert a == b and len(a) > 100
+    assert plan_summary(bucketed)["unpartitioned_windows"] == 0
