@@ -33,19 +33,18 @@ def main() -> int:
             import contextlib
             import io
 
+            from diseasystore_spark.plans.lint import plan_summary
+
+            df = fn(spark, sf_dir)
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
-                fn(spark, sf_dir).explain("formatted")
+                df.explain("formatted")
             plan = buf.getvalue()
+            s = plan_summary(df)
         except Exception as e:  # noqa: BLE001 - audit tool, keep going
             sections.append(f"== {name} ==\nERROR: {e}\n")
             continue
-        summary = (
-            f"exchanges={plan.count('Exchange')} "
-            f"broadcasts={plan.count('Broadcast')} "
-            f"py_eval={plan.count('EvalPython') + plan.count('MapInPandas')} "
-            f"scans={plan.count('Scan parquet') + plan.count('FileScan')}"
-        )
+        summary = " ".join(f"{k}={v}" for k, v in s.items())
         sections.append(f"== {name} ==  [{summary}]\n{plan}\n")
         print(f"# {name}: {summary}", file=sys.stderr)
     Path(out_path).write_text("\n".join(sections))
