@@ -331,3 +331,127 @@ def test_perplexity_split_equals_naive_window(spark):
         for r in naive.collect()
     }
     assert got == want
+
+
+def test_gopher_rules_match_python_oracle(spark):
+    """Randomized docs (whitespace runs, unicode ellipssis/bullets,
+    digits, short/long) vs a pure-Python evaluation of all 7 rules."""
+    import random
+    import re
+
+    from diseasystore_spark.pipeline.text import (
+        GOPHER_STOPWORDS,
+        gopher_quality_filter,
+    )
+
+    rng = random.Random(7)
+    vocab = ["the", "be", "to", "of", "and", "word", "#tag", "12",
+             "x", "…", "alpha", "Beta9", "-", "•"]
+    docs = []
+    for i in range(60):
+        n_lines = rng.randint(1, 5)
+        lines = []
+        for _ in range(n_lines):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+            line = (" " * rng.randint(1, 2)).join(toks)
+            if rng.random() < 0.3:
+                line = "• " + line
+            if rng.random() < 0.3:
+                line += "…" if rng.random() < 0.5 else "..."
+            lines.append(line)
+        docs.append((i, "\n".join(lines)))
+
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_filter(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            min_words=5,
+        ).collect()
+    }
+    for i, text in docs:
+        # Spark/DuckDB trim() strips SPACES only (not \n) — the
+        # module-wide tokenization convention; mirror it exactly
+        w = re.split(r"\s+", text.strip(" "))
+        lines = text.split("\n")
+        n_words, n_lines = len(w), len(lines)
+        word_chars = sum(len(t) for t in w)
+        alpha = sum(1 for t in w if re.search("[A-Za-z]", t))
+        stops = sum(1 for s in GOPHER_STOPWORDS if s in w)
+        bullets = sum(
+            1 for x in lines if x.startswith("•") or x.startswith("- ")
+        )
+        ell = sum(
+            1 for x in lines if x.endswith("…") or x.endswith("...")
+        )
+        sym = text.count("#") + text.count("…")
+        r = out[i]
+        assert r["n_words"] == n_words and r["n_lines"] == n_lines, i
+        assert r["r_words"] == (5 <= n_words <= 100_000), i
+        assert r["r_mean_len"] == (
+            3 * n_words <= word_chars <= 10 * n_words
+        ), i
+        assert r["r_symbols"] == (100 * sym <= 10 * n_words), i
+        assert r["r_bullets"] == (100 * bullets < 90 * n_lines), i
+        assert r["r_ellipsis"] == (100 * ell < 30 * n_lines), i
+        assert r["r_alpha"] == (100 * alpha >= 80 * n_words), i
+        assert r["r_stopwords"] == (stops >= 2), i
+        assert r["passed"] == all(
+            r[c] for c in r.asDict() if c.startswith("r_")
+        ), i
+
+
+def test_c4_clean_matches_python_oracle(spark):
+    """Randomized docs vs pure-Python C4 rules (line keep set, page
+    verdict, reassembly order)."""
+    import random
+    import re
+
+    from diseasystore_spark.pipeline.text import c4_clean
+
+    rng = random.Random(11)
+    words = ["one", "two", "three", "javascript", "Lorem", "ipsum",
+             "brace", "word", "x"]
+    docs = []
+    for i in range(60):
+        lines = []
+        for _ in range(rng.randint(1, 6)):
+            toks = [rng.choice(words) for _ in range(rng.randint(0, 9))]
+            line = " ".join(toks)
+            r = rng.random()
+            if r < 0.5:
+                line += "."
+            elif r < 0.6:
+                line += '!"'
+            if rng.random() < 0.1:
+                line += " {"
+            lines.append(line)
+        docs.append((i, "\n".join(lines)))
+
+    out = {
+        r["doc_id"]: r
+        for r in c4_clean(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            badwords=("brace",),
+        ).collect()
+    }
+    for i, text in docs:
+        lines = text.split("\n")
+        kept = [
+            x for x in lines
+            if len(re.split(r"\s+", x.strip(" "))) >= 5
+            and re.search(r'[.!?]["\']?$', x)
+            and "javascript" not in x.lower()
+        ]
+        clean = "\n".join(kept)
+        sentences = len(re.split(r"[.!?]", clean)) - 1
+        verdict = (
+            "{" not in text and "}" not in text
+            and "lorem ipsum" not in text.lower()
+            and not re.search(r"\bbrace\b", text.lower())
+            and sentences >= 3
+        )
+        r = out[i]
+        assert r["text_clean"] == clean, i
+        assert r["n_lines"] == len(lines), i
+        assert r["n_lines_kept"] == len(kept), i
+        assert r["kept"] == verdict, i
