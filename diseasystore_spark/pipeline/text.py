@@ -1206,7 +1206,9 @@ def gopher_quality_filter(
 
     Tokenization is the module-wide convention (``\\s+`` split of the
     trimmed text, the same split every stats/langid/oracle query
-    uses); lines split on ``\\n``. Both arrays are bound ONCE via the
+    uses; note SQL ``trim`` strips SPACES only — identical in Spark
+    and DuckDB, but different from Python ``str.strip()``, which also
+    strips newlines); lines split on ``\\n``. Both arrays are bound ONCE via the
     single-element ``transform`` trick (``token_stats_struct``) so
     each counter is an int-accumulator ``aggregate`` over an array
     materialized exactly once — per-row JVM work, whole-stage codegen,

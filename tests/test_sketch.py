@@ -500,3 +500,43 @@ def test_kll_sketch_parquet_roundtrip_and_cross_load_merge(spark, tmp_path):
     exp = np.quantile(np.array(old + new), [0.1, 0.5, 0.99])
     for q, e in zip([0.1, 0.5, 0.99], exp):
         assert abs(got[q] - e) < 1e-9, (q, got[q], e)
+
+
+def test_bloom_and_cms_parquet_roundtrip(spark, tmp_path):
+    """Bloom filters and CMS counter frames are persistable artifacts
+    like the KLL sketches: write to parquet, reload in a fresh frame,
+    and every downstream estimate/screen is identical — the
+    cross-session decontamination/term-count workflow."""
+    from diseasystore_spark.pipeline.sketch import (
+        bloom_build_ngrams,
+        bloom_decontaminate,
+        cms_build_tokens,
+        cms_estimate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "c d e f g h"), (3, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "b c d e f g")], "doc_id long, text string"
+    )
+
+    bp = str(tmp_path / "bloom")
+    bloom_build_ngrams(bench, n=4, m=1 << 12, k=3).write.parquet(bp)
+    direct = bloom_decontaminate(docs, bench, n=4, m=1 << 12, k=3).collect()
+    via_disk = bloom_decontaminate(
+        docs, n=4, bloom=spark.read.parquet(bp)
+    ).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via_disk))
+
+    cp = str(tmp_path / "cms")
+    cms_build_tokens(docs, depth=4, width=64).write.parquet(cp)
+    terms = spark.createDataFrame(
+        [("c",), ("x",), ("nope",)], "term string"
+    )
+    live = cms_estimate(
+        cms_build_tokens(docs, depth=4, width=64), terms
+    ).collect()
+    loaded = cms_estimate(spark.read.parquet(cp), terms).collect()
+    assert sorted(map(tuple, live)) == sorted(map(tuple, loaded))
