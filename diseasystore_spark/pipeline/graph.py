@@ -1,0 +1,106 @@
+"""Iterative graph analytics over edge-list DataFrames.
+
+Connected components and triangle counting live with the dedup
+pipelines (``pipeline/dedup.py`` — they ARE dedup machinery); this
+module holds general-purpose iterative algorithms whose fixed-point
+loops are driven from the driver while every per-iteration step is a
+plain distributed join/aggregate (the DataFrame rendering of the
+Pregel pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    undirected: bool = True,
+) -> DataFrame:
+    """PageRank in scaled-INTEGER arithmetic — bit-identical in any
+    engine, unlike the textbook float formulation whose sums depend
+    on reduction order.
+
+    Ranks are micro-units of ``scale``: rank_0 = ``scale div N`` and
+
+        rank_{i+1}(v) = (scale * (100-damping_pct) div 100) div N
+                      + damping_pct * SUM_u(rank_i(u) div deg(u)) div 100
+
+    over in-neighbors ``u`` — every operation is integer (``div`` =
+    SQL integral division), and integer sums are exact and
+    commutative, so the result is deterministic under ANY partitioning
+    or reduction order and a DuckDB oracle reproduces it hash-exactly
+    (q111). The float PageRank is the limit ``scale -> inf``; at
+    ``scale=1e12`` the per-iteration floor error is < N / scale.
+
+    Distributed shape: each iteration is one equi-join of the edge
+    list with the rank frame plus one map-side-combinable groupBy on
+    the destination — the Pregel message/combine pattern in DataFrame
+    form. The rank frame is ``localCheckpoint``ed per iteration: the
+    classic lineage-truncation requirement of iterative algorithms
+    (without it the plan doubles per round). The edge list and degree
+    frame are checkpointed once and reused by every iteration.
+
+    Overflow bound: ``damping_pct * SUM(contrib)`` must fit a signed
+    64-bit integer; contributions sum to at most ``N * scale``, so
+    keep ``N * scale * 100 < 2^63`` (at the default scale: graphs to
+    ~90M nodes; lower ``scale`` for larger graphs).
+
+    ``undirected=True`` mirrors every edge. Self-loops and duplicate
+    edges are dropped (each neighbor pair contributes once). Isolated
+    nodes never appear in an edge list, so they are out of scope by
+    construction (their rank would be the base term).
+
+    Output: ``(node, rank)`` with ``rank`` in micro-units (bigint).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+    e = e.where(F.col("s") != F.col("d")).distinct().localCheckpoint()
+    nodes = e.select(F.col("s").alias("node")).distinct()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    # 1-row node count, broadcast into every rank projection — no
+    # driver action, no collected literal.
+    n_total = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
+    base_num = (scale * (100 - damping_pct)) // 100  # exact Python int
+
+    pr = (
+        nodes.crossJoin(n_total)
+        .select(
+            "node",
+            F.expr(f"cast({scale} as bigint) div n").alias("rank"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr, e["s"] == pr["node"])
+            .join(deg, "s")
+            .select(
+                F.col("d"),
+                F.expr("rank div deg").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("d").agg(F.sum("c").alias("sc"))
+        pr = (
+            nodes.join(sums, nodes["node"] == sums["d"], "left")
+            .crossJoin(n_total)
+            .select(
+                "node",
+                F.expr(
+                    f"cast({base_num} as bigint) div n "
+                    f"+ cast({damping_pct} as bigint) * coalesce(sc, "
+                    f"cast(0 as bigint)) div 100"
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return pr

@@ -5347,6 +5347,70 @@ FROM c
 """
 
 
+def q111_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-occurrence graph (parts appearing in
+    the same order, the market-basket graph), 5 iterations, in
+    scaled-INTEGER arithmetic (``pipeline/graph.pagerank_integer``):
+    every operation is integral division / exact integer sums, so the
+    iterative fixed-point loop — normally impossible to oracle
+    because float reduction order varies — is bit-identical in DuckDB
+    (unrolled CTE per iteration). Output: (part, rank) in 1e-12
+    units of total rank mass."""
+    from diseasystore_spark.pipeline.graph import pagerank_integer
+
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("d")
+    )
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("s") < F.col("d"))
+        .select("s", "d")
+        .distinct()
+    )
+    out = pagerank_integer(edges, src="s", dst="d", iterations=5)
+    return out.select(F.col("node").alias("part"), F.col("rank"))
+
+
+def _oracle_q111() -> str:
+    scale = 10**12
+    base = (scale * 15) // 100
+    sql = f"""
+WITH ed AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+nodes AS (SELECT DISTINCT s AS node FROM ed),
+deg AS (SELECT s, COUNT(*) AS deg FROM ed GROUP BY s),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+pr0 AS (
+  SELECT node, CAST(CAST({scale} AS BIGINT) // n AS BIGINT) AS rank
+  FROM nodes, nn
+)"""
+    for i in range(1, 6):
+        sql += f""",
+it{i} AS (
+  SELECT e.d AS node, SUM(p.rank // dg.deg) AS sc
+  FROM ed e JOIN pr{i - 1} p ON e.s = p.node JOIN deg dg ON e.s = dg.s
+  GROUP BY e.d
+),
+pr{i} AS (
+  SELECT nodes.node,
+         CAST(CAST({base} AS BIGINT) // n
+              + 85 * COALESCE(sc, 0) // 100 AS BIGINT) AS rank
+  FROM nodes LEFT JOIN it{i} ON nodes.node = it{i}.node, nn
+)"""
+    sql += "\nSELECT node AS part, rank FROM pr5"
+    return sql
+
+
+ORACLE_Q111 = _oracle_q111()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5462,6 +5526,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q108_rolling_quantiles": q108_rolling_quantiles,
     "q109_gopher_rules": q109_gopher_rules,
     "q110_c4_clean": q110_c4_clean,
+    "q111_pagerank_parts": q111_pagerank_parts,
 }
 
 ORACLES: dict[str, str] = {
@@ -5574,6 +5639,7 @@ ORACLES: dict[str, str] = {
     "q108_rolling_quantiles": ORACLE_Q108,
     "q109_gopher_rules": ORACLE_Q109,
     "q110_c4_clean": ORACLE_Q110,
+    "q111_pagerank_parts": ORACLE_Q111,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

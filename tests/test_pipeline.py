@@ -2160,3 +2160,51 @@ def test_tokenize_to_ids_bucketed_rank_identical(spark):
          for r in bucketed.collect()}
     assert a == b and len(a) > 100
     assert plan_summary(bucketed)["unpartitioned_windows"] == 0
+
+
+def test_pagerank_integer_matches_python_oracle(spark):
+    """Integer PageRank on a known graph equals a pure-Python loop
+    (same integral divisions), dup edges / self-loops are dropped,
+    and total rank mass stays within N floor-errors of scale."""
+    from diseasystore_spark.pipeline.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"),
+         ("b", "a"),            # duplicate (mirror) edge
+         ("d", "d")],           # self-loop
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(edges, iterations=5).collect()
+    }
+    adj = {"a": ["b", "c"], "b": ["a", "c"], "c": ["a", "b", "d"],
+           "d": ["c"]}
+    scale, n = 10**12, 4
+    pr = {v: scale // n for v in adj}
+    for _ in range(5):
+        base = (scale * 15 // 100) // n
+        pr = {
+            v: base
+            + 85 * sum(pr[u] // len(adj[u]) for u in adj if v in adj[u])
+            // 100
+            for v in adj
+        }
+    assert got == pr
+    # rank mass conservation up to floor error: each of the 5 rounds
+    # loses < N units to the two integral divisions per node
+    assert abs(sum(got.values()) - scale) < 5 * 4 * 100
+
+
+def test_pagerank_symmetric_graph_uniform(spark):
+    """On a vertex-transitive graph (a cycle) every node must get the
+    identical rank — any asymmetry is an ordering/partitioning leak."""
+    from diseasystore_spark.pipeline.graph import pagerank_integer
+
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 8) for i in range(8)], "src int, dst int"
+    )
+    ranks = {
+        r["rank"] for r in pagerank_integer(cyc, iterations=4).collect()
+    }
+    assert len(ranks) == 1
