@@ -42,8 +42,14 @@ def plan_summary(df: DataFrame) -> dict:
     """
     # Count from the compiled plan's tree string: each physical node
     # prints exactly once there (the formatted explain repeats node
-    # names in its details section, which double-counts).
+    # names in its details section, which double-counts). After an
+    # action has run, AdaptiveSparkPlan.toString appends the
+    # pre-reoptimization tree under "== Initial Plan ==" — cut it off
+    # or every node in an executed query counts twice.
     simple = df._jdf.queryExecution().executedPlan().toString()
+    cut = simple.find("== Initial Plan ==")
+    if cut != -1:
+        simple = simple[:cut]
     unpart = 0
     for line in simple.splitlines():
         s = line.strip().lstrip(":+-*( ").rstrip()

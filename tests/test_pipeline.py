@@ -2159,7 +2159,16 @@ def test_tokenize_to_ids_bucketed_rank_identical(spark):
     b = {(r["doc_id"], r["pos"]): (r["term"], r["term_id"])
          for r in bucketed.collect()}
     assert a == b and len(a) > 100
-    assert plan_summary(bucketed)["unpartitioned_windows"] == 0
+    # the ONLY global window left is the N-row per-partition offset
+    # frame (bounded by rank_buckets); the vocab rank itself must be
+    # partition-local
+    assert plan_summary(bucketed)["unpartitioned_windows"] == 1
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    rank_windows = [
+        ln for ln in plan.splitlines()
+        if "row_number()" in ln and "Window" in ln
+    ]
+    assert rank_windows and all("__p" in ln for ln in rank_windows)
 
 
 def test_pagerank_integer_matches_python_oracle(spark):
