@@ -489,3 +489,30 @@ def test_q107_snowflake_broadcasts_dims_and_pushes_date(spark):
     ), plan
     # no cartesian anywhere in the 6-table join
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_engine_outputs_pass_plan_gate(spark, tmp_path):
+    """get_feature and key_join_features outputs pass the scale gate
+    (plans/lint.py): no cartesian, no row-Python; the single allowed
+    global window is the unstratified cumsum, whose post-aggregation
+    frame is bounded by days-in-study-window."""
+    import tests.test_store_base as tsb
+
+    from diseasystore_spark.plans.lint import assert_distributed
+
+    ds = tsb.SumStore(
+        spark,
+        target_conn=str(tmp_path / "store"),
+        source_conn="x",
+        slice_ts=tsb.TODAY,
+        verbose=False,
+    )
+    start = tsb.TODAY - datetime.timedelta(days=10)
+    try:
+        feat = ds.get_feature("n_cyl", start, tsb.TODAY)
+        assert_distributed(feat)
+        kj = ds.key_join_features("n_cyl", ["vs"], start, tsb.TODAY)
+        s = assert_distributed(kj, max_unpartitioned_windows=1)
+        assert s["cartesian"] == 0 and s["row_python"] == 0
+    finally:
+        ds.release_cached_plans()
