@@ -24,7 +24,7 @@ thousand.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1909,4 +1909,84 @@ def verify_pairs_edit_similarity(
     return scored.where(
         F.col("edit_sim_micro")
         >= F.round(F.lit(min_similarity) * 1_000_000).cast("bigint")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """Self-corpus duplicate-substring spans (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better"
+    operator): a word position is duplicate-covered when its n-gram
+    occurs at least ``min_count`` times ACROSS THE CORPUS (any
+    document, including repeats inside the same document); runs of
+    covered start positions no more than ``n`` apart — i.e. whose
+    n-gram windows overlap or touch — merge into maximal spans. This
+    is span-level SELF-dedup (cut the repeated passage, keep the
+    document), where ``contamination_spans`` locates overlap against
+    an external benchmark and q19/q23 decide whole-document fates.
+
+    Output: ``(id, span_start, span_end, n_dup_grams)`` — word
+    indices, ``span_end`` inclusive of the last covered gram's last
+    word (``last_start + n - 1``).
+
+    Scale shape: gram occurrence counts are one map-side-combinable
+    groupBy over 64-bit keys (never gram text); covered positions
+    come back from an equi join against the ``count >= min_count``
+    survivors (vocabulary-sized frame, keyed shuffle — at web scale
+    the hot survivors are exactly the duplicated passages being
+    hunted, so the join key distribution is the document duplication
+    profile itself); span merging is a per-document lag window —
+    partitioned, never global. No pair join anywhere: cost is linear
+    in corpus token count.
+    """
+    key_fn = F.md5 if portable else F.xxhash64
+    positioned = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.expr(_ngram_sql(text_col, n))).alias(
+                "__pos", "__g"
+            ),
+        )
+        .select(id_col, "__pos", key_fn(F.col("__g")).alias("__k"))
+    )
+    dup_keys = (
+        positioned.groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+        .where(F.col("__ct") >= int(min_count))
+        .select("__k")
+    )
+    covered = positioned.join(dup_keys, "__k").select(id_col, "__pos")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    islands = (
+        covered.withColumn("__prev", F.lag("__pos").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("__pos") - F.col("__prev") > n),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__grp",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        islands.groupBy(id_col, "__grp")
+        .agg(
+            F.min("__pos").cast("bigint").alias("span_start"),
+            (F.max("__pos") + F.lit(n - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
+        )
+        .drop("__grp")
     )

@@ -363,10 +363,18 @@ def _with_cluster(
 
     from diseasystore_spark.pipeline._util import spread
 
+    from pyspark.sql import types as T
+
     cent = np.asarray(centroids, dtype=np.float64)
     cent_sq = (cent * cent).sum(axis=1)
     b_cent = df.sparkSession.sparkContext.broadcast((cent, cent_sq))
-    out_schema = df.schema.add("cluster", "integer")
+    # COPY the field list: StructType.add mutates in place, and when
+    # spread() returns the input unchanged (already many-partitioned)
+    # that would graft a phantom "cluster" field onto the INPUT
+    # frame's cached schema and break mapInPandas column resolution.
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("cluster", T.IntegerType())]
+    )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c, c_sq = b_cent.value
@@ -691,5 +699,88 @@ def knn_classify(
             "query_id",
             F.col("__lbl").alias("pred_label"),
             F.col("votes").cast("bigint").alias("votes"),
+        )
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    iterations: int = 0,
+    threshold: float = 0.3,
+    dim: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding space, then drop
+    any vector whose cosine similarity to a LOWER-ID member of the
+    SAME cluster is >= ``threshold`` (keep-first rule — one pass,
+    deterministic, no transitive closure). The reference corpus-
+    curation surface has no embedding-space dedup; this extends the
+    LLM-pipeline family alongside ``embedding_dupes`` (exact
+    all-pairs) and ``embedding_dupes_bucketed`` (LSH): here the
+    candidate set is the k-means cell, the shape production semantic
+    dedup uses at billion-vector scale.
+
+    Output: ``(id, cluster, keep, kept_by)`` — one row per input
+    vector; ``kept_by`` is the smallest cluster-mate id that evicted
+    the vector (NULL when ``keep``).
+
+    Scale shape: assignment is one row-local pass (numpy GEMM batch
+    by default, JVM argmin expression in ``portable`` mode); the
+    candidate join is equi on cluster id — pair volume is bounded by
+    the largest cell, never corpus x corpus. The per-vector verdict
+    is a map-side-combinable ``min`` — no window, no closure
+    iteration. ``portable=True`` uses the oracle's own
+    ``v.v - 2 v.c + c.c`` distance expansion (see
+    ``_centroid_dists``), which makes the fixed-quantizer form
+    (``iterations=0``) DuckDB-verifiable end to end (q112).
+    """
+    centroids = ivf_centroids(df, id_col, vec_col, n_clusters, iterations, dim)
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if portable:
+        assigned = (
+            base.withColumn("__d", _centroid_dists("__v", centroids))
+            .withColumn(
+                "cluster",
+                F.expr("array_position(__d, array_min(__d))").cast("int") - 1,
+            )
+            .drop("__d")
+        )
+    else:
+        assigned = _with_cluster(base, "__v", centroids)
+    assigned = assigned.withColumn("__n", _norm("__v")).localCheckpoint()
+
+    a = assigned.select(
+        F.col("cluster"),
+        F.col("__id").alias("__ida"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col("__id").alias("__idb"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    evicted = (
+        a.join(b, "cluster")
+        .where(F.col("__idb") < F.col("__ida"))
+        .where(
+            _dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))
+            >= F.lit(float(threshold))
+        )
+        .groupBy("__ida")
+        .agg(F.min("__idb").alias("kept_by"))
+    )
+    return (
+        assigned.join(evicted, assigned["__id"] == evicted["__ida"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster",
+            F.col("kept_by").isNull().alias("keep"),
+            "kept_by",
         )
     )

@@ -5411,6 +5411,166 @@ pr{i} AS (
 ORACLE_Q111 = _oracle_q111()
 
 
+def q112_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table with the q46 fixed coarse
+    quantizer (first 16 vectors, zero Lloyd iterations) in portable
+    mode: cluster-mate pairs with cosine >= 0.3 evict the higher id
+    (keep-first rule). Every stage — assignment, in-cell pair join,
+    min-eviction rollup — is deterministic float/integer math, so the
+    full semantic-dedup verdict per vector is DuckDB hash-exact."""
+    from diseasystore_spark.pipeline.similarity import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, n_clusters=16, iterations=0, threshold=0.3, portable=True
+    )
+
+
+ORACLE_Q112 = """
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+corp AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ad AS (
+  SELECT vec_id, cluster,
+         list_dot_product(v, v) - 2 * list_dot_product(v, cv)
+           + list_dot_product(cv, cv) AS d2
+  FROM corp CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS r
+    FROM ad
+  ) WHERE r = 1
+),
+m AS (
+  SELECT a.vec_id, a.cluster, c.v,
+         sqrt(list_dot_product(c.v, c.v)) AS nrm
+  FROM assign a JOIN corp c USING (vec_id)
+),
+ev AS (
+  SELECT a.vec_id, min(b.vec_id) AS kept_by
+  FROM m a JOIN m b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
+  GROUP BY a.vec_id
+)
+SELECT m.vec_id, m.cluster, ev.kept_by IS NULL AS keep, ev.kept_by
+FROM m LEFT JOIN ev USING (vec_id)
+"""
+
+
+def q113_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two per-language document rankings —
+    length (n_chars) and corpus-trained unigram-LM score (q52's
+    score_micro) — with k=60, top-10 per language. Ranks and the
+    1e9-scaled contributions are exact integers end to end, so the
+    fused ordering is DuckDB hash-exact."""
+    from diseasystore_spark.pipeline.ranking import rrf_fuse
+    from diseasystore_spark.pipeline.text import unigram_logprob_score
+
+    docs = _read(spark, sf_dir, "documents")
+    lang = docs.select("doc_id", "lang", "n_chars")
+    lm = unigram_logprob_score(docs).select("doc_id", "score_micro").join(
+        lang.select("doc_id", "lang"), "doc_id"
+    )
+    return rrf_fuse(
+        [(lang, "n_chars", False), (lm, "score_micro", False)],
+        id_col="doc_id",
+        group_cols=["lang"],
+        k=60,
+        top=10,
+    )
+
+
+ORACLE_Q113 = f"""
+WITH s AS ({ORACLE_Q52}),
+docs AS (SELECT doc_id, lang, n_chars FROM documents),
+r1 AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM docs
+),
+r2 AS (
+  SELECT d.lang, s.doc_id,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score_micro DESC, s.doc_id) AS rnk
+  FROM s JOIN docs d USING (doc_id)
+),
+contrib AS (
+  SELECT lang, doc_id, CAST(1000000000 AS BIGINT) // (60 + rnk) AS c
+  FROM r1
+  UNION ALL
+  SELECT lang, doc_id, CAST(1000000000 AS BIGINT) // (60 + rnk) AS c
+  FROM r2
+),
+f AS (
+  SELECT lang, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_nano
+  FROM contrib GROUP BY lang, doc_id
+),
+rk AS (
+  SELECT lang, doc_id, rrf_nano,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY rrf_nano DESC, doc_id) AS fused_rank
+  FROM f
+)
+SELECT lang, doc_id, rrf_nano, fused_rank FROM rk WHERE fused_rank <= 10
+"""
+
+
+def q114_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level duplicate-substring spans over the documents corpus
+    (Lee et al. 2021 span self-dedup): positions whose 5-gram occurs
+    >= 2 times anywhere in the corpus, merged into maximal spans per
+    document. Pure counting + island merging — DuckDB hash-exact."""
+    from diseasystore_spark.pipeline.dedup import duplicate_spans
+
+    return duplicate_spans(
+        _read(spark, sf_dir, "documents"), n=5, min_count=2, portable=True
+    )
+
+
+ORACLE_Q114 = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, i - 1 AS p,
+         w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]
+           || ' ' || w[i + 4] AS g
+  FROM pos
+),
+cnt AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+cov AS (SELECT doc_id, p FROM grams JOIN cnt USING (g)),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                   OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 5
+              THEN 1 ELSE 0 END AS nw
+  FROM cov
+),
+grp AS (
+  SELECT doc_id, p,
+         SUM(nw) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS UNBOUNDED PRECEDING) AS grp_id
+  FROM isl
+)
+SELECT doc_id, MIN(p) AS span_start, MAX(p) + 4 AS span_end,
+       COUNT(*) AS n_dup_grams
+FROM grp GROUP BY doc_id, grp_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5527,6 +5687,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q109_gopher_rules": q109_gopher_rules,
     "q110_c4_clean": q110_c4_clean,
     "q111_pagerank_parts": q111_pagerank_parts,
+    "q112_semantic_dedup": q112_semantic_dedup,
+    "q113_rrf_fusion": q113_rrf_fusion,
+    "q114_duplicate_spans": q114_duplicate_spans,
 }
 
 ORACLES: dict[str, str] = {
@@ -5640,6 +5803,9 @@ ORACLES: dict[str, str] = {
     "q109_gopher_rules": ORACLE_Q109,
     "q110_c4_clean": ORACLE_Q110,
     "q111_pagerank_parts": ORACLE_Q111,
+    "q112_semantic_dedup": ORACLE_Q112,
+    "q113_rrf_fusion": ORACLE_Q113,
+    "q114_duplicate_spans": ORACLE_Q114,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

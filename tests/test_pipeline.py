@@ -2217,3 +2217,116 @@ def test_pagerank_symmetric_graph_uniform(spark):
         r["rank"] for r in pagerank_integer(cyc, iterations=4).collect()
     }
     assert len(ranks) == 1
+
+
+def test_semantic_dedup_keep_first_rule(spark):
+    """Crafted 3-d embeddings with an obvious 2-cluster structure:
+    the higher-id near-duplicate in each cluster is evicted by the
+    lower id; the orthogonal singleton survives. Portable (JVM
+    argmin) and default (numpy GEMM) assignment paths must agree."""
+    from diseasystore_spark.pipeline.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.9, 0.1, 0.0]),
+        (4, [0.1, 0.9, 0.0]),
+        (5, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    expected = {
+        1: (True, None),
+        2: (True, None),
+        3: (False, 1),
+        4: (False, 2),
+        5: (True, None),
+    }
+    for portable in (True, False):
+        out = {
+            r["vec_id"]: (r["keep"], r["kept_by"])
+            for r in semantic_dedup(
+                df, n_clusters=2, iterations=0, threshold=0.8,
+                portable=portable,
+            ).collect()
+        }
+        assert out == expected, f"portable={portable}: {out}"
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    """Two rankings, one id absent from the second (top-N-list
+    semantics: it just gets no contribution), exact integer check
+    against the hand-computed 1e9 DIV (k + rank) sums."""
+    from diseasystore_spark.pipeline.ranking import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(1, 30.0), (2, 20.0), (3, 10.0)], "id long, s1 double"
+    )
+    r2 = spark.createDataFrame([(2, 5.0), (3, 9.0)], "id long, s2 double")
+    out = {
+        r["id"]: (r["rrf_nano"], r["fused_rank"])
+        for r in rrf_fuse(
+            [(r1, "s1", False), (r2, "s2", False)], id_col="id", k=60
+        ).collect()
+    }
+    c = lambda rank: 10**9 // (60 + rank)  # noqa: E731
+    expected_scores = {
+        1: c(1),           # rank 1 in r1 only
+        2: c(2) + c(2),    # rank 2 in r1, rank 2 in r2
+        3: c(3) + c(1),    # rank 3 in r1, rank 1 in r2
+    }
+    # id 3: 16129032 + 16393442 = 32522474 beats id 2's 2*16129032
+    assert {k: v[0] for k, v in out.items()} == expected_scores
+    assert {k: v[1] for k, v in out.items()} == {3: 1, 2: 2, 1: 3}
+
+
+def test_rrf_fuse_ascending_and_groups(spark):
+    """ascending=True ranks smallest-first; groups rank independently."""
+    from diseasystore_spark.pipeline.ranking import rrf_fuse
+
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 1.0), ("b", 3, 7.0)],
+        "g string, id long, s double",
+    )
+    out = {
+        (r["g"], r["id"]): r["fused_rank"]
+        for r in rrf_fuse(
+            [(df, "s", True)], id_col="id", group_cols=["g"]
+        ).collect()
+    }
+    assert out == {("a", 2): 1, ("a", 1): 2, ("b", 3): 1}
+
+
+def test_duplicate_spans_merges_overlapping_windows(spark):
+    """A 6-word passage shared by two docs with n=3 yields covered
+    start positions 0..3 in doc 1 (offset 2..5 in doc 2), merged into
+    ONE span each; the unique tail words stay uncovered. A doc with
+    an internal repeat is self-covered (min_count counts occurrences,
+    not documents)."""
+    from diseasystore_spark.pipeline.dedup import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique1 unique2 unique3"),
+            (2, "pre1 pre2 " + shared),
+            # 3-gram "x y z" occurs twice WITHIN doc 3 at starts 0 and 3
+            (3, "x y z x y z"),
+            (4, "totally different words here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["span_start"]): (r["span_end"], r["n_dup_grams"])
+        for r in duplicate_spans(docs, n=3, min_count=2).collect()
+    }
+    # doc 1: starts 0,1,2,3 covered -> span words 0..5, 4 grams
+    # doc 2: starts 2,3,4,5 covered -> span words 2..7, 4 grams
+    # doc 3: "x y z" at 0 and 3 (and "y z x"/"z x y" occur once each,
+    # but starts 0 and 3 have gap 3 == n -> merged into one span 0..5)
+    assert out == {
+        (1, 0): (5, 4),
+        (2, 2): (7, 4),
+        (3, 0): (5, 2),
+    }
