@@ -733,3 +733,120 @@ def kll_rolling_quantiles(
     return out.select(
         F.col("__day").cast("date").alias(day_col), "q", "value"
     )
+
+
+def _mg_truncate(state: dict, m: int) -> None:
+    """In-place Misra-Gries truncation to ``m`` counters: subtract the
+    (m+1)-th largest count (ties broken on the item for determinism)
+    from every counter and drop the non-positive ones. This is the
+    mergeable-summaries combine rule (Agarwal et al. 2012): the
+    subtracted mass is what bounds the undercount at n/(m+1) no
+    matter how many partial summaries are folded together."""
+    if len(state) <= m:
+        return
+    ordered = sorted(state.items(), key=lambda kv: (-kv[1], kv[0]))
+    cth = ordered[m][1]
+    state.clear()
+    state.update(
+        (item, c - cth) for item, c in ordered[:m] if c - cth > 0
+    )
+
+
+def mg_build(df: DataFrame, item_col: str, m: int = 100) -> DataFrame:
+    """Misra-Gries heavy-hitters sketch over ``item_col`` (NULLs
+    dropped): at most ``m`` counters whose counts UNDERESTIMATE the
+    true frequencies by at most ``n / (m + 1)`` each (n = stream
+    length), which guarantees every item with true frequency above
+    ``n / (m + 1)`` survives. Output: ``(item string, count long,
+    m int)`` — persistable as parquet and mergeable across
+    shards/epochs with ``mg_merge``, like the Bloom/CMS/KLL/HLL
+    artifacts this family already ships.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` folds each task's
+    batches into a bounded counter dict — each batch contributes its
+    (vectorized) exact value_counts, truncated back to ``m`` by the
+    combine rule — then ONE single-group ``applyInPandas`` merges the
+    per-task summaries (<= tasks x m rows, never raw items). Counts
+    depend on partitioning (it is a sketch; only the error bound is
+    partition-invariant), so the family is property-tested rather
+    than SQL-oracled, like BPE and the quality classifier.
+    """
+    if m <= 0:
+        raise ValueError("m must be positive")
+
+    def build(batches):
+        import pandas as pd
+
+        state: dict = {}
+        for pdf in batches:
+            vc = pdf[item_col].dropna().value_counts()
+            for item, c in vc.items():
+                state[item] = state.get(item, 0) + int(c)
+            _mg_truncate(state, m)
+        items = sorted(state)
+        yield pd.DataFrame(
+            {
+                "item": pd.array(items, dtype="string"),
+                "count": pd.array(
+                    [state[i] for i in items], dtype="int64"
+                ),
+                "m": pd.array([m] * len(items), dtype="int32"),
+            }
+        )
+
+    partial = (
+        df.select(F.col(item_col).cast("string").alias(item_col))
+        .where(F.col(item_col).isNotNull())
+        .mapInPandas(build, schema="item string, count long, m int")
+    )
+    return mg_merge(partial)
+
+
+def mg_merge(sketches: DataFrame) -> DataFrame:
+    """Merge any union of Misra-Gries sketch frames built with the
+    SAME ``m`` (mixed m raises — the error guarantee would silently
+    degrade to the smallest) into one: sum counts per item, truncate
+    with the combine rule. One bounded single-group task over sketch
+    rows only — the shard/epoch rollup path."""
+
+    def merge(pdf):
+        import pandas as pd
+
+        ms = set(pdf["m"].tolist())
+        if len(ms) > 1:
+            raise ValueError(f"cannot merge sketches with different m: {ms}")
+        m = int(ms.pop()) if ms else 0
+        state: dict = {}
+        for item, c in zip(pdf["item"].tolist(), pdf["count"].tolist()):
+            state[item] = state.get(item, 0) + int(c)
+        _mg_truncate(state, m)
+        items = sorted(state)
+        return pd.DataFrame(
+            {
+                "item": pd.array(items, dtype="string"),
+                "count": pd.array(
+                    [state[i] for i in items], dtype="int64"
+                ),
+                "m": pd.array([m] * len(items), dtype="int32"),
+            }
+        )
+
+    return sketches.groupBy(F.lit(1).alias("__g")).applyInPandas(
+        lambda _, pdf: merge(pdf), schema="item string, count long, m int"
+    )
+
+
+def mg_heavy_hitters(
+    sketch: DataFrame, n_total: int, min_fraction: float
+) -> DataFrame:
+    """Items whose TRUE frequency may reach ``min_fraction * n_total``
+    given the sketch's undercount bound — i.e. every genuine heavy
+    hitter is reported (no false negatives), with false positives
+    limited to items within ``n_total / (m + 1)`` of the threshold.
+    ``n_total`` is the caller's stream length (track it alongside the
+    sketch; the sketch itself cannot know dropped mass)."""
+    return sketch.where(
+        F.col("count")
+        >= F.ceil(F.lit(float(min_fraction)) * F.lit(int(n_total)))
+        - F.floor(F.lit(int(n_total)) / (F.col("m") + 1))
+    ).select("item", "count", "m")

@@ -540,3 +540,92 @@ def test_bloom_and_cms_parquet_roundtrip(spark, tmp_path):
     ).collect()
     loaded = cms_estimate(spark.read.parquet(cp), terms).collect()
     assert sorted(map(tuple, live)) == sorted(map(tuple, loaded))
+
+
+def test_mg_guarantees_on_skewed_stream(spark):
+    """Misra-Gries invariants on a planted-heavy-hitter stream, built
+    distributed (8 partitions): every count UNDERESTIMATES the true
+    frequency by at most n/(m+1); every item with true frequency
+    above n/(m+1) survives; mg_heavy_hitters reports every genuine
+    heavy hitter (no false negatives)."""
+    import random
+
+    from diseasystore_spark.pipeline.sketch import (
+        mg_build,
+        mg_heavy_hitters,
+    )
+
+    rng = random.Random(7)
+    stream = (
+        ["hot_a"] * 400
+        + ["hot_b"] * 250
+        + ["warm"] * 80
+        + [f"tail_{rng.randrange(500)}" for _ in range(1270)]
+    )
+    rng.shuffle(stream)
+    n = len(stream)
+    true = {}
+    for s in stream:
+        true[s] = true.get(s, 0) + 1
+
+    df = spark.createDataFrame(
+        [(s,) for s in stream], "item string"
+    ).repartition(8)
+    m = 50
+    sketch = {r["item"]: r["count"] for r in mg_build(df, "item", m=m).collect()}
+    assert len(sketch) <= m
+    bound = n / (m + 1)
+    for item, est in sketch.items():
+        assert est <= true[item], f"{item} overcounted: {est} > {true[item]}"
+        assert true[item] - est <= bound
+    for item, f in true.items():
+        if f > bound:
+            assert item in sketch, f"guaranteed item {item} (f={f}) missing"
+
+    hh = {
+        r["item"]
+        for r in mg_heavy_hitters(
+            mg_build(df, "item", m=m), n_total=n, min_fraction=0.1
+        ).collect()
+    }
+    assert {"hot_a", "hot_b"} <= hh  # 400/2000, 250/2000 >= 10%
+    assert "warm" not in hh or true["warm"] >= 0.1 * n - bound
+
+
+def test_mg_merge_of_shards_bound_and_m_mismatch(spark, tmp_path):
+    """Sharded build -> parquet round-trip -> mg_merge keeps the
+    combined n/(m+1) bound (mergeable-summaries combine rule); mixed
+    m raises."""
+    import pytest
+
+    from diseasystore_spark.pipeline.sketch import mg_build, mg_merge
+
+    s1 = ["x"] * 120 + ["y"] * 60 + [f"t{i}" for i in range(300)]
+    s2 = ["x"] * 90 + ["z"] * 70 + [f"u{i}" for i in range(250)]
+    d1 = spark.createDataFrame([(s,) for s in s1], "item string")
+    d2 = spark.createDataFrame([(s,) for s in s2], "item string")
+    m = 40
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    mg_build(d1, "item", m=m).write.parquet(p1)
+    mg_build(d2, "item", m=m).write.parquet(p2)
+    merged = {
+        r["item"]: r["count"]
+        for r in mg_merge(
+            spark.read.parquet(p1).unionByName(spark.read.parquet(p2))
+        ).collect()
+    }
+    n = len(s1) + len(s2)
+    true = {}
+    for s in s1 + s2:
+        true[s] = true.get(s, 0) + 1
+    assert len(merged) <= m
+    for item, est in merged.items():
+        assert est <= true[item]
+        assert true[item] - est <= n / (m + 1)
+    assert "x" in merged  # f=210 > 1030/41 ~ 25.1
+
+    bad = mg_build(d2, "item", m=m + 1)
+    with pytest.raises(Exception, match="different m"):
+        mg_merge(
+            spark.read.parquet(p1).unionByName(bad)
+        ).collect()
