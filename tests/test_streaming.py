@@ -938,3 +938,105 @@ def test_quality_filters_stream_match_batch(spark, tmp_path):
     }
     assert got_g == want_g and got_c == want_c
     assert len(want_g) == len(rows)
+
+
+def test_stream_windowed_topk_exact_regime_matches_batch(spark, tmp_path):
+    """stream_windowed_topk with m >= distinct items: when the
+    watermark passes a window's end, its emitted top-k equals the
+    batch per-window value counts — across a micro-batch split
+    through the middle of the window (Misra-Gries never truncates in
+    this regime, so counts are exact and deterministic)."""
+    from diseasystore_spark.streaming.topk import stream_windowed_topk
+
+    TS = datetime.datetime
+    w1 = [(TS(2024, 1, 1, 10, 0, s % 60), ["a", "b", "a", "c"][s % 4])
+          for s in range(40)]                    # window 10:00, file 1
+    w1b = [(TS(2024, 1, 1, 10, 0, s % 60), ["a", "d"][s % 2])
+           for s in range(20)]                   # same window, file 2
+    drv = [(TS(2024, 1, 1, 12, 0, 0), "zz")]     # advances watermark
+    cols = "ts timestamp, item string"
+    src = str(tmp_path / "tk_src")
+    spark.createDataFrame(w1, cols).coalesce(1).write.parquet(src)
+    spark.createDataFrame(w1b, cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(drv, cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(cols)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_windowed_topk(
+        stream, "item", window_seconds=60, m=100, top=3,
+        watermark="5 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tk_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "tk_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql(
+        "select * from tk_out "
+        "where window_start = timestamp'2024-01-01 10:00:00' "
+        "order by rank"
+    ).collect()
+    # batch truth: a=20+10=30, b=10, c=10, d=10 over n=60; ties by item
+    got = [(r["rank"], r["item"], r["count"], r["n"]) for r in rows]
+    assert got == [(1, "a", 30, 60), (2, "b", 10, 60), (3, "c", 10, 60)]
+
+
+def test_stream_windowed_topk_grouped(spark, tmp_path):
+    """group_col: one independent summary per (window, group); each
+    group ranks only its own items."""
+    from diseasystore_spark.streaming.topk import stream_windowed_topk
+
+    TS = datetime.datetime
+    a = [(TS(2024, 1, 1, 10, 0, i % 60), "en", ["x", "y"][i % 2])
+         for i in range(10)]
+    b = [(TS(2024, 1, 1, 10, 0, i % 60), "da", "z") for i in range(4)]
+    drv = [(TS(2024, 1, 1, 12, 0, 0), "en", "w")]
+    cols = "ts timestamp, lang string, item string"
+    src = str(tmp_path / "gtk_src")
+    spark.createDataFrame(a + b, cols).coalesce(1).write.parquet(src)
+    spark.createDataFrame(drv, cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(cols)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_windowed_topk(
+        stream, "item", window_seconds=60, m=10, top=2,
+        watermark="5 minutes", group_col="lang",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gtk_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "gtk_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql(
+        "select * from gtk_out "
+        "where window_start = timestamp'2024-01-01 10:00:00' "
+        "order by lang, rank"
+    ).collect()
+    got = [(r["lang"], r["rank"], r["item"], r["count"], r["n"]) for r in rows]
+    assert got == [
+        ("da", 1, "z", 4, 4),
+        ("en", 1, "x", 5, 10),
+        ("en", 2, "y", 5, 10),
+    ]
