@@ -1990,3 +1990,56 @@ def duplicate_spans(
         )
         .drop("__grp")
     )
+
+
+def excise_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+    spans: DataFrame | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """Span EXCISION — the apply step of ``duplicate_spans``: delete
+    every word covered by a duplicate span and reassemble the
+    document (cut the repeated passage, keep the document — the
+    whole-corpus self-dedup treatment of Lee et al. 2021). Pass a
+    precomputed/curated ``spans`` frame (``(id, span_start,
+    span_end, ...)``) to decouple detection from excision; by default
+    the spans are computed here with the same parameters.
+
+    Output: ``(id, clean_text, n_removed)`` — every input document
+    appears (span-free documents pass through verbatim, fully-covered
+    documents come back as the empty string with everything counted
+    removed).
+
+    Scale shape: the per-document span list is a ``collect_list``
+    bounded by the document's own span count (never corpus-sized),
+    the excision itself is one row-local array lambda — tokenize,
+    filter by span membership, reassemble — so the apply step adds a
+    single keyed join to the detection cost."""
+    if spans is None:
+        spans = duplicate_spans(df, id_col, text_col, n, min_count, portable)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("__spans")
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.expr(f"split(trim({text_col}), '\\\\s+')").alias("__w"),
+    )
+    joined = toks.join(per_doc, id_col, "left")
+    kept = F.expr(
+        "CASE WHEN __spans IS NULL THEN __w "
+        "ELSE filter(__w, (t, i) -> "
+        "NOT exists(__spans, s -> i >= s.s AND i <= s.e)) END"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size("__w") - F.size(kept)).cast("bigint").alias("n_removed"),
+    )

@@ -5571,6 +5571,93 @@ FROM grp GROUP BY doc_id, grp_id
 """
 
 
+def q116_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q114's apply step: delete every word covered by a corpus-wide
+    duplicate 5-gram span and reassemble each document — every input
+    document present, pass-through for span-free ones. Tokenize ->
+    span-membership array filter -> reassemble is pure deterministic
+    string/integer work, so the cleaned corpus is DuckDB hash-exact
+    (string_agg ORDER BY position on the oracle side)."""
+    from diseasystore_spark.pipeline.dedup import excise_duplicate_spans
+
+    return excise_duplicate_spans(
+        _read(spark, sf_dir, "documents"), n=5, min_count=2, portable=True
+    )
+
+
+ORACLE_Q116 = f"""
+WITH spans AS ({ORACLE_Q114}),
+tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+posn AS (
+  SELECT doc_id, w[i] AS tok, i
+  FROM tk, unnest(generate_series(1, len(w))) AS u(i)
+),
+kept AS (
+  SELECT p.doc_id, p.tok, p.i
+  FROM posn p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = p.doc_id
+      AND p.i - 1 BETWEEN s.span_start AND s.span_end
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(len(t.w) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM tk t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q115_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity OLAP aggregation in ONE pass: ``CUBE`` over
+    (returnflag, linestatus) — per-combination, per-flag, per-status,
+    and grand-total rows together, with ``grouping()`` markers
+    disambiguating subtotal NULLs from data NULLs (the standard
+    rollup-report shape BI tools emit). Money as integer cents keeps
+    every aggregate bigint-exact. Spark plans CUBE as a single Expand
+    + one combinable groupBy — the 4 granularities cost one shuffle,
+    not four scans."""
+    li = _read(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+    )
+    return (
+        base.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.sum("qty").cast("bigint").alias("sum_qty"),
+            F.sum("price_c").cast("bigint").alias("sum_price_c"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+ORACLE_Q115 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_c,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5690,6 +5777,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q112_semantic_dedup": q112_semantic_dedup,
     "q113_rrf_fusion": q113_rrf_fusion,
     "q114_duplicate_spans": q114_duplicate_spans,
+    "q115_rollup_cube": q115_rollup_cube,
+    "q116_excise_spans": q116_excise_spans,
 }
 
 ORACLES: dict[str, str] = {
@@ -5806,6 +5895,8 @@ ORACLES: dict[str, str] = {
     "q112_semantic_dedup": ORACLE_Q112,
     "q113_rrf_fusion": ORACLE_Q113,
     "q114_duplicate_spans": ORACLE_Q114,
+    "q115_rollup_cube": ORACLE_Q115,
+    "q116_excise_spans": ORACLE_Q116,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

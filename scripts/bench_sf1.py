@@ -37,6 +37,11 @@ QUERIES = [
     "q76_skyline",
     "q77_journey_similarity",
     "q80_contamination_spans",
+    # round-5 third-block additions
+    "q111_pagerank_parts",
+    "q112_semantic_dedup",
+    "q113_rrf_fusion",
+    "q114_duplicate_spans",
 ]
 
 

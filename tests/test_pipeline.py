@@ -2330,3 +2330,32 @@ def test_duplicate_spans_merges_overlapping_windows(spark):
         (2, 2): (7, 4),
         (3, 0): (5, 2),
     }
+
+
+def test_excise_duplicate_spans_semantics(spark):
+    """Excision removes exactly the covered words: shared-passage docs
+    lose the passage and keep their unique tails; an exact-duplicate
+    pair (fully covered) comes back empty with everything counted;
+    span-free docs pass through verbatim with n_removed = 0."""
+    from diseasystore_spark.pipeline.dedup import excise_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique1 unique2 unique3"),
+            (2, "pre1 pre2 " + shared),
+            (3, "one two three four five six seven"),  # no dups
+            (4, "copy of this exact doc right here"),
+            (5, "copy of this exact doc right here"),  # exact dup of 4
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in excise_duplicate_spans(docs, n=3, min_count=2).collect()
+    }
+    assert out[1] == ("unique1 unique2 unique3", 6)
+    assert out[2] == ("pre1 pre2", 6)
+    assert out[3] == ("one two three four five six seven", 0)
+    assert out[4] == ("", 7)
+    assert out[5] == ("", 7)
