@@ -3,9 +3,11 @@ from diseasystore_spark.operators.events import (
     funnel_reach,
     funnel_reach_joins,
     retention_cohorts,
+    rolling_incidence,
     user_journeys,
 )
 from diseasystore_spark.operators.skyline import skyline
+from diseasystore_spark.operators.stats import group_trend, winsorized_stats
 from diseasystore_spark.operators.aggregators import (
     key_join_count,
     key_join_max,
@@ -24,6 +26,9 @@ __all__ = [
     "funnel_reach",
     "funnel_reach_joins",
     "retention_cohorts",
+    "rolling_incidence",
+    "group_trend",
+    "winsorized_stats",
     "skyline",
     "user_journeys",
     "compact_date_ranges",

@@ -403,3 +403,107 @@ def anomaly_days(
         "trail_sumsq",
         (dev * dev > spread_bound).alias("flagged"),
     )
+
+
+def rolling_incidence(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window: int = 7,
+) -> DataFrame:
+    """Trailing-``window``-day incidence and week-over-week growth per
+    event type on a DENSE calendar spine — the surveillance headline
+    the reference's prevalence outputs feed downstream (reference
+    produces the daily series via ``get_feature``; this is the
+    standard rolling rollup epi consumers apply to it).
+
+    Unlike ``anomaly_days`` (previous OBSERVED days), the spine here
+    is calendar-dense: days with zero events are materialized, so
+    "trailing 7 days" means calendar days and a quiet day drags the
+    average down instead of being skipped.
+
+    Output per (event_type, day) for EVERY day in the corpus' global
+    [min, max] day range::
+
+        n_events   bigint  that day's count (0 on quiet days)
+        trail      bigint  sum over the trailing ``window`` days
+                           (partial near the series start, like any
+                           surveillance dashboard's warm-up)
+        prior      bigint  sum over the ``window`` days before those;
+                           NULL until both windows are full
+        growth     double  trail / prior (NULL when prior is NULL/0)
+                           — the reproduction-proxy ratio
+
+    Scale shape: the only corpus-sized stage is one map-side-
+    combinable (type, day) count; the spine is |types| x |days| rows
+    (bounded by calendar time, not data volume), built from a 1-row
+    min/max aggregate broadcast-crossed with the distinct types. The
+    per-type windows sort day-count-sized partitions. Growth divides
+    two exact bigints, so the double is cross-engine reproducible.
+    NULL timestamps are dropped (can't be dated).
+    """
+    if window <= 0:
+        raise ValueError("window must be positive")
+    daily = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(type_col).alias("event_type"),
+            F.col(ts_col).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("__lo"), F.col("__hi"), F.expr("interval 1 day")
+            )
+        ).alias("day")
+    )
+    types = daily.select("event_type").distinct()
+    dense = (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("n_events"), F.lit(0))
+            .cast("bigint")
+            .alias("n_events"),
+        )
+    )
+    w_cur = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(window - 1), 0)
+    )
+    w_prior = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(2 * window - 1), -window)
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("day")
+    staged = dense.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.sum("n_events").over(w_cur).cast("bigint").alias("trail"),
+        F.sum("n_events").over(w_prior).cast("bigint").alias("__prior"),
+        F.row_number().over(w_rn).alias("__rn"),
+    )
+    prior_full = F.when(
+        F.col("__rn") >= 2 * window, F.col("__prior")
+    ).cast("bigint")
+    return staged.select(
+        "event_type",
+        "day",
+        "n_events",
+        "trail",
+        prior_full.alias("prior"),
+        F.when(
+            prior_full > 0,
+            F.col("trail").cast("double") / prior_full.cast("double"),
+        ).alias("growth"),
+    )

@@ -1,0 +1,148 @@
+"""Robust grouped statistics: winsorized moments and OLS trends.
+
+Deterministic-by-construction: both operators do all corpus-sized
+summation in INTEGER arithmetic (bigint sums of integer-valued
+measures) and convert to floating point only in final, per-group
+scalar expressions — so results are bit-reproducible across engines
+and partitionings, unlike a naive ``avg(double)`` whose value depends
+on the order partial sums combine in.
+
+Scale shape (the 100 TB lens):
+
+- ``winsorized_stats`` is two keyed aggregations over the same
+  grouping: pass 1 computes the per-group percentile thresholds
+  (Spark's exact ``percentile`` — a per-group sort bounded by the
+  group's row count), pass 2 re-aggregates with the thresholds
+  joined back on the group key. The threshold frame has one row per
+  group, so the join back is a broadcast.
+- ``group_trend`` is ONE map-side-combinable aggregation: the five
+  OLS sufficient statistics (n, Σx, Σy, Σxy, Σx²) are plain integer
+  sums, and slope/intercept are derived per group afterwards. No
+  window, no second pass, no driver collect.
+
+Reference parity: the diseasystore reference exposes only sum/max/
+min/count aggregators (R/aggregators.R); robust moments and trend
+fitting belong to the large-scale analytics extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    p_lo: float = 0.1,
+    p_hi: float = 0.9,
+) -> DataFrame:
+    """Per-group winsorized mean of an INTEGER-valued measure: values
+    below the ``p_lo`` quantile are clamped up to it, values above
+    ``p_hi`` clamped down, and the mean is taken over the clamped
+    series — the outlier-robust location estimate.
+
+    Exactness contract: ``value_col`` must be integral (cents, counts,
+    micro-units). Quantile thresholds use linear interpolation at
+    position ``(n-1)·p`` (Spark ``percentile`` == DuckDB
+    ``quantile_cont`` semantics). The winsorized sum is assembled as
+    ``n_lo·lo + n_hi·hi + Σ(unclipped integers)`` — one bigint sum
+    plus two scalar products — so no float accumulates across rows
+    and the mean is order-independent.
+
+    Output per group: ``(group..., n bigint, lo double, hi double,
+    n_clip_lo bigint, n_clip_hi bigint, mean_winsorized double)``.
+    """
+    if not 0.0 <= p_lo <= p_hi <= 1.0:
+        raise ValueError("need 0 <= p_lo <= p_hi <= 1")
+    v = F.col(value_col).cast("bigint")
+    thresholds = df.groupBy(*group_cols).agg(
+        F.percentile(v, F.lit(p_lo)).alias("lo"),
+        F.percentile(v, F.lit(p_hi)).alias("hi"),
+    )
+    joined = df.join(F.broadcast(thresholds), group_cols)
+    below = v.cast("double") < F.col("lo")
+    above = v.cast("double") > F.col("hi")
+    agg = joined.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+        F.sum(below.cast("bigint")).cast("bigint").alias("n_clip_lo"),
+        F.sum(above.cast("bigint")).cast("bigint").alias("n_clip_hi"),
+        F.sum(F.when(~below & ~above, v).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("__sum_mid"),
+    )
+    wins_sum = (
+        F.col("n_clip_lo").cast("double") * F.col("lo")
+        + F.col("n_clip_hi").cast("double") * F.col("hi")
+        + F.col("__sum_mid").cast("double")
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        "lo",
+        "hi",
+        "n_clip_lo",
+        "n_clip_hi",
+        (wins_sum / F.col("n").cast("double")).alias("mean_winsorized"),
+    )
+
+
+def group_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group ordinary-least-squares line fit of INTEGER series
+    ``y`` against INTEGER regressor ``x`` via the five sufficient
+    statistics, kept in bigint until the final per-group division::
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+
+    Output: ``(group..., n, sum_x, sum_y, sum_xy, sum_xx bigints,
+    slope double, intercept double)``; slope/intercept NULL when the
+    regressor is constant (zero denominator). The sums are map-side
+    combinable, so this is one shuffle of five counters per group —
+    the trend over a trillion rows costs the same exchange as a
+    count. Overflow note: bigint holds Σxy to ~9.2e18; for measures
+    beyond that scale, pre-divide x into coarser units.
+    """
+    x = F.col(x_col).cast("bigint")
+    y = F.col(y_col).cast("bigint")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("sum_x"),
+        F.sum(y).cast("bigint").alias("sum_y"),
+        F.sum(x * y).cast("bigint").alias("sum_xy"),
+        F.sum(x * x).cast("bigint").alias("sum_xx"),
+    )
+    n = F.col("n")
+    denom = n * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")
+    slope = F.when(
+        denom != 0,
+        (n * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y"))
+        .cast("double")
+        / denom.cast("double"),
+    )
+    intercept = F.when(
+        denom != 0,
+        (
+            F.col("sum_y").cast("double")
+            - slope * F.col("sum_x").cast("double")
+        )
+        / n.cast("double"),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        "sum_x",
+        "sum_y",
+        "sum_xy",
+        "sum_xx",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )

@@ -2043,3 +2043,64 @@ def excise_duplicate_spans(
         F.concat_ws(" ", kept).alias("clean_text"),
         (F.size("__w") - F.size(kept)).cast("bigint").alias("n_removed"),
     )
+
+
+def cross_source_matrix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    **minhash_kwargs,
+) -> DataFrame:
+    """Cross-source contamination matrix: how many near-duplicate
+    pairs link each (source, source) combination — the first report a
+    pretraining-data audit produces (is the crawl duplicating the
+    curated set? which feeds overlap?).
+
+    Pairs come from ``minhash_lsh_pairs`` (kwargs forwarded, so the
+    portable/oracle mode and skew caps apply unchanged); each pair is
+    attributed to the UNORDERED source combination (source_a <=
+    source_b lexicographically). ``sum_sig_matches`` accumulates
+    est_jaccard x num_hashes — an exact integer (matching signature
+    positions), so the per-cell mean similarity
+    ``sum_sig_matches / (num_hashes * n_pairs)`` can be derived
+    without any float summation.
+
+    Output: ``(source_a, source_b, n_pairs bigint, sum_sig_matches
+    bigint)``.
+
+    Scale shape: the id -> source map is a projection of the corpus
+    joined twice on the pair ids (equi shuffle joins keyed by doc id
+    — pair volume is LSH-bounded, never quadratic), then one
+    combinable groupBy over at most |sources|² cells.
+    """
+    num_hashes = minhash_kwargs.get("num_hashes", 16)
+    pairs = minhash_lsh_pairs(
+        df, id_col=id_col, text_col=text_col, **minhash_kwargs
+    )
+    src = df.select(
+        F.col(id_col).alias("__sid"), F.col(source_col).alias("__src")
+    )
+    tagged = (
+        pairs.join(src, pairs["id_a"] == F.col("__sid"))
+        .select(
+            "id_b",
+            F.col("__src").alias("__src_a"),
+            "est_jaccard",
+        )
+        .join(
+            src.withColumnRenamed("__src", "__src_b"),
+            F.col("id_b") == F.col("__sid"),
+        )
+        .select(
+            F.least("__src_a", "__src_b").alias("source_a"),
+            F.greatest("__src_a", "__src_b").alias("source_b"),
+            F.round(F.col("est_jaccard") * num_hashes)
+            .cast("bigint")
+            .alias("__matches"),
+        )
+    )
+    return tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("__matches").cast("bigint").alias("sum_sig_matches"),
+    )

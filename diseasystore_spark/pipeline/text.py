@@ -1344,3 +1344,75 @@ def c4_clean(
     return base.select(
         id_col, "text_clean", "n_lines", "n_lines_kept", kept.alias("kept")
     )
+
+
+def search_all_terms(
+    df: DataFrame,
+    terms: list[str] | None = None,
+    top_terms: int | None = None,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conjunctive (AND) full-text search over an inverted index:
+    rank the ``k`` documents containing EVERY query term by total
+    term frequency — the retrieval primitive under boolean search /
+    candidate generation for RAG corpora.
+
+    The index is ``term_frequencies``'s (doc, term, tf) posting
+    frame. Pass either ``terms`` (an explicit query) or
+    ``top_terms=n`` (query = the corpus' n globally most frequent
+    tokens, ties broken by token — the deterministic self-contained
+    benchmark form).
+
+    Output: ``(doc_id, score bigint, rank int)`` — score = Σ tf over
+    the query terms, rank dense 1..k by (score desc, id asc).
+
+    Scale shape: the postings build is `term_frequencies`' single
+    combinable groupBy. The query side is a ≤|query|-row broadcast,
+    so matching prunes to the query terms' postings only (a semi-join
+    on the broadcast hash — no corpus-wide shuffle), and the HAVING
+    count == |query| conjunctive check plus top-k run on the matched
+    docs. Final ranking is a global TakeOrderedAndProject over docs
+    that matched ALL terms — k-bounded, never a full sort.
+    """
+    if (terms is None) == (top_terms is None):
+        raise ValueError("pass exactly one of terms / top_terms")
+    tf = term_frequencies(df, id_col=id_col, text_col=text_col)
+    if terms is not None:
+        if not terms:
+            raise ValueError("terms must be non-empty")
+        n_terms = len(set(terms))
+        query = df.sparkSession.createDataFrame(
+            [(t,) for t in sorted(set(terms))], ["term"]
+        )
+    else:
+        if top_terms <= 0:
+            raise ValueError("top_terms must be positive")
+        n_terms = top_terms
+        query = (
+            tf.groupBy("term")
+            .agg(F.sum("tf").cast("bigint").alias("__total"))
+            .orderBy(F.col("__total").desc(), F.col("term"))
+            .limit(top_terms)
+            .select("term")
+        )
+    matched = (
+        tf.join(F.broadcast(query), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n_terms"),
+            F.sum("tf").cast("bigint").alias("score"),
+        )
+        .where(F.col("__n_terms") == n_terms)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        matched.orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            "score",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+    )

@@ -5658,6 +5658,300 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q117_rolling_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day incidence and week-over-week growth per event
+    type on a DENSE calendar spine (``operators/events.
+    rolling_incidence``) — the surveillance headline consumers of the
+    reference's daily prevalence series compute downstream. Zero-event
+    days are materialized, so the windows are calendar-exact; trail/
+    prior are exact bigints and growth is their single double
+    division, making the whole series hash-reproducible."""
+    from diseasystore_spark.operators.events import rolling_incidence
+
+    return rolling_incidence(
+        _read(spark, sf_dir, "events"), window=7
+    )
+
+
+ORACLE_Q117 = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+days AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                     CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM daily),
+dense AS (
+  SELECT t.event_type, d.day,
+         CAST(coalesce(dd.n_events, 0) AS BIGINT) AS n_events
+  FROM types t CROSS JOIN days d
+  LEFT JOIN daily dd ON dd.event_type = t.event_type AND dd.day = d.day
+),
+win AS (
+  SELECT event_type, day, n_events,
+         CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS trail,
+         CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN 13 PRECEDING AND 7 PRECEDING) AS BIGINT)
+           AS prior_raw,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM dense
+)
+SELECT event_type, day, n_events, trail,
+       CASE WHEN rn >= 14 THEN prior_raw END AS prior,
+       CASE WHEN rn >= 14 AND prior_raw > 0
+            THEN CAST(trail AS DOUBLE) / CAST(prior_raw AS DOUBLE)
+       END AS growth
+FROM win
+"""
+
+
+def q118_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive inverted-index search (``pipeline/text.
+    search_all_terms``): the 20 documents containing ALL of the
+    corpus' 3 globally most frequent tokens, ranked by summed term
+    frequency (ties by doc id). The postings build is one combinable
+    groupBy; the query side is a 3-row broadcast so matching prunes
+    to those terms' postings; the top-k is a TakeOrderedAndProject,
+    never a full sort."""
+    from diseasystore_spark.pipeline.text import search_all_terms
+
+    return search_all_terms(
+        _read(spark, sf_dir, "documents"), top_terms=3, k=20
+    )
+
+
+ORACLE_Q118 = r"""
+WITH tf AS (
+  SELECT doc_id, w AS term, count(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                              t -> t <> '')) AS w
+    FROM documents
+  )
+  GROUP BY doc_id, w
+),
+q AS (
+  SELECT term FROM (
+    SELECT term, sum(tf) AS total
+    FROM tf GROUP BY term
+    ORDER BY total DESC, term
+    LIMIT 3
+  )
+),
+m AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
+  FROM tf JOIN q USING (term)
+  GROUP BY doc_id
+  HAVING count(*) = 3
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+         AS rank
+FROM m
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+def q119_nation_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS trend of daily order volume (``operators/stats.
+    group_trend``): the customer->nation dimension join, a dense
+    zero-filled day spine per nation (quiet days count), day index as
+    the integer regressor, and the five OLS sufficient statistics
+    summed in bigint with slope/intercept derived per group — the
+    "is this market growing" fit as one combinable aggregation,
+    bit-exact across engines because no float ever accumulates."""
+    from diseasystore_spark.operators.stats import group_trend
+
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    daily = (
+        orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"]
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    )
+    spine = bounds.select(
+        F.col("__lo"),
+        F.explode(
+            F.sequence(
+                F.col("__lo"), F.col("__hi"), F.expr("interval 1 day")
+            )
+        ).alias("day"),
+    )
+    dense = (
+        nation.select(
+            F.col("n_nationkey").alias("nationkey"), "n_name"
+        )
+        .crossJoin(F.broadcast(spine))
+        .join(daily, ["nationkey", "day"], "left")
+        .select(
+            "n_name",
+            F.datediff(F.col("day"), F.col("__lo")).alias("x"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("y"),
+        )
+    )
+    return group_trend(dense, "x", "y", ["n_name"]).orderBy("n_name")
+
+
+ORACLE_Q119 = """
+WITH daily AS (
+  SELECT c_nationkey AS nationkey, CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, CAST(o_orderdate AS DATE)
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+days AS (
+  SELECT lo, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+dense AS (
+  SELECT n.n_name,
+         CAST(date_diff('day', d.lo, d.day) AS BIGINT) AS x,
+         CAST(coalesce(dd.n_orders, 0) AS BIGINT) AS y
+  FROM nation n CROSS JOIN days d
+  LEFT JOIN daily dd ON dd.nationkey = n.n_nationkey AND dd.day = d.day
+),
+sums AS (
+  SELECT n_name,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sum_x,
+         CAST(sum(y) AS BIGINT) AS sum_y,
+         CAST(sum(x * y) AS BIGINT) AS sum_xy,
+         CAST(sum(x * x) AS BIGINT) AS sum_xx
+  FROM dense GROUP BY n_name
+)
+SELECT n_name, n, sum_x, sum_y, sum_xy, sum_xx,
+       CASE WHEN n * sum_xx - sum_x * sum_x <> 0 THEN
+         CAST(n * sum_xy - sum_x * sum_y AS DOUBLE)
+         / CAST(n * sum_xx - sum_x * sum_x AS DOUBLE)
+       END AS slope,
+       CASE WHEN n * sum_xx - sum_x * sum_x <> 0 THEN
+         (CAST(sum_y AS DOUBLE)
+          - (CAST(n * sum_xy - sum_x * sum_y AS DOUBLE)
+             / CAST(n * sum_xx - sum_x * sum_x AS DOUBLE))
+            * CAST(sum_x AS DOUBLE))
+         / CAST(n AS DOUBLE)
+       END AS intercept
+FROM sums
+"""
+
+
+def q120_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized order-value stats per priority (``operators/stats.
+    winsorized_stats``): o_totalprice in integer cents clamped at the
+    per-group p10/p90 linear-interpolation quantiles (Spark exact
+    ``percentile`` == DuckDB ``quantile_cont`` semantics), with the
+    robust mean assembled as n_lo*lo + n_hi*hi + S(unclipped bigints)
+    so no float accumulates across rows — order-independent and
+    hash-reproducible."""
+    from diseasystore_spark.operators.stats import winsorized_stats
+
+    orders = _read(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+    )
+    return winsorized_stats(
+        cents, "price_c", ["prio"], p_lo=0.1, p_hi=0.9
+    )
+
+
+ORACLE_Q120 = """
+WITH v AS (
+  SELECT o_orderpriority AS prio,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+t AS (
+  SELECT prio,
+         quantile_cont(c, 0.1) AS lo,
+         quantile_cont(c, 0.9) AS hi
+  FROM v GROUP BY prio
+),
+a AS (
+  SELECT v.prio,
+         CAST(count(*) AS BIGINT) AS n,
+         min(t.lo) AS lo,
+         min(t.hi) AS hi,
+         CAST(count(*) FILTER (CAST(v.c AS DOUBLE) < t.lo) AS BIGINT)
+           AS n_clip_lo,
+         CAST(count(*) FILTER (CAST(v.c AS DOUBLE) > t.hi) AS BIGINT)
+           AS n_clip_hi,
+         CAST(sum(CASE WHEN CAST(v.c AS DOUBLE) >= t.lo
+                        AND CAST(v.c AS DOUBLE) <= t.hi
+                       THEN v.c ELSE 0 END) AS BIGINT) AS sum_mid
+  FROM v JOIN t USING (prio)
+  GROUP BY v.prio
+)
+SELECT prio, n, lo, hi, n_clip_lo, n_clip_hi,
+       (CAST(n_clip_lo AS DOUBLE) * lo + CAST(n_clip_hi AS DOUBLE) * hi
+        + CAST(sum_mid AS DOUBLE)) / CAST(n AS DOUBLE)
+         AS mean_winsorized
+FROM a
+"""
+
+
+def q121_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate contamination matrix (``pipeline/
+    dedup.cross_source_matrix``): q23's portable MinHash-LSH pair set
+    attributed to unordered (source, source) combinations — the "is
+    feed A duplicating feed B" audit. sum_sig_matches accumulates
+    matching signature positions (est_jaccard x 16, an exact
+    integer), so per-cell mean similarity derives without float
+    sums."""
+    from diseasystore_spark.pipeline.dedup import cross_source_matrix
+
+    return cross_source_matrix(
+        _read(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=4,
+        n=3,
+        portable=True,
+    )
+
+
+ORACLE_Q121 = (
+    "WITH pairs AS ("
+    + ORACLE_Q23
+    + """),
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CAST(round(p.est_jaccard * 16) AS BIGINT)) AS BIGINT)
+         AS sum_sig_matches
+FROM pairs p
+JOIN src sa ON p.id_a = sa.doc_id
+JOIN src sb ON p.id_b = sb.doc_id
+GROUP BY least(sa.source, sb.source), greatest(sa.source, sb.source)
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5779,6 +6073,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q114_duplicate_spans": q114_duplicate_spans,
     "q115_rollup_cube": q115_rollup_cube,
     "q116_excise_spans": q116_excise_spans,
+    "q117_rolling_incidence": q117_rolling_incidence,
+    "q118_conjunctive_search": q118_conjunctive_search,
+    "q119_nation_order_trend": q119_nation_order_trend,
+    "q120_winsorized_stats": q120_winsorized_stats,
+    "q121_cross_source_matrix": q121_cross_source_matrix,
 }
 
 ORACLES: dict[str, str] = {
@@ -5897,6 +6196,11 @@ ORACLES: dict[str, str] = {
     "q114_duplicate_spans": ORACLE_Q114,
     "q115_rollup_cube": ORACLE_Q115,
     "q116_excise_spans": ORACLE_Q116,
+    "q117_rolling_incidence": ORACLE_Q117,
+    "q118_conjunctive_search": ORACLE_Q118,
+    "q119_nation_order_trend": ORACLE_Q119,
+    "q120_winsorized_stats": ORACLE_Q120,
+    "q121_cross_source_matrix": ORACLE_Q121,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -83,7 +83,8 @@ def test_all_registry_queries_are_scale_safe(spark):
     hitter candidates, q64/q66 budget prefix-sum bucket frame
     (coarse_div-bounded), q65 vocab rank (vocab-sized), q75 epoch
     1024-row bucket frame, q103 cumulative-weight windows over KLL sketch rows (three
-    consumers; each frame is sketch-bounded, ~K log(n/K) rows).
+    consumers; each frame is sketch-bounded, ~K log(n/K) rows), q118
+    rank over the already-LIMITed top-k search hits (<= k rows).
     """
     from diseasystore_spark.plans.lint import plan_summary
     from diseasystore_spark.queries import QUERIES
@@ -97,6 +98,7 @@ def test_all_registry_queries_are_scale_safe(spark):
         "q66_curation_e2e": 1,
         "q75_epoch_shuffle": 1,
         "q103_kll_quantiles": 3,
+        "q118_conjunctive_search": 1,
     }
     problems = []
     for name, fn in QUERIES.items():

@@ -1,0 +1,244 @@
+"""Robust-stats operators: winsorized moments, OLS trends, rolling
+incidence, and conjunctive search — each pinned against an
+independent Python/numpy oracle on randomized data plus crafted edge
+cases (the same strategy as the other operator suites)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from diseasystore_spark.operators.events import rolling_incidence
+from diseasystore_spark.operators.stats import group_trend, winsorized_stats
+from diseasystore_spark.pipeline.text import search_all_terms
+
+
+def test_winsorized_stats_matches_numpy(spark):
+    rng = random.Random(42)
+    rows = [
+        (f"g{i % 3}", rng.randint(-1000, 100000)) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    got = {
+        r["grp"]: r
+        for r in winsorized_stats(df, "v", ["grp"], 0.1, 0.9).collect()
+    }
+    for g in ["g0", "g1", "g2"]:
+        vals = np.array([v for k, v in rows if k == g], dtype=np.float64)
+        lo = np.percentile(vals, 10, method="linear")
+        hi = np.percentile(vals, 90, method="linear")
+        clipped = np.clip(vals, lo, hi)
+        r = got[g]
+        assert r["n"] == len(vals)
+        assert r["lo"] == pytest.approx(lo, abs=1e-9)
+        assert r["hi"] == pytest.approx(hi, abs=1e-9)
+        assert r["n_clip_lo"] == int((vals < lo).sum())
+        assert r["n_clip_hi"] == int((vals > hi).sum())
+        assert r["mean_winsorized"] == pytest.approx(
+            clipped.mean(), rel=1e-12
+        )
+
+
+def test_winsorized_stats_degenerate_group(spark):
+    # A constant group: thresholds collapse onto the value, nothing
+    # clips, and the mean is the value itself.
+    df = spark.createDataFrame([("g", 7)] * 5, ["grp", "v"])
+    r = winsorized_stats(df, "v", ["grp"]).collect()[0]
+    assert r["lo"] == r["hi"] == 7.0
+    assert r["n_clip_lo"] == r["n_clip_hi"] == 0
+    assert r["mean_winsorized"] == 7.0
+
+
+def test_winsorized_stats_rejects_bad_percentiles(spark):
+    df = spark.createDataFrame([("g", 1)], ["grp", "v"])
+    with pytest.raises(ValueError, match="p_lo"):
+        winsorized_stats(df, "v", ["grp"], p_lo=0.9, p_hi=0.1)
+
+
+def test_group_trend_matches_numpy_polyfit(spark):
+    rng = random.Random(7)
+    rows = []
+    for g in ["a", "b"]:
+        for x in range(40):
+            rows.append((g, x, 3 * x + rng.randint(-20, 20)))
+    df = spark.createDataFrame(rows, ["grp", "x", "y"])
+    got = {r["grp"]: r for r in group_trend(df, "x", "y", ["grp"]).collect()}
+    for g in ["a", "b"]:
+        xs = np.array([x for k, x, _ in rows if k == g], dtype=np.float64)
+        ys = np.array([y for k, _, y in rows if k == g], dtype=np.float64)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert got[g]["slope"] == pytest.approx(slope, rel=1e-9)
+        assert got[g]["intercept"] == pytest.approx(intercept, rel=1e-9)
+        assert got[g]["n"] == len(xs)
+        assert got[g]["sum_xy"] == int((xs * ys).sum())
+
+
+def test_group_trend_constant_regressor_is_null(spark):
+    df = spark.createDataFrame(
+        [("g", 5, 1), ("g", 5, 2), ("g", 5, 3)], ["grp", "x", "y"]
+    )
+    r = group_trend(df, "x", "y", ["grp"]).collect()[0]
+    assert r["slope"] is None and r["intercept"] is None
+    assert r["sum_x"] == 15 and r["sum_xx"] == 75
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type",
+        "value",
+    )
+
+
+def test_rolling_incidence_dense_spine_and_growth(spark):
+    # Type "a" has a 3-day gap; the spine must materialize the quiet
+    # days with n_events = 0 and the trailing sums must count them.
+    rows = []
+    eid = 0
+    for day, n in [(1, 2), (2, 1), (6, 3)]:
+        for _ in range(n):
+            rows.append((eid, f"1996-01-0{day} 10:00:00", 1, "a", 0.0))
+            eid += 1
+    rows.append((eid, "1996-01-03 09:00:00", 2, "b", 0.0))
+    df = _mk_events(spark, rows)
+    out = rolling_incidence(df, window=2)
+    got = {
+        (r["event_type"], str(r["day"])): r for r in out.collect()
+    }
+    # spine: both types span the GLOBAL range 01-01..01-06
+    assert len(got) == 12
+    assert got[("a", "1996-01-04")]["n_events"] == 0
+    # window=2 trailing sums over the dense series
+    assert got[("a", "1996-01-02")]["trail"] == 3
+    assert got[("a", "1996-01-06")]["trail"] == 3  # day5=0 + day6=3
+    # prior full only from rn >= 4 (2*window)
+    assert got[("a", "1996-01-02")]["prior"] is None
+    a4 = got[("a", "1996-01-04")]
+    assert a4["prior"] == 3 and a4["trail"] == 0
+    assert a4["growth"] == pytest.approx(0.0)
+    # zero prior -> NULL growth, not a division error
+    b4 = got[("b", "1996-01-04")]
+    assert b4["prior"] == 0 and b4["growth"] is None
+    # nonzero prior from a single event two windows back
+    b6 = got[("b", "1996-01-06")]
+    assert b6["prior"] == 1 and b6["growth"] == pytest.approx(0.0)
+
+
+def test_rolling_incidence_matches_python_oracle(spark):
+    rng = random.Random(3)
+    rows = []
+    for eid in range(300):
+        day = rng.randint(1, 20)
+        typ = rng.choice(["x", "y", "z"])
+        rows.append((eid, f"1996-02-{day:02d} 12:00:00", eid % 7, typ, 1.0))
+    df = _mk_events(spark, rows)
+    w = 5
+    got = {
+        (r["event_type"], str(r["day"])): r
+        for r in rolling_incidence(df, window=w).collect()
+    }
+    days = sorted({r[1][:10] for r in rows})
+    lo, hi = days[0], days[-1]
+    import datetime
+
+    d0 = datetime.date.fromisoformat(lo)
+    d1 = datetime.date.fromisoformat(hi)
+    spine = [
+        d0 + datetime.timedelta(days=i)
+        for i in range((d1 - d0).days + 1)
+    ]
+    for typ in ["x", "y", "z"]:
+        series = []
+        for d in spine:
+            n = sum(
+                1 for r in rows
+                if r[3] == typ and r[1][:10] == d.isoformat()
+            )
+            series.append(n)
+        for i, d in enumerate(spine):
+            r = got[(typ, d.isoformat())]
+            assert r["n_events"] == series[i]
+            assert r["trail"] == sum(series[max(0, i - w + 1): i + 1])
+            if i >= 2 * w - 1:
+                prior = sum(series[i - 2 * w + 1: i - w + 1])
+                assert r["prior"] == prior
+                if prior > 0:
+                    assert r["growth"] == pytest.approx(
+                        r["trail"] / prior
+                    )
+            else:
+                assert r["prior"] is None
+
+
+def test_search_all_terms_conjunctive_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "apple banana"),
+            (3, "banana cherry banana apple apple apple"),
+            (4, "cherry cherry"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = search_all_terms(df, terms=["apple", "banana"], k=10).collect()
+    # doc 4 lacks both, docs 1/2/3 contain both; score = tf sum
+    assert [(r["doc_id"], r["score"], r["rank"]) for r in out] == [
+        (3, 5, 1),
+        (1, 3, 2),
+        (2, 2, 3),
+    ]
+
+
+def test_search_all_terms_top_terms_mode_and_k(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "t t t u u v"),
+            (2, "t u v v"),
+            (3, "t t u"),
+            (4, "w w w w w w w w"),
+        ],
+        ["doc_id", "text"],
+    )
+    # totals: w=8, t=6, u=4 -> query {w, t, u}; no doc has all three
+    assert search_all_terms(df, top_terms=3, k=5).count() == 0
+    # query {w, t} ties v at 3? totals: v=3; top2 = w(8), t(6)
+    out = search_all_terms(df, top_terms=2, k=5).collect()
+    assert out == []  # no doc contains both w and t
+    out = search_all_terms(df, top_terms=1, k=5).collect()
+    assert [(r["doc_id"], r["score"]) for r in out] == [(4, 8)]
+
+
+def test_search_all_terms_arg_validation(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="exactly one"):
+        search_all_terms(df)
+    with pytest.raises(ValueError, match="exactly one"):
+        search_all_terms(df, terms=["a"], top_terms=2)
+
+
+def test_cross_source_matrix_attribution(spark):
+    from diseasystore_spark.pipeline.dedup import cross_source_matrix
+
+    # Two identical docs across sources + one identical pair within a
+    # source; identical text => identical signatures => est 1.0 (16
+    # matching positions).
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "crawl"),
+            (2, "alpha beta gamma delta epsilon", "curated"),
+            (3, "alpha beta gamma delta epsilon", "crawl"),
+            (4, "zeta eta theta iota kappa", "curated"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in cross_source_matrix(df, portable=True).collect()
+    }
+    assert out[("crawl", "curated")]["n_pairs"] == 2  # 1-2, 2-3
+    assert out[("crawl", "crawl")]["n_pairs"] == 1  # 1-3
+    assert out[("crawl", "curated")]["sum_sig_matches"] == 32
+    assert ("curated", "curated") not in out
