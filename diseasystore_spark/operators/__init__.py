@@ -7,7 +7,11 @@ from diseasystore_spark.operators.events import (
     user_journeys,
 )
 from diseasystore_spark.operators.skyline import skyline
-from diseasystore_spark.operators.stats import group_trend, winsorized_stats
+from diseasystore_spark.operators.stats import (
+    equi_depth_histogram,
+    group_trend,
+    winsorized_stats,
+)
 from diseasystore_spark.operators.aggregators import (
     key_join_count,
     key_join_max,
@@ -27,6 +31,7 @@ __all__ = [
     "funnel_reach_joins",
     "retention_cohorts",
     "rolling_incidence",
+    "equi_depth_histogram",
     "group_trend",
     "winsorized_stats",
     "skyline",

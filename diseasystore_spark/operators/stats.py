@@ -146,3 +146,83 @@ def group_trend(
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 16,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Equal-frequency (equi-depth) histogram of an integer-valued
+    column — the ANALYZE-statistics primitive (optimizer histograms,
+    drift monitors, quantile-bucket feature encoders). Bucket
+    assignment follows exact ``NTILE(n_buckets) OVER (ORDER BY v)``
+    semantics: with n rows, the first ``n % k`` buckets hold
+    ``n//k + 1`` rows, the rest ``n//k``.
+
+    Output: ``(bucket int 0-based, n_rows bigint, lo bigint, hi
+    bigint)`` — per-bucket count and value range. NULLs are excluded
+    (no order position). Ties spanning a bucket boundary are split by
+    count exactly like NTILE; the (count, lo, hi) summary is
+    invariant to which tied row lands where, so the result is
+    deterministic even though tie order is not.
+
+    Scale shape — the naive ``ntile() OVER (ORDER BY v)`` is a
+    single-task global sort. Here ranks come from the two-level
+    pattern over RANGE partitions (equal-frequency level-1 split, so
+    a skewed value distribution cannot hot-spot one task the way a
+    fixed-width value split would): ``repartitionByRange`` on the
+    value, per-partition counts (a |partitions|-row frame), an
+    exclusive prefix over that tiny frame, and an intra-partition
+    ``row_number``. Only the |partitions|-row window is single-task.
+    The NTILE closed form then maps global rank -> bucket in integer
+    arithmetic, and one combinable groupBy emits the histogram.
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    spark = df.sparkSession
+    n_part = partitions or spark.sparkContext.defaultParallelism * 4
+    base = (
+        df.select(F.col(value_col).cast("bigint").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .repartitionByRange(n_part, F.col("__v"))
+        .withColumn("__p", F.spark_partition_id())
+    )
+    counts = base.groupBy("__p").agg(F.count(F.lit(1)).alias("__n"))
+    from pyspark.sql import Window
+
+    gw = Window.orderBy("__p").rowsBetween(Window.unboundedPreceding, -1)
+    prefixes = counts.select(
+        "__p",
+        F.coalesce(F.sum("__n").over(gw), F.lit(0)).alias("__prefix"),
+    )
+    total = counts.agg(F.sum("__n").cast("bigint").alias("__total"))
+    iw = Window.partitionBy("__p").orderBy("__v")
+    ranked = (
+        base.join(F.broadcast(prefixes), "__p")
+        .withColumn(
+            "__r", F.col("__prefix") + F.row_number().over(iw) - 1
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    # NTILE closed form in integer arithmetic (DIV is SQL integer
+    # division; Column has no // operator): with q = n DIV k and
+    # rem = n % k, the first rem buckets hold q+1 rows.
+    bucket = F.expr(
+        f"CASE WHEN __total DIV {n_buckets} = 0 THEN __r "
+        f"WHEN __r < (__total % {n_buckets}) * (__total DIV {n_buckets} + 1) "
+        f"THEN __r DIV (__total DIV {n_buckets} + 1) "
+        f"ELSE (__total % {n_buckets}) "
+        f"  + (__r - (__total % {n_buckets}) * (__total DIV {n_buckets} + 1)) "
+        f"    DIV (__total DIV {n_buckets}) END"
+    )
+    return (
+        ranked.select(bucket.cast("int").alias("bucket"), "__v")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("__v").alias("lo"),
+            F.max("__v").alias("hi"),
+        )
+    )

@@ -1416,3 +1416,95 @@ def search_all_terms(
             F.row_number().over(w).cast("int").alias("rank"),
         )
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs — the
+    collocation detector ("new york" vs chance co-occurrence) used
+    for phrase mining and tokenizer-merge candidates over a corpus::
+
+        pmi(x, y) = ln( P(x,y) / (P(x)·P(y)) )
+                  = ln( (c_xy · n_uni²) / (c_x · c_y · n_bi) )
+
+    with c_xy counted over adjacent pairs, c_x/c_y over all tokens.
+    Only pairs with ``c_xy >= min_count`` are emitted — the row set is
+    decided purely by integer counts (never by a float comparison),
+    so results are stable across engines; pmi itself is one ln over a
+    ratio of exact integer products.
+
+    Output: ``(w1, w2, c_pair bigint, c_w1 bigint, c_w2 bigint,
+    pmi double)``.
+
+    Scale shape: one explode of per-document adjacent pairs feeding a
+    map-side-combinable (w1, w2) count, a token-count frame joined
+    twice on the word key (vocab-sized, not corpus-sized), and the
+    two scalar totals riding in via a 1-row broadcast. No window, no
+    driver collect.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    tk = F.filter(_tokens(text_col), lambda t: t != F.lit(""))
+    toks = df.select(tk.alias("__toks"))
+    uni = (
+        toks.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_w"))
+    )
+    # sequence(1, n) with n < 1 DESCENDS in Spark (step defaults to
+    # -1), so docs with fewer than 2 tokens are dropped up front —
+    # they contribute no pairs anyway.
+    pairs = (
+        toks.where(F.size("__toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__toks) - 1), i -> "
+                    "struct(element_at(__toks, i) AS w1, "
+                    "element_at(__toks, i + 1) AS w2))"
+                )
+            ).alias("__bg")
+        )
+        .select("__bg.w1", "__bg.w2")
+    )
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_pair"))
+        .where(F.col("c_pair") >= min_count)
+    )
+    totals = uni.agg(
+        F.sum("c_w").cast("bigint").alias("__n_uni")
+    ).crossJoin(
+        pairs.agg(F.count(F.lit(1)).cast("bigint").alias("__n_bi"))
+    )
+    scored = (
+        bi.join(
+            uni.select(
+                F.col("w").alias("w1"), F.col("c_w").alias("c_w1")
+            ),
+            "w1",
+        )
+        .join(
+            uni.select(
+                F.col("w").alias("w2"), F.col("c_w").alias("c_w2")
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    n_uni = F.col("__n_uni").cast("double")
+    pmi = F.log(
+        (F.col("c_pair").cast("double") * n_uni * n_uni)
+        / (
+            F.col("c_w1").cast("double")
+            * F.col("c_w2").cast("double")
+            * F.col("__n_bi").cast("double")
+        )
+    )
+    return scored.select(
+        "w1", "w2", "c_pair", "c_w1", "c_w2", pmi.alias("pmi")
+    )

@@ -5952,6 +5952,90 @@ GROUP BY least(sa.source, sb.source), greatest(sa.source, sb.source)
 )
 
 
+def q122_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) 16-bucket histogram of order value
+    in integer cents (``operators/stats.equi_depth_histogram``) —
+    exact NTILE semantics without the single-task global sort: ranks
+    come from range partitions + a partition-count prefix (two-level
+    rank, same pattern as q75/q95), then an integer closed form maps
+    rank -> NTILE bucket and one combinable groupBy emits (count, lo,
+    hi) per bucket."""
+    from diseasystore_spark.operators.stats import equi_depth_histogram
+
+    orders = _read(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("price_c")
+    )
+    return equi_depth_histogram(cents, "price_c", n_buckets=16)
+
+
+ORACLE_Q122 = """
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+),
+r AS (
+  SELECT c, ntile(16) OVER (ORDER BY c) AS b FROM v
+)
+SELECT CAST(b - 1 AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(c) AS lo,
+       max(c) AS hi
+FROM r GROUP BY b
+"""
+
+
+def q123_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram pointwise mutual information over the document
+    corpus (``pipeline/text.bigram_pmi``, min_count=5) — the
+    collocation/phrase-mining primitive. The emitted row set is
+    decided purely by integer pair counts; pmi is a single ln over a
+    ratio of exact integer products, so the frame is hash-stable
+    across engines."""
+    from diseasystore_spark.pipeline.text import bigram_pmi
+
+    return bigram_pmi(
+        _read(spark, sf_dir, "documents"), min_count=5
+    )
+
+
+ORACLE_Q123 = r"""
+WITH tk AS (
+  SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+),
+uni AS (
+  SELECT u AS w, CAST(count(*) AS BIGINT) AS c_w
+  FROM (SELECT unnest(w) AS u FROM tk) GROUP BY u
+),
+pr AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM tk, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+bi AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair
+  FROM pr GROUP BY w1, w2 HAVING count(*) >= 5
+),
+tot AS (
+  SELECT (SELECT CAST(sum(c_w) AS BIGINT) FROM uni) AS n_uni,
+         (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_bi
+)
+SELECT bi.w1, bi.w2, bi.c_pair,
+       u1.c_w AS c_w1, u2.c_w AS c_w2,
+       ln((CAST(bi.c_pair AS DOUBLE) * CAST(n_uni AS DOUBLE)
+           * CAST(n_uni AS DOUBLE))
+          / (CAST(u1.c_w AS DOUBLE) * CAST(u2.c_w AS DOUBLE)
+             * CAST(n_bi AS DOUBLE))) AS pmi
+FROM bi
+JOIN uni u1 ON bi.w1 = u1.w
+JOIN uni u2 ON bi.w2 = u2.w
+CROSS JOIN tot
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6078,6 +6162,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q119_nation_order_trend": q119_nation_order_trend,
     "q120_winsorized_stats": q120_winsorized_stats,
     "q121_cross_source_matrix": q121_cross_source_matrix,
+    "q122_equi_depth_histogram": q122_equi_depth_histogram,
+    "q123_bigram_pmi": q123_bigram_pmi,
 }
 
 ORACLES: dict[str, str] = {
@@ -6201,6 +6287,8 @@ ORACLES: dict[str, str] = {
     "q119_nation_order_trend": ORACLE_Q119,
     "q120_winsorized_stats": ORACLE_Q120,
     "q121_cross_source_matrix": ORACLE_Q121,
+    "q122_equi_depth_histogram": ORACLE_Q122,
+    "q123_bigram_pmi": ORACLE_Q123,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -84,7 +84,8 @@ def test_all_registry_queries_are_scale_safe(spark):
     (coarse_div-bounded), q65 vocab rank (vocab-sized), q75 epoch
     1024-row bucket frame, q103 cumulative-weight windows over KLL sketch rows (three
     consumers; each frame is sketch-bounded, ~K log(n/K) rows), q118
-    rank over the already-LIMITed top-k search hits (<= k rows).
+    rank over the already-LIMITed top-k search hits (<= k rows), q122
+    exclusive prefix over the |partitions|-row range-bucket counts.
     """
     from diseasystore_spark.plans.lint import plan_summary
     from diseasystore_spark.queries import QUERIES
@@ -99,6 +100,7 @@ def test_all_registry_queries_are_scale_safe(spark):
         "q75_epoch_shuffle": 1,
         "q103_kll_quantiles": 3,
         "q118_conjunctive_search": 1,
+        "q122_equi_depth_histogram": 1,
     }
     problems = []
     for name, fn in QUERIES.items():

@@ -242,3 +242,107 @@ def test_cross_source_matrix_attribution(spark):
     assert out[("crawl", "crawl")]["n_pairs"] == 1  # 1-3
     assert out[("crawl", "curated")]["sum_sig_matches"] == 32
     assert ("curated", "curated") not in out
+
+
+def _ntile_oracle(vals, k):
+    """Python NTILE: per-bucket (count, lo, hi) over sorted values."""
+    s = sorted(vals)
+    n = len(s)
+    q, rem = divmod(n, k)
+    out = {}
+    pos = 0
+    for b in range(min(k, n) if q == 0 else k):
+        size = (q + 1) if b < rem or q == 0 and b < n else q
+        if q == 0:
+            size = 1 if b < rem else 0
+        if size == 0:
+            continue
+        chunk = s[pos: pos + size]
+        out[b] = (len(chunk), chunk[0], chunk[-1])
+        pos += size
+    return out
+
+
+def test_equi_depth_histogram_matches_ntile(spark):
+    from diseasystore_spark.operators.stats import equi_depth_histogram
+
+    rng = random.Random(11)
+    # heavy ties (values drawn from a small domain) straddle bucket
+    # boundaries — counts must still follow NTILE exactly
+    vals = [rng.randint(0, 30) for _ in range(997)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {
+        r["bucket"]: (r["n_rows"], r["lo"], r["hi"])
+        for r in equi_depth_histogram(df, "v", n_buckets=16).collect()
+    }
+    assert got == _ntile_oracle(vals, 16)
+
+
+def test_equi_depth_histogram_partition_invariance(spark):
+    from diseasystore_spark.operators.stats import equi_depth_histogram
+
+    rng = random.Random(13)
+    vals = [rng.randint(-(10 ** 6), 10 ** 6) for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    a = sorted(
+        (r["bucket"], r["n_rows"], r["lo"], r["hi"])
+        for r in equi_depth_histogram(df, "v", 8, partitions=2).collect()
+    )
+    b = sorted(
+        (r["bucket"], r["n_rows"], r["lo"], r["hi"])
+        for r in equi_depth_histogram(df, "v", 8, partitions=64).collect()
+    )
+    assert a == b == sorted(
+        (k, *v) for k, v in _ntile_oracle(vals, 8).items()
+    )
+
+
+def test_equi_depth_histogram_fewer_rows_than_buckets(spark):
+    from diseasystore_spark.operators.stats import equi_depth_histogram
+
+    df = spark.createDataFrame([(3,), (1,), (2,)], ["v"])
+    got = {
+        r["bucket"]: (r["n_rows"], r["lo"], r["hi"])
+        for r in equi_depth_histogram(df, "v", n_buckets=16).collect()
+    }
+    assert got == {0: (1, 1, 1), 1: (1, 2, 2), 2: (1, 3, 3)}
+
+
+def test_bigram_pmi_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from diseasystore_spark.pipeline.text import bigram_pmi
+
+    docs = [
+        (1, "a b a b a b c"),
+        (2, "a b c d c d"),
+        (3, "x"),          # single token: no pairs, counts still in uni
+        (4, "  "),         # empty after trim
+        (5, "c d a b"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["w1"], r["w2"]): r
+        for r in bigram_pmi(df, min_count=2).collect()
+    }
+    uni = Counter()
+    bi = Counter()
+    n_bi = 0
+    for _, t in docs:
+        toks = t.split()
+        uni.update(toks)
+        for x, y in zip(toks, toks[1:]):
+            bi[(x, y)] += 1
+            n_bi += 1
+    n_uni = sum(uni.values())
+    expect = {p: c for p, c in bi.items() if c >= 2}
+    assert set(got) == set(expect)
+    for (x, y), c in expect.items():
+        r = got[(x, y)]
+        assert r["c_pair"] == c
+        assert r["c_w1"] == uni[x] and r["c_w2"] == uni[y]
+        assert r["pmi"] == pytest.approx(
+            math.log(c * n_uni * n_uni / (uni[x] * uni[y] * n_bi)),
+            rel=1e-12,
+        )
