@@ -1,4 +1,5 @@
 from diseasystore_spark.operators.events import (
+    contact_pairs,
     funnel_counts,
     funnel_reach,
     funnel_reach_joins,
@@ -26,6 +27,7 @@ from diseasystore_spark.operators.missing_ranges import (
 )
 
 __all__ = [
+    "contact_pairs",
     "funnel_counts",
     "funnel_reach",
     "funnel_reach_joins",

@@ -507,3 +507,79 @@ def rolling_incidence(
             F.col("trail").cast("double") / prior_full.cast("double"),
         ).alias("growth"),
     )
+
+
+def contact_pairs(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    tolerance_s: int = 3600,
+) -> DataFrame:
+    """Temporal contact graph: for every unordered user pair, count
+    the event pairs that occurred within ``tolerance_s`` seconds of
+    each other — the contact-tracing / co-activity primitive (who was
+    active together), the event-stream sibling of the reference's
+    interval-overlap joins.
+
+    Each unordered EVENT pair with ``|t_a - t_b| <= tolerance`` is
+    counted exactly once (ties on the timestamp are broken by event
+    id); a user's co-occurrence with itself is excluded.
+
+    Output: ``(user_a, user_b, n_contacts bigint)`` with
+    ``user_a < user_b``.
+
+    Scale shape — the naive form is an O(n²) time-range self-join in
+    one task. Here time is cut into ``tolerance``-wide buckets: the
+    left side replicates each event to its own and the NEXT bucket
+    (2x fan-out), the right side keys by its bucket, and the
+    candidate join is a plain equi-join on the bucket id — any pair
+    within tolerance spans at most adjacent buckets, so the exact
+    predicate only filters candidates that shared a bucket window.
+    Matches are found exactly once (the right event's bucket equals
+    exactly one of the left event's two replicas). Hot buckets are
+    bounded by event density per tolerance window, and the final
+    count is one combinable groupBy on the user pair.
+    """
+    if tolerance_s <= 0:
+        raise ValueError("tolerance_s must be positive")
+    tol_us = tolerance_s * 1_000_000
+    e = events.where(F.col(ts_col).isNotNull()).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__i"),
+        F.unix_micros(F.col(ts_col)).alias("__t"),
+    )
+    left = e.select(
+        F.col("__u").alias("__ua"),
+        F.col("__i").alias("__ia"),
+        F.col("__t").alias("__ta"),
+        F.explode(
+            F.array(
+                F.expr(f"__t DIV {tol_us}"),
+                F.expr(f"__t DIV {tol_us} + 1"),
+            )
+        ).alias("__b"),
+    )
+    right = e.select(
+        F.col("__u").alias("__ub"),
+        F.col("__i").alias("__ib"),
+        F.col("__t").alias("__tb"),
+        F.expr(f"__t DIV {tol_us}").alias("__b"),
+    )
+    j = left.join(right, "__b").where(
+        (F.col("__tb") >= F.col("__ta"))
+        & (F.col("__tb") - F.col("__ta") <= tol_us)
+        & (
+            (F.col("__ta") < F.col("__tb"))
+            | (F.col("__ia") < F.col("__ib"))
+        )
+        & (F.col("__ua") != F.col("__ub"))
+    )
+    return (
+        j.select(
+            F.least("__ua", "__ub").alias("user_a"),
+            F.greatest("__ua", "__ub").alias("user_b"),
+        )
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contacts"))
+    )

@@ -63,3 +63,34 @@ def redact_pii(
         Column.__add__, [F.col(f"n_{name}") for name in pats]
     )
     return out.withColumn("n_pii_total", total.cast("bigint"))
+
+
+def k_anonymity_violations(
+    df: DataFrame,
+    quasi_cols: list[str | Column],
+    k: int = 5,
+) -> DataFrame:
+    """Quasi-identifier combinations shared by FEWER than ``k`` rows —
+    the k-anonymity audit a privacy review runs before a dataset
+    release: any emitted combination re-identifies its members within
+    a group smaller than k and needs suppression or coarsening.
+    Aliased Column expressions are accepted alongside column names so
+    binned quasi-identifiers (``F.floor(...).alias("bal_k")``) can be
+    audited without materializing them first.
+
+    Output: the quasi-identifier columns plus ``n bigint`` (group
+    size), one row per violating combination. NULL counts as a value
+    (a NULL-keyed group of 1 is still re-identifiable).
+
+    Scale shape: ONE map-side-combinable groupBy on the
+    quasi-identifier key — the audit over any corpus size is a single
+    count shuffle plus a literal filter; no second pass, no window.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 never violates)")
+    keys = [F.col(c) if isinstance(c, str) else c for c in quasi_cols]
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .where(F.col("n") < k)
+    )

@@ -6036,6 +6036,73 @@ CROSS JOIN tot
 """
 
 
+def q124_contact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal contact graph (``operators/events.contact_pairs``):
+    unordered user pairs with event pairs within 1 hour of each
+    other, counted exactly once per event pair — the contact-tracing
+    co-activity primitive. The scale path is a tolerance-wide
+    time-bucket equi-join (2x left fan-out to adjacent buckets), not
+    the naive O(n²) range self-join the oracle runs."""
+    from diseasystore_spark.operators.events import contact_pairs
+
+    return contact_pairs(
+        _read(spark, sf_dir, "events"), tolerance_s=3600
+    )
+
+
+ORACLE_Q124 = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE ts IS NOT NULL
+),
+p AS (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM e a JOIN e b
+    ON b.us >= a.us AND b.us - a.us <= 3600000000
+   AND (a.us < b.us OR a.event_id < b.event_id)
+   AND a.user_id <> b.user_id
+)
+SELECT least(ua, ub) AS user_a, greatest(ua, ub) AS user_b,
+       CAST(count(*) AS BIGINT) AS n_contacts
+FROM p GROUP BY least(ua, ub), greatest(ua, ub)
+"""
+
+
+def q125_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (``pipeline/pii.k_anonymity_violations``):
+    customer quasi-identifier combinations (market segment, nation,
+    account balance binned to thousands) shared by fewer than k=3
+    rows — each emitted combination re-identifies its members and
+    needs suppression before release. One combinable count shuffle
+    regardless of corpus size."""
+    from diseasystore_spark.pipeline.pii import k_anonymity_violations
+
+    customer = _read(spark, sf_dir, "customer")
+    return k_anonymity_violations(
+        customer,
+        [
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+            F.floor(F.col("c_acctbal") / 1000)
+            .cast("bigint")
+            .alias("bal_k"),
+        ],
+        k=3,
+    )
+
+
+ORACLE_Q125 = """
+SELECT c_mktsegment AS segment,
+       CAST(c_nationkey AS INTEGER) AS nationkey,
+       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+       CAST(count(*) AS BIGINT) AS n
+FROM customer
+GROUP BY c_mktsegment, CAST(c_nationkey AS INTEGER),
+         CAST(floor(c_acctbal / 1000) AS BIGINT)
+HAVING count(*) < 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6164,6 +6231,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q121_cross_source_matrix": q121_cross_source_matrix,
     "q122_equi_depth_histogram": q122_equi_depth_histogram,
     "q123_bigram_pmi": q123_bigram_pmi,
+    "q124_contact_pairs": q124_contact_pairs,
+    "q125_k_anonymity": q125_k_anonymity,
 }
 
 ORACLES: dict[str, str] = {
@@ -6289,6 +6358,8 @@ ORACLES: dict[str, str] = {
     "q121_cross_source_matrix": ORACLE_Q121,
     "q122_equi_depth_histogram": ORACLE_Q122,
     "q123_bigram_pmi": ORACLE_Q123,
+    "q124_contact_pairs": ORACLE_Q124,
+    "q125_k_anonymity": ORACLE_Q125,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -464,3 +464,103 @@ def test_attribution_pairs_match_python_brute_force(spark):
                 want.add((u, it, ct, int((ct - it).total_seconds() * 1e6)))
     assert got == want
     assert want, "fixture should attribute something"
+
+
+def test_contact_pairs_boundaries_and_dedup(spark):
+    from diseasystore_spark.operators.events import contact_pairs
+
+    rows = [
+        # (event_id, ts, user_id): u1/u2 exactly AT tolerance (in),
+        # u1/u3 one second past (out), u2/u3 across a bucket boundary
+        # (in), u4 self-contact only (excluded), u5/u6 equal ts (in,
+        # counted once).
+        (1, "1996-01-01 00:00:00", 1),
+        (2, "1996-01-01 01:00:00", 2),   # u1+3600s -> in
+        (3, "1996-01-01 02:00:01", 3),   # u2+3601s -> OUT (past tol)
+        (4, "1996-01-01 01:59:59", 3),   # u2+3599s -> in, crosses bucket
+        (5, "1996-03-01 00:00:00", 4),
+        (6, "1996-03-01 00:30:00", 4),   # same user: excluded
+        (7, "1996-06-01 12:00:00", 5),
+        (8, "1996-06-01 12:00:00", 6),   # tie ts: exactly one count
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, "e", 0.0) for i, ts, u in rows],
+        ["event_id", "ts", "user_id", "event_type", "value"],
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id",
+        "event_type", "value",
+    )
+    got = {
+        (r["user_a"], r["user_b"]): r["n_contacts"]
+        for r in contact_pairs(df, tolerance_s=3600).collect()
+    }
+    assert got == {(1, 2): 1, (2, 3): 1, (5, 6): 1}
+
+
+def test_contact_pairs_matches_python_oracle(spark):
+    import random as _random
+
+    from diseasystore_spark.operators.events import contact_pairs
+
+    rng = _random.Random(5)
+    rows = []
+    for eid in range(400):
+        # seconds offset within a 6-hour span; tolerance 600 s
+        rows.append((eid, rng.randint(0, 6 * 3600), rng.randint(1, 12)))
+    df = spark.createDataFrame(
+        [
+            (eid, f"1996-01-01 00:00:00", u, "e", float(s))
+            for eid, s, u in rows
+        ],
+        ["event_id", "ts0", "user_id", "event_type", "value"],
+    ).selectExpr(
+        "event_id",
+        "CAST(ts0 AS TIMESTAMP) + make_interval(0,0,0,0,0,0,value) AS ts",
+        "user_id", "event_type", "value",
+    )
+    got = {
+        (r["user_a"], r["user_b"]): r["n_contacts"]
+        for r in contact_pairs(df, tolerance_s=600).collect()
+    }
+    from collections import Counter
+
+    expect = Counter()
+    for i, (ia, sa, ua) in enumerate(rows):
+        for ib, sb, ub in rows:
+            if ua == ub:
+                continue
+            if not (sb >= sa and sb - sa <= 600):
+                continue
+            if not (sa < sb or ia < ib):
+                continue
+            expect[(min(ua, ub), max(ua, ub))] += 1
+    assert got == dict(expect)
+
+
+def test_k_anonymity_violations(spark):
+    from pyspark.sql import functions as F
+
+    from diseasystore_spark.pipeline.pii import k_anonymity_violations
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1), ("a", 1), ("a", 1),   # group of 3: safe at k=3
+            ("b", 1), ("b", 1),             # group of 2: violates
+            ("c", None),                    # NULL group of 1: violates
+        ],
+        ["seg", "reg"],
+    )
+    got = {
+        (r["seg"], r["reg"]): r["n"]
+        for r in k_anonymity_violations(df, ["seg", "reg"], k=3).collect()
+    }
+    assert got == {("b", 1): 2, ("c", None): 1}
+    # aliased expression quasi-identifier
+    out = k_anonymity_violations(
+        df, [F.col("seg").alias("s")], k=3
+    ).collect()
+    assert {(r["s"], r["n"]) for r in out} == {("b", 2), ("c", 1)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        k_anonymity_violations(df, ["seg"], k=1)
