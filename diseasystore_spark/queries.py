@@ -6103,6 +6103,119 @@ HAVING count(*) < 3
 """
 
 
+def q126_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): count Q1-1996 orders
+    per priority having AT LEAST ONE late line item (shipped more
+    than 60 days after order date) — the canonical EXISTS semi-join.
+    Spark plans the ``left_semi`` join so the probe side never
+    duplicates orders no matter how many line items match; the date
+    filter pushes to the orders scan. (The reference schema's
+    commit/receipt dates are absent here; lateness is ship-vs-order
+    date, same join shape.)"""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    window = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    late = li.join(
+        window.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).where(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        window.join(
+            late.select("l_orderkey"),
+            window["o_orderkey"] == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+ORACLE_Q126 = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q127_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity): customers whose
+    account balance (integer cents) exceeds the average positive
+    balance AND who have placed no orders since 2001 (dormant) — per
+    nation, count and total balance. Exercises the scalar-subquery broadcast (the 1-row
+    average crossed into the filter) and the ``left_anti`` no-orders
+    join. The average threshold is derived from bigint sum/count and
+    compared in exact integer cross-multiplication (bal * n_pos >
+    sum_pos), so no float threshold ever decides membership."""
+    customer = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    cents = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+    )
+    avg_pos = cents.where(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").cast("bigint").alias("__sum_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("__n_pos"),
+    )
+    return (
+        cents.crossJoin(F.broadcast(avg_pos))
+        .where(
+            F.col("bal_c") * F.col("__n_pos") > F.col("__sum_pos")
+        )
+        .join(
+            orders.where(
+                F.col("o_orderdate")
+                >= F.lit("2001-01-01").cast("timestamp")
+            ).select("o_custkey"),
+            cents["c_custkey"] == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("bal_c").cast("bigint").alias("total_bal_c"),
+        )
+    )
+
+
+ORACLE_Q127 = """
+WITH cents AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+),
+avg_pos AS (
+  SELECT CAST(sum(bal_c) AS BIGINT) AS sum_pos,
+         CAST(count(*) AS BIGINT) AS n_pos
+  FROM cents WHERE bal_c > 0
+)
+SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(bal_c) AS BIGINT) AS total_bal_c
+FROM cents, avg_pos
+WHERE bal_c * n_pos > sum_pos
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2001-01-01'
+  )
+GROUP BY CAST(c_nationkey AS INTEGER)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6233,6 +6346,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q123_bigram_pmi": q123_bigram_pmi,
     "q124_contact_pairs": q124_contact_pairs,
     "q125_k_anonymity": q125_k_anonymity,
+    "q126_late_shipment_orders": q126_late_shipment_orders,
+    "q127_dormant_rich_customers": q127_dormant_rich_customers,
 }
 
 ORACLES: dict[str, str] = {
@@ -6360,6 +6475,8 @@ ORACLES: dict[str, str] = {
     "q123_bigram_pmi": ORACLE_Q123,
     "q124_contact_pairs": ORACLE_Q124,
     "q125_k_anonymity": ORACLE_Q125,
+    "q126_late_shipment_orders": ORACLE_Q126,
+    "q127_dormant_rich_customers": ORACLE_Q127,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its
