@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["attribute_conversions"]
+__all__ = ["attribute_conversions", "contact_events"]
 
 
 def attribute_conversions(
@@ -79,6 +79,83 @@ def attribute_conversions(
         "imp_ts",
         "conv_ts",
         (F.unix_micros("conv_ts") - F.unix_micros("imp_ts"))
+        .cast("bigint")
+        .alias("lag_us"),
+    )
+
+
+def contact_events(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    tolerance_s: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``operators/events.contact_pairs``'s pair
+    stage: emit every unordered cross-user EVENT pair within
+    ``tolerance_s`` seconds, exactly once, from an unbounded event
+    stream (count per user pair downstream).
+
+    A stream-stream self-join needs an EQUALITY key for the symmetric
+    hash join to bound its state; "any two events close in time" has
+    none — so the batch operator's time-bucket trick supplies it: the
+    left side explodes each event to its own and the next
+    ``tolerance``-wide bucket, the right side keys by its bucket, and
+    the join is bucket-equality plus the exact time range. Each side
+    then buffers only (rate x watermark+tolerance) rows.
+
+    Output: ``(user_a, user_b, ts_a, ts_b, lag_us bigint)`` — the
+    pair is ordered by (ts, id), NOT by user id, so user_a is the
+    earlier event's user; normalize with least/greatest downstream
+    when unordered user pairs are wanted (as ``contact_pairs`` does).
+    Works identically on batch frames (watermark is a no-op), which
+    the stream==batch test leans on.
+    """
+    if tolerance_s <= 0:
+        raise ValueError("tolerance_s must be positive")
+    tol_us = tolerance_s * 1_000_000
+    base = events.where(F.col(ts_col).isNotNull())
+    left = (
+        base.withWatermark(ts_col, watermark)
+        .select(
+            F.col(user_col).alias("ua"),
+            F.col(id_col).alias("ia"),
+            F.col(ts_col).alias("ts_a"),
+            F.explode(
+                F.array(
+                    F.expr(f"unix_micros({ts_col}) DIV {tol_us}"),
+                    F.expr(f"unix_micros({ts_col}) DIV {tol_us} + 1"),
+                )
+            ).alias("__b"),
+        )
+    )
+    right = base.withWatermark(ts_col, watermark).select(
+        F.col(user_col).alias("ub"),
+        F.col(id_col).alias("ib"),
+        F.col(ts_col).alias("ts_b"),
+        F.expr(f"unix_micros({ts_col}) DIV {tol_us}").alias("__rb"),
+    )
+    j = left.join(
+        right,
+        (F.col("__b") == F.col("__rb"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (
+            F.unix_micros("ts_b") - F.unix_micros("ts_a")
+            <= F.lit(tol_us)
+        )
+        & (
+            (F.col("ts_a") < F.col("ts_b"))
+            | (F.col("ia") < F.col("ib"))
+        )
+        & (F.col("ua") != F.col("ub")),
+    )
+    return j.select(
+        F.col("ua").alias("user_a"),
+        F.col("ub").alias("user_b"),
+        "ts_a",
+        "ts_b",
+        (F.unix_micros("ts_b") - F.unix_micros("ts_a"))
         .cast("bigint")
         .alias("lag_us"),
     )

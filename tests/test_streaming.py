@@ -1040,3 +1040,73 @@ def test_stream_windowed_topk_grouped(spark, tmp_path):
         ("en", 1, "x", 5, 10),
         ("en", 2, "y", 5, 10),
     ]
+
+
+def test_contact_events_stream_matches_batch(spark, tmp_path):
+    """Stream-stream SELF-join via the tolerance-bucket equality key:
+    the streamed pair set must equal the batch formulation exactly,
+    and aggregating it must reproduce operators.contact_pairs —
+    including pairs whose two events arrive in different micro-batches
+    and a pair exactly AT the tolerance bound."""
+    from diseasystore_spark.operators.events import contact_pairs
+    from diseasystore_spark.streaming.joins import contact_events
+
+    TS = datetime.datetime
+    base = TS(2024, 1, 1, 10, 0)
+    m = datetime.timedelta(minutes=1)
+    # users 1/2 co-active twice (10:00~10:05, 10:50~10:55); user 3
+    # exactly at the 30-min bound from user 1's second event (counts)
+    # and 25 min from user 2's second (counts);
+    # user 4 65 min away from everything (never pairs); user 1 has two
+    # own events 5 min apart (same-user, excluded). File 2 carries
+    # user 2's second event so its pair spans the batch boundary.
+    f1 = [
+        (1, 100, base),
+        (2, 200, base + 5 * m),
+        (1, 101, base + 50 * m),
+        (3, 300, base + 80 * m),
+        (4, 400, base + 145 * m),
+    ]
+    f2 = [(2, 201, base + 55 * m)]
+    schema = "user_id long, event_id long, ts timestamp"
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    batch_events = spark.read.parquet(src)
+    batch = contact_events(batch_events, tolerance_s=1800)
+    want = {tuple(r) for r in batch.collect()}
+    # aggregate the pair stream -> must equal the batch operator
+    agg = {
+        (r["user_a"], r["user_b"]): r["n_contacts"]
+        for r in contact_pairs(batch_events, tolerance_s=1800).collect()
+    }
+    from collections import Counter
+
+    got_agg = Counter(
+        (min(a, b), max(a, b))
+        for (a, b, *_rest) in want
+    )
+    assert dict(got_agg) == agg == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = contact_events(stream, tolerance_s=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("contact_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "contact_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r) for r in spark.sql("select * from contact_out").collect()
+    }
+    assert got == want
