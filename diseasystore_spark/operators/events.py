@@ -583,3 +583,97 @@ def contact_pairs(
         .groupBy("user_a", "user_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_contacts"))
     )
+
+
+def reproduction_rate(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    si_weights: tuple[int, ...] = (1, 2, 3, 2, 1),
+) -> DataFrame:
+    """Instantaneous reproduction-number proxy per event type: the
+    Cori-style estimator ``R_t = I_t / sum_s w_s * I_{t-s}`` with a
+    discretized serial-interval weight vector ``w`` (Cori et al.
+    2013, Am J Epidemiol — public method). Where
+    ``rolling_incidence`` compares two UNIFORM trailing windows, this
+    weights each lag individually — the shape epi consumers of the
+    reference's daily incidence series actually fit.
+
+    ``si_weights[s-1]`` is the INTEGER weight of lag ``s`` days; the
+    total-infectiousness denominator ``lambda_num = sum_s w_s *
+    I_{t-s}`` is therefore an exact bigint, and
+    ``rt = I_t * sum(w) / lambda_num`` is one double division of
+    exact integers — cross-engine reproducible. ``lambda_num`` and
+    ``rt`` are NULL until every lag is inside the series (warm-up),
+    and ``rt`` is NULL when the denominator is 0.
+
+    Output per (event_type, day) on the DENSE calendar spine:
+    ``(event_type, day, n_events bigint, lambda_num bigint,
+    rt double)``.
+
+    Scale shape: identical to ``rolling_incidence`` — one map-side-
+    combinable (type, day) count, a calendar-bounded spine from a
+    1-row bounds aggregate, and per-type lag windows over day-count-
+    sized partitions. The lag chain is ``len(si_weights)`` window
+    expressions sharing ONE window sort.
+    """
+    if not si_weights:
+        raise ValueError("si_weights must be non-empty")
+    if any(w < 0 for w in si_weights) or sum(si_weights) <= 0:
+        raise ValueError("si_weights must be non-negative, sum > 0")
+    daily = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(type_col).alias("event_type"),
+            F.col(ts_col).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("__lo"), F.col("__hi"), F.expr("interval 1 day")
+            )
+        ).alias("day")
+    )
+    types = daily.select("event_type").distinct()
+    dense = (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("n_events"), F.lit(0))
+            .cast("bigint")
+            .alias("n_events"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lam = None
+    for s, ws in enumerate(si_weights, start=1):
+        term = F.lag("n_events", s).over(w) * F.lit(int(ws))
+        lam = term if lam is None else lam + term
+    n_lags = len(si_weights)
+    total_w = int(sum(si_weights))
+    staged = dense.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.when(F.row_number().over(w) > n_lags, lam)
+        .cast("bigint")
+        .alias("lambda_num"),
+    )
+    return staged.select(
+        "event_type",
+        "day",
+        "n_events",
+        "lambda_num",
+        F.when(
+            F.col("lambda_num") > 0,
+            (F.col("n_events") * F.lit(total_w)).cast("double")
+            / F.col("lambda_num").cast("double"),
+        ).alias("rt"),
+    )

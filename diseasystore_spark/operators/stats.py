@@ -226,3 +226,80 @@ def equi_depth_histogram(
             F.max("__v").alias("hi"),
         )
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key over an ordered
+    series: ``s_1 = x_1``, ``s_t = alpha * x_t + (1 - alpha) *
+    s_{t-1}`` — the standard surveillance smoother applied downstream
+    of the reference's daily prevalence/incidence series (reference
+    emits the raw series via ``get_feature``; smoothing belongs to
+    this extension surface, like ``rolling_incidence``).
+
+    Output: the key columns, ``order_col``, ``value_col`` (cast to
+    double) and ``out_col`` (double).
+
+    The recursion is inherently sequential IN t, so this is one
+    shuffle on the key followed by an Arrow-batched per-key pass
+    (``applyInPandas``): each key's series is smoothed in a single
+    task. That is the right 100 TB shape for time series, whose
+    per-key length is calendar-bounded (a decade of days is ~3.7k
+    rows) while the KEY count carries the data volume — keys
+    parallelize across executors. Rows with a NULL order or value are
+    excluded (they cannot be placed in / contribute to the
+    recursion). Ties on ``order_col`` within a key are rejected: the
+    recursion's result would depend on their arbitrary order.
+
+    Cross-engine exactness: with ``alpha`` exactly representable in
+    binary (default 0.25) the update is two IEEE-double multiplies
+    and an add in a fixed order, so a SQL engine replaying the same
+    recursion (e.g. a recursive CTE) reproduces the series bit for
+    bit.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must name at least one column")
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+
+    clean = df.where(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *key_cols,
+        F.col(order_col),
+        F.col(value_col).cast("double").alias(value_col),
+    )
+    fields = {f.name: f.dataType.simpleString() for f in clean.schema}
+    out_schema = ", ".join(
+        [f"`{c}` {fields[c]}" for c in key_cols]
+        + [f"`{order_col}` {fields[order_col]}"]
+        + [f"`{value_col}` double", f"`{out_col}` double"]
+    )
+    a = float(alpha)
+    b = 1.0 - a
+
+    def smooth(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        if pdf[order_col].duplicated().any():
+            raise ValueError(
+                f"ewma_smooth: duplicate {order_col!r} within a key — "
+                "recursion order would be ambiguous"
+            )
+        out = []
+        s = None
+        for x in pdf[value_col].tolist():
+            s = x if s is None else a * x + b * s
+            out.append(s)
+        pdf = pdf.copy()
+        pdf[out_col] = pd.Series(out, index=pdf.index, dtype="float64")
+        return pdf[list(key_cols) + [order_col, value_col, out_col]]
+
+    return clean.groupBy(*key_cols).applyInPandas(smooth, schema=out_schema)

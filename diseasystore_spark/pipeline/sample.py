@@ -637,3 +637,109 @@ def weighted_sample(
     else:
         out = out.orderBy(F.col(kc).desc(), F.col(id_col)).limit(n)
     return out if key_col else out.drop(kc)
+
+
+_H31_P = 2147483647  # 2^31 - 1, shared with the sketch hash family
+
+
+def _h31(expr: str) -> str:
+    """Portable 31-bit hash SQL: first 8 hex digits of md5, mod
+    2^31-1 — the same engine-reproducible family the Bloom/CMS
+    sketches use (any SQL engine with md5() replays it exactly)."""
+    return (
+        f"cast(conv(substr(md5({expr}), 1, 8), 16, 10) as bigint)"
+        f" % {_H31_P}"
+    )
+
+
+def contrastive_triplets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    n_buckets: int = 16,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(anchor, positive, negative) training triplets for contrastive
+    / embedding-model fine-tuning: positives are near-duplicate pairs
+    (word-``n``-gram Jaccard >= ``threshold``, via
+    :func:`~diseasystore_spark.pipeline.dedup.jaccard_pairs`), and
+    each pair's negative is a deterministic pseudo-random corpus
+    document — the standard (a, p, n) mining step of a large-scale
+    embedding pipeline, with hash-derived randomness so the output is
+    reproducible run-to-run and engine-to-engine (no rand(), no seed
+    state).
+
+    Negative selection: every document is assigned to one of
+    ``n_buckets`` hash buckets; each pair hashes to a TARGET bucket
+    and takes, among that bucket's documents excluding its own two
+    members, the one minimizing a per-(pair, candidate) hash — i.e. a
+    uniform-at-random-in-expectation draw that is a pure function of
+    the ids. A pair whose target bucket holds no eligible document is
+    dropped (deterministic; vanishingly rare once buckets hold more
+    than a few documents).
+
+    Output: ``(anchor_id, positive_id, negative_id, jaccard)`` with
+    ``anchor_id < positive_id``.
+
+    Scale shape: the pair side is near-dup-sized (not corpus-sized);
+    the corpus side is replicated exactly once (one bucket per doc);
+    the candidate join is a plain equi-join on the bucket id, so each
+    pair scans ~|corpus| / ``n_buckets`` candidates — size
+    ``n_buckets`` ~ |corpus| / 64 to bound the fan-out, keeping the
+    min-hash pick a map-side-combinable ``min_by``. All hashes are
+    the portable md5-based 31-bit family, so a SQL oracle reproduces
+    the triplets exactly.
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    from diseasystore_spark.pipeline.dedup import jaccard_pairs
+
+    pairs = jaccard_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        threshold=threshold,
+        max_df=max_df,
+    )
+    docs = df.select(
+        F.col(id_col).alias("__neg"),
+        F.expr(
+            f"{_h31(f'cast({id_col} as string)')} % {n_buckets}"
+        ).alias("__b"),
+    )
+    pair_key = "concat(cast(id_a as string), ':', cast(id_b as string))"
+    keyed = pairs.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.expr(f"{_h31(pair_key)} % {n_buckets}").alias("__b"),
+    )
+    cand = (
+        keyed.join(docs, "__b")
+        .where(
+            (F.col("__neg") != F.col("id_a"))
+            & (F.col("__neg") != F.col("id_b"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            "__neg",
+            F.expr(
+                _h31(f"concat({pair_key}, ':', cast(__neg as string))")
+            ).alias("__score"),
+        )
+    )
+    return (
+        cand.groupBy("id_a", "id_b", "jaccard")
+        .agg(F.min(F.struct("__score", "__neg")).alias("__pick"))
+        .select(
+            F.col("id_a").alias("anchor_id"),
+            F.col("id_b").alias("positive_id"),
+            F.col("__pick.__neg").alias("negative_id"),
+            "jaccard",
+        )
+    )

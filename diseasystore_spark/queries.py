@@ -6216,6 +6216,194 @@ GROUP BY CAST(c_nationkey AS INTEGER)
 """
 
 
+def q128_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type EWMA smoothing of the daily event series
+    (``operators/stats.ewma_smooth``, alpha=0.25): the standard
+    surveillance smoother over the reference's daily-incidence
+    output shape. The recursion is sequential in t, so the plan is
+    one key shuffle + an Arrow-batched per-key pass; keys (not
+    series length) carry the data volume at scale. alpha=0.25 is
+    exactly binary-representable, so the DuckDB recursive-CTE oracle
+    reproduces every double bit for bit."""
+    from diseasystore_spark.operators.stats import ewma_smooth
+
+    events = _read(spark, sf_dir, "events")
+    daily = (
+        events.where(F.col("ts").isNotNull())
+        .groupBy(
+            F.col("event_type"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    return ewma_smooth(
+        daily,
+        key_cols=["event_type"],
+        order_col="day",
+        value_col="n_events",
+        alpha=0.25,
+    )
+
+
+ORACLE_Q128 = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day)
+           AS rn
+  FROM daily
+),
+rec AS (
+  SELECT event_type, day, n_events, rn,
+         CAST(n_events AS DOUBLE) AS ewma
+  FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT i.event_type, i.day, i.n_events, i.rn,
+         0.25 * CAST(i.n_events AS DOUBLE) + 0.75 * r.ewma
+  FROM idx i JOIN rec r
+    ON i.event_type = r.event_type AND i.rn = r.rn + 1
+)
+SELECT event_type, day, CAST(n_events AS DOUBLE) AS n_events, ewma
+FROM rec
+"""
+
+
+def q129_reproduction_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cori-style instantaneous reproduction number per event type
+    (``operators/events.reproduction_rate``): R_t = I_t * sum(w) /
+    sum_s w_s I_{t-s} with the integer serial-interval weights
+    (1,2,3,2,1) over a dense calendar spine. The denominator is an
+    exact bigint (weighted lag combination, ONE window sort), and rt
+    is a single double division — hash-reproducible."""
+    from diseasystore_spark.operators.events import reproduction_rate
+
+    return reproduction_rate(
+        _read(spark, sf_dir, "events"), si_weights=(1, 2, 3, 2, 1)
+    )
+
+
+ORACLE_Q129 = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+days AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                     CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM daily),
+dense AS (
+  SELECT t.event_type, d.day,
+         CAST(coalesce(dd.n_events, 0) AS BIGINT) AS n_events
+  FROM types t CROSS JOIN days d
+  LEFT JOIN daily dd ON dd.event_type = t.event_type AND dd.day = d.day
+),
+win AS (
+  SELECT event_type, day, n_events,
+         lag(n_events, 1) OVER w AS l1,
+         lag(n_events, 2) OVER w AS l2,
+         lag(n_events, 3) OVER w AS l3,
+         lag(n_events, 4) OVER w AS l4,
+         lag(n_events, 5) OVER w AS l5,
+         row_number() OVER w AS rn
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day, n_events,
+       CAST(CASE WHEN rn > 5
+            THEN 1 * l1 + 2 * l2 + 3 * l3 + 2 * l4 + 1 * l5
+       END AS BIGINT) AS lambda_num,
+       CASE WHEN rn > 5
+             AND 1 * l1 + 2 * l2 + 3 * l3 + 2 * l4 + 1 * l5 > 0
+            THEN CAST(n_events * 9 AS DOUBLE)
+                 / CAST(1 * l1 + 2 * l2 + 3 * l3 + 2 * l4 + 1 * l5
+                        AS DOUBLE)
+       END AS rt
+FROM win
+"""
+
+
+def q130_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) contrastive training triplets
+    (``pipeline/sample.contrastive_triplets``): positives are the q19
+    near-dup pairs (trigram Jaccard >= 0.2), negatives a
+    deterministic hash-bucket draw from the corpus (portable md5
+    31-bit family — no rand()). Pair side is near-dup-sized, corpus
+    replicated once, candidate join is a bucket equi-join, pick is a
+    combinable min_by."""
+    from diseasystore_spark.pipeline.sample import contrastive_triplets
+
+    return contrastive_triplets(
+        _read(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.2,
+        n_buckets=16,
+    )
+
+
+ORACLE_Q130 = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+  FROM pos
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b,
+         CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.2
+),
+docs AS (
+  SELECT doc_id AS neg,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+           % 2147483647 % 16 AS b
+  FROM documents
+),
+keyed AS (
+  SELECT id_a, id_b, jaccard,
+         ('0x' || substr(md5(id_a::VARCHAR || ':' || id_b::VARCHAR),
+                         1, 8))::BIGINT % 2147483647 % 16 AS b
+  FROM pairs
+),
+cand AS (
+  SELECT k.id_a, k.id_b, k.jaccard, d.neg,
+         ('0x' || substr(md5(k.id_a::VARCHAR || ':' || k.id_b::VARCHAR
+                             || ':' || d.neg::VARCHAR),
+                         1, 8))::BIGINT % 2147483647 AS score
+  FROM keyed k JOIN docs d USING (b)
+  WHERE d.neg <> k.id_a AND d.neg <> k.id_b
+)
+SELECT id_a AS anchor_id, id_b AS positive_id, neg AS negative_id,
+       jaccard
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY id_a, id_b
+                           ORDER BY score, neg) = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6348,6 +6536,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q125_k_anonymity": q125_k_anonymity,
     "q126_late_shipment_orders": q126_late_shipment_orders,
     "q127_dormant_rich_customers": q127_dormant_rich_customers,
+    "q128_ewma_smoothing": q128_ewma_smoothing,
+    "q129_reproduction_rate": q129_reproduction_rate,
+    "q130_contrastive_triplets": q130_contrastive_triplets,
 }
 
 ORACLES: dict[str, str] = {
@@ -6477,6 +6668,9 @@ ORACLES: dict[str, str] = {
     "q125_k_anonymity": ORACLE_Q125,
     "q126_late_shipment_orders": ORACLE_Q126,
     "q127_dormant_rich_customers": ORACLE_Q127,
+    "q128_ewma_smoothing": ORACLE_Q128,
+    "q129_reproduction_rate": ORACLE_Q129,
+    "q130_contrastive_triplets": ORACLE_Q130,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

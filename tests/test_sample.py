@@ -477,3 +477,78 @@ def test_weighted_sample_aes_properties(spark):
         "grp"
     ).count().collect()
     assert {r["grp"]: r["count"] for r in per} == {"g0": 5, "g1": 5}
+
+
+# ------------------------------------------------- contrastive triplets
+
+
+def _h31_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 2147483647
+
+
+def test_contrastive_triplets_match_hashlib_oracle(spark):
+    """The negative pick is a pure function of the ids: recompute the
+    bucket assignment and per-(pair, candidate) min-hash draw in
+    hashlib and require the exact same triplets, and that every pair
+    surviving the bucket draw appears exactly once."""
+    from diseasystore_spark.pipeline.dedup import jaccard_pairs
+    from diseasystore_spark.pipeline.sample import contrastive_triplets
+
+    corpus = [
+        (i, f"alpha beta gamma delta {w} epsilon zeta eta theta")
+        for i, w in enumerate(
+            ["x", "x", "y", "zz", "x", "q", "y", "r", "s", "t",
+             "u", "v", "w", "aa", "bb", "cc"]
+        )
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    B = 4
+    got = {
+        (r["anchor_id"], r["positive_id"]): (
+            r["negative_id"], r["jaccard"])
+        for r in contrastive_triplets(
+            df, n=3, threshold=0.5, n_buckets=B
+        ).collect()
+    }
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, n=3, threshold=0.5).collect()
+    }
+    assert pairs, "fixture must produce near-dup pairs"
+    buckets: dict[int, list[int]] = {}
+    for i, _ in corpus:
+        buckets.setdefault(_h31_py(str(i)) % B, []).append(i)
+    want = {}
+    for (a, b), j in pairs.items():
+        t = _h31_py(f"{a}:{b}") % B
+        cands = [c for c in buckets.get(t, []) if c not in (a, b)]
+        if not cands:
+            continue
+        neg = min(cands, key=lambda c: (_h31_py(f"{a}:{b}:{c}"), c))
+        want[(a, b)] = (neg, j)
+    assert got == want
+    assert all(a < p for a, p in got)
+    assert all(n not in (a, p) for (a, p), (n, _) in got.items())
+
+
+def test_contrastive_triplets_deterministic_across_runs(spark):
+    from diseasystore_spark.pipeline.sample import contrastive_triplets
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    r1 = sorted(
+        map(tuple, contrastive_triplets(
+            df, threshold=0.2, n_buckets=8
+        ).collect())
+    )
+    r2 = sorted(
+        map(tuple, contrastive_triplets(
+            df.repartition(7), threshold=0.2, n_buckets=8
+        ).collect())
+    )
+    assert r1 == r2 and r1
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        contrastive_triplets(df, n_buckets=0)

@@ -346,3 +346,168 @@ def test_bigram_pmi_matches_python(spark):
             math.log(c * n_uni * n_uni / (uni[x] * uni[y] * n_bi)),
             rel=1e-12,
         )
+
+
+# ------------------------------------------------------------- EWMA
+
+
+def _mk_series(spark, rows):
+    return spark.createDataFrame(
+        rows, "k string, day date, v long"
+    )
+
+
+def test_ewma_matches_python_recursion_bit_exact(spark):
+    """Randomized multi-key series: the smoothed doubles equal a
+    pure-Python replay of s_t = a*x_t + (1-a)*s_{t-1} EXACTLY (no
+    approx) — same IEEE ops in the same order."""
+    import datetime as dtm
+
+    from diseasystore_spark.operators.stats import ewma_smooth
+
+    rng = random.Random(47)
+    rows = []
+    for k in ["a", "b", "c"]:
+        days = sorted(rng.sample(range(120), rng.randrange(5, 60)))
+        for d in days:
+            rows.append(
+                (k, dtm.date(2024, 1, 1) + dtm.timedelta(days=d),
+                 rng.randrange(0, 1000))
+            )
+    df = _mk_series(spark, rows)
+    out = ewma_smooth(df, ["k"], "day", "v", alpha=0.25)
+    got = {
+        (r["k"], str(r["day"])): (r["v"], r["ewma"])
+        for r in out.collect()
+    }
+
+    series = {}
+    for k, d, v in rows:
+        series.setdefault(k, []).append((d, v))
+    want = {}
+    for k, pts in series.items():
+        s = None
+        for d, v in sorted(pts):
+            s = float(v) if s is None else 0.25 * float(v) + 0.75 * s
+            want[(k, str(d))] = (float(v), s)
+    assert got == want  # exact double equality, not approx
+
+
+def test_ewma_null_rows_excluded_and_validation(spark):
+    from diseasystore_spark.operators.stats import ewma_smooth
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01", 4), ("a", None, 9), ("a", "2024-01-02", None)],
+        "k string, day string, v long",
+    ).selectExpr("k", "CAST(day AS DATE) day", "v")
+    out = ewma_smooth(df, ["k"], "day", "v").collect()
+    assert len(out) == 1 and out[0]["ewma"] == 4.0
+
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_smooth(df, ["k"], "day", "v", alpha=0.0)
+    with pytest.raises(ValueError, match="key_cols"):
+        ewma_smooth(df, [], "day", "v")
+
+
+def test_ewma_duplicate_order_within_key_fails_loud(spark):
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from diseasystore_spark.operators.stats import ewma_smooth
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01", 1), ("a", "2024-01-01", 2)],
+        "k string, day string, v long",
+    ).selectExpr("k", "CAST(day AS DATE) day", "v")
+    with pytest.raises(PythonException, match="duplicate"):
+        ewma_smooth(df, ["k"], "day", "v").collect()
+
+
+# --------------------------------------------------- reproduction rate
+
+
+def test_reproduction_rate_semantics(spark):
+    """Crafted series: warm-up NULLs until every lag exists, exact
+    integer lambda over the dense spine (gap days count as 0), NULL
+    rt on a zero denominator."""
+    from diseasystore_spark.operators.events import reproduction_rate
+
+    rows, eid = [], 0
+    # type "a": counts on days 1..8 = [1,2,3,4,5,0(gap),7,8]
+    counts = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 7: 7, 8: 8}
+    for d, c in counts.items():
+        for _ in range(c):
+            rows.append((eid, f"1996-01-0{d} 12:00:00", 1, "a", 0.0))
+            eid += 1
+    df = _mk_events(spark, rows)
+    got = {
+        str(r["day"]): r
+        for r in reproduction_rate(
+            df, si_weights=(1, 2, 3, 2, 1)
+        ).collect()
+    }
+    assert len(got) == 8  # dense spine 01..08
+    # warm-up: rows 1..5 (rn <= n_lags) have NULL lambda/rt
+    for d in range(1, 6):
+        assert got[f"1996-01-0{d}"]["lambda_num"] is None
+        assert got[f"1996-01-0{d}"]["rt"] is None
+    # day 6: lags (5,4,3,2,1) x weights (1,2,3,2,1) = 5+8+9+4+1 = 27
+    d6 = got["1996-01-06"]
+    assert d6["n_events"] == 0 and d6["lambda_num"] == 27
+    assert d6["rt"] == 0.0
+    # day 8: lags are days 7..3 = (7,0,5,4,3) -> 7+0+15+8+3 = 33
+    d8 = got["1996-01-08"]
+    assert d8["lambda_num"] == 33
+    assert d8["rt"] == 8 * 9 / 33
+
+    with pytest.raises(ValueError, match="si_weights"):
+        reproduction_rate(df, si_weights=())
+
+
+def test_reproduction_rate_matches_python_oracle(spark):
+    import collections
+    import datetime as dtm
+
+    from diseasystore_spark.operators.events import reproduction_rate
+
+    rng = random.Random(11)
+    rows, eid = [], 0
+    for _ in range(800):
+        rows.append(
+            (eid,
+             (dtm.datetime(2024, 3, 1)
+              + dtm.timedelta(days=rng.randrange(0, 25))).isoformat(sep=" "),
+             1, rng.choice(["x", "y"]), 0.0)
+        )
+        eid += 1
+    df = _mk_events(spark, rows)
+    weights = (2, 5, 3)
+    got = {
+        (r["event_type"], str(r["day"])): (
+            r["n_events"], r["lambda_num"], r["rt"])
+        for r in reproduction_rate(df, si_weights=weights).collect()
+    }
+
+    counts = collections.Counter()
+    for _, ts, _, t, _ in rows:
+        counts[(t, ts[:10])] += 1
+    days = sorted({d for _, d in counts})
+    lo = dtm.date.fromisoformat(min(days))
+    hi = dtm.date.fromisoformat(max(days))
+    spine = [
+        str(lo + dtm.timedelta(days=i))
+        for i in range((hi - lo).days + 1)
+    ]
+    want = {}
+    for t in ["x", "y"]:
+        series = [counts.get((t, d), 0) for d in spine]
+        for i, d in enumerate(spine):
+            if i < len(weights):
+                want[(t, d)] = (series[i], None, None)
+                continue
+            lam = sum(
+                w * series[i - s]
+                for s, w in enumerate(weights, start=1)
+            )
+            rt = (series[i] * sum(weights)) / lam if lam > 0 else None
+            want[(t, d)] = (series[i], lam, rt)
+    assert got == want
