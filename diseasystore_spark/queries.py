@@ -6404,6 +6404,145 @@ QUALIFY row_number() OVER (PARTITION BY id_a, id_b
 """
 
 
+def q131_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each size-15 part,
+    the supplier quoting the lowest unit price, where "unit price" is
+    the FLOORED integer cents extendedprice DIV quantity — a pure
+    bigint comparison, so no float division ever decides the argmin.
+    Exercises the correlated-scalar-subquery rewrite: a per-part MIN
+    aggregate joined back on (part, min) equality — the distributed
+    form of `WHERE price = (SELECT min(...) WHERE partkey = p)` —
+    plus broadcast dimension joins. Ties on the min price break by
+    supplier key (one row per part)."""
+    part = _read(spark, sf_dir, "part").where(F.col("p_size") == 15)
+    li = _read(spark, sf_dir, "lineitem")
+    supplier = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    # l_quantity is whole units in this schema, so the bigint cast is
+    # lossless (Spark truncates, DuckDB rounds — identical on
+    # integral doubles).
+    offers = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("price_c"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        .where(F.col("qty") > 0)
+    )
+    best = offers.groupBy(
+        F.col("l_partkey").alias("__bp")
+    ).agg(F.min(F.expr("price_c DIV qty")).alias("__min_unit"))
+    picked = (
+        offers.withColumn("__unit", F.expr("price_c DIV qty"))
+        .join(
+            best,
+            (F.col("l_partkey") == F.col("__bp"))
+            & (F.col("__unit") == F.col("__min_unit")),
+        )
+        .groupBy("l_partkey", "__min_unit")
+        .agg(F.min("l_suppkey").alias("s_suppkey"))
+    )
+    return (
+        picked.join(F.broadcast(supplier), "s_suppkey")
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == nation["n_nationkey"])
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("__min_unit").alias("min_unit_price_c"),
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+    )
+
+
+ORACLE_Q131 = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           // CAST(l_quantity AS BIGINT) AS unit_c
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_size = 15
+  WHERE CAST(l_quantity AS BIGINT) > 0
+),
+best AS (
+  SELECT l_partkey, min(unit_c) AS min_unit FROM offers GROUP BY 1
+),
+picked AS (
+  SELECT o.l_partkey, b.min_unit, min(o.l_suppkey) AS suppkey
+  FROM offers o JOIN best b
+    ON o.l_partkey = b.l_partkey AND o.unit_c = b.min_unit
+  GROUP BY 1, 2
+)
+SELECT p.l_partkey AS partkey, p.min_unit AS min_unit_price_c,
+       p.suppkey, s.s_name AS supplier_name, n.n_name AS nation_name
+FROM picked p
+JOIN supplier s ON s.s_suppkey = p.suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+"""
+
+
+def q132_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type: microsecond
+    gaps between each user's consecutive events of that type (lag
+    window per (user, type), ties broken by event id), aggregated to
+    exact integer (n, min, max, sum) plus the one derived double
+    mean — the usage-cadence profile consumers fit hazard/renewal
+    models on. One window sort per (user, type) partition + one
+    combinable aggregate; no global window."""
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = (
+        events.where(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            (
+                F.unix_micros(F.col("ts"))
+                - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            ).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        F.sum("gap_us").cast("bigint").alias("sum_gap_us"),
+        (
+            F.sum("gap_us").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_gap_us"),
+    )
+
+
+ORACLE_Q132 = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS mean_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6539,6 +6678,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q128_ewma_smoothing": q128_ewma_smoothing,
     "q129_reproduction_rate": q129_reproduction_rate,
     "q130_contrastive_triplets": q130_contrastive_triplets,
+    "q131_min_cost_supplier": q131_min_cost_supplier,
+    "q132_interarrival_stats": q132_interarrival_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -6671,6 +6812,8 @@ ORACLES: dict[str, str] = {
     "q128_ewma_smoothing": ORACLE_Q128,
     "q129_reproduction_rate": ORACLE_Q129,
     "q130_contrastive_triplets": ORACLE_Q130,
+    "q131_min_cost_supplier": ORACLE_Q131,
+    "q132_interarrival_stats": ORACLE_Q132,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

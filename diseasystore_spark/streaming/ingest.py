@@ -178,3 +178,48 @@ def stream_feature_updates(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Per-user session aggregates via Spark's NATIVE
+    ``session_window`` — the built-in complement to the custom
+    ``sessionize_stream`` operator: when all you need per session is
+    (start, end, count), the JVM-side session-window aggregation does
+    it with zero Python state (use ``sessionize_stream`` only for
+    custom payloads/emission the built-in cannot express).
+
+    Output: ``(user_id, session_start, session_end, n_events)`` where
+    ``session_end`` is the LAST EVENT's timestamp (``max(ts)``), not
+    the window's gap-extended close — matching the batch q33
+    formulation, where a session closes when the next event is more
+    than ``gap`` away (an event exactly ``gap`` later still extends
+    the session).
+
+    Works on both batch and streaming frames (same plan); on a stream
+    the watermark finalizes windows and bounds state. Scale: state is
+    one (user, open-window) aggregate — counts, not event buffers.
+    """
+    return (
+        events.where(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), gap),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("session_window.start").alias("session_start"),
+            "session_end",
+            "n_events",
+        )
+    )

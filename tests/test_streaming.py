@@ -1110,3 +1110,105 @@ def test_contact_events_stream_matches_batch(spark, tmp_path):
         tuple(r) for r in spark.sql("select * from contact_out").collect()
     }
     assert got == want
+
+
+def test_session_counts_native_stream_matches_batch(spark, tmp_path):
+    """Native session_window sessionization: finalized sessions
+    emitted by the streaming run equal the batch run of the SAME plan
+    AND the q33 lag-based batch shape — including the gap boundary
+    (an event exactly `gap` later extends; gap+1s splits), across a
+    micro-batch split through the middle of a session."""
+    import random as rnd
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from diseasystore_spark.streaming.ingest import session_counts
+
+    TS = datetime.datetime
+    rng = rnd.Random(23)
+    rows = []
+    # user 1: boundary cases — exactly 60s gap merges, 61s splits
+    rows += [
+        (1, TS(2024, 1, 1, 10, 0, 0)),
+        (1, TS(2024, 1, 1, 10, 1, 0)),    # == gap -> same session
+        (1, TS(2024, 1, 1, 10, 2, 1)),    # gap + 1s -> new session
+    ]
+    # random users: bursts with mixed gaps
+    t0 = TS(2024, 1, 1, 9, 0, 0)
+    for u in range(2, 8):
+        t = t0
+        for _ in range(rng.randrange(3, 12)):
+            t = t + datetime.timedelta(seconds=rng.choice([5, 30, 59, 61, 200]))
+            rows.append((u, t))
+    drv = [(99, TS(2024, 1, 1, 23, 0, 0))]  # advances the watermark
+    cols = "user_id long, ts timestamp"
+    df = spark.createDataFrame(rows, cols)
+
+    src = str(tmp_path / "sess_src")
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], cols).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows[half:], cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(drv, cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(cols)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        session_counts(stream, gap="1 minute", watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_events"])
+        for r in spark.sql(
+            "select * from sess_out where user_id < 99"
+        ).collect()
+    }
+
+    # batch run of the same plan
+    want = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_events"])
+        for r in session_counts(df, gap="1 minute").collect()
+    }
+    assert got == want and len(got) >= 8
+    # boundary pinned: user 1 has sessions of 2 events then 1
+    assert want[(1, "2024-01-01 10:00:00")] == ("2024-01-01 10:01:00", 2)
+    assert want[(1, "2024-01-01 10:02:01")] == ("2024-01-01 10:02:01", 1)
+
+    # q33 lag-based batch shape over the same data
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = df.select(
+        "user_id", "ts",
+        F.when(
+            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+            > 60, 1,
+        ).otherwise(0).alias("new_sess"),
+    ).select(
+        "user_id", "ts",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("sid"),
+    )
+    lag_form = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_events"])
+        for r in flagged.groupBy("user_id", "sid").agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        ).drop("sid").collect()
+    }
+    assert want == lag_form
