@@ -27,7 +27,7 @@ fitting belong to the large-scale analytics extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -303,3 +303,138 @@ def ewma_smooth(
         return pdf[list(key_cols) + [order_col, value_col, out_col]]
 
     return clean.groupBy(*key_cols).applyInPandas(smooth, schema=out_schema)
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    drift_col: str,
+    threshold_mult: int = 3,
+) -> DataFrame:
+    """One-sided CUSUM change detection per key over an integer
+    series: ``S_0 = 0``, ``S_t = max(0, S_{t-1} + (x_t - k))`` with
+    per-key integer drift allowance ``k`` (``drift_col``), flagging
+    ``S_t > h`` where ``h = threshold_mult * k`` — the classic
+    Page (1954) sequential changepoint statistic epi teams run on
+    daily incidence.
+
+    The recursion LOOKS sequential, but has the closed form
+    ``S_t = P_t - min(0, min_{i<=t} P_i)`` over the prefix sums
+    ``P_t = sum_{i<=t} (x_i - k)`` — so the whole operator is two
+    frame-bounded window aggregates (running sum + running min) in
+    one window sort, fully JVM-side, no Python and no per-row state.
+    All arithmetic is bigint, hence bit-reproducible anywhere.
+
+    Output: key cols, ``order_col``, ``value_col``, ``cusum``
+    (bigint) and ``flagged`` (boolean).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must name at least one column")
+    if threshold_mult <= 0:
+        raise ValueError("threshold_mult must be positive")
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    frame = w.rowsBetween(Window.unboundedPreceding, 0)
+    d = F.col(value_col).cast("bigint") - F.col(drift_col).cast("bigint")
+    staged = df.select(
+        *key_cols,
+        F.col(order_col),
+        F.col(value_col).cast("bigint").alias(value_col),
+        F.col(drift_col).cast("bigint").alias("__k"),
+        F.sum(d).over(frame).alias("__p"),
+    ).withColumn("__pmin", F.min("__p").over(frame))
+    s = F.col("__p") - F.least(F.lit(0).cast("bigint"), F.col("__pmin"))
+    return staged.select(
+        *key_cols,
+        F.col(order_col),
+        F.col(value_col),
+        s.cast("bigint").alias("cusum"),
+        (s > F.lit(int(threshold_mult)) * F.col("__k")).alias("flagged"),
+    )
+
+
+def benford_digits(
+    df: DataFrame,
+    amount_col: str,
+) -> DataFrame:
+    """First-significant-digit distribution of a monetary column vs
+    Benford's law — the standard fraud/data-entry audit. The digit is
+    extracted from the INTEGER-CENTS decimal string (no float log10
+    at digit boundaries), so counts are exact; only the expected
+    Benford share log10(1 + 1/d) and the excess are doubles.
+
+    Output per digit 1..9: ``(digit int, n bigint, p_obs double,
+    p_benford double, excess double)``. One combinable 9-key groupBy
+    + a 1-row total broadcast-crossed back; rows with non-positive or
+    NULL amounts are excluded (no first significant digit).
+    """
+    cents = F.round(F.col(amount_col) * 100).cast("bigint")
+    digits = (
+        df.where(F.col(amount_col).isNotNull() & (cents > 0))
+        .select(
+            F.substring(cents.cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    total = digits.agg(F.sum("n").cast("bigint").alias("__total"))
+    p_obs = F.col("n").cast("double") / F.col("__total").cast("double")
+    p_ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return (
+        digits.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            p_obs.alias("p_obs"),
+            p_ben.alias("p_benford"),
+            (p_obs - p_ben).alias("excess"),
+        )
+    )
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    amount_col: str,
+) -> DataFrame:
+    """Gini inequality coefficient per group over a monetary column,
+    on integer cents: with the group's positive amounts sorted
+    ascending and ranked 1..n,
+    ``gini = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))``
+    — every term a bigint, one final double division. The rank is a
+    per-group window (tie order does not change ``sum(i * x_i)``
+    because tied ranks carry equal ``x``), the rest is one combinable
+    aggregate. Non-positive/NULL amounts are excluded (Gini is
+    defined on positive wealth).
+
+    Output: group cols, ``n bigint, total_c bigint, gini double``.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    cents = F.round(F.col(amount_col) * 100).cast("bigint")
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__x"))
+    ranked = (
+        df.where(F.col(amount_col).isNotNull() & (cents > 0))
+        .select(*group_cols, cents.alias("__x"))
+        .withColumn("__i", F.row_number().over(w).cast("bigint"))
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x").cast("bigint").alias("total_c"),
+        F.sum(F.col("__i") * F.col("__x")).cast("bigint").alias("__ix"),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        "total_c",
+        (
+            (
+                F.lit(2) * F.col("__ix")
+                - (F.col("n") + F.lit(1)) * F.col("total_c")
+            ).cast("double")
+            / (F.col("n") * F.col("total_c")).cast("double")
+        ).alias("gini"),
+    )

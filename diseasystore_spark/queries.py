@@ -6543,6 +6543,188 @@ GROUP BY event_type
 """
 
 
+def q133_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM changepoint statistic per event type over the
+    dense daily series (``operators/stats.cusum_changepoints``): the
+    sequential recursion S_t = max(0, S_{t-1} + x_t - k) computed by
+    its prefix-sum closed form — two frame-bounded window aggregates
+    in ONE window sort, zero Python. Drift k is the per-type integer
+    mean daily count (sum DIV n_days); flag when S > 3k. All bigint."""
+    from diseasystore_spark.operators.stats import cusum_changepoints
+
+    events = _read(spark, sf_dir, "events")
+    daily = (
+        events.where(F.col("ts").isNotNull())
+        .groupBy(
+            F.col("event_type"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("__lo"), F.col("__hi"), F.expr("interval 1 day")
+            )
+        ).alias("day")
+    )
+    types = daily.select("event_type").distinct()
+    dense = (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("n_events"), F.lit(0))
+            .cast("bigint")
+            .alias("n_events"),
+        )
+    )
+    drift = dense.groupBy(F.col("event_type").alias("__dt")).agg(
+        F.expr("sum(n_events) DIV count(*)").alias("k")
+    )
+    with_k = dense.join(
+        F.broadcast(drift), dense["event_type"] == F.col("__dt")
+    ).drop("__dt")
+    return cusum_changepoints(
+        with_k,
+        key_cols=["event_type"],
+        order_col="day",
+        value_col="n_events",
+        drift_col="k",
+        threshold_mult=3,
+    )
+
+
+ORACLE_Q133 = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+days AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                     CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM daily),
+dense AS (
+  SELECT t.event_type, d.day,
+         CAST(coalesce(dd.n_events, 0) AS BIGINT) AS n_events
+  FROM types t CROSS JOIN days d
+  LEFT JOIN daily dd ON dd.event_type = t.event_type AND dd.day = d.day
+),
+drift AS (
+  SELECT event_type, CAST(sum(n_events) // count(*) AS BIGINT) AS k
+  FROM dense GROUP BY event_type
+),
+pref AS (
+  SELECT e.event_type, e.day, e.n_events, r.k,
+         sum(e.n_events - r.k) OVER (
+           PARTITION BY e.event_type ORDER BY e.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS p
+  FROM dense e JOIN drift r USING (event_type)
+),
+runmin AS (
+  SELECT *, min(p) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS pmin
+  FROM pref
+)
+SELECT event_type, day, n_events,
+       CAST(p - least(0, pmin) AS BIGINT) AS cusum,
+       p - least(0, pmin) > 3 * k AS flagged
+FROM runmin
+"""
+
+
+def q134_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals
+    (``operators/stats.benford_digits``): exact digit counts from the
+    integer-cents decimal string (no float log10 near digit
+    boundaries), one 9-key combinable groupBy + a broadcast 1-row
+    total; expected shares log10(1+1/d) and the observed excess are
+    the only doubles."""
+    from diseasystore_spark.operators.stats import benford_digits
+
+    return benford_digits(
+        _read(spark, sf_dir, "orders"), amount_col="o_totalprice"
+    )
+
+
+ORACLE_Q134 = """
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+    AND CAST(round(o_totalprice * 100) AS BIGINT) > 0
+),
+digits AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM cents GROUP BY 1
+),
+total AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM digits)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p_obs,
+       log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS p_benford,
+       CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+         - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS excess
+FROM digits, total
+"""
+
+
+def q135_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini inequality coefficient of positive customer balances per
+    nation (``operators/stats.gini_by_group``): rank-weighted sum
+    formula with every corpus-sized term a bigint (integer cents,
+    per-nation window rank), one final double division. Tie order
+    cannot change the statistic (tied ranks carry equal amounts)."""
+    from diseasystore_spark.operators.stats import gini_by_group
+
+    customer = _read(spark, sf_dir, "customer")
+    return gini_by_group(
+        customer.select(
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+            "c_acctbal",
+        ),
+        group_cols=["nationkey"],
+        amount_col="c_acctbal",
+    )
+
+
+ORACLE_Q135 = """
+WITH cents AS (
+  SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS x
+  FROM customer
+  WHERE c_acctbal IS NOT NULL
+    AND CAST(round(c_acctbal * 100) AS BIGINT) > 0
+),
+ranked AS (
+  SELECT nationkey, x,
+         CAST(row_number() OVER (PARTITION BY nationkey ORDER BY x)
+              AS BIGINT) AS i
+  FROM cents
+)
+SELECT nationkey,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS total_c,
+       CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+         / CAST(count(*) * sum(x) AS DOUBLE) AS gini
+FROM ranked
+GROUP BY nationkey
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6680,6 +6862,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q130_contrastive_triplets": q130_contrastive_triplets,
     "q131_min_cost_supplier": q131_min_cost_supplier,
     "q132_interarrival_stats": q132_interarrival_stats,
+    "q133_cusum_changepoints": q133_cusum_changepoints,
+    "q134_benford_audit": q134_benford_audit,
+    "q135_gini_by_nation": q135_gini_by_nation,
 }
 
 ORACLES: dict[str, str] = {
@@ -6814,6 +6999,9 @@ ORACLES: dict[str, str] = {
     "q130_contrastive_triplets": ORACLE_Q130,
     "q131_min_cost_supplier": ORACLE_Q131,
     "q132_interarrival_stats": ORACLE_Q132,
+    "q133_cusum_changepoints": ORACLE_Q133,
+    "q134_benford_audit": ORACLE_Q134,
+    "q135_gini_by_nation": ORACLE_Q135,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -511,3 +511,91 @@ def test_reproduction_rate_matches_python_oracle(spark):
             rt = (series[i] * sum(weights)) / lam if lam > 0 else None
             want[(t, d)] = (series[i], lam, rt)
     assert got == want
+
+
+# ----------------------------------------- CUSUM / Benford / Gini
+
+
+def test_cusum_closed_form_equals_direct_recursion(spark):
+    """Randomized: the prefix-sum closed form reproduces the direct
+    S_t = max(0, S_{t-1} + x_t - k) recursion exactly, flags
+    included, per key and drift."""
+    import datetime as dtm
+
+    from diseasystore_spark.operators.stats import cusum_changepoints
+
+    rng = random.Random(7)
+    rows = []
+    ks = {"a": 5, "b": 0, "c": 12}
+    for k in ks:
+        for d in range(40):
+            rows.append(
+                (k, dtm.date(2024, 1, 1) + dtm.timedelta(days=d),
+                 rng.randrange(0, 30), ks[k])
+            )
+    df = spark.createDataFrame(
+        rows, "k string, day date, v long, drift long"
+    )
+    got = {
+        (r["k"], str(r["day"])): (r["cusum"], r["flagged"])
+        for r in cusum_changepoints(
+            df, ["k"], "day", "v", "drift", threshold_mult=3
+        ).collect()
+    }
+    want = {}
+    for key in ks:
+        s = 0
+        for kk, d, v, drift in sorted(
+            (r for r in rows if r[0] == key), key=lambda r: r[1]
+        ):
+            s = max(0, s + v - drift)
+            want[(key, str(d))] = (s, s > 3 * drift)
+    assert got == want
+    assert any(f for _, f in want.values()), "fixture should flag"
+
+    with pytest.raises(ValueError, match="threshold_mult"):
+        cusum_changepoints(df, ["k"], "day", "v", "drift", 0)
+
+
+def test_benford_digits_exact_counts_and_exclusions(spark):
+    """Digit comes from integer cents: 0.01 -> '1', 1234.56 ->
+    '1'; zero/negative/NULL amounts excluded; shares sum to 1."""
+    from diseasystore_spark.operators.stats import benford_digits
+
+    df = spark.createDataFrame(
+        [(0.01,), (1234.56,), (987.0,), (9.99,), (0.0,), (-5.0,),
+         (None,), (0.004,)],
+        "amt double",
+    )
+    rows = {r["digit"]: r for r in benford_digits(df, "amt").collect()}
+    # 0.004 rounds to 0 cents -> excluded; digits: 1 (x2), 9 (x2)
+    assert {d: r["n"] for d, r in rows.items()} == {1: 2, 9: 2}
+    assert sum(r["p_obs"] for r in rows.values()) == pytest.approx(1.0)
+    import math
+
+    assert rows[1]["p_benford"] == pytest.approx(math.log10(2))
+
+
+def test_gini_by_group_matches_python_and_known_values(spark):
+    from diseasystore_spark.operators.stats import gini_by_group
+
+    rng = random.Random(3)
+    rows = [("eq", 7.00) for _ in range(10)]          # all equal -> 0
+    rows += [("one", 0.01)] + [("one", 0.0)] * 5      # single holder
+    rows += [("rng", round(rng.uniform(0.01, 500.0), 2))
+             for _ in range(200)]
+    df = spark.createDataFrame(rows, "g string, amt double")
+    got = {
+        r["g"]: (r["n"], r["total_c"], r["gini"])
+        for r in gini_by_group(df, ["g"], "amt").collect()
+    }
+    assert got["eq"][2] == 0.0
+    assert got["one"][0] == 1 and got["one"][2] == 0.0
+
+    xs = sorted(
+        round(a * 100) for g, a in rows if g == "rng" and a > 0
+    )
+    n, tot = len(xs), sum(xs)
+    ix = sum((i + 1) * x for i, x in enumerate(xs))
+    want = (2 * ix - (n + 1) * tot) / (n * tot)
+    assert got["rng"] == (n, tot, pytest.approx(want, rel=1e-12))
