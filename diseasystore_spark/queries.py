@@ -6725,6 +6725,105 @@ GROUP BY nationkey
 """
 
 
+def q136_salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (``operators/skew.salted_join``) under a
+    driver-checked oracle: revenue per order priority for Q1-1996,
+    with the lineitem->orders equi-join deliberately routed through
+    8-way key salting (the hot-key fallback when one key dwarfs AQE's
+    split targets). Salting MUST be result-invariant — the oracle is
+    the plain join — while spreading each order key over 8 reducers.
+    Revenue is exact integer cents of extendedprice*(1-discount),
+    both factors scaled to integers before multiplying."""
+    from diseasystore_spark.operators.skew import salted_join
+
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (
+                F.lit(100)
+                - F.round(F.col("l_discount") * 100).cast("bigint")
+            )
+        ).alias("rev_c2"),  # cents * percent-units (exact)
+    )
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders.select("o_orderkey", "o_orderpriority"),
+        on="o_orderkey",
+        discriminator="l_linenumber",
+        salt=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        F.sum("rev_c2").cast("bigint").alias("revenue_c2"),
+    )
+
+
+ORACLE_Q136 = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+       ) AS BIGINT) AS revenue_c2
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY o_orderpriority
+"""
+
+
+def q137_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase pairs: the 25 part pairs most often
+    appearing in the SAME order (support ranking — the candidate-pair
+    stage of A-priori). The self-join is per-order, so candidate
+    volume is sum over orders of (items-per-order choose 2) — bounded
+    by basket size (~7 in this schema), never corpus-quadratic; the
+    pair count is one combinable groupBy and the top-k is a
+    TakeOrderedAndProject. Ties rank by part keys."""
+    li = _read(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    b = items.select(
+        F.col("l_orderkey").alias("__ok"),
+        F.col("l_partkey").alias("part_b"),
+    )
+    pairs = (
+        items.join(b, items["l_orderkey"] == F.col("__ok"))
+        .where(F.col("l_partkey") < F.col("part_b"))
+        .groupBy(
+            F.col("l_partkey").alias("part_a"), F.col("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    return pairs.orderBy(
+        F.col("n_orders").desc(), "part_a", "part_b"
+    ).limit(25)
+
+
+ORACLE_Q137 = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_orders
+FROM pairs
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 25
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6865,6 +6964,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q133_cusum_changepoints": q133_cusum_changepoints,
     "q134_benford_audit": q134_benford_audit,
     "q135_gini_by_nation": q135_gini_by_nation,
+    "q136_salted_hot_key_join": q136_salted_hot_key_join,
+    "q137_copurchase_pairs": q137_copurchase_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -7002,6 +7103,8 @@ ORACLES: dict[str, str] = {
     "q133_cusum_changepoints": ORACLE_Q133,
     "q134_benford_audit": ORACLE_Q134,
     "q135_gini_by_nation": ORACLE_Q135,
+    "q136_salted_hot_key_join": ORACLE_Q136,
+    "q137_copurchase_pairs": ORACLE_Q137,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its
