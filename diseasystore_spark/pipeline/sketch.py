@@ -850,3 +850,155 @@ def mg_heavy_hitters(
         >= F.ceil(F.lit(float(min_fraction)) * F.lit(int(n_total)))
         - F.floor(F.lit(int(n_total)) / (F.col("m") + 1))
     ).select("item", "count", "m")
+
+
+# --------------------------------------------------- portable HLL
+#
+# Spark ships a native DataSketches HLL (``hll_sketch_agg``, used by
+# ``distinct_sketches`` above) whose binary state no other engine can
+# replay. This is its PORTABLE twin, completing the oracle-checkable
+# sketch family (Bloom membership / CMS frequency / KLL quantiles /
+# Misra-Gries heavy hitters / HLL cardinality): registers are derived
+# from the same md5 hash family, stored as plain rows — persistable
+# as parquet, mergeable by ``max`` per register, and reproducible
+# bit-for-bit by any SQL engine with md5() (Flajolet et al. 2007).
+#
+# Exactness discipline: the harmonic-mean denominator
+# sum_j 2^-M_j is kept in INTEGER arithmetic as
+# inv_sum_num = sum_j 2^(Rmax - M_j) (a bigint <= 2^61, exact), so
+# the only floating-point steps are the final alpha * m^2 * 2^Rmax /
+# inv_sum_num — deterministic regardless of aggregation order, hence
+# hash-stable across engines and partitionings. (A naive double sum
+# of 2^-M_j spans more bits than a double mantissa and would depend
+# on combine order.)
+
+
+def _hll_p(m: int) -> int:
+    p = m.bit_length() - 1
+    if m <= 0 or (1 << p) != m or not (16 <= m <= 65536):
+        raise ValueError(
+            "m must be a power of two in [16, 65536]"
+        )
+    return p
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    m: int = 256,
+) -> DataFrame:
+    """Build portable HLL register frames: one row per non-empty
+    register, ``(group_cols..., reg int, rank int, m int)``.
+
+    Hash: the first 15 hex digits of ``md5(value)`` as a 60-bit
+    bigint; ``reg`` is the low ``log2(m)`` bits (modulo), ``rank`` is
+    1 + the number of leading zeros of the remaining ``60 - log2(m)``
+    bits (computed via ``length(bin(w))`` — integer-exact, no float
+    log2). NULL values are skipped (they carry no identity).
+
+    Build cost: one scan + one (group, reg) max groupBy whose key
+    space is at most |groups| * m — map-side combinable, nothing
+    driver-side, state bounded by the sketch regardless of data
+    volume. That is the entire point at 100 TB: counting distinct
+    tokens per source costs m rows per source, not a distinct
+    shuffle of the token universe.
+    """
+    p = _hll_p(m)
+    rmax = 61 - p
+    gcols = list(group_cols or [])
+    h = (
+        f"cast(conv(substr(md5(cast({value_col} as string)), 1, 15), "
+        f"16, 10) as bigint)"
+    )
+    hashed = df.where(F.col(value_col).isNotNull()).select(
+        *gcols,
+        F.expr(f"pmod({h}, {m})").cast("int").alias("reg"),
+        F.expr(
+            f"CASE WHEN {h} DIV {m} = 0 THEN {rmax} "
+            f"ELSE {rmax} - length(bin({h} DIV {m})) END"
+        ).cast("int").alias("rank"),
+    )
+    return (
+        hashed.groupBy(*gcols, "reg")
+        .agg(F.max("rank").cast("int").alias("rank"))
+        .withColumn("m", F.lit(m))
+    )
+
+
+def hll_merge(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Union-merge register frames (e.g. one per shard or epoch):
+    register-wise ``max`` — the standard HLL combine, associative and
+    idempotent, so shards merge in any order/grouping. Mixed
+    geometries fail loud (one bounded action over the distinct-``m``
+    frame, mirroring the CMS geometry check)."""
+    gcols = list(group_cols or [])
+    ms = [r["m"] for r in sketches.select("m").distinct().collect()]
+    if len(ms) != 1:
+        raise ValueError(
+            f"cannot merge HLL sketches with mixed m: {sorted(ms)}"
+        )
+    return (
+        sketches.groupBy(*gcols, "reg")
+        .agg(F.max("rank").cast("int").alias("rank"))
+        .withColumn("m", F.lit(int(ms[0])))
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cardinality estimate per group from a register frame:
+    ``(group_cols..., m int, n_zero bigint, inv_sum_num bigint,
+    est_distinct double)`` where ``inv_sum_num = sum_j 2^(Rmax-M_j)``
+    (empty registers contribute ``2^Rmax``) and ``est_distinct =
+    alpha_m * m^2 * 2^Rmax / inv_sum_num`` — the raw HLL estimator;
+    the integer-exact denominator makes it reproducible anywhere.
+    Geometry is read from the frame's ``m`` column (fail-loud if
+    mixed, same bounded probe as ``hll_merge``)."""
+    gcols = list(group_cols or [])
+    ms = [r["m"] for r in sketch.select("m").distinct().collect()]
+    if len(ms) != 1:
+        raise ValueError(
+            f"sketch frame carries mixed m: {sorted(ms)} — merge per "
+            "geometry first"
+        )
+    m = int(ms[0])
+    p = _hll_p(m)
+    rmax = 61 - p
+    alpha = _hll_alpha(m)
+    agg = sketch.groupBy(*gcols).agg(
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {rmax} - rank)")
+        ).cast("bigint").alias("__pres"),
+        F.count(F.lit(1)).cast("bigint").alias("__n_present"),
+    )
+    inv = (
+        F.col("__pres")
+        + (F.lit(m) - F.col("__n_present"))
+        * F.lit(1 << rmax).cast("bigint")
+    )
+    return agg.select(
+        *gcols,
+        F.lit(m).alias("m"),
+        (F.lit(m) - F.col("__n_present")).cast("bigint").alias("n_zero"),
+        inv.cast("bigint").alias("inv_sum_num"),
+        (
+            F.lit(alpha * m * m * float(1 << rmax))
+            / inv.cast("double")
+        ).alias("est_distinct"),
+    )

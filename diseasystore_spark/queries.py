@@ -6824,6 +6824,89 @@ LIMIT 25
 """
 
 
+def q138_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-token cardinality per source
+    (``pipeline/sketch.hll_build/hll_estimate``, m=256) next to the
+    exact count: registers come from the md5 hash family and the
+    harmonic-mean denominator stays in exact bigint form
+    (inv_sum_num), so the DuckDB oracle reproduces registers AND the
+    double estimate bit for bit. Sketch state is m rows per source —
+    the 100 TB answer to per-group COUNT(DISTINCT) (the exact column
+    here is the small-scale cross-check, not the scale path)."""
+    from diseasystore_spark.pipeline.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.expr(r"filter(split(trim(text), '\\s+'), t -> t != '')")
+        ).alias("token"),
+    )
+    est = hll_estimate(
+        hll_build(toks, "token", ["source"], m=256), ["source"]
+    )
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("token").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "source").select(
+        "source",
+        "m",
+        "n_zero",
+        "inv_sum_num",
+        "est_distinct",
+        "exact_distinct",
+    )
+
+
+ORACLE_Q138 = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+h AS (
+  SELECT source, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv
+  FROM toks
+),
+regs AS (
+  SELECT source, hv % 256 AS reg,
+         max(CASE WHEN hv // 256 = 0 THEN 53
+             ELSE 53 - length(bin(hv // 256)) END) AS rank
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT source,
+         CAST(sum(1::BIGINT << (53 - rank)) AS BIGINT) AS pres,
+         CAST(count(*) AS BIGINT) AS n_present
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT source,
+         256 AS m,
+         CAST(256 - n_present AS BIGINT) AS n_zero,
+         CAST(pres + (256 - n_present) * (1::BIGINT << 53) AS BIGINT)
+           AS inv_sum_num,
+         (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+           * 9007199254740992.0
+           / CAST(pres + (256 - n_present) * (1::BIGINT << 53)
+                  AS DOUBLE) AS est_distinct
+  FROM agg
+),
+exact AS (
+  SELECT source, CAST(count(DISTINCT token) AS BIGINT)
+           AS exact_distinct
+  FROM toks GROUP BY 1
+)
+SELECT e.source, e.m, e.n_zero, e.inv_sum_num, e.est_distinct,
+       x.exact_distinct
+FROM est e JOIN exact x USING (source)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6966,6 +7049,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q135_gini_by_nation": q135_gini_by_nation,
     "q136_salted_hot_key_join": q136_salted_hot_key_join,
     "q137_copurchase_pairs": q137_copurchase_pairs,
+    "q138_hll_distinct_tokens": q138_hll_distinct_tokens,
 }
 
 ORACLES: dict[str, str] = {
@@ -7105,6 +7189,7 @@ ORACLES: dict[str, str] = {
     "q135_gini_by_nation": ORACLE_Q135,
     "q136_salted_hot_key_join": ORACLE_Q136,
     "q137_copurchase_pairs": ORACLE_Q137,
+    "q138_hll_distinct_tokens": ORACLE_Q138,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -629,3 +629,98 @@ def test_mg_merge_of_shards_bound_and_m_mismatch(spark, tmp_path):
         mg_merge(
             spark.read.parquet(p1).unionByName(bad)
         ).collect()
+
+
+# --------------------------------------------------- portable HLL
+
+
+def test_hll_matches_hashlib_reference_and_error_envelope(spark):
+    """Registers and estimate equal a pure-Python md5 HLL replay
+    EXACTLY (integer denominator => deterministic doubles), and the
+    estimate lands within the standard ~1.04/sqrt(m) envelope (x5
+    slack) of the true cardinality."""
+    import hashlib
+    import random
+
+    from diseasystore_spark.pipeline.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    rng = random.Random(13)
+    vals = [f"v{rng.randrange(0, 8000)}" for _ in range(30000)]
+    true_n = len(set(vals))
+    df = spark.createDataFrame([(v,) for v in vals], "x string")
+    m = 256
+    sk = hll_build(df, "x", m=m)
+    got_regs = {
+        r["reg"]: r["rank"] for r in sk.collect()
+    }
+
+    regs: dict[int, int] = {}
+    for v in set(vals):
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        w = h // m
+        rank = 53 if w == 0 else 53 - w.bit_length()
+        reg = h % m
+        regs[reg] = max(regs.get(reg, 0), rank)
+    assert got_regs == regs
+
+    est = hll_estimate(sk).collect()[0]
+    pres = sum(1 << (53 - r) for r in regs.values())
+    inv = pres + (m - len(regs)) * (1 << 53)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    want_est = alpha * m * m * float(1 << 53) / float(inv)
+    assert est["inv_sum_num"] == inv
+    assert est["est_distinct"] == want_est  # exact double equality
+    assert est["n_zero"] == m - len(regs)
+    assert abs(est["est_distinct"] / true_n - 1.0) < 5 * 1.04 / (m**0.5)
+
+
+def test_hll_merge_equals_direct_and_validates(spark):
+    from diseasystore_spark.pipeline.sketch import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    df = spark.createDataFrame(
+        [(f"s{i % 3}", f"t{i % 700}") for i in range(5000)],
+        "src string, tok string",
+    )
+    whole = hll_build(df, "tok", ["src"], m=64)
+    shards = hll_merge(
+        hll_build(df.where("tok < 't4'"), "tok", ["src"], m=64).unionByName(
+            hll_build(df.where("tok >= 't4'"), "tok", ["src"], m=64)
+        ),
+        ["src"],
+    )
+    as_rows = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    assert as_rows(whole) == as_rows(shards)
+    assert as_rows(hll_estimate(whole, ["src"])) == as_rows(
+        hll_estimate(shards, ["src"])
+    )
+
+    other = hll_build(df, "tok", ["src"], m=32)
+    with pytest.raises(ValueError, match="mixed m"):
+        hll_merge(whole.unionByName(other), ["src"])
+    with pytest.raises(ValueError, match="power of two"):
+        hll_build(df, "tok", m=100)
+
+
+def test_hll_parquet_roundtrip(spark, tmp_path):
+    from diseasystore_spark.pipeline.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(f"u{i % 123}",) for i in range(2000)], "x string"
+    )
+    sk = hll_build(df, "x", m=128)
+    path = str(tmp_path / "hll")
+    sk.write.parquet(path)
+    loaded = spark.read.parquet(path)
+    assert (
+        hll_estimate(sk).collect() == hll_estimate(loaded).collect()
+    )
