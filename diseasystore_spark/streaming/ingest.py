@@ -223,3 +223,56 @@ def session_counts(
             "n_events",
         )
     )
+
+
+def windowed_distinct_hll(
+    events: DataFrame,
+    window_duration: str = "1 day",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+    m: int = 256,
+) -> DataFrame:
+    """Distinct cardinality per tumbling window as PORTABLE HLL
+    register frames (``pipeline/sketch`` md5 family) — the
+    persistable/mergeable sibling of ``windowed_distinct_users``
+    (whose DataSketches state never leaves the JVM): emitted rows are
+    ``(window_start, window_end, reg, rank, m)``, estimable with
+    ``hll_estimate`` and re-aggregable with ``hll_merge`` (day
+    windows roll up to weeks by register ``max`` — no re-reading the
+    stream).
+
+    Works on both batch and streaming frames (same plan); streaming
+    state is at most ``m`` register maxima per open window, finalized
+    by the watermark. The per-row hash/rank is the exact
+    ``hll_build`` expression, so batch and stream emit identical
+    registers and any SQL engine can replay them.
+    """
+    from diseasystore_spark.pipeline.sketch import _hll_p
+
+    p = _hll_p(m)
+    rmax = 61 - p
+    h = (
+        f"cast(conv(substr(md5(cast({value_col} as string)), 1, 15), "
+        f"16, 10) as bigint)"
+    )
+    hashed = events.where(F.col(value_col).isNotNull()).select(
+        F.col(ts_col),
+        F.expr(f"pmod({h}, {m})").cast("int").alias("reg"),
+        F.expr(
+            f"CASE WHEN {h} DIV {m} = 0 THEN {rmax} "
+            f"ELSE {rmax} - length(bin({h} DIV {m})) END"
+        ).cast("int").alias("rank"),
+    )
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col("reg"))
+        .agg(F.max("rank").cast("int").alias("rank"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "reg",
+            "rank",
+            F.lit(m).alias("m"),
+        )
+    )

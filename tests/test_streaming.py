@@ -1212,3 +1212,98 @@ def test_session_counts_native_stream_matches_batch(spark, tmp_path):
         ).drop("sid").collect()
     }
     assert want == lag_form
+
+
+def test_windowed_distinct_hll_stream_matches_batch_and_estimate(
+    spark, tmp_path
+):
+    """Portable-HLL windowed registers: the streaming run emits
+    exactly the batch registers (across a micro-batch split through a
+    window), hll_estimate over the emitted frame equals a hashlib
+    replay, and day->period rollup via hll_merge equals building over
+    the union."""
+    import hashlib
+
+    from diseasystore_spark.pipeline.sketch import (
+        hll_estimate,
+        hll_merge,
+    )
+    from diseasystore_spark.streaming.ingest import windowed_distinct_hll
+
+    TS = datetime.datetime
+    rows = [
+        (TS(2024, 1, 1, 8, 0, s % 60), (s * 7) % 40) for s in range(80)
+    ] + [
+        (TS(2024, 1, 2, 9, 0, s % 60), (s * 3) % 25) for s in range(50)
+    ]
+    drv = [(TS(2024, 1, 5, 0, 0, 0), 999)]
+    cols = "ts timestamp, user_id long"
+    df = spark.createDataFrame(rows, cols)
+
+    src = str(tmp_path / "hll_src")
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], cols).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows[half:], cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(drv, cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(cols)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        windowed_distinct_hll(stream, m=64)
+        .writeStream.format("memory")
+        .queryName("hll_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql(
+            "select * from hll_out "
+            "where window_start < timestamp'2024-01-05'"
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, windowed_distinct_hll(df, m=64).collect())
+    )
+    assert got == want and len(got) > 0
+
+    # estimate from the emitted registers == hashlib replay per day
+    frame = windowed_distinct_hll(df, m=64)
+    ests = {
+        str(r["window_start"])[:10]: r
+        for r in hll_estimate(
+            frame, ["window_start", "window_end"]
+        ).collect()
+    }
+    for day, day_rows in [
+        ("2024-01-01", rows[:80]), ("2024-01-02", rows[80:])
+    ]:
+        regs: dict = {}
+        for _, u in day_rows:
+            h = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+            w, reg = h // 64, h % 64
+            regs[reg] = max(regs.get(reg, 0), 55 if w == 0 else
+                            55 - w.bit_length())
+        inv = sum(1 << (55 - r) for r in regs.values()) + (
+            64 - len(regs)
+        ) * (1 << 55)
+        assert ests[day]["inv_sum_num"] == inv
+
+    # day windows roll up to the whole period by register max
+    period = hll_merge(frame.drop("window_start", "window_end"))
+    merged_est = hll_estimate(period).collect()[0]
+    whole = windowed_distinct_hll(
+        df, window_duration="7 days", m=64
+    )
+    whole_est = hll_estimate(
+        whole.drop("window_start", "window_end")
+    ).collect()[0]
+    assert merged_est["inv_sum_num"] == whole_est["inv_sum_num"]
