@@ -660,6 +660,7 @@ def contrastive_triplets(
     threshold: float = 0.5,
     n_buckets: int = 16,
     max_df: int | None = None,
+    pair_method: str = "exact",
 ) -> DataFrame:
     """(anchor, positive, negative) training triplets for contrastive
     / embedding-model fine-tuning: positives are near-duplicate pairs
@@ -683,8 +684,13 @@ def contrastive_triplets(
     Output: ``(anchor_id, positive_id, negative_id, jaccard)`` with
     ``anchor_id < positive_id``.
 
-    Scale shape: the pair side is near-dup-sized (not corpus-sized);
-    the corpus side is replicated exactly once (one bucket per doc);
+    Scale shape: the pair side is near-dup-sized (not corpus-sized)
+    — and when the EXACT pair stage itself is the bottleneck (flat-df
+    word-soup corpora; see q130's sf1 note in SCALE.md),
+    ``pair_method="minhash"`` swaps it for the banded-LSH candidate
+    join, whose volume is band-bucket-bounded (positives then carry
+    the estimated Jaccard). The corpus side is replicated exactly
+    once (one bucket per doc);
     the candidate join is a plain equi-join on the bucket id, so each
     pair scans ~|corpus| / ``n_buckets`` candidates — size
     ``n_buckets`` ~ |corpus| / 64 to bound the fan-out, keeping the
@@ -694,16 +700,36 @@ def contrastive_triplets(
     """
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
-    from diseasystore_spark.pipeline.dedup import jaccard_pairs
+    if pair_method == "exact":
+        from diseasystore_spark.pipeline.dedup import jaccard_pairs
 
-    pairs = jaccard_pairs(
-        df,
-        id_col=id_col,
-        text_col=text_col,
-        n=n,
-        threshold=threshold,
-        max_df=max_df,
-    )
+        pairs = jaccard_pairs(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            threshold=threshold,
+            max_df=max_df,
+        )
+    elif pair_method == "minhash":
+        # Banded-LSH scale path: candidate volume is bucket-bounded
+        # instead of sum(df^2) over shingles — the right default when
+        # the exact pair stage dominates (same trade as the other
+        # dedup entry points; positives are then estimated-Jaccard).
+        from diseasystore_spark.pipeline.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            min_est_jaccard=threshold,
+        ).withColumnRenamed("est_jaccard", "jaccard")
+    else:
+        raise ValueError(
+            f"pair_method must be 'exact' or 'minhash', got "
+            f"{pair_method!r}"
+        )
     docs = df.select(
         F.col(id_col).alias("__neg"),
         F.expr(

@@ -552,3 +552,30 @@ def test_contrastive_triplets_deterministic_across_runs(spark):
 
     with pytest.raises(ValueError, match="n_buckets"):
         contrastive_triplets(df, n_buckets=0)
+
+
+def test_contrastive_triplets_minhash_scale_path(spark):
+    """pair_method='minhash': the negative draw is a pure function of
+    the pair ids, so any (anchor, positive) produced by BOTH modes
+    must carry the identical negative; unknown pair_method raises."""
+    from diseasystore_spark.pipeline.sample import contrastive_triplets
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = {
+        (r["anchor_id"], r["positive_id"]): r["negative_id"]
+        for r in contrastive_triplets(
+            df, threshold=0.5, n_buckets=8
+        ).collect()
+    }
+    mh = {
+        (r["anchor_id"], r["positive_id"]): r["negative_id"]
+        for r in contrastive_triplets(
+            df, threshold=0.5, n_buckets=8, pair_method="minhash"
+        ).collect()
+    }
+    shared = set(exact) & set(mh)
+    assert shared, "modes should agree on the planted near-dups"
+    assert all(exact[p] == mh[p] for p in shared)
+
+    with pytest.raises(ValueError, match="pair_method"):
+        contrastive_triplets(df, pair_method="nope")
