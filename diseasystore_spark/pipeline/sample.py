@@ -679,7 +679,9 @@ def contrastive_triplets(
     uniform-at-random-in-expectation draw that is a pure function of
     the ids. A pair whose target bucket holds no eligible document is
     dropped (deterministic; vanishingly rare once buckets hold more
-    than a few documents).
+    than a few documents). Ids are hashed via their string form
+    joined with ``':'`` — string ids containing ``':'`` could collide
+    pair keys; use numeric or colon-free ids.
 
     Output: ``(anchor_id, positive_id, negative_id, jaccard)`` with
     ``anchor_id < positive_id``.

@@ -950,6 +950,8 @@ def hll_merge(
     if len(ms) != 1:
         raise ValueError(
             f"cannot merge HLL sketches with mixed m: {sorted(ms)}"
+            if ms
+            else "cannot merge an empty HLL sketch frame"
         )
     return (
         sketches.groupBy(*gcols, "reg")
@@ -976,6 +978,8 @@ def hll_estimate(
         raise ValueError(
             f"sketch frame carries mixed m: {sorted(ms)} — merge per "
             "geometry first"
+            if ms
+            else "cannot estimate from an empty HLL sketch frame"
         )
     m = int(ms[0])
     p = _hll_p(m)
