@@ -44,8 +44,16 @@ def pagerank_integer(
     the destination — the Pregel message/combine pattern in DataFrame
     form. The rank frame is ``localCheckpoint``ed per iteration: the
     classic lineage-truncation requirement of iterative algorithms
-    (without it the plan doubles per round). The edge list and degree
-    frame are checkpointed once and reused by every iteration.
+    (without it the plan doubles per round). Degrees are attached to
+    the edge list ONCE (a count window over the source key — no
+    per-iteration degree join) and that frame is checkpointed keyed
+    by source, so each round moves only rank-frame and message-frame
+    bytes. Undirected inputs are canonicalized (``least/greatest``)
+    BEFORE the dedup so ``distinct`` processes half the rows and the
+    mirror union is shuffle-free; mirroring also guarantees every
+    node receives messages, so the new rank frame is read straight
+    off the destination sums with no nodes left-join (the directed
+    path keeps it — pure sources receive nothing).
 
     Overflow bound: ``damping_pct * SUM(contrib)`` must fit a signed
     64-bit integer; contributions sum to at most ``N * scale``, so
@@ -59,14 +67,35 @@ def pagerank_integer(
 
     Output: ``(node, rank)`` with ``rank`` in micro-units (bigint).
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    from pyspark.sql import Window
+
     if undirected:
-        e = e.unionByName(
-            e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        # Canonical orientation first: dedup half the rows, then the
+        # mirror union is a narrow op over an already-distinct set.
+        half = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("s"),
+                F.greatest(F.col(src), F.col(dst)).alias("d"),
+            )
+            .where(F.col("s") != F.col("d"))
+            .distinct()
         )
-    e = e.where(F.col("s") != F.col("d")).distinct().localCheckpoint()
+        e = half.unionByName(
+            half.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+    else:
+        e = (
+            edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+            .where(F.col("s") != F.col("d"))
+            .distinct()
+        )
+    # Degree rides on every edge row (count window over the source
+    # key — one shuffle, no join); the frame is checkpointed keyed by
+    # s so the loop never recomputes or re-exchanges it.
+    e = e.withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    ).localCheckpoint()
     nodes = e.select(F.col("s").alias("node")).distinct()
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     # 1-row node count, broadcast into every rank projection — no
     # driver action, no collected literal.
     n_total = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
@@ -80,27 +109,29 @@ def pagerank_integer(
         )
         .localCheckpoint()
     )
+    rank_expr = F.expr(
+        f"cast({base_num} as bigint) div n "
+        f"+ cast({damping_pct} as bigint) * coalesce(sc, "
+        f"cast(0 as bigint)) div 100"
+    ).alias("rank")
     for _ in range(iterations):
-        contrib = (
-            e.join(pr, e["s"] == pr["node"])
-            .join(deg, "s")
-            .select(
-                F.col("d"),
-                F.expr("rank div deg").alias("c"),
-            )
+        contrib = e.join(pr, e["s"] == pr["node"]).select(
+            F.col("d"), F.expr("rank div deg").alias("c")
         )
         sums = contrib.groupBy("d").agg(F.sum("c").alias("sc"))
-        pr = (
-            nodes.join(sums, nodes["node"] == sums["d"], "left")
-            .crossJoin(n_total)
-            .select(
-                "node",
-                F.expr(
-                    f"cast({base_num} as bigint) div n "
-                    f"+ cast({damping_pct} as bigint) * coalesce(sc, "
-                    f"cast(0 as bigint)) div 100"
-                ).alias("rank"),
+        if undirected:
+            # Mirrored edges ⇒ every node has in-neighbors ⇒ the sum
+            # frame covers the node set; no left-join needed.
+            pr = (
+                sums.crossJoin(n_total)
+                .select(F.col("d").alias("node"), rank_expr)
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
+        else:
+            pr = (
+                nodes.join(sums, nodes["node"] == sums["d"], "left")
+                .crossJoin(n_total)
+                .select("node", rank_expr)
+                .localCheckpoint()
+            )
     return pr
