@@ -138,6 +138,58 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def group_safe_split(
+    df: DataFrame,
+    key: str,
+    components: DataFrame,
+    weights: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+    group_col: str = "group_id",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: rows whose keys belong to
+    the same near-duplicate component ALWAYS land in the same split —
+    the decontaminated-split step of a training pipeline (a plain
+    per-row ``hash_split`` leaks: near-identical documents straddle
+    the train/test boundary and inflate eval scores).
+
+    ``components`` is an ``(id, component)`` frame — the output of
+    ``dedup_components`` / ``dedup_components_text`` — mapping each
+    member key to its cluster representative. The split is
+    ``hash_split`` evaluated on ``group_id = coalesce(component,
+    key)``: membership is a pure function of the GROUP key, so every
+    member of a component hashes identically (no second pass, no
+    group-level join-back), and keys absent from ``components``
+    (singleton documents) hash on their own key — for them the split
+    degrades to exactly ``hash_split(df, key, ...)`` with the same
+    salt. Expected split sizes are weight-proportional in GROUPS (a
+    giant component lands whole — that is the point).
+
+    Distributed shape: ONE equi-join of the corpus with the
+    component frame (unique ids on the build side — no fan-out; AQE
+    broadcasts it when the near-dup set is small) plus the narrow
+    hash CASE. No reference analogue (training-data extension
+    surface).
+
+    Output: ``df`` plus ``group_col`` (the split key actually
+    hashed) and ``split_col``.
+    """
+    if group_col in df.columns:
+        raise ValueError(
+            f"column {group_col!r} already exists; pass group_col="
+        )
+    gid = _temp_col(df, "__gsid")
+    comp = components.select(
+        F.col("id").alias(gid), F.col("component").alias(group_col)
+    )
+    out = (
+        df.join(comp, df[key] == F.col(gid), "left")
+        .drop(gid)
+        .withColumn(group_col, F.coalesce(F.col(group_col), F.col(key)))
+    )
+    return hash_split(out, group_col, weights, salt=salt, split_col=split_col)
+
+
 def stratified_sample(
     df: DataFrame,
     strata: list[str],

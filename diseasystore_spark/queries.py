@@ -6907,6 +6907,91 @@ FROM est e JOIN exact x USING (source)
 """
 
 
+def q139_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split
+    (``pipeline/sample.group_safe_split``): the q37 near-duplicate
+    components become the split key, so every member of a near-dup
+    cluster lands on the SAME side of the 80/10/10 boundary —
+    the decontaminated-split step a plain per-row hash split gets
+    wrong (near-identical train/test twins inflate eval). Singletons
+    hash on their own doc_id. One corpus-component equi-join beyond
+    the component computation; the hash CASE itself is narrow."""
+    from diseasystore_spark.pipeline.dedup import dedup_components_text
+    from diseasystore_spark.pipeline.sample import group_safe_split
+
+    docs = _read(spark, sf_dir, "documents")
+    cap = max(docs.count() // 10, 1)
+    comps = dedup_components_text(docs, n=3, threshold=0.2, max_df=cap)
+    out = group_safe_split(
+        docs,
+        "doc_id",
+        comps,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="ls",
+    )
+    return out.select(
+        "doc_id", F.col("group_id").cast("bigint").alias("group_id"), "split"
+    )
+
+
+ORACLE_Q139 = """
+WITH RECURSIVE pairs AS (
+  WITH toks AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+  ),
+  pos AS (
+    SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+    FROM toks
+  ),
+  sh0 AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+    FROM pos
+  ),
+  sh AS (
+    SELECT doc_id, shingle FROM sh0
+    QUALIFY COUNT(*) OVER (PARTITION BY shingle)
+      <= greatest((SELECT COUNT(*) FROM documents) // 10, 1)
+  ),
+  sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+  common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+comp AS (
+  SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
+),
+keyed AS (
+  SELECT d.doc_id,
+         coalesce(c.component, d.doc_id) AS group_id,
+         substr(md5('ls|' || coalesce(c.component, d.doc_id)::VARCHAR),
+                1, 8) AS b
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+)
+SELECT doc_id, CAST(group_id AS BIGINT) AS group_id,
+       CASE WHEN b < 'cccccccd' THEN 'train'
+            WHEN b < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split
+FROM keyed
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7050,6 +7135,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q136_salted_hot_key_join": q136_salted_hot_key_join,
     "q137_copurchase_pairs": q137_copurchase_pairs,
     "q138_hll_distinct_tokens": q138_hll_distinct_tokens,
+    "q139_leakage_safe_split": q139_leakage_safe_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -7190,6 +7276,7 @@ ORACLES: dict[str, str] = {
     "q136_salted_hot_key_join": ORACLE_Q136,
     "q137_copurchase_pairs": ORACLE_Q137,
     "q138_hll_distinct_tokens": ORACLE_Q138,
+    "q139_leakage_safe_split": ORACLE_Q139,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

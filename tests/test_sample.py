@@ -579,3 +579,42 @@ def test_contrastive_triplets_minhash_scale_path(spark):
 
     with pytest.raises(ValueError, match="pair_method"):
         contrastive_triplets(df, pair_method="nope")
+
+
+def test_group_safe_split_leakage_invariant(spark):
+    """group_safe_split: (1) every member of a component carries the
+    component's hash decision — near-dup twins can never straddle the
+    split boundary; (2) keys absent from the component frame degrade
+    to exactly hash_split on their own key with the same salt;
+    (3) an existing group_col collides loudly."""
+    from diseasystore_spark.pipeline.sample import group_safe_split
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 101)], "id bigint, text string"
+    )
+    # two components: {1..10} rep 1, {40, 41} rep 40; rest singletons
+    comp = spark.createDataFrame(
+        [(i, 1) for i in range(1, 11)] + [(40, 40), (41, 40)],
+        "id bigint, component bigint",
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = group_safe_split(df, "id", comp, w, salt="ls").collect()
+    by_id = {r["id"]: r for r in out}
+    assert len(by_id) == 100  # unique build side: no fan-out
+    first = by_id[1]["split"]
+    assert all(by_id[i]["split"] == first for i in range(1, 11))
+    assert all(by_id[i]["group_id"] == 1 for i in range(1, 11))
+    assert by_id[40]["split"] == by_id[41]["split"]
+
+    plain = {
+        r["id"]: r["split"]
+        for r in __import__(
+            "diseasystore_spark.pipeline.sample", fromlist=["hash_split"]
+        ).hash_split(df, "id", w, salt="ls").collect()
+    }
+    singletons = set(range(11, 101)) - {40, 41}
+    assert all(by_id[i]["split"] == plain[i] for i in singletons)
+    assert all(by_id[i]["group_id"] == i for i in singletons)
+
+    with pytest.raises(ValueError, match="group_id"):
+        group_safe_split(df.withColumn("group_id", F.lit(0)), "id", comp, w)
