@@ -6992,6 +6992,91 @@ FROM keyed
 """
 
 
+def q140_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / entity resolution
+    (``pipeline/linkage.resolve_entities``) over a deterministic
+    dirty registry: each part name plus typo variants (one deletion
+    per part, one substitution for every third part — positions are
+    pure arithmetic in p_partkey, so both engines build the
+    identical corpus). Blocking on 4-char prefix AND suffix of the
+    normalized name (a typo near one end still collides on the
+    other), candidates verified with the JVM early-exit
+    ``levenshtein(…, 2)``, clusters via connected components, every
+    record assigned an entity id (singletons = own id). Pair volume
+    is Σ block², never corpus² — the MDM primitive at crawl scale."""
+    from diseasystore_spark.pipeline.linkage import resolve_entities
+
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    base = p.selectExpr(
+        "CAST(p_partkey * 4 AS BIGINT) AS rid", "p_name AS name"
+    )
+    v1 = p.selectExpr(
+        "CAST(p_partkey * 4 + 1 AS BIGINT) AS rid",
+        "concat(substr(p_name, 1, p_partkey % length(p_name)),"
+        " substr(p_name, (p_partkey % length(p_name)) + 2, 100000))"
+        " AS name",
+    )
+    v2 = p.where("p_partkey % 3 = 0").selectExpr(
+        "CAST(p_partkey * 4 + 2 AS BIGINT) AS rid",
+        "concat(substr(p_name, 1, (p_partkey div 3) % length(p_name)),"
+        " 'x', substr(p_name, ((p_partkey div 3) % length(p_name)) + 2,"
+        " 100000)) AS name",
+    )
+    recs = base.unionByName(v1).unionByName(v2)
+    return resolve_entities(recs, "rid", "name", max_edit=2, block_len=4)
+
+
+ORACLE_Q140 = """
+WITH RECURSIVE recs AS (
+  SELECT CAST(p_partkey * 4 AS BIGINT) AS rid, p_name AS name FROM part
+  UNION ALL
+  SELECT CAST(p_partkey * 4 + 1 AS BIGINT),
+         substr(p_name, 1, p_partkey % length(p_name))
+           || substr(p_name, (p_partkey % length(p_name)) + 2, 100000)
+  FROM part
+  UNION ALL
+  SELECT CAST(p_partkey * 4 + 2 AS BIGINT),
+         substr(p_name, 1, (p_partkey // 3) % length(p_name)) || 'x'
+           || substr(p_name, ((p_partkey // 3) % length(p_name)) + 2,
+                     100000)
+  FROM part WHERE p_partkey % 3 = 0
+),
+keyed AS (
+  SELECT rid, name, 'p:' || left(lower(trim(name)), 4) AS blk FROM recs
+  UNION ALL
+  SELECT rid, name, 's:' || right(lower(trim(name)), 4) FROM recs
+),
+cand AS (
+  SELECT DISTINCT a.rid AS id_a, b.rid AS id_b,
+                  a.name AS na, b.name AS nb
+  FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.rid < b.rid
+),
+e0 AS (
+  SELECT id_a, id_b FROM cand
+  WHERE abs(length(na) - length(nb)) <= 2 AND levenshtein(na, nb) <= 2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM e0
+  UNION
+  SELECT id_b, id_a FROM e0
+),
+reach(id, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+assigned AS (
+  SELECT recs.rid AS record_id,
+         coalesce(comp.component, recs.rid) AS entity_id
+  FROM recs LEFT JOIN comp ON recs.rid = comp.id
+)
+SELECT record_id, entity_id,
+       CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_members
+FROM assigned
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7136,6 +7221,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q137_copurchase_pairs": q137_copurchase_pairs,
     "q138_hll_distinct_tokens": q138_hll_distinct_tokens,
     "q139_leakage_safe_split": q139_leakage_safe_split,
+    "q140_entity_resolution": q140_entity_resolution,
 }
 
 ORACLES: dict[str, str] = {
@@ -7277,6 +7363,7 @@ ORACLES: dict[str, str] = {
     "q137_copurchase_pairs": ORACLE_Q137,
     "q138_hll_distinct_tokens": ORACLE_Q138,
     "q139_leakage_safe_split": ORACLE_Q139,
+    "q140_entity_resolution": ORACLE_Q140,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its
