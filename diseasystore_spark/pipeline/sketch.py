@@ -561,6 +561,57 @@ def kll_quantiles(sketch: DataFrame, qs: list[float]) -> DataFrame:
     )
 
 
+def kll_bucketize(
+    df: DataFrame,
+    value_col: str,
+    sketch: DataFrame,
+    n_buckets: int = 10,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Equi-probable feature discretization (the QuantileDiscretizer
+    step of ML feature prep) driven by the KLL sketch: bucket
+    boundaries are the sketch's ``i/n_buckets`` quantiles, and each
+    row gets ``bucket = |{boundary < value}|`` in ``[0, n_buckets-1]``
+    (values EQUAL to a boundary fall in the lower bucket; NULL values
+    get a NULL bucket).
+
+    This is the sketch-reuse pattern: boundaries come from a sketch
+    built ONCE (possibly merged across shards/epochs via
+    ``kll_merge``) — re-bucketizing new data never re-reads the
+    corpus that defined the distribution. The assignment itself is
+    narrow: the (n_buckets-1)-element boundary array is a 1-row
+    broadcast cross join and the bucket expression is a JVM
+    higher-order ``filter`` — no shuffle, no Python, no per-row
+    search structure. In the never-compacted regime (k >= n) the
+    boundaries are bit-exact ``quantile_cont`` values, so an external
+    SQL engine reproduces every assignment (q141); after compaction
+    the boundaries carry the KLL rank guarantee and buckets are
+    equi-probable within that error.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be at least 2")
+    if bucket_col in df.columns:
+        raise ValueError(
+            f"column {bucket_col!r} already exists; pass bucket_col="
+        )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = kll_quantiles(sketch, qs).agg(
+        F.sort_array(F.collect_list("value")).alias("__kbq_bounds")
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            bucket_col,
+            F.when(
+                v.isNotNull(),
+                F.size(F.filter("__kbq_bounds", lambda b: v > b)),
+            ).cast("int"),
+        )
+        .drop("__kbq_bounds")
+    )
+
+
 def kll_build_grouped(
     df: DataFrame,
     group_cols: list[str],

@@ -7077,6 +7077,49 @@ FROM assigned
 """
 
 
+def q141_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-probable discretization (``pipeline/sketch.kll_bucketize``):
+    order totals cut into deciles whose boundaries come from the KLL
+    sketch — built once, reusable across shards/epochs via
+    ``kll_merge`` — then assigned by a narrow JVM higher-order filter
+    over the broadcast 9-element boundary array (no shuffle, no
+    per-row Python). k=32768 exceeds the sf0.01 row count so the
+    boundaries are bit-exact ``quantile_cont`` values and DuckDB
+    reproduces every assignment; the compacted regime is
+    rank-error-bounded by the KLL guarantee (property-tested)."""
+    from diseasystore_spark.pipeline.sketch import kll_build, kll_bucketize
+
+    orders = _read(spark, sf_dir, "orders")
+    sk = kll_build(orders, "o_totalprice", k=32768)
+    out = kll_bucketize(orders, "o_totalprice", sk, n_buckets=10).where(
+        F.col("bucket").isNotNull()
+    )
+    return out.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+ORACLE_Q141 = """
+WITH b AS (
+  SELECT quantile_cont(o_totalprice,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+  FROM orders
+),
+assigned AS (
+  SELECT CAST(len(list_filter(b.bs, x -> o_totalprice > x)) AS INTEGER)
+           AS bucket,
+         o_totalprice
+  FROM orders, b
+  WHERE o_totalprice IS NOT NULL
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM assigned GROUP BY bucket
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7222,6 +7265,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q138_hll_distinct_tokens": q138_hll_distinct_tokens,
     "q139_leakage_safe_split": q139_leakage_safe_split,
     "q140_entity_resolution": q140_entity_resolution,
+    "q141_quantile_bucketize": q141_quantile_bucketize,
 }
 
 ORACLES: dict[str, str] = {
@@ -7364,6 +7408,7 @@ ORACLES: dict[str, str] = {
     "q138_hll_distinct_tokens": ORACLE_Q138,
     "q139_leakage_safe_split": ORACLE_Q139,
     "q140_entity_resolution": ORACLE_Q140,
+    "q141_quantile_bucketize": ORACLE_Q141,
     # q35 is the only rows-only query: its k-means quantizer is
     # iterative with float-order-sensitive reductions, which a single
     # SQL statement cannot reproduce bit-exactly; tests verify its

@@ -83,7 +83,8 @@ def test_all_registry_queries_are_scale_safe(spark):
     hitter candidates, q64/q66 budget prefix-sum bucket frame
     (coarse_div-bounded), q65 vocab rank (vocab-sized), q75 epoch
     1024-row bucket frame, q103 cumulative-weight windows over KLL sketch rows (three
-    consumers; each frame is sketch-bounded, ~K log(n/K) rows), q118
+    consumers; each frame is sketch-bounded, ~K log(n/K) rows), q141
+    (same kll_quantiles machinery behind kll_bucketize), q118
     rank over the already-LIMITed top-k search hits (<= k rows), q122
     exclusive prefix over the |partitions|-row range-bucket counts.
     """
@@ -101,6 +102,7 @@ def test_all_registry_queries_are_scale_safe(spark):
         "q103_kll_quantiles": 3,
         "q118_conjunctive_search": 1,
         "q122_equi_depth_histogram": 1,
+        "q141_quantile_bucketize": 3,
     }
     problems = []
     for name, fn in QUERIES.items():

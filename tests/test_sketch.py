@@ -724,3 +724,52 @@ def test_hll_parquet_roundtrip(spark, tmp_path):
     assert (
         hll_estimate(sk).collect() == hll_estimate(loaded).collect()
     )
+
+
+def test_kll_bucketize_exact_and_compacted(spark):
+    """Exact regime: buckets match numpy-quantile boundaries with the
+    boundary-equality rule (value == boundary -> LOWER bucket); NULL
+    values get NULL buckets; compacted regime: bucket populations are
+    equi-probable within the KLL rank-error budget; collision and
+    n_buckets validation raise."""
+    import numpy as np
+
+    from diseasystore_spark.pipeline.sketch import kll_bucketize, kll_build
+
+    vals = [float(v) for v in range(1, 101)]  # 1..100
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)] + [(999, None)],
+        "id bigint, v double",
+    )
+    sk = kll_build(df, "v", k=1024)  # never compacts
+    out = {r["id"]: r["bucket"] for r in kll_bucketize(df, "v", sk, n_buckets=4).collect()}
+    bounds = np.quantile(np.array(vals), [0.25, 0.5, 0.75])
+    for i, v in enumerate(vals):
+        assert out[i] == int((v > bounds).sum()), (v, bounds)
+    assert out[999] is None
+    # a value exactly equal to a boundary sits in the LOWER bucket
+    exact_b = float(bounds[1])
+    hit = [i for i, v in enumerate(vals) if v == exact_b]
+    for i in hit:
+        assert out[i] == 1
+
+    # compacted regime: rank guarantee => near-equal bucket sizes
+    big = spark.range(10_000).selectExpr(
+        "id", "cast(pmod(hash(id), 100000) as double) AS v"
+    )
+    sk2 = kll_build(big, "v", k=200)
+    counts = (
+        kll_bucketize(big, "v", sk2, n_buckets=10)
+        .groupBy("bucket").count().collect()
+    )
+    sizes = {r["bucket"]: r["count"] for r in counts}
+    assert set(sizes) == set(range(10))
+    for b, n in sizes.items():
+        assert abs(n - 1000) < 300, sizes  # ~1.7% KLL error at k=200
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n_buckets"):
+        kll_bucketize(df, "v", sk, n_buckets=1)
+    with _pt.raises(ValueError, match="bucket"):
+        kll_bucketize(df.withColumn("bucket", F.lit(1)), "v", sk)
