@@ -57,6 +57,15 @@ def blocking_pairs(
     Dropping a block only removes CANDIDATES whose records still
     meet on their other key unless both keys are hot.
 
+    Exactly-once without a distinct: a pair can collide on both of
+    its keys, and de-duplicating 10⁷ candidate rows is a full
+    shuffle of the pair stream. Instead each side carries its own
+    prefix key and a suffix-block match is kept only when the two
+    prefix keys DIFFER (the first-matching-band filter the MinHash
+    banding path uses) — a narrow filter fused into the join stage,
+    so the candidate stream never hits an exchange between the join
+    and the edit-distance verify.
+
     Output: ``(id_a, id_b, name_a, name_b)`` — names ride along so
     the verify step needs no join back to the corpus.
     """
@@ -70,11 +79,14 @@ def blocking_pairs(
     keyed = base.select(
         "__rid",
         "__name",
+        # left/right, not negative-start substring: the
+        # shorter-than-block_len behavior of the latter is
+        # engine-dependent; left/right agree everywhere.
+        F.concat(F.lit("p:"), F.expr(f"left(__norm, {block_len})")).alias(
+            "__pk"
+        ),
         F.explode(
             F.array(
-                # left/right, not negative-start substring: the
-                # shorter-than-block_len behavior of the latter is
-                # engine-dependent; left/right agree everywhere.
                 F.concat(F.lit("p:"), F.expr(f"left(__norm, {block_len})")),
                 F.concat(F.lit("s:"), F.expr(f"right(__norm, {block_len})")),
             )
@@ -92,17 +104,26 @@ def blocking_pairs(
         F.col("__blk"),
         F.col("__rid").alias("id_a"),
         F.col("__name").alias("name_a"),
+        F.col("__pk").alias("__pk_a"),
     )
     b = keyed.select(
         F.col("__blk"),
         F.col("__rid").alias("id_b"),
         F.col("__name").alias("name_b"),
+        F.col("__pk").alias("__pk_b"),
     )
     return (
         a.join(b, "__blk")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # first-matching-block dedup: count a both-keys pair at
+            # its prefix collision only
+            & (
+                F.col("__blk").startswith("p:")
+                | (F.col("__pk_a") != F.col("__pk_b"))
+            )
+        )
         .select("id_a", "id_b", "name_a", "name_b")
-        .distinct()
     )
 
 
