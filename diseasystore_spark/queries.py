@@ -6998,17 +6998,23 @@ def q140_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirty registry: each part name plus typo variants (one deletion
     per part, one substitution for every third part — positions are
     pure arithmetic in p_partkey, so both engines build the
-    identical corpus). Blocking on 12-char prefix AND suffix of the
-    normalized name (a typo near one end still collides on the
-    other; 4-char keys over this 92-word palette measured 313M
-    candidate pairs at sf0.1 vs 14.5M at 12 — block length IS the
-    recall/volume dial), hot blocks capped at 1000 records
-    (max_block; no block reaches it at the test scales, so the guard
-    is active yet non-dropping, and the oracle mirrors it with
-    QUALIFY), candidates verified with the JVM early-exit
-    ``levenshtein(…, 2)``, clusters via connected components, every
-    record assigned an entity id (singletons = own id). Pair volume
-    is Σ block², never corpus² — the MDM primitive at crawl scale."""
+    identical corpus). COLLAPSE-FIRST: identical names are one
+    entity by definition (distance 0), so blocking and verify run
+    over DISTINCT names with min(rid) representatives — this corpus
+    has 46 667 records but only 1 232 distinct names at sf0.1, and
+    the rewrite took the sf0.1 wall-time from ~15 s to ~2 s (the
+    3.59M raw candidate pairs were almost entirely same-name pairs
+    the collapse makes free). Blocking on 12-char prefix AND suffix
+    of the normalized name (a typo near one end still collides on
+    the other), hot blocks capped at 1000 DISTINCT NAMES
+    (max_block; no block reaches it at the test scales, so the
+    guard is active yet non-dropping, and the oracle mirrors it
+    with QUALIFY over the same collapsed frame), candidates
+    verified with a char-bitmap popcount lower bound + the JVM
+    early-exit ``levenshtein(…, 2)``, clusters via connected
+    components, every record assigned an entity id (singletons =
+    own id). Pair volume is Σ block² over distinct names, never
+    corpus² — the MDM primitive at crawl scale."""
     from diseasystore_spark.pipeline.linkage import resolve_entities
 
     p = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
@@ -7048,19 +7054,23 @@ WITH RECURSIVE recs AS (
                      100000)
   FROM part WHERE p_partkey % 3 = 0
 ),
+reps AS (
+  SELECT name, min(rid) AS rep FROM recs
+  WHERE name IS NOT NULL GROUP BY name
+),
 keyed0 AS (
-  SELECT rid, name, 'p:' || left(lower(trim(name)), 12) AS blk FROM recs
+  SELECT rep, name, 'p:' || left(lower(trim(name)), 12) AS blk FROM reps
   UNION ALL
-  SELECT rid, name, 's:' || right(lower(trim(name)), 12) FROM recs
+  SELECT rep, name, 's:' || right(lower(trim(name)), 12) FROM reps
 ),
 keyed AS (
-  SELECT rid, name, blk FROM keyed0
+  SELECT rep, name, blk FROM keyed0
   QUALIFY count(*) OVER (PARTITION BY blk) <= 1000
 ),
 cand AS (
-  SELECT DISTINCT a.rid AS id_a, b.rid AS id_b,
+  SELECT DISTINCT a.rep AS id_a, b.rep AS id_b,
                   a.name AS na, b.name AS nb
-  FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.rid < b.rid
+  FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.rep < b.rep
 ),
 e0 AS (
   SELECT id_a, id_b FROM cand
@@ -7077,10 +7087,14 @@ reach(id, r) AS (
   SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
 ),
 comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+rep_entity AS (
+  SELECT reps.name, coalesce(comp.component, reps.rep) AS ent
+  FROM reps LEFT JOIN comp ON reps.rep = comp.id
+),
 assigned AS (
   SELECT recs.rid AS record_id,
-         coalesce(comp.component, recs.rid) AS entity_id
-  FROM recs LEFT JOIN comp ON recs.rid = comp.id
+         coalesce(rep_entity.ent, recs.rid) AS entity_id
+  FROM recs LEFT JOIN rep_entity ON recs.name = rep_entity.name
 )
 SELECT record_id, entity_id,
        CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_members

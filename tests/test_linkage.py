@@ -94,6 +94,72 @@ def test_max_block_guard_drops_hot_block_only(spark):
         resolve_entities(df, "rid", "name", max_edit=-1)
 
 
+def test_hot_prefix_drop_keeps_cold_suffix_pairs(spark):
+    """Regression (round-5 ADVICE): two records sharing a DROPPED
+    hot prefix block must still pair via their shared cold suffix
+    block — the first-matching-band dedup may only fire when both
+    prefix rows actually joined. Here 59 records share the prefix
+    block (hot, dropped at max_block=10); records 1 and 2 also share
+    a suffix block (cold, 2 rows) and differ by one char inside the
+    prefix region."""
+    rows = [(1, "same prefix AA zz end"), (2, "same prefix AB zz end")]
+    rows += [(i, f"same prefix {i:04d}") for i in range(3, 60)]
+    df = _recs(spark, rows)
+    # blocked on 12 chars: all 59 share "p:same prefix"; only 1,2
+    # share "s:x AA zz end"-style suffixes? Use block_len so that
+    # suffix of 1 and 2 agree: last 8 chars " zz end" + preceding.
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in blocking_pairs(
+            df, "rid", "name", block_len=6, max_block=10
+        ).collect()
+    }
+    assert (1, 2) in pairs  # met at suffix "zz end" despite hot prefix
+    # and no quadratic prefix-block pairs survive
+    assert all(a in (1, 2) and b in (1, 2) for a, b in pairs)
+
+    # end-to-end: the pair must link into one entity
+    out = {
+        r["record_id"]: r["entity_id"]
+        for r in resolve_entities(
+            df, "rid", "name", max_edit=1, block_len=6, max_block=10
+        ).collect()
+    }
+    assert out[1] == out[2] == 1
+
+
+def test_both_keys_cold_pair_emitted_exactly_once_under_max_block(spark):
+    """A pair colliding on BOTH (cold) keys is still emitted once —
+    the NULL-aware dedup filter must not double-emit when max_block
+    is set but neither block is hot."""
+    df = _recs(spark, [(1, "abcdef"), (2, "abcdef"), (3, "zzzzzz")])
+    got = blocking_pairs(df, "rid", "name", block_len=3, max_block=50)
+    assert [(r["id_a"], r["id_b"]) for r in got.collect()] == [(1, 2)]
+
+
+def test_char_bitmap_prefilter_is_result_preserving(spark):
+    """The bitmap prefilter may only REMOVE pairs the edit bound
+    already excludes: resolve_entities output equals a brute-force
+    all-pairs levenshtein clustering on a corpus small enough to
+    enumerate."""
+    names = [
+        (1, "alpha beta"),
+        (2, "alpha betX"),   # dist 1 to #1
+        (3, "alpha bXtX"),   # dist 2 to #1, 1 to #2
+        (4, "gamma delta"),
+        (5, "gamma delt"),   # dist 1 to #4
+        (6, "epsilon zz"),
+    ]
+    df = _recs(spark, names)
+    out = {
+        r["record_id"]: r["entity_id"]
+        for r in resolve_entities(
+            df, "rid", "name", max_edit=2, block_len=4
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
 def test_null_handling(spark):
     """NULL ids are dropped (nothing to key); NULL names can never
     match but the record still gets a singleton entity row."""
