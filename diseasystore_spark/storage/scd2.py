@@ -15,13 +15,26 @@ Spark design — logical snapshots, not physical versions: the
 2021-01-01" is answerable for data loaded today (file-format
 time-travel alone cannot do that). Layout:
 
-    <root>/<schema>/<table>/_v{N}/part-*.parquet   -- full SCD2 state
-    <root>/<schema>/<table>/_CURRENT               -- atomic version pointer
+    <root>/<schema>/<table>/_v{N}-{token}/part-*.parquet -- SCD2 state
+    <root>/<schema>/<table>/_commits/{N}.json      -- immutable commit marker
     <root>/<schema>/logs/*.parquet                 -- append-only log sink
 
-Writes produce a new immutable version directory and atomically swap
-the pointer (os.replace), giving readers snapshot isolation without a
-transaction log. Old versions are garbage-collected (keep-2).
+Commit protocol — object-store-safe, no rename anywhere: each write
+lands in a uniquely-named immutable data directory, then claims
+version N by a PUT-IF-ABSENT of the commit marker ``_commits/{N}.json``
+(locally ``os.link`` of a fully-written temp file — atomic
+create-if-absent with complete content, the exact semantics of S3
+``If-None-Match: *`` / a GCS ``ifGenerationMatch=0`` precondition /
+an Azure ``If-None-Match`` ETag put). The current version is the
+highest committed marker. Two concurrent writers racing for version N
+cannot both win: exactly one conditional put succeeds; the loser's
+orphan data directory is removed and the caller retries its merge
+against the now-newer table (optimistic concurrency, the Delta/
+Iceberg commit loop). Readers never see a torn state — a marker is
+either fully present or absent, and the data directory it names was
+completely written before the marker existed. Old versions are
+garbage-collected (keep-2). Legacy ``_CURRENT`` pointer layouts are
+still readable (fallback), but are never written.
 
 Scale path (documented, not needed at test scale): partition each
 version by ``month(valid_from)`` and rewrite only partitions
@@ -55,6 +68,22 @@ from pyspark.sql import types as T
 from diseasystore_spark.contract import SCD2_COLUMNS
 
 LOGS_TABLE = "logs"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed this version number first. The caller
+    must re-read the table (now at a newer version) and re-apply its
+    merge — ``update_snapshot`` and the maintenance ops do this
+    automatically via ``_with_commit_retry``."""
+
+    def __init__(self, table_id: str, version: int):
+        super().__init__(
+            f"commit conflict on {table_id} version {version}: another"
+            " writer won the conditional put; retry against the new"
+            " current version"
+        )
+        self.table_id = table_id
+        self.version = version
 
 _LOG_SCHEMA = T.StructType(
     [
@@ -127,23 +156,101 @@ class ParquetFeatureStore:
         schema, _, table = table_id.partition(".")
         return os.path.join(self.root, schema, table)
 
+    def _commits_dir(self, table_id: str) -> str:
+        return os.path.join(self._table_dir(table_id), "_commits")
+
     def _current_version(self, table_id: str) -> int | None:
+        """Highest committed version: max marker in ``_commits/``
+        (one LIST + max — exactly what a Delta log tail read costs on
+        an object store). Falls back to a legacy ``_CURRENT`` pointer
+        file for tables written by older layouts."""
+        cdir = self._commits_dir(table_id)
+        if os.path.isdir(cdir):
+            versions = [
+                int(f[: -len(".json")])
+                for f in os.listdir(cdir)
+                if f.endswith(".json")
+            ]
+            if versions:
+                return max(versions)
         pointer = os.path.join(self._table_dir(table_id), "_CURRENT")
         if not os.path.exists(pointer):
             return None
         with open(pointer) as fh:
             return int(fh.read().strip())
 
-    def _swap_pointer(self, table_id: str, version: int) -> None:
+    def _version_dir(self, table_id: str, version: int) -> str:
+        """Resolve a committed version's data directory via its
+        marker (markers are immutable, so this read is repeatable);
+        legacy layout fallback: ``_v{N}``."""
+        marker = os.path.join(self._commits_dir(table_id), f"{version}.json")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                name = json.load(fh)["dir"]
+        else:
+            name = f"_v{version}"
+        return os.path.join(self._table_dir(table_id), name)
+
+    def _put_if_absent(self, path: str, data: bytes) -> bool:
+        """Conditional put: create ``path`` with ``data`` iff it does
+        not exist; False when another writer got there first. Local
+        implementation: fsync a temp file, then ``os.link`` it into
+        place — the link either atomically creates the name with the
+        COMPLETE content already durable, or fails with EEXIST. This
+        is the one storage primitive the commit protocol needs; an
+        object-store backend implements it as a conditional PUT
+        (S3 ``If-None-Match: *``, GCS ``ifGenerationMatch=0``, Azure
+        ETag) and everything above this method is unchanged."""
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _commit_version(
+        self, table_id: str, version: int, dirname: str
+    ) -> None:
+        """Claim ``version`` by conditional put of its marker; raise
+        ``CommitConflictError`` if another writer already committed
+        that number. On success GC versions older than keep-2 (their
+        data dirs via the markers that name them, orphan attempt dirs
+        by their version prefix)."""
+        cdir = self._commits_dir(table_id)
+        os.makedirs(cdir, exist_ok=True)
+        marker = os.path.join(cdir, f"{version}.json")
+        payload = json.dumps({"version": version, "dir": dirname}).encode()
+        if not self._put_if_absent(marker, payload):
+            raise CommitConflictError(table_id, version)
+        # GC old versions (keep current + previous for in-flight
+        # readers). Data dirs are parsed by version prefix so crash
+        # orphans (written but never committed) are swept too.
         tdir = self._table_dir(table_id)
-        tmp = os.path.join(tdir, "_CURRENT.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-        os.replace(tmp, os.path.join(tdir, "_CURRENT"))
-        # GC old versions (keep current + previous for in-flight readers).
         for entry in os.listdir(tdir):
-            if entry.startswith("_v") and int(entry[2:]) < version - 1:
-                shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+            if entry.startswith("_v"):
+                try:
+                    v = int(entry[2:].split("-", 1)[0])
+                except ValueError:
+                    continue
+                if v < version - 1:
+                    shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+        for entry in os.listdir(cdir):
+            if entry.endswith(".json"):
+                try:
+                    v = int(entry[: -len(".json")])
+                except ValueError:
+                    continue
+                if v < version - 1:
+                    try:
+                        os.unlink(os.path.join(cdir, entry))
+                    except FileNotFoundError:
+                        pass
 
     # ------------------------------------------------------------ catalog
     def table_exists(self, table_id: str) -> bool:
@@ -157,7 +264,7 @@ class ParquetFeatureStore:
         for entry in sorted(os.listdir(sdir)):
             if entry == LOGS_TABLE and os.path.isdir(os.path.join(sdir, entry)):
                 out.append(f"{schema}.{entry}")
-            elif os.path.exists(os.path.join(sdir, entry, "_CURRENT")):
+            elif self._current_version(f"{schema}.{entry}") is not None:
                 out.append(f"{schema}.{entry}")
         return out
 
@@ -170,7 +277,7 @@ class ParquetFeatureStore:
         if version is None:
             raise FileNotFoundError(f"table {table_id} does not exist")
         return self.spark.read.parquet(
-            os.path.join(self._table_dir(table_id), f"_v{version}")
+            self._version_dir(table_id, version)
         )
 
     def read_raw(self, table_id: str, max_valid_from=None) -> DataFrame:
@@ -229,7 +336,35 @@ class ParquetFeatureStore:
         with open(p) as fh:
             return datetime.datetime.fromisoformat(fh.read().strip())
 
+    #: optimistic-concurrency retry bound: each retry re-reads the
+    #: (now newer) current version and re-derives the write from it,
+    #: so N retries tolerate N concurrent winners — far beyond any
+    #: sane writer fan-in on one feature table.
+    _COMMIT_RETRIES = 5
+
+    def _with_commit_retry(self, fn):
+        """Run a write closure under the optimistic commit loop: on
+        ``CommitConflictError`` the closure is re-invoked, which
+        rebuilds its merge plan against the table as the winning
+        writer left it (every write method resolves the current
+        version at call time, so a plain re-call IS the re-read)."""
+        last: CommitConflictError | None = None
+        for _ in range(self._COMMIT_RETRIES):
+            try:
+                return fn()
+            except CommitConflictError as err:
+                last = err
+        raise last
+
     def prune_history(self, table_id: str, older_than) -> int:
+        """Retrying wrapper over ``_prune_history_attempt`` (see its
+        docstring); safe to re-run because the attempt re-reads the
+        current version."""
+        return self._with_commit_retry(
+            lambda: self._prune_history_attempt(table_id, older_than)
+        )
+
+    def _prune_history_attempt(self, table_id: str, older_than) -> int:
         """Retention (the logical VACUUM): physically drop SCD2 rows
         whose ``until_ts <= older_than`` — rows invisible to every
         snapshot at or after the cutoff (``until_ts > ts`` already
@@ -329,6 +464,13 @@ class ParquetFeatureStore:
         )
 
     def compact(self, table_id: str, files_per_partition: int = 1) -> int:
+        """Retrying wrapper over ``_compact_attempt`` (see its
+        docstring)."""
+        return self._with_commit_retry(
+            lambda: self._compact_attempt(table_id, files_per_partition)
+        )
+
+    def _compact_attempt(self, table_id: str, files_per_partition: int = 1) -> int:
         """Rewrite the current version with a bounded file count — the
         small-file maintenance op (Delta OPTIMIZE analog). Incremental
         merges accumulate one-or-more files per write; after many
@@ -358,7 +500,7 @@ class ParquetFeatureStore:
                 changed_months=None,
             )
         version = self._current_version(table_id)
-        out_dir = os.path.join(self._table_dir(table_id), f"_v{version}")
+        out_dir = self._version_dir(table_id, version)
         n = 0
         for root, _dirs, files in os.walk(out_dir):
             n += sum(1 for f in files if f.endswith(".parquet"))
@@ -373,6 +515,15 @@ class ParquetFeatureStore:
         ]
 
     def evolve_schema(self, table_id: str, new_columns: dict[str, str]) -> None:
+        """Retrying wrapper over ``_evolve_schema_attempt`` (see its
+        docstring)."""
+        return self._with_commit_retry(
+            lambda: self._evolve_schema_attempt(table_id, new_columns)
+        )
+
+    def _evolve_schema_attempt(
+        self, table_id: str, new_columns: dict[str, str]
+    ) -> None:
         """Add NULL-backfilled columns to an existing table and
         RECOMPUTE row checksums over the widened column set — so a row
         whose new columns are NULL keeps its identity across the
@@ -402,6 +553,36 @@ class ParquetFeatureStore:
         self._write_version(evolved, table_id, changed_months=None)
 
     def update_snapshot(
+        self,
+        data: DataFrame,
+        table_id: str,
+        slice_ts,
+        written_range=None,
+        close_absent: bool = True,
+        allow_schema_evolution: bool = False,
+    ) -> None:
+        """Retrying wrapper over ``_update_snapshot_attempt`` (the
+        full merge semantics live on its docstring): a concurrent
+        writer winning the conditional-put commit makes this attempt
+        raise ``CommitConflictError``; the retry re-reads the table —
+        now containing the winner's rows — and re-applies THIS
+        snapshot's checksum merge on top, which is exactly the
+        serial-execution result (the merge is a pure function of
+        (current table, incoming data, slice_ts)). One writer always
+        wins each round, so the loop terminates unless writers keep
+        arriving faster than merges complete."""
+        return self._with_commit_retry(
+            lambda: self._update_snapshot_attempt(
+                data,
+                table_id,
+                slice_ts,
+                written_range=written_range,
+                close_absent=close_absent,
+                allow_schema_evolution=allow_schema_evolution,
+            )
+        )
+
+    def _update_snapshot_attempt(
         self,
         data: DataFrame,
         table_id: str,
@@ -672,10 +853,17 @@ class ParquetFeatureStore:
 
         Partitioned mode: ``new_table`` holds only the changed months'
         rows; unchanged month partitions are hard-linked from the
-        previous version (same filesystem, zero copy)."""
+        previous version (same filesystem, zero copy).
+
+        The data directory name carries a per-attempt token so two
+        writers racing for the same version number can never scribble
+        into each other's files; the conditional-put marker commit
+        decides the winner, and the loser's directory is removed
+        before ``CommitConflictError`` propagates to the retry loop."""
         prev = self._current_version(table_id)
         version = (prev or 0) + 1
-        out_dir = os.path.join(self._table_dir(table_id), f"_v{version}")
+        dirname = f"_v{version}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self._table_dir(table_id), dirname)
 
         if self.partition_granularity == "month":
             # One shuffle on the partition key -> one file per month
@@ -700,7 +888,7 @@ class ParquetFeatureStore:
                 "overwrite"
             ).parquet(out_dir)
             if changed_months is not None and prev is not None:
-                prev_dir = os.path.join(self._table_dir(table_id), f"_v{prev}")
+                prev_dir = self._version_dir(table_id, prev)
                 changed_set = {f"{PARTITION_COL}={m}" for m in changed_months}
                 for entry in os.listdir(prev_dir):
                     if (
@@ -719,7 +907,11 @@ class ParquetFeatureStore:
         else:
             new_table.write.mode("overwrite").parquet(out_dir)
         self._write_stats(table_id, out_dir)
-        self._swap_pointer(table_id, version)
+        try:
+            self._commit_version(table_id, version, dirname)
+        except CommitConflictError:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise
 
     #: above this row count the stats aggregation runs as a Spark job
     #: instead of a driver-side DuckDB scan (the scan reads only key +
@@ -834,9 +1026,7 @@ class ParquetFeatureStore:
         cur = self._current_version(table_id)
         if cur is None:
             return None
-        path = os.path.join(
-            self._table_dir(table_id), f"_v{cur}", "_STATS.json"
-        )
+        path = os.path.join(self._version_dir(table_id, cur), "_STATS.json")
         if not os.path.exists(path):
             return None
         with open(path) as fh:

@@ -67,8 +67,15 @@ def test_version_gc_keeps_two(spark, store_root):
             _df(spark, [("a", float(i))]), "ds.t", T(2024, 1, 1 + i)
         )
     tdir = os.path.join(store_root, "ds", "t")
-    versions = sorted(e for e in os.listdir(tdir) if e.startswith("_v"))
-    assert versions == ["_v3", "_v4"]
+    versions = sorted(
+        int(e[2:].split("-", 1)[0])
+        for e in os.listdir(tdir)
+        if e.startswith("_v")
+    )
+    assert versions == [3, 4]
+    # commit markers are GC'd alongside (keep-2)
+    markers = sorted(os.listdir(os.path.join(tdir, "_commits")))
+    assert markers == ["3.json", "4.json"]
 
 
 def test_normalize_slice_ts():
@@ -375,9 +382,7 @@ def test_compact_preserves_every_snapshot(spark, store_root):
     assert n_files == 1
     assert be._current_version("ds.t") == v_before + 1
     # old version directory untouched (readers mid-flight unaffected)
-    assert os.path.isdir(
-        os.path.join(store_root, "ds", "t", f"_v{v_before}")
-    )
+    assert os.path.isdir(be._version_dir("ds.t", v_before))
     assert {ts: snap(ts) for ts in (t1, t2, t3)} == before
 
     with pytest.raises(ValueError, match="positive"):

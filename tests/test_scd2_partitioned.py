@@ -37,7 +37,7 @@ ROWS_V1 = [
 def test_partitioned_layout_and_semantics(spark, pstore):
     t1, t2 = T(2024, 1, 1), T(2024, 1, 2)
     pstore.update_snapshot(_df(spark, ROWS_V1), "ds.t", t1)
-    tdir = os.path.join(pstore.root, "ds", "t", "_v1")
+    tdir = pstore._version_dir("ds.t", 1)
     parts = sorted(e for e in os.listdir(tdir) if e.startswith(PARTITION_COL))
     assert parts == [
         f"{PARTITION_COL}=2020-01",
@@ -54,7 +54,7 @@ def test_partitioned_layout_and_semantics(spark, pstore):
         ("c", 3.0, D(2020, 3, 10), None),
     ]
     pstore.update_snapshot(_df(spark, rows_v2), "ds.t", t2)
-    v2dir = os.path.join(pstore.root, "ds", "t", "_v2")
+    v2dir = pstore._version_dir("ds.t", 2)
 
     def inode_set(version_dir, part):
         pdir = os.path.join(version_dir, part)
@@ -131,8 +131,8 @@ def test_scoped_merge_carries_later_months_forward(spark, pstore):
         _df(spark, scoped), "ds.t", t2, written_range=(D(2020, 2, 1), D(2020, 2, 28))
     )
 
-    v1dir = os.path.join(pstore.root, "ds", "t", "_v1")
-    v2dir = os.path.join(pstore.root, "ds", "t", "_v2")
+    v1dir = pstore._version_dir("ds.t", 1)
+    v2dir = pstore._version_dir("ds.t", 2)
     jan, feb, mar = (f"{PARTITION_COL}=2020-0{m}" for m in (1, 2, 3))
     # only February changed; January and (unscanned) March are links
     assert _inodes(v1dir, jan) == _inodes(v2dir, jan)
@@ -221,8 +221,7 @@ def test_compact_partitioned_keeps_month_layout(spark, pstore):
 
     before = {ts: snap(ts) for ts in (t1, t2)}
     pstore.compact("ds.t")
-    v = pstore._current_version("ds.t")
-    vdir = os.path.join(pstore.root, "ds", "t", f"_v{v}")
+    vdir = pstore._version_dir("ds.t", pstore._current_version("ds.t"))
     months = [e for e in os.listdir(vdir) if e.startswith(f"{PARTITION_COL}=")]
     assert months, vdir
     for m in months:
