@@ -1289,22 +1289,46 @@ FROM pairs WHERE cosine >= 0.35
 
 
 def q35_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 (deterministic k-means coarse quantizer,
-    probe-4; rows-only — recall vs exact is asserted in tests)."""
-    from diseasystore_spark.pipeline.similarity import ivf_topk
+    """IVF ANN recall@5 contract (k-means coarse quantizer, probe-4).
+
+    The Lloyd-iteration quantizer is not SQL-expressible, so the raw
+    IVF neighbor lists can't be value-verified; what IS verifiable is
+    the RECALL CONTRACT: every query's IVF top-5 must contain at
+    least 2 of the exact top-5 (the measured floor — per-query
+    overlap min is 2 at sf0.01 and 3 at sf0.1; both top-5 sides are
+    deterministic double math with neighbor_id tie-breaks). Output is
+    one row ``(n_queries, n_meeting_floor)`` and the oracle states
+    the contract (every query meets the floor), so a recall
+    regression in the k-means path becomes a driver-visible HASH
+    MISMATCH instead of the former rows-only pass. The identical
+    assign→probe→rerank plan is fully value-verified by q46 with a
+    fixed quantizer; q35 adds the Lloyd path + the recall gate."""
+    from diseasystore_spark.pipeline.similarity import cosine_topk, ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    out = ivf_topk(
-        emb,
-        emb.where(F.col("vec_id") < 20),
-        k=5,
-        n_clusters=16,
-        n_probe=4,
-        iterations=1,
+    queries = emb.where(F.col("vec_id") < 20)
+    ivf = ivf_topk(
+        emb, queries, k=5, n_clusters=16, n_probe=4, iterations=1
+    ).select("query_id", "neighbor_id")
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    overlap = (
+        ivf.intersect(exact)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
     )
-    return out.select(
-        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    return overlap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum((F.col("n_hit") >= 2).cast("int"))
+        .cast("bigint")
+        .alias("n_meeting_floor"),
     )
+
+
+ORACLE_Q35 = """
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_meeting_floor
+FROM embeddings WHERE vec_id < 20
+"""
 
 
 def q27_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7434,8 +7458,11 @@ ORACLES: dict[str, str] = {
     "q139_leakage_safe_split": ORACLE_Q139,
     "q140_entity_resolution": ORACLE_Q140,
     "q141_quantile_bucketize": ORACLE_Q141,
-    # q35 is the only rows-only query: its k-means quantizer is
-    # iterative with float-order-sensitive reductions, which a single
-    # SQL statement cannot reproduce bit-exactly; tests verify its
-    # recall against the exact cosine top-k instead.
+    # q35's k-means quantizer is iterative with float-order-sensitive
+    # reductions a single SQL statement cannot reproduce bit-exactly,
+    # so its registry entry is the recall CONTRACT (every query's IVF
+    # top-5 overlaps the exact top-5 by >= 2) — the oracle states the
+    # contract and any recall regression hash-mismatches. Raw IVF
+    # output value-parity is covered by q46's fixed quantizer.
+    "q35_ann_ivf": ORACLE_Q35,
 }
