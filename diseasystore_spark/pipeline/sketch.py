@@ -599,12 +599,24 @@ def kll_bucketize(
         F.sort_array(F.collect_list("value")).alias("__kbq_bounds")
     )
     v = F.col(value_col).cast("double")
+    # Fail-loud on a degenerate boundary array (empty sketch frame →
+    # 0 boundaries → every row would silently land in bucket 0; the
+    # family convention is hll_merge/hll_estimate's empty-frame
+    # raise). assert_true is fused into the bucket expression so it
+    # can't be pruned and costs nothing on the happy path.
+    boundary_ok = F.assert_true(
+        F.size("__kbq_bounds") == F.lit(n_buckets - 1),
+        F.lit(
+            "kll_bucketize: boundary array does not have n_buckets-1"
+            " elements — empty or malformed sketch frame"
+        ),
+    )
     return (
         df.crossJoin(F.broadcast(bounds))
         .withColumn(
             bucket_col,
             F.when(
-                v.isNotNull(),
+                v.isNotNull() & boundary_ok.isNull(),
                 F.size(F.filter("__kbq_bounds", lambda b: v > b)),
             ).cast("int"),
         )
@@ -1018,11 +1030,17 @@ def hll_estimate(
     """Cardinality estimate per group from a register frame:
     ``(group_cols..., m int, n_zero bigint, inv_sum_num bigint,
     est_distinct double)`` where ``inv_sum_num = sum_j 2^(Rmax-M_j)``
-    (empty registers contribute ``2^Rmax``) and ``est_distinct =
-    alpha_m * m^2 * 2^Rmax / inv_sum_num`` — the raw HLL estimator;
-    the integer-exact denominator makes it reproducible anywhere.
-    Geometry is read from the frame's ``m`` column (fail-loud if
-    mixed, same bounded probe as ``hll_merge``)."""
+    (empty registers contribute ``2^Rmax``); the integer-exact
+    denominator makes the estimate reproducible anywhere.
+    ``est_distinct`` follows Flajolet et al. §4's small-range
+    correction: when the raw harmonic-mean estimate ``alpha_m * m^2 *
+    2^Rmax / inv_sum_num`` falls below ``2.5 m`` and empty registers
+    remain, the raw estimator is known-biased and LINEAR COUNTING
+    ``m * ln(m / n_zero)`` is returned instead (both branches are
+    pure double math over the emitted integer columns, so external
+    engines reproduce the exact branch and value). Geometry is read
+    from the frame's ``m`` column (fail-loud if mixed, same bounded
+    probe as ``hll_merge``)."""
     gcols = list(group_cols or [])
     ms = [r["m"] for r in sketch.select("m").distinct().collect()]
     if len(ms) != 1:
@@ -1047,13 +1065,17 @@ def hll_estimate(
         + (F.lit(m) - F.col("__n_present"))
         * F.lit(1 << rmax).cast("bigint")
     )
+    raw = F.lit(alpha * m * m * float(1 << rmax)) / inv.cast("double")
+    n_zero = (F.lit(m) - F.col("__n_present")).cast("bigint")
     return agg.select(
         *gcols,
         F.lit(m).alias("m"),
-        (F.lit(m) - F.col("__n_present")).cast("bigint").alias("n_zero"),
+        n_zero.alias("n_zero"),
         inv.cast("bigint").alias("inv_sum_num"),
-        (
-            F.lit(alpha * m * m * float(1 << rmax))
-            / inv.cast("double")
-        ).alias("est_distinct"),
+        F.when(
+            (raw < F.lit(2.5 * m)) & (n_zero > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero.cast("double")),
+        )
+        .otherwise(raw)
+        .alias("est_distinct"),
     )

@@ -1389,7 +1389,6 @@ def search_all_terms(
     else:
         if top_terms <= 0:
             raise ValueError("top_terms must be positive")
-        n_terms = top_terms
         query = (
             tf.groupBy("term")
             .agg(F.sum("tf").cast("bigint").alias("__total"))
@@ -1397,6 +1396,17 @@ def search_all_terms(
             .limit(top_terms)
             .select("term")
         )
+        # The conjunctive check must use the ACTUAL query size: a
+        # corpus with fewer than `top_terms` distinct terms would
+        # otherwise make `__n_terms == top_terms` unsatisfiable and
+        # the search silently empty. The query frame is k-bounded
+        # (≤ top_terms rows) and about to be broadcast anyway, so
+        # counting it costs one tiny job, not a corpus pass.
+        n_terms = query.count()
+        if n_terms == 0:
+            raise ValueError(
+                "corpus has no terms to build a top_terms query from"
+            )
     matched = (
         tf.join(F.broadcast(query), "term")
         .groupBy(id_col)

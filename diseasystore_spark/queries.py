@@ -6908,7 +6908,7 @@ agg AS (
          CAST(count(*) AS BIGINT) AS n_present
   FROM regs GROUP BY 1
 ),
-est AS (
+est0 AS (
   SELECT source,
          256 AS m,
          CAST(256 - n_present AS BIGINT) AS n_zero,
@@ -6917,8 +6917,17 @@ est AS (
          (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
            * 9007199254740992.0
            / CAST(pres + (256 - n_present) * (1::BIGINT << 53)
-                  AS DOUBLE) AS est_distinct
+                  AS DOUBLE) AS est_raw
   FROM agg
+),
+est AS (
+  -- Flajolet small-range correction: linear counting below 2.5m
+  -- while empty registers remain (mirrors pipeline/sketch.py)
+  SELECT source, m, n_zero, inv_sum_num,
+         CASE WHEN est_raw < 2.5 * 256.0 AND n_zero > 0
+              THEN 256.0 * ln(256.0 / CAST(n_zero AS DOUBLE))
+              ELSE est_raw END AS est_distinct
+  FROM est0
 ),
 exact AS (
   SELECT source, CAST(count(DISTINCT token) AS BIGINT)

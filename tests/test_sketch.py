@@ -708,6 +708,41 @@ def test_hll_merge_equals_direct_and_validates(spark):
         hll_build(df, "tok", m=100)
 
 
+def test_hll_small_range_linear_counting(spark):
+    """Regression (round-5 ADVICE): below 2.5m with empty registers
+    the estimator must switch to linear counting m*ln(m/n_zero)
+    (Flajolet et al. §4) — the raw harmonic mean is known-biased
+    there. Exact double equality against the hand formula, and far
+    tighter accuracy than the raw estimate at n=50, m=256."""
+    import math
+
+    from diseasystore_spark.pipeline.sketch import hll_build, hll_estimate
+
+    n, m = 50, 256
+    df = spark.createDataFrame([(f"v{i}",) for i in range(n)], "x string")
+    est = hll_estimate(hll_build(df, "x", m=m)).collect()[0]
+    assert est["n_zero"] > 0
+    want = m * math.log(m / est["n_zero"])
+    assert est["est_distinct"] == want
+    # linear counting is tight in this regime (<10% at n/m ~ 0.2)
+    assert abs(est["est_distinct"] / n - 1.0) < 0.1
+
+
+def test_kll_bucketize_empty_sketch_fails_loud(spark):
+    """Regression (round-5 ADVICE): an empty sketch frame (no
+    boundaries) must raise at evaluation, not silently put every row
+    in bucket 0."""
+    import pytest
+
+    from diseasystore_spark.pipeline.sketch import kll_bucketize, kll_build
+
+    df = spark.createDataFrame([(1, 5.0), (2, 7.0)], "id bigint, v double")
+    empty_sketch = kll_build(df.where("v > 1e9"), "v", k=64)
+    out = kll_bucketize(df, "v", empty_sketch, n_buckets=4)
+    with pytest.raises(Exception, match="n_buckets-1"):
+        out.collect()
+
+
 def test_hll_parquet_roundtrip(spark, tmp_path):
     from diseasystore_spark.pipeline.sketch import (
         hll_build,

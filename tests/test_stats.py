@@ -211,6 +211,25 @@ def test_search_all_terms_top_terms_mode_and_k(spark):
     assert [(r["doc_id"], r["score"]) for r in out] == [(4, 8)]
 
 
+def test_search_all_terms_top_terms_exceeding_vocab(spark):
+    """Regression (round-5 ADVICE): top_terms larger than the corpus
+    vocabulary must fall back to the ACTUAL query size, not make the
+    conjunctive check unsatisfiable and return silently empty."""
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, "a")], ["doc_id", "text"]
+    )
+    # vocabulary = {a, b} (2 terms) but top_terms=10: query is {a, b},
+    # docs 1 and 2 contain both
+    out = search_all_terms(df, top_terms=10, k=5).collect()
+    assert [(r["doc_id"], r["score"]) for r in out] == [(1, 3), (2, 2)]
+
+    import pytest
+
+    empty = spark.createDataFrame([(1, "   ")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="no terms"):
+        search_all_terms(empty, top_terms=3, k=5)
+
+
 def test_search_all_terms_arg_validation(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="exactly one"):
