@@ -124,8 +124,13 @@ def main() -> None:
     out.mkdir(parents=True, exist_ok=True)
     import shutil
 
-    for t in ("region", "nation", "part"):
+    for t in ("region", "nation"):
         shutil.copy(SRC / f"{t}.parquet", out / f"{t}.parquet")
+    # part scales too (round 6): q140's dirty-registry corpus is built
+    # from part, so a copied-through part made its sf1 row vacuous.
+    # Replication keeps sf0.1 as a strict prefix (offsets preserve the
+    # original keys) and lineitem.l_partkey still resolves.
+    replicate("part", out, {"p_partkey": 20_000})
     replicate("customer", out, {"c_custkey": 20_000})
     replicate("supplier", out, {"s_suppkey": 2_000})
     replicate(
