@@ -46,6 +46,7 @@ __all__ = [
     "stratified_sample",
     "pack_sequences",
     "weighted_sample",
+    "curriculum_order",
 ]
 
 #: Width of the hex prefix used for thresholding. 8 hex chars = 32
@@ -822,4 +823,78 @@ def contrastive_triplets(
             F.col("__pick.__neg").alias("negative_id"),
             "jaccard",
         )
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_stages: int = 10,
+    seed: str = "curriculum0",
+    buckets: int = 1024,
+    sketch_k: int = 32768,
+) -> DataFrame:
+    """Curriculum-learning schedule: a dense 0-based global
+    ``curriculum_rank`` that presents STAGES in ascending score order
+    (stage 0 = lowest-score decile = "easiest" under a
+    short-before-long / clean-before-noisy heuristic) while
+    SHUFFLING deterministically within each stage — the standard
+    curriculum data-loader contract (vary ``seed`` per epoch to
+    reshuffle within stages without changing the stage schedule).
+
+    Stages are equi-probable score buckets from a KLL sketch
+    (:func:`diseasystore_spark.pipeline.sketch.kll_bucketize`), so
+    stage assignment never sorts the corpus by score — boundaries are
+    a broadcast (n_stages-1)-element array built from one sketch
+    pass, reusable across epochs via ``kll_merge``. NULL scores are
+    excluded (no stage is defensible for them; filter upstream to
+    keep them).
+
+    Scale shape — the naive ``row_number() OVER (ORDER BY stage,
+    hash)`` is a single-task global window; this is the two-level
+    rank of :func:`epoch_shuffle` over the COMPOSITE bucket
+    ``stage * buckets + hash_bucket`` (monotone in the (stage, hash)
+    sort order, so per-bucket ranks concatenate): per-bucket counts
+    (map-side combinable, ≤ n_stages × buckets rows), an exclusive
+    prefix over that tiny frame (the only single-task step), and an
+    intra-bucket ``row_number``. Result identical to the naive
+    global window (the q142 oracle IS the naive form).
+
+    Output: ``(id_col, score_col, stage int, curriculum_rank
+    bigint)``.
+    """
+    from diseasystore_spark.pipeline.sketch import kll_bucketize, kll_build
+
+    if n_stages < 2:
+        raise ValueError("n_stages must be at least 2")
+    if buckets <= 0 or (buckets & (buckets - 1)) != 0 or buckets > _SPACE:
+        raise ValueError(
+            f"buckets must be a positive power of two <= 2^32, got {buckets}"
+        )
+    base = df.select(id_col, score_col).where(
+        F.col(score_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    sk = kll_build(base, score_col, k=sketch_k)
+    staged = kll_bucketize(
+        base, score_col, sk, n_buckets=n_stages, bucket_col="stage"
+    )
+    width = _SPACE // buckets
+    h = F.conv(hash_hex(F.col(id_col), seed), 16, 10).cast("bigint")
+    staged = staged.withColumn("__h", h).withColumn(
+        "__cb", F.col("stage").cast("bigint") * buckets + F.expr(f"__h DIV {width}")
+    )
+    counts = staged.groupBy("__cb").agg(F.count(F.lit(1)).alias("__n"))
+    gw = Window.orderBy("__cb").rowsBetween(Window.unboundedPreceding, -1)
+    prefixes = counts.select(
+        "__cb", F.coalesce(F.sum("__n").over(gw), F.lit(0)).alias("__prefix")
+    )
+    iw = Window.partitionBy("__cb").orderBy("__h", id_col)
+    return (
+        staged.join(F.broadcast(prefixes), "__cb")
+        .withColumn(
+            "curriculum_rank",
+            (F.col("__prefix") + F.row_number().over(iw) - 1).cast("bigint"),
+        )
+        .select(id_col, score_col, "stage", "curriculum_rank")
     )

@@ -7178,6 +7178,51 @@ FROM assigned GROUP BY bucket
 """
 
 
+def q142_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning schedule
+    (``pipeline/sample.curriculum_order``): documents staged into
+    length deciles (KLL-sketch boundaries — no corpus sort by score)
+    presented short-before-long, deterministically shuffled within
+    each stage by the portable md5 hash, with a dense global
+    ``curriculum_rank`` from the two-level distributed rank over the
+    composite (stage × hash-bucket) key. The oracle is the naive
+    single-window form (``row_number() OVER (ORDER BY stage, h,
+    doc_id)``) the scale path must equal row-for-row; k=32768
+    exceeds the sf0.01 corpus so the decile boundaries are bit-exact
+    ``quantile_cont`` values."""
+    from diseasystore_spark.pipeline.sample import curriculum_order
+
+    return curriculum_order(
+        _read(spark, sf_dir, "documents"),
+        "n_chars",
+        id_col="doc_id",
+        n_stages=10,
+        seed="epoch0",
+    )
+
+
+ORACLE_Q142 = """
+WITH b AS (
+  SELECT quantile_cont(n_chars,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+  FROM documents WHERE n_chars IS NOT NULL
+),
+s AS (
+  SELECT doc_id, n_chars,
+         CAST(len(list_filter(b.bs, x -> n_chars > x)) AS INTEGER)
+           AS stage,
+         ('0x' || substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)),
+                         1, 8))::BIGINT AS h
+  FROM documents, b
+  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+)
+SELECT doc_id, n_chars, stage,
+       CAST(row_number() OVER (ORDER BY stage, h, doc_id) - 1 AS BIGINT)
+         AS curriculum_rank
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7324,6 +7369,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q139_leakage_safe_split": q139_leakage_safe_split,
     "q140_entity_resolution": q140_entity_resolution,
     "q141_quantile_bucketize": q141_quantile_bucketize,
+    "q142_curriculum_order": q142_curriculum_order,
 }
 
 ORACLES: dict[str, str] = {
@@ -7467,6 +7513,7 @@ ORACLES: dict[str, str] = {
     "q139_leakage_safe_split": ORACLE_Q139,
     "q140_entity_resolution": ORACLE_Q140,
     "q141_quantile_bucketize": ORACLE_Q141,
+    "q142_curriculum_order": ORACLE_Q142,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

@@ -618,3 +618,47 @@ def test_group_safe_split_leakage_invariant(spark):
 
     with pytest.raises(ValueError, match="group_id"):
         group_safe_split(df.withColumn("group_id", F.lit(0)), "id", comp, w)
+
+
+def test_curriculum_order_semantics(spark):
+    """Stages are score-monotone (all stage-s scores <= all stage-s+1
+    scores at never-compacted k), ranks are a dense 0..n-1 permutation
+    ordered stage-first, a different seed reshuffles WITHIN stages
+    without moving rows across stages, and NULL scores/ids drop."""
+    from diseasystore_spark.pipeline.sample import curriculum_order
+
+    rows = [(i, float((i * 37) % 100)) for i in range(200)]
+    rows += [(None, 1.0), (999, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, score double")
+
+    out = curriculum_order(
+        df, "score", id_col="doc_id", n_stages=4, seed="e0"
+    ).collect()
+    assert len(out) == 200
+    ranks = sorted(r["curriculum_rank"] for r in out)
+    assert ranks == list(range(200))
+    # stage-first ordering: rank order == stage order
+    by_rank = sorted(out, key=lambda r: r["curriculum_rank"])
+    stages = [r["stage"] for r in by_rank]
+    assert stages == sorted(stages)
+    # score-monotone stages
+    max_per = {}
+    min_per = {}
+    for r in out:
+        max_per[r["stage"]] = max(max_per.get(r["stage"], -1e9), r["score"])
+        min_per[r["stage"]] = min(min_per.get(r["stage"], 1e9), r["score"])
+    for s in range(3):
+        assert max_per[s] <= min_per[s + 1]
+
+    out2 = curriculum_order(
+        df, "score", id_col="doc_id", n_stages=4, seed="e1"
+    ).collect()
+    stage_of = {r["doc_id"]: r["stage"] for r in out}
+    assert all(stage_of[r["doc_id"]] == r["stage"] for r in out2)
+    rank_of = {r["doc_id"]: r["curriculum_rank"] for r in out}
+    assert any(rank_of[r["doc_id"]] != r["curriculum_rank"] for r in out2)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_stages"):
+        curriculum_order(df, "score", n_stages=1)
