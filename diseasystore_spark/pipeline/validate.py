@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["validate_contract"]
+__all__ = ["validate_contract", "distribution_drift_psi"]
 
 
 def _viol(cond: Column) -> Column:
@@ -123,3 +123,92 @@ def validate_contract(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def distribution_drift_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    sketch_k: int = 32768,
+    smoothing: int = 1,
+) -> DataFrame:
+    """Population Stability Index between a REFERENCE sample and a
+    CURRENT sample of ``value_col`` — the standard drift monitor for
+    corpus snapshots and feature pipelines (PSI < 0.1 stable, 0.1-0.25
+    moderate shift, > 0.25 population break; Siddiqi's credit-scoring
+    thresholds, public).
+
+    Bins are equi-probable quantiles of the REFERENCE distribution
+    (a KLL sketch -> broadcast boundary array, the q141/q142
+    machinery — the reference is never sorted), so expected shares
+    are ~1/n_bins by construction and the index localizes WHERE the
+    current sample left the reference's shape. Counts get
+    add-``smoothing`` regularization (a bin the current sample
+    misses contributes a finite, large term instead of ln(0)).
+
+    Output: one row per bin — ``(bin int, ref_n bigint, cur_n
+    bigint, ref_share double, cur_share double, psi_term double)``;
+    ``sum(psi_term)`` is the index. Both shares use smoothed
+    denominators, so shares sum to 1 on each side and the math is
+    pure double arithmetic over integer counts — reproducible
+    bit-for-bit by an external SQL engine in the never-compacted
+    sketch regime.
+
+    Scale shape: one sketch pass over the reference, one map-only
+    bucket assignment per side (broadcast boundaries, JVM
+    higher-order filter), one combinable groupBy per side on the
+    ≤ n_bins bucket key, a full outer join of two ≤ n_bins-row
+    frames, and 1-row broadcast totals. Nothing data-sized ever
+    shuffles on more than the bin key.
+    """
+    from diseasystore_spark.pipeline.sketch import kll_bucketize, kll_build
+
+    if n_bins < 2:
+        raise ValueError("n_bins must be at least 2")
+    if smoothing < 1:
+        raise ValueError(
+            "smoothing must be >= 1 (0 would divide by zero on bins "
+            "the current sample misses)"
+        )
+    sk = kll_build(ref, value_col, k=sketch_k)
+
+    def _binned(df: DataFrame, out: str) -> DataFrame:
+        b = kll_bucketize(
+            df.select(value_col), value_col, sk, n_buckets=n_bins
+        ).where(F.col("bucket").isNotNull())
+        return b.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias(out)
+        )
+
+    rc = _binned(ref, "ref_n")
+    cc = _binned(cur, "cur_n")
+    bins = (
+        rc.join(cc, "bucket", "full_outer")
+        .select(
+            F.col("bucket").cast("int").alias("bin"),
+            F.coalesce("ref_n", F.lit(0)).cast("bigint").alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).cast("bigint").alias("cur_n"),
+        )
+    )
+    totals = bins.agg(
+        F.sum("ref_n").alias("__rt"), F.sum("cur_n").alias("__ct")
+    )
+    s = float(smoothing)
+    p = (F.col("ref_n") + F.lit(s)) / (
+        F.col("__rt") + F.lit(s * n_bins)
+    ).cast("double")
+    q = (F.col("cur_n") + F.lit(s)) / (
+        F.col("__ct") + F.lit(s * n_bins)
+    ).cast("double")
+    return (
+        bins.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "ref_n",
+            "cur_n",
+            p.alias("ref_share"),
+            q.alias("cur_share"),
+            ((q - p) * F.log(q / p)).alias("psi_term"),
+        )
+    )

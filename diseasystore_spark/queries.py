@@ -7223,6 +7223,121 @@ FROM s
 """
 
 
+def q143_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift PSI
+    (``pipeline/validate.distribution_drift_psi``): 'view' event
+    values as the reference population, 'purchase' values as the
+    current sample, decile bins from the reference's KLL sketch
+    (broadcast boundary array — reference never sorted), add-1
+    smoothed shares, one psi_term per bin (``sum(psi_term)`` is the
+    index). k=32768 exceeds the sf0.01 row count so boundaries are
+    bit-exact ``quantile_cont`` values and DuckDB reproduces every
+    count and double."""
+    from diseasystore_spark.pipeline.validate import distribution_drift_psi
+
+    ev = _read(spark, sf_dir, "events")
+    return distribution_drift_psi(
+        ev.where("event_type = 'view' AND value IS NOT NULL"),
+        ev.where("event_type = 'purchase' AND value IS NOT NULL"),
+        "value",
+        n_bins=10,
+    )
+
+
+ORACLE_Q143 = """
+WITH refv AS (
+  SELECT value FROM events
+  WHERE event_type = 'view' AND value IS NOT NULL
+),
+curv AS (
+  SELECT value FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+b AS (
+  SELECT quantile_cont(value,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+  FROM refv
+),
+rb AS (
+  SELECT CAST(len(list_filter(b.bs, x -> value > x)) AS INTEGER) AS bin
+  FROM refv, b
+),
+cb AS (
+  SELECT CAST(len(list_filter(b.bs, x -> value > x)) AS INTEGER) AS bin
+  FROM curv, b
+),
+rc AS (SELECT bin, CAST(count(*) AS BIGINT) AS ref_n FROM rb GROUP BY 1),
+cc AS (SELECT bin, CAST(count(*) AS BIGINT) AS cur_n FROM cb GROUP BY 1),
+bins AS (
+  SELECT coalesce(rc.bin, cc.bin) AS bin,
+         coalesce(ref_n, 0) AS ref_n,
+         coalesce(cur_n, 0) AS cur_n
+  FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin
+),
+t AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM bins)
+SELECT bin, ref_n, cur_n,
+       (ref_n + 1.0) / (rt + 10.0) AS ref_share,
+       (cur_n + 1.0) / (ct + 10.0) AS cur_share,
+       ((cur_n + 1.0) / (ct + 10.0) - (ref_n + 1.0) / (rt + 10.0))
+         * ln(((cur_n + 1.0) / (ct + 10.0))
+              / ((ref_n + 1.0) / (rt + 10.0))) AS psi_term
+FROM bins, t
+"""
+
+
+def q144_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram diversity per source
+    (``pipeline/text.corpus_ngram_diversity``): occurrences, distinct
+    n-grams, and distinct ratio for n=1..3 per source slice — the
+    mode-collapse / boilerplate-saturation monitor for synthetic and
+    crawled corpora (``repetition_signals``/q91 is the per-document
+    twin). Exact distinct counts here (oracle-able); the docstring
+    names the HLL swap for corpus scale."""
+    from diseasystore_spark.pipeline.text import corpus_ngram_diversity
+
+    return corpus_ngram_diversity(
+        _read(spark, sf_dir, "documents"), group_col="source"
+    )
+
+
+ORACLE_Q144 = r"""
+WITH t AS (
+  SELECT source, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+),
+g1 AS (SELECT source, unnest(w) AS g FROM t),
+g2 AS (
+  SELECT source,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - 1, 0)),
+           i -> array_to_string(w[i:i+1], ' '))) AS g
+  FROM t
+),
+g3 AS (
+  SELECT source,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - 2, 0)),
+           i -> array_to_string(w[i:i+2], ' '))) AS g
+  FROM t
+),
+a AS (
+  SELECT source, 1 AS n, count(*) AS total, count(DISTINCT g) AS dist
+  FROM g1 WHERE g <> '' GROUP BY source
+  UNION ALL
+  SELECT source, 2, count(*), count(DISTINCT g)
+  FROM g2 WHERE g <> '' GROUP BY source
+  UNION ALL
+  SELECT source, 3, count(*), count(DISTINCT g)
+  FROM g3 WHERE g <> '' GROUP BY source
+)
+SELECT source, CAST(n AS INTEGER) AS n,
+       CAST(total AS BIGINT) AS total_ngrams,
+       CAST(dist AS BIGINT) AS distinct_ngrams,
+       dist / CAST(total AS DOUBLE) AS distinct_ratio
+FROM a
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7370,6 +7485,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q140_entity_resolution": q140_entity_resolution,
     "q141_quantile_bucketize": q141_quantile_bucketize,
     "q142_curriculum_order": q142_curriculum_order,
+    "q143_drift_psi": q143_drift_psi,
+    "q144_ngram_diversity": q144_ngram_diversity,
 }
 
 ORACLES: dict[str, str] = {
@@ -7514,6 +7631,8 @@ ORACLES: dict[str, str] = {
     "q140_entity_resolution": ORACLE_Q140,
     "q141_quantile_bucketize": ORACLE_Q141,
     "q142_curriculum_order": ORACLE_Q142,
+    "q143_drift_psi": ORACLE_Q143,
+    "q144_ngram_diversity": ORACLE_Q144,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

@@ -2359,3 +2359,69 @@ def test_excise_duplicate_spans_semantics(spark):
     assert out[3] == ("one two three four five six seven", 0)
     assert out[4] == ("", 7)
     assert out[5] == ("", 7)
+
+
+def test_distribution_drift_psi_identical_and_shifted(spark):
+    """PSI of a distribution against itself is ~0 (only smoothing
+    noise); a location-shifted sample scores large; shares sum to 1
+    on both sides; a bin the current sample misses contributes a
+    finite term (smoothing); validation raises."""
+    import math
+
+    import pytest
+
+    from diseasystore_spark.pipeline.validate import distribution_drift_psi
+
+    ref = spark.range(1000).selectExpr("cast(id % 100 as double) AS v")
+    same = distribution_drift_psi(ref, ref, "v", n_bins=5).collect()
+    assert len(same) == 5
+    assert abs(sum(r["psi_term"] for r in same)) < 1e-9
+    assert abs(sum(r["ref_share"] for r in same) - 1.0) < 1e-9
+    assert abs(sum(r["cur_share"] for r in same) - 1.0) < 1e-9
+
+    shifted = spark.range(1000).selectExpr(
+        "cast(id % 100 + 90 as double) AS v"
+    )
+    drift = distribution_drift_psi(ref, shifted, "v", n_bins=5).collect()
+    psi = sum(r["psi_term"] for r in drift)
+    assert psi > 0.25  # population break per the standard thresholds
+    assert all(math.isfinite(r["psi_term"]) for r in drift)
+    # the shifted sample misses the lowest reference bins entirely
+    assert any(r["cur_n"] == 0 and r["psi_term"] > 0 for r in drift)
+
+    with pytest.raises(ValueError, match="n_bins"):
+        distribution_drift_psi(ref, ref, "v", n_bins=1)
+    with pytest.raises(ValueError, match="smoothing"):
+        distribution_drift_psi(ref, ref, "v", smoothing=0)
+
+
+def test_corpus_ngram_diversity_degenerate_vs_diverse(spark):
+    """A looping corpus slice scores a far lower distinct ratio than
+    a diverse one at every order; totals match hand counts; orders
+    with no grams (docs shorter than n) drop the group row."""
+    import pytest
+
+    from diseasystore_spark.pipeline.text import corpus_ngram_diversity
+
+    rows = [("loop", "a b a b a b a b"), ("loop", "a b a b")]
+    rows += [("div", "q w e r t y u i"), ("div", "z x c v b n m k")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        (r["source"], r["n"]): r
+        for r in corpus_ngram_diversity(df, group_col="source").collect()
+    }
+    # loop slice: 12 unigrams, 2 distinct
+    assert out[("loop", 1)]["total_ngrams"] == 12
+    assert out[("loop", 1)]["distinct_ngrams"] == 2
+    # bigrams: 7 + 3 occurrences, {a b, b a} distinct
+    assert out[("loop", 2)]["total_ngrams"] == 10
+    assert out[("loop", 2)]["distinct_ngrams"] == 2
+    # diverse slice: every gram unique
+    for n in (1, 2, 3):
+        r = out[("div", n)]
+        assert r["distinct_ngrams"] == r["total_ngrams"]
+        assert r["distinct_ratio"] == 1.0
+    assert out[("loop", 3)]["distinct_ratio"] < 0.3
+
+    with pytest.raises(ValueError, match="at least one"):
+        corpus_ngram_diversity(df, ns=())

@@ -103,6 +103,14 @@ def test_all_registry_queries_are_scale_safe(spark):
         "q118_conjunctive_search": 1,
         "q122_equi_depth_histogram": 1,
         "q141_quantile_bucketize": 3,
+        # kll_quantiles machinery (sketch-bounded, as q141) appears
+        # twice in the staged plan plus the n_stages*1024-row
+        # composite-bucket prefix frame of the two-level rank (as q75)
+        "q142_curriculum_order": 7,
+        # the same sketch-bounded kll_quantiles subtree, instantiated
+        # per side (ref/cur) and re-expanded by the unshared boundary
+        # broadcast — every frame is sketch-row-sized (~K log(n/K))
+        "q143_drift_psi": 12,
     }
     problems = []
     for name, fn in QUERIES.items():
