@@ -144,3 +144,55 @@ def asof_join(
         F.col(_MATCH)[out_ts].alias(out_ts),
         *[F.col(_MATCH)[out_names[c]].alias(out_names[c]) for c in payload],
     )
+
+
+def point_in_time_features(
+    spine: DataFrame,
+    features: list[dict],
+    spine_ts: str = "ts",
+    allow_exact_matches: bool = False,
+) -> DataFrame:
+    """Point-in-time training-set assembly (the feature-store
+    "training matrix" primitive): for each spine row (entity, ts,
+    label...), attach from every feature frame the single row that
+    was KNOWN at that timestamp — strictly before it by default, so
+    no feature leaks the label's own moment. This is the multi-table
+    composition of :func:`asof_join`; the reference's
+    ``key_join_features`` is the interval-keyed epi analog over its
+    SCD2 store (``R/DiseasystoreBase.R:286-506``), this one is the
+    event-timestamped form a supervised pipeline needs.
+
+    ``features`` is a list of dicts with keys ``df`` (the feature
+    frame), ``on`` (entity key column(s)), ``ts`` (its event-time
+    column), ``prefix`` (REQUIRED, non-empty — output namespacing),
+    and optional ``tolerance_seconds`` / ``tiebreak`` passed through
+    to :func:`asof_join`.
+
+    Scale shape: one :func:`asof_join` per feature frame — each is
+    one shuffle on the entity key with linear per-key merge work (the
+    union trick; see the module docstring), so N feature tables cost
+    N key-shuffles of spine+table, never a candidate blow-up, and
+    AQE handles per-table skew independently.
+    """
+    seen: set[str] = set()
+    out = spine
+    for spec in features:
+        prefix = spec.get("prefix", "")
+        if not prefix:
+            raise ValueError("every feature spec needs a non-empty prefix")
+        if prefix in seen:
+            raise ValueError(f"duplicate feature prefix {prefix!r}")
+        seen.add(prefix)
+        out = asof_join(
+            out,
+            spec["df"],
+            on=spec["on"],
+            left_ts=spine_ts,
+            right_ts=spec.get("ts", "ts"),
+            how="left",
+            allow_exact_matches=allow_exact_matches,
+            tolerance_seconds=spec.get("tolerance_seconds"),
+            right_prefix=prefix,
+            tiebreak=spec.get("tiebreak"),
+        )
+    return out

@@ -7338,6 +7338,77 @@ FROM a
 """
 
 
+def q145_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time training matrix
+    (``operators/asof.point_in_time_features``): spine = purchase
+    events (entity, ts, label = purchase value); features = the
+    latest STRICTLY-PRIOR view and click values per user
+    (leakage-free: ``allow_exact_matches=False`` — nothing from the
+    label's own instant is visible). Each feature table is one
+    union-trick as-of join (single key shuffle, linear merge — no
+    candidate blow-up); the oracle is the naive correlated top-1
+    subquery per feature, deterministic via the event_id tiebreak
+    (the as-of match takes the LAST right row in (ts, tiebreak)
+    order, i.e. max event_id at equal ts)."""
+    from diseasystore_spark.operators.asof import point_in_time_features
+
+    ev = _read(spark, sf_dir, "events")
+    spine = ev.where("event_type = 'purchase'").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("label"),
+    )
+    feats = [
+        {
+            "df": ev.where(f"event_type = '{t}'").select(
+                "user_id", "ts", "event_id", "value"
+            ),
+            "on": "user_id",
+            "ts": "ts",
+            "prefix": p,
+            "tiebreak": ["event_id"],
+        }
+        for t, p in (("view", "v_"), ("click", "c_"))
+    ]
+    return point_in_time_features(
+        spine, feats, spine_ts="ts", allow_exact_matches=False
+    )
+
+
+ORACLE_Q145 = """
+WITH p AS (
+  SELECT user_id, ts, value AS label FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.ts, p.label,
+       (SELECT v.ts FROM events v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+          AND v.ts < p.ts
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS v_ts,
+       (SELECT v.event_id FROM events v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+          AND v.ts < p.ts
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS v_event_id,
+       (SELECT v.value FROM events v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+          AND v.ts < p.ts
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS v_value,
+       (SELECT c.ts FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts < p.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS c_ts,
+       (SELECT c.event_id FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts < p.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS c_event_id,
+       (SELECT c.value FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts < p.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS c_value
+FROM p
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7487,6 +7558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q142_curriculum_order": q142_curriculum_order,
     "q143_drift_psi": q143_drift_psi,
     "q144_ngram_diversity": q144_ngram_diversity,
+    "q145_point_in_time_features": q145_point_in_time_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -7633,6 +7705,7 @@ ORACLES: dict[str, str] = {
     "q142_curriculum_order": ORACLE_Q142,
     "q143_drift_psi": ORACLE_Q143,
     "q144_ngram_diversity": ORACLE_Q144,
+    "q145_point_in_time_features": ORACLE_Q145,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

@@ -152,3 +152,61 @@ def test_asof_matches_bruteforce_and_duckdb(spark):
         for row in ddf.itertuples()
     }
     assert got == dmap
+
+
+def test_point_in_time_features_leakage_and_namespacing(spark):
+    """Strict mode never exposes same-instant feature rows (no label
+    leakage); each feature table lands under its own prefix; missing
+    history yields NULLs; duplicate/empty prefixes raise."""
+    import datetime as dt
+
+    import pytest
+
+    from diseasystore_spark.operators.asof import point_in_time_features
+
+    T = dt.datetime
+    spine = spark.createDataFrame(
+        [(1, T(2024, 1, 10), 100.0), (2, T(2024, 1, 5), 50.0)],
+        "user_id bigint, ts timestamp, label double",
+    )
+    views = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 9), 7.0),
+            (1, T(2024, 1, 10), 99.0),   # same instant as the label!
+            (2, T(2024, 1, 6), 3.0),     # after user 2's label
+        ],
+        "user_id bigint, ts timestamp, value double",
+    )
+    clicks = spark.createDataFrame(
+        [(1, T(2024, 1, 1), 1.0)],
+        "user_id bigint, ts timestamp, value double",
+    )
+    out = {
+        r["user_id"]: r
+        for r in point_in_time_features(
+            spine,
+            [
+                {"df": views, "on": "user_id", "prefix": "v_"},
+                {"df": clicks, "on": "user_id", "prefix": "c_"},
+            ],
+            allow_exact_matches=False,
+        ).collect()
+    }
+    assert out[1]["v_value"] == 7.0  # the 99.0 at the label instant is unseen
+    assert out[1]["v_ts"] == T(2024, 1, 9)
+    assert out[1]["c_value"] == 1.0
+    assert out[2]["v_value"] is None and out[2]["c_value"] is None
+    assert out[1]["label"] == 100.0
+
+    with pytest.raises(ValueError, match="non-empty prefix"):
+        point_in_time_features(
+            spine, [{"df": views, "on": "user_id", "prefix": ""}]
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        point_in_time_features(
+            spine,
+            [
+                {"df": views, "on": "user_id", "prefix": "v_"},
+                {"df": clicks, "on": "user_id", "prefix": "v_"},
+            ],
+        )
