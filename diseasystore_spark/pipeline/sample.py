@@ -898,3 +898,56 @@ def curriculum_order(
         )
         .select(id_col, score_col, "stage", "curriculum_rank")
     )
+
+
+def group_safe_folds(
+    df: DataFrame,
+    key: str,
+    components: DataFrame,
+    k: int,
+    salt: str = "",
+    fold_col: str = "fold",
+    group_col: str = "group_id",
+) -> DataFrame:
+    """Leakage-safe k-fold cross-validation assignment — the k-fold
+    twin of :func:`group_safe_split`: every member of a near-duplicate
+    component gets the SAME fold, so no CV round ever trains on a
+    near-copy of its held-out documents. ``fold`` is the equi-width
+    range bucket of the group key's 32-bit md5 prefix
+    (``floor(h * k / 2^32)`` — exact integer math, no float rates),
+    so folds are weight-uniform in GROUPS and any external engine
+    reproduces the assignment. Keys absent from ``components`` fold
+    on their own key (singleton degradation, as in the split).
+
+    Same distributed shape as the split: ONE corpus-components
+    equi-join plus a narrow integer expression.
+
+    Output: ``df`` plus ``group_col`` and ``fold_col`` (int in
+    ``[0, k)``).
+    """
+    if k < 2:
+        raise ValueError("k must be at least 2")
+    if group_col in df.columns or fold_col in df.columns:
+        raise ValueError(
+            f"column {group_col!r}/{fold_col!r} already exists; rename"
+        )
+    gid = _temp_col(df, "__gfid")
+    comp = components.select(
+        F.col("id").alias(gid), F.col("component").alias(group_col)
+    )
+    out = (
+        df.join(comp, df[key] == F.col(gid), "left")
+        .drop(gid)
+        .withColumn(group_col, F.coalesce(F.col(group_col), F.col(key)))
+    )
+    hcol = _temp_col(out, "__gfh")
+    return (
+        out.withColumn(
+            hcol,
+            F.conv(hash_hex(F.col(group_col), salt), 16, 10).cast("bigint"),
+        )
+        .withColumn(
+            fold_col, F.expr(f"{hcol} * {k} DIV {_SPACE}").cast("int")
+        )
+        .drop(hcol)
+    )

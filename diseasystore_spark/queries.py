@@ -7409,6 +7409,82 @@ FROM p
 """
 
 
+def q146_leakage_safe_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 5-fold CV assignment
+    (``pipeline/sample.group_safe_folds``): the q37/q139 near-dup
+    components fold together — no CV round trains on a near-copy of
+    its held-out docs. Fold = equi-width range bucket of the group
+    key's 32-bit md5 prefix (exact integer ``h*k DIV 2^32``), so the
+    oracle reproduces every assignment; singletons fold on their own
+    doc_id."""
+    from diseasystore_spark.pipeline.dedup import dedup_components_text
+    from diseasystore_spark.pipeline.sample import group_safe_folds
+
+    docs = _read(spark, sf_dir, "documents")
+    cap = max(docs.count() // 10, 1)
+    comps = dedup_components_text(docs, n=3, threshold=0.2, max_df=cap)
+    out = group_safe_folds(docs, "doc_id", comps, k=5, salt="cv")
+    return out.select(
+        "doc_id", F.col("group_id").cast("bigint").alias("group_id"), "fold"
+    )
+
+
+ORACLE_Q146 = """
+WITH RECURSIVE pairs AS (
+  WITH toks AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+  ),
+  pos AS (
+    SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+    FROM toks
+  ),
+  sh0 AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+    FROM pos
+  ),
+  sh AS (
+    SELECT doc_id, shingle FROM sh0
+    QUALIFY COUNT(*) OVER (PARTITION BY shingle)
+      <= greatest((SELECT COUNT(*) FROM documents) // 10, 1)
+  ),
+  sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+  common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+comp AS (
+  SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
+),
+keyed AS (
+  SELECT d.doc_id,
+         coalesce(c.component, d.doc_id) AS group_id,
+         ('0x' || substr(md5('cv|' ||
+              coalesce(c.component, d.doc_id)::VARCHAR), 1, 8))::BIGINT AS h
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+)
+SELECT doc_id, CAST(group_id AS BIGINT) AS group_id,
+       CAST(h * 5 // 4294967296 AS INTEGER) AS fold
+FROM keyed
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7559,6 +7635,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q143_drift_psi": q143_drift_psi,
     "q144_ngram_diversity": q144_ngram_diversity,
     "q145_point_in_time_features": q145_point_in_time_features,
+    "q146_leakage_safe_folds": q146_leakage_safe_folds,
 }
 
 ORACLES: dict[str, str] = {
@@ -7706,6 +7783,7 @@ ORACLES: dict[str, str] = {
     "q143_drift_psi": ORACLE_Q143,
     "q144_ngram_diversity": ORACLE_Q144,
     "q145_point_in_time_features": ORACLE_Q145,
+    "q146_leakage_safe_folds": ORACLE_Q146,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

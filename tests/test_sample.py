@@ -662,3 +662,32 @@ def test_curriculum_order_semantics(spark):
 
     with pytest.raises(ValueError, match="n_stages"):
         curriculum_order(df, "score", n_stages=1)
+
+
+def test_group_safe_folds_component_integrity(spark):
+    """All members of a component share one fold; folds partition
+    [0,k); singletons degrade to their own-key fold; validation
+    raises."""
+    import pytest
+
+    from diseasystore_spark.pipeline.sample import group_safe_folds
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(1, 401)], "doc_id bigint"
+    )
+    comps = spark.createDataFrame(
+        [(i, (i - 1) // 4 * 4 + 1) for i in range(1, 201)],
+        "id bigint, component bigint",
+    )  # components of 4 consecutive ids; 201..400 singletons
+    out = group_safe_folds(df, "doc_id", comps, k=5, salt="cv").collect()
+    assert len(out) == 400
+    fold_of_group = {}
+    for r in out:
+        assert 0 <= r["fold"] < 5
+        g = r["group_id"]
+        assert fold_of_group.setdefault(g, r["fold"]) == r["fold"]
+    # every fold is populated at this size
+    assert {r["fold"] for r in out} == set(range(5))
+
+    with pytest.raises(ValueError, match="at least 2"):
+        group_safe_folds(df, "doc_id", comps, k=1)
