@@ -10,7 +10,7 @@ Pregel pattern).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -135,3 +135,152 @@ def pagerank_integer(
                 .localCheckpoint()
             )
     return pr
+
+
+def degree_matched_negatives(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    salt: str = "neg0",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Degree-matched negative sampling for link-prediction /
+    graph-embedding training: for every positive edge ``(a, b)``,
+    emit one deterministic candidate negative ``(a, b')`` where
+    ``b'`` shares ``b``'s log2-degree bucket — the standard
+    debiasing (uniform negatives make the model learn "popular nodes
+    are linked", degree-matched ones force structure) — and drop
+    candidates that collide with a REAL edge (one anti-join; the
+    resulting slight undersampling is the documented trade of
+    one-shot relational sampling vs. a resample loop).
+
+    Determinism: within each degree bucket, nodes are ranked by
+    ``(md5(salt|node), node)``; the negative for ``(a, b)`` is the
+    node at ``(rank(b) + 1 + md5(salt|a|b) mod (m-1)) mod m`` where
+    ``m`` is the bucket size — a pure function of the edge set and
+    ``salt`` (vary per epoch), never equal to ``b`` itself, and
+    reproducible in any SQL engine.
+
+    Scale shape: degrees are one combinable groupBy over the
+    (undirected) edge list; the per-bucket rank uses the two-level
+    distributed rank over composite (degree-bucket × hash-bucket)
+    keys — no giant single window even when one degree class holds
+    most nodes (the degree-1 bucket usually does); candidate lookup
+    is one equi-join on (bucket, rank); the realness check is one
+    ``left_anti`` on (src, dst). Nothing is ever quadratic in nodes.
+
+    Output: ``(src, pos_dst, neg_dst, degree_bucket int)`` — one row
+    per positive edge whose candidate survived the collision check.
+    """
+    from diseasystore_spark.pipeline.sample import _SPACE, hash_hex
+
+    if buckets <= 0 or (buckets & (buckets - 1)) != 0 or buckets > _SPACE:
+        raise ValueError(
+            f"buckets must be a positive power of two <= 2^32, got {buckets}"
+        )
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    )
+    und = e.unionByName(
+        e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
+    ).distinct()
+    deg = und.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__deg")
+    )
+    nodes = deg.select(
+        F.col("__s").alias("__node"),
+        F.floor(F.log2("__deg")).cast("int").alias("__db"),
+    )
+    # two-level rank of nodes within their degree bucket, ordered by
+    # (hash, node): composite key (degree bucket, hash sub-bucket)
+    width = _SPACE // buckets
+    h = F.conv(hash_hex(F.col("__node"), salt), 16, 10).cast("bigint")
+    nb = nodes.withColumn("__h", h).withColumn(
+        "__cb",
+        F.col("__db").cast("bigint") * buckets + F.expr(f"__h DIV {width}"),
+    )
+    counts = nb.groupBy("__db", "__cb").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    gw = (
+        Window.partitionBy("__db")
+        .orderBy("__cb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = counts.select(
+        "__cb",
+        F.coalesce(F.sum("__n").over(gw), F.lit(0)).alias("__prefix"),
+    )
+    iw = Window.partitionBy("__cb").orderBy("__h", "__node")
+    ranked = (
+        nb.join(F.broadcast(prefixes), "__cb")
+        .withColumn(
+            "__r",
+            (F.col("__prefix") + F.row_number().over(iw) - 1).cast("bigint"),
+        )
+        .select("__node", "__db", "__r")
+    )
+    msize = ranked.groupBy("__db").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__m")
+    )
+    # positive edges annotated with dst's bucket/rank and the offset
+    eh = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}|"),
+                    F.col("__s").cast("string"),
+                    F.lit("|"),
+                    F.col("__d").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    pos = (
+        e.join(
+            ranked.select(
+                F.col("__node").alias("__d"),
+                "__db",
+                F.col("__r").alias("__rb"),
+            ),
+            "__d",
+        )
+        .join(F.broadcast(msize), "__db")
+        .where(F.col("__m") > 1)
+        .withColumn("__eh", eh)
+        .withColumn(
+            "__nr",
+            (
+                F.col("__rb") + F.lit(1) + F.pmod("__eh", F.col("__m") - 1)
+            )
+            % F.col("__m"),
+        )
+    )
+    cand = pos.join(
+        ranked.select(
+            F.col("__db"),
+            F.col("__r").alias("__nr"),
+            F.col("__node").alias("neg_dst"),
+        ),
+        ["__db", "__nr"],
+    )
+    out = cand.select(
+        F.col("__s").alias("src"),
+        F.col("__d").alias("pos_dst"),
+        "neg_dst",
+        F.col("__db").alias("degree_bucket"),
+    )
+    # drop candidates that are REAL edges (undirected check) and
+    # self-negatives (the bucket walk can land on the source node
+    # itself — a self-loop is not a valid negative either)
+    return out.where(F.col("neg_dst") != F.col("src")).join(
+        und.select(
+            F.col("__s").alias("src"), F.col("__d").alias("neg_dst")
+        ),
+        ["src", "neg_dst"],
+        "left_anti",
+    )

@@ -7485,6 +7485,76 @@ FROM keyed
 """
 
 
+def q147_degree_matched_negatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree-matched negative sampling
+    (``pipeline/graph.degree_matched_negatives``) over the co-purchase
+    part graph (q137's candidate stage): one deterministic negative
+    per positive edge, drawn from the destination's log2-degree
+    bucket via the portable md5 walk (never the node itself, never a
+    real edge) — the link-prediction training-set debias. Per-bucket
+    node ranks use the two-level distributed rank (no giant degree-1
+    window); the oracle replays every step relationally."""
+    from diseasystore_spark.pipeline.graph import degree_matched_negatives
+
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.selectExpr("l_orderkey", "l_partkey AS s")
+    b = li.selectExpr("l_orderkey", "l_partkey AS d")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("s") < F.col("d"))
+        .select("s", "d")
+        .distinct()
+    )
+    return degree_matched_negatives(edges, src="s", dst="d", salt="neg0")
+
+
+ORACLE_Q147 = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+und AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+deg AS (SELECT s AS node, count(*) AS dg FROM und GROUP BY 1),
+nodes AS (
+  SELECT node, CAST(floor(log2(dg)) AS INTEGER) AS db,
+         ('0x' || substr(md5('neg0|' || node::VARCHAR), 1, 8))::BIGINT AS h
+  FROM deg
+),
+ranked AS (
+  SELECT node, db, h,
+         row_number() OVER (PARTITION BY db ORDER BY h, node) - 1 AS r
+  FROM nodes
+),
+msize AS (SELECT db, count(*) AS m FROM ranked GROUP BY 1),
+pos AS (
+  SELECT e.s, e.d, rk.db, rk.r AS rb, ms.m,
+         ('0x' || substr(md5('neg0|' || e.s::VARCHAR || '|'
+                              || e.d::VARCHAR), 1, 8))::BIGINT AS eh
+  FROM e
+  JOIN ranked rk ON rk.node = e.d
+  JOIN msize ms ON ms.db = rk.db
+  WHERE ms.m > 1
+),
+cand AS (
+  SELECT pos.s AS src, pos.d AS pos_dst, nb.node AS neg_dst,
+         pos.db AS degree_bucket
+  FROM pos
+  JOIN ranked nb
+    ON nb.db = pos.db
+   AND nb.r = (pos.rb + 1 + pos.eh % (pos.m - 1)) % pos.m
+)
+SELECT src, pos_dst, neg_dst, CAST(degree_bucket AS INTEGER) AS degree_bucket
+FROM cand
+WHERE neg_dst <> src
+  AND NOT EXISTS (
+    SELECT 1 FROM und WHERE und.s = cand.src AND und.d = cand.neg_dst
+  )
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7636,6 +7706,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q144_ngram_diversity": q144_ngram_diversity,
     "q145_point_in_time_features": q145_point_in_time_features,
     "q146_leakage_safe_folds": q146_leakage_safe_folds,
+    "q147_degree_matched_negatives": q147_degree_matched_negatives,
 }
 
 ORACLES: dict[str, str] = {
@@ -7784,6 +7855,7 @@ ORACLES: dict[str, str] = {
     "q144_ngram_diversity": ORACLE_Q144,
     "q145_point_in_time_features": ORACLE_Q145,
     "q146_leakage_safe_folds": ORACLE_Q146,
+    "q147_degree_matched_negatives": ORACLE_Q147,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

@@ -2425,3 +2425,38 @@ def test_corpus_ngram_diversity_degenerate_vs_diverse(spark):
 
     with pytest.raises(ValueError, match="at least one"):
         corpus_ngram_diversity(df, ns=())
+
+
+def test_degree_matched_negatives_contract(spark):
+    """Every emitted negative: (1) shares the positive destination's
+    log2-degree bucket, (2) is not a real (undirected) edge, (3) is
+    not the source itself, (4) is a pure function of (edges, salt) —
+    and a different salt yields a different draw somewhere."""
+    import math
+
+    from diseasystore_spark.pipeline.graph import degree_matched_negatives
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (5, 6), (7, 8), (9, 10),
+         (1, 5), (2, 6), (3, 7), (4, 9), (6, 10)],
+        "src bigint, dst bigint",
+    )
+    e = {(r["src"], r["dst"]) for r in edges.collect()}
+    und = e | {(b, a) for a, b in e}
+    deg: dict[int, int] = {}
+    for a, _b in und:
+        deg[a] = deg.get(a, 0) + 1
+
+    out = degree_matched_negatives(edges).collect()
+    assert out, "no negatives emitted"
+    for r in out:
+        assert (r["src"], r["pos_dst"]) in e
+        assert (r["src"], r["neg_dst"]) not in und
+        assert r["neg_dst"] != r["src"]
+        assert r["degree_bucket"] == int(math.floor(math.log2(deg[r["pos_dst"]])))
+        assert int(math.floor(math.log2(deg[r["neg_dst"]]))) == r["degree_bucket"]
+
+    again = degree_matched_negatives(edges).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = degree_matched_negatives(edges, salt="neg1").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
