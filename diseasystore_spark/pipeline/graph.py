@@ -181,9 +181,18 @@ def degree_matched_negatives(
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).where(
         F.col(src).isNotNull() & F.col(dst).isNotNull()
     )
-    und = e.unionByName(
-        e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
-    ).distinct()
+    # localCheckpoint: the undirected edge list feeds the degree agg
+    # AND the final realness anti-join, and the ranked-node frame is
+    # probed twice — without pinning, Catalyst re-derives the whole
+    # subtree per consumer (measured ~15 re-scans of the input on the
+    # q147 shape). Same bounded-frame pattern as pipeline/dedup.py.
+    und = (
+        e.unionByName(
+            e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     deg = und.groupBy("__s").agg(
         F.count(F.lit(1)).cast("bigint").alias("__deg")
     )
@@ -219,6 +228,7 @@ def degree_matched_negatives(
             (F.col("__prefix") + F.row_number().over(iw) - 1).cast("bigint"),
         )
         .select("__node", "__db", "__r")
+        .localCheckpoint()
     )
     msize = ranked.groupBy("__db").agg(
         F.count(F.lit(1)).cast("bigint").alias("__m")
