@@ -890,20 +890,29 @@ class ParquetFeatureStore:
             if changed_months is not None and prev is not None:
                 prev_dir = self._version_dir(table_id, prev)
                 changed_set = {f"{PARTITION_COL}={m}" for m in changed_months}
-                for entry in os.listdir(prev_dir):
-                    if (
-                        entry.startswith(f"{PARTITION_COL}=")
-                        and entry not in changed_set
-                    ):
-                        src = os.path.join(prev_dir, entry)
-                        dst = os.path.join(out_dir, entry)
-                        os.makedirs(dst, exist_ok=True)
-                        for fname in os.listdir(src):
-                            if fname.endswith(".parquet"):
-                                os.link(
-                                    os.path.join(src, fname),
-                                    os.path.join(dst, fname),
-                                )
+                try:
+                    for entry in os.listdir(prev_dir):
+                        if (
+                            entry.startswith(f"{PARTITION_COL}=")
+                            and entry not in changed_set
+                        ):
+                            src = os.path.join(prev_dir, entry)
+                            dst = os.path.join(out_dir, entry)
+                            os.makedirs(dst, exist_ok=True)
+                            for fname in os.listdir(src):
+                                if fname.endswith(".parquet"):
+                                    os.link(
+                                        os.path.join(src, fname),
+                                        os.path.join(dst, fname),
+                                    )
+                except FileNotFoundError:
+                    # The previous version vanished mid-link: concurrent
+                    # writers advanced the table by 2+ versions and GC
+                    # collected it. Our commit for `version` is doomed
+                    # to lose the conditional put anyway — surface the
+                    # same retryable conflict instead of a torn error.
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                    raise CommitConflictError(table_id, version)
         else:
             new_table.write.mode("overwrite").parquet(out_dir)
         self._write_stats(table_id, out_dir)

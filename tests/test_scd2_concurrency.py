@@ -185,3 +185,56 @@ def test_legacy_pointer_layout_still_readable(spark, store_root):
     assert os.path.isdir(os.path.join(tdir, "_commits"))
     assert _snap(be, T(2024, 1, 5)) == {("a", 1.0)}
     assert _snap(be, T(2024, 1, 6)) == {("a", 2.0)}
+
+
+def test_vanished_previous_version_surfaces_as_retryable_conflict(
+    spark, store_root, monkeypatch
+):
+    """Partitioned hard-link rewrite: if the previous version's data
+    directory is GC'd mid-link by concurrent writers two-plus commits
+    ahead, the writer must surface the retryable CommitConflictError
+    (the retry then re-reads the advanced table), never a raw
+    FileNotFoundError, and must clean its orphan directory."""
+    import datetime
+
+    be = ParquetFeatureStore(
+        spark, store_root, partition_granularity="month"
+    )
+
+    def _pdf(rows):
+        return spark.createDataFrame(
+            rows, "key_id string, v double, valid_from date, valid_until date"
+        )
+
+    D = datetime.date
+    rows = [("a", 1.0, D(2020, 1, 10), D(2020, 1, 20)),
+            ("b", 2.0, D(2020, 2, 10), D(2020, 2, 20))]
+    be.update_snapshot(_pdf(rows), "ds.t", T(2024, 1, 1))
+
+    real_listdir = os.listdir
+    state = {"nuked": False}
+    prev_dir = be._version_dir("ds.t", 1)
+
+    def nuking_listdir(path):
+        # simulate the concurrent GC the first time the link loop
+        # lists the previous version's directory
+        if os.path.abspath(path) == os.path.abspath(prev_dir) and not state["nuked"]:
+            state["nuked"] = True
+            import shutil
+
+            shutil.rmtree(prev_dir, ignore_errors=True)
+        return real_listdir(path)
+
+    monkeypatch.setattr(os, "listdir", nuking_listdir)
+    rows2 = [("a", 9.0, D(2020, 1, 10), D(2020, 1, 20)),
+             ("b", 2.0, D(2020, 2, 10), D(2020, 2, 20))]
+    with pytest.raises(CommitConflictError):
+        be._update_snapshot_attempt(
+            _pdf(rows2), "ds.t", T(2024, 1, 2),
+            written_range=(D(2020, 1, 1), D(2020, 1, 31)),
+        )
+    monkeypatch.setattr(os, "listdir", real_listdir)
+    # no orphan _v2 attempt dirs left behind
+    tdir = os.path.join(store_root, "ds", "t")
+    orphans = [e for e in os.listdir(tdir) if e.startswith("_v2")]
+    assert orphans == []
