@@ -92,3 +92,130 @@ def rrf_fuse(
     if top is not None:
         out = out.where(F.col("fused_rank") <= int(top))
     return out
+
+
+def bradley_terry_integer(
+    comparisons: DataFrame,
+    winner: str = "winner",
+    loser: str = "loser",
+    iterations: int = 3,
+    scale: int = 10**6,
+    precision: int = 10**12,
+) -> DataFrame:
+    """Bradley-Terry strength estimation from pairwise preference
+    data — the aggregation step of preference/RLHF data curation
+    (which completions, documents, or annotators win head-to-heads):
+    ``P(i beats j) = s_i / (s_i + s_j)``, fitted with the classical
+    MM update
+
+        s_i' = W_i / Σ_j n_ij / (s_i + s_j)
+
+    run for a FIXED number of iterations in scaled-INTEGER arithmetic
+    (strengths in ``scale`` micro-units, each division a bigint
+    ``div`` with a ``precision`` pre-scale), so every step is exact,
+    order-independent, and bit-reproducible in any SQL engine — the
+    same determinism design as ``graph.pagerank_integer``. Strengths
+    are clamped to ≥ 1 micro-unit per iteration (an item that never
+    wins has MLE 0; the clamp keeps later denominators defined).
+    The MM update is scale-free, so no renormalization is applied —
+    compare strengths by ratio, not absolutely.
+
+    Self-comparisons and NULL endpoints are dropped. Items appearing
+    only as losers still get rows (strength clamps to the floor).
+
+    Scale shape: the comparison stream collapses ONCE to the
+    canonical pair table ``(i, j, n_ij, w_ij)`` (combinable groupBy);
+    each iteration is two equi-joins of that pair table with the
+    item-strength frame (endpoint lookups, the Pregel message shape)
+    plus one combinable groupBy — and the strength frame is
+    ``localCheckpoint``-ed per round (lineage truncation, as in
+    PageRank). Work per iteration is O(|pairs|), never items².
+
+    Overflow bound: ``W_i * precision`` must fit int64 — with the
+    defaults, up to ~9 million wins per item.
+
+    Output: ``(item, games bigint, wins bigint, strength bigint)``
+    with ``strength`` in micro-units.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be at least 1")
+    raw = comparisons.select(
+        F.col(winner).alias("__w"), F.col(loser).alias("__l")
+    ).where(
+        F.col(winner).isNotNull()
+        & F.col(loser).isNotNull()
+        & (F.col(winner) != F.col(loser))
+    )
+    # directed win counts, then the undirected game table
+    wl = raw.groupBy("__w", "__l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    und = (
+        wl.selectExpr("__w AS __i", "__l AS __j", "__n AS __wins")
+        .unionByName(
+            wl.selectExpr(
+                "__l AS __i", "__w AS __j", "CAST(0 AS BIGINT) AS __wins"
+            )
+        )
+        .groupBy("__i", "__j")
+        .agg(
+            F.sum("__wins").cast("bigint").alias("__wij"),
+            F.count(F.lit(1)).cast("bigint").alias("__dirs"),
+        )
+    )
+    # n_ij = total games between i and j (wins of i + wins of j)
+    games = und.alias("a").join(
+        und.selectExpr("__i AS __j2", "__j AS __i2", "__wij AS __wji"),
+        (F.col("a.__i") == F.col("__i2")) & (F.col("a.__j") == F.col("__j2")),
+        "left",
+    ).select(
+        F.col("a.__i").alias("__i"),
+        F.col("a.__j").alias("__j"),
+        (F.col("a.__wij") + F.coalesce(F.col("__wji"), F.lit(0)))
+        .cast("bigint")
+        .alias("__nij"),
+        F.col("a.__wij").alias("__wij"),
+    ).localCheckpoint()
+    items = games.groupBy("__i").agg(
+        F.sum("__nij").cast("bigint").alias("games"),
+        F.sum("__wij").cast("bigint").alias("wins"),
+    ).localCheckpoint()
+    s = items.select(
+        "__i", F.lit(int(scale)).cast("bigint").alias("__s")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        si = s.selectExpr("__i AS __si_key", "__s AS __si")
+        sj = s.selectExpr("__i AS __sj_key", "__s AS __sj")
+        denom = (
+            games.join(si, games["__i"] == F.col("__si_key"))
+            .join(sj, games["__j"] == F.col("__sj_key"))
+            .select(
+                "__i",
+                F.expr(
+                    f"__nij * CAST({precision} AS BIGINT)"
+                    " div (__si + __sj)"
+                ).alias("__t"),
+            )
+            .groupBy("__i")
+            .agg(F.sum("__t").cast("bigint").alias("__d"))
+        )
+        s = (
+            items.join(denom, "__i")
+            .select(
+                "__i",
+                F.expr(
+                    f"greatest(wins * CAST({precision} AS BIGINT)"
+                    " div __d, CAST(1 AS BIGINT))"
+                ).alias("__s"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        items.join(s, "__i")
+        .select(
+            F.col("__i").alias("item"),
+            "games",
+            "wins",
+            F.col("__s").alias("strength"),
+        )
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["validate_contract", "distribution_drift_psi"]
+__all__ = ["validate_contract", "distribution_drift_psi", "annotator_agreement"]
 
 
 def _viol(cond: Column) -> Column:
@@ -210,5 +210,65 @@ def distribution_drift_psi(
             p.alias("ref_share"),
             q.alias("cur_share"),
             ((q - p) * F.log(q / p)).alias("psi_term"),
+        )
+    )
+
+
+def annotator_agreement(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cohen's kappa between two label columns — the labeled-data QA
+    gate (rater-vs-rater, model-vs-gold, or heuristic-vs-heuristic
+    agreement, chance-corrected): ``kappa = (p_o - p_e) / (1 - p_e)``
+    with observed agreement ``p_o`` and the chance agreement ``p_e``
+    implied by the two marginal label distributions. Rows where
+    either label is NULL are excluded (no agreement is defined).
+
+    Output: ONE row — ``(n bigint, observed_agreement double,
+    expected_agreement double, kappa double)``. All three doubles
+    derive from exact bigint counts (diagonal count and per-label
+    marginal products), so any SQL engine reproduces them bit-exactly.
+    Perfect agreement over a single label is returned as kappa = 1.0
+    (the 0/0 chance-correction case, resolved by convention).
+
+    Scale shape: one combinable groupBy on the (label_a, label_b)
+    pair — the confusion matrix, label-cardinality-sized — then
+    label-count-sized joins; nothing data-sized shuffles twice.
+    """
+    pairs = df.select(
+        F.col(col_a).cast("string").alias("__a"),
+        F.col(col_b).cast("string").alias("__b"),
+    ).where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    conf = pairs.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    tot = conf.agg(
+        F.sum("__c").alias("__n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))).alias(
+            "__diag"
+        ),
+    )
+    ra = conf.groupBy("__a").agg(F.sum("__c").alias("__ra"))
+    cb = conf.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    # chance-agreement numerator: sum over labels of row*col marginals
+    pe_num = (
+        ra.join(cb, ra["__a"] == cb["__b"])
+        .agg(F.sum(F.col("__ra") * F.col("__cb")).alias("__pe_num"))
+    )
+    po = F.coalesce(F.col("__diag"), F.lit(0)) / F.col("__n").cast("double")
+    pe = F.coalesce(F.col("__pe_num"), F.lit(0)) / (
+        F.col("__n") * F.col("__n")
+    ).cast("double")
+    return (
+        tot.crossJoin(F.broadcast(pe_num))
+        .select(
+            F.col("__n").cast("bigint").alias("n"),
+            po.alias("observed_agreement"),
+            pe.alias("expected_agreement"),
+            F.when(pe >= 1.0, F.lit(1.0))
+            .otherwise((po - pe) / (F.lit(1.0) - pe))
+            .alias("kappa"),
         )
     )

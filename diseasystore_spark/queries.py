@@ -7555,6 +7555,153 @@ WHERE neg_dst <> src
 """
 
 
+def q148_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (``pipeline/validate.annotator_agreement``)
+    between two deterministic document 'annotators': a length rule
+    (n_chars >= 400) and a token-count rule (>= 60 whitespace
+    tokens) — correlated-but-not-identical quality verdicts, the
+    labeled-data QA shape. One confusion-matrix groupBy; all doubles
+    derive from exact bigint counts, so DuckDB reproduces kappa
+    bit-exactly."""
+    from diseasystore_spark.pipeline.validate import annotator_agreement
+
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.col("n_chars") >= 400).alias("long_doc"),
+        (
+            F.size(F.expr(r"filter(split(trim(text), '\\s+'), t -> t != '')"))
+            >= 60
+        ).alias("many_tokens"),
+    )
+    return annotator_agreement(docs, "long_doc", "many_tokens")
+
+
+ORACLE_Q148 = r"""
+WITH lab AS (
+  SELECT CAST(n_chars >= 400 AS VARCHAR) AS a,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              t -> t <> '')) >= 60 AS VARCHAR) AS b
+  FROM documents
+  WHERE n_chars IS NOT NULL AND text IS NOT NULL
+),
+conf AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM lab GROUP BY 1, 2),
+tot AS (
+  SELECT sum(c) AS n,
+         sum(CASE WHEN a = b THEN c END) AS diag
+  FROM conf
+),
+ra AS (SELECT a, sum(c) AS ra FROM conf GROUP BY 1),
+cb AS (SELECT b, sum(c) AS cb FROM conf GROUP BY 1),
+pe AS (
+  SELECT sum(ra.ra * cb.cb) AS pe_num
+  FROM ra JOIN cb ON ra.a = cb.b
+)
+SELECT CAST(n AS BIGINT) AS n,
+       coalesce(diag, 0) / CAST(n AS DOUBLE) AS observed_agreement,
+       coalesce(pe_num, 0) / CAST(n * n AS DOUBLE) AS expected_agreement,
+       CASE WHEN coalesce(pe_num, 0) / CAST(n * n AS DOUBLE) >= 1.0
+            THEN 1.0
+            ELSE (coalesce(diag, 0) / CAST(n AS DOUBLE)
+                  - coalesce(pe_num, 0) / CAST(n * n AS DOUBLE))
+                 / (1.0 - coalesce(pe_num, 0) / CAST(n * n AS DOUBLE))
+       END AS kappa
+FROM tot, pe
+"""
+
+
+def q149_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference aggregation
+    (``pipeline/ranking.bradley_terry_integer``): within every order,
+    the higher-quantity part 'beats' the lower (ties skipped) — a
+    deterministic pairwise-preference corpus over parts — then 3
+    integer-exact MM iterations produce strengths reproducible
+    bit-for-bit by the oracle's nested-CTE replay. The preference-
+    data aggregation primitive of RLHF-style curation (which
+    completions win head-to-heads), in the same scaled-integer
+    determinism family as q111's PageRank."""
+    from diseasystore_spark.pipeline.ranking import bradley_terry_integer
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    a = li.selectExpr("l_orderkey", "l_partkey AS pa", "l_quantity AS qa")
+    b = li.selectExpr("l_orderkey", "l_partkey AS pb", "l_quantity AS qb")
+    cmp = (
+        a.join(b, "l_orderkey")
+        .where((F.col("pa") < F.col("pb")) & (F.col("qa") != F.col("qb")))
+        .select(
+            F.when(F.col("qa") > F.col("qb"), F.col("pa"))
+            .otherwise(F.col("pb"))
+            .alias("winner"),
+            F.when(F.col("qa") > F.col("qb"), F.col("pb"))
+            .otherwise(F.col("pa"))
+            .alias("loser"),
+        )
+    )
+    return bradley_terry_integer(cmp, iterations=3)
+
+
+ORACLE_Q149 = """
+WITH cmp AS (
+  SELECT CASE WHEN a.l_quantity > b.l_quantity
+              THEN a.l_partkey ELSE b.l_partkey END AS w,
+         CASE WHEN a.l_quantity > b.l_quantity
+              THEN b.l_partkey ELSE a.l_partkey END AS l
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey
+   AND a.l_partkey < b.l_partkey
+   AND a.l_quantity <> b.l_quantity
+),
+wl AS (SELECT w, l, CAST(count(*) AS BIGINT) AS n FROM cmp GROUP BY 1, 2),
+und AS (
+  SELECT i, j, CAST(sum(wins) AS BIGINT) AS wij FROM (
+    SELECT w AS i, l AS j, n AS wins FROM wl
+    UNION ALL
+    SELECT l, w, CAST(0 AS BIGINT) FROM wl
+  ) GROUP BY 1, 2
+),
+games AS (
+  SELECT a.i, a.j, a.wij + coalesce(b.wij, 0) AS nij, a.wij
+  FROM und a LEFT JOIN und b ON a.i = b.j AND a.j = b.i
+),
+items AS (
+  SELECT i, CAST(sum(nij) AS BIGINT) AS games,
+         CAST(sum(wij) AS BIGINT) AS wins
+  FROM games GROUP BY 1
+),
+s0 AS (SELECT i, CAST(1000000 AS BIGINT) AS s FROM items),
+d1 AS (
+  SELECT g.i, sum(g.nij * 1000000000000 // (si.s + sj.s)) AS d
+  FROM games g JOIN s0 si ON g.i = si.i JOIN s0 sj ON g.j = sj.i
+  GROUP BY 1
+),
+s1 AS (
+  SELECT items.i, greatest(items.wins * 1000000000000 // d1.d, 1) AS s
+  FROM items JOIN d1 ON items.i = d1.i
+),
+d2 AS (
+  SELECT g.i, sum(g.nij * 1000000000000 // (si.s + sj.s)) AS d
+  FROM games g JOIN s1 si ON g.i = si.i JOIN s1 sj ON g.j = sj.i
+  GROUP BY 1
+),
+s2 AS (
+  SELECT items.i, greatest(items.wins * 1000000000000 // d2.d, 1) AS s
+  FROM items JOIN d2 ON items.i = d2.i
+),
+d3 AS (
+  SELECT g.i, sum(g.nij * 1000000000000 // (si.s + sj.s)) AS d
+  FROM games g JOIN s2 si ON g.i = si.i JOIN s2 sj ON g.j = sj.i
+  GROUP BY 1
+),
+s3 AS (
+  SELECT items.i, greatest(items.wins * 1000000000000 // d3.d, 1) AS s
+  FROM items JOIN d3 ON items.i = d3.i
+)
+SELECT items.i AS item, items.games, items.wins,
+       CAST(s3.s AS BIGINT) AS strength
+FROM items JOIN s3 ON items.i = s3.i
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7707,6 +7854,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q145_point_in_time_features": q145_point_in_time_features,
     "q146_leakage_safe_folds": q146_leakage_safe_folds,
     "q147_degree_matched_negatives": q147_degree_matched_negatives,
+    "q148_annotator_agreement": q148_annotator_agreement,
+    "q149_bradley_terry": q149_bradley_terry,
 }
 
 ORACLES: dict[str, str] = {
@@ -7856,6 +8005,8 @@ ORACLES: dict[str, str] = {
     "q145_point_in_time_features": ORACLE_Q145,
     "q146_leakage_safe_folds": ORACLE_Q146,
     "q147_degree_matched_negatives": ORACLE_Q147,
+    "q148_annotator_agreement": ORACLE_Q148,
+    "q149_bradley_terry": ORACLE_Q149,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

@@ -2460,3 +2460,61 @@ def test_degree_matched_negatives_contract(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
     other = degree_matched_negatives(edges, salt="neg1").collect()
     assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_annotator_agreement_known_values(spark):
+    """Hand-computed 2x2 kappa; perfect agreement = 1 (including the
+    single-label 0/0 convention); NULL-labeled rows excluded."""
+    from diseasystore_spark.pipeline.validate import annotator_agreement
+
+    # confusion: yes/yes 20, yes/no 5, no/yes 10, no/no 15
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+        + [(None, "y"), ("y", None)]
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = annotator_agreement(df, "a", "b").collect()[0]
+    assert r["n"] == 50
+    po = 35 / 50
+    pe = (25 * 30 + 25 * 20) / 50**2
+    assert abs(r["observed_agreement"] - po) < 1e-12
+    assert abs(r["expected_agreement"] - pe) < 1e-12
+    assert abs(r["kappa"] - (po - pe) / (1 - pe)) < 1e-12
+
+    same = spark.createDataFrame([("x", "x")] * 9, "a string, b string")
+    r2 = annotator_agreement(same, "a", "b").collect()[0]
+    assert r2["kappa"] == 1.0  # pe == 1 convention
+
+
+def test_bradley_terry_orders_strengths_correctly(spark):
+    """A dominant item ends strongest, a never-winner clamps to the
+    floor, a balanced pair ties exactly, and the fit is deterministic."""
+    from diseasystore_spark.pipeline.ranking import bradley_terry_integer
+
+    rows = (
+        [("A", "B")] * 8 + [("B", "A")] * 2   # A >> B
+        + [("B", "C")] * 9 + [("C", "B")] * 1  # B >> C
+        + [("A", "C")] * 10                    # C never beats A
+        + [("D", "E")] * 5 + [("E", "D")] * 5  # balanced pair
+    )
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    out = {r["item"]: r for r in bradley_terry_integer(df).collect()}
+    assert set(out) == {"A", "B", "C", "D", "E"}
+    assert out["A"]["strength"] > out["B"]["strength"] > out["C"]["strength"]
+    assert out["D"]["strength"] == out["E"]["strength"]
+    assert out["A"]["games"] == 20 and out["A"]["wins"] == 18
+    again = {r["item"]: r["strength"] for r in bradley_terry_integer(df).collect()}
+    assert again == {k: v["strength"] for k, v in out.items()}
+
+    solo_loss = spark.createDataFrame(
+        [("W", "L")] * 3, "winner string, loser string"
+    )
+    o2 = {r["item"]: r for r in bradley_terry_integer(solo_loss).collect()}
+    assert o2["L"]["strength"] == 1  # clamped floor, not div-by-zero
+    assert o2["W"]["strength"] > o2["L"]["strength"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="iterations"):
+        bradley_terry_integer(df, iterations=0)
