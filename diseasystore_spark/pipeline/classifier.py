@@ -94,3 +94,67 @@ def score_quality(
         vector_to_array(F.col("probability"))[1].alias(score_col),
         (F.col("prediction") == 1.0).alias("predicted_keep"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier — the
+    calibration QA every quality/toxicity scorer needs before its
+    scores gate a corpus (an over-confident filter silently shifts
+    the kept distribution): scores in ``[0, 1]`` are cut into
+    ``n_bins`` equi-WIDTH bins (``floor(score * n_bins)``, top edge
+    clamped into the last bin — the standard ECE binning, fixed-width
+    so bins are comparable across models), and each bin reports its
+    size, mean score (confidence), and observed positive rate.
+    ``sum(n * |mean_score - pos_rate|) / sum(n)`` is the expected
+    calibration error; per-bin rows are emitted so the caller sees
+    WHERE the scorer is miscalibrated.
+
+    Means are exact-integer derived: scores are aggregated as
+    micro-unit bigints (``floor(score * 1e6)``), so the output
+    doubles are reproducible bit-for-bit in any SQL engine at the
+    cost of 1e-6 quantization of the confidence mean (far below any
+    calibration signal). NULL scores/labels are excluded; scores
+    outside [0, 1] raise (they are not probabilities).
+
+    Scale shape: one JVM-side bin projection + one combinable groupBy
+    on the ``n_bins``-ary key. Output: ``(bin int, n bigint,
+    mean_score double, pos_rate double)``.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be at least 2")
+    base = df.select(
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(label_col).cast("boolean").alias("__y"),
+    ).where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    guarded = base.withColumn(
+        "__s",
+        F.when(
+            (F.col("__s") >= 0.0) & (F.col("__s") <= 1.0), F.col("__s")
+        ).otherwise(
+            F.assert_true(
+                F.lit(False), F.lit("calibration_bins: score outside [0, 1]")
+            ).cast("double")
+        ),
+    )
+    binned = guarded.select(
+        F.least(
+            F.floor(F.col("__s") * n_bins).cast("int"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        F.floor(F.col("__s") * 1_000_000).cast("bigint").alias("__sm"),
+        F.col("__y").cast("int").alias("__yi"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum("__sm").cast("double")
+            / (F.count(F.lit(1)) * 1_000_000).cast("double")
+        ).alias("mean_score"),
+        (
+            F.sum("__yi").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("pos_rate"),
+    )

@@ -7702,6 +7702,49 @@ FROM items JOIN s3 ON items.i = s3.i
 """
 
 
+def q150_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration / reliability bins
+    (``pipeline/classifier.calibration_bins``): a deterministic
+    length-based score (``least(n_chars, 1000)/1000``) against the
+    many-tokens label (≥ 60 whitespace tokens) — correlated but not
+    identical, so the bins show real mis-calibration structure. Equi-
+    width ECE binning, micro-integer mean derivation; one combinable
+    groupBy on the 10-ary bin key."""
+    from diseasystore_spark.pipeline.classifier import calibration_bins
+
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.least(F.col("n_chars"), F.lit(1000)) / F.lit(1000.0)).alias(
+            "score"
+        ),
+        (
+            F.size(F.expr(r"filter(split(trim(text), '\\s+'), t -> t != '')"))
+            >= 60
+        ).alias("label"),
+    )
+    return calibration_bins(docs, "score", "label", n_bins=10)
+
+
+ORACLE_Q150 = r"""
+WITH base AS (
+  SELECT least(n_chars, 1000) / 1000.0 AS s,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> t <> '')) >= 60 AS y
+  FROM documents
+  WHERE n_chars IS NOT NULL AND text IS NOT NULL
+),
+b AS (
+  SELECT least(CAST(floor(s * 10) AS INTEGER), 9) AS bin,
+         CAST(floor(s * 1000000) AS BIGINT) AS sm,
+         CAST(y AS INTEGER) AS yi
+  FROM base
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(sm) AS DOUBLE) / (count(*) * 1000000.0) AS mean_score,
+       sum(yi) / CAST(count(*) AS DOUBLE) AS pos_rate
+FROM b GROUP BY bin
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7856,6 +7899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q147_degree_matched_negatives": q147_degree_matched_negatives,
     "q148_annotator_agreement": q148_annotator_agreement,
     "q149_bradley_terry": q149_bradley_terry,
+    "q150_calibration_bins": q150_calibration_bins,
 }
 
 ORACLES: dict[str, str] = {
@@ -8007,6 +8051,7 @@ ORACLES: dict[str, str] = {
     "q147_degree_matched_negatives": ORACLE_Q147,
     "q148_annotator_agreement": ORACLE_Q148,
     "q149_bradley_terry": ORACLE_Q149,
+    "q150_calibration_bins": ORACLE_Q150,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

@@ -48,3 +48,37 @@ def test_classifier_deterministic_fit(spark):
     c1 = train_quality_classifier(df, "label").coefficients.toArray()
     c2 = train_quality_classifier(df, "label").coefficients.toArray()
     assert (c1 == c2).all()
+
+
+def test_calibration_bins_known_values(spark):
+    """A perfectly calibrated synthetic scorer lands pos_rate ==
+    mean_score per bin (up to the micro quantization); bin edges clamp
+    1.0 into the last bin; out-of-range scores fail loud; NULLs drop."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from diseasystore_spark.pipeline.classifier import calibration_bins
+
+    # deterministic "perfectly calibrated" data: for score s = k/10,
+    # exactly k of 10 rows are positive
+    rows = []
+    for k in range(11):  # scores 0.0 .. 1.0
+        for i in range(10):
+            rows.append((k / 10.0, i < k))
+    rows.append((None, True))
+    rows.append((0.5, None))
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = {r["bin"]: r for r in calibration_bins(df, "score", "label").collect()}
+    # score 1.0 clamps into bin 9 alongside 0.9
+    assert set(out) == set(range(10))
+    assert out[9]["n"] == 20
+    for b, r in out.items():
+        assert abs(r["mean_score"] - r["pos_rate"]) < 0.06, (b, r)
+    # exact micro-derivation at bin 5: mean_score = 0.5 exactly
+    assert out[5]["mean_score"] == 0.5 and out[5]["pos_rate"] == 0.5
+
+    bad = spark.createDataFrame([(1.5, True)], "score double, label boolean")
+    with pytest.raises(Exception, match="outside"):
+        calibration_bins(bad, "score", "label").collect()
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_bins(df, "score", "label", n_bins=1)
