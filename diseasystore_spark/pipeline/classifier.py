@@ -19,7 +19,7 @@ corpus accuracy and train==retrain coefficient equality.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["QUALITY_FEATURES", "train_quality_classifier", "score_quality"]
@@ -157,4 +157,81 @@ def calibration_bins(
         (
             F.sum("__yi").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("pos_rate"),
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """ROC-AUC of a scorer against a boolean label — the
+    rank-quality companion of :func:`calibration_bins` (a filter can
+    be well-calibrated yet rank poorly and vice versa; corpus gating
+    needs both). Computed as the tie-corrected Mann-Whitney
+    statistic: with per-distinct-score positive/negative counts
+    ``p_s, n_s`` and the exclusive running negative count ``N_<s``
+    in ascending score order,
+
+        AUC = Σ_s p_s · (N_<s + n_s/2) / (P · N)
+
+    kept in EXACT integer arithmetic (the ×2 numerator) until one
+    final double division, so any SQL engine reproduces it
+    bit-for-bit. Scores are quantized to ``1/quantize`` units first
+    — that bounds the distinct-score frame at ``quantize+1`` rows
+    (the prefix window below runs over THAT frame, never the corpus,
+    the q122 equi-depth-histogram pattern) and perturbs AUC by at
+    most the mass of pairs split across a quantization boundary
+    (< 1e-6 resolution at the default).
+
+    NULL scores/labels are excluded; a frame with no positives or no
+    negatives raises (AUC is undefined) via a fail-loud assert fused
+    into the output expression.
+
+    Output: ONE row — ``(n_pos bigint, n_neg bigint, auc double)``.
+    """
+    if quantize < 2:
+        raise ValueError("quantize must be at least 2")
+    base = df.select(
+        F.floor(F.col(score_col).cast("double") * quantize)
+        .cast("bigint")
+        .alias("__q"),
+        F.col(label_col).cast("boolean").alias("__y"),
+    ).where(F.col("__q").isNotNull() & F.col("__y").isNotNull())
+    per_score = base.groupBy("__q").agg(
+        F.sum(F.col("__y").cast("int")).cast("bigint").alias("__p"),
+        F.sum((~F.col("__y")).cast("int")).cast("bigint").alias("__n"),
+    )
+    w = (
+        Window.orderBy("__q").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = per_score.select(
+        "__p",
+        "__n",
+        (
+            F.col("__p")
+            * (
+                F.lit(2) * F.coalesce(F.sum("__n").over(w), F.lit(0))
+                + F.col("__n")
+            )
+        ).alias("__num2"),
+    )
+    tot = contrib.agg(
+        F.sum("__p").cast("bigint").alias("n_pos"),
+        F.sum("__n").cast("bigint").alias("n_neg"),
+        F.sum("__num2").cast("bigint").alias("__num2"),
+    )
+    ok = F.assert_true(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.lit("roc_auc: need at least one positive and one negative"),
+    )
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            ok.isNull(),
+            F.col("__num2").cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+        ).alias("auc"),
     )

@@ -7745,6 +7745,56 @@ FROM b GROUP BY bin
 """
 
 
+def q151_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC (``pipeline/classifier.roc_auc``) of the q150 length
+    scorer against the many-tokens label — tie-corrected
+    Mann-Whitney in exact integer arithmetic (one final double
+    division), prefix window over the quantized distinct-score frame
+    (bounded by the quantization, the q122 pattern), never the
+    corpus."""
+    from diseasystore_spark.pipeline.classifier import roc_auc
+
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.least(F.col("n_chars"), F.lit(1000)) / F.lit(1000.0)).alias(
+            "score"
+        ),
+        (
+            F.size(F.expr(r"filter(split(trim(text), '\\s+'), t -> t != '')"))
+            >= 60
+        ).alias("label"),
+    )
+    return roc_auc(docs, "score", "label")
+
+
+ORACLE_Q151 = r"""
+WITH base AS (
+  SELECT CAST(floor(least(n_chars, 1000) / 1000.0 * 1000000) AS BIGINT)
+           AS q,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> t <> '')) >= 60 AS y
+  FROM documents
+  WHERE n_chars IS NOT NULL AND text IS NOT NULL
+),
+per AS (
+  SELECT q,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n
+  FROM base GROUP BY q
+),
+c AS (
+  SELECT p, n,
+         p * (2 * coalesce(sum(n) OVER (ORDER BY q
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n)
+           AS num2
+  FROM per
+)
+SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+       CAST(sum(n) AS BIGINT) AS n_neg,
+       CAST(sum(num2) AS DOUBLE) / (2.0 * sum(p) * sum(n)) AS auc
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7900,6 +7950,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q148_annotator_agreement": q148_annotator_agreement,
     "q149_bradley_terry": q149_bradley_terry,
     "q150_calibration_bins": q150_calibration_bins,
+    "q151_roc_auc": q151_roc_auc,
 }
 
 ORACLES: dict[str, str] = {
@@ -8052,6 +8103,7 @@ ORACLES: dict[str, str] = {
     "q148_annotator_agreement": ORACLE_Q148,
     "q149_bradley_terry": ORACLE_Q149,
     "q150_calibration_bins": ORACLE_Q150,
+    "q151_roc_auc": ORACLE_Q151,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

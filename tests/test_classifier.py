@@ -82,3 +82,32 @@ def test_calibration_bins_known_values(spark):
         calibration_bins(bad, "score", "label").collect()
     with pytest.raises(ValueError, match="n_bins"):
         calibration_bins(df, "score", "label", n_bins=1)
+
+
+def test_roc_auc_known_values(spark):
+    """Perfect separation = 1.0; hand-computed tie case = 0.875;
+    reversed scorer = complement; degenerate label sets fail loud."""
+    import pytest
+
+    from diseasystore_spark.pipeline.classifier import roc_auc
+
+    perfect = spark.createDataFrame(
+        [(0.9, True)] * 3 + [(0.1, False)] * 4, "s double, y boolean"
+    )
+    r = roc_auc(perfect, "s", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (3, 4, 1.0)
+
+    ties = spark.createDataFrame(
+        [(0.5, True), (0.5, False), (0.7, True), (0.3, False)],
+        "s double, y boolean",
+    )
+    assert roc_auc(ties, "s", "y").collect()[0]["auc"] == 0.875
+
+    rev = ties.selectExpr("1.0 - s AS s", "y")
+    assert roc_auc(rev, "s", "y").collect()[0]["auc"] == 1 - 0.875
+
+    mono = spark.createDataFrame([(0.4, True)] * 3, "s double, y boolean")
+    with pytest.raises(Exception, match="at least one"):
+        roc_auc(mono, "s", "y").collect()
+    with pytest.raises(ValueError, match="quantize"):
+        roc_auc(ties, "s", "y", quantize=1)

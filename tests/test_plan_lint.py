@@ -111,6 +111,9 @@ def test_all_registry_queries_are_scale_safe(spark):
         # per side (ref/cur) and re-expanded by the unshared boundary
         # broadcast — every frame is sketch-row-sized (~K log(n/K))
         "q143_drift_psi": 12,
+        # exclusive prefix over the quantized distinct-score frame
+        # (<= quantize+1 rows, the q122 bounded-frame pattern)
+        "q151_roc_auc": 1,
     }
     problems = []
     for name, fn in QUERIES.items():
