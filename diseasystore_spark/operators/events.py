@@ -677,3 +677,59 @@ def reproduction_rate(
             / F.col("lambda_num").cast("double"),
         ).alias("rt"),
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for every ordered pair of consecutive events of one
+    user, count the ``(prev_type, next_type)`` transition and report
+    its row-conditional probability — the behavioral-model /
+    next-event-prediction summary (and the sequence prior a
+    session-aware sampler wants).
+
+    Ordering is ``(ts, tiebreak_col)`` within each user — the
+    deterministic-tie convention of the inter-arrival profile (q132);
+    NULL users/types/timestamps are excluded.
+
+    Scale shape: one ``lag`` window partitioned by user (bounded by
+    per-user event volume, the same shape q132 pins) and one
+    combinable groupBy on the type-pair key (``|types|²`` rows at
+    most). The probability divides two exact bigints per row of that
+    tiny frame — broadcast of per-prev totals, no second data pass.
+
+    Output: ``(prev_type, next_type, n bigint, p double)`` with
+    ``p = n / Σ_next n`` (rows of the matrix sum to 1).
+    """
+    base = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__t"),
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak_col).alias("__tb"),
+    ).where(
+        F.col(user_col).isNotNull()
+        & F.col(type_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    )
+    w = Window.partitionBy("__u").orderBy("__ts", "__tb")
+    pairs = base.select(
+        F.lag("__t").over(w).alias("prev_type"),
+        F.col("__t").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = counts.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("__tot")
+    )
+    return counts.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("__tot")).alias("p"),
+    )

@@ -438,3 +438,65 @@ def gini_by_group(
             / (F.col("n") * F.col("total_c")).cast("double")
         ).alias("gini"),
     )
+
+
+def welch_t_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    arm_col: str,
+    metric_cents_col: str,
+) -> DataFrame:
+    """Per-group Welch two-sample t statistic between the two arms of
+    ``arm_col`` (boolean: True = treatment) over an INTEGER-CENTS
+    metric — the experimentation / A-B readout primitive, determinism-
+    first: per-arm n / Σx / Σx² accumulate as ``decimal(38,0)``
+    (exact, order-independent — double sums would be reduction-order
+    dependent and engine-divergent), and only the final mean/variance/
+    t arithmetic is double. Welch form (unequal variances):
+
+        t = (m_t - m_c) / sqrt(v_t/n_t + v_c/n_c),  v = sample var
+
+    Groups missing an arm, or with an arm of size < 2, return NULL t
+    (undefined) rather than failing — A/B dashboards expect the row.
+
+    Scale shape: ONE map-side-combinable aggregate over (group, six
+    conditional sums); nothing else. Output per group:
+    ``(group_cols..., n_t, n_c bigint, mean_t, mean_c, t double)``.
+    """
+    y = F.col(arm_col).cast("boolean")
+    x = F.col(metric_cents_col).cast("decimal(38,0)")
+    agg = df.where(y.isNotNull() & x.isNotNull()).groupBy(
+        *group_cols
+    ).agg(
+        F.sum(F.when(y, 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(~y, 1).otherwise(0)).cast("bigint").alias("n_c"),
+        F.sum(F.when(y, x)).alias("__st"),
+        F.sum(F.when(~y, x)).alias("__sc"),
+        F.sum(F.when(y, x * x)).alias("__qt"),
+        F.sum(F.when(~y, x * x)).alias("__qc"),
+    )
+    mt = F.col("__st").cast("double") / F.col("n_t")
+    mc = F.col("__sc").cast("double") / F.col("n_c")
+    # sample variance from exact sums: (Σx² - (Σx)²/n) / (n-1)
+    vt = (
+        F.col("__qt").cast("double")
+        - F.col("__st").cast("double") * F.col("__st").cast("double")
+        / F.col("n_t")
+    ) / (F.col("n_t") - F.lit(1))
+    vc = (
+        F.col("__qc").cast("double")
+        - F.col("__sc").cast("double") * F.col("__sc").cast("double")
+        / F.col("n_c")
+    ) / (F.col("n_c") - F.lit(1))
+    defined = (F.col("n_t") >= 2) & (F.col("n_c") >= 2)
+    return agg.select(
+        *group_cols,
+        "n_t",
+        "n_c",
+        F.when(F.col("n_t") > 0, mt).alias("mean_t"),
+        F.when(F.col("n_c") > 0, mc).alias("mean_c"),
+        F.when(
+            defined,
+            (mt - mc) / F.sqrt(vt / F.col("n_t") + vc / F.col("n_c")),
+        ).alias("t"),
+    )

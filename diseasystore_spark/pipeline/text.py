@@ -1578,3 +1578,64 @@ def corpus_ngram_diversity(
             F.col("distinct_ngrams") / F.col("total_ngrams").cast("double")
         ).alias("distinct_ratio"),
     )
+
+
+def keyword_spans(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    case_insensitive: bool = True,
+) -> DataFrame:
+    """Dictionary span annotation — every occurrence of every
+    dictionary phrase with its 1-based character position: the weak-
+    supervision / policy-term / PII-dictionary tagging primitive
+    (Snorkel-style labeling functions, deny-list auditing) whose
+    output feeds span excision or labeling downstream.
+
+    The dictionary is a broadcast array LITERAL (no join, no shuffle
+    — the operator is map-only) and matching is a JVM higher-order
+    scan: per row, per term, the candidate start positions are
+    filtered by one ``substring`` equality each, O(len(text) × |dict|)
+    inside whole-stage codegen. That is the right trade up to a few
+    hundred phrases; a large automaton dictionary belongs in an
+    Aho-Corasick ``mapInPandas`` (same output contract, swap-in).
+
+    Overlapping and repeated matches are all emitted (downstream
+    dedup/excision owns overlap policy). ``case_insensitive`` lowers
+    both sides; positions refer to the ORIGINAL string (lowering is
+    length-preserving for ASCII dictionaries — non-ASCII case pairs
+    with different lengths would shift positions, so pass
+    ``case_insensitive=False`` for those).
+
+    Output: ``(id_col, term string, pos int)``; documents without
+    matches emit nothing.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if any(t is None or t == "" for t in terms):
+        raise ValueError("terms must be non-empty strings")
+    arr = F.array(*[F.lit(t.lower() if case_insensitive else t) for t in terms])
+    txt = F.col(text_col)
+    if case_insensitive:
+        txt = F.lower(txt)
+    hits = F.explode(
+        F.expr(
+            "flatten(transform(__kw_terms, t ->"
+            " if(length(__kw_txt) >= length(t),"
+            "    transform(filter(sequence(1, length(__kw_txt) - length(t) + 1),"
+            "                     i -> substring(__kw_txt, i, length(t)) = t),"
+            "              i -> struct(t AS term, CAST(i AS INT) AS pos)),"
+            "    CAST(array() AS array<struct<term: string, pos: int>>))))"
+        )
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            arr.alias("__kw_terms"),
+            txt.alias("__kw_txt"),
+        )
+        .select(id_col, hits.alias("__h"))
+        .select(id_col, F.col("__h.term").alias("term"), F.col("__h.pos").alias("pos"))
+    )

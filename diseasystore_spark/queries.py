@@ -7795,6 +7795,134 @@ FROM c
 """
 
 
+def q152_keyword_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary span annotation (``pipeline/text.keyword_spans``):
+    all occurrences (incl. overlaps) of a 4-phrase dictionary with
+    1-based character positions — the weak-supervision / deny-list
+    tagging primitive. Map-only: broadcast literal dictionary + JVM
+    higher-order substring scan, summarized per (term) to keep the
+    driver compare small while still pinning every position (min/max/
+    count and a position checksum)."""
+    from diseasystore_spark.pipeline.text import keyword_spans
+
+    spans = keyword_spans(
+        _read(spark, sf_dir, "documents"),
+        ["hash join", "table scan", "spark", "window"],
+    )
+    return spans.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("pos").alias("min_pos"),
+        F.max("pos").alias("max_pos"),
+        F.sum(F.col("pos").cast("bigint") * F.col("doc_id"))
+        .cast("bigint")
+        .alias("pos_dot_doc"),
+    )
+
+
+ORACLE_Q152 = """
+WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents
+           WHERE text IS NOT NULL),
+d AS (SELECT unnest(['hash join', 'table scan', 'spark', 'window'])
+        AS term),
+hits AS (
+  SELECT t.doc_id, d.term,
+         unnest(list_filter(
+           range(1, greatest(length(txt) - length(term) + 2, 1)),
+           i -> substr(txt, i, length(term)) = term)) AS pos
+  FROM t CROSS JOIN d
+)
+SELECT term, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(pos) AS INTEGER) AS min_pos,
+       CAST(max(pos) AS INTEGER) AS max_pos,
+       CAST(sum(pos * doc_id) AS BIGINT) AS pos_dot_doc
+FROM hits GROUP BY term
+"""
+
+
+def q153_welch_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t per group
+    (``operators/stats.welch_t_by_group``): urgent/high-priority
+    orders as the 'treatment' arm vs the rest, integer-cents
+    o_totalprice as the metric, per order status — the A/B readout
+    in the repo's determinism-first style (decimal(38) sums, one
+    combinable aggregate, double math only in the final mile)."""
+    from diseasystore_spark.operators.stats import welch_t_by_group
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("arm"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return welch_t_by_group(orders, ["o_orderstatus"], "arm", "cents")
+
+
+ORACLE_Q153 = """
+WITH base AS (
+  SELECT o_orderstatus,
+         o_orderpriority IN ('1-URGENT', '2-HIGH') AS arm,
+         CAST(round(o_totalprice * 100) AS HUGEINT) AS cents
+  FROM orders
+),
+agg AS (
+  SELECT o_orderstatus,
+         CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         sum(CASE WHEN arm THEN cents END) AS st,
+         sum(CASE WHEN NOT arm THEN cents END) AS sc,
+         sum(CASE WHEN arm THEN cents * cents END) AS qt,
+         sum(CASE WHEN NOT arm THEN cents * cents END) AS qc
+  FROM base GROUP BY 1
+)
+SELECT o_orderstatus, n_t, n_c,
+       CASE WHEN n_t > 0 THEN CAST(st AS DOUBLE) / n_t END AS mean_t,
+       CASE WHEN n_c > 0 THEN CAST(sc AS DOUBLE) / n_c END AS mean_c,
+       CASE WHEN n_t >= 2 AND n_c >= 2 THEN
+         (CAST(st AS DOUBLE) / n_t - CAST(sc AS DOUBLE) / n_c)
+         / sqrt(
+             ((CAST(qt AS DOUBLE)
+               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / n_t)
+              / (n_t - 1)) / n_t
+             + ((CAST(qc AS DOUBLE)
+                 - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n_c)
+                / (n_c - 1)) / n_c)
+       END AS t
+FROM agg
+"""
+
+
+def q154_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions over per-user event streams
+    (``operators/events.transition_matrix``): (prev, next) counts and
+    row-conditional probabilities — the behavioral prior of a
+    session-aware sampler. One user-partitioned lag window + one
+    combinable groupBy on the |types|²-ary key."""
+    from diseasystore_spark.operators.events import transition_matrix
+
+    return transition_matrix(_read(spark, sf_dir, "events"))
+
+
+ORACLE_Q154 = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL
+),
+counts AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE)
+         / sum(n) OVER (PARTITION BY prev_type) AS p
+FROM counts
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7951,6 +8079,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q149_bradley_terry": q149_bradley_terry,
     "q150_calibration_bins": q150_calibration_bins,
     "q151_roc_auc": q151_roc_auc,
+    "q152_keyword_spans": q152_keyword_spans,
+    "q153_welch_ab": q153_welch_ab,
+    "q154_transition_matrix": q154_transition_matrix,
 }
 
 ORACLES: dict[str, str] = {
@@ -8104,6 +8235,9 @@ ORACLES: dict[str, str] = {
     "q149_bradley_terry": ORACLE_Q149,
     "q150_calibration_bins": ORACLE_Q150,
     "q151_roc_auc": ORACLE_Q151,
+    "q152_keyword_spans": ORACLE_Q152,
+    "q153_welch_ab": ORACLE_Q153,
+    "q154_transition_matrix": ORACLE_Q154,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

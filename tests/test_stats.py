@@ -618,3 +618,89 @@ def test_gini_by_group_matches_python_and_known_values(spark):
     ix = sum((i + 1) * x for i, x in enumerate(xs))
     want = (2 * ix - (n + 1) * tot) / (n * tot)
     assert got["rng"] == (n, tot, pytest.approx(want, rel=1e-12))
+
+
+def test_keyword_spans_overlaps_case_and_validation(spark):
+    """Overlapping and repeated matches all emitted with 1-based
+    positions on the original string; case-insensitive by default;
+    case-sensitive mode distinguishes; empty/NULL terms raise."""
+    import pytest
+
+    from diseasystore_spark.pipeline.text import keyword_spans
+
+    df = spark.createDataFrame(
+        [(1, "the Cat sat on the cat mat"), (2, "no hits here"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        tuple(r) for r in keyword_spans(df, ["cat", "the cat"]).collect()
+    )
+    assert got == [
+        (1, "cat", 5), (1, "cat", 20),
+        (1, "the cat", 1), (1, "the cat", 16),
+    ]
+    cs = keyword_spans(df, ["cat"], case_insensitive=False).collect()
+    assert [(r["doc_id"], r["pos"]) for r in cs] == [(1, 20)]
+
+    with pytest.raises(ValueError, match="non-empty"):
+        keyword_spans(df, [])
+    with pytest.raises(ValueError, match="non-empty"):
+        keyword_spans(df, ["ok", ""])
+
+
+def test_welch_t_matches_scipy_formula(spark):
+    """Hand/NumPy-checked Welch t per group; missing-arm and
+    size-1-arm groups yield NULL t but keep their row."""
+    import math
+
+    from diseasystore_spark.operators.stats import welch_t_by_group
+
+    a = [100, 110, 120, 130]   # treatment cents
+    b = [90, 95, 105]          # control cents
+    rows = [("g1", True, v) for v in a] + [("g1", False, v) for v in b]
+    rows += [("g2", True, 50)]                 # arm sizes 1 / 0
+    rows += [("g3", True, 10), ("g3", False, 20), ("g3", False, 30)]
+    df = spark.createDataFrame(rows, "g string, arm boolean, cents bigint")
+    out = {r["g"]: r for r in welch_t_by_group(df, ["g"], "arm", "cents").collect()}
+
+    mt, mc = sum(a) / 4, sum(b) / 3
+    vt = sum((x - mt) ** 2 for x in a) / 3
+    vc = sum((x - mc) ** 2 for x in b) / 2
+    want = (mt - mc) / math.sqrt(vt / 4 + vc / 3)
+    assert abs(out["g1"]["t"] - want) < 1e-9
+    assert out["g1"]["n_t"] == 4 and out["g1"]["n_c"] == 3
+    assert out["g2"]["t"] is None and out["g2"]["mean_c"] is None
+    assert out["g3"]["t"] is None  # treatment arm of size 1
+
+
+def test_transition_matrix_rows_sum_to_one(spark):
+    """Counts match the hand-ordered per-user sequences (ties broken
+    by event_id); per-prev probabilities sum to 1; NULLs excluded."""
+    import datetime as dt
+
+    from diseasystore_spark.operators.events import transition_matrix
+
+    T = dt.datetime
+    rows = [
+        (1, "a", T(2024, 1, 1, 0), 1),
+        (1, "b", T(2024, 1, 1, 1), 2),
+        (1, "a", T(2024, 1, 1, 2), 3),
+        (2, "a", T(2024, 1, 1, 0), 4),
+        (2, "a", T(2024, 1, 1, 0), 5),  # tie: event_id orders it
+        (2, "c", T(2024, 1, 1, 1), 6),
+        (None, "a", T(2024, 1, 1), 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp, event_id bigint"
+    )
+    out = {(r["prev_type"], r["next_type"]): r for r in transition_matrix(df).collect()}
+    assert out[("a", "b")]["n"] == 1
+    assert out[("b", "a")]["n"] == 1
+    assert out[("a", "a")]["n"] == 1  # user 2's tie pair
+    assert out[("a", "c")]["n"] == 1
+    from collections import defaultdict
+
+    rowsum = defaultdict(float)
+    for (p, _n), r in out.items():
+        rowsum[p] += r["p"]
+    assert all(abs(v - 1.0) < 1e-12 for v in rowsum.values())
