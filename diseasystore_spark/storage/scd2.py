@@ -214,43 +214,84 @@ class ParquetFeatureStore:
         finally:
             os.unlink(tmp)
 
+    #: minimum age (mtime) before an UNCOMMITTED attempt directory may
+    #: be swept by commit-time GC. A live concurrent writer's in-flight
+    #: directory is uncommitted but young; sweeping it mid-write would
+    #: fail its Spark job with an IO error that escapes the optimistic
+    #: retry loop. Committed-then-superseded directories are resolved
+    #: via their markers and need no age check.
+    _ORPHAN_RETENTION_SECS = 3600.0
+
     def _commit_version(
         self, table_id: str, version: int, dirname: str
     ) -> None:
         """Claim ``version`` by conditional put of its marker; raise
         ``CommitConflictError`` if another writer already committed
-        that number. On success GC versions older than keep-2 (their
-        data dirs via the markers that name them, orphan attempt dirs
-        by their version prefix)."""
+        that number. On success GC versions older than keep-2: their
+        data dirs are resolved via the markers that name them (then
+        the markers are removed), and UNCOMMITTED orphan dirs (crash
+        leftovers) are swept only once older than
+        ``_ORPHAN_RETENTION_SECS`` — never a concurrent writer's
+        still-being-written attempt directory."""
         cdir = self._commits_dir(table_id)
         os.makedirs(cdir, exist_ok=True)
         marker = os.path.join(cdir, f"{version}.json")
         payload = json.dumps({"version": version, "dir": dirname}).encode()
         if not self._put_if_absent(marker, payload):
             raise CommitConflictError(table_id, version)
-        # GC old versions (keep current + previous for in-flight
-        # readers). Data dirs are parsed by version prefix so crash
-        # orphans (written but never committed) are swept too.
+        # Inventory the marker log ONCE: which data dirs are named by
+        # a commit (and at what version) — everything else under _v*
+        # is an uncommitted attempt.
         tdir = self._table_dir(table_id)
-        for entry in os.listdir(tdir):
-            if entry.startswith("_v"):
-                try:
-                    v = int(entry[2:].split("-", 1)[0])
-                except ValueError:
-                    continue
-                if v < version - 1:
-                    shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+        committed: dict[str, int] = {}
+        stale_markers: list[str] = []
         for entry in os.listdir(cdir):
-            if entry.endswith(".json"):
-                try:
-                    v = int(entry[: -len(".json")])
-                except ValueError:
-                    continue
+            if not entry.endswith(".json"):
+                continue
+            try:
+                v = int(entry[: -len(".json")])
+            except ValueError:
+                continue
+            try:
+                with open(os.path.join(cdir, entry)) as fh:
+                    committed[json.load(fh)["dir"]] = v
+            except (OSError, ValueError, KeyError):
+                continue
+            if v < version - 1:
+                stale_markers.append(entry)
+        now = time.time()
+        for entry in os.listdir(tdir):
+            if not entry.startswith("_v"):
+                continue
+            path = os.path.join(tdir, entry)
+            if entry in committed:
+                if committed[entry] < version - 1:
+                    shutil.rmtree(path, ignore_errors=True)
+                continue
+            # Legacy layout: a bare ``_v{N}`` dir with no marker was
+            # committed via the old _CURRENT pointer — treat its name
+            # as its version. Tokenized names without a marker are
+            # uncommitted attempts: sweep only once clearly abandoned.
+            stem, _, token = entry[2:].partition("-")
+            try:
+                v = int(stem)
+            except ValueError:
+                continue
+            if not token:
                 if v < version - 1:
-                    try:
-                        os.unlink(os.path.join(cdir, entry))
-                    except FileNotFoundError:
-                        pass
+                    shutil.rmtree(path, ignore_errors=True)
+                continue
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                continue
+            if age > self._ORPHAN_RETENTION_SECS:
+                shutil.rmtree(path, ignore_errors=True)
+        for entry in stale_markers:
+            try:
+                os.unlink(os.path.join(cdir, entry))
+            except FileNotFoundError:
+                pass
 
     # ------------------------------------------------------------ catalog
     def table_exists(self, table_id: str) -> bool:
@@ -272,19 +313,28 @@ class ParquetFeatureStore:
         shutil.rmtree(self._table_dir(table_id), ignore_errors=True)
 
     # -------------------------------------------------------------- reads
-    def _read_raw_partitioned(self, table_id: str) -> DataFrame:
-        version = self._current_version(table_id)
+    def _read_raw_partitioned(
+        self, table_id: str, version: int | None = None
+    ) -> DataFrame:
+        if version is None:
+            version = self._current_version(table_id)
         if version is None:
             raise FileNotFoundError(f"table {table_id} does not exist")
         return self.spark.read.parquet(
             self._version_dir(table_id, version)
         )
 
-    def read_raw(self, table_id: str, max_valid_from=None) -> DataFrame:
+    def read_raw(
+        self, table_id: str, max_valid_from=None, version: int | None = None
+    ) -> DataFrame:
         """Full SCD2 table (bookkeeping columns included; the internal
         partition column is hidden). ``max_valid_from`` (a date) prunes
-        month partitions strictly after it on a partitioned table."""
-        df = self._read_raw_partitioned(table_id)
+        month partitions strictly after it on a partitioned table.
+        ``version`` pins the read to a specific committed version —
+        write attempts pass their captured base version so the merge
+        plan and the commit claim agree on the same base (see
+        ``_write_version``)."""
+        df = self._read_raw_partitioned(table_id, version=version)
         if PARTITION_COL in df.columns:
             if max_valid_from is not None:
                 df = df.where(
@@ -377,7 +427,8 @@ class ParquetFeatureStore:
         One full-version rewrite (like ``evolve_schema``); run it at
         retention cadence, not per write."""
         cutoff = normalize_slice_ts(older_than)
-        existing = self.read_raw(table_id)
+        base = self._current_version(table_id)
+        existing = self.read_raw(table_id, version=base)
         keep = existing.where(
             F.col("until_ts").isNull() | (F.col("until_ts") > F.lit(cutoff))
         )
@@ -394,7 +445,9 @@ class ParquetFeatureStore:
                 fh.write(cutoff.isoformat())
             os.replace(tmp, self._retain_floor_path(table_id))
         if dropped:
-            self._write_version(keep, table_id, changed_months=None)
+            self._write_version(
+                keep, table_id, changed_months=None, base_version=base
+            )
         return dropped
 
     def snapshot_diff(self, table_id: str, ts_a, ts_b) -> DataFrame:
@@ -489,18 +542,21 @@ class ParquetFeatureStore:
         """
         if files_per_partition <= 0:
             raise ValueError("files_per_partition must be positive")
-        current = self.read_raw(table_id)  # partition column dropped
+        base = self._current_version(table_id)
+        current = self.read_raw(table_id, version=base)  # partition col dropped
         if self.partition_granularity == "month":
             # every month changed -> no hard links, full rewrite
-            self._write_version(current, table_id, changed_months=None)
+            self._write_version(
+                current, table_id, changed_months=None, base_version=base
+            )
         else:
             self._write_version(
                 current.coalesce(files_per_partition),
                 table_id,
                 changed_months=None,
+                base_version=base,
             )
-        version = self._current_version(table_id)
-        out_dir = self._version_dir(table_id, version)
+        out_dir = self._version_dir(table_id, (base or 0) + 1)
         n = 0
         for root, _dirs, files in os.walk(out_dir):
             n += sum(1 for f in files if f.endswith(".parquet"))
@@ -541,7 +597,8 @@ class ParquetFeatureStore:
         bad = [c for c in new_columns if c in SCD2_COLUMNS]
         if bad:
             raise ValueError(f"cannot add SCD2 bookkeeping columns: {bad}")
-        existing = self.read_raw(table_id)
+        base = self._current_version(table_id)
+        existing = self.read_raw(table_id, version=base)
         dupes = [c for c in new_columns if c in existing.columns]
         if dupes:
             raise ValueError(f"columns already exist: {dupes}")
@@ -550,7 +607,9 @@ class ParquetFeatureStore:
         )
         payload = [c for c in widened.columns if c not in SCD2_COLUMNS]
         evolved = widened.withColumn("checksum", row_checksum(payload))
-        self._write_version(evolved, table_id, changed_months=None)
+        self._write_version(
+            evolved, table_id, changed_months=None, base_version=base
+        )
 
     def update_snapshot(
         self,
@@ -641,8 +700,13 @@ class ParquetFeatureStore:
         if bad:
             raise ValueError(f"incoming data must not contain SCD2 columns: {bad}")
 
-        if self.table_exists(table_id):
-            existing_payload = set(self.payload_columns(table_id))
+        # Capture the base version ONCE per attempt: every read below
+        # and the final commit use this same version, so an interleaved
+        # competitor commit makes our conditional put (base+1) fail and
+        # re-enters the retry loop — never a lost update.
+        base = self._current_version(table_id)
+        if base is not None:
+            existing_payload = set(self._payload_columns_at(table_id, base))
             incoming_cols = set(data.columns)
             if existing_payload != incoming_cols:
                 extra = sorted(incoming_cols - existing_payload)
@@ -663,10 +727,15 @@ class ParquetFeatureStore:
                         table_id,
                         {c: dtypes[c].simpleString() for c in extra},
                     )
+                    # evolve_schema committed its own version (its own
+                    # optimistic loop) — rebase this attempt on it.
+                    base = self._current_version(table_id)
                 if missing:
                     tbl = {
                         f.name: f.dataType
-                        for f in self.read_raw(table_id).schema.fields
+                        for f in self.read_raw(
+                            table_id, version=base
+                        ).schema.fields
                     }
                     data = data.withColumns(
                         {c: F.lit(None).cast(tbl[c]) for c in missing}
@@ -679,29 +748,42 @@ class ParquetFeatureStore:
         if written_range is not None and self.partition_granularity != "month":
             written_range = None  # scoping is a partitioned-layout feature
 
-        if not self.table_exists(table_id):
+        if base is None:
             new_table = incoming.withColumns(
                 {
                     "from_ts": F.lit(ts).cast("timestamp"),
                     "until_ts": F.lit(None).cast("timestamp"),
                 }
             )
-            self._write_version(new_table, table_id, changed_months=None)
+            self._write_version(
+                new_table, table_id, changed_months=None, base_version=None
+            )
             return
 
         if not close_absent:
-            self._append_only(incoming, table_id, ts)
+            self._append_only(incoming, table_id, ts, base)
             return
-        self._merge_existing(incoming, table_id, ts, written_range)
+        self._merge_existing(incoming, table_id, ts, written_range, base)
+
+    def _payload_columns_at(self, table_id: str, version: int) -> list[str]:
+        return [
+            c
+            for c in self.read_raw(table_id, version=version).columns
+            if c not in SCD2_COLUMNS
+        ]
 
     def _append_only(
-        self, incoming: DataFrame, table_id: str, ts: datetime.datetime
+        self,
+        incoming: DataFrame,
+        table_id: str,
+        ts: datetime.datetime,
+        base: int,
     ) -> None:
         """Insert rows not already current at ``ts``; never close
         anything. Replay-idempotent: a re-merged batch matches on
         checksum and inserts nothing (the version bump is skipped)."""
         partitioned = self.partition_granularity == "month"
-        existing = self.read_raw(table_id)
+        existing = self.read_raw(table_id, version=base)
         is_current = (F.col("from_ts") <= F.lit(ts)) & (
             F.col("until_ts").isNull() | (F.col("until_ts") > F.lit(ts))
         )
@@ -720,7 +802,10 @@ class ParquetFeatureStore:
             if inserted.isEmpty():
                 return
             self._write_version(
-                existing.unionByName(inserted), table_id, changed_months=None
+                existing.unionByName(inserted),
+                table_id,
+                changed_months=None,
+                base_version=base,
             )
             return
 
@@ -736,7 +821,12 @@ class ParquetFeatureStore:
             new_parts = existing.where(month_of.isin(changed_months)).unionByName(
                 inserted
             )
-            self._write_version(new_parts, table_id, changed_months=changed_months)
+            self._write_version(
+                new_parts,
+                table_id,
+                changed_months=changed_months,
+                base_version=base,
+            )
         finally:
             inserted.unpersist()
 
@@ -746,11 +836,13 @@ class ParquetFeatureStore:
         table_id: str,
         ts: datetime.datetime,
         written_range,
+        base: int,
     ) -> None:
         partitioned = self.partition_granularity == "month"
         existing = self.read_raw(
             table_id,
             max_valid_from=written_range[1] if written_range else None,
+            version=base,
         )
         is_current = (F.col("from_ts") <= F.lit(ts)) & (
             F.col("until_ts").isNull() | (F.col("until_ts") > F.lit(ts))
@@ -792,7 +884,9 @@ class ParquetFeatureStore:
                 .unionByName(closed)
                 .unionByName(inserted.select(*others.columns))
             )
-            self._write_version(new_table, table_id, changed_months=None)
+            self._write_version(
+                new_table, table_id, changed_months=None, base_version=base
+            )
             return
 
         # Partition-pruned merge: only months containing a closed or an
@@ -820,7 +914,7 @@ class ParquetFeatureStore:
                 # violation): the scoped compare would treat those months'
                 # surviving rows as absent. Redo unscoped — correct for
                 # any input, just without the pruning.
-                return self._merge_existing(incoming, table_id, ts, None)
+                return self._merge_existing(incoming, table_id, ts, None, base)
 
             # All closed/inserted rows lie in changed months by
             # construction — reuse them; only kept/others re-read the
@@ -837,17 +931,26 @@ class ParquetFeatureStore:
                 .unionByName(inserted.select(*part_others.columns))
             )
             self._write_version(
-                new_parts, table_id, changed_months=changed_months
+                new_parts,
+                table_id,
+                changed_months=changed_months,
+                base_version=base,
             )
         finally:
             closed.unpersist()
             inserted.unpersist()
+
+    #: sentinel distinguishing "caller did not thread a base version"
+    #: (legacy internal callers, resolved here) from an explicit None
+    #: ("I observed the table absent — claim version 1").
+    _BASE_UNSET = object()
 
     def _write_version(
         self,
         new_table: DataFrame,
         table_id: str,
         changed_months: list[str] | None,
+        base_version=_BASE_UNSET,
     ) -> None:
         """Write a new immutable version directory and swap the pointer.
 
@@ -859,8 +962,24 @@ class ParquetFeatureStore:
         writers racing for the same version number can never scribble
         into each other's files; the conditional-put marker commit
         decides the winner, and the loser's directory is removed
-        before ``CommitConflictError`` propagates to the retry loop."""
-        prev = self._current_version(table_id)
+        before ``CommitConflictError`` propagates to the retry loop.
+
+        ``base_version`` is the version the caller's merge plan was
+        DERIVED from (captured once at the top of the write attempt
+        and threaded through its reads); the commit always claims
+        ``base_version + 1`` — the Delta/Iceberg readVersion pattern.
+        Re-resolving the current version here instead would open a
+        lost-update window: a competitor committing base+1 between our
+        plan and our write would hand us base+2 unopposed, and our
+        full-state rewrite (derived from base) would silently erase
+        the competitor's rows. With the read version pinned, any
+        interleaved commit makes OUR conditional put fail, which is
+        exactly the retry the optimistic loop handles."""
+        prev = (
+            self._current_version(table_id)
+            if base_version is self._BASE_UNSET
+            else base_version
+        )
         version = (prev or 0) + 1
         dirname = f"_v{version}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self._table_dir(table_id), dirname)

@@ -18,6 +18,7 @@ from __future__ import annotations
 import datetime
 import inspect
 import os
+import time
 
 import pytest
 
@@ -238,3 +239,85 @@ def test_vanished_previous_version_surfaces_as_retryable_conflict(
     tdir = os.path.join(store_root, "ds", "t")
     orphans = [e for e in os.listdir(tdir) if e.startswith("_v2")]
     assert orphans == []
+
+
+def test_plan_time_base_version_pins_the_commit(spark, store_root, monkeypatch):
+    """Lost-update window between plan and commit (the readVersion
+    contract): writer A resolves its base version N when it builds the
+    merge plan; a competitor B then commits N+1 while A is still
+    writing (injected at A's _write_version entry — after A's plan is
+    derived, before A's data lands). A must claim N+1 — pinned to the
+    base its plan was DERIVED from, not a re-resolved current version
+    — so the conditional put fails and the retry re-merges on top of
+    B. Claiming a re-resolved N+2 would succeed unopposed and silently
+    erase B's rows from every subsequent version."""
+    a = ParquetFeatureStore(spark, store_root)
+    b = ParquetFeatureStore(spark, store_root)
+
+    t1, t2, t3 = T(2024, 1, 1), T(2024, 1, 2), T(2024, 1, 3)
+    a.update_snapshot(_df(spark, [("a", 1.0)]), "ds.t", t1)  # v1
+
+    state = {"fired": False, "losses": 0}
+    real_write = ParquetFeatureStore._write_version
+    real_put = ParquetFeatureStore._put_if_absent
+
+    def racing_write(self, new_table, table_id, changed_months, **kw):
+        # A's merge plan (derived from base=v1) is already built when
+        # this runs; B sneaks in a full commit for v2 first.
+        if self is a and not state["fired"]:
+            state["fired"] = True
+            b.update_snapshot(_df(spark, [("a", 5.0)]), "ds.t", t2)  # wins v2
+        return real_write(self, new_table, table_id, changed_months, **kw)
+
+    def counting_put(self, path, data):
+        ok = real_put(self, path, data)
+        if self is a and not ok:
+            state["losses"] += 1
+        return ok
+
+    monkeypatch.setattr(ParquetFeatureStore, "_write_version", racing_write)
+    monkeypatch.setattr(ParquetFeatureStore, "_put_if_absent", counting_put)
+    a.update_snapshot(_df(spark, [("a", 1.0), ("b", 2.0)]), "ds.t", t3)
+
+    assert state["fired"], "interleaving did not trigger"
+    # the pinned base made A contend for v2 and LOSE (the unfixed code
+    # claims v3 unopposed here: zero losses and B's row erased)
+    assert state["losses"] >= 1, "A never contended for B's version"
+    assert a._current_version("ds.t") == 3
+    # B's interval survives A's rewrite — the serial A-after-B history
+    assert _snap(a, t1) == {("a", 1.0)}
+    assert _snap(a, t2) == {("a", 5.0)}
+    assert _snap(a, t3) == {("a", 1.0), ("b", 2.0)}
+
+
+def test_gc_spares_young_inflight_attempt_dirs(spark, store_root):
+    """Commit-time GC must never sweep another writer's uncommitted
+    in-flight attempt directory (tokenized name, no marker): those are
+    removed only once older than _ORPHAN_RETENTION_SECS. Committed,
+    superseded versions are still collected promptly via their
+    markers."""
+    be = ParquetFeatureStore(spark, store_root)
+    be.update_snapshot(_df(spark, [("a", 1.0)]), "ds.t", T(2024, 1, 1))
+
+    # a concurrent writer's in-flight attempt for version 2 — data
+    # partially written, marker not yet put, mtime = now
+    tdir = os.path.join(store_root, "ds", "t")
+    inflight = os.path.join(tdir, "_v2-aaaaaaaa")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-0.parquet"), "wb") as fh:
+        fh.write(b"partial")
+
+    be.update_snapshot(_df(spark, [("a", 2.0)]), "ds.t", T(2024, 1, 2))  # v2
+    be.update_snapshot(_df(spark, [("a", 3.0)]), "ds.t", T(2024, 1, 3))  # v3
+    # v3's GC sweeps versions < 2: the COMMITTED v1 dir goes, the
+    # young uncommitted v2 attempt stays
+    assert os.path.isdir(inflight), "GC swept a live writer's attempt dir"
+    assert not os.path.isdir(be._version_dir("ds.t", 1))
+
+    # once clearly abandoned (older than the retention window) it is
+    # swept by the next commit
+    old = time.time() - ParquetFeatureStore._ORPHAN_RETENTION_SECS - 60
+    os.utime(inflight, (old, old))
+    be.update_snapshot(_df(spark, [("a", 4.0)]), "ds.t", T(2024, 1, 4))  # v4
+    assert not os.path.isdir(inflight)
+    assert _snap(be, T(2024, 1, 4)) == {("a", 4.0)}
