@@ -459,6 +459,16 @@ def welch_t_by_group(
     Groups missing an arm, or with an arm of size < 2, return NULL t
     (undefined) rather than failing — A/B dashboards expect the row.
 
+    Overflow envelope (fail-loud, not silent): each x² stays inside
+    decimal(38,0) for any int64-range cents value (|x| ≤ 9.2e18 →
+    x² ≤ 8.5e37 < 1e38), so only the per-arm Σx² can overflow —
+    at ``n · max(x)² ≥ 1e38``, e.g. ≥1e20 rows of $10M amounts.
+    With ANSI mode off Spark would yield a NULL sum there, which the
+    naive form reads as "no rows"; this operator instead raises on
+    the contradiction (NULL sum with a positive arm count), keeping
+    the determinism-first contract: exact or an error, never a
+    silently wrong t.
+
     Scale shape: ONE map-side-combinable aggregate over (group, six
     conditional sums); nothing else. Output per group:
     ``(group_cols..., n_t, n_c bigint, mean_t, mean_c, t double)``.
@@ -474,6 +484,29 @@ def welch_t_by_group(
         F.sum(F.when(~y, x)).alias("__sc"),
         F.sum(F.when(y, x * x)).alias("__qt"),
         F.sum(F.when(~y, x * x)).alias("__qc"),
+    )
+    # Fail-loud overflow guard: a NULL Σx / Σx² alongside a positive
+    # arm count can only mean decimal(38,0) overflow (inputs were
+    # filtered non-NULL) — raise instead of propagating NULL stats.
+    def _guarded(sum_name: str, n_name: str) -> F.Column:
+        return F.when(
+            (F.col(n_name) > 0) & F.col(sum_name).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"welch_t_by_group: decimal(38,0) overflow in {sum_name}"
+                    " (group too large for the cents magnitude; see the"
+                    " overflow envelope in the docstring)"
+                )
+            ).cast("decimal(38,0)"),
+        ).otherwise(F.col(sum_name))
+
+    agg = agg.withColumns(
+        {
+            "__st": _guarded("__st", "n_t"),
+            "__sc": _guarded("__sc", "n_c"),
+            "__qt": _guarded("__qt", "n_t"),
+            "__qc": _guarded("__qc", "n_c"),
+        }
     )
     mt = F.col("__st").cast("double") / F.col("n_t")
     mc = F.col("__sc").cast("double") / F.col("n_c")

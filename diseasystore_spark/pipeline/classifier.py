@@ -176,9 +176,10 @@ def roc_auc(
 
         AUC = Σ_s p_s · (N_<s + n_s/2) / (P · N)
 
-    kept in EXACT integer arithmetic (the ×2 numerator) until one
-    final double division, so any SQL engine reproduces it
-    bit-for-bit. Scores are quantized to ``1/quantize`` units first
+    kept in EXACT integer arithmetic (the ×2 numerator and the
+    ``2·P·N`` denominator as ``decimal(38,0)`` — int64 wraps already
+    at ~2.1e9 of each class) until one final double division, so any
+    SQL engine reproduces it bit-for-bit up to ~1e19 rows per class. Scores are quantized to ``1/quantize`` units first
     — that bounds the distinct-score frame at ``quantize+1`` rows
     (the prefix window below runs over THAT frame, never the corpus,
     the q122 equi-depth-histogram pattern) and perturbs AUC by at
@@ -206,21 +207,27 @@ def roc_auc(
     w = (
         Window.orderBy("__q").rowsBetween(Window.unboundedPreceding, -1)
     )
+    # The ×2 numerator and the n_pos·n_neg denominator accumulate in
+    # decimal(38,0), not int64: at multi-billion positives AND
+    # negatives (the 100 TB target) both exceed int64 (2·n_pos·n_neg
+    # > 9.2e18 already at ~2.1e9 of each) and would wrap/NULL
+    # silently with ANSI off. decimal(38,0) holds them exactly up to
+    # ~1e19 rows of each class (2·n_pos·n_neg < 1e38).
     contrib = per_score.select(
         "__p",
         "__n",
         (
-            F.col("__p")
+            F.col("__p").cast("decimal(38,0)")
             * (
                 F.lit(2) * F.coalesce(F.sum("__n").over(w), F.lit(0))
                 + F.col("__n")
-            )
+            ).cast("decimal(38,0)")
         ).alias("__num2"),
     )
     tot = contrib.agg(
         F.sum("__p").cast("bigint").alias("n_pos"),
         F.sum("__n").cast("bigint").alias("n_neg"),
-        F.sum("__num2").cast("bigint").alias("__num2"),
+        F.sum("__num2").cast("decimal(38,0)").alias("__num2"),
     )
     ok = F.assert_true(
         (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
@@ -232,6 +239,10 @@ def roc_auc(
         F.when(
             ok.isNull(),
             F.col("__num2").cast("double")
-            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+            / (
+                F.lit(2)
+                * F.col("n_pos").cast("decimal(38,0)")
+                * F.col("n_neg").cast("decimal(38,0)")
+            ).cast("double"),
         ).alias("auc"),
     )

@@ -183,10 +183,28 @@ def distribution_drift_psi(
 
     rc = _binned(ref, "ref_n")
     cc = _binned(cur, "cur_n")
+    # Left-join the observed counts onto the FULL 0..n_bins-1 spine:
+    # a bin missed by both samples (possible when duplicated reference
+    # quantile boundaries leave a bucket unreachable) still emits its
+    # row, so sum(psi_term) includes every bin's smoothed contribution
+    # and the smoothed shares sum to exactly 1 on each side, as
+    # documented. The spine is n_bins literal rows — broadcast, free.
+    spine = ref.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
     bins = (
-        rc.join(cc, "bucket", "full_outer")
+        spine.join(
+            rc.select(F.col("bucket").cast("int").alias("bin"), "ref_n"),
+            "bin",
+            "left",
+        )
+        .join(
+            cc.select(F.col("bucket").cast("int").alias("bin"), "cur_n"),
+            "bin",
+            "left",
+        )
         .select(
-            F.col("bucket").cast("int").alias("bin"),
+            "bin",
             F.coalesce("ref_n", F.lit(0)).cast("bigint").alias("ref_n"),
             F.coalesce("cur_n", F.lit(0)).cast("bigint").alias("cur_n"),
         )

@@ -7268,11 +7268,14 @@ cb AS (
 ),
 rc AS (SELECT bin, CAST(count(*) AS BIGINT) AS ref_n FROM rb GROUP BY 1),
 cc AS (SELECT bin, CAST(count(*) AS BIGINT) AS cur_n FROM cb GROUP BY 1),
+spine AS (SELECT CAST(unnest(range(10)) AS INTEGER) AS bin),
 bins AS (
-  SELECT coalesce(rc.bin, cc.bin) AS bin,
+  SELECT s.bin,
          coalesce(ref_n, 0) AS ref_n,
          coalesce(cur_n, 0) AS cur_n
-  FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin
+  FROM spine s
+  LEFT JOIN rc ON s.bin = rc.bin
+  LEFT JOIN cc ON s.bin = cc.bin
 ),
 t AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM bins)
 SELECT bin, ref_n, cur_n,

@@ -2518,3 +2518,26 @@ def test_bradley_terry_orders_strengths_correctly(spark):
 
     with pytest.raises(ValueError, match="iterations"):
         bradley_terry_integer(df, iterations=0)
+
+
+def test_distribution_drift_psi_emits_doubly_empty_bins(spark):
+    """Degenerate reference (all values equal → every quantile
+    boundary duplicated) leaves middle buckets unreachable by BOTH
+    samples; the bin spine still emits all n_bins rows, with the
+    smoothed shares summing to exactly 1 on each side (the documented
+    contract the pre-spine full-outer join violated)."""
+    import math
+
+    from diseasystore_spark.pipeline.validate import distribution_drift_psi
+
+    ref = spark.range(200).selectExpr("cast(5.0 as double) AS v")
+    cur = spark.range(100).selectExpr("cast(7.0 as double) AS v")
+    out = sorted(
+        distribution_drift_psi(ref, cur, "v", n_bins=5).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert [r["bin"] for r in out] == [0, 1, 2, 3, 4]
+    assert any(r["ref_n"] == 0 and r["cur_n"] == 0 for r in out)
+    assert abs(sum(r["ref_share"] for r in out) - 1.0) < 1e-12
+    assert abs(sum(r["cur_share"] for r in out) - 1.0) < 1e-12
+    assert all(math.isfinite(r["psi_term"]) for r in out)

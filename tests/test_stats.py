@@ -704,3 +704,39 @@ def test_transition_matrix_rows_sum_to_one(spark):
     for (p, _n), r in out.items():
         rowsum[p] += r["p"]
     assert all(abs(v - 1.0) < 1e-12 for v in rowsum.values())
+
+
+def test_welch_t_overflow_fails_loud(spark):
+    """A decimal(38,0) overflow in an arm's Σx² must raise, never
+    propagate NULL stats as if the arm were empty. Under ANSI mode
+    (Spark 4 default) the multiply itself raises NUMERIC_VALUE_OUT_OF
+    _RANGE; with ANSI off it NULLs silently and the operator's own
+    guard (NULL sum with a positive count) fires instead — both are
+    fail-loud."""
+    from decimal import Decimal
+
+    import pytest
+
+    from diseasystore_spark.operators.stats import welch_t_by_group
+
+    big = Decimal(10**19)  # big² = 1e38 overflows decimal(38,0)
+    rows = [
+        ("g", True, big),
+        ("g", True, big),
+        ("g", False, Decimal(1)),
+        ("g", False, Decimal(2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, arm boolean, cents decimal(38,0)"
+    )
+    with pytest.raises(Exception, match="(?i)overflow|out_of_range"):
+        welch_t_by_group(df, ["g"], "arm", "cents").collect()
+
+    # the ANSI-off path: the silent-NULL regime the guard exists for
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="overflow"):
+            welch_t_by_group(df, ["g"], "arm", "cents").collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
