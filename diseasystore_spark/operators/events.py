@@ -515,6 +515,8 @@ def contact_pairs(
     user_col: str = "user_id",
     id_col: str = "event_id",
     tolerance_s: int = 3600,
+    min_contacts: int | None = None,
+    top_k_per_user: int | None = None,
 ) -> DataFrame:
     """Temporal contact graph: for every unordered user pair, count
     the event pairs that occurred within ``tolerance_s`` seconds of
@@ -540,15 +542,66 @@ def contact_pairs(
     exactly one of the left event's two replicas). Hot buckets are
     bounded by event density per tolerance window, and the final
     count is one combinable groupBy on the user pair.
+
+    Bounded production modes — the exact form's OUTPUT is inherently
+    quadratic-in-the-answer (every co-active pair), which no one can
+    materialize at 100x scale; these keep the same schema and exact
+    per-pair counts while bounding what leaves the aggregation:
+
+    - ``min_contacts=m``: emit only pairs with ``n_contacts >= m``.
+      Before the pair aggregation, a DEGREE UPPER BOUND prunes users
+      who cannot reach ``m`` at all: per time bucket the event count
+      is aggregated (a tolerance-granular frame, tiny), each event
+      looks up its own plus both adjacent bucket sizes, and a user
+      whose summed candidate bound is below ``m`` is semi-joined out
+      of BOTH join sides — pair count ≤ either endpoint's candidate
+      bound, so no qualifying pair is lost. In sparse real event
+      streams this removes the long tail of one-off users before the
+      quadratic candidate join, not after; the residual pair shuffle
+      is map-side combined and the threshold filter sits directly on
+      the aggregate.
+    - ``top_k_per_user=k``: keep a pair iff it ranks in the top-k of
+      EITHER endpoint (the mutual-kNN-union contact graph). Ranking
+      runs on the aggregated PAIR frame (already far smaller than the
+      candidate set), per-user window, ties broken by (n desc,
+      partner asc) — deterministic and oracle-reproducible. Output is
+      ≤ 2k rows per active user: linear in users, never quadratic.
+
+    Both modes compose (threshold first, then rank).
     """
     if tolerance_s <= 0:
         raise ValueError("tolerance_s must be positive")
+    if min_contacts is not None and min_contacts < 1:
+        raise ValueError("min_contacts must be >= 1")
+    if top_k_per_user is not None and top_k_per_user < 1:
+        raise ValueError("top_k_per_user must be >= 1")
     tol_us = tolerance_s * 1_000_000
     e = events.where(F.col(ts_col).isNotNull()).select(
         F.col(user_col).alias("__u"),
         F.col(id_col).alias("__i"),
         F.unix_micros(F.col(ts_col)).alias("__t"),
     )
+    if min_contacts is not None and min_contacts > 1:
+        bucket = F.expr(f"__t DIV {tol_us}")
+        sizes = e.groupBy(bucket.alias("__sb")).agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        # each event's candidate count is bounded by its own + both
+        # adjacent buckets' event counts; summed per user this bounds
+        # every pair count the user can participate in
+        caps = (
+            e.select(
+                "__u",
+                F.explode(
+                    F.array(bucket - 1, bucket, bucket + 1)
+                ).alias("__sb"),
+            )
+            .join(sizes, "__sb")
+            .groupBy("__u")
+            .agg(F.sum("__bn").alias("__cap"))
+        )
+        survivors = caps.where(F.col("__cap") >= min_contacts).select("__u")
+        e = e.join(survivors, "__u", "left_semi")
     left = e.select(
         F.col("__u").alias("__ua"),
         F.col("__i").alias("__ia"),
@@ -575,7 +628,7 @@ def contact_pairs(
         )
         & (F.col("__ua") != F.col("__ub"))
     )
-    return (
+    pairs = (
         j.select(
             F.least("__ua", "__ub").alias("user_a"),
             F.greatest("__ua", "__ub").alias("user_b"),
@@ -583,6 +636,34 @@ def contact_pairs(
         .groupBy("user_a", "user_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_contacts"))
     )
+    if min_contacts is not None and min_contacts > 1:
+        pairs = pairs.where(F.col("n_contacts") >= min_contacts)
+    if top_k_per_user is not None:
+        directed = pairs.select(
+            F.col("user_a").alias("__du"),
+            F.col("user_b").alias("__dv"),
+            "n_contacts",
+        ).unionAll(
+            pairs.select(
+                F.col("user_b").alias("__du"),
+                F.col("user_a").alias("__dv"),
+                "n_contacts",
+            )
+        )
+        w = Window.partitionBy("__du").orderBy(
+            F.col("n_contacts").desc(), F.col("__dv").asc()
+        )
+        pairs = (
+            directed.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= top_k_per_user)
+            .select(
+                F.least("__du", "__dv").alias("user_a"),
+                F.greatest("__du", "__dv").alias("user_b"),
+                "n_contacts",
+            )
+            .distinct()
+        )
+    return pairs
 
 
 def reproduction_rate(

@@ -7926,6 +7926,90 @@ FROM counts
 """
 
 
+def q155_contact_pairs_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded contact graph, threshold mode
+    (``operators/events.contact_pairs(min_contacts=5)``): only pairs
+    with >= 20 co-active event pairs — the production form of q124,
+    whose exact output is quadratic-in-the-answer and cannot be
+    materialized at 100x scale. A per-user degree UPPER BOUND
+    (bucket-size partials) semi-joins hopeless users out of both
+    candidate sides BEFORE the quadratic join; the threshold then
+    sits directly on the combinable pair aggregate. The oracle runs
+    the naive range self-join + HAVING."""
+    from diseasystore_spark.operators.events import contact_pairs
+
+    return contact_pairs(
+        _read(spark, sf_dir, "events"), tolerance_s=3600, min_contacts=20
+    )
+
+
+ORACLE_Q155 = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE ts IS NOT NULL
+),
+p AS (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM e a JOIN e b
+    ON b.us >= a.us AND b.us - a.us <= 3600000000
+   AND (a.us < b.us OR a.event_id < b.event_id)
+   AND a.user_id <> b.user_id
+)
+SELECT least(ua, ub) AS user_a, greatest(ua, ub) AS user_b,
+       CAST(count(*) AS BIGINT) AS n_contacts
+FROM p GROUP BY least(ua, ub), greatest(ua, ub)
+HAVING count(*) >= 20
+"""
+
+
+def q156_contact_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded contact graph, top-k mode
+    (``operators/events.contact_pairs(top_k_per_user=3)``): each pair
+    kept iff it ranks in the top-3 strongest contacts of EITHER
+    endpoint (the kNN-union contact graph) — output linear in users
+    (<= 2k rows per user), never quadratic. Ranking runs on the
+    aggregated pair frame under a per-user window with a
+    deterministic (n desc, partner asc) tie-break the oracle
+    reproduces."""
+    from diseasystore_spark.operators.events import contact_pairs
+
+    return contact_pairs(
+        _read(spark, sf_dir, "events"), tolerance_s=3600, top_k_per_user=3
+    )
+
+
+ORACLE_Q156 = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE ts IS NOT NULL
+),
+p AS (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM e a JOIN e b
+    ON b.us >= a.us AND b.us - a.us <= 3600000000
+   AND (a.us < b.us OR a.event_id < b.event_id)
+   AND a.user_id <> b.user_id
+),
+pc AS (
+  SELECT least(ua, ub) AS pa, greatest(ua, ub) AS pb,
+         CAST(count(*) AS BIGINT) AS n
+  FROM p GROUP BY least(ua, ub), greatest(ua, ub)
+),
+d AS (
+  SELECT pa AS u, pb AS v, n FROM pc
+  UNION ALL
+  SELECT pb AS u, pa AS v, n FROM pc
+),
+r AS (
+  SELECT u, v, n,
+         row_number() OVER (PARTITION BY u ORDER BY n DESC, v ASC) AS rk
+  FROM d
+)
+SELECT DISTINCT least(u, v) AS user_a, greatest(u, v) AS user_b, n AS n_contacts
+FROM r WHERE rk <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8085,6 +8169,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q152_keyword_spans": q152_keyword_spans,
     "q153_welch_ab": q153_welch_ab,
     "q154_transition_matrix": q154_transition_matrix,
+    "q155_contact_pairs_min": q155_contact_pairs_min,
+    "q156_contact_pairs_topk": q156_contact_pairs_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -8241,6 +8327,8 @@ ORACLES: dict[str, str] = {
     "q152_keyword_spans": ORACLE_Q152,
     "q153_welch_ab": ORACLE_Q153,
     "q154_transition_matrix": ORACLE_Q154,
+    "q155_contact_pairs_min": ORACLE_Q155,
+    "q156_contact_pairs_topk": ORACLE_Q156,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

