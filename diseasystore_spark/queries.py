@@ -8010,6 +8010,74 @@ FROM r WHERE rk <= 3
 """
 
 
+#: 400 two-word phrases over the documents vocabulary — large enough
+#: to route keyword_spans(engine="auto") onto the Aho-Corasick
+#: mapInPandas path (>= KEYWORD_AUTOMATON_MIN_TERMS), exercising the
+#: big-dictionary engine under the oracle.
+_KW_VOCAB = [
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value",
+    "part", "hash", "line", "sort", "window", "batch", "spark",
+    "order", "data", "column", "join", "group",
+]
+_KW_TERMS_LARGE = [f"{a} {b}" for a in _KW_VOCAB for b in _KW_VOCAB]
+
+
+def q157_keyword_spans_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-dictionary span tagging
+    (``pipeline/text.keyword_spans``, automaton engine): 400 two-word
+    phrases — above the auto-routing threshold, so matching runs as
+    the Arrow-batched Aho-Corasick ``mapInPandas`` (O(len + matches)
+    per document, nothing dictionary-sized in the SQL plan) instead
+    of the literal-array codegen scan q152 uses for its 4 phrases.
+    Per-term rollup (count, position extrema, position·doc_id
+    checksum) keeps the verified surface compact while pinning every
+    match position."""
+    from diseasystore_spark.pipeline.text import keyword_spans
+
+    spans = keyword_spans(
+        _read(spark, sf_dir, "documents"), _KW_TERMS_LARGE
+    )
+    return spans.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("pos").cast("int").alias("min_pos"),
+        F.max("pos").cast("int").alias("max_pos"),
+        F.sum(F.col("pos").cast("bigint") * F.col("doc_id"))
+        .cast("bigint")
+        .alias("pos_dot_doc"),
+    )
+
+
+_KW_TERMS_SQL = ", ".join(f"'{t}'" for t in _KW_TERMS_LARGE)
+
+# Substring-equality JOIN formulation (not per-term list_filter): the
+# candidate frame enumerates (position, distinct-length) slices once
+# per document and hash-joins them against the dictionary — ~35x
+# faster in DuckDB than the 400-way cross-join scan, same result.
+ORACLE_Q157 = f"""
+WITH tl AS (SELECT term, length(term) AS L
+            FROM (SELECT unnest([{_KW_TERMS_SQL}]) AS term)),
+lens AS (SELECT DISTINCT L FROM tl),
+d AS (SELECT doc_id, lower(text) AS txt FROM documents
+      WHERE text IS NOT NULL),
+cand AS (
+  SELECT d.doc_id, lens.L,
+         unnest(range(1, greatest(length(d.txt) - lens.L + 2, 1))) AS i,
+         d.txt
+  FROM d CROSS JOIN lens
+),
+hits AS (
+  SELECT c.doc_id, t.term, c.i AS pos
+  FROM (SELECT doc_id, L, i, substr(txt, i, L) AS s FROM cand) c
+  JOIN tl t ON c.s = t.term AND c.L = t.L
+)
+SELECT term, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(pos) AS INTEGER) AS min_pos,
+       CAST(max(pos) AS INTEGER) AS max_pos,
+       CAST(sum(pos * doc_id) AS BIGINT) AS pos_dot_doc
+FROM hits GROUP BY term
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8171,6 +8239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q154_transition_matrix": q154_transition_matrix,
     "q155_contact_pairs_min": q155_contact_pairs_min,
     "q156_contact_pairs_topk": q156_contact_pairs_topk,
+    "q157_keyword_spans_large": q157_keyword_spans_large,
 }
 
 ORACLES: dict[str, str] = {
@@ -8329,6 +8398,7 @@ ORACLES: dict[str, str] = {
     "q154_transition_matrix": ORACLE_Q154,
     "q155_contact_pairs_min": ORACLE_Q155,
     "q156_contact_pairs_topk": ORACLE_Q156,
+    "q157_keyword_spans_large": ORACLE_Q157,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

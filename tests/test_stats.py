@@ -740,3 +740,66 @@ def test_welch_t_overflow_fails_loud(spark):
             welch_t_by_group(df, ["g"], "arm", "cents").collect()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_keyword_spans_automaton_matches_codegen_5k_terms(spark):
+    """The Aho-Corasick mapInPandas engine and the literal-array
+    codegen engine emit the identical span set on a 5k-term
+    dictionary (planted overlapping/nested phrases included), and
+    engine='auto' routes a dictionary that size to the automaton."""
+    import random as _random
+
+    from diseasystore_spark.pipeline.text import (
+        KEYWORD_AUTOMATON_MIN_TERMS,
+        keyword_spans,
+    )
+
+    rng = _random.Random(17)
+    vocab = [f"w{i}" for i in range(80)] + ["cat", "catalog", "log", "dog"]
+    terms = {f"{rng.choice(vocab)} {rng.choice(vocab)}" for _ in range(20000)}
+    terms = sorted(terms)[:5000] + ["cat", "catalog", "log"]
+    assert len(terms) >= 5000 > KEYWORD_AUTOMATON_MIN_TERMS
+
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(40)))
+        for i in range(60)
+    ]
+    rows.append((999, "the catalog of dog log"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    auto = keyword_spans(df, terms)  # routes to automaton at 5k terms
+    assert "MapInPandas" in auto._jdf.queryExecution().executedPlan().toString()
+    got_auto = set(map(tuple, auto.collect()))
+    got_cg = set(
+        map(tuple, keyword_spans(df, terms, engine="codegen").collect())
+    )
+    assert got_auto == got_cg
+    # nested phrases all reported from the planted doc
+    planted = {(t, p) for d, t, p in got_auto if d == 999}
+    assert {("cat", 5), ("catalog", 5), ("log", 9), ("log", 20)} <= planted
+
+
+def test_keyword_spans_10k_terms_no_plan_blowup(spark):
+    """A 10k-term dictionary must not embed the terms in the SQL plan
+    (literal arrays at that size blow up plan size and codegen): the
+    auto-routed automaton plan stays dictionary-free and answers
+    correctly."""
+    from diseasystore_spark.pipeline.text import keyword_spans
+
+    terms = [f"term{i:05d}" for i in range(10_000)] + ["needle phrase"]
+    df = spark.createDataFrame(
+        [(1, "a needle phrase and term00042 here"), (2, "nothing")],
+        "doc_id bigint, text string",
+    )
+    out = keyword_spans(df, terms)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "term09999" not in plan  # dictionary rides the closure
+    assert len(plan) < 20_000
+    got = set(map(tuple, out.collect()))
+    assert got == {(1, "needle phrase", 3), (1, "term00042", 21)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="engine"):
+        keyword_spans(df, terms, engine="nope")
