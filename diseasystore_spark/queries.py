@@ -8078,6 +8078,102 @@ FROM hits GROUP BY term
 """
 
 
+def q158_stream_scd2_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming ingest through the SCD2 store
+    (``streaming/ingest.stream_feature_updates``), driver-verified:
+    the events table is split at 2024-01-15 into two parquet files
+    consumed as two availableNow micro-batches (maxFilesPerTrigger=1,
+    file mtimes pinned so batch order is deterministic); each batch
+    is aggregated to daily per-type counts and SCD2-merged at its
+    event-time high-water mark. Reading back at the two high-water
+    slice_ts values must show exactly the first half, then the whole
+    — the oracle replays both batches as plain SQL aggregations. This
+    puts the foreachBatch ingest path (previously parity-tested only
+    in pytest) under the same hash-exact gate as the batch engine."""
+    import os
+    import tempfile
+
+    from diseasystore_spark.storage.scd2 import ParquetFeatureStore
+    from diseasystore_spark.streaming.ingest import stream_feature_updates
+
+    events = _read(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    cutoff = "2024-01-15"
+    b1 = events.where(F.col("ts").cast("date") <= F.lit(cutoff))
+    b2 = events.where(F.col("ts").cast("date") > F.lit(cutoff))
+
+    root = tempfile.mkdtemp(prefix="ds_stream_ingest_")
+    sdir = os.path.join(root, "in")
+    os.makedirs(sdir)
+    for i, half in enumerate([b1, b2]):
+        part = os.path.join(root, f"half{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(part)
+        src = next(
+            f for f in os.listdir(part) if f.endswith(".parquet")
+        )
+        dst = os.path.join(sdir, f"{i}.parquet")
+        os.rename(os.path.join(part, src), dst)
+        # FileStreamSource orders by modification time: pin it so
+        # batch 0 is always the first half
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    def transform(batch: DataFrame) -> DataFrame:
+        return (
+            batch.groupBy(
+                F.col("ts").cast("date").alias("valid_from"),
+                F.col("event_type").alias("key_event_type"),
+            )
+            .agg(F.count(F.lit(1)).cast("double").alias("n_events"))
+            .withColumn("valid_until", F.date_add("valid_from", 1))
+        )
+
+    store = ParquetFeatureStore(spark, os.path.join(root, "store"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    q = stream_feature_updates(
+        stream,
+        store,
+        "ds.stream_counts",
+        transform=transform,
+        event_ts_col="ts",
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    ts1 = b1.agg(F.max("ts")).first()[0]
+    ts2 = b2.agg(F.max("ts")).first()[0]
+    snap_a = store.get_table("ds.stream_counts", ts1)
+    snap_b = store.get_table("ds.stream_counts", ts2)
+    tagged = snap_a.withColumn("slice", F.lit("A")).unionByName(
+        snap_b.withColumn("slice", F.lit("B"))
+    )
+    return tagged.groupBy("slice").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("n_events").cast("bigint")).alias("sum_n"),
+    )
+
+
+ORACLE_Q158 = """
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS d, event_type
+  FROM events WHERE ts IS NOT NULL
+),
+a AS (
+  SELECT d, event_type, count(*) AS n FROM e
+  WHERE d <= DATE '2024-01-15' GROUP BY 1, 2
+),
+b AS (SELECT d, event_type, count(*) AS n FROM e GROUP BY 1, 2)
+SELECT 'A' AS slice, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n) AS BIGINT) AS sum_n
+FROM a
+UNION ALL
+SELECT 'B', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT) FROM b
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8240,6 +8336,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q155_contact_pairs_min": q155_contact_pairs_min,
     "q156_contact_pairs_topk": q156_contact_pairs_topk,
     "q157_keyword_spans_large": q157_keyword_spans_large,
+    "q158_stream_scd2_ingest": q158_stream_scd2_ingest,
 }
 
 ORACLES: dict[str, str] = {
@@ -8399,6 +8496,7 @@ ORACLES: dict[str, str] = {
     "q155_contact_pairs_min": ORACLE_Q155,
     "q156_contact_pairs_topk": ORACLE_Q156,
     "q157_keyword_spans_large": ORACLE_Q157,
+    "q158_stream_scd2_ingest": ORACLE_Q158,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

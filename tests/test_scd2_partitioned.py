@@ -232,3 +232,24 @@ def test_compact_partitioned_keeps_month_layout(spark, pstore):
         ]
         assert len(files) == 1, (m, files)
     assert {ts: snap(ts) for ts in (t1, t2)} == before
+
+
+def test_scoped_merge_read_never_touches_later_month_files(spark, pstore):
+    """Execution-level proof (not plan-string matching) that the
+    range-scoped merge's read side prunes months after the written
+    range: input_file_name() over the max_valid_from-pruned read
+    lists ONLY files of months at-or-before the bound — the parquet
+    scan for a June backfill physically never opens July+ files."""
+    from pyspark.sql import functions as F
+
+    pstore.update_snapshot(_df(spark, ROWS_V1), "ds.t", T(2024, 1, 1))
+    pruned = pstore.read_raw("ds.t", max_valid_from=D(2020, 2, 28))
+    files = [
+        r[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files, "pruned read returned no files"
+    assert all(
+        f"{PARTITION_COL}=2020-01" in f or f"{PARTITION_COL}=2020-02" in f
+        for f in files
+    ), files
