@@ -4,12 +4,15 @@ Design: image/audio/video payloads are ``binary`` columns with a typed
 metadata struct alongside (``modality``, ``format``, byte length). The
 Spark-side plumbing — schema, partition sizing, Arrow-batched
 ``mapInPandas`` signatures — is real and tested. Decoding: uncompressed
-24-bit BMP decodes FOR REAL (``decode_bmp`` — pure struct + numpy,
-q96-oracle-verified); codec-bound formats (JPEG/PNG/audio/video) are
-stubbed because the libraries (PIL / torchaudio / av) are not in this
-environment. Each stub either raises ``NotImplementedError`` or
-computes a deterministic fake feature (clearly marked), so swapping in
-a real decoder changes one function body, not the pipeline shape.
+24-bit BMP and RIFF/PCM WAV decode FOR REAL (``decode_bmp`` /
+``decode_wav`` — pure struct + numpy, q96/q97-oracle-verified);
+compressed formats route through the OPTIONAL real-codec path
+(``decode_image_any`` → PIL, ``decode_audio_any`` → soundfile) when
+those libraries are importable, and degrade to ``NotImplementedError``
+data rows otherwise — so a production cluster with pillow/soundfile
+installed runs JPEG/PNG/FLAC corpora through the SAME operators,
+schemas, and call sites, with zero code change. Video stays stubbed
+(PyAV-class dependency).
 
 Scale notes: binary rows are large — keep
 ``spark.sql.files.maxPartitionBytes`` at/below 128 MB so a partition
@@ -35,6 +38,13 @@ try:  # real decoders are optional; everything degrades to stubs
     _HAS_PIL = True
 except ImportError:
     _HAS_PIL = False
+
+try:  # optional compressed-audio codec (FLAC/OGG/float WAV)
+    import soundfile  # noqa: F401
+
+    _HAS_SOUNDFILE = True
+except ImportError:
+    _HAS_SOUNDFILE = False
 
 FEATURE_SCHEMA = (
     "doc_id bigint, modality string, byte_len int, content_sha string, "
@@ -234,6 +244,59 @@ def decode_bmp(payload: bytes):
     return np.ascontiguousarray(rgb)
 
 
+def decode_image_any(payload: bytes):
+    """Magic-sniffing image decode behind ONE contract: returns an
+    ``H x W x 3`` uint8 RGB array for any supported container.
+    BMP routes to the dependency-free :func:`decode_bmp` (always
+    available, byte-identical results in every environment — the
+    q96 oracle rests on it); JPEG/PNG/GIF/WebP route to PIL when
+    importable and raise ``NotImplementedError`` otherwise, so a
+    production cluster with pillow installed decodes real corpora
+    through the SAME mapInPandas operators without any schema or
+    call-site change."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "compressed image decode requires PIL; install pillow"
+        )
+    import io
+
+    import numpy as np
+    from PIL import Image as _Image
+
+    with _Image.open(io.BytesIO(payload)) as img:
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
+def decode_audio_any(payload: bytes):
+    """Magic-sniffing audio decode behind ONE contract: returns
+    ``(samples, sample_rate)`` with samples ``n_frames x n_channels``
+    int32. RIFF/WAVE PCM routes to the dependency-free
+    :func:`decode_wav` (the q97 oracle rests on it); compressed
+    containers (FLAC/OGG) — and PCM variants decode_wav rejects —
+    route to soundfile when importable, ``NotImplementedError``
+    otherwise."""
+    is_wav = payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    if is_wav:
+        try:
+            return decode_wav(payload)
+        except NotImplementedError:
+            if not _HAS_SOUNDFILE:
+                raise
+    elif not _HAS_SOUNDFILE:
+        raise NotImplementedError(
+            "compressed audio decode requires soundfile; install it"
+        )
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    data, rate = sf.read(io.BytesIO(payload), dtype="int16", always_2d=True)
+    return data.astype(np.int32), int(rate)
+
+
 IMAGE_STATS_SCHEMA = (
     "doc_id bigint, width int, height int, mean_rgb array<double>, "
     "decode_error string"
@@ -257,8 +320,8 @@ def image_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             widths, heights, means, errs = [], [], [], []
             for payload in pdf[payload_col].tolist():
                 try:
-                    rgb = decode_bmp(bytes(payload))
-                except (ValueError, NotImplementedError, struct.error) as exc:
+                    rgb = decode_image_any(bytes(payload))
+                except (ValueError, NotImplementedError, struct.error, OSError) as exc:
                     widths.append(None)
                     heights.append(None)
                     means.append(None)
@@ -355,8 +418,8 @@ def audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             rates, chans, frames, sums, peaks, errs = [], [], [], [], [], []
             for payload in pdf[payload_col].tolist():
                 try:
-                    samples, rate = decode_wav(bytes(payload))
-                except (ValueError, NotImplementedError, struct.error) as exc:
+                    samples, rate = decode_audio_any(bytes(payload))
+                except (ValueError, NotImplementedError, struct.error, OSError) as exc:
                     rates.append(None); chans.append(None)
                     frames.append(None); sums.append(None)
                     peaks.append(None); errs.append(str(exc))
@@ -381,6 +444,33 @@ def audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
+
+
+def _sniff_image_format(b: bytes) -> str | None:
+    """Container sniff by magic bytes — BMP decodes everywhere;
+    the compressed formats decode when PIL is importable and
+    surface a NotImplementedError data row otherwise."""
+    if b[:2] == b"BM":
+        return "bmp"
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if b[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        return "webp"
+    return None
+
+
+def _sniff_audio_format(b: bytes) -> str | None:
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    if b[:4] == b"fLaC":
+        return "flac"
+    if b[:4] == b"OggS":
+        return "ogg"
+    return None
 
 
 MEDIA_STATS_SCHEMA = (
@@ -417,20 +507,22 @@ def media_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     "n_frames": None, "sum_abs": None, "peak": None,
                     "decode_error": None,
                 }
+                img_fmt = _sniff_image_format(b)
+                aud_fmt = _sniff_audio_format(b)
                 try:
-                    if b[:2] == b"BM":
-                        base["format"] = "bmp"
-                        rgb = decode_bmp(b)
+                    if img_fmt is not None:
+                        base["format"] = img_fmt
+                        rgb = decode_image_any(b)
                         base.update(
                             ok=True,
                             width=rgb.shape[1], height=rgb.shape[0],
                             mean_rgb=rgb.reshape(-1, 3).mean(0).tolist(),
                         )
-                    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                        base["format"] = "wav"
+                    elif aud_fmt is not None:
+                        base["format"] = aud_fmt
                         import numpy as np
 
-                        samples, rate = decode_wav(b)
+                        samples, rate = decode_audio_any(b)
                         a = np.abs(samples)
                         base.update(
                             ok=True,
@@ -442,7 +534,9 @@ def media_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                         )
                     else:
                         base["decode_error"] = "unknown container"
-                except (ValueError, NotImplementedError, struct.error) as exc:
+                except (
+                    ValueError, NotImplementedError, struct.error, OSError
+                ) as exc:
                     base["decode_error"] = str(exc)
                 rows.append(base)
             out = pd.DataFrame(rows)

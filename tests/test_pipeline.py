@@ -1850,7 +1850,10 @@ def test_bmp_decode_roundtrip_and_image_stats(spark):
     for doc, img in ((1, img_a), (2, img_b)):
         want = img.reshape(-1, 3).mean(axis=0)
         assert np.allclose(got[doc]["mean_rgb"], want)
-    assert got[3]["width"] is None and "not a BMP" in got[3]["decode_error"]
+    # non-BMP bytes now route to the optional compressed-codec path:
+    # without PIL that's a NotImplementedError, with PIL an
+    # unidentified-image error — either way a data row, not a crash
+    assert got[3]["width"] is None and got[3]["decode_error"]
 
 
 def test_wav_decode_roundtrip_and_audio_stats(spark):
@@ -2541,3 +2544,86 @@ def test_distribution_drift_psi_emits_doubly_empty_bins(spark):
     assert abs(sum(r["ref_share"] for r in out) - 1.0) < 1e-12
     assert abs(sum(r["cur_share"] for r in out) - 1.0) < 1e-12
     assert all(math.isfinite(r["psi_term"]) for r in out)
+
+
+def test_decode_image_any_real_codec_or_honest_fallback(spark):
+    """The optional real-codec image path: with PIL importable, a PNG
+    generated BY PIL itself round-trips through decode_image_any and
+    the unchanged image_stats operator; without it, compressed magics
+    raise the honest NotImplementedError (as a data row through the
+    operator). BMP behavior is identical in both environments — the
+    q96 oracle never moves."""
+    import numpy as np
+    import pytest
+
+    from diseasystore_spark.pipeline import multimodal as mm
+
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    if mm._HAS_PIL:
+        import io
+
+        from PIL import Image
+
+        arr = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        assert (mm.decode_image_any(buf.getvalue()) == arr).all()
+        df = spark.createDataFrame(
+            [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+        )
+        r = mm.image_stats(df).collect()[0]
+        assert (r["width"], r["height"]) == (3, 3)
+        assert r["decode_error"] is None
+    else:
+        with pytest.raises(NotImplementedError, match="pillow"):
+            mm.decode_image_any(png_magic)
+
+
+def test_decode_audio_any_real_codec_or_honest_fallback(spark):
+    """Audio twin: with soundfile importable, a FLAC written BY
+    soundfile round-trips through decode_audio_any / audio_stats;
+    without it, compressed magics raise NotImplementedError. PCM WAV
+    always takes the dependency-free decoder (q97 oracle fixed)."""
+    import numpy as np
+    import pytest
+
+    from diseasystore_spark.pipeline import multimodal as mm
+
+    if mm._HAS_SOUNDFILE:
+        import io
+
+        import soundfile as sf
+
+        pcm = np.array([100, -200, 300, -400], dtype=np.int16)
+        buf = io.BytesIO()
+        sf.write(buf, pcm, 8000, format="FLAC")
+        samples, rate = mm.decode_audio_any(buf.getvalue())
+        assert rate == 8000
+        assert samples.shape == (4, 1)
+        assert (samples[:, 0] == pcm).all()
+    else:
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            mm.decode_audio_any(b"fLaC" + b"\x00" * 16)
+
+
+def test_media_stats_tags_compressed_containers(spark):
+    """media_stats sniffs compressed magics into their format tag:
+    the row is a real decode when the codec lib is present, an honest
+    NotImplementedError data row when it is not — never 'unknown
+    container', never a crash. Raw bytes stay 'unknown container'."""
+    from diseasystore_spark.pipeline import multimodal as mm
+
+    rows = [
+        (1, bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)),
+        (2, bytearray(b"fLaC" + b"\x00" * 16)),
+        (3, bytearray(b"just some text")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in mm.media_stats(df).collect()}
+    assert got[1]["format"] == "png"
+    assert got[2]["format"] == "flac"
+    assert got[3]["format"] is None
+    assert got[3]["decode_error"] == "unknown container"
+    # truncated/garbage compressed payloads are data rows either way
+    assert not got[1]["ok"] and got[1]["decode_error"]
+    assert not got[2]["ok"] and got[2]["decode_error"]
