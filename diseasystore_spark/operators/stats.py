@@ -533,3 +533,85 @@ def welch_t_by_group(
             (mt - mc) / F.sqrt(vt / F.col("n_t") + vc / F.col("n_c")),
         ).alias("t"),
     )
+
+
+def spearman_rho(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Spearman rank correlation between two score columns — the
+    scorer-agreement readout (does the new quality model ORDER the
+    corpus like the old one / like human ratings?), robust to any
+    monotone rescaling the Pearson correlation would reward or
+    punish. Tie-aware: computed as the Pearson correlation of
+    AVERAGE ranks, the standard tie correction (the n(n²-1)/6
+    shortcut is tie-free only).
+
+    Determinism-first shape: scores quantize to ``1/quantize`` units
+    (bounding every intermediate frame at quantize+1 rows — the
+    q151/roc_auc pattern; Spearman of the quantized scores, with the
+    same ≤1e-6 boundary caveat). Per-distinct-value counts give each
+    value's DOUBLED average rank as an exact integer
+    (``2·count_less + count + 1``) via one bounded cumulative window
+    per column; ranks join back to rows on the bounded value key, and
+    the five Pearson sums accumulate as decimal(38,0) — so rho is one
+    double expression over exact integers, bit-reproducible in any
+    SQL engine. NULLs in either column drop the row; a frame where
+    either column is constant returns NULL rho (undefined).
+
+    Output: ONE row — ``(n bigint, rho double)``.
+
+    Scale shape: two combinable value-count groupBys, two bounded
+    windows over value-level frames, two equi-joins on the bounded
+    value key (broadcastable), one combinable final aggregate. No
+    corpus-sized window anywhere.
+    """
+    if quantize < 2:
+        raise ValueError("quantize must be at least 2")
+    base = df.select(
+        F.floor(F.col(col_a).cast("double") * quantize)
+        .cast("bigint")
+        .alias("__qa"),
+        F.floor(F.col(col_b).cast("double") * quantize)
+        .cast("bigint")
+        .alias("__qb"),
+    ).where(F.col("__qa").isNotNull() & F.col("__qb").isNotNull())
+
+    def ranks(col: str, out: str) -> DataFrame:
+        counts = base.groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__c")
+        )
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return counts.select(
+            col,
+            (
+                F.lit(2) * F.coalesce(F.sum("__c").over(w), F.lit(0))
+                + F.col("__c")
+                + F.lit(1)
+            ).cast("bigint").alias(out),
+        )
+
+    ranked = base.join(ranks("__qa", "__ra"), "__qa").join(
+        ranks("__qb", "__rb"), "__qb"
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d("__ra")).cast("decimal(38,0)").alias("__sa"),
+        F.sum(d("__rb")).cast("decimal(38,0)").alias("__sb"),
+        F.sum(d("__ra") * d("__ra")).cast("decimal(38,0)").alias("__saa"),
+        F.sum(d("__rb") * d("__rb")).cast("decimal(38,0)").alias("__sbb"),
+        F.sum(d("__ra") * d("__rb")).cast("decimal(38,0)").alias("__sab"),
+    )
+    nn = F.col("n").cast("decimal(38,0)")
+    cov = (nn * F.col("__sab") - F.col("__sa") * F.col("__sb")).cast("double")
+    va = (nn * F.col("__saa") - F.col("__sa") * F.col("__sa")).cast("double")
+    vb = (nn * F.col("__sbb") - F.col("__sb") * F.col("__sb")).cast("double")
+    return sums.select(
+        "n",
+        F.when(
+            (va > 0) & (vb > 0), cov / F.sqrt(va * vb)
+        ).alias("rho"),
+    )

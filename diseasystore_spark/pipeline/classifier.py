@@ -160,6 +160,26 @@ def calibration_bins(
     )
 
 
+def _per_score_counts(
+    df: DataFrame, score_col: str, label_col: str, quantize: int
+) -> DataFrame:
+    """Shared rank-metric substrate: quantize scores to ``1/quantize``
+    units and aggregate per-distinct-score positive/negative counts —
+    the frame every threshold-sweep metric (ROC-AUC, KS, average
+    precision) runs its bounded window over. ≤ quantize+1 rows
+    regardless of corpus size; one combinable groupBy."""
+    base = df.select(
+        F.floor(F.col(score_col).cast("double") * quantize)
+        .cast("bigint")
+        .alias("__q"),
+        F.col(label_col).cast("boolean").alias("__y"),
+    ).where(F.col("__q").isNotNull() & F.col("__y").isNotNull())
+    return base.groupBy("__q").agg(
+        F.sum(F.col("__y").cast("int")).cast("bigint").alias("__p"),
+        F.sum((~F.col("__y")).cast("int")).cast("bigint").alias("__n"),
+    )
+
+
 def roc_auc(
     df: DataFrame,
     score_col: str,
@@ -194,16 +214,7 @@ def roc_auc(
     """
     if quantize < 2:
         raise ValueError("quantize must be at least 2")
-    base = df.select(
-        F.floor(F.col(score_col).cast("double") * quantize)
-        .cast("bigint")
-        .alias("__q"),
-        F.col(label_col).cast("boolean").alias("__y"),
-    ).where(F.col("__q").isNotNull() & F.col("__y").isNotNull())
-    per_score = base.groupBy("__q").agg(
-        F.sum(F.col("__y").cast("int")).cast("bigint").alias("__p"),
-        F.sum((~F.col("__y")).cast("int")).cast("bigint").alias("__n"),
-    )
+    per_score = _per_score_counts(df, score_col, label_col, quantize)
     w = (
         Window.orderBy("__q").rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -245,4 +256,156 @@ def roc_auc(
                 * F.col("n_neg").cast("decimal(38,0)")
             ).cast("double"),
         ).alias("auc"),
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Kolmogorov-Smirnov separation of a scorer's positive vs
+    negative score distributions — the classic "how separable are the
+    classes at the best single threshold" readout (credit-scoring's
+    KS, the max-over-thresholds sibling of :func:`roc_auc`'s
+    integral): ``KS = max_t |F_pos(t) - F_neg(t)|``.
+
+    Determinism-first like roc_auc: per-distinct-quantized-score
+    counts, one bounded (≤ quantize+1 row) ordered window of
+    INCLUSIVE cumulative counts, and the max runs over the exact
+    integer cross-difference ``|cum_p·N − cum_n·P|`` (decimal(38,0) —
+    products of two corpus-scale counts exceed int64) with one final
+    double division by ``P·N``. Any SQL engine reproduces it
+    bit-for-bit. A frame with no positives or no negatives raises.
+
+    Output: ONE row — ``(n_pos bigint, n_neg bigint, ks double,
+    ks_threshold double)`` where ``ks_threshold`` is the LOWEST
+    quantized score attaining the max (deterministic tie-break),
+    reported in original score units.
+    """
+    if quantize < 2:
+        raise ValueError("quantize must be at least 2")
+    per_score = _per_score_counts(df, score_col, label_col, quantize)
+    w = Window.orderBy("__q").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_score.select(
+        "__q",
+        F.sum("__p").over(w).cast("decimal(38,0)").alias("__cp"),
+        F.sum("__n").over(w).cast("decimal(38,0)").alias("__cn"),
+    )
+    tot = per_score.agg(
+        F.sum("__p").cast("bigint").alias("n_pos"),
+        F.sum("__n").cast("bigint").alias("n_neg"),
+    )
+    diff = cum.crossJoin(F.broadcast(tot)).select(
+        "__q",
+        "n_pos",
+        "n_neg",
+        F.abs(
+            F.col("__cp") * F.col("n_neg").cast("decimal(38,0)")
+            - F.col("__cn") * F.col("n_pos").cast("decimal(38,0)")
+        ).alias("__d"),
+    )
+    wall = Window.partitionBy("n_pos", "n_neg")
+    best = (
+        diff.withColumn("__dmax", F.max("__d").over(wall))
+        .groupBy("n_pos", "n_neg", "__dmax")
+        .agg(
+            F.min(
+                F.when(F.col("__d") == F.col("__dmax"), F.col("__q"))
+            ).alias("__qbest")
+        )
+    )
+    ok = F.assert_true(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.lit("ks_statistic: need at least one positive and one negative"),
+    )
+    return best.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            ok.isNull(),
+            F.col("__dmax").cast("double")
+            / (
+                F.col("n_pos").cast("decimal(38,0)")
+                * F.col("n_neg").cast("decimal(38,0)")
+            ).cast("double"),
+        ).alias("ks"),
+        (F.col("__qbest").cast("double") / quantize).alias("ks_threshold"),
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Average precision (PR-AUC, step form) — the rank metric that,
+    unlike ROC-AUC, stays honest under heavy class imbalance (the
+    usual corpus-curation regime: few good documents, oceans of
+    rejects): sweep thresholds from the highest score down, and
+    average the precision at each threshold weighted by the recall it
+    adds. Distinct quantized scores are treated atomically (all rows
+    of a tie enter together — deterministic, no within-tie order).
+
+        AP = Σ_s (p_s / P) · (TP_s / (TP_s + FP_s))
+
+    with TP_s/FP_s the INCLUSIVE cumulative counts in descending
+    score order. Determinism-first: each bucket's term is computed as
+    ``floor(1e12 · p_s · TP_s / (TP_s + FP_s))`` in decimal(38,0) —
+    integer floor-division per bucket, so the cross-bucket sum is an
+    exact integer (order-independent, engine-reproducible) and only
+    the final division by ``1e12 · P`` is double. The ≤ 1e-12
+    per-bucket floor bias is far below any decision threshold; the
+    exactness of the VERIFICATION is what matters.
+
+    Output: ONE row — ``(n_pos bigint, n_neg bigint, ap_p12
+    decimal(38,0), ap double)`` (``ap_p12`` is the scaled-integer
+    numerator — the value the oracle matches exactly).
+    """
+    if quantize < 2:
+        raise ValueError("quantize must be at least 2")
+    per_score = _per_score_counts(df, score_col, label_col, quantize)
+    w = (
+        Window.orderBy(F.col("__q").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_score.select(
+        "__p",
+        F.sum("__p").over(w).cast("decimal(38,0)").alias("__tp"),
+        (F.sum("__p").over(w) + F.sum("__n").over(w))
+        .cast("decimal(38,0)")
+        .alias("__tot"),
+    )
+    term = cum.select(
+        "__p",
+        F.floor(
+            F.col("__p").cast("decimal(38,0)")
+            * F.col("__tp")
+            * F.lit(1_000_000_000_000).cast("decimal(38,0)")
+            / F.col("__tot")
+        ).cast("decimal(38,0)").alias("__t"),
+    )
+    tot = term.agg(
+        F.sum("__p").cast("bigint").alias("n_pos"),
+        F.sum("__t").cast("decimal(38,0)").alias("ap_p12"),
+    )
+    n_neg = per_score.agg(F.sum("__n").cast("bigint").alias("n_neg"))
+    ok = F.assert_true(
+        F.col("n_pos") > 0,
+        F.lit("average_precision: need at least one positive"),
+    )
+    return tot.crossJoin(F.broadcast(n_neg)).select(
+        "n_pos",
+        "n_neg",
+        "ap_p12",
+        F.when(
+            ok.isNull(),
+            F.col("ap_p12").cast("double")
+            / (
+                F.lit(1_000_000_000_000).cast("decimal(38,0)")
+                * F.col("n_pos").cast("decimal(38,0)")
+            ).cast("double"),
+        ).alias("ap"),
     )

@@ -2104,3 +2104,96 @@ def cross_source_matrix(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum("__matches").cast("bigint").alias("sum_sig_matches"),
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_sources_per_gram: int | None = 64,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every unordered pair of
+    corpus slices (``group_col`` values), the number of DISTINCT word
+    ``n``-grams they share, each slice's distinct-gram total, and the
+    Jaccard overlap — the corpus-health scan that catches a crawl
+    slice re-ingesting another slice (or a benchmark split bleeding
+    into training sources) before any pairwise document work is
+    spent. The per-document sibling is ``ngram_decontaminate``
+    (corpus vs one benchmark set); this is slice × slice.
+
+    Scale shape — never documents²: distinct (source, gram) pairs
+    (one combinable distinct shuffle on the gram key), then the
+    per-gram source LIST is paired within itself — fan-out bounded by
+    (sources-per-gram choose 2), with sources a small set by
+    construction. ``max_sources_per_gram`` drops grams present in
+    more than that many slices (a gram shared by every slice — stop
+    phrases, boilerplate — contributes |S|² pairs and no contamination
+    signal; the cap is the ``max_df`` skew guard of the Jaccard
+    operators, fail-safe because such grams only ever ADD noise).
+    Totals join back on the slice key (broadcast-sized frame).
+
+    Output: ``(source_a, source_b, n_shared bigint, n_a bigint,
+    n_b bigint, jaccard double)`` with ``source_a < source_b``.
+    """
+    if n < 1:
+        raise ValueError("n must be at least 1")
+    grams = (
+        df.where(F.col(text_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("__s"),
+            F.explode(word_ngrams(text_col, n)).alias("__g"),
+        )
+        .distinct()
+    )
+    per_gram = grams.groupBy("__g").agg(
+        F.sort_array(F.collect_set("__s")).alias("__ss")
+    )
+    if max_sources_per_gram is not None:
+        per_gram = per_gram.where(F.size("__ss") <= max_sources_per_gram)
+    pairs = (
+        per_gram.where(F.size("__ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ss, (a, i) -> "
+                    "transform(slice(__ss, i + 2, size(__ss)), "
+                    "b -> struct(a AS sa, b AS sb))))"
+                )
+            ).alias("__p")
+        )
+        .groupBy(
+            F.col("__p.sa").alias("source_a"),
+            F.col("__p.sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    totals = grams.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    return (
+        pairs.join(
+            F.broadcast(totals.withColumnRenamed("__s", "source_a")),
+            "source_a",
+        )
+        .withColumnRenamed("__n", "n_a")
+        .join(
+            F.broadcast(totals.withColumnRenamed("__s", "source_b")),
+            "source_b",
+        )
+        .withColumnRenamed("__n", "n_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

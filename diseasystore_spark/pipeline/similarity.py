@@ -784,3 +784,106 @@ def semantic_dedup(
             "kept_by",
         )
     )
+
+
+def group_centroid_cosine(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Pairwise cosine similarity between GROUP CENTROIDS of an
+    embedding column — the embedding-space drift/redundancy monitor
+    (are two crawl slices, two dedup clusters, or this week's and
+    last week's corpora pointing the same way?). Cheap by
+    construction: everything data-sized reduces to one per-(group,
+    dim) integer aggregation; the pairwise part runs on the
+    |groups|×dims centroid frame, which is broadcast-sized by
+    assumption (slices, clusters — not documents).
+
+    Determinism-first: components quantize to ``1/scale`` units
+    (``round(v·scale)`` bigint) and per-group component SUMS are the
+    centroid representative — cosine is scale-invariant, so the
+    cosine of sums IS the cosine of means, with no division ever
+    entering the accumulation. Dot products and norms accumulate as
+    decimal(38,0) (64 dims × (500k·1e6)² per-dim products pass 1e19 —
+    int64 wraps); one final double division per pair. Any SQL engine
+    reproduces the output bit-for-bit.
+
+    Output: ``(group_a, group_b, n_a bigint, n_b bigint, cos
+    double)`` for every unordered pair, group_a < group_b; groups
+    with a zero-norm sum vector yield NULL cos (undefined).
+    """
+    comps = (
+        df.where(F.col(group_col).isNotNull() & F.col(vec_col).isNotNull())
+        .select(
+            F.col(group_col).alias("__g"),
+            F.posexplode(F.col(vec_col)).alias("__d", "__v"),
+        )
+        .groupBy("__g", "__d")
+        .agg(
+            F.sum(
+                F.round(F.col("__v").cast("double") * scale).cast("bigint")
+            )
+            .cast("decimal(38,0)")
+            .alias("__s")
+        )
+    )
+    sizes = (
+        df.where(F.col(group_col).isNotNull() & F.col(vec_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    a = comps.select(
+        F.col("__g").alias("group_a"),
+        F.col("__d").alias("__d"),
+        F.col("__s").alias("__sa"),
+    )
+    b = comps.select(
+        F.col("__g").alias("group_b"),
+        F.col("__d").alias("__d2"),
+        F.col("__s").alias("__sb"),
+    )
+    dots = (
+        a.join(
+            b,
+            (F.col("__d") == F.col("__d2"))
+            & (F.col("group_a") < F.col("group_b")),
+        )
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.sum(F.col("__sa") * F.col("__sb"))
+            .cast("decimal(38,0)")
+            .alias("__dot"),
+            F.sum(F.col("__sa") * F.col("__sa"))
+            .cast("decimal(38,0)")
+            .alias("__naa"),
+            F.sum(F.col("__sb") * F.col("__sb"))
+            .cast("decimal(38,0)")
+            .alias("__nbb"),
+        )
+    )
+    return (
+        dots.join(
+            F.broadcast(sizes.withColumnRenamed("__g", "group_a")), "group_a"
+        )
+        .withColumnRenamed("__n", "n_a")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("__g", "group_b")), "group_b"
+        )
+        .withColumnRenamed("__n", "n_b")
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            F.when(
+                (F.col("__naa") > 0) & (F.col("__nbb") > 0),
+                F.col("__dot").cast("double")
+                / (
+                    F.sqrt(F.col("__naa").cast("double"))
+                    * F.sqrt(F.col("__nbb").cast("double"))
+                ),
+            ).alias("cos"),
+        )
+    )

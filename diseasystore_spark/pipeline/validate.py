@@ -290,3 +290,111 @@ def annotator_agreement(
             .alias("kappa"),
         )
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    rater_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) over a long-form ratings
+    frame ``(unit, rater, label)`` — the multi-rater,
+    missing-tolerant generalization of :func:`annotator_agreement`'s
+    two-rater kappa: any number of raters, any subset rating each
+    unit (the real labeling-campaign shape, where labeling functions
+    abstain and crowd workers overlap partially). ``alpha = 1 −
+    D_o/D_e`` over the coincidence matrix; units with fewer than two
+    ratings carry no agreement information and are excluded, NULL
+    labels are abstentions.
+
+    Exact-arithmetic derivation (all engine-reproducible):
+
+    - label marginals of the coincidence matrix are PLAIN COUNTS over
+      pairable units (``Σ_k o_ck = n_uc`` summed — no division), so
+      ``D_e``'s numerator ``n² − Σ_c n_c²`` is exact bigint math;
+    - the observed off-diagonal mass ``Σ_u (m_u² − Σ_c n_uc²)/(m_u−1)``
+      has per-unit denominators, so it is accumulated EXACTLY by
+      grouping units by ``m_u`` (the distinct-rating-count key, tiny)
+      and taking ``Σ_m floor(S_m · 1e12 / (m−1))`` in decimal(38,0) —
+      integer floor division per group, order-independent, no float
+      sum anywhere (the scaled-integer convention of
+      ``average_precision``/q149);
+    - ``alpha = 1 − (n−1) · o12 / (1e12 · (n² − Σn_c²))`` — one final
+      double expression. All-agree frames (zero expected AND observed
+      disagreement) return alpha = 1.0 by convention, mirroring the
+      kappa operator.
+
+    Output: ONE row — ``(n_units bigint, n_ratings bigint, o_off_p12
+    decimal(38,0), alpha double)``.
+
+    Scale shape: one (unit, label) count groupBy, one per-unit
+    rollup, one tiny per-m rollup, one label-marginal groupBy —
+    all combinable; nothing data-sized shuffles twice.
+    """
+    ratings = df.select(
+        F.col(unit_col).alias("__u"),
+        F.col(rater_col).alias("__r"),
+        F.col(label_col).cast("string").alias("__c"),
+    ).where(
+        F.col("__u").isNotNull()
+        & F.col("__r").isNotNull()
+        & F.col("__c").isNotNull()
+    )
+    per_unit_label = ratings.groupBy("__u", "__c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nuc")
+    )
+    per_unit = per_unit_label.groupBy("__u").agg(
+        F.sum("__nuc").cast("bigint").alias("__m"),
+        F.sum(F.col("__nuc") * F.col("__nuc")).cast("bigint").alias("__sq"),
+    ).where(F.col("__m") >= 2)
+    by_m = per_unit.groupBy("__m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__units"),
+        F.sum(F.col("__m") * F.col("__m") - F.col("__sq"))
+        .cast("bigint")
+        .alias("__s"),
+    )
+    off = by_m.agg(
+        F.sum("__units").cast("bigint").alias("n_units"),
+        F.sum(F.col("__m") * F.col("__units")).cast("bigint").alias(
+            "n_ratings"
+        ),
+        F.sum(
+            F.floor(
+                F.col("__s").cast("decimal(38,0)")
+                * F.lit(1_000_000_000_000).cast("decimal(38,0)")
+                / (F.col("__m") - 1).cast("decimal(38,0)")
+            ).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("o_off_p12"),
+    )
+    marg = (
+        per_unit_label.join(per_unit.select("__u"), "__u", "left_semi")
+        .groupBy("__c")
+        .agg(F.sum("__nuc").cast("bigint").alias("__nc"))
+        .agg(
+            F.sum(F.col("__nc") * F.col("__nc"))
+            .cast("decimal(38,0)")
+            .alias("__sum_nc2")
+        )
+    )
+    n = F.col("n_ratings").cast("decimal(38,0)")
+    de_num = (n * n - F.col("__sum_nc2")).cast("decimal(38,0)")
+    return off.crossJoin(F.broadcast(marg)).select(
+        "n_units",
+        "n_ratings",
+        "o_off_p12",
+        F.when(
+            de_num > 0,
+            F.lit(1.0)
+            - (
+                (n - 1) * F.col("o_off_p12")
+            ).cast("double")
+            / (
+                F.lit(1_000_000_000_000).cast("decimal(38,0)") * de_num
+            ).cast("double"),
+        )
+        .when(F.col("o_off_p12") == 0, F.lit(1.0))
+        .alias("alpha"),
+    )

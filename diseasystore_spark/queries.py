@@ -8174,6 +8174,387 @@ SELECT 'B', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT) FROM b
 """
 
 
+
+
+def q159_spearman_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank agreement (``operators/stats.spearman_rho``)
+    between two corpus-quality proxies — the q150 length scorer and
+    the distinct-token ratio: do the two heuristics ORDER the corpus
+    the same way? Tie-aware (Pearson on doubled average ranks, exact
+    integers), quantized frames bound every window (q151 pattern)."""
+    from diseasystore_spark.operators.stats import spearman_rho
+
+    toks = F.expr(r"filter(split(trim(text), '\\s+'), t -> t != '')")
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.least(F.col("n_chars"), F.lit(1000)) / F.lit(1000.0)).alias(
+            "score_len"
+        ),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("score_distinct"),
+    )
+    return spearman_rho(docs, "score_len", "score_distinct")
+
+
+ORACLE_Q159 = r"""
+WITH base AS (
+  SELECT CAST(floor(least(n_chars, 1000) / 1000.0 * 1000000) AS BIGINT) AS qa,
+         CAST(floor(
+           CAST(len(list_distinct(list_filter(
+                  string_split_regex(trim(text), '\s+'), t -> t <> '')))
+                AS DOUBLE)
+           / CAST(greatest(len(list_filter(
+                  string_split_regex(trim(text), '\s+'), t -> t <> '')), 1)
+                  AS DOUBLE) * 1000000) AS BIGINT) AS qb
+  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+),
+ca AS (SELECT qa, count(*) AS c FROM base GROUP BY qa),
+ra AS (
+  SELECT qa, 2 * coalesce(sum(c) OVER (ORDER BY qa
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2a
+  FROM ca
+),
+cb AS (SELECT qb, count(*) AS c FROM base GROUP BY qb),
+rb AS (
+  SELECT qb, 2 * coalesce(sum(c) OVER (ORDER BY qb
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2b
+  FROM cb
+),
+j AS (SELECT r2a, r2b FROM base JOIN ra USING (qa) JOIN rb USING (qb)),
+s AS (
+  SELECT count(*) AS n,
+         sum(CAST(r2a AS HUGEINT)) AS sa, sum(CAST(r2b AS HUGEINT)) AS sb,
+         sum(CAST(r2a AS HUGEINT) * r2a) AS saa,
+         sum(CAST(r2b AS HUGEINT) * r2b) AS sbb,
+         sum(CAST(r2a AS HUGEINT) * r2b) AS sab
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CASE WHEN (n * saa - sa * sa) > 0 AND (n * sbb - sb * sb) > 0
+            THEN CAST(n * sab - sa * sb AS DOUBLE)
+                 / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                        * CAST(n * sbb - sb * sb AS DOUBLE))
+       END AS rho
+FROM s
+"""
+
+
+def q160_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov class separation
+    (``pipeline/classifier.ks_statistic``) of the q150/q151 length
+    scorer vs the many-tokens label: max |F_pos - F_neg| with the
+    argmax threshold, exact integer cross-differences over the
+    bounded quantized frame, one final double division."""
+    from diseasystore_spark.pipeline.classifier import ks_statistic
+
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.least(F.col("n_chars"), F.lit(1000)) / F.lit(1000.0)).alias(
+            "score"
+        ),
+        (
+            F.size(F.expr(r"filter(split(trim(text), '\\s+'), t -> t != '')"))
+            >= 60
+        ).alias("label"),
+    )
+    return ks_statistic(docs, "score", "label")
+
+
+ORACLE_Q160 = r"""
+WITH base AS (
+  SELECT CAST(floor(least(n_chars, 1000) / 1000.0 * 1000000) AS BIGINT)
+           AS q,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> t <> '')) >= 60 AS y
+  FROM documents
+  WHERE n_chars IS NOT NULL AND text IS NOT NULL
+),
+per AS (
+  SELECT q,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n
+  FROM base GROUP BY q
+),
+tot AS (SELECT sum(p) AS pp, sum(n) AS nn FROM per),
+cum AS (
+  SELECT q,
+         sum(p) OVER (ORDER BY q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+         sum(n) OVER (ORDER BY q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+  FROM per
+),
+d AS (
+  SELECT q, abs(CAST(cp AS HUGEINT) * nn - CAST(cn AS HUGEINT) * pp) AS dd
+  FROM cum, tot
+),
+m AS (SELECT max(dd) AS dmax FROM d)
+SELECT CAST(pp AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       CAST(dmax AS DOUBLE)
+         / CAST(CAST(pp AS HUGEINT) * nn AS DOUBLE) AS ks,
+       CAST((SELECT min(q) FROM d WHERE dd = (SELECT dmax FROM m))
+            AS DOUBLE) / 1000000 AS ks_threshold
+FROM tot, m
+"""
+
+
+def q161_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision / PR-AUC
+    (``pipeline/classifier.average_precision``) of the same scorer-
+    label pair as q151/q160 — the imbalance-honest rank metric.
+    Bucket-atomic threshold sweep; each bucket term is a scaled-
+    integer floor division so the cross-bucket sum is exact and the
+    oracle matches the numerator to the last digit."""
+    from diseasystore_spark.pipeline.classifier import average_precision
+
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.least(F.col("n_chars"), F.lit(1000)) / F.lit(1000.0)).alias(
+            "score"
+        ),
+        (
+            F.size(F.expr(r"filter(split(trim(text), '\\s+'), t -> t != '')"))
+            >= 60
+        ).alias("label"),
+    )
+    return average_precision(docs, "score", "label").withColumn(
+        "ap_p12", F.col("ap_p12").cast("bigint")
+    )
+
+
+ORACLE_Q161 = r"""
+WITH base AS (
+  SELECT CAST(floor(least(n_chars, 1000) / 1000.0 * 1000000) AS BIGINT)
+           AS q,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> t <> '')) >= 60 AS y
+  FROM documents
+  WHERE n_chars IS NOT NULL AND text IS NOT NULL
+),
+per AS (
+  SELECT q,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n
+  FROM base GROUP BY q
+),
+cum AS (
+  SELECT p,
+         sum(p) OVER (ORDER BY q DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         sum(p + n) OVER (ORDER BY q DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tot
+  FROM per
+),
+t AS (
+  SELECT p,
+         (CAST(p AS HUGEINT) * tp * 1000000000000) // tot AS term
+  FROM cum
+)
+SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+       (SELECT CAST(sum(n) AS BIGINT) FROM per) AS n_neg,
+       CAST(sum(term) AS BIGINT) AS ap_p12,
+       CAST(sum(term) AS DOUBLE)
+         / CAST(1000000000000 * CAST(sum(p) AS HUGEINT) AS DOUBLE) AS ap
+FROM t
+"""
+
+
+def q162_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (``pipeline/validate.krippendorff_alpha``)
+    across three heuristic labeling functions voting keep/drop per
+    document (the Snorkel-style weak-supervision agreement check):
+    length >= 300 chars, distinct-token ratio >= 0.5 (ABSTAINING on
+    docs under 20 tokens — the missing-data case alpha exists for),
+    and a stopword-ratio rule. Exact coincidence-matrix arithmetic;
+    the per-unit 1/(m-1) weights accumulate as grouped scaled-integer
+    floor divisions, never a float sum."""
+    from diseasystore_spark.pipeline.validate import krippendorff_alpha
+
+    toks = F.expr(r"filter(split(trim(text), '\\s+'), t -> t != '')")
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("n_chars") >= 300).alias("lf_len"),
+        F.when(
+            F.size(toks) >= 20,
+            F.size(F.array_distinct(toks)) * 2 >= F.size(toks),
+        ).alias("lf_distinct"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin("a", "the"))) * 10
+            < F.size(toks)
+        ).alias("lf_stop"),
+    )
+    long = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lf_len").alias("rater"),
+                    F.col("lf_len").cast("string").alias("label"),
+                ),
+                F.struct(
+                    F.lit("lf_distinct").alias("rater"),
+                    F.col("lf_distinct").cast("string").alias("label"),
+                ),
+                F.struct(
+                    F.lit("lf_stop").alias("rater"),
+                    F.col("lf_stop").cast("string").alias("label"),
+                ),
+            )
+        ).alias("__r"),
+    ).select("doc_id", F.col("__r.rater").alias("rater"), F.col("__r.label").alias("label"))
+    return krippendorff_alpha(
+        long, "doc_id", "rater", "label"
+    ).withColumn("o_off_p12", F.col("o_off_p12").cast("bigint"))
+
+
+ORACLE_Q162 = r"""
+WITH toks AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     t -> t <> '') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+lf AS (
+  SELECT doc_id,
+         CAST(n_chars >= 300 AS VARCHAR) AS lf_len,
+         CASE WHEN len(w) >= 20
+              THEN CAST(len(list_distinct(w)) * 2 >= len(w) AS VARCHAR)
+         END AS lf_distinct,
+         CAST(len(list_filter(w, t -> t IN ('a', 'the'))) * 10 < len(w)
+              AS VARCHAR) AS lf_stop
+  FROM toks
+),
+lab AS (
+  SELECT doc_id, label FROM (
+    SELECT doc_id, lf_len AS label FROM lf
+    UNION ALL SELECT doc_id, lf_distinct FROM lf
+    UNION ALL SELECT doc_id, lf_stop FROM lf
+  ) WHERE label IS NOT NULL
+),
+pul AS (SELECT doc_id, label, count(*) AS nuc FROM lab GROUP BY 1, 2),
+pu AS (
+  SELECT doc_id, sum(nuc) AS m, sum(nuc * nuc) AS sq
+  FROM pul GROUP BY doc_id HAVING sum(nuc) >= 2
+),
+bym AS (
+  SELECT m, count(*) AS units, sum(m * m - sq) AS s FROM pu GROUP BY m
+),
+off AS (
+  SELECT sum(units) AS n_units, sum(m * units) AS n_ratings,
+         sum((CAST(s AS HUGEINT) * 1000000000000) // (m - 1)) AS o12
+  FROM bym
+),
+marg AS (
+  SELECT sum(CAST(nc AS HUGEINT) * nc) AS snc2 FROM (
+    SELECT label, sum(nuc) AS nc
+    FROM pul JOIN pu USING (doc_id) GROUP BY label
+  )
+)
+SELECT CAST(n_units AS BIGINT) AS n_units,
+       CAST(n_ratings AS BIGINT) AS n_ratings,
+       CAST(o12 AS BIGINT) AS o_off_p12,
+       CASE WHEN CAST(n_ratings AS HUGEINT) * n_ratings - snc2 > 0
+            THEN 1.0 - CAST((n_ratings - 1) * o12 AS DOUBLE)
+                 / CAST(1000000000000 *
+                        (CAST(n_ratings AS HUGEINT) * n_ratings - snc2)
+                        AS DOUBLE)
+            WHEN o12 = 0 THEN 1.0
+       END AS alpha
+FROM off, marg
+"""
+
+
+def q163_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix
+    (``pipeline/dedup.source_overlap_matrix``): distinct shared word
+    5-grams, per-slice totals, and Jaccard for every source pair —
+    the slice x slice corpus-health scan (crawl re-ingest, benchmark
+    bleed). Inverted-index shape: one distinct (source, gram)
+    shuffle, per-gram source-list pairing (fan-out bounded by
+    sources-per-gram), broadcast totals — never documents^2."""
+    from diseasystore_spark.pipeline.dedup import source_overlap_matrix
+
+    return source_overlap_matrix(
+        _read(spark, sf_dir, "documents"), n=5
+    )
+
+
+ORACLE_Q163 = r"""
+WITH t AS (
+  SELECT source, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+g AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - 4, 0)),
+           i -> array_to_string(w[i:i+4], ' '))) AS gram
+  FROM t
+),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source)
+SELECT s.source_a, s.source_b, s.n_shared,
+       ta.n AS n_a, tb.n AS n_b,
+       CAST(s.n_shared AS DOUBLE)
+         / CAST(ta.n + tb.n - s.n_shared AS DOUBLE) AS jaccard
+FROM shared s
+JOIN tot ta ON ta.source = s.source_a
+JOIN tot tb ON tb.source = s.source_b
+"""
+
+
+def q164_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cluster-centroid cosine
+    (``pipeline/similarity.group_centroid_cosine``) over the
+    embeddings table's label groups — the embedding-space redundancy/
+    drift monitor. Component micro-quantization + integer sum
+    vectors (cosine is scale-invariant, so the cosine of sums IS the
+    cosine of means); decimal(38,0) dot products; pairwise work runs
+    on the groups x dims frame only."""
+    from diseasystore_spark.pipeline.similarity import group_centroid_cosine
+
+    return group_centroid_cosine(_read(spark, sf_dir, "embeddings"))
+
+
+ORACLE_Q164 = """
+WITH e AS (
+  SELECT label AS g, generate_subscripts(embedding, 1) AS d,
+         unnest(embedding) AS v
+  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL
+),
+c AS (
+  SELECT g, d,
+         CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+              AS HUGEINT) AS s
+  FROM e GROUP BY 1, 2
+),
+sz AS (
+  SELECT label AS g, CAST(count(*) AS BIGINT) AS n
+  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL
+  GROUP BY 1
+),
+p AS (
+  SELECT a.g AS group_a, b.g AS group_b,
+         sum(a.s * b.s) AS dot,
+         sum(a.s * a.s) AS naa, sum(b.s * b.s) AS nbb
+  FROM c a JOIN c b ON a.d = b.d AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT p.group_a, p.group_b, sa.n AS n_a, sb.n AS n_b,
+       CASE WHEN naa > 0 AND nbb > 0
+            THEN CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(naa AS DOUBLE)) * sqrt(CAST(nbb AS DOUBLE)))
+       END AS cos
+FROM p
+JOIN sz sa ON sa.g = p.group_a
+JOIN sz sb ON sb.g = p.group_b
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8337,6 +8718,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q156_contact_pairs_topk": q156_contact_pairs_topk,
     "q157_keyword_spans_large": q157_keyword_spans_large,
     "q158_stream_scd2_ingest": q158_stream_scd2_ingest,
+    "q159_spearman_scores": q159_spearman_scores,
+    "q160_ks_statistic": q160_ks_statistic,
+    "q161_average_precision": q161_average_precision,
+    "q162_krippendorff_alpha": q162_krippendorff_alpha,
+    "q163_source_overlap": q163_source_overlap,
+    "q164_centroid_cosine": q164_centroid_cosine,
 }
 
 ORACLES: dict[str, str] = {
@@ -8497,6 +8884,12 @@ ORACLES: dict[str, str] = {
     "q156_contact_pairs_topk": ORACLE_Q156,
     "q157_keyword_spans_large": ORACLE_Q157,
     "q158_stream_scd2_ingest": ORACLE_Q158,
+    "q159_spearman_scores": ORACLE_Q159,
+    "q160_ks_statistic": ORACLE_Q160,
+    "q161_average_precision": ORACLE_Q161,
+    "q162_krippendorff_alpha": ORACLE_Q162,
+    "q163_source_overlap": ORACLE_Q163,
+    "q164_centroid_cosine": ORACLE_Q164,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

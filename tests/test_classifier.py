@@ -111,3 +111,99 @@ def test_roc_auc_known_values(spark):
         roc_auc(mono, "s", "y").collect()
     with pytest.raises(ValueError, match="quantize"):
         roc_auc(ties, "s", "y", quantize=1)
+
+
+def test_ks_statistic_matches_python_oracle(spark):
+    """KS and its argmax threshold against a brute-force Python sweep
+    over every distinct quantized score; degenerate one-class frames
+    raise."""
+    import random as _random
+
+    import pytest
+
+    from diseasystore_spark.pipeline.classifier import ks_statistic
+
+    rng = _random.Random(19)
+    rows = [
+        ((0.25 + 0.7 * rng.random()) if y else 0.7 * rng.random(), y)
+        for y in (rng.random() < 0.4 for _ in range(1500))
+    ]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    r = ks_statistic(df, "score", "label").collect()[0]
+
+    import math
+
+    q = lambda s: math.floor(s * 1_000_000)  # noqa: E731
+    pos = sorted(q(s) for s, y in rows if y)
+    neg = sorted(q(s) for s, y in rows if not y)
+    P, N = len(pos), len(neg)
+    best, best_q = -1, None
+    for t in sorted(set(pos + neg)):
+        cp = sum(1 for v in pos if v <= t)
+        cn = sum(1 for v in neg if v <= t)
+        d = abs(cp * N - cn * P)
+        if d > best:
+            best, best_q = d, t
+    assert (r["n_pos"], r["n_neg"]) == (P, N)
+    assert r["ks"] == best / (P * N)
+    assert r["ks_threshold"] == best_q / 1_000_000
+
+    one_class = spark.createDataFrame(
+        [(0.5, True), (0.6, True)], "score double, label boolean"
+    )
+    with pytest.raises(Exception, match="positive and one negative"):
+        ks_statistic(one_class, "score", "label").collect()
+
+
+def test_average_precision_matches_python_oracle(spark):
+    """AP's scaled-integer numerator against the bucket-atomic Python
+    sweep (descending thresholds, inclusive cumulative counts,
+    per-bucket floor division); perfect and inverted scorers bound
+    the metric."""
+    import math
+    import random as _random
+
+    import pytest
+
+    from diseasystore_spark.pipeline.classifier import average_precision
+
+    rng = _random.Random(23)
+    rows = [
+        ((0.25 + 0.7 * rng.random()) if y else 0.7 * rng.random(), y)
+        for y in (rng.random() < 0.3 for _ in range(1200))
+    ]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    r = average_precision(df, "score", "label").collect()[0]
+
+    from collections import Counter
+
+    q = lambda s: math.floor(s * 1_000_000)  # noqa: E731
+    per = Counter()
+    for s, y in rows:
+        p, n = per.get(q(s), (0, 0)) if False else (0, 0)
+    perp, pern = Counter(), Counter()
+    for s, y in rows:
+        (perp if y else pern)[q(s)] += 1
+    P = sum(perp.values())
+    tp = tot = 0
+    num = 0
+    for t in sorted(set(list(perp) + list(pern)), reverse=True):
+        tp += perp[t]
+        tot += perp[t] + pern[t]
+        num += perp[t] * tp * 10**12 // tot
+    assert r["ap_p12"] == num
+    assert r["ap"] == num / (10**12 * P)
+
+    perfect = spark.createDataFrame(
+        [(0.9, True), (0.8, True), (0.2, False), (0.1, False)],
+        "score double, label boolean",
+    )
+    assert average_precision(perfect, "score", "label").collect()[0][
+        "ap"
+    ] == pytest.approx(1.0)
+    inverted = spark.createDataFrame(
+        [(0.1, True), (0.9, False)], "score double, label boolean"
+    )
+    assert average_precision(inverted, "score", "label").collect()[0][
+        "ap"
+    ] == pytest.approx(0.5)

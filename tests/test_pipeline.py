@@ -2627,3 +2627,135 @@ def test_media_stats_tags_compressed_containers(spark):
     # truncated/garbage compressed payloads are data rows either way
     assert not got[1]["ok"] and got[1]["decode_error"]
     assert not got[2]["ok"] and got[2]["decode_error"]
+
+
+def test_krippendorff_alpha_matches_fraction_oracle(spark):
+    """Nominal-metric alpha against an exact-fraction Python
+    implementation on a multi-rater frame with missing ratings;
+    single-rating units excluded; all-agree frame returns 1.0."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from diseasystore_spark.pipeline.validate import krippendorff_alpha
+
+    data = {
+        1: {"A": 1, "B": 1}, 2: {"A": 2, "B": 2},
+        3: {"A": 3, "B": 3, "C": 3}, 4: {"A": 3, "B": 3, "C": 3},
+        5: {"A": 2, "B": 2, "C": 2}, 6: {"A": 1, "B": 2, "C": 3},
+        7: {"A": 4, "B": 4, "C": 4}, 8: {"A": 1, "B": 1, "C": 2},
+        9: {"A": 2, "B": 2, "C": 2}, 10: {"B": 5, "C": 5},
+        11: {"B": 1, "C": 1}, 12: {"C": 3},  # unit 12: single rating
+    }
+    rows = [
+        (u, r, l) for u, rl in data.items() for r, l in rl.items()
+    ]
+    df = spark.createDataFrame(rows, "unit int, rater string, label int")
+    got = krippendorff_alpha(df, "unit", "rater", "label").collect()[0]
+
+    o, n_c = Counter(), Counter()
+    n_units = 0
+    for _u, rl in data.items():
+        labels = list(rl.values())
+        m = len(labels)
+        if m < 2:
+            continue
+        n_units += 1
+        cnt = Counter(labels)
+        for c in cnt:
+            n_c[c] += cnt[c]
+            for k in cnt:
+                pairs = cnt[c] * cnt[k] - (cnt[c] if c == k else 0)
+                o[(c, k)] += Fraction(pairs, m - 1)
+    n = sum(n_c.values())
+    do_off = sum(v for (c, k), v in o.items() if c != k)
+    de = n * n - sum(v * v for v in n_c.values())
+    want = 1 - Fraction(n - 1, 1) * do_off / de
+    assert got["n_units"] == n_units and got["n_ratings"] == n
+    assert abs(got["alpha"] - float(want)) < 1e-9
+
+    agree = spark.createDataFrame(
+        [(1, "A", "x"), (1, "B", "x"), (2, "A", "x"), (2, "B", "x")],
+        "unit int, rater string, label string",
+    )
+    assert krippendorff_alpha(
+        agree, "unit", "rater", "label"
+    ).collect()[0]["alpha"] == 1.0
+
+
+def test_source_overlap_matrix_matches_set_oracle(spark):
+    """Shared-gram counts and Jaccard against Python set math; the
+    sources-per-gram cap drops only the everywhere-grams."""
+    from diseasystore_spark.pipeline.dedup import source_overlap_matrix
+
+    rows = [
+        ("s1", "a b c d e f"),     # grams(3): abc bcd cde def
+        ("s2", "a b c d x y"),     # shares: abc bcd
+        ("s3", "q w e r t y"),     # disjoint
+        ("s1", "a b c z z z"),     # adds abc again (distinct), bcz czz zzz
+    ]
+    df = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(rows)],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap_matrix(df, n=3).collect()
+    }
+
+    def grams(txts):
+        g = set()
+        for t in txts:
+            w = t.split()
+            g |= {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        return g
+
+    g1 = grams([rows[0][1], rows[3][1]])
+    g2 = grams([rows[1][1]])
+    shared = g1 & g2
+    assert out[("s1", "s2")]["n_shared"] == len(shared)
+    assert out[("s1", "s2")]["n_a"] == len(g1)
+    assert out[("s1", "s2")]["n_b"] == len(g2)
+    assert out[("s1", "s2")]["jaccard"] == len(shared) / len(g1 | g2)
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+    capped = source_overlap_matrix(df, n=3, max_sources_per_gram=1)
+    assert capped.count() == 0  # every shared gram exceeds the cap
+
+
+def test_group_centroid_cosine_matches_numpy(spark):
+    """Centroid cosines against numpy means on random clustered
+    vectors (micro-quantized the same way); zero-vector group yields
+    NULL."""
+    import random as _random
+
+    import numpy as np
+
+    from diseasystore_spark.pipeline.similarity import group_centroid_cosine
+
+    rng = _random.Random(41)
+    base = {0: [1.0, 0.0, 0.0], 1: [0.6, 0.8, 0.0], 2: [0.0, 0.0, 1.0]}
+    rows = []
+    for g, center in base.items():
+        for _ in range(30):
+            rows.append(
+                (g, [c + 0.05 * (rng.random() - 0.5) for c in center])
+            )
+    rows.append((9, [0.0, 0.0, 0.0]))  # zero-norm group
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in group_centroid_cosine(df).collect()
+    }
+    sums = {}
+    for g, v in rows:
+        q = np.array([round(x * 1_000_000) for x in v], dtype=object)
+        sums[g] = sums.get(g, np.zeros(3, dtype=object)) + q
+    for (a, b), r in got.items():
+        sa, sb = sums[a], sums[b]
+        naa, nbb = int(sa @ sa), int(sb @ sb)
+        if naa == 0 or nbb == 0:
+            assert r["cos"] is None
+            continue
+        want = int(sa @ sb) / (naa ** 0.5 * nbb ** 0.5)
+        assert abs(r["cos"] - want) < 1e-12
+    assert (0, 9) in got and got[(0, 9)]["cos"] is None

@@ -114,6 +114,14 @@ def test_all_registry_queries_are_scale_safe(spark):
         # exclusive prefix over the quantized distinct-score frame
         # (<= quantize+1 rows, the q122 bounded-frame pattern)
         "q151_roc_auc": 1,
+        # per-column exclusive prefix over the quantized distinct-
+        # VALUE frames (<= quantize+1 rows each, q151's envelope)
+        "q159_spearman_scores": 2,
+        # inclusive cumulative counts + the 1-group max flag, both
+        # over the quantized distinct-score frame
+        "q160_ks_statistic": 2,
+        # descending inclusive cumulative counts over the same frame
+        "q161_average_precision": 1,
     }
     problems = []
     for name, fn in QUERIES.items():

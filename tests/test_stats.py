@@ -803,3 +803,51 @@ def test_keyword_spans_10k_terms_no_plan_blowup(spark):
 
     with pytest.raises(ValueError, match="engine"):
         keyword_spans(df, terms, engine="nope")
+
+
+def test_spearman_rho_matches_python_oracle(spark):
+    """Tie-aware Spearman against a Python average-rank Pearson
+    oracle on a tied, noisy monotone relation; constant column yields
+    NULL; anti-monotone data yields -1."""
+    import math
+    import random as _random
+
+    from diseasystore_spark.operators.stats import spearman_rho
+
+    rng = _random.Random(31)
+    rows = [(rng.random(), 0.0) for _ in range(400)]
+    rows = [(a, min(0.999, a + 0.25 * rng.random())) for a, _ in rows]
+    rows += [(0.5, 0.5)] * 25  # tie block in both columns
+    df = spark.createDataFrame(rows, "a double, b double")
+    r = spearman_rho(df, "a", "b").collect()[0]
+
+    def avg_ranks(vals):
+        q = [math.floor(v * 1_000_000) for v in vals]
+        order = sorted(q)
+        first = {}
+        for i, v in enumerate(order):
+            first.setdefault(v, i + 1)
+        from collections import Counter
+
+        cnt = Counter(q)
+        return [first[v] + (cnt[v] - 1) / 2 for v in q]
+
+    ra = avg_ranks([a for a, _ in rows])
+    rb = avg_ranks([b for _, b in rows])
+    n = len(rows)
+    ma, mb = sum(ra) / n, sum(rb) / n
+    cov = sum((x - ma) * (y - mb) for x, y in zip(ra, rb))
+    va = sum((x - ma) ** 2 for x in ra)
+    vb = sum((y - mb) ** 2 for y in rb)
+    want = cov / math.sqrt(va * vb)
+    assert r["n"] == n
+    assert abs(r["rho"] - want) < 1e-9
+
+    const = spark.createDataFrame(
+        [(0.5, 0.1), (0.5, 0.9)], "a double, b double"
+    )
+    assert spearman_rho(const, "a", "b").collect()[0]["rho"] is None
+    anti = spark.createDataFrame(
+        [(0.1, 0.9), (0.5, 0.5), (0.9, 0.1)], "a double, b double"
+    )
+    assert spearman_rho(anti, "a", "b").collect()[0]["rho"] == -1.0
