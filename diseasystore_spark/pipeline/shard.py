@@ -122,3 +122,70 @@ def reshard_corpus(
         order_within=order_within,
         mode=mode,
     )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    shards: list[tuple[str, float]],
+    key_col: str = "doc_id",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Weighted rendezvous (highest-random-weight) shard assignment —
+    the placement primitive whose defining property hash-mod lacks:
+    adding or removing a shard moves ONLY the keys whose argmax shard
+    changed (≈ its weight share), never reshuffles the corpus, and
+    heterogeneous capacities are first-class via weights. The
+    standard WRH score is used: per (key, shard), ``u = (h + 1) /
+    (2^32 + 1)`` from the md5 of ``key|shard`` (portable-hash
+    convention — any engine reproduces it), and the key lands on
+    ``argmax_s ( -w_s / ln(u) )``.
+
+    Map-only: the shard table is a plan literal (array of structs,
+    |shards| is small by construction), the score transform and
+    ``array_max`` argmax run inside codegen, no shuffle, no UDF.
+    Ties are impossible for distinct shard names (distinct md5
+    inputs), so the assignment is total and deterministic.
+
+    Output: ``df`` plus ``out_col`` (the winning shard name).
+    """
+    if not shards:
+        raise ValueError("shards must be non-empty")
+    names = [n for n, _ in shards]
+    if len(set(names)) != len(names):
+        raise ValueError("shard names must be unique")
+    if any(w <= 0 for _, w in shards):
+        raise ValueError("shard weights must be positive")
+    if out_col in df.columns:
+        raise ValueError(f"column {out_col!r} already exists")
+    stab = F.array(
+        *[
+            F.struct(F.lit(n).alias("n"), F.lit(float(w)).alias("w"))
+            for n, w in shards
+        ]
+    )
+    key = F.col(key_col).cast("string")
+    scored = F.transform(
+        stab,
+        lambda s: F.struct(
+            (
+                -s["w"]
+                / F.log(
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(key, F.lit("|"), s["n"])),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("double")
+                        + F.lit(1.0)
+                    )
+                    / F.lit(4294967297.0)
+                )
+            ).alias("score"),
+            s["n"].alias("shard"),
+        ),
+    )
+    return df.withColumn(out_col, F.array_max(scored)["shard"])

@@ -8555,6 +8555,181 @@ JOIN sz sb ON sb.g = p.group_b
 """
 
 
+
+
+def q165_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted rendezvous (HRW) shard assignment
+    (``pipeline/shard.rendezvous_assign``): every document lands on
+    ``argmax_s(-w_s / ln(u))`` over a weighted shard table — the
+    placement scheme where adding/removing a shard moves only the
+    affected share of keys (vs hash-mod's full reshuffle) and
+    heterogeneous capacities are weights. Map-only codegen (portable
+    md5 scores, literal shard table); the oracle recomputes every
+    argmax."""
+    from diseasystore_spark.pipeline.shard import rendezvous_assign
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    out = rendezvous_assign(
+        docs, [("node-a", 1.0), ("node-b", 2.0), ("node-c", 3.0)]
+    )
+    return out.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+    )
+
+
+ORACLE_Q165 = """
+WITH sh(nm, w) AS (VALUES ('node-a', 1.0), ('node-b', 2.0), ('node-c', 3.0)),
+s AS (
+  SELECT d.doc_id, sh.nm,
+         -sh.w / ln(
+           (CAST(('0x' || substr(
+              md5(CAST(d.doc_id AS VARCHAR) || '|' || sh.nm), 1, 8))
+             AS BIGINT) + 1.0) / 4294967297.0) AS score
+  FROM documents d CROSS JOIN sh
+),
+a AS (SELECT doc_id, max_by(nm, score) AS shard FROM s GROUP BY doc_id)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM a GROUP BY shard
+"""
+
+
+def q166_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor under the oracle
+    (``streaming/quantiles.windowed_bucket_counts``): 'purchase'
+    events flow as a file stream (availableNow) through a map-only
+    bucketization into the 'view' reference distribution's quantile
+    bins (boundaries embedded as plan literals — no stream-batch
+    join) and one windowed count aggregation (bounded state: n_bins
+    rows per open day); the completed counts then join the batch
+    reference shares into per-(day, bin) PSI terms, q143's smoothed
+    math per window. The oracle replays the stream as plain SQL."""
+    import tempfile
+    import uuid
+
+    from diseasystore_spark.streaming.quantiles import (
+        bucketize_expr,
+        reference_boundaries,
+        windowed_bucket_counts,
+    )
+
+    events = _read(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    ref = events.where(F.col("event_type") == "view").select("value")
+    cur = events.where(F.col("event_type") == "purchase")
+
+    root = tempfile.mkdtemp(prefix="ds_stream_psi_")
+    cur.coalesce(1).write.mode("overwrite").parquet(root + "/in")
+    stream = spark.readStream.schema(cur.schema).parquet(root + "/in")
+    counts = windowed_bucket_counts(
+        stream, ref, "value", ts_col="ts", window_duration="1 day",
+        n_bins=10,
+    )
+    sink = "psi_sink_" + uuid.uuid4().hex[:8]
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", root + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    curc = spark.table(sink).select(
+        F.col("window_start").cast("date").alias("day"),
+        "bin",
+        "cur_n",
+    )
+    bounds = reference_boundaries(ref, "value", n_bins=10)
+    refc = (
+        ref.withColumn("bin", bucketize_expr(bounds, "value"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ref_n"))
+    )
+    spine = (
+        curc.select("day")
+        .distinct()
+        .crossJoin(
+            spark.range(10).select(F.col("id").cast("int").alias("bin"))
+        )
+    )
+    bins = (
+        spine.join(curc, ["day", "bin"], "left")
+        .join(F.broadcast(refc), "bin", "left")
+        .select(
+            "day",
+            "bin",
+            F.coalesce("ref_n", F.lit(0)).cast("bigint").alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).cast("bigint").alias("cur_n"),
+        )
+    )
+    ref_total = ref.count()
+    day_tot = bins.groupBy("day").agg(F.sum("cur_n").alias("__ct"))
+    p = (F.col("ref_n") + F.lit(1.0)) / F.lit(float(ref_total + 10))
+    qq = (F.col("cur_n") + F.lit(1.0)) / (F.col("__ct") + F.lit(10.0))
+    return (
+        bins.join(day_tot, "day")
+        .select(
+            "day",
+            "bin",
+            "ref_n",
+            "cur_n",
+            ((qq - p) * F.log(qq / p)).alias("psi_term"),
+        )
+    )
+
+
+ORACLE_Q166 = """
+WITH refv AS (
+  SELECT value FROM events
+  WHERE event_type = 'view' AND value IS NOT NULL AND ts IS NOT NULL
+),
+curv AS (
+  SELECT CAST(ts AS DATE) AS day, value FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL AND ts IS NOT NULL
+),
+b AS (
+  SELECT quantile_cont(value,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+  FROM refv
+),
+rc AS (
+  SELECT CAST(len(list_filter(b.bs, x -> value > x)) AS INTEGER) AS bin,
+         CAST(count(*) AS BIGINT) AS ref_n
+  FROM refv, b GROUP BY 1
+),
+cc AS (
+  SELECT day,
+         CAST(len(list_filter(b.bs, x -> value > x)) AS INTEGER) AS bin,
+         CAST(count(*) AS BIGINT) AS cur_n
+  FROM curv, b GROUP BY 1, 2
+),
+spine AS (
+  SELECT day, CAST(unnest(range(10)) AS INTEGER) AS bin
+  FROM (SELECT DISTINCT day FROM curv)
+),
+bins AS (
+  SELECT s.day, s.bin,
+         coalesce(rc.ref_n, 0) AS ref_n,
+         coalesce(cc.cur_n, 0) AS cur_n
+  FROM spine s
+  LEFT JOIN rc ON s.bin = rc.bin
+  LEFT JOIN cc ON s.day = cc.day AND s.bin = cc.bin
+),
+rt AS (SELECT count(*) AS n FROM refv),
+dt AS (SELECT day, sum(cur_n) AS ct FROM bins GROUP BY day)
+SELECT bins.day, bin, ref_n, cur_n,
+       ((cur_n + 1.0) / (dt.ct + 10.0) - (ref_n + 1.0) / (rt.n + 10.0))
+         * ln(((cur_n + 1.0) / (dt.ct + 10.0))
+              / ((ref_n + 1.0) / (rt.n + 10.0))) AS psi_term
+FROM bins, rt, dt
+WHERE bins.day = dt.day
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8724,6 +8899,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q162_krippendorff_alpha": q162_krippendorff_alpha,
     "q163_source_overlap": q163_source_overlap,
     "q164_centroid_cosine": q164_centroid_cosine,
+    "q165_rendezvous_shards": q165_rendezvous_shards,
+    "q166_stream_drift_psi": q166_stream_drift_psi,
 }
 
 ORACLES: dict[str, str] = {
@@ -8890,6 +9067,8 @@ ORACLES: dict[str, str] = {
     "q162_krippendorff_alpha": ORACLE_Q162,
     "q163_source_overlap": ORACLE_Q163,
     "q164_centroid_cosine": ORACLE_Q164,
+    "q165_rendezvous_shards": ORACLE_Q165,
+    "q166_stream_drift_psi": ORACLE_Q166,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

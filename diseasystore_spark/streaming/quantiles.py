@@ -206,3 +206,92 @@ def stream_windowed_quantiles(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def windowed_bucket_counts(
+    stream: "DataFrame",
+    ref: "DataFrame",
+    value_col: str,
+    ts_col: str = "ts",
+    window_duration: str = "1 day",
+    watermark: str = "1 hour",
+    n_bins: int = 10,
+    sketch_k: int = 32768,
+) -> "DataFrame":
+    """Streaming side of the drift monitor: bucket every event of a
+    stream into the REFERENCE distribution's equi-probable quantile
+    bins (the q143 ``distribution_drift_psi`` binning) and count per
+    (tumbling window, bin) — the windowed observed-counts frame a
+    drift readout (PSI, chi-square) is computed from per window.
+
+    The reference is a BATCH frame: its KLL sketch is built once and
+    the (n_bins−1)-element boundary array is embedded as a literal in
+    the stream plan — so the streaming side is a map-only bucket
+    projection plus ONE windowed count aggregation with bounded state
+    (n_bins rows per open window), never a stream-batch join. Works
+    identically on a batch frame (same plan), which is how the
+    stream==batch parity test and the q166 oracle pin it.
+
+    Output: ``(window_start timestamp, window_end timestamp, bin int,
+    cur_n bigint)``; NULL values are excluded (no bin).
+    """
+    from pyspark.sql import functions as F
+
+    bounds = reference_boundaries(ref, value_col, n_bins, sketch_k)
+    binned = (
+        stream.where(F.col(value_col).isNotNull())
+        .withColumn("__bin", bucketize_expr(bounds, value_col))
+        .withWatermark(ts_col, watermark)
+    )
+    return (
+        binned.groupBy(
+            F.window(F.col(ts_col), window_duration), F.col("__bin")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cur_n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            F.col("__bin").alias("bin"),
+            "cur_n",
+        )
+    )
+
+
+def reference_boundaries(
+    ref: "DataFrame",
+    value_col: str,
+    n_bins: int = 10,
+    sketch_k: int = 32768,
+) -> list[float]:
+    """The reference distribution's interior quantile boundaries
+    (``i/n_bins`` for i in 1..n_bins-1) via one KLL sketch pass —
+    collected to a tiny driver-side list so consumers can embed them
+    as plan literals (the streaming-legal form: no stream-batch
+    join, the boundary array rides the plan). In the never-compacted
+    regime (k >= n) they are bit-exact ``quantile_cont`` values."""
+    from diseasystore_spark.pipeline.sketch import kll_build, kll_quantiles
+
+    if n_bins < 2:
+        raise ValueError("n_bins must be at least 2")
+    sk = kll_build(ref, value_col, k=sketch_k)
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = sorted(r["value"] for r in kll_quantiles(sk, qs).collect())
+    if len(bounds) != n_bins - 1:
+        raise ValueError(
+            f"reference produced {len(bounds)} boundaries, expected "
+            f"{n_bins - 1} (empty reference?)"
+        )
+    return [float(b) for b in bounds]
+
+
+def bucketize_expr(boundaries: list[float], value_col: str):
+    """Bin-assignment column for a literal boundary array:
+    ``bin = |{boundary < value}|`` (values equal to a boundary fall
+    in the lower bucket — the kll_bucketize/q143 convention).
+    Map-only, codegen-resident; works on batch and streaming frames
+    alike."""
+    from pyspark.sql import functions as F
+
+    barr = F.array(*[F.lit(b) for b in boundaries])
+    v = F.col(value_col).cast("double")
+    return F.size(F.filter(barr, lambda b: b < v)).cast("int")

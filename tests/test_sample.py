@@ -691,3 +691,37 @@ def test_group_safe_folds_component_integrity(spark):
 
     with pytest.raises(ValueError, match="at least 2"):
         group_safe_folds(df, "doc_id", comps, k=1)
+
+
+def test_rendezvous_assign_minimal_movement(spark):
+    """The HRW property: adding a shard moves keys ONLY onto the new
+    shard (no key changes between surviving shards); weights steer
+    the share; validation raises on bad shard tables."""
+    import pytest
+
+    from diseasystore_spark.pipeline.shard import rendezvous_assign
+
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    before = {
+        r["doc_id"]: r["shard"]
+        for r in rendezvous_assign(df, [("a", 1.0), ("b", 1.0)]).collect()
+    }
+    after = {
+        r["doc_id"]: r["shard"]
+        for r in rendezvous_assign(
+            df, [("a", 1.0), ("b", 1.0), ("c", 2.0)]
+        ).collect()
+    }
+    moved = {k for k in before if before[k] != after[k]}
+    assert moved, "new shard received nothing"
+    assert all(after[k] == "c" for k in moved)  # moves only TO the new shard
+    # weighted share: c (weight 2 of 4) should take roughly half
+    share = len([k for k in after if after[k] == "c"]) / len(after)
+    assert 0.4 < share < 0.6
+
+    with pytest.raises(ValueError, match="unique"):
+        rendezvous_assign(df, [("a", 1.0), ("a", 2.0)])
+    with pytest.raises(ValueError, match="positive"):
+        rendezvous_assign(df, [("a", 0.0)])
+    with pytest.raises(ValueError, match="non-empty"):
+        rendezvous_assign(df, [])

@@ -1307,3 +1307,52 @@ def test_windowed_distinct_hll_stream_matches_batch_and_estimate(
         whole.drop("window_start", "window_end")
     ).collect()[0]
     assert merged_est["inv_sum_num"] == whole_est["inv_sum_num"]
+
+
+def test_windowed_bucket_counts_stream_matches_batch(spark, tmp_path):
+    """The streaming drift bucketization equals the identical plan run
+    as a batch frame (same boundaries, same windows, same counts) —
+    the stream==batch parity contract of every streaming twin."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from diseasystore_spark.streaming.quantiles import windowed_bucket_counts
+
+    rows = []
+    for i in range(400):
+        day = 1 + (i % 5)
+        rows.append((i, f"2024-03-{day:02d} 10:{i % 60:02d}:00", float(i % 97)))
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts0 string, value double"
+    ).selectExpr("event_id", "CAST(ts0 AS TIMESTAMP) AS ts", "value")
+    ref = batch.select("value")
+
+    src = str(tmp_path / "in")
+    batch.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    sink = "wbc_" + uuid.uuid4().hex[:8]
+    q = (
+        windowed_bucket_counts(stream, ref, "value", n_bins=7)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_stream = {
+        (str(r["window_start"]), r["bin"]): r["cur_n"]
+        for r in spark.table(sink).collect()
+    }
+    got_batch = {
+        (str(r["window_start"]), r["bin"]): r["cur_n"]
+        for r in windowed_bucket_counts(batch, ref, "value", n_bins=7).collect()
+    }
+    assert got_stream == got_batch and len(got_batch) > 5
+    # self-reference: every bin's total matches the equi-probable cut
+    per_bin = {}
+    for (_, b), n in got_batch.items():
+        per_bin[b] = per_bin.get(b, 0) + n
+    assert sum(per_bin.values()) == 400
