@@ -615,3 +615,69 @@ def spearman_rho(
             (va > 0) & (vb > 0), cov / F.sqrt(va * vb)
         ).alias("rho"),
     )
+
+
+def group_quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantize: int = 1_000_000,
+    out_col: str = "pct_micro",
+) -> DataFrame:
+    """Within-group quantile normalization of a score column: each
+    row gets its value's mid-rank percentile INSIDE its group, as an
+    exact micro-unit integer — the cross-source score equalizer (a
+    quality scorer systematically biased per source ranks documents
+    fairly within a source but not across; normalizing to within-
+    source percentiles makes one global threshold meaningful).
+
+    ``pct_micro = floor((2·count_less + count) · 1e6 / (2·n_group))``
+    — the tie-aware mid-rank (average of the tied block's positions)
+    over values quantized to ``1/quantize`` units. All integer
+    arithmetic (one floor division per VALUE, not per row), so any
+    SQL engine reproduces every output; range (0, 1e6).
+
+    Scale shape: one combinable (group, value) count, one cumulative
+    window per group over the VALUE-level frame (bounded by distinct
+    quantized values, and partitioned — never global), one broadcast
+    group-size join, and one equi-join back to rows on the (group,
+    value) key. Output: input columns + ``out_col`` (bigint).
+    """
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    if quantize < 2:
+        raise ValueError("quantize must be at least 2")
+    if out_col in df.columns:
+        raise ValueError(f"column {out_col!r} already exists")
+    q = F.floor(F.col(value_col).cast("double") * quantize).cast("bigint")
+    base = df.where(F.col(value_col).isNotNull()).withColumn("__qv", q)
+    counts = base.groupBy(*group_cols, "__qv").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__qv")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sizes = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    ranked = (
+        counts.withColumn(
+            "__less", F.coalesce(F.sum("__c").over(w), F.lit(0))
+        )
+        .join(F.broadcast(sizes), group_cols)
+        .select(
+            *group_cols,
+            "__qv",
+            F.floor(
+                (F.lit(2) * F.col("__less") + F.col("__c"))
+                .cast("decimal(38,0)")
+                * F.lit(1_000_000).cast("decimal(38,0)")
+                / (F.lit(2) * F.col("__n")).cast("decimal(38,0)")
+            )
+            .cast("bigint")
+            .alias(out_col),
+        )
+    )
+    return base.join(ranked, [*group_cols, "__qv"]).drop("__qv")

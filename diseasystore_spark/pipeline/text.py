@@ -1779,3 +1779,75 @@ def _keyword_spans_automaton(
         .select(id_col, text_col)
         .mapInPandas(scan, schema)
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus frequency spectrum: OLS of
+    ``ln(count)`` against ``ln(rank)`` over the ranked vocabulary —
+    the corpus-naturalness monitor (natural language sits near slope
+    −1; templated/synthetic/mode-collapsed corpora bend the line,
+    and drift in the slope across snapshots is a cheap red flag).
+
+    Determinism-first: the vocabulary aggregate is exact; ranks are
+    assigned in (count desc, term asc) order — total and
+    reproducible; both logs are scaled to micro-units
+    (``floor(ln(·)·1e6)`` bigint) so the five OLS sufficient
+    statistics accumulate as decimal(38,0) integers (a float Σxy
+    would be order-dependent) and slope/intercept are two final
+    double expressions.
+
+    Scale shape: token explode → one map-side-combined (id, term)
+    shuffle → vocabulary-sized aggregate; the rank window runs over
+    the VOCABULARY frame (the q65 allowance — vocabulary-bounded,
+    never the token stream); one combinable final aggregate. Output:
+    ONE row — ``(n_terms bigint, n_tokens bigint, slope double,
+    intercept double)`` (intercept in ln-count space).
+    """
+    vocab = build_vocab(df, id_col, text_col, min_count=min_count)
+    w = Window.orderBy(F.col("ct").desc(), F.col("term").asc())
+    scaled = vocab.select(
+        "ct",
+        F.floor(F.log(F.row_number().over(w).cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("__x"),
+        F.floor(F.log(F.col("ct").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("__y"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = scaled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("ct").cast("bigint").alias("n_tokens"),
+        F.sum(d("__x")).cast("decimal(38,0)").alias("__sx"),
+        F.sum(d("__y")).cast("decimal(38,0)").alias("__sy"),
+        F.sum(d("__x") * d("__y")).cast("decimal(38,0)").alias("__sxy"),
+        F.sum(d("__x") * d("__x")).cast("decimal(38,0)").alias("__sxx"),
+    )
+    n = F.col("n_terms").cast("decimal(38,0)")
+    denom = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    slope = F.when(
+        denom != 0,
+        (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+        / denom,
+    )
+    return sums.select(
+        "n_terms",
+        "n_tokens",
+        slope.alias("slope"),
+        F.when(
+            denom != 0,
+            (
+                F.col("__sy").cast("double")
+                - slope * F.col("__sx").cast("double")
+            )
+            / n.cast("double")
+            / F.lit(1_000_000.0),
+        ).alias("intercept"),
+    )

@@ -8730,6 +8730,118 @@ WHERE bins.day = dt.day
 """
 
 
+
+
+def q167_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus frequency spectrum
+    (``pipeline/text.zipf_fit``): OLS of ln(count) on ln(rank) over
+    the ranked vocabulary in micro-scaled integer sums — the
+    corpus-naturalness monitor (natural text sits near slope −1;
+    this synthetic near-uniform vocabulary fits far from it, which
+    is exactly the red flag the operator raises)."""
+    from diseasystore_spark.pipeline.text import zipf_fit
+
+    return zipf_fit(_read(spark, sf_dir, "documents"))
+
+
+ORACLE_Q167 = r"""
+WITH tf AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+v AS (SELECT term, CAST(count(*) AS BIGINT) AS ct FROM tf GROUP BY term),
+r AS (
+  SELECT term, ct,
+         row_number() OVER (ORDER BY ct DESC, term ASC) AS rk
+  FROM v
+),
+sc AS (
+  SELECT ct,
+         CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(ct AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM r
+),
+s AS (
+  SELECT count(*) AS n, sum(ct) AS nt,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM sc
+)
+SELECT CAST(n AS BIGINT) AS n_terms, CAST(nt AS BIGINT) AS n_tokens,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS slope,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN (CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1000000.0
+       END AS intercept
+FROM s
+"""
+
+
+def q168_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source quantile normalization
+    (``operators/stats.group_quantile_normalize``): every document's
+    length score mapped to its tie-aware mid-rank percentile INSIDE
+    its source (exact micro-unit integers, one floor division per
+    distinct value) — the cross-source score equalizer. Output is
+    the per-source checksum rollup of the normalized column."""
+    from diseasystore_spark.operators.stats import group_quantile_normalize
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.col("n_chars") / F.lit(1000.0)).alias("score"),
+    )
+    out = group_quantile_normalize(docs, "score", ["source"])
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("pct_micro").cast("bigint").alias("min_pct"),
+        F.max("pct_micro").cast("bigint").alias("max_pct"),
+        F.sum(F.col("pct_micro") * F.col("doc_id"))
+        .cast("bigint")
+        .alias("pct_dot_doc"),
+    )
+
+
+ORACLE_Q168 = """
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(floor(n_chars / 1000.0 * 1000000) AS BIGINT) AS qv
+  FROM documents WHERE n_chars IS NOT NULL
+),
+counts AS (
+  SELECT source, qv, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1),
+ranked AS (
+  SELECT source, qv,
+         CAST((2 * coalesce(sum(c) OVER (PARTITION BY source ORDER BY qv
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c)
+              AS HUGEINT) AS num
+  FROM counts
+),
+pct AS (
+  SELECT r.source, r.qv,
+         CAST((r.num * 1000000) // (2 * s.n) AS BIGINT) AS pct_micro
+  FROM ranked r JOIN sizes s ON r.source = s.source
+)
+SELECT b.source, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(pct_micro) AS BIGINT) AS min_pct,
+       CAST(max(pct_micro) AS BIGINT) AS max_pct,
+       CAST(sum(pct_micro * b.doc_id) AS BIGINT) AS pct_dot_doc
+FROM base b JOIN pct USING (source, qv)
+GROUP BY b.source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8901,6 +9013,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q164_centroid_cosine": q164_centroid_cosine,
     "q165_rendezvous_shards": q165_rendezvous_shards,
     "q166_stream_drift_psi": q166_stream_drift_psi,
+    "q167_zipf_fit": q167_zipf_fit,
+    "q168_quantile_normalize": q168_quantile_normalize,
 }
 
 ORACLES: dict[str, str] = {
@@ -9069,6 +9183,8 @@ ORACLES: dict[str, str] = {
     "q164_centroid_cosine": ORACLE_Q164,
     "q165_rendezvous_shards": ORACLE_Q165,
     "q166_stream_drift_psi": ORACLE_Q166,
+    "q167_zipf_fit": ORACLE_Q167,
+    "q168_quantile_normalize": ORACLE_Q168,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

@@ -2759,3 +2759,35 @@ def test_group_centroid_cosine_matches_numpy(spark):
         want = int(sa @ sb) / (naa ** 0.5 * nbb ** 0.5)
         assert abs(r["cos"] - want) < 1e-12
     assert (0, 9) in got and got[(0, 9)]["cos"] is None
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    """A corpus built with an exact power-law spectrum recovers its
+    planted slope; a uniform spectrum fits ~0; degenerate one-term
+    vocab yields NULL slope."""
+    import pytest
+
+    from diseasystore_spark.pipeline.text import zipf_fit
+
+    # counts = floor(1000 * rank^-1): slope -1 up to flooring
+    words = []
+    for rk in range(1, 60):
+        words += [f"w{rk:03d}"] * max(1, int(1000 / rk))
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    r = zipf_fit(df).collect()[0]
+    assert r["n_terms"] == 59
+    assert r["slope"] == pytest.approx(-1.0, abs=0.05)
+
+    uniform = spark.createDataFrame(
+        [(1, " ".join(3 * [" ".join(f"u{i}" for i in range(50))]))],
+        "doc_id long, text string",
+    )
+    ru = zipf_fit(uniform).collect()[0]
+    assert abs(ru["slope"]) < 0.05
+
+    single = spark.createDataFrame(
+        [(1, "same same same")], "doc_id long, text string"
+    )
+    assert zipf_fit(single).collect()[0]["slope"] is None

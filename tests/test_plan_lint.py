@@ -122,6 +122,8 @@ def test_all_registry_queries_are_scale_safe(spark):
         "q160_ks_statistic": 2,
         # descending inclusive cumulative counts over the same frame
         "q161_average_precision": 1,
+        # vocabulary rank (vocab-sized frame, the q65 allowance)
+        "q167_zipf_fit": 1,
     }
     problems = []
     for name, fn in QUERIES.items():

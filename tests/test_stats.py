@@ -851,3 +851,39 @@ def test_spearman_rho_matches_python_oracle(spark):
         [(0.1, 0.9), (0.5, 0.5), (0.9, 0.1)], "a double, b double"
     )
     assert spearman_rho(anti, "a", "b").collect()[0]["rho"] == -1.0
+
+
+def test_group_quantile_normalize_matches_python(spark):
+    """Mid-rank percentiles per group against a Python oracle
+    (tie-aware); monotone within group; validation raises."""
+    import math
+    import random as _random
+    from collections import Counter
+
+    import pytest
+
+    from diseasystore_spark.operators.stats import group_quantile_normalize
+
+    rng = _random.Random(13)
+    rows = [
+        (i, f"s{i % 3}", round(rng.random(), 2))  # coarse -> many ties
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score double")
+    got = {
+        r["doc_id"]: r["pct_micro"]
+        for r in group_quantile_normalize(df, "score", ["grp"]).collect()
+    }
+    by_grp = {}
+    for i, g, s in rows:
+        by_grp.setdefault(g, []).append((i, math.floor(s * 1_000_000)))
+    for g, members in by_grp.items():
+        qs = [q for _, q in members]
+        cnt = Counter(qs)
+        n = len(qs)
+        for i, q in members:
+            less = sum(c for v, c in cnt.items() if v < q)
+            want = (2 * less + cnt[q]) * 1_000_000 // (2 * n)
+            assert got[i] == want
+    with pytest.raises(ValueError, match="group_cols"):
+        group_quantile_normalize(df, "score", [])
