@@ -16,7 +16,7 @@ The join key becomes (key, salt), so the hot key's rows spread over
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -52,3 +52,72 @@ def salted_join(
     )
     joined = left.join(right, [*keys, "__salt"], how)
     return joined.drop("__salt")
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Join/aggregation-key skew profiler: per-key frequencies
+    reduced to the numbers a scale decision needs — distinct-key
+    count, total rows, the frequency distribution's median and p99
+    (exact percentiles over the KEY frame, not the data), the heavy
+    tail (top-k keys with counts), and the skew factor
+    ``max_count / median_count``. This is the measurement step
+    before reaching for :func:`salted_join` / AQE skew hints: a skew
+    factor near 1 means salting would only add overhead; a 10³
+    factor names the keys to salt.
+
+    Scale shape: ONE map-side-combinable count on the key, then
+    everything else runs on the KEY-cardinality frame (exact
+    ``percentile``, a top-k rank window over that frame — the q45
+    heavy-hitter allowance, bounded by key cardinality). Output: ONE
+    row — ``(n_keys bigint, n_rows bigint, median_count double,
+    p99_count double, max_count bigint, skew_factor double,
+    top_keys array<struct<key string, n bigint>>)``; ties in the
+    top-k break on the concatenated key string (deterministic).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must name at least one column")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    counts = df.select(key.alias("__k")).groupBy("__k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    w = Window.orderBy(F.col("__n").desc(), F.col("__k").asc())
+    tops = (
+        counts.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= top_k)
+        .select(
+            F.struct(
+                F.col("__k").alias("key"), F.col("__n").alias("n")
+            ).alias("__t"),
+            "__r",
+        )
+    )
+    top_arr = tops.agg(
+        F.sort_array(F.collect_list(F.struct("__r", "__t")))
+        .alias("__rt")
+    ).select(
+        F.transform(F.col("__rt"), lambda s: s["__t"]).alias("top_keys")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("__n").cast("bigint").alias("n_rows"),
+        F.percentile(F.col("__n"), F.lit(0.5)).alias("median_count"),
+        F.percentile(F.col("__n"), F.lit(0.99)).alias("p99_count"),
+        F.max("__n").cast("bigint").alias("max_count"),
+    )
+    return stats.crossJoin(F.broadcast(top_arr)).select(
+        "n_keys",
+        "n_rows",
+        "median_count",
+        "p99_count",
+        "max_count",
+        (
+            F.col("max_count").cast("double") / F.col("median_count")
+        ).alias("skew_factor"),
+        "top_keys",
+    )

@@ -951,3 +951,83 @@ def group_safe_folds(
         )
         .drop(hcol)
     )
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-resampled mixture weights: sampling weight
+    ``w_g ∝ share_g^alpha`` per corpus slice — the standard
+    low-resource up-sampling scheme (alpha=1 is proportional,
+    alpha→0 is uniform; multilingual LM training popularized
+    alpha≈0.3-0.7). Output feeds ``build_mixture``/``hash_split``
+    as per-slice rates.
+
+    Engine-portable exactness: for the default ``alpha=0.5`` the
+    powered share is computed as
+    ``floor(sqrt((n_g·10^24) // N))`` — integer floor division, an
+    IEEE-exact int→double conversion, and a CORRECTLY-ROUNDED sqrt,
+    so every engine produces the identical scaled integer and the
+    weight denominators are exact integer sums (libm ``pow`` carries
+    no such guarantee, which is why the general-alpha path below is
+    documented as last-ulp-portable only, not bit-guaranteed).
+
+    Output: ``(group, n bigint, share double, weight double, boost
+    double)`` where ``boost = weight / share`` (the up/down-sampling
+    factor the slice receives).
+
+    Scale shape: one combinable count per slice; everything else
+    runs on the |slices|-row frame.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    counts = (
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    total = counts.agg(
+        F.sum("n").cast("decimal(38,0)").alias("__N")
+    )
+    w = counts.crossJoin(F.broadcast(total))
+    if alpha == 0.5:
+        powered = F.floor(
+            F.sqrt(
+                F.floor(
+                    F.col("n").cast("decimal(38,0)")
+                    * F.lit("1" + "0" * 24).cast("decimal(38,0)")
+                    / F.col("__N")
+                ).cast("double")
+            )
+        ).cast("decimal(38,0)")
+    else:
+        powered = F.floor(
+            F.pow(
+                F.col("n").cast("double") / F.col("__N").cast("double"),
+                F.lit(float(alpha)),
+            )
+            * F.lit(1e12)
+        ).cast("decimal(38,0)")
+    scored = w.withColumn("__p", powered)
+    denom = scored.agg(
+        F.sum("__p").cast("decimal(38,0)").alias("__D")
+    )
+    return (
+        scored.crossJoin(F.broadcast(denom))
+        .select(
+            "group",
+            "n",
+            (F.col("n").cast("double") / F.col("__N").cast("double")).alias(
+                "share"
+            ),
+            (
+                F.col("__p").cast("double") / F.col("__D").cast("double")
+            ).alias("weight"),
+            (
+                (F.col("__p").cast("double") / F.col("__D").cast("double"))
+                / (F.col("n").cast("double") / F.col("__N").cast("double"))
+            ).alias("boost"),
+        )
+    )

@@ -8842,6 +8842,103 @@ GROUP BY b.source
 """
 
 
+
+
+def q169_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile (``operators/skew.skew_profile``) of
+    lineitem's part key: distinct keys, frequency percentiles (exact,
+    over the KEY frame), heavy-tail top-5, and the max/median skew
+    factor — the measurement that decides between a plain shuffle
+    join, AQE skew handling, and ``salted_join`` (q136). The top-key
+    array is flattened to an ordered signature string so the oracle
+    pins order and counts."""
+    from diseasystore_spark.operators.skew import skew_profile
+
+    prof = skew_profile(
+        _read(spark, sf_dir, "lineitem"), ["l_partkey"], top_k=5
+    )
+    return prof.select(
+        "n_keys",
+        "n_rows",
+        "median_count",
+        "p99_count",
+        "max_count",
+        "skew_factor",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("top_keys"),
+                lambda t: F.concat_ws(":", t["key"], t["n"].cast("string")),
+            ),
+        ).alias("top_sig"),
+    )
+
+
+ORACLE_Q169 = """
+WITH counts AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+),
+tops AS (
+  SELECT k, n, row_number() OVER (ORDER BY n DESC, k ASC) AS r
+  FROM counts
+),
+sig AS (
+  SELECT string_agg(k || ':' || CAST(n AS VARCHAR), ',' ORDER BY r)
+           AS top_sig
+  FROM tops WHERE r <= 5
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       quantile_cont(n, 0.5) AS median_count,
+       quantile_cont(n, 0.99) AS p99_count,
+       CAST(max(n) AS BIGINT) AS max_count,
+       CAST(max(n) AS DOUBLE) / quantile_cont(n, 0.5) AS skew_factor,
+       (SELECT top_sig FROM sig) AS top_sig
+FROM counts
+"""
+
+
+
+
+def q170_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled mixture weights
+    (``pipeline/sample.temperature_mixture_weights``, alpha=0.5):
+    per-language sampling weights ∝ share^0.5 — the multilingual
+    up-sampling scheme. The powered share is an integer floor
+    division + IEEE-exact int→double + correctly-rounded sqrt, so
+    the scaled integers (and hence every weight) are engine-
+    reproducible; the oracle recomputes them."""
+    from diseasystore_spark.pipeline.sample import temperature_mixture_weights
+
+    return temperature_mixture_weights(
+        _read(spark, sf_dir, "documents"), "lang"
+    )
+
+
+ORACLE_Q170 = """
+WITH c AS (
+  SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1
+),
+t AS (SELECT CAST(sum(n) AS HUGEINT) AS nn FROM c),
+p AS (
+  SELECT grp, n,
+         CAST(floor(sqrt(CAST(
+           (CAST(n AS HUGEINT) * 1000000000000000000000000) // t.nn
+           AS DOUBLE))) AS HUGEINT) AS pw
+  FROM c, t
+),
+d AS (SELECT CAST(sum(pw) AS HUGEINT) AS dd FROM p)
+SELECT grp AS "group", n,
+       CAST(n AS DOUBLE) / CAST(t.nn AS DOUBLE) AS share,
+       CAST(pw AS DOUBLE) / CAST(d.dd AS DOUBLE) AS weight,
+       (CAST(pw AS DOUBLE) / CAST(d.dd AS DOUBLE))
+         / (CAST(n AS DOUBLE) / CAST(t.nn AS DOUBLE)) AS boost
+FROM p, t, d
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9015,6 +9112,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q166_stream_drift_psi": q166_stream_drift_psi,
     "q167_zipf_fit": q167_zipf_fit,
     "q168_quantile_normalize": q168_quantile_normalize,
+    "q169_skew_profile": q169_skew_profile,
+    "q170_temperature_mixture": q170_temperature_mixture,
 }
 
 ORACLES: dict[str, str] = {
@@ -9185,6 +9284,8 @@ ORACLES: dict[str, str] = {
     "q166_stream_drift_psi": ORACLE_Q166,
     "q167_zipf_fit": ORACLE_Q167,
     "q168_quantile_normalize": ORACLE_Q168,
+    "q169_skew_profile": ORACLE_Q169,
+    "q170_temperature_mixture": ORACLE_Q170,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

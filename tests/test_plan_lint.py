@@ -124,6 +124,9 @@ def test_all_registry_queries_are_scale_safe(spark):
         "q161_average_precision": 1,
         # vocabulary rank (vocab-sized frame, the q65 allowance)
         "q167_zipf_fit": 1,
+        # top-k rank over the KEY-cardinality frequency frame (the
+        # q45 heavy-hitter allowance)
+        "q169_skew_profile": 1,
     }
     problems = []
     for name, fn in QUERIES.items():

@@ -725,3 +725,36 @@ def test_rendezvous_assign_minimal_movement(spark):
         rendezvous_assign(df, [("a", 0.0)])
     with pytest.raises(ValueError, match="non-empty"):
         rendezvous_assign(df, [])
+
+
+def test_temperature_mixture_weights_properties(spark):
+    """alpha=0.5 weights: sum to 1, order-preserving, minority boosted
+    / majority damped; alpha=1 is proportional (boost ~= 1);
+    validation raises."""
+    import pytest
+
+    from diseasystore_spark.pipeline.sample import (
+        temperature_mixture_weights,
+    )
+
+    rows = [(i, "big" if i % 10 else "small") for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = {
+        r["group"]: r
+        for r in temperature_mixture_weights(df, "lang").collect()
+    }
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-12
+    assert out["small"]["boost"] > 1.0 > out["big"]["boost"]
+    # expected w_small = sqrt(0.1)/(sqrt(0.1)+sqrt(0.9))
+    import math
+
+    want = math.sqrt(0.1) / (math.sqrt(0.1) + math.sqrt(0.9))
+    assert out["small"]["weight"] == pytest.approx(want, rel=1e-9)
+
+    prop = {
+        r["group"]: r
+        for r in temperature_mixture_weights(df, "lang", alpha=1.0).collect()
+    }
+    assert prop["big"]["boost"] == pytest.approx(1.0, rel=1e-9)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mixture_weights(df, "lang", alpha=0.0)

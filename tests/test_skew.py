@@ -45,3 +45,37 @@ def test_salted_left_join(spark):
     out = salted_join(large, small, "k", how="left", salt=4)
     assert out.count() == 100
     assert out.where(F.col("dim").isNull()).count() == 40  # k3, k4 unmatched
+
+
+def test_skew_profile_matches_python(spark):
+    """Profile numbers against a Python Counter oracle on a planted
+    hot key; uniform keys give skew_factor ~= 1."""
+    from collections import Counter
+
+    import pytest
+
+    from diseasystore_spark.operators.skew import skew_profile
+
+    rows = [(i, f"k{i % 20}") for i in range(2000)]
+    rows += [(10_000 + i, "hot") for i in range(900)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    r = skew_profile(df, ["key"], top_k=3).collect()[0]
+
+    cnt = Counter(k for _, k in rows)
+    freqs = sorted(cnt.values())
+    assert r["n_keys"] == len(cnt)
+    assert r["n_rows"] == len(rows)
+    assert r["max_count"] == max(cnt.values()) == 900
+    # median via linear interpolation (Spark percentile semantics)
+    import numpy as np
+
+    assert r["median_count"] == pytest.approx(
+        float(np.percentile(freqs, 50, method="linear"))
+    )
+    assert r["skew_factor"] == pytest.approx(900 / r["median_count"])
+    tops = [(t["key"], t["n"]) for t in r["top_keys"]]
+    assert tops[0] == ("hot", 900)
+    assert len(tops) == 3 and tops[1][1] == 100
+
+    with pytest.raises(ValueError, match="key_cols"):
+        skew_profile(df, [])
