@@ -1851,3 +1851,123 @@ def zipf_fit(
             / F.lit(1_000_000.0),
         ).alias("intercept"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    train_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram language-model score per document — the
+    CCNet/GPT-style perplexity filter, self-contained: the LM is the
+    bigram/unigram count tables of ``train_df`` (a reference slice;
+    defaults to ``df`` itself) and each document is scored by its
+    average token log-probability
+
+        p(w2 | w1) = λ·(B(w1,w2)/U(w1)) + (1−λ)·(U(w2)+1)/(T+V+1)
+
+    (MLE bigram interpolated with an add-one unigram — the unigram
+    floor keeps OOV transitions finite; λ defaults to 0.7). Low
+    scores flag unnatural/garbled/templated text against the
+    reference distribution.
+
+    Determinism: every probability derives from exact integer counts
+    through a fixed double expression; each transition contributes
+    ``floor(ln(p)·1e6)`` and documents sum those INTEGERS — so the
+    per-document totals are order-independent and engine-exact, and
+    only the final average is a double division.
+
+    Scale shape: one per-doc lag window (partitioned by document) for
+    the transition stream; the count tables are combinable groupBys
+    (vocabulary/bigram-table-sized); scoring is two keyed equi-joins
+    of the transition stream against those tables (broadcastable for
+    real vocabularies) and one combinable per-doc sum. Documents with
+    fewer than two tokens emit nothing (no transitions).
+
+    Output: ``(id_col, n_bigrams bigint, logp_micro bigint,
+    avg_logp double)``.
+    """
+    if not 0.0 < lam < 1.0:
+        raise ValueError("lam must be in (0, 1)")
+    train = train_df if train_df is not None else df
+
+    def transitions(frame: DataFrame) -> DataFrame:
+        toks = F.filter(_tokens(text_col), lambda t: t != F.lit(""))
+        base = frame.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col), F.posexplode(toks).alias("__i", "__w")
+        )
+        w = Window.partitionBy(id_col).orderBy("__i")
+        return base.select(
+            F.col(id_col),
+            F.lag("__w").over(w).alias("__w1"),
+            F.col("__w").alias("__w2"),
+        ).where(F.col("__w1").isNotNull())
+
+    uni = (
+        train.where(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.filter(_tokens(text_col), lambda t: t != F.lit(""))
+            ).alias("__w")
+        )
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__u"))
+    )
+    totals = uni.agg(
+        F.sum("__u").cast("bigint").alias("__t"),
+        F.count(F.lit(1)).cast("bigint").alias("__v"),
+    )
+    bi = transitions(train).groupBy(
+        F.col("__w1").alias("__b1"), F.col("__w2").alias("__b2")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__b"))
+
+    tr = (
+        transitions(df)
+        .join(
+            F.broadcast(uni.withColumnRenamed("__w", "__w1").withColumnRenamed("__u", "__u1")),
+            "__w1",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.withColumnRenamed("__w", "__w2").withColumnRenamed("__u", "__u2")),
+            "__w2",
+            "left",
+        )
+        .join(
+            F.broadcast(bi),
+            (F.col("__w1") == F.col("__b1"))
+            & (F.col("__w2") == F.col("__b2")),
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    p_bi = F.when(
+        F.col("__u1").isNotNull() & F.col("__b").isNotNull(),
+        F.col("__b").cast("double") / F.col("__u1").cast("double"),
+    ).otherwise(F.lit(0.0))
+    p_uni = (
+        F.coalesce(F.col("__u2"), F.lit(0)).cast("double") + F.lit(1.0)
+    ) / (F.col("__t") + F.col("__v") + F.lit(1)).cast("double")
+    term = F.floor(
+        F.log(F.lit(float(lam)) * p_bi + F.lit(1.0 - float(lam)) * p_uni)
+        * 1_000_000
+    ).cast("bigint")
+    return (
+        tr.select(F.col(id_col), term.alias("__lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("__lp").cast("bigint").alias("logp_micro"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "logp_micro",
+            (
+                F.col("logp_micro").cast("double")
+                / (F.col("n_bigrams") * 1_000_000).cast("double")
+            ).alias("avg_logp"),
+        )
+    )

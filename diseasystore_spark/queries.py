@@ -8939,6 +8939,96 @@ FROM p, t, d
 """
 
 
+
+
+def q171_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring
+    (``pipeline/text.bigram_lm_scores``): the CCNet-style perplexity
+    filter — LM counts trained on the English slice, every document
+    scored by its average transition log-probability. Integer
+    micro-log terms summed per document (order-independent, engine-
+    exact); the oracle rebuilds the count tables and every
+    transition's probability. Output rolled to per-language stats so
+    the verified surface stays compact while pinning every document's
+    integer score (sum over docs of logp_micro · doc_id)."""
+    from diseasystore_spark.pipeline.text import bigram_lm_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    scores = bigram_lm_scores(
+        docs, train_df=docs.where(F.col("lang") == "en")
+    )
+    return (
+        scores.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.sum("logp_micro").cast("bigint").alias("logp_micro"),
+            F.sum(F.col("logp_micro") * F.col("doc_id"))
+            .cast("bigint")
+            .alias("lp_dot_doc"),
+        )
+    )
+
+
+ORACLE_Q171 = r"""
+WITH tokd AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     t -> t <> '') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+tok AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+  FROM tokd
+),
+ttok AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+  FROM tokd WHERE lang = 'en'
+),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS u FROM ttok GROUP BY w),
+tot AS (
+  SELECT CAST(sum(u) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+  FROM uni
+),
+tbi AS (
+  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS bc
+  FROM ttok a JOIN ttok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY 1, 2
+),
+tr AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+scored AS (
+  SELECT tr.doc_id,
+         CAST(floor(ln(
+           0.7 * (CASE WHEN u1.u IS NOT NULL AND tbi.bc IS NOT NULL
+                       THEN CAST(tbi.bc AS DOUBLE) / CAST(u1.u AS DOUBLE)
+                       ELSE 0.0 END)
+           + (1.0 - 0.7) * ((CAST(coalesce(u2.u, 0) AS DOUBLE) + 1.0)
+                            / CAST(tot.t + tot.v + 1 AS DOUBLE))
+         ) * 1000000) AS BIGINT) AS lp
+  FROM tr
+  LEFT JOIN uni u1 ON u1.w = tr.w1
+  LEFT JOIN uni u2 ON u2.w = tr.w2
+  LEFT JOIN tbi ON tbi.w1 = tr.w1 AND tbi.w2 = tr.w2
+  CROSS JOIN tot
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(lp) AS BIGINT) AS lpm
+  FROM scored GROUP BY doc_id
+)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nb) AS BIGINT) AS n_bigrams,
+       CAST(sum(lpm) AS BIGINT) AS logp_micro,
+       CAST(sum(lpm * p.doc_id) AS BIGINT) AS lp_dot_doc
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9114,6 +9204,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q168_quantile_normalize": q168_quantile_normalize,
     "q169_skew_profile": q169_skew_profile,
     "q170_temperature_mixture": q170_temperature_mixture,
+    "q171_bigram_lm": q171_bigram_lm,
 }
 
 ORACLES: dict[str, str] = {
@@ -9286,6 +9377,7 @@ ORACLES: dict[str, str] = {
     "q168_quantile_normalize": ORACLE_Q168,
     "q169_skew_profile": ORACLE_Q169,
     "q170_temperature_mixture": ORACLE_Q170,
+    "q171_bigram_lm": ORACLE_Q171,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

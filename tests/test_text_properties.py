@@ -455,3 +455,54 @@ def test_c4_clean_matches_python_oracle(spark):
         assert r["n_lines"] == len(lines), i
         assert r["n_lines_kept"] == len(kept), i
         assert r["kept"] == verdict, i
+
+
+def test_bigram_lm_scores_orders_natural_above_garbled(spark):
+    """An LM trained on patterned text scores in-distribution docs
+    above shuffled/garbled ones; short docs emit nothing; per-doc
+    totals match a Python replay of the exact formula."""
+    import math
+    from collections import Counter
+
+    import pytest
+
+    from diseasystore_spark.pipeline.text import bigram_lm_scores
+
+    train_rows = [(i, "the cat sat on the mat " * 5) for i in range(10)]
+    test_rows = [
+        (100, "the cat sat on the mat"),        # in-distribution
+        (101, "mat the on sat cat the"),        # garbled order
+        (102, "zebra quark flux"),              # OOV
+        (103, "one"),                           # single token: no bigrams
+    ]
+    df = spark.createDataFrame(
+        train_rows + test_rows, "doc_id long, text string"
+    )
+    train = df.where("doc_id < 100")
+    got = {
+        r["doc_id"]: r
+        for r in bigram_lm_scores(df, train_df=train).collect()
+    }
+    assert 103 not in got
+    assert got[100]["avg_logp"] > got[101]["avg_logp"] > got[102]["avg_logp"]
+
+    # python replay for doc 100
+    toks = [r[1].split() for r in train_rows]
+    uni = Counter(w for t in toks for w in t)
+    bi = Counter()
+    for t in toks:
+        for a, b in zip(t, t[1:]):
+            bi[(a, b)] += 1
+    T, V = sum(uni.values()), len(uni)
+    words = test_rows[0][1].split()
+    lam = 0.7
+    want = 0
+    for a, b in zip(words, words[1:]):
+        p_bi = bi[(a, b)] / uni[a] if uni.get(a) and bi.get((a, b)) else 0.0
+        p_un = (uni.get(b, 0) + 1.0) / (T + V + 1)
+        want += math.floor(math.log(lam * p_bi + (1.0 - lam) * p_un) * 1e6)
+    assert got[100]["logp_micro"] == want
+    assert got[100]["n_bigrams"] == len(words) - 1
+
+    with pytest.raises(ValueError, match="lam"):
+        bigram_lm_scores(df, lam=1.0)
