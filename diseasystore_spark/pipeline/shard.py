@@ -189,3 +189,130 @@ def rendezvous_assign(
         ),
     )
     return df.withColumn(out_col, F.array_max(scored)["shard"])
+
+
+def write_tar_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    name_col: str = "member_name",
+    payload_col: str = "payload",
+    salt: str = "",
+) -> DataFrame:
+    """WebDataset-style corpus packing: rows become members of a
+    fixed set of ``.tar`` shard files — the standard loader format
+    for multimodal / LLM training data (sequential tar reads beat
+    per-sample object GETs by orders of magnitude at training time).
+
+    Membership is the engine-portable md5 bucketing of ``key_col``
+    (``shard_column``), so any system can recompute a sample's shard;
+    within a shard, members are written in ascending ``name_col``
+    order (stable across runs and cluster layouts). Each member is
+    stored with a fixed mtime of 0 so shard BYTES are deterministic,
+    not just contents.
+
+    Scale shape: ONE repartition keyed by shard id (each shard is
+    one task's sequential tar stream — the format is append-only by
+    nature), sort rides the shuffle, and the tar assembly runs
+    executor-side via ``mapInPandas`` over the stdlib ``tarfile``
+    (binary packing is exactly the "genuinely per-partition
+    imperative" case the Pandas path exists for). No driver-side
+    collection at any size.
+
+    Returns the MANIFEST as a DataFrame: ``(shard int, path string,
+    n_members bigint, n_bytes bigint)`` — one row per written shard
+    (empty shards produce no file and no row).
+    """
+    import os
+
+    from diseasystore_spark.pipeline.sample import hash_hex  # noqa: F401
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    os.makedirs(out_dir, exist_ok=True)
+    assigned = df.select(
+        shard_column(key_col, n_shards, salt=salt).alias("__shard"),
+        F.col(name_col).cast("string").alias("__name"),
+        F.col(payload_col).cast("binary").alias("__payload"),
+    ).repartition(n_shards, "__shard")
+
+    manifest_schema = (
+        "shard int, path string, n_members bigint, n_bytes bigint"
+    )
+
+    def pack(batches):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        members: dict[int, list] = {}
+        for pdf in batches:
+            for s, n, p in zip(
+                pdf["__shard"], pdf["__name"], pdf["__payload"]
+            ):
+                members.setdefault(int(s), []).append((n, bytes(p)))
+        rows = []
+        for s, items in members.items():
+            items.sort(key=lambda t: t[0])
+            path = os.path.join(out_dir, f"shard-{s:05d}.tar")
+            with tarfile.open(path, "w") as tf:
+                for name, payload in items:
+                    info = tarfile.TarInfo(name=name)
+                    info.size = len(payload)
+                    info.mtime = 0
+                    tf.addfile(info, io.BytesIO(payload))
+            rows.append(
+                (s, path, len(items), os.path.getsize(path))
+            )
+        yield pd.DataFrame(
+            rows, columns=["shard", "path", "n_members", "n_bytes"]
+        )
+
+    return assigned.mapInPandas(pack, manifest_schema)
+
+
+def read_tar_shards(
+    spark: SparkSession,
+    path_glob: str,
+) -> DataFrame:
+    """Read WebDataset-style ``.tar`` shards back into one row per
+    member: ``(shard_path string, member_name string, payload
+    binary)``. Built on Spark's ``binaryFile`` source (each shard is
+    one task — matching how the shards were written) with stdlib
+    ``tarfile`` extraction inside ``mapInPandas``; tar parsing is the
+    honest per-partition imperative case, everything downstream is
+    ordinary columns again."""
+    out_schema = "shard_path string, member_name string, payload binary"
+
+    def unpack(batches):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            paths, names, payloads = [], [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        paths.append(path)
+                        names.append(m.name)
+                        payloads.append(tf.extractfile(m).read())
+            yield pd.DataFrame(
+                {
+                    "shard_path": paths,
+                    "member_name": names,
+                    "payload": payloads,
+                }
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path_glob)
+        .select("path", "content")
+        .mapInPandas(unpack, out_schema)
+    )

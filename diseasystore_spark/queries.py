@@ -9029,6 +9029,67 @@ GROUP BY d.lang
 """
 
 
+
+
+def q172_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar-shard round trip
+    (``pipeline/shard.write_tar_shards`` / ``read_tar_shards``): the
+    documents table is packed into 4 deterministic ``.tar`` shards
+    (portable md5 membership, name-sorted members, zeroed mtimes —
+    byte-deterministic shards) executor-side, then read back through
+    the ``binaryFile`` + stdlib-tarfile path; per-shard member
+    counts, id sums, and payload byte totals must equal the md5
+    bucketing recomputed by the oracle directly on the source table
+    — proving pack -> unpack is the identity and membership is
+    engine-portable."""
+    import tempfile
+
+    from diseasystore_spark.pipeline.shard import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+            "member_name"
+        ),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = tempfile.mkdtemp(prefix="ds_tar_shards_")
+    manifest = write_tar_shards(docs, out, n_shards=4)
+    manifest.count()  # materialize the pack before reading back
+    back = read_tar_shards(spark, out + "/shard-*.tar")
+    return (
+        back.select(
+            F.regexp_extract("shard_path", r"shard-(\d+)\.tar", 1)
+            .cast("int")
+            .alias("shard"),
+            F.regexp_extract("member_name", r"(\d+)\.txt", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.length("payload").alias("n_bytes"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+            F.sum("n_bytes").cast("bigint").alias("sum_bytes"),
+        )
+    )
+
+
+ORACLE_Q172 = """
+SELECT CAST(CAST(('0x' || substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT) % 4 AS INTEGER) AS shard,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes
+FROM documents
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9205,6 +9266,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q169_skew_profile": q169_skew_profile,
     "q170_temperature_mixture": q170_temperature_mixture,
     "q171_bigram_lm": q171_bigram_lm,
+    "q172_tar_shards": q172_tar_shards,
 }
 
 ORACLES: dict[str, str] = {
@@ -9378,6 +9440,7 @@ ORACLES: dict[str, str] = {
     "q169_skew_profile": ORACLE_Q169,
     "q170_temperature_mixture": ORACLE_Q170,
     "q171_bigram_lm": ORACLE_Q171,
+    "q172_tar_shards": ORACLE_Q172,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

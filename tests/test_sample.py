@@ -758,3 +758,73 @@ def test_temperature_mixture_weights_properties(spark):
     assert prop["big"]["boost"] == pytest.approx(1.0, rel=1e-9)
     with pytest.raises(ValueError, match="alpha"):
         temperature_mixture_weights(df, "lang", alpha=0.0)
+
+
+def test_tar_shards_roundtrip_and_determinism(spark, tmp_path):
+    """Pack -> unpack is the identity (names, payloads); shard
+    membership matches the portable md5 bucketing; shard BYTES are
+    deterministic across rewrites (zeroed mtimes, sorted members);
+    validation raises."""
+    import hashlib
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from diseasystore_spark.pipeline.shard import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    rows = [(i, f"{i:04d}.txt", f"payload-{i}".encode()) for i in range(97)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, member_name string, payload binary"
+    )
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m1 = {r["shard"]: r for r in write_tar_shards(df, out1, 3, key_col="doc_id").collect()}
+    m2 = {r["shard"]: r for r in write_tar_shards(df, out2, 3, key_col="doc_id").collect()}
+    assert sum(r["n_members"] for r in m1.values()) == 97
+    # byte-determinism: same shard id -> identical file bytes
+    for s in m1:
+        h1 = hashlib.md5(open(m1[s]["path"], "rb").read()).hexdigest()
+        h2 = hashlib.md5(open(m2[s]["path"], "rb").read()).hexdigest()
+        assert h1 == h2
+        assert m1[s]["n_bytes"] == os.path.getsize(m1[s]["path"])
+
+    back = read_tar_shards(spark, out1 + "/shard-*.tar")
+    got = {
+        r["member_name"]: bytes(r["payload"]) for r in back.collect()
+    }
+    assert got == {n: p for _, n, p in rows}
+    # membership matches the portable bucketing
+    expect_shard = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("|"), F.col("doc_id").cast("string")
+                            ).cast("binary")
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 3
+            ).alias("s"),
+        ).collect()
+    }
+    shard_of = {}
+    for r in back.select("shard_path", "member_name").collect():
+        doc = int(r["member_name"].split(".")[0])
+        shard_of[doc] = int(r["shard_path"].split("shard-")[1][:5])
+    assert shard_of == expect_shard
+
+    with pytest.raises(ValueError, match="n_shards"):
+        write_tar_shards(df, str(tmp_path / "x"), 0)
