@@ -681,3 +681,88 @@ def group_quantile_normalize(
         )
     )
     return base.join(ranked, [*group_cols, "__qv"]).drop("__qv")
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-square test statistic of independence between two
+    categorical columns (+ Cramér's V effect size) — the categorical
+    companion of :func:`~diseasystore_spark.pipeline.validate.
+    distribution_drift_psi`: is language independent of source? Did
+    the label mix shift across shards? NULL in either column drops
+    the row.
+
+    ``chi2 = Σ_cells (O − E)²/E`` with ``E = R·C/N`` over the FULL
+    r×c cell spine (zero-observed cells contribute their expected
+    mass — omitting them understates the statistic). Each cell's
+    term is one fixed double expression over exact integer marginals,
+    floored to micro-units, and the cross-cell sum is an exact
+    integer — order-independent, engine-reproducible; ``chi2`` and
+    ``cramers_v = sqrt(chi2 / (N·min(r−1, c−1)))`` are final double
+    expressions. The statistic is returned, not a p-value: CDF tails
+    are not engine-portable — compare against the caller's chi-square
+    table at ``dof``.
+
+    Scale shape: one combinable (a, b) count shuffle; marginals,
+    spine (r×c, categorical-bounded), and the final sum all run on
+    cell-count-sized frames.
+
+    Output: ONE row — ``(n bigint, r int, c int, dof int, chi2_micro
+    bigint, chi2 double, cramers_v double)``.
+    """
+    base = df.select(
+        F.col(col_a).cast("string").alias("__a"),
+        F.col(col_b).cast("string").alias("__b"),
+    ).where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    cells = base.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__o")
+    )
+    ra = cells.groupBy("__a").agg(F.sum("__o").cast("bigint").alias("__ra"))
+    cb = cells.groupBy("__b").agg(F.sum("__o").cast("bigint").alias("__cb"))
+    tot = cells.agg(
+        F.sum("__o").cast("bigint").alias("__n"),
+        F.count_distinct("__a").cast("int").alias("r"),
+        F.count_distinct("__b").cast("int").alias("c"),
+    )
+    spine = ra.crossJoin(cb)  # r x c, categorical-bounded
+    joined = (
+        spine.join(cells, ["__a", "__b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.coalesce("__o", F.lit(0)).cast("double").alias("__od"),
+            (
+                F.col("__ra").cast("double")
+                * F.col("__cb").cast("double")
+                / F.col("__n").cast("double")
+            ).alias("__e"),
+            "__n",
+            "r",
+            "c",
+        )
+    )
+    term = F.floor(
+        (F.col("__od") - F.col("__e"))
+        * (F.col("__od") - F.col("__e"))
+        / F.col("__e")
+        * 1_000_000
+    ).cast("bigint")
+    out = joined.groupBy("__n", "r", "c").agg(
+        F.sum(term).cast("bigint").alias("chi2_micro")
+    )
+    chi2 = F.col("chi2_micro").cast("double") / 1e6
+    mind = F.least(F.col("r") - 1, F.col("c") - 1)
+    return out.select(
+        F.col("__n").alias("n"),
+        "r",
+        "c",
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("int").alias("dof"),
+        "chi2_micro",
+        chi2.alias("chi2"),
+        F.when(
+            mind > 0,
+            F.sqrt(chi2 / (F.col("__n").cast("double") * mind)),
+        ).alias("cramers_v"),
+    )

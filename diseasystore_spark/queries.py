@@ -9090,6 +9090,115 @@ GROUP BY 1
 """
 
 
+
+
+def q173_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source round trip (``sources/jsonl``): the documents
+    table written as newline-delimited JSON, two malformed lines
+    injected, read back with an explicit schema through the
+    text+from_json path (restriction-free corrupt capture) and split
+    into clean/quarantine — counts and checksums of the clean side
+    must equal the parquet source exactly, and the quarantine count
+    must equal the injected corruption."""
+    import os
+    import tempfile
+
+    from diseasystore_spark.sources.jsonl import (
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    d = os.path.join(tempfile.mkdtemp(prefix="ds_jsonl_"), "docs")
+    write_jsonl(docs, d, n_files=2)
+    with open(os.path.join(d, "part-injected.json"), "w") as fh:
+        fh.write("this line is not json\n")
+        fh.write('{"doc_id": 999999, "text": unterminated\n')
+    back = read_jsonl(
+        spark,
+        d,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    clean, bad = split_corrupt(back)
+    stats = clean.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clean"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+    )
+    nbad = bad.agg(F.count(F.lit(1)).cast("bigint").alias("n_corrupt"))
+    return stats.crossJoin(F.broadcast(nbad))
+
+
+ORACLE_Q173 = """
+SELECT CAST(count(*) AS BIGINT) AS n_clean,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(strlen(text)) AS BIGINT) AS sum_text_len,
+       CAST(2 AS BIGINT) AS n_corrupt
+FROM documents
+"""
+
+
+
+
+def q174_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of language vs source
+    (``operators/stats.chi_square_independence``): full r×c cell
+    spine (zero-observed cells contribute their expected mass),
+    per-cell micro-floored terms summed exactly, Cramér's V effect
+    size — the categorical mix-shift monitor."""
+    from diseasystore_spark.operators.stats import chi_square_independence
+
+    return chi_square_independence(
+        _read(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+ORACLE_Q174 = """
+WITH base AS (
+  SELECT lang AS a, source AS b FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+),
+cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM base GROUP BY 1, 2),
+ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n,
+         CAST(count(DISTINCT a) AS INTEGER) AS r,
+         CAST(count(DISTINCT b) AS INTEGER) AS c
+  FROM cells
+),
+terms AS (
+  SELECT CAST(floor(
+           (CAST(coalesce(cells.o, 0) AS DOUBLE)
+              - CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE)
+                / CAST(tot.n AS DOUBLE))
+           * (CAST(coalesce(cells.o, 0) AS DOUBLE)
+              - CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE)
+                / CAST(tot.n AS DOUBLE))
+           / (CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE)
+              / CAST(tot.n AS DOUBLE))
+           * 1000000) AS BIGINT) AS t
+  FROM ra CROSS JOIN cb CROSS JOIN tot
+  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
+)
+SELECT tot.n, tot.r, tot.c,
+       CAST((tot.r - 1) * (tot.c - 1) AS INTEGER) AS dof,
+       CAST(sum(t) AS BIGINT) AS chi2_micro,
+       CAST(sum(t) AS DOUBLE) / 1000000.0 AS chi2,
+       CASE WHEN least(tot.r - 1, tot.c - 1) > 0
+            THEN sqrt((CAST(sum(t) AS DOUBLE) / 1000000.0)
+                      / (CAST(tot.n AS DOUBLE)
+                         * least(tot.r - 1, tot.c - 1)))
+       END AS cramers_v
+FROM terms, tot
+GROUP BY tot.n, tot.r, tot.c
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9267,6 +9376,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q170_temperature_mixture": q170_temperature_mixture,
     "q171_bigram_lm": q171_bigram_lm,
     "q172_tar_shards": q172_tar_shards,
+    "q173_jsonl_roundtrip": q173_jsonl_roundtrip,
+    "q174_chi_square": q174_chi_square,
 }
 
 ORACLES: dict[str, str] = {
@@ -9441,6 +9552,8 @@ ORACLES: dict[str, str] = {
     "q170_temperature_mixture": ORACLE_Q170,
     "q171_bigram_lm": ORACLE_Q171,
     "q172_tar_shards": ORACLE_Q172,
+    "q173_jsonl_roundtrip": ORACLE_Q173,
+    "q174_chi_square": ORACLE_Q174,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

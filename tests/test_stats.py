@@ -887,3 +887,47 @@ def test_group_quantile_normalize_matches_python(spark):
             assert got[i] == want
     with pytest.raises(ValueError, match="group_cols"):
         group_quantile_normalize(df, "score", [])
+
+
+def test_chi_square_independence_matches_python(spark):
+    """chi2/dof/Cramér's V against a Python contingency oracle,
+    including a zero-observed cell contributing its expected mass;
+    independent columns score near zero."""
+    import math
+    from collections import Counter
+
+    import pytest
+
+    from diseasystore_spark.operators.stats import chi_square_independence
+
+    rows = (
+        [("en", "web")] * 40 + [("en", "book")] * 10
+        + [("de", "web")] * 5 + [("de", "book")] * 45
+        + [("fr", "web")] * 20  # (fr, book) is a ZERO cell
+    )
+    df = spark.createDataFrame(rows, "lang string, src string")
+    r = chi_square_independence(df, "lang", "src").collect()[0]
+
+    cells = Counter(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    n = len(rows)
+    micro = 0
+    for a in ra:
+        for b in cb:
+            e = ra[a] * cb[b] / n
+            o = float(cells.get((a, b), 0))
+            micro += math.floor((o - e) * (o - e) / e * 1_000_000)
+    assert r["n"] == n and (r["r"], r["c"]) == (3, 2) and r["dof"] == 2
+    assert r["chi2_micro"] == micro
+    assert r["cramers_v"] == pytest.approx(
+        math.sqrt((micro / 1e6) / (n * 1)), rel=1e-12
+    )
+
+    indep = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv" for _ in range(25)],
+        "lang string, src string",
+    )
+    assert chi_square_independence(indep, "lang", "src").collect()[0][
+        "chi2"
+    ] == pytest.approx(0.0)
