@@ -409,3 +409,77 @@ def average_precision(
             ).cast("double"),
         ).alias("ap"),
     )
+
+
+def roc_auc_by_group(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str],
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Per-segment ROC-AUC — :func:`roc_auc` computed independently
+    inside every group: the fairness/segment readout (a scorer can
+    rank well globally while inverting inside one language or source;
+    gating a corpus with it then skews exactly that slice). Same
+    tie-corrected Mann-Whitney integer arithmetic; the cumulative
+    window is PARTITIONED by the group (per-group quantized frames,
+    each ≤ quantize+1 rows). One-class groups return NULL auc with
+    their counts — segment dashboards expect the row, and a global
+    assert would let one degenerate slice fail the whole readout
+    (the q153 NULL-t convention).
+
+    Output: ``(group_cols..., n_pos bigint, n_neg bigint,
+    auc double)``.
+    """
+    if quantize < 2:
+        raise ValueError("quantize must be at least 2")
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    base = df.select(
+        *group_cols,
+        F.floor(F.col(score_col).cast("double") * quantize)
+        .cast("bigint")
+        .alias("__q"),
+        F.col(label_col).cast("boolean").alias("__y"),
+    ).where(F.col("__q").isNotNull() & F.col("__y").isNotNull())
+    per_score = base.groupBy(*group_cols, "__q").agg(
+        F.sum(F.col("__y").cast("int")).cast("bigint").alias("__p"),
+        F.sum((~F.col("__y")).cast("int")).cast("bigint").alias("__n"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = per_score.select(
+        *group_cols,
+        "__p",
+        "__n",
+        (
+            F.col("__p").cast("decimal(38,0)")
+            * (
+                F.lit(2) * F.coalesce(F.sum("__n").over(w), F.lit(0))
+                + F.col("__n")
+            ).cast("decimal(38,0)")
+        ).alias("__num2"),
+    )
+    tot = contrib.groupBy(*group_cols).agg(
+        F.sum("__p").cast("bigint").alias("n_pos"),
+        F.sum("__n").cast("bigint").alias("n_neg"),
+        F.sum("__num2").cast("decimal(38,0)").alias("__num2"),
+    )
+    return tot.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("__num2").cast("double")
+            / (
+                F.lit(2)
+                * F.col("n_pos").cast("decimal(38,0)")
+                * F.col("n_neg").cast("decimal(38,0)")
+            ).cast("double"),
+        ).alias("auc"),
+    )

@@ -9199,6 +9199,135 @@ GROUP BY tot.n, tot.r, tot.c
 """
 
 
+
+
+def q175_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (``operators/asof.asof_join``
+    as the attribution engine): each purchase is attributed to the
+    LATEST view/click by the same user strictly before it and within
+    a 24h window (ties at the same instant broken by event id) —
+    conversions and revenue cents rolled up per attributed touch
+    type, unmatched purchases kept as 'unattributed'. One union-trick
+    window per user key; the oracle replays it as a ranked
+    correlated join."""
+    from diseasystore_spark.operators.asof import asof_join
+
+    events = _read(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    conv = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    touch = events.where(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        "ts",
+        F.col("event_id").alias("touch_id"),
+    )
+    att = asof_join(
+        conv,
+        touch,
+        on="user_id",
+        allow_exact_matches=False,
+        tolerance_seconds=86400,
+        right_prefix="t_",
+        tiebreak=["touch_id"],
+    )
+    return att.groupBy(
+        F.coalesce(F.col("t_touch_type"), F.lit("unattributed")).alias(
+            "touch_type"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+
+
+ORACLE_Q175 = """
+WITH conv AS (
+  SELECT user_id, event_id, ts, value FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
+),
+touch AS (
+  SELECT user_id, event_type AS touch_type, ts, event_id AS tid
+  FROM events WHERE event_type IN ('view', 'click') AND ts IS NOT NULL
+),
+j AS (
+  SELECT c.event_id AS cid, t.touch_type,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY t.ts DESC, t.tid DESC) AS rn
+  FROM conv c JOIN touch t ON t.user_id = c.user_id
+   AND t.ts < c.ts
+   AND epoch_us(c.ts) - epoch_us(t.ts) <= 86400000000
+),
+best AS (SELECT cid, touch_type FROM j WHERE rn = 1),
+att AS (
+  SELECT coalesce(b.touch_type, 'unattributed') AS touch_type, c.value
+  FROM conv c LEFT JOIN best b ON b.cid = c.event_id
+)
+SELECT touch_type, CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM att GROUP BY 1
+"""
+
+
+def q176_roc_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language ROC-AUC
+    (``pipeline/classifier.roc_auc_by_group``): the q151 scorer/label
+    pair evaluated independently inside every language slice — the
+    segment-fairness readout (a globally-good scorer can invert
+    inside one slice). Same exact integer arithmetic; windows
+    partitioned per group; one-class groups row through as NULL."""
+    from diseasystore_spark.pipeline.classifier import roc_auc_by_group
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "lang",
+        (F.least(F.col("n_chars"), F.lit(1000)) / F.lit(1000.0)).alias(
+            "score"
+        ),
+        (
+            F.size(F.expr(r"filter(split(trim(text), '\\s+'), t -> t != '')"))
+            >= 60
+        ).alias("label"),
+    )
+    return roc_auc_by_group(docs, "score", "label", ["lang"])
+
+
+ORACLE_Q176 = r"""
+WITH base AS (
+  SELECT lang,
+         CAST(floor(least(n_chars, 1000) / 1000.0 * 1000000) AS BIGINT)
+           AS q,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> t <> '')) >= 60 AS y
+  FROM documents
+  WHERE n_chars IS NOT NULL AND text IS NOT NULL
+),
+per AS (
+  SELECT lang, q,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2
+),
+c AS (
+  SELECT lang, p, n,
+         p * (2 * coalesce(sum(n) OVER (PARTITION BY lang ORDER BY q
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n)
+           AS num2
+  FROM per
+)
+SELECT lang, CAST(sum(p) AS BIGINT) AS n_pos,
+       CAST(sum(n) AS BIGINT) AS n_neg,
+       CASE WHEN sum(p) > 0 AND sum(n) > 0
+            THEN CAST(sum(num2) AS DOUBLE) / (2.0 * sum(p) * sum(n))
+       END AS auc
+FROM c GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9378,6 +9507,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q172_tar_shards": q172_tar_shards,
     "q173_jsonl_roundtrip": q173_jsonl_roundtrip,
     "q174_chi_square": q174_chi_square,
+    "q175_last_touch_attribution": q175_last_touch_attribution,
+    "q176_roc_auc_by_group": q176_roc_auc_by_group,
 }
 
 ORACLES: dict[str, str] = {
@@ -9554,6 +9685,8 @@ ORACLES: dict[str, str] = {
     "q172_tar_shards": ORACLE_Q172,
     "q173_jsonl_roundtrip": ORACLE_Q173,
     "q174_chi_square": ORACLE_Q174,
+    "q175_last_touch_attribution": ORACLE_Q175,
+    "q176_roc_auc_by_group": ORACLE_Q176,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

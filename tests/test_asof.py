@@ -210,3 +210,41 @@ def test_point_in_time_features_leakage_and_namespacing(spark):
                 {"df": clicks, "on": "user_id", "prefix": "v_"},
             ],
         )
+
+
+def test_last_touch_attribution_shape(spark):
+    """asof_join as an attribution engine: latest strictly-before
+    touch inside the window wins, same-instant ties break by id, and
+    out-of-window conversions stay unattributed."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from diseasystore_spark.operators.asof import asof_join
+
+    T = dt.datetime
+    conv = spark.createDataFrame(
+        [
+            (1, 100, T(2024, 1, 2, 12), 10.0),   # view@11 wins over click@10
+            (1, 101, T(2024, 1, 5, 12), 20.0),   # >24h from any touch
+            (2, 102, T(2024, 1, 2, 10), 30.0),   # tie at same ts: max id wins
+        ],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    touch = spark.createDataFrame(
+        [
+            (1, "click", T(2024, 1, 2, 10), 1),
+            (1, "view", T(2024, 1, 2, 11), 2),
+            (2, "click", T(2024, 1, 2, 9), 3),
+            (2, "view", T(2024, 1, 2, 9), 4),
+        ],
+        "user_id long, touch_type string, ts timestamp, touch_id long",
+    )
+    att = asof_join(
+        conv, touch, on="user_id", allow_exact_matches=False,
+        tolerance_seconds=86400, right_prefix="t_", tiebreak=["touch_id"],
+    )
+    got = {
+        r["event_id"]: r["t_touch_type"] for r in att.collect()
+    }
+    assert got == {100: "view", 101: None, 102: "view"}

@@ -207,3 +207,34 @@ def test_average_precision_matches_python_oracle(spark):
     assert average_precision(inverted, "score", "label").collect()[0][
         "ap"
     ] == pytest.approx(0.5)
+
+
+def test_roc_auc_by_group_matches_global_and_handles_one_class(spark):
+    """Per-group AUC equals the global roc_auc computed on each slice
+    separately; a one-class group rows through with NULL auc."""
+    import random as _random
+
+    from diseasystore_spark.pipeline.classifier import roc_auc, roc_auc_by_group
+
+    rng = _random.Random(29)
+    rows = []
+    for g, sep in [("a", 0.4), ("b", 0.05)]:
+        for _ in range(600):
+            y = rng.random() < 0.5
+            s = rng.random() * (1 - sep) + (sep if y else 0.0)
+            rows.append((g, s, y))
+    rows += [("c", 0.5, True), ("c", 0.7, True)]  # one-class group
+    df = spark.createDataFrame(rows, "g string, score double, label boolean")
+    got = {
+        r["g"]: r for r in roc_auc_by_group(df, "score", "label", ["g"]).collect()
+    }
+    for g in ["a", "b"]:
+        want = roc_auc(
+            df.where(f"g = '{g}'"), "score", "label"
+        ).collect()[0]
+        assert got[g]["auc"] == want["auc"]
+        assert (got[g]["n_pos"], got[g]["n_neg"]) == (
+            want["n_pos"], want["n_neg"],
+        )
+    assert got["a"]["auc"] > got["b"]["auc"]
+    assert got["c"]["auc"] is None and got["c"]["n_neg"] == 0
