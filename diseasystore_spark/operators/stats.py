@@ -766,3 +766,146 @@ def chi_square_independence(
             F.sqrt(chi2 / (F.col("__n").cast("double") * mind)),
         ).alias("cramers_v"),
     )
+
+
+def permutation_test_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    arm_col: str,
+    metric_cents_col: str,
+    n_perm: int = 63,
+    seed: str = "perm0",
+) -> DataFrame:
+    """Per-group randomization test of association between a boolean
+    arm and an integer-cents metric — EXACT-inference companion to
+    :func:`welch_t_by_group`: no normality assumption, no CDF, and
+    (unlike t→p) the p-value is ENGINE-PORTABLE because the
+    randomness is md5-derived, so any SQL engine replays the same
+    ``n_perm`` reassignments bit-for-bit.
+
+    Statistic (all bigint): ``T = |n·Σ(x·a) − (Σa)·Σx|`` — n² times
+    the absolute sample covariance between assignment and metric, so
+    it is comparable across reassignments with varying arm sizes.
+    Null replicates draw ``a ~ Bernoulli(1/2)`` per row from
+    ``md5(seed|perm|row-key)`` (a Monte-Carlo randomization test —
+    fixed-margin permutations are not expressible as a per-row hash,
+    and the Bernoulli null is itself a valid randomization
+    distribution for the no-association hypothesis). One-sided
+    Monte-Carlo p with the +1 correction:
+    ``p = (1 + #{T_perm ≥ T_obs}) / (n_perm + 1)``, emitted in exact
+    micro-units (``p_micro = floor(1e6·…)``).
+
+    Scale shape: the corpus is exploded ``n_perm``× (the honest cost
+    of exact inference — bounded, user-chosen) into ONE map-side-
+    combinable aggregate keyed (group, perm); everything after runs
+    on the (groups × n_perm) frame. Row identity for the hash is the
+    md5 of the row's own content plus an intra-duplicate rank —
+    content-derived, so the draw is partitioning-independent, and
+    rank-disambiguated so identical rows draw independent bits
+    (which copy takes which rank is immaterial: the copies are
+    exchangeable, the multiset of keys is deterministic).
+
+    Output per group: ``(group_cols..., n bigint, t_obs bigint,
+    n_ge bigint, p_micro bigint)``.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    if n_perm < 1:
+        raise ValueError("n_perm must be >= 1")
+    x = F.col(metric_cents_col).cast("bigint")
+    a = F.col(arm_col).cast("boolean")
+    base = df.where(a.isNotNull() & x.isNotNull()).select(
+        *group_cols,
+        a.cast("int").alias("__a"),
+        x.alias("__x"),
+        # deterministic per-row key: hash of the row's own content
+        # plus a disambiguating intra-duplicate rank (identical rows
+        # must draw INDEPENDENT assignment bits, or duplicates move
+        # in lockstep and shrink the effective null space)
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[F.col(c).cast("string") for c in group_cols],
+                a.cast("string"),
+                x.cast("string"),
+            ).cast("binary")
+        ).alias("__rk"),
+    )
+    wdup = Window.partitionBy(*group_cols, "__rk").orderBy(F.lit(1))
+    base = base.withColumn(
+        "__rk",
+        F.concat_ws("#", F.col("__rk"), F.row_number().over(wdup).cast("string")),
+    )
+    obs = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x").cast("bigint").alias("__sx"),
+        F.sum(F.col("__a").cast("bigint")).cast("bigint").alias("__na"),
+        F.sum(F.col("__x") * F.col("__a")).cast("bigint").alias("__sxa"),
+    ).select(
+        *group_cols,
+        "n",
+        "__sx",
+        F.abs(
+            F.col("n") * F.col("__sxa") - F.col("__na") * F.col("__sx")
+        ).alias("t_obs"),
+    )
+    perms = base.select(
+        *group_cols,
+        "__x",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n_perm)),
+                lambda i: F.struct(
+                    i.alias("perm"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        "\x1f",
+                                        F.lit(seed),
+                                        i.cast("string"),
+                                        F.col("__rk"),
+                                    ).cast("binary")
+                                ),
+                                1,
+                                1,
+                            ),
+                            16,
+                            10,
+                        ).cast("int")
+                        % 2
+                    ).alias("bit"),
+                ),
+            )
+        ).alias("__p"),
+    ).select(*group_cols, "__x", F.col("__p.perm").alias("__perm"), F.col("__p.bit").alias("__bit"))
+    null_stats = perms.groupBy(*group_cols, "__perm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__x").cast("bigint").alias("__sx"),
+        F.sum(F.col("__bit").cast("bigint")).cast("bigint").alias("__nb"),
+        F.sum(F.col("__x") * F.col("__bit")).cast("bigint").alias("__sxb"),
+    ).select(
+        *group_cols,
+        F.abs(
+            F.col("__n") * F.col("__sxb") - F.col("__nb") * F.col("__sx")
+        ).alias("__t_perm"),
+    )
+    cmp = null_stats.join(F.broadcast(obs), group_cols).groupBy(
+        *group_cols, "n", "t_obs"
+    ).agg(
+        F.sum((F.col("__t_perm") >= F.col("t_obs")).cast("int"))
+        .cast("bigint")
+        .alias("n_ge")
+    )
+    return cmp.select(
+        *group_cols,
+        "n",
+        "t_obs",
+        "n_ge",
+        F.floor(
+            (F.lit(1) + F.col("n_ge")) * F.lit(1_000_000) / F.lit(n_perm + 1)
+        )
+        .cast("bigint")
+        .alias("p_micro"),
+    )

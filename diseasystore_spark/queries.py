@@ -9328,6 +9328,174 @@ FROM c GROUP BY lang
 """
 
 
+
+
+def q177_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status randomization test
+    (``operators/stats.permutation_test_by_group``): urgent/high
+    orders vs the rest on integer-cents totalprice (the q153 pair),
+    63 md5-seeded Bernoulli reassignments — exact Monte-Carlo
+    inference whose p-values are ENGINE-PORTABLE (the oracle replays
+    every reassignment bit-for-bit; no CDF anywhere)."""
+    from diseasystore_spark.operators.stats import permutation_test_by_group
+
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("arm"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return permutation_test_by_group(
+        orders, ["status"], "arm", "cents", n_perm=63
+    )
+
+
+ORACLE_Q177 = """
+WITH base AS (
+  SELECT o_orderstatus AS status,
+         o_orderpriority IN ('1-URGENT', '2-HIGH') AS arm,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+),
+keyed AS (
+  SELECT status, arm, cents,
+         md5(status || chr(31) || CAST(arm AS VARCHAR)
+             || chr(31) || CAST(cents AS VARCHAR)) AS rk0
+  FROM base
+),
+rk AS (
+  SELECT status, arm, cents,
+         rk0 || '#' || CAST(row_number() OVER (
+           PARTITION BY status, rk0) AS VARCHAR) AS rk
+  FROM keyed
+),
+obs AS (
+  SELECT status, CAST(count(*) AS BIGINT) AS n,
+         abs(CAST(count(*) AS HUGEINT)
+               * sum(CASE WHEN arm THEN cents ELSE 0 END)
+             - sum(CASE WHEN arm THEN 1 ELSE 0 END)::HUGEINT
+               * sum(cents)) AS t_obs
+  FROM rk GROUP BY status
+),
+perms AS (
+  SELECT status, cents,
+         p.perm,
+         CAST(('0x' || substr(md5('perm0' || chr(31)
+                || CAST(p.perm AS VARCHAR) || chr(31) || rk), 1, 1))
+              AS BIGINT) % 2 AS bit
+  FROM rk CROSS JOIN (SELECT unnest(range(1, 64)) AS perm) p
+),
+nulls AS (
+  SELECT status, perm,
+         abs(CAST(count(*) AS HUGEINT) * sum(cents * bit)
+             - sum(bit)::HUGEINT * sum(cents)) AS t_perm
+  FROM perms GROUP BY status, perm
+)
+SELECT o.status, o.n, CAST(o.t_obs AS BIGINT) AS t_obs,
+       CAST(sum(CASE WHEN t_perm >= o.t_obs THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ge,
+       CAST((1 + sum(CASE WHEN t_perm >= o.t_obs THEN 1 ELSE 0 END))
+            * 1000000 // 64 AS BIGINT) AS p_micro
+FROM nulls s JOIN obs o ON s.status = o.status
+GROUP BY o.status, o.n, o.t_obs
+"""
+
+
+def q178_bh_fdr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR over a fleet of per-nation permutation
+    tests (``pipeline/validate.bh_fdr`` on q177's machinery, 25
+    hypotheses): rank the portable Monte-Carlo p-values, integer
+    cross-multiplied step-up rule, deterministic tie ranking by the
+    hypothesis key — the multiple-testing gate a segment dashboard
+    needs."""
+    from diseasystore_spark.operators.stats import permutation_test_by_group
+    from diseasystore_spark.pipeline.validate import bh_fdr
+
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+    )
+    base = orders.join(F.broadcast(customer), "o_custkey").select(
+        "nationkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("arm"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    pt = permutation_test_by_group(
+        base, ["nationkey"], "arm", "cents", n_perm=63
+    )
+    out = bh_fdr(pt, "p_micro", alpha_micro=100_000,
+                 tiebreak_cols=["nationkey"])
+    return out.select(
+        "nationkey", "n", "p_micro", "p_rank", "significant"
+    )
+
+
+ORACLE_Q178 = """
+WITH base AS (
+  SELECT CAST(c.c_nationkey AS INTEGER) AS nationkey,
+         o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS arm,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o.o_orderpriority IS NOT NULL AND o.o_totalprice IS NOT NULL
+),
+keyed AS (
+  SELECT nationkey, arm, cents,
+         md5(CAST(nationkey AS VARCHAR) || chr(31)
+             || CAST(arm AS VARCHAR) || chr(31)
+             || CAST(cents AS VARCHAR)) AS rk0
+  FROM base
+),
+rk AS (
+  SELECT nationkey, arm, cents,
+         rk0 || '#' || CAST(row_number() OVER (
+           PARTITION BY nationkey, rk0) AS VARCHAR) AS rk
+  FROM keyed
+),
+obs AS (
+  SELECT nationkey, CAST(count(*) AS BIGINT) AS n,
+         abs(CAST(count(*) AS HUGEINT)
+               * sum(CASE WHEN arm THEN cents ELSE 0 END)
+             - sum(CASE WHEN arm THEN 1 ELSE 0 END)::HUGEINT
+               * sum(cents)) AS t_obs
+  FROM rk GROUP BY nationkey
+),
+perms AS (
+  SELECT nationkey, cents, p.perm,
+         CAST(('0x' || substr(md5('perm0' || chr(31)
+                || CAST(p.perm AS VARCHAR) || chr(31) || rk), 1, 1))
+              AS BIGINT) % 2 AS bit
+  FROM rk CROSS JOIN (SELECT unnest(range(1, 64)) AS perm) p
+),
+nulls AS (
+  SELECT nationkey, perm,
+         abs(CAST(count(*) AS HUGEINT) * sum(cents * bit)
+             - sum(bit)::HUGEINT * sum(cents)) AS t_perm
+  FROM perms GROUP BY nationkey, perm
+),
+pv AS (
+  SELECT o.nationkey, o.n,
+         CAST((1 + sum(CASE WHEN t_perm >= o.t_obs THEN 1 ELSE 0 END))
+              * 1000000 // 64 AS BIGINT) AS p_micro
+  FROM nulls s JOIN obs o ON s.nationkey = o.nationkey
+  GROUP BY o.nationkey, o.n, o.t_obs
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pv),
+ranked AS (
+  SELECT pv.*, m.m,
+         row_number() OVER (ORDER BY p_micro ASC, nationkey ASC) AS r
+  FROM pv, m
+),
+k AS (
+  SELECT max(CASE WHEN p_micro * m <= r * 100000 THEN r END) AS kk
+  FROM ranked
+)
+SELECT nationkey, n, p_micro, CAST(r AS INTEGER) AS p_rank,
+       coalesce(r <= k.kk, FALSE) AS significant
+FROM ranked, k
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9509,6 +9677,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q174_chi_square": q174_chi_square,
     "q175_last_touch_attribution": q175_last_touch_attribution,
     "q176_roc_auc_by_group": q176_roc_auc_by_group,
+    "q177_permutation_test": q177_permutation_test,
+    "q178_bh_fdr_gate": q178_bh_fdr_gate,
 }
 
 ORACLES: dict[str, str] = {
@@ -9687,6 +9857,8 @@ ORACLES: dict[str, str] = {
     "q174_chi_square": ORACLE_Q174,
     "q175_last_touch_attribution": ORACLE_Q175,
     "q176_roc_auc_by_group": ORACLE_Q176,
+    "q177_permutation_test": ORACLE_Q177,
+    "q178_bh_fdr_gate": ORACLE_Q178,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

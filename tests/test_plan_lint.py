@@ -127,6 +127,9 @@ def test_all_registry_queries_are_scale_safe(spark):
         # top-k rank over the KEY-cardinality frequency frame (the
         # q45 heavy-hitter allowance)
         "q169_skew_profile": 1,
+        # BH rank + step-up max over the HYPOTHESIS frame (m tests,
+        # 25 here — never data-sized)
+        "q178_bh_fdr_gate": 2,
     }
     problems = []
     for name, fn in QUERIES.items():

@@ -931,3 +931,77 @@ def test_chi_square_independence_matches_python(spark):
     assert chi_square_independence(indep, "lang", "src").collect()[0][
         "chi2"
     ] == pytest.approx(0.0)
+
+
+def test_permutation_test_detects_effect_and_is_partition_invariant(spark):
+    """A planted arm effect gets the minimum attainable p; a null
+    group does not; the md5-derived draws make the result invariant
+    to partitioning; duplicates draw independent bits (p not stuck
+    at minimum for a null group of identical rows)."""
+    import random as _random
+
+    from diseasystore_spark.operators.stats import permutation_test_by_group
+
+    rng = _random.Random(3)
+    rows = []
+    for _ in range(400):
+        arm = rng.random() < 0.5
+        rows.append(("sig", arm, 1000 + (500 if arm else 0) + rng.randint(-100, 100)))
+        rows.append(("null", arm, 1000 + rng.randint(-100, 100)))
+    # an all-duplicate null group: every row identical except arm
+    rows += [("dups", i % 2 == 0, 777) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, arm boolean, cents bigint")
+    got = {
+        r["g"]: r
+        for r in permutation_test_by_group(df, ["g"], "arm", "cents").collect()
+    }
+    assert got["sig"]["p_micro"] == 1_000_000 // 64  # min attainable
+    assert got["null"]["p_micro"] > 100_000
+    assert got["dups"]["t_obs"] == 0  # constant metric: no effect
+    got2 = {
+        r["g"]: r
+        for r in permutation_test_by_group(
+            df.repartition(13), ["g"], "arm", "cents"
+        ).collect()
+    }
+    assert {k: v["p_micro"] for k, v in got.items()} == {
+        k: v["p_micro"] for k, v in got2.items()
+    }
+    assert {k: v["n_ge"] for k, v in got.items()} == {
+        k: v["n_ge"] for k, v in got2.items()
+    }
+
+
+def test_bh_fdr_step_up_rule(spark):
+    """The textbook BH example: a p that fails its own threshold is
+    still significant when a LARGER rank passes (step-up); ranks are
+    deterministic under ties via tiebreak_cols; validation raises."""
+    import pytest
+
+    from diseasystore_spark.pipeline.validate import bh_fdr
+
+    # m=5, alpha=0.25: thresholds 0.05/0.10/0.15/0.20/0.25
+    # p = [0.01, 0.12, 0.14, 0.30, 0.90]: rank2 (0.12) FAILS 0.10 but
+    # rank3 (0.14 <= 0.15) passes -> k=3 -> ranks 1..3 significant.
+    ps = [(1, 10000), (2, 120000), (3, 140000), (4, 300000), (5, 900000)]
+    df = spark.createDataFrame(ps, "test int, p_micro bigint")
+    got = {
+        r["test"]: r
+        for r in bh_fdr(
+            df, "p_micro", alpha_micro=250_000, tiebreak_cols=["test"]
+        ).collect()
+    }
+    assert [got[t]["significant"] for t in [1, 2, 3, 4, 5]] == [
+        True, True, True, False, False,
+    ]
+    assert [got[t]["p_rank"] for t in [1, 2, 3, 4, 5]] == [1, 2, 3, 4, 5]
+
+    # all-insignificant frame: no NULL k explosion
+    none = spark.createDataFrame(
+        [(1, 900000), (2, 950000)], "test int, p_micro bigint"
+    )
+    out = bh_fdr(none, "p_micro", alpha_micro=50_000).collect()
+    assert all(not r["significant"] for r in out)
+
+    with pytest.raises(ValueError, match="alpha_micro"):
+        bh_fdr(df, "p_micro", alpha_micro=0)
