@@ -637,11 +637,18 @@ def group_quantile_normalize(
     arithmetic (one floor division per VALUE, not per row), so any
     SQL engine reproduces every output; range (0, 1e6).
 
+    NULL handling: rows with a NULL ``value_col`` are dropped (no
+    rank is defined for them); a NULL GROUP key is a legitimate
+    group — it ranks within the NULL stratum, matching ``groupBy``
+    semantics (the join back to rows is null-safe, so a corpus with
+    a NULL source slice keeps every row).
+
     Scale shape: one combinable (group, value) count, one cumulative
     window per group over the VALUE-level frame (bounded by distinct
-    quantized values, and partitioned — never global), one broadcast
-    group-size join, and one equi-join back to rows on the (group,
-    value) key. Output: input columns + ``out_col`` (bigint).
+    quantized values, and partitioned — never global; the group size
+    is an unbounded window sum over the same frame, no extra join),
+    and one null-safe equi-join back to rows on the (group, value)
+    key. Output: input columns + ``out_col`` (bigint).
     """
     if not group_cols:
         raise ValueError("group_cols must name at least one column")
@@ -659,28 +666,38 @@ def group_quantile_normalize(
         .orderBy("__qv")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    sizes = base.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__n")
-    )
-    ranked = (
-        counts.withColumn(
-            "__less", F.coalesce(F.sum("__c").over(w), F.lit(0))
+    # group size as an unbounded window sum over the counts frame —
+    # shares the cumulative window's partitioning (no extra join),
+    # and partitionBy treats a NULL group key as its own partition
+    wn = Window.partitionBy(*group_cols)
+    ranked = counts.withColumn(
+        "__less", F.coalesce(F.sum("__c").over(w), F.lit(0))
+    ).select(
+        *group_cols,
+        "__qv",
+        F.floor(
+            (F.lit(2) * F.col("__less") + F.col("__c"))
+            .cast("decimal(38,0)")
+            * F.lit(1_000_000).cast("decimal(38,0)")
+            / (F.lit(2) * F.sum("__c").over(wn)).cast("decimal(38,0)")
         )
-        .join(F.broadcast(sizes), group_cols)
-        .select(
-            *group_cols,
-            "__qv",
-            F.floor(
-                (F.lit(2) * F.col("__less") + F.col("__c"))
-                .cast("decimal(38,0)")
-                * F.lit(1_000_000).cast("decimal(38,0)")
-                / (F.lit(2) * F.col("__n")).cast("decimal(38,0)")
-            )
-            .cast("bigint")
-            .alias(out_col),
-        )
+        .cast("bigint")
+        .alias(out_col),
     )
-    return base.join(ranked, [*group_cols, "__qv"]).drop("__qv")
+    # null-safe join back: a NULL group key must match its own
+    # stratum, not vanish (plain equi-join never matches NULL keys)
+    r = ranked.select(
+        *[F.col(g).alias(f"__r_{i}") for i, g in enumerate(group_cols)],
+        F.col("__qv").alias("__r_qv"),
+        out_col,
+    )
+    cond = F.col("__qv") == F.col("__r_qv")
+    for i, g in enumerate(group_cols):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__r_{i}"))
+    return (
+        base.join(r, cond)
+        .drop("__qv", "__r_qv", *[f"__r_{i}" for i in range(len(group_cols))])
+    )
 
 
 def chi_square_independence(
@@ -783,7 +800,9 @@ def permutation_test_by_group(
     randomness is md5-derived, so any SQL engine replays the same
     ``n_perm`` reassignments bit-for-bit.
 
-    Statistic (all bigint): ``T = |n·Σ(x·a) − (Σa)·Σx|`` — n² times
+    Statistic (computed in decimal(38,0) — n·Σx exceeds int64 around
+    a few million rows per group of ~$150k-order cents, and the
+    DuckDB oracle uses HUGEINT): ``T = |n·Σ(x·a) − (Σa)·Σx|`` — n² times
     the absolute sample covariance between assignment and metric, so
     it is comparable across reassignments with varying arm sizes.
     Null replicates draw ``a ~ Bernoulli(1/2)`` per row from
@@ -836,18 +855,28 @@ def permutation_test_by_group(
         "__rk",
         F.concat_ws("#", F.col("__rk"), F.row_number().over(wdup).cast("string")),
     )
+    # Sums and the T cross-multiplication run in decimal(38,0):
+    # n·Σx ≈ n²·mean(cents) blows past int64 around a few million
+    # rows per group of ~$150k-order cents, and with ANSI off a
+    # bigint product wraps SILENTLY — the DuckDB oracle computes in
+    # HUGEINT, so decimal(38,0) is the matching exact-width path
+    # (same hardening as welch_t_by_group / ks_statistic).
+    dec = "decimal(38,0)"
     obs = base.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("__x").cast("bigint").alias("__sx"),
-        F.sum(F.col("__a").cast("bigint")).cast("bigint").alias("__na"),
-        F.sum(F.col("__x") * F.col("__a")).cast("bigint").alias("__sxa"),
+        F.sum(F.col("__x").cast(dec)).cast(dec).alias("__sx"),
+        F.sum(F.col("__a").cast(dec)).cast(dec).alias("__na"),
+        F.sum(F.col("__x").cast(dec) * F.col("__a").cast(dec))
+        .cast(dec)
+        .alias("__sxa"),
     ).select(
         *group_cols,
         "n",
         "__sx",
         F.abs(
-            F.col("n") * F.col("__sxa") - F.col("__na") * F.col("__sx")
-        ).alias("t_obs"),
+            F.col("n").cast(dec) * F.col("__sxa")
+            - F.col("__na") * F.col("__sx")
+        ).alias("__t_obs_dec"),
     )
     perms = base.select(
         *group_cols,
@@ -881,10 +910,12 @@ def permutation_test_by_group(
         ).alias("__p"),
     ).select(*group_cols, "__x", F.col("__p.perm").alias("__perm"), F.col("__p.bit").alias("__bit"))
     null_stats = perms.groupBy(*group_cols, "__perm").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__n"),
-        F.sum("__x").cast("bigint").alias("__sx"),
-        F.sum(F.col("__bit").cast("bigint")).cast("bigint").alias("__nb"),
-        F.sum(F.col("__x") * F.col("__bit")).cast("bigint").alias("__sxb"),
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum(F.col("__x").cast(dec)).cast(dec).alias("__sx"),
+        F.sum(F.col("__bit").cast(dec)).cast(dec).alias("__nb"),
+        F.sum(F.col("__x").cast(dec) * F.col("__bit").cast(dec))
+        .cast(dec)
+        .alias("__sxb"),
     ).select(
         *group_cols,
         F.abs(
@@ -892,16 +923,29 @@ def permutation_test_by_group(
         ).alias("__t_perm"),
     )
     cmp = null_stats.join(F.broadcast(obs), group_cols).groupBy(
-        *group_cols, "n", "t_obs"
+        *group_cols, "n", "__t_obs_dec"
     ).agg(
-        F.sum((F.col("__t_perm") >= F.col("t_obs")).cast("int"))
+        # both sides decimal(38,0): the >= comparison is exact
+        F.sum((F.col("__t_perm") >= F.col("__t_obs_dec")).cast("int"))
         .cast("bigint")
         .alias("n_ge")
+    )
+    # t_obs is contractually bigint (the oracle emits CAST(... AS
+    # BIGINT)); a decimal→bigint overflow would NULL silently with
+    # ANSI off, so fail loud instead — "exact or error".
+    i64max = F.lit("9223372036854775807").cast(dec)
+    t_obs_out = F.when(
+        F.col("__t_obs_dec") <= i64max,
+        F.col("__t_obs_dec").cast("bigint"),
+    ).otherwise(
+        F.raise_error(
+            F.lit("permutation_test_by_group: t_obs exceeds int64")
+        ).cast("bigint")
     )
     return cmp.select(
         *group_cols,
         "n",
-        "t_obs",
+        t_obs_out.alias("t_obs"),
         "n_ge",
         F.floor(
             (F.lit(1) + F.col("n_ge")) * F.lit(1_000_000) / F.lit(n_perm + 1)

@@ -214,11 +214,14 @@ def write_tar_shards(
 
     Scale shape: ONE repartition keyed by shard id (each shard is
     one task's sequential tar stream — the format is append-only by
-    nature), sort rides the shuffle, and the tar assembly runs
-    executor-side via ``mapInPandas`` over the stdlib ``tarfile``
-    (binary packing is exactly the "genuinely per-partition
-    imperative" case the Pandas path exists for). No driver-side
-    collection at any size.
+    nature) with ``sortWithinPartitions(shard, name)`` riding that
+    same shuffle, and the tar assembly runs executor-side via
+    ``mapInPandas`` over the stdlib ``tarfile`` (binary packing is
+    exactly the "genuinely per-partition imperative" case the Pandas
+    path exists for). Because rows arrive already ordered, members
+    APPEND STREAMINGLY to the open tar as each Arrow batch lands —
+    peak executor memory is one Arrow batch, NOT the shard's total
+    bytes — and no driver-side collection happens at any size.
 
     Returns the MANIFEST as a DataFrame: ``(shard int, path string,
     n_members bigint, n_bytes bigint)`` — one row per written shard
@@ -231,11 +234,18 @@ def write_tar_shards(
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
     os.makedirs(out_dir, exist_ok=True)
-    assigned = df.select(
-        shard_column(key_col, n_shards, salt=salt).alias("__shard"),
-        F.col(name_col).cast("string").alias("__name"),
-        F.col(payload_col).cast("binary").alias("__payload"),
-    ).repartition(n_shards, "__shard")
+    assigned = (
+        df.select(
+            shard_column(key_col, n_shards, salt=salt).alias("__shard"),
+            F.col(name_col).cast("string").alias("__name"),
+            F.col(payload_col).cast("binary").alias("__payload"),
+        )
+        .repartition(n_shards, "__shard")
+        # rides the repartition shuffle (no extra exchange): rows
+        # reach pack() grouped by shard and member-name ordered, so
+        # the tar can be written streamingly, one open file at a time
+        .sortWithinPartitions("__shard", "__name")
+    )
 
     manifest_schema = (
         "shard int, path string, n_members bigint, n_bytes bigint"
@@ -247,25 +257,46 @@ def write_tar_shards(
 
         import pandas as pd
 
-        members: dict[int, list] = {}
+        rows = []
+        cur = {"shard": None, "tf": None, "path": None, "n": 0}
+
+        def close_current():
+            if cur["tf"] is not None:
+                cur["tf"].close()
+                rows.append(
+                    (
+                        cur["shard"],
+                        cur["path"],
+                        cur["n"],
+                        os.path.getsize(cur["path"]),
+                    )
+                )
+                cur["tf"] = None
+
+        # Input is sorted (__shard, __name) within the partition —
+        # a shard-id change is final, so each member streams straight
+        # into the open tar; peak memory is one Arrow batch.
         for pdf in batches:
             for s, n, p in zip(
                 pdf["__shard"], pdf["__name"], pdf["__payload"]
             ):
-                members.setdefault(int(s), []).append((n, bytes(p)))
-        rows = []
-        for s, items in members.items():
-            items.sort(key=lambda t: t[0])
-            path = os.path.join(out_dir, f"shard-{s:05d}.tar")
-            with tarfile.open(path, "w") as tf:
-                for name, payload in items:
-                    info = tarfile.TarInfo(name=name)
-                    info.size = len(payload)
-                    info.mtime = 0
-                    tf.addfile(info, io.BytesIO(payload))
-            rows.append(
-                (s, path, len(items), os.path.getsize(path))
-            )
+                s = int(s)
+                if cur["tf"] is None or cur["shard"] != s:
+                    close_current()
+                    path = os.path.join(out_dir, f"shard-{s:05d}.tar")
+                    cur.update(
+                        shard=s,
+                        tf=tarfile.open(path, "w"),
+                        path=path,
+                        n=0,
+                    )
+                payload = bytes(p)
+                info = tarfile.TarInfo(name=n)
+                info.size = len(payload)
+                info.mtime = 0
+                cur["tf"].addfile(info, io.BytesIO(payload))
+                cur["n"] += 1
+        close_current()
         yield pd.DataFrame(
             rows, columns=["shard", "path", "n_members", "n_bytes"]
         )

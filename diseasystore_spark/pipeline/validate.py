@@ -423,7 +423,14 @@ def bh_fdr(
     sorted p sequence, and equal p's are either all in or all out by
     the step-up rule, which the max-k form below preserves).
 
-    Output: input columns + ``(p_rank int, significant boolean)``.
+    NULL handling: a hypothesis with a NULL p-value cannot be ranked
+    — it rows THROUGH with ``p_rank`` NULL and ``significant`` false,
+    and does NOT count toward m (BH's m is the number of tests that
+    produced a p-value; inflating it with un-testable rows would only
+    make the gate conservative in an undocumented way).
+
+    Output: input columns + ``(p_rank int, significant boolean)`` —
+    every input row appears exactly once.
     """
     from pyspark.sql import Window as W
 
@@ -431,6 +438,11 @@ def bh_fdr(
         raise ValueError("alpha_micro must be in (0, 1e6]")
     p = F.col(p_micro_col).cast("bigint")
     base = df.where(p.isNotNull())
+    nullp = df.where(p.isNull()).select(
+        *df.columns,
+        F.lit(None).cast("int").alias("p_rank"),
+        F.lit(False).alias("significant"),
+    )
     m_frame = base.agg(F.count(F.lit(1)).cast("bigint").alias("__m"))
     wr = W.orderBy(p.asc(), *[F.col(c).asc() for c in (tiebreak_cols or [])])
     ranked = (
@@ -452,4 +464,4 @@ def bh_fdr(
         F.coalesce(
             F.col("__r") <= F.col("__k"), F.lit(False)
         ).alias("significant"),
-    )
+    ).unionByName(nullp)

@@ -7928,7 +7928,7 @@ FROM counts
 
 def q155_contact_pairs_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded contact graph, threshold mode
-    (``operators/events.contact_pairs(min_contacts=5)``): only pairs
+    (``operators/events.contact_pairs(min_contacts=20)``): only pairs
     with >= 20 co-active event pairs — the production form of q124,
     whose exact output is quadratic-in-the-answer and cannot be
     materialized at 100x scale. A per-user degree UPPER BOUND

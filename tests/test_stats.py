@@ -869,6 +869,9 @@ def test_group_quantile_normalize_matches_python(spark):
         (i, f"s{i % 3}", round(rng.random(), 2))  # coarse -> many ties
         for i in range(300)
     ]
+    # NULL group key is a legitimate stratum: rows must rank within
+    # it, not silently vanish (round-7 advice regression)
+    rows += [(300 + i, None, round(rng.random(), 2)) for i in range(25)]
     df = spark.createDataFrame(rows, "doc_id long, grp string, score double")
     got = {
         r["doc_id"]: r["pct_micro"]
@@ -972,6 +975,34 @@ def test_permutation_test_detects_effect_and_is_partition_invariant(spark):
     }
 
 
+def test_permutation_test_no_int64_wrap(spark):
+    """T = |n·Σ(x·a) − (Σa)·Σx| on near-int64-max cents: bigint
+    arithmetic would wrap silently (ANSI off); the decimal(38,0)
+    path must produce the exact Python-integer value (round-7
+    advice regression — the welch/roc_auc/ks hardening applied to
+    the one operator left behind)."""
+    from diseasystore_spark.operators.stats import permutation_test_by_group
+
+    # n=40, cents ~ 4.6e17 -> n·Σx ~ 7.4e20, far past int64 (9.2e18)
+    rows = [
+        ("g", i % 2 == 0, 460_000_000_000_000_000 + i * 1_000_003)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, arm boolean, cents bigint")
+    got = permutation_test_by_group(df, ["g"], "arm", "cents").collect()[0]
+    n = len(rows)
+    sx = sum(c for _, _, c in rows)
+    na = sum(1 for _, a, _ in rows if a)
+    sxa = sum(c for _, a, c in rows if a)
+    want = abs(n * sxa - na * sx)
+    # the test only bites if the int64 CROSS-PRODUCTS would wrap
+    # (the difference itself nearly cancels and fits the bigint
+    # output contract)
+    assert n * sxa > 2**63 and na * sx > 2**63
+    assert want < 2**63
+    assert got["t_obs"] == want
+
+
 def test_bh_fdr_step_up_rule(spark):
     """The textbook BH example: a p that fails its own threshold is
     still significant when a LARGER rank passes (step-up); ranks are
@@ -984,6 +1015,9 @@ def test_bh_fdr_step_up_rule(spark):
     # p = [0.01, 0.12, 0.14, 0.30, 0.90]: rank2 (0.12) FAILS 0.10 but
     # rank3 (0.14 <= 0.15) passes -> k=3 -> ranks 1..3 significant.
     ps = [(1, 10000), (2, 120000), (3, 140000), (4, 300000), (5, 900000)]
+    # NULL-p hypothesis: rows through unranked/insignificant and does
+    # NOT count toward m (round-7 advice: no silent vanishing)
+    ps.append((6, None))
     df = spark.createDataFrame(ps, "test int, p_micro bigint")
     got = {
         r["test"]: r
@@ -991,10 +1025,12 @@ def test_bh_fdr_step_up_rule(spark):
             df, "p_micro", alpha_micro=250_000, tiebreak_cols=["test"]
         ).collect()
     }
+    assert len(got) == 6
     assert [got[t]["significant"] for t in [1, 2, 3, 4, 5]] == [
         True, True, True, False, False,
     ]
     assert [got[t]["p_rank"] for t in [1, 2, 3, 4, 5]] == [1, 2, 3, 4, 5]
+    assert got[6]["p_rank"] is None and got[6]["significant"] is False
 
     # all-insignificant frame: no NULL k explosion
     none = spark.createDataFrame(
