@@ -15,38 +15,58 @@ Spark design — logical snapshots, not physical versions: the
 2021-01-01" is answerable for data loaded today (file-format
 time-travel alone cannot do that). Layout:
 
-    <root>/<schema>/<table>/_v{N}-{token}/part-*.parquet -- SCD2 state
-    <root>/<schema>/<table>/_commits/{N}.json      -- immutable commit marker
+    <root>/<schema>/<table>/_v{N}-{token}/...      -- immutable data segment
+        __vm=YYYY-MM/part-*.parquet                   (month-partitioned)
+        part-*.parquet                                (flat)
+    <root>/<schema>/<table>/_commits/{N}.json      -- marker + MANIFEST
     <root>/<schema>/logs/*.parquet                 -- append-only log sink
 
-Commit protocol — object-store-safe, no rename anywhere: each write
-lands in a uniquely-named immutable data directory, then claims
-version N by a PUT-IF-ABSENT of the commit marker ``_commits/{N}.json``
-(locally ``os.link`` of a fully-written temp file — atomic
-create-if-absent with complete content, the exact semantics of S3
-``If-None-Match: *`` / a GCS ``ifGenerationMatch=0`` precondition /
-an Azure ``If-None-Match`` ETag put). The current version is the
-highest committed marker. Two concurrent writers racing for version N
-cannot both win: exactly one conditional put succeeds; the loser's
-orphan data directory is removed and the caller retries its merge
+Commit protocol — object-store-safe, no rename, no links: each write
+lands its changed rows in a uniquely-named immutable segment
+directory, then claims version N by a PUT-IF-ABSENT of the commit
+marker ``_commits/{N}.json`` whose body IS the version's **manifest**
+— the complete file listing of the version, per month on partitioned
+tables (Iceberg-style). Unchanged months are carried forward by
+REFERENCE: the new manifest repeats the previous manifest's entries
+for them, so a commit costs O(changed months) data I/O plus one small
+conditional put, independent of how many months the table spans.
+Readers resolve a version to its exact file set from the manifest
+alone — no directory LIST on the data plane, and month pruning
+(``max_valid_from``) happens at the MANIFEST before any file is
+opened, which is strictly earlier than Catalyst partition pruning.
+
+The conditional put runs through a pluggable :class:`CommitBackend`
+(``storage/backends.py``): locally ``os.link`` of a fully-written
+temp file; on an object store a conditional PUT (S3 ``If-None-Match:
+*`` / GCS ``ifGenerationMatch=0`` / Azure ETag). The in-memory
+``MemoryCommitBackend`` double runs the full concurrency suite over
+exactly that primitive surface — no links, no renames — proving the
+protocol object-store-clean. Two concurrent writers racing for
+version N cannot both win: exactly one conditional put succeeds; the
+loser's orphan segment is removed and the caller retries its merge
 against the now-newer table (optimistic concurrency, the Delta/
 Iceberg commit loop). Readers never see a torn state — a marker is
-either fully present or absent, and the data directory it names was
-completely written before the marker existed. Old versions are
-garbage-collected (keep-2). Legacy ``_CURRENT`` pointer layouts are
-still readable (fallback), but are never written.
+either fully present or absent, and every file its manifest names was
+durably written before the marker existed (its own segment's files by
+write order; referenced older files by induction from the commit that
+introduced them). GC is manifest-driven keep-2: files referenced only
+by dropped manifests are deleted file-by-file; an unreferenced
+segment directory (crash leftover) is swept only once clearly
+abandoned. Legacy layouts (``_CURRENT`` pointer, marker-names-a-dir)
+are still readable; the first write on top of one migrates the table
+to a manifest via an unscoped rewrite.
 
-Scale path (documented, not needed at test scale): partition each
-version by ``month(valid_from)`` and rewrite only partitions
-overlapping the written range — ``update_snapshot`` is always scoped
-to a date range, so the rewrite becomes O(touched partitions), the
-same pruning a Delta ``MERGE`` on checksum would achieve. The merge
-plan itself (two anti joins + a semi join on ``checksum``) already
-shuffles only on the checksum key and is AQE-friendly.
+Scale path: with ``partition_granularity="month"``, each version is
+partitioned by ``month(valid_from)`` and a merge rewrites only months
+containing a changed row — ``update_snapshot`` is always scoped to a
+date range, so the rewrite is O(touched partitions), the same pruning
+a Delta ``MERGE`` on checksum would achieve. The merge plan itself
+(two anti joins + a semi join on ``checksum``) shuffles only on the
+checksum key and is AQE-friendly.
 
-Without the Delta jars in this environment the parquet+pointer layout
-is the honest equivalent; the class isolates all physical I/O so a
-Delta backend can be slotted in behind the same five methods.
+Without the Delta jars in this environment the parquet+manifest
+layout is the honest equivalent; the class isolates all physical I/O
+so a Delta backend can be slotted in behind the same five methods.
 """
 
 from __future__ import annotations
@@ -66,8 +86,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from diseasystore_spark.contract import SCD2_COLUMNS
+from diseasystore_spark.storage.backends import (
+    CommitBackend,
+    LocalCommitBackend,
+    MemoryCommitBackend,
+)
 
 LOGS_TABLE = "logs"
+
+#: partition-directory name parquet uses for a NULL partition value —
+#: a month key that can never be pruned by a date cutoff.
+NULL_MONTH = "__HIVE_DEFAULT_PARTITION__"
 
 
 class CommitConflictError(RuntimeError):
@@ -134,21 +163,33 @@ class ParquetFeatureStore:
     """SCD2 storage. ``partition_granularity="month"`` enables the
     scale layout: each version is hive-partitioned by
     ``month(valid_from)``; merges rewrite only partitions whose rows
-    changed and hard-link the untouched partition directories from the
-    previous version — the local-filesystem equivalent of a Delta
-    MERGE touching only affected files."""
+    changed and carry the untouched months forward by MANIFEST
+    REFERENCE (no links, no copies) — the Iceberg pattern, and the
+    equivalent of a Delta MERGE touching only affected files."""
 
     def __init__(
         self,
         spark: SparkSession,
         root: str,
         partition_granularity: str | None = None,
+        commit_backend: CommitBackend | None = None,
     ):
         if partition_granularity not in (None, "month"):
             raise ValueError("partition_granularity must be None or 'month'")
         self.spark = spark
         self.root = root
         self.partition_granularity = partition_granularity
+        if commit_backend is None:
+            # SPARK_GRAFT_COMMIT_BACKEND=memory runs every store in the
+            # process against the object-store double — the switch the
+            # oracle sweep uses to prove the engine green over both.
+            kind = os.environ.get("SPARK_GRAFT_COMMIT_BACKEND", "local")
+            commit_backend = (
+                MemoryCommitBackend.shared(root)
+                if kind == "memory"
+                else LocalCommitBackend()
+            )
+        self.commit_backend = commit_backend
         os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------------- paths
@@ -161,58 +202,83 @@ class ParquetFeatureStore:
 
     def _current_version(self, table_id: str) -> int | None:
         """Highest committed version: max marker in ``_commits/``
-        (one LIST + max — exactly what a Delta log tail read costs on
-        an object store). Falls back to a legacy ``_CURRENT`` pointer
-        file for tables written by older layouts."""
-        cdir = self._commits_dir(table_id)
-        if os.path.isdir(cdir):
-            versions = [
-                int(f[: -len(".json")])
-                for f in os.listdir(cdir)
-                if f.endswith(".json")
-            ]
-            if versions:
-                return max(versions)
+        (one control-plane LIST + max — exactly what a Delta log tail
+        read costs on an object store). Falls back to a legacy
+        ``_CURRENT`` pointer file for tables written by older
+        layouts."""
+        versions = [
+            int(f[: -len(".json")])
+            for f in self.commit_backend.list(self._commits_dir(table_id))
+            if f.endswith(".json")
+        ]
+        if versions:
+            return max(versions)
         pointer = os.path.join(self._table_dir(table_id), "_CURRENT")
         if not os.path.exists(pointer):
             return None
         with open(pointer) as fh:
             return int(fh.read().strip())
 
+    def _read_marker(self, table_id: str, version: int) -> dict | None:
+        """The commit marker (manifest included) for ``version``;
+        None when absent (legacy ``_v{N}``/``_CURRENT`` layouts, or a
+        marker GC'd because the table advanced 2+ versions)."""
+        raw = self.commit_backend.get(
+            os.path.join(self._commits_dir(table_id), f"{version}.json")
+        )
+        if raw is None:
+            return None
+        return json.loads(raw)
+
     def _version_dir(self, table_id: str, version: int) -> str:
-        """Resolve a committed version's data directory via its
-        marker (markers are immutable, so this read is repeatable);
-        legacy layout fallback: ``_v{N}``."""
-        marker = os.path.join(self._commits_dir(table_id), f"{version}.json")
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                name = json.load(fh)["dir"]
-        else:
-            name = f"_v{version}"
+        """The segment directory CREATED by ``version``'s write (for
+        a manifest version this holds the changed months only —
+        resolve full content via ``_version_files``); legacy layout
+        fallback: ``_v{N}``."""
+        marker = self._read_marker(table_id, version)
+        name = marker["dir"] if marker else f"_v{version}"
         return os.path.join(self._table_dir(table_id), name)
+
+    def _manifest_of(self, table_id: str, version: int) -> dict | None:
+        """The version's manifest (``{"months": {...}}`` or
+        ``{"files": [...]}``), or None when the version predates the
+        manifest layout (legacy dir-marker / bare ``_v{N}``)."""
+        marker = self._read_marker(table_id, version)
+        if marker and ("months" in marker or "files" in marker):
+            return marker
+        return None
+
+    def _version_files(
+        self, table_id: str, version: int, month_max: str | None = None
+    ) -> list[str] | None:
+        """Absolute parquet paths making up ``version``, pruned at
+        the MANIFEST to months ``<= month_max`` (NULL-month files are
+        never pruned — their rows carry no ``valid_from``). None for
+        legacy layouts (read those via directory listing)."""
+        manifest = self._manifest_of(table_id, version)
+        if manifest is None:
+            return None
+        tdir = self._table_dir(table_id)
+        if "files" in manifest:
+            rels = manifest["files"]
+        else:
+            rels = [
+                f
+                for m, fs in manifest["months"].items()
+                if month_max is None or m == NULL_MONTH or m <= month_max
+                for f in fs
+            ]
+        return [os.path.join(tdir, r) for r in rels]
 
     def _put_if_absent(self, path: str, data: bytes) -> bool:
         """Conditional put: create ``path`` with ``data`` iff it does
-        not exist; False when another writer got there first. Local
-        implementation: fsync a temp file, then ``os.link`` it into
-        place — the link either atomically creates the name with the
-        COMPLETE content already durable, or fails with EEXIST. This
-        is the one storage primitive the commit protocol needs; an
-        object-store backend implements it as a conditional PUT
-        (S3 ``If-None-Match: *``, GCS ``ifGenerationMatch=0``, Azure
-        ETag) and everything above this method is unchanged."""
-        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
-        with open(tmp, "wb") as fh:
-            fh.write(data)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, path)
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
+        not exist; False when another writer got there first. The one
+        storage primitive the commit protocol needs — delegated to the
+        pluggable :class:`CommitBackend` (``os.link`` locally; a
+        conditional PUT on an object store; compare-and-set in the
+        in-memory double). Kept as a method so the concurrency suite
+        can interpose race injections at the exact commit point."""
+        return self.commit_backend.put_if_absent(path, data)
 
     #: minimum age (mtime) before an UNCOMMITTED attempt directory may
     #: be swept by commit-time GC. A live concurrent writer's in-flight
@@ -222,62 +288,124 @@ class ParquetFeatureStore:
     #: via their markers and need no age check.
     _ORPHAN_RETENTION_SECS = 3600.0
 
+    @staticmethod
+    def _manifest_refs(manifest: dict) -> list[str]:
+        """Every data-file relpath a marker's manifest references."""
+        if "files" in manifest:
+            return list(manifest["files"])
+        if "months" in manifest:
+            return [f for fs in manifest["months"].values() for f in fs]
+        return []
+
     def _commit_version(
-        self, table_id: str, version: int, dirname: str
+        self, table_id: str, version: int, manifest: dict
     ) -> None:
-        """Claim ``version`` by conditional put of its marker; raise
+        """Claim ``version`` by conditional put of its marker — whose
+        body is the version's complete manifest; raise
         ``CommitConflictError`` if another writer already committed
-        that number. On success GC versions older than keep-2: their
-        data dirs are resolved via the markers that name them (then
-        the markers are removed), and UNCOMMITTED orphan dirs (crash
-        leftovers) are swept only once older than
-        ``_ORPHAN_RETENTION_SECS`` — never a concurrent writer's
-        still-being-written attempt directory."""
+        that number. On success, manifest-driven GC (keep-2):
+
+        - markers older than ``version-1`` are dropped; data files
+          they reference are deleted ONLY when no retained manifest
+          still references them (unchanged months live on by
+          reference across many versions);
+        - a stale legacy (dir-naming) marker drops its whole
+          directory, as before;
+        - segment directories named by NO marker at all are crash
+          leftovers — swept only once older than
+          ``_ORPHAN_RETENTION_SECS``, never a concurrent writer's
+          still-being-written attempt directory.
+        """
         cdir = self._commits_dir(table_id)
-        os.makedirs(cdir, exist_ok=True)
         marker = os.path.join(cdir, f"{version}.json")
-        payload = json.dumps({"version": version, "dir": dirname}).encode()
-        if not self._put_if_absent(marker, payload):
+        if not self._put_if_absent(marker, json.dumps(manifest).encode()):
             raise CommitConflictError(table_id, version)
-        # Inventory the marker log ONCE: which data dirs are named by
-        # a commit (and at what version) — everything else under _v*
-        # is an uncommitted attempt.
         tdir = self._table_dir(table_id)
-        committed: dict[str, int] = {}
-        stale_markers: list[str] = []
-        for entry in os.listdir(cdir):
+
+        # Inventory the marker log ONCE (control-plane LIST + GETs).
+        markers: dict[int, dict] = {}
+        for entry in self.commit_backend.list(cdir):
             if not entry.endswith(".json"):
                 continue
             try:
                 v = int(entry[: -len(".json")])
             except ValueError:
                 continue
-            try:
-                with open(os.path.join(cdir, entry)) as fh:
-                    committed[json.load(fh)["dir"]] = v
-            except (OSError, ValueError, KeyError):
+            raw = self.commit_backend.get(os.path.join(cdir, entry))
+            if raw is None:
                 continue
+            try:
+                markers[v] = json.loads(raw)
+            except ValueError:
+                continue
+
+        live_files: set[str] = set()
+        live_dirs: set[str] = set()
+        for v, m in markers.items():
             if v < version - 1:
-                stale_markers.append(entry)
+                continue
+            refs = self._manifest_refs(m)
+            live_files.update(refs)
+            if m.get("stats"):
+                live_files.add(m["stats"])
+            if m.get("dir"):
+                live_dirs.add(m["dir"])
+            live_dirs.update(r.split("/", 1)[0] for r in refs)
+
+        for v, m in sorted(markers.items()):
+            if v >= version - 1:
+                continue
+            refs = self._manifest_refs(m)
+            if refs or "files" in m or "months" in m:
+                dead = [r for r in refs if r not in live_files]
+                if m.get("stats") and m["stats"] not in live_files:
+                    dead.append(m["stats"])
+                for rel in dead:
+                    abspath = os.path.join(tdir, rel)
+                    for victim in (
+                        abspath,
+                        # Hadoop LocalFileSystem checksum sibling
+                        os.path.join(
+                            os.path.dirname(abspath),
+                            f".{os.path.basename(abspath)}.crc",
+                        ),
+                    ):
+                        try:
+                            os.unlink(victim)
+                        except FileNotFoundError:
+                            pass
+                    # prune now-empty month/segment dirs (never tdir)
+                    parent = os.path.dirname(abspath)
+                    while len(parent) > len(tdir):
+                        try:
+                            os.rmdir(parent)
+                        except OSError:
+                            break
+                        parent = os.path.dirname(parent)
+            elif m.get("dir") and m["dir"] not in live_dirs:
+                shutil.rmtree(
+                    os.path.join(tdir, m["dir"]), ignore_errors=True
+                )
+            self.commit_backend.delete(os.path.join(cdir, f"{v}.json"))
+
+        committed_dirs = live_dirs | {
+            m["dir"] for m in markers.values() if m.get("dir")
+        }
         now = time.time()
         for entry in os.listdir(tdir):
-            if not entry.startswith("_v"):
+            if not entry.startswith("_v") or entry in committed_dirs:
                 continue
             path = os.path.join(tdir, entry)
-            if entry in committed:
-                if committed[entry] < version - 1:
-                    shutil.rmtree(path, ignore_errors=True)
+            if not os.path.isdir(path):
                 continue
-            # Legacy layout: a bare ``_v{N}`` dir with no marker was
-            # committed via the old _CURRENT pointer — treat its name
-            # as its version. Tokenized names without a marker are
-            # uncommitted attempts: sweep only once clearly abandoned.
             stem, _, token = entry[2:].partition("-")
             try:
                 v = int(stem)
             except ValueError:
                 continue
             if not token:
+                # Legacy bare ``_v{N}``: committed via the old
+                # _CURRENT pointer — its name is its version.
                 if v < version - 1:
                     shutil.rmtree(path, ignore_errors=True)
                 continue
@@ -287,11 +415,6 @@ class ParquetFeatureStore:
                 continue
             if age > self._ORPHAN_RETENTION_SECS:
                 shutil.rmtree(path, ignore_errors=True)
-        for entry in stale_markers:
-            try:
-                os.unlink(os.path.join(cdir, entry))
-            except FileNotFoundError:
-                pass
 
     # ------------------------------------------------------------ catalog
     def table_exists(self, table_id: str) -> bool:
@@ -310,19 +433,46 @@ class ParquetFeatureStore:
         return out
 
     def drop_table(self, table_id: str) -> None:
+        # control-plane objects first (markers, retain floor) so a
+        # crash mid-drop leaves an unreachable table, not a reachable
+        # table with missing data
+        cdir = self._commits_dir(table_id)
+        for entry in self.commit_backend.list(cdir):
+            self.commit_backend.delete(os.path.join(cdir, entry))
+        self.commit_backend.delete(self._retain_floor_path(table_id))
         shutil.rmtree(self._table_dir(table_id), ignore_errors=True)
 
     # -------------------------------------------------------------- reads
     def _read_raw_partitioned(
-        self, table_id: str, version: int | None = None
+        self,
+        table_id: str,
+        version: int | None = None,
+        month_max: str | None = None,
     ) -> DataFrame:
+        """Scan a committed version. Manifest versions resolve to an
+        exact FILE list — ``month_max`` prunes months at the manifest,
+        before any file is listed or opened (strictly earlier than
+        Catalyst partition pruning, and the only LIST the read ever
+        does is the one control-plane marker GET). Legacy versions
+        fall back to a directory read with partition discovery."""
         if version is None:
             version = self._current_version(table_id)
         if version is None:
             raise FileNotFoundError(f"table {table_id} does not exist")
-        return self.spark.read.parquet(
-            self._version_dir(table_id, version)
-        )
+        files = self._version_files(table_id, version, month_max=month_max)
+        if files is None:  # legacy layout
+            return self.spark.read.parquet(
+                self._version_dir(table_id, version)
+            )
+        if not files:
+            # every month pruned: empty frame with the version's schema
+            allf = self._version_files(table_id, version)
+            if not allf:
+                raise FileNotFoundError(
+                    f"table {table_id} version {version} has no data files"
+                )
+            return self.spark.read.parquet(allf[0]).where(F.lit(False))
+        return self.spark.read.parquet(*files)
 
     def read_raw(
         self, table_id: str, max_valid_from=None, version: int | None = None
@@ -334,12 +484,17 @@ class ParquetFeatureStore:
         write attempts pass their captured base version so the merge
         plan and the commit claim agree on the same base (see
         ``_write_version``)."""
-        df = self._read_raw_partitioned(table_id, version=version)
-        if PARTITION_COL in df.columns:
-            if max_valid_from is not None:
-                df = df.where(
-                    F.col(PARTITION_COL) <= max_valid_from.strftime("%Y-%m")
-                )
+        month_max = (
+            max_valid_from.strftime("%Y-%m")
+            if max_valid_from is not None
+            else None
+        )
+        df = self._read_raw_partitioned(
+            table_id, version=version, month_max=month_max
+        )
+        if PARTITION_COL in df.columns:  # legacy directory layout
+            if month_max is not None:
+                df = df.where(F.col(PARTITION_COL) <= month_max)
             df = df.drop(PARTITION_COL)
         return df
 
@@ -350,9 +505,10 @@ class ParquetFeatureStore:
         (until_ts IS NULL OR until_ts > slice_ts)``, bookkeeping
         dropped (``R/2_FeatureHandler.R:90-96``).
 
-        ``max_valid_from`` (a date): on a month-partitioned table, adds
-        a partition-column predicate so months strictly after it are
-        pruned at the file level (the study-period clip's upper bound).
+        ``max_valid_from`` (a date): on a month-partitioned table,
+        months strictly after it are pruned at the MANIFEST — the file
+        list handed to Spark never contains them (the study-period
+        clip's upper bound costs zero scan and zero listing).
         """
         ts = normalize_slice_ts(slice_ts)
         floor = self.retain_floor(table_id)
@@ -361,12 +517,15 @@ class ParquetFeatureStore:
                 f"slice_ts {ts} is below {table_id}'s retention floor "
                 f"{floor}: that history was pruned (prune_history)"
             )
-        raw = self._read_raw_partitioned(table_id)
-        if PARTITION_COL in raw.columns:
-            if max_valid_from is not None:
-                raw = raw.where(
-                    F.col(PARTITION_COL) <= max_valid_from.strftime("%Y-%m")
-                )
+        month_max = (
+            max_valid_from.strftime("%Y-%m")
+            if max_valid_from is not None
+            else None
+        )
+        raw = self._read_raw_partitioned(table_id, month_max=month_max)
+        if PARTITION_COL in raw.columns:  # legacy directory layout
+            if month_max is not None:
+                raw = raw.where(F.col(PARTITION_COL) <= month_max)
             raw = raw.drop(PARTITION_COL)
         return raw.where(
             (F.col("from_ts") <= F.lit(ts))
@@ -379,12 +538,14 @@ class ParquetFeatureStore:
 
     def retain_floor(self, table_id: str):
         """Earliest ``slice_ts`` still fully answerable (None = all
-        history retained)."""
-        p = self._retain_floor_path(table_id)
-        if not os.path.exists(p):
+        history retained). A small control object on the commit
+        backend (an overwritable PUT — it only ever moves forward, and
+        a stale read is safe: it just permits a read the pruned data
+        can still answer is refused later)."""
+        raw = self.commit_backend.get(self._retain_floor_path(table_id))
+        if raw is None:
             return None
-        with open(p) as fh:
-            return datetime.datetime.fromisoformat(fh.read().strip())
+        return datetime.datetime.fromisoformat(raw.decode().strip())
 
     #: optimistic-concurrency retry bound: each retry re-reads the
     #: (now newer) current version and re-derives the write from it,
@@ -440,10 +601,10 @@ class ParquetFeatureStore:
         # permitted against an incomplete snapshot).
         prev = self.retain_floor(table_id)
         if prev is None or cutoff > prev:
-            tmp = self._retain_floor_path(table_id) + ".tmp"
-            with open(tmp, "w") as fh:
-                fh.write(cutoff.isoformat())
-            os.replace(tmp, self._retain_floor_path(table_id))
+            self.commit_backend.put(
+                self._retain_floor_path(table_id),
+                cutoff.isoformat().encode(),
+            )
         if dropped:
             self._write_version(
                 keep, table_id, changed_months=None, base_version=base
@@ -545,7 +706,7 @@ class ParquetFeatureStore:
         base = self._current_version(table_id)
         current = self.read_raw(table_id, version=base)  # partition col dropped
         if self.partition_granularity == "month":
-            # every month changed -> no hard links, full rewrite
+            # every month changed -> fresh manifest, full rewrite
             self._write_version(
                 current, table_id, changed_months=None, base_version=base
             )
@@ -556,10 +717,15 @@ class ParquetFeatureStore:
                 changed_months=None,
                 base_version=base,
             )
-        out_dir = self._version_dir(table_id, (base or 0) + 1)
-        n = 0
-        for root, _dirs, files in os.walk(out_dir):
-            n += sum(1 for f in files if f.endswith(".parquet"))
+        new_version = (base or 0) + 1
+        files = self._version_files(table_id, new_version)
+        if files is not None:
+            return len(files)
+        n = 0  # legacy layout fallback
+        for root, _dirs, names in os.walk(
+            self._version_dir(table_id, new_version)
+        ):
+            n += sum(1 for f in names if f.endswith(".parquet"))
         return n
 
     def payload_columns(self, table_id: str) -> list[str]:
@@ -677,7 +843,7 @@ class ParquetFeatureStore:
         ``valid_from`` falls in a month at-or-before
         ``month(end_date)``, and says nothing about later months. The
         merge then compares only those month partitions — later months
-        are carried forward untouched (hard-linked, never scanned).
+        are carried forward untouched (referenced, never scanned).
         This is the scale contract of ``_compute_and_store_range``:
         every engine write is scoped to a date range, so a backfill
         into year 1 of a 10-year table never reads or rewrites the
@@ -782,7 +948,7 @@ class ParquetFeatureStore:
         """Insert rows not already current at ``ts``; never close
         anything. Replay-idempotent: a re-merged batch matches on
         checksum and inserts nothing (the version bump is skipped)."""
-        partitioned = self.partition_granularity == "month"
+        partitioned = self._scoped_write_ok(table_id, base)
         existing = self.read_raw(table_id, version=base)
         is_current = (F.col("from_ts") <= F.lit(ts)) & (
             F.col("until_ts").isNull() | (F.col("until_ts") > F.lit(ts))
@@ -830,6 +996,18 @@ class ParquetFeatureStore:
         finally:
             inserted.unpersist()
 
+    def _scoped_write_ok(self, table_id: str, base: int | None) -> bool:
+        """Month-scoped (pruned) writes need a manifest base to carry
+        unchanged months forward by reference. A legacy-layout base
+        (dir marker / ``_CURRENT``) takes one unscoped full rewrite —
+        the migration write — and is manifest from then on."""
+        if self.partition_granularity != "month":
+            return False
+        if base is None:
+            return True
+        m = self._manifest_of(table_id, base)
+        return m is not None and "months" in m
+
     def _merge_existing(
         self,
         incoming: DataFrame,
@@ -838,7 +1016,11 @@ class ParquetFeatureStore:
         written_range,
         base: int,
     ) -> None:
-        partitioned = self.partition_granularity == "month"
+        partitioned = self._scoped_write_ok(table_id, base)
+        if not partitioned:
+            # an unscoped compare must read the WHOLE table — a range
+            # scope is only sound when untouched months carry forward
+            written_range = None
         existing = self.read_raw(
             table_id,
             max_valid_from=written_range[1] if written_range else None,
@@ -952,17 +1134,21 @@ class ParquetFeatureStore:
         changed_months: list[str] | None,
         base_version=_BASE_UNSET,
     ) -> None:
-        """Write a new immutable version directory and swap the pointer.
+        """Write a new immutable segment directory and commit the
+        version by putting its MANIFEST marker.
 
-        Partitioned mode: ``new_table`` holds only the changed months'
-        rows; unchanged month partitions are hard-linked from the
-        previous version (same filesystem, zero copy).
+        Partitioned mode with ``changed_months``: ``new_table`` holds
+        only the changed months' rows; the manifest carries the
+        previous version's file references forward for every other
+        month — zero data I/O for unchanged months (no links, no
+        copies; the Iceberg pattern). Commit cost is therefore
+        O(changed months), independent of the table's total span.
 
-        The data directory name carries a per-attempt token so two
-        writers racing for the same version number can never scribble
-        into each other's files; the conditional-put marker commit
-        decides the winner, and the loser's directory is removed
-        before ``CommitConflictError`` propagates to the retry loop.
+        The segment name carries a per-attempt token so two writers
+        racing for the same version number can never scribble into
+        each other's files; the conditional-put marker commit decides
+        the winner, and the loser's segment is removed before
+        ``CommitConflictError`` propagates to the retry loop.
 
         ``base_version`` is the version the caller's merge plan was
         DERIVED from (captured once at the top of the write attempt
@@ -974,7 +1160,11 @@ class ParquetFeatureStore:
         full-state rewrite (derived from base) would silently erase
         the competitor's rows. With the read version pinned, any
         interleaved commit makes OUR conditional put fail, which is
-        exactly the retry the optimistic loop handles."""
+        exactly the retry the optimistic loop handles. The same
+        pinning makes carried-forward references safe: if our put
+        wins version N+1, keep-2 GC cannot have deleted version N's
+        files (that would require a commit of N+2 or later to have
+        already happened, which would have made our put lose)."""
         prev = (
             self._current_version(table_id)
             if base_version is self._BASE_UNSET
@@ -982,7 +1172,8 @@ class ParquetFeatureStore:
         )
         version = (prev or 0) + 1
         dirname = f"_v{version}-{uuid.uuid4().hex[:8]}"
-        out_dir = os.path.join(self._table_dir(table_id), dirname)
+        tdir = self._table_dir(table_id)
+        out_dir = os.path.join(tdir, dirname)
 
         if self.partition_granularity == "month":
             # One shuffle on the partition key -> one file per month
@@ -1006,40 +1197,78 @@ class ParquetFeatureStore:
             partitioned.write.partitionBy(PARTITION_COL).mode(
                 "overwrite"
             ).parquet(out_dir)
+            self._scrub_job_droppings(out_dir)
+            months = self._segment_months(tdir, dirname)
             if changed_months is not None and prev is not None:
-                prev_dir = self._version_dir(table_id, prev)
-                changed_set = {f"{PARTITION_COL}={m}" for m in changed_months}
-                try:
-                    for entry in os.listdir(prev_dir):
-                        if (
-                            entry.startswith(f"{PARTITION_COL}=")
-                            and entry not in changed_set
-                        ):
-                            src = os.path.join(prev_dir, entry)
-                            dst = os.path.join(out_dir, entry)
-                            os.makedirs(dst, exist_ok=True)
-                            for fname in os.listdir(src):
-                                if fname.endswith(".parquet"):
-                                    os.link(
-                                        os.path.join(src, fname),
-                                        os.path.join(dst, fname),
-                                    )
-                except FileNotFoundError:
-                    # The previous version vanished mid-link: concurrent
-                    # writers advanced the table by 2+ versions and GC
-                    # collected it. Our commit for `version` is doomed
-                    # to lose the conditional put anyway — surface the
-                    # same retryable conflict instead of a torn error.
+                base_manifest = self._manifest_of(table_id, prev)
+                if base_manifest is None or "months" not in base_manifest:
+                    # Base marker vanished (GC'd: competitors advanced
+                    # 2+ versions) — our conditional put is doomed
+                    # anyway; surface the retryable conflict. (A legacy
+                    # base never reaches here: the merge paths fall
+                    # back to a full rewrite for those.)
                     shutil.rmtree(out_dir, ignore_errors=True)
                     raise CommitConflictError(table_id, version)
+                carried = dict(base_manifest["months"])
+                for m in changed_months:
+                    carried.pop(m, None)
+                carried.update(months)
+                months = carried
+            body: dict = {"months": months}
         else:
             new_table.write.mode("overwrite").parquet(out_dir)
-        self._write_stats(table_id, out_dir)
+            self._scrub_job_droppings(out_dir)
+            body = {
+                "files": sorted(
+                    f"{dirname}/{f}"
+                    for f in os.listdir(out_dir)
+                    if f.endswith(".parquet")
+                )
+            }
+        manifest = {"version": version, "dir": dirname, **body}
+        all_files = [
+            os.path.join(tdir, r) for r in self._manifest_refs(manifest)
+        ]
+        if self._write_stats(all_files, os.path.join(out_dir, "_STATS.json")):
+            manifest["stats"] = f"{dirname}/_STATS.json"
         try:
-            self._commit_version(table_id, version, dirname)
+            self._commit_version(table_id, version, manifest)
         except CommitConflictError:
             shutil.rmtree(out_dir, ignore_errors=True)
             raise
+
+    @staticmethod
+    def _scrub_job_droppings(out_dir: str) -> None:
+        """Drop the job committer's ``_SUCCESS`` flag (and checksum
+        sibling) right after a segment write: the manifest is the
+        completeness signal here, and unreferenced droppings would
+        keep dead segment directories from emptying under the
+        file-level GC."""
+        for name in ("_SUCCESS", "._SUCCESS.crc"):
+            try:
+                os.unlink(os.path.join(out_dir, name))
+            except FileNotFoundError:
+                pass
+
+    @staticmethod
+    def _segment_months(tdir: str, dirname: str) -> dict[str, list[str]]:
+        """Per-month relpath listing of a freshly written partitioned
+        segment: ``{"2020-01": ["_v3-ab/__vm=2020-01/part-0.parquet"],
+        ...}`` (one data-plane LIST of the segment just written)."""
+        out: dict[str, list[str]] = {}
+        seg = os.path.join(tdir, dirname)
+        for entry in sorted(os.listdir(seg)):
+            if not entry.startswith(f"{PARTITION_COL}="):
+                continue
+            month = entry[len(PARTITION_COL) + 1:]
+            files = sorted(
+                f"{dirname}/{entry}/{f}"
+                for f in os.listdir(os.path.join(seg, entry))
+                if f.endswith(".parquet")
+            )
+            if files:
+                out[month] = files
+        return out
 
     #: above this row count the stats aggregation runs as a Spark job
     #: instead of a driver-side DuckDB scan (the scan reads only key +
@@ -1047,43 +1276,38 @@ class ParquetFeatureStore:
     #: the executors — where it is noise next to the write itself).
     _STATS_DRIVER_MAX_ROWS = 50_000_000
 
-    def _write_stats(self, table_id: str, version_dir: str) -> None:
-        """Persist table statistics next to the version's data
+    def _write_stats(self, files: list[str], stats_path: str) -> bool:
+        """Persist table statistics next to the version's own segment
         (``_STATS.json`` — leading underscore, so parquet readers skip
         it): row count, approx distinct key tuples (``key_*``
         columns), validity span, mean row span. The analog of an
         RDBMS ANALYZE, computed at WRITE time so query-time planning
         decisions (the interlace auto-bucketing width,
         ``operators/interlace.py:width_from_stats``) cost zero extra
-        jobs.
+        jobs. ``files`` is the version's COMPLETE file list from its
+        manifest — carried-forward months included. Returns True when
+        stats were written (the manifest then records the path).
 
         Cost discipline: the row count comes FREE from the parquet
         footers (pyarrow metadata, no data read — and it covers
-        hard-linked unchanged months too); the key-cardinality /
+        carried-forward unchanged months too); the key-cardinality /
         span aggregation is a driver-side DuckDB scan of just the key
         + validity columns for ordinary tables (no Spark job, ~ms),
         escalating to a column-pruned Spark aggregation only above
         ``_STATS_DRIVER_MAX_ROWS``. Stats are advisory: any failure
         is swallowed and the readers treat the table as stats-less.
         """
-        files = []
-        for dirpath, _dirs, names in os.walk(version_dir):
-            files += [
-                os.path.join(dirpath, f)
-                for f in names
-                if f.endswith(".parquet")
-            ]
         if not files:
-            return
+            return False
         try:
             schema = pq.ParquetFile(files[0]).schema_arrow
             if "valid_from" not in schema.names:
-                return
+                return False
             n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         except Exception:
-            return
+            return False
         if not n:
-            return
+            return False
         keys = [c for c in schema.names if c.startswith("key_")]
         has_until = "valid_until" in schema.names
         try:
@@ -1111,7 +1335,7 @@ class ParquetFeatureStore:
                 ).fetchone()
                 k, lo, hi, avg_span = row
             else:
-                df = self.spark.read.parquet(version_dir)
+                df = self.spark.read.parquet(*files)
                 kc = (
                     F.approx_count_distinct(
                         F.xxhash64(*[F.col(c) for c in keys])
@@ -1132,9 +1356,9 @@ class ParquetFeatureStore:
                 ).first()
                 k, lo, hi, avg_span = r["k"], r["lo"], r["hi"], r["avg_span"]
         except Exception:
-            return
+            return False
         if lo is None or hi is None:
-            return
+            return False
         if hasattr(lo, "date"):
             lo, hi = lo.date(), hi.date()
         stats = {
@@ -1145,16 +1369,28 @@ class ParquetFeatureStore:
             "span_days": max((hi - lo).days, 1),
             "avg_span": float(avg_span or 0.0),
         }
-        with open(os.path.join(version_dir, "_STATS.json"), "w") as fh:
+        with open(stats_path, "w") as fh:
             json.dump(stats, fh)
+        return True
 
     def table_stats(self, table_id: str) -> dict | None:
         """Read the current version's write-time statistics (see
-        ``_write_stats``); None when absent (pre-stats tables)."""
+        ``_write_stats``); None when absent (pre-stats tables). The
+        stats path comes from the manifest; legacy versions fall back
+        to ``<version_dir>/_STATS.json``."""
         cur = self._current_version(table_id)
         if cur is None:
             return None
-        path = os.path.join(self._version_dir(table_id, cur), "_STATS.json")
+        marker = self._read_marker(table_id, cur)
+        if marker is not None and ("months" in marker or "files" in marker):
+            rel = marker.get("stats")
+            if rel is None:
+                return None
+            path = os.path.join(self._table_dir(table_id), rel)
+        else:
+            path = os.path.join(
+                self._version_dir(table_id, cur), "_STATS.json"
+            )
         if not os.path.exists(path):
             return None
         with open(path) as fh:
@@ -1249,17 +1485,16 @@ class ParquetFeatureStore:
 
     # -------------------------------------------------------------- locks
     def _lock_path(self, table_id: str) -> str:
-        lock_dir = os.path.join(self.root, ".locks")
-        os.makedirs(lock_dir, exist_ok=True)
-        return os.path.join(lock_dir, table_id.replace(os.sep, "_") + ".lock")
+        return os.path.join(
+            self.root, ".locks", table_id.replace(os.sep, "_") + ".lock"
+        )
 
     def try_lock(self, table_id: str) -> bool:
-        try:
-            fd = os.open(self._lock_path(table_id), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            return True
-        except FileExistsError:
-            return False
+        # the advisory lock is one more conditional put — the same
+        # primitive the commit uses, so it maps to any object store
+        return self.commit_backend.put_if_absent(
+            self._lock_path(table_id), b""
+        )
 
     def lock(self, table_id: str, wait_increment: float, wait_max: float) -> None:
         """Advisory spin lock to avoid duplicate compute work
@@ -1275,7 +1510,4 @@ class ParquetFeatureStore:
                 )
 
     def unlock(self, table_id: str) -> None:
-        try:
-            os.remove(self._lock_path(table_id))
-        except FileNotFoundError:
-            pass
+        self.commit_backend.delete(self._lock_path(table_id))

@@ -7,15 +7,17 @@ Three timed phases:
 1. initial write  — 12M rows across 24 months (the bulk load);
 2. scoped merge   — a revised snapshot of ONE month (~500k rows) with
    ``written_range`` declared: the merge must compare only months at
-   or before the range end, carry the 18 later months forward as
-   hard links, and rewrite only the touched months;
+   or before the range end, carry the 18 later months forward by
+   MANIFEST REFERENCE (zero data I/O), and rewrite only the touched
+   months;
 3. unscoped merge — the same logical change submitted as a full
    24-month snapshot (written_range=None): the honest baseline the
    scoped path is measured against.
 
 Also verifies (hard facts, not timings): after the scoped merge every
-untouched month's parquet files are the SAME inodes as the previous
-version's (zero bytes rewritten), and the changed month's are not.
+untouched month's manifest entry is the SAME file reference list as
+the previous version's (zero bytes rewritten), and the changed
+month's is not.
 
 Usage: python scripts/bench_scd2_merge.py [rows] [out_json]
 """
@@ -39,19 +41,9 @@ T = datetime.datetime
 D = datetime.date
 
 
-def month_inodes(version_dir: str) -> dict[str, set[int]]:
-    out: dict[str, set[int]] = {}
-    for entry in os.listdir(version_dir):
-        if not entry.startswith("__vm="):
-            continue
-        month = entry.split("=", 1)[1]
-        mdir = os.path.join(version_dir, entry)
-        out[month] = {
-            os.stat(os.path.join(mdir, f)).st_ino
-            for f in os.listdir(mdir)
-            if f.endswith(".parquet")
-        }
-    return out
+def month_refs(store, tid: str, version: int) -> dict[str, set[str]]:
+    manifest = store._manifest_of(tid, version)
+    return {m: set(fs) for m, fs in manifest["months"].items()}
 
 
 def main() -> None:
@@ -98,7 +90,7 @@ def main() -> None:
     t0 = time.perf_counter()
     store.update_snapshot(frame(None), tid, T(2024, 1, 1))
     out["initial_write_s"] = round(time.perf_counter() - t0, 2)
-    v1_inodes = month_inodes(store._version_dir(tid, 1))
+    v1_refs = month_refs(store, tid, 1)
 
     # scoped: June 2020 (__m == 5) rows revised. The written_range
     # contract mirrors the engine's study-period writes: ``data`` is
@@ -106,7 +98,7 @@ def main() -> None:
     # (here months 1-6 of 24), and the merge may not scan anything
     # later. Months 1-5 are checksum-identical, so only June's
     # partition may be rewritten; months 7-24 must be carried forward
-    # as hard links without being read at all.
+    # by reference without being read at all.
     june = frame(5).where(F.col("valid_from") <= F.lit(D(2020, 6, 30)))
     t0 = time.perf_counter()
     store.update_snapshot(
@@ -114,17 +106,17 @@ def main() -> None:
         written_range=(D(2020, 1, 1), D(2020, 6, 30)),
     )
     out["scoped_merge_s"] = round(time.perf_counter() - t0, 2)
-    v2_inodes = month_inodes(store._version_dir(tid, 2))
+    v2_refs = month_refs(store, tid, 2)
 
-    untouched = [m for m in v1_inodes if m != "2020-06"]
-    linked = [m for m in untouched if v2_inodes[m] == v1_inodes[m]]
+    untouched = [m for m in v1_refs if m != "2020-06"]
+    carried = [m for m in untouched if v2_refs[m] == v1_refs[m]]
     out["untouched_months"] = len(untouched)
-    out["hardlinked_months"] = len(linked)
-    assert len(linked) == len(untouched), (
+    out["referenced_months"] = len(carried)
+    assert len(carried) == len(untouched), (
         f"scoped merge rewrote untouched months: "
-        f"{sorted(set(untouched) - set(linked))}"
+        f"{sorted(set(untouched) - set(carried))}"
     )
-    assert v2_inodes["2020-06"] != v1_inodes["2020-06"]
+    assert v2_refs["2020-06"] != v1_refs["2020-06"]
 
     # unscoped: the same change shape as a full-table snapshot
     t0 = time.perf_counter()

@@ -45,8 +45,9 @@ def test_filter_and_projection_reach_parquet_scan(spark):
 
 def test_scd2_partitioned_snapshot_read_prunes_months(spark, tmp_path):
     """get_table(max_valid_from=...) on the month-partitioned layout
-    must prune at the partition level (PartitionFilters on __vm), not
-    post-scan."""
+    prunes at the MANIFEST: the file list handed to the scan never
+    contains the pruned months — strictly earlier than Catalyst
+    partition pruning (no listing, no footer read, no filter)."""
     from diseasystore_spark.storage.scd2 import ParquetFeatureStore
 
     be = ParquetFeatureStore(
@@ -61,10 +62,9 @@ def test_scd2_partitioned_snapshot_read_prunes_months(spark, tmp_path):
     snap = be.get_table(
         "ds.t", datetime.datetime(2024, 6, 2), max_valid_from=D(2024, 2, 1)
     )
-    plan = _executed(snap)
-    assert "PartitionFilters" in plan and "__vm" in plan.split(
-        "PartitionFilters"
-    )[1].splitlines()[0]
+    files = snap.inputFiles()
+    assert files and all("__vm=2024-01" in f for f in files), files
+    assert not any("2024-05" in f for f in files), files
     assert snap.count() == 1  # May pruned away
 
 

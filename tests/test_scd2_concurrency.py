@@ -22,12 +22,32 @@ import time
 
 import pytest
 
+from diseasystore_spark.storage.backends import MemoryCommitBackend
 from diseasystore_spark.storage.scd2 import (
     CommitConflictError,
     ParquetFeatureStore,
 )
 
 T = datetime.datetime
+
+
+@pytest.fixture(params=["local", "memory"])
+def mkstore(request, spark, store_root):
+    """Construct stores over BOTH commit backends: the POSIX one
+    (os.link conditional put) and the in-memory object-store double
+    (compare-and-set, no links, no renames). Every test in this suite
+    runs twice — green over the double proves the commit protocol
+    needs nothing an object store lacks. Stores built by one test
+    share one memory-backend instance (clients of one bucket)."""
+
+    def make(**kw):
+        if request.param == "memory":
+            kw.setdefault(
+                "commit_backend", MemoryCommitBackend.shared(store_root)
+            )
+        return ParquetFeatureStore(spark, store_root, **kw)
+
+    return make
 
 
 def _df(spark, rows):
@@ -39,7 +59,7 @@ def _snap(be, ts):
 
 
 def test_interleaved_writers_one_loser_then_serial_result(
-    spark, store_root, monkeypatch
+    spark, store_root, monkeypatch, mkstore
 ):
     """Writer A builds its merge against version N; before A's commit
     lands, writer B commits N+1 (injected inside A's first conditional
@@ -49,9 +69,9 @@ def test_interleaved_writers_one_loser_then_serial_result(
     snapshot on top of B's — yielding exactly the serial A-after-B
     result. A reader polling between steps only ever sees complete
     committed snapshots."""
-    a = ParquetFeatureStore(spark, store_root)
-    b = ParquetFeatureStore(spark, store_root)
-    reader = ParquetFeatureStore(spark, store_root)
+    a = mkstore()
+    b = mkstore()
+    reader = mkstore()
 
     t1, t2, t3 = T(2024, 1, 1), T(2024, 1, 2), T(2024, 1, 3)
     a.update_snapshot(_df(spark, [("a", 1.0)]), "ds.t", t1)  # v1
@@ -102,7 +122,9 @@ def test_interleaved_writers_one_loser_then_serial_result(
     assert on_disk == marker_dirs
 
 
-def test_commit_path_never_calls_rename(spark, store_root, monkeypatch):
+def test_commit_path_never_calls_rename(
+    spark, store_root, monkeypatch, mkstore
+):
     """The version COMMIT must not depend on atomic rename (object
     stores don't have one). Any ``os.replace``/``os.rename`` issued
     from ``storage/scd2.py`` during a full write→commit cycle fails
@@ -114,7 +136,9 @@ def test_commit_path_never_calls_rename(spark, store_root, monkeypatch):
     def spy(real):
         def inner(*args, **kwargs):
             caller = inspect.stack()[1].filename
-            if caller.endswith(os.sep + "scd2.py"):
+            if caller.endswith(os.sep + "scd2.py") or caller.endswith(
+                os.sep + "backends.py"
+            ):
                 calls.append((real.__name__, args))
             return real(*args, **kwargs)
 
@@ -123,7 +147,7 @@ def test_commit_path_never_calls_rename(spark, store_root, monkeypatch):
     monkeypatch.setattr(os, "replace", spy(real_replace))
     monkeypatch.setattr(os, "rename", spy(real_rename))
 
-    be = ParquetFeatureStore(spark, store_root)
+    be = mkstore()
     be.update_snapshot(_df(spark, [("a", 1.0)]), "ds.t", T(2024, 1, 1))
     be.update_snapshot(_df(spark, [("a", 2.0)]), "ds.t", T(2024, 1, 2))
     be.compact("ds.t")
@@ -132,12 +156,12 @@ def test_commit_path_never_calls_rename(spark, store_root, monkeypatch):
 
 
 def test_persistent_loser_raises_after_bounded_retries(
-    spark, store_root, monkeypatch
+    spark, store_root, monkeypatch, mkstore
 ):
     """A writer that loses every conditional put (e.g. a livelocked
     fan-in) surfaces CommitConflictError after _COMMIT_RETRIES
     attempts instead of looping forever."""
-    be = ParquetFeatureStore(spark, store_root)
+    be = mkstore()
     be.update_snapshot(_df(spark, [("a", 1.0)]), "ds.t", T(2024, 1, 1))
 
     monkeypatch.setattr(
@@ -158,11 +182,11 @@ def test_persistent_loser_raises_after_bounded_retries(
     assert attempts["n"] == ParquetFeatureStore._COMMIT_RETRIES
 
 
-def test_legacy_pointer_layout_still_readable(spark, store_root):
+def test_legacy_pointer_layout_still_readable(spark, store_root, mkstore):
     """Tables written by the old ``_CURRENT`` + ``_v{N}`` layout read
     transparently (fallbacks in _current_version/_version_dir); the
     first new-protocol write moves them onto the marker log."""
-    be = ParquetFeatureStore(spark, store_root)
+    be = mkstore()
     # hand-build a legacy table
     tdir = os.path.join(store_root, "ds", "t")
     os.makedirs(tdir, exist_ok=True)
@@ -183,24 +207,28 @@ def test_legacy_pointer_layout_still_readable(spark, store_root):
 
     be.update_snapshot(_df(spark, [("a", 2.0)]), "ds.t", T(2024, 1, 6))
     assert be._current_version("ds.t") == 2
-    assert os.path.isdir(os.path.join(tdir, "_commits"))
+    assert be._read_marker("ds.t", 2) is not None
     assert _snap(be, T(2024, 1, 5)) == {("a", 1.0)}
     assert _snap(be, T(2024, 1, 6)) == {("a", 2.0)}
 
 
-def test_vanished_previous_version_surfaces_as_retryable_conflict(
-    spark, store_root, monkeypatch
+def test_vanished_base_manifest_surfaces_as_retryable_conflict(
+    spark, store_root, monkeypatch, mkstore
 ):
-    """Partitioned hard-link rewrite: if the previous version's data
-    directory is GC'd mid-link by concurrent writers two-plus commits
-    ahead, the writer must surface the retryable CommitConflictError
-    (the retry then re-reads the advanced table), never a raw
-    FileNotFoundError, and must clean its orphan directory."""
+    """Scoped manifest write: if the base version's marker has been
+    GC'd by the time the writer builds its carry-forward manifest
+    (concurrent writers advanced the table 2+ commits — keep-2
+    dropped the base), the writer must surface the retryable
+    CommitConflictError (the retry re-reads the advanced table),
+    never a torn commit referencing dead files, and must clean its
+    orphan segment. (The old vanished-DIRECTORY failure mode is gone
+    by construction: unchanged months are referenced, not linked, and
+    a winning conditional put proves its references outlived GC — GC
+    deleting version N's files requires a commit of N+2+, which would
+    have made the put for N+1 lose.)"""
     import datetime
 
-    be = ParquetFeatureStore(
-        spark, store_root, partition_granularity="month"
-    )
+    be = mkstore(partition_granularity="month")
 
     def _pdf(rows):
         return spark.createDataFrame(
@@ -212,21 +240,20 @@ def test_vanished_previous_version_surfaces_as_retryable_conflict(
             ("b", 2.0, D(2020, 2, 10), D(2020, 2, 20))]
     be.update_snapshot(_pdf(rows), "ds.t", T(2024, 1, 1))
 
-    real_listdir = os.listdir
-    state = {"nuked": False}
-    prev_dir = be._version_dir("ds.t", 1)
+    real_manifest_of = ParquetFeatureStore._manifest_of
+    state = {"calls": 0}
 
-    def nuking_listdir(path):
-        # simulate the concurrent GC the first time the link loop
-        # lists the previous version's directory
-        if os.path.abspath(path) == os.path.abspath(prev_dir) and not state["nuked"]:
-            state["nuked"] = True
-            import shutil
+    def vanishing(self, table_id, version):
+        # reads and the _scoped_write_ok gate see the marker fine;
+        # only _write_version's carry-forward read finds it GC'd
+        if any(
+            fr.function == "_write_version" for fr in inspect.stack()[1:6]
+        ):
+            state["calls"] += 1
+            return None
+        return real_manifest_of(self, table_id, version)
 
-            shutil.rmtree(prev_dir, ignore_errors=True)
-        return real_listdir(path)
-
-    monkeypatch.setattr(os, "listdir", nuking_listdir)
+    monkeypatch.setattr(ParquetFeatureStore, "_manifest_of", vanishing)
     rows2 = [("a", 9.0, D(2020, 1, 10), D(2020, 1, 20)),
              ("b", 2.0, D(2020, 2, 10), D(2020, 2, 20))]
     with pytest.raises(CommitConflictError):
@@ -234,14 +261,16 @@ def test_vanished_previous_version_surfaces_as_retryable_conflict(
             _pdf(rows2), "ds.t", T(2024, 1, 2),
             written_range=(D(2020, 1, 1), D(2020, 1, 31)),
         )
-    monkeypatch.setattr(os, "listdir", real_listdir)
-    # no orphan _v2 attempt dirs left behind
+    assert state["calls"] >= 1, "carry-forward read never happened"
+    # no orphan _v2 attempt segments left behind
     tdir = os.path.join(store_root, "ds", "t")
     orphans = [e for e in os.listdir(tdir) if e.startswith("_v2")]
     assert orphans == []
 
 
-def test_plan_time_base_version_pins_the_commit(spark, store_root, monkeypatch):
+def test_plan_time_base_version_pins_the_commit(
+    spark, store_root, monkeypatch, mkstore
+):
     """Lost-update window between plan and commit (the readVersion
     contract): writer A resolves its base version N when it builds the
     merge plan; a competitor B then commits N+1 while A is still
@@ -251,8 +280,8 @@ def test_plan_time_base_version_pins_the_commit(spark, store_root, monkeypatch):
     — so the conditional put fails and the retry re-merges on top of
     B. Claiming a re-resolved N+2 would succeed unopposed and silently
     erase B's rows from every subsequent version."""
-    a = ParquetFeatureStore(spark, store_root)
-    b = ParquetFeatureStore(spark, store_root)
+    a = mkstore()
+    b = mkstore()
 
     t1, t2, t3 = T(2024, 1, 1), T(2024, 1, 2), T(2024, 1, 3)
     a.update_snapshot(_df(spark, [("a", 1.0)]), "ds.t", t1)  # v1
@@ -290,13 +319,13 @@ def test_plan_time_base_version_pins_the_commit(spark, store_root, monkeypatch):
     assert _snap(a, t3) == {("a", 1.0), ("b", 2.0)}
 
 
-def test_gc_spares_young_inflight_attempt_dirs(spark, store_root):
+def test_gc_spares_young_inflight_attempt_dirs(spark, store_root, mkstore):
     """Commit-time GC must never sweep another writer's uncommitted
     in-flight attempt directory (tokenized name, no marker): those are
     removed only once older than _ORPHAN_RETENTION_SECS. Committed,
     superseded versions are still collected promptly via their
     markers."""
-    be = ParquetFeatureStore(spark, store_root)
+    be = mkstore()
     be.update_snapshot(_df(spark, [("a", 1.0)]), "ds.t", T(2024, 1, 1))
 
     # a concurrent writer's in-flight attempt for version 2 — data

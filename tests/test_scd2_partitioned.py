@@ -1,5 +1,6 @@
 """Month-partitioned SCD2 layout: same merge semantics, pruned
-rewrites, hard-linked unchanged partitions."""
+rewrites, unchanged partitions carried forward by MANIFEST REFERENCE
+(no links, no copies — a commit costs O(changed months))."""
 
 from __future__ import annotations
 
@@ -37,6 +38,8 @@ ROWS_V1 = [
 def test_partitioned_layout_and_semantics(spark, pstore):
     t1, t2 = T(2024, 1, 1), T(2024, 1, 2)
     pstore.update_snapshot(_df(spark, ROWS_V1), "ds.t", t1)
+    m1 = pstore._manifest_of("ds.t", 1)["months"]
+    assert sorted(m1) == ["2020-01", "2020-02", "2020-03"]
     tdir = pstore._version_dir("ds.t", 1)
     parts = sorted(e for e in os.listdir(tdir) if e.startswith(PARTITION_COL))
     assert parts == [
@@ -54,21 +57,19 @@ def test_partitioned_layout_and_semantics(spark, pstore):
         ("c", 3.0, D(2020, 3, 10), None),
     ]
     pstore.update_snapshot(_df(spark, rows_v2), "ds.t", t2)
-    v2dir = pstore._version_dir("ds.t", 2)
+    m2 = pstore._manifest_of("ds.t", 2)["months"]
 
-    def inode_set(version_dir, part):
-        pdir = os.path.join(version_dir, part)
-        return {
-            os.stat(os.path.join(pdir, f)).st_ino
-            for f in os.listdir(pdir)
-            if f.endswith(".parquet")
-        }
-
-    # January and March partitions are hard links of v1's files
-    assert inode_set(tdir, parts[0]) == inode_set(v2dir, parts[0])
-    assert inode_set(tdir, parts[2]) == inode_set(v2dir, parts[2])
-    # February was rewritten (disjoint inodes)
-    assert inode_set(tdir, parts[1]).isdisjoint(inode_set(v2dir, parts[1]))
+    # January and March are carried forward by REFERENCE: the v2
+    # manifest repeats v1's exact file entries (which live in v1's
+    # segment directory — no link, no copy, no I/O)
+    assert m2["2020-01"] == m1["2020-01"]
+    assert m2["2020-03"] == m1["2020-03"]
+    v1_dirname = pstore._manifest_of("ds.t", 1)["dir"]
+    assert all(f.startswith(v1_dirname + "/") for f in m2["2020-01"])
+    # February was rewritten into v2's own segment
+    assert set(m2["2020-02"]).isdisjoint(m1["2020-02"])
+    v2_dirname = pstore._manifest_of("ds.t", 2)["dir"]
+    assert all(f.startswith(v2_dirname + "/") for f in m2["2020-02"])
 
     snap2 = {r["key_id"]: r["v"] for r in pstore.get_table("ds.t", t2).collect()}
     assert snap2 == {"a": 1.0, "b": 9.0, "c": 3.0}
@@ -94,7 +95,8 @@ def test_partition_pruned_snapshot_read(spark, pstore):
 
 
 def test_partitioned_survives_gc(spark, pstore):
-    """Hard links keep data alive when old versions are GC'd."""
+    """Manifest references keep shared files alive when old versions
+    are GC'd (file-level GC deletes only unreferenced files)."""
     ts = [T(2024, 1, i + 1) for i in range(4)]
     rows = ROWS_V1
     pstore.update_snapshot(_df(spark, rows), "ds.t", ts[0])
@@ -106,19 +108,44 @@ def test_partitioned_survives_gc(spark, pstore):
     assert snap == {"a": 6.0, "b": 2.0, "c": 3.0}
 
 
-def _inodes(version_dir, part):
-    pdir = os.path.join(version_dir, part)
-    return {
-        os.stat(os.path.join(pdir, f)).st_ino
-        for f in os.listdir(pdir)
-        if f.endswith(".parquet")
+def test_file_level_gc_keeps_shared_files_deletes_dead_ones(spark, pstore):
+    """The GC unit is the FILE, not the version directory: when v1's
+    marker falls out of keep-2, v1's rewritten-month files die but its
+    never-rewritten months' files — still referenced by the current
+    manifest — must survive in place. (A directory-granularity GC
+    would corrupt every carried-forward reference.)"""
+    ts = [T(2024, 1, i + 1) for i in range(4)]
+    rows = ROWS_V1
+    pstore.update_snapshot(_df(spark, rows), "ds.t", ts[0])  # v1
+    m1 = pstore._manifest_of("ds.t", 1)["months"]
+    tdir = pstore._table_dir("ds.t")
+    jan_v1 = [os.path.join(tdir, f) for f in m1["2020-01"]]
+    mar_v1 = [os.path.join(tdir, f) for f in m1["2020-03"]]
+
+    # revise January three times; March is never touched again
+    for i, newv in enumerate([4.0, 5.0, 6.0]):
+        rows = [("a", newv, D(2020, 1, 10), D(2020, 1, 20))] + rows[1:]
+        pstore.update_snapshot(_df(spark, rows), "ds.t", ts[i + 1])
+
+    # keep-2 dropped v1 and v2: v1's January files are unreferenced
+    # and must be gone; v1's March files are referenced by v4's
+    # manifest and must still exist
+    assert not any(os.path.exists(f) for f in jan_v1), jan_v1
+    assert all(os.path.exists(f) for f in mar_v1), mar_v1
+    m4 = pstore._manifest_of("ds.t", 4)["months"]
+    assert m4["2020-03"] == m1["2020-03"]
+    # and the surviving reads are complete
+    snap = {
+        r["key_id"]: r["v"] for r in pstore.get_table("ds.t", ts[3]).collect()
     }
+    assert snap == {"a": 6.0, "b": 2.0, "c": 3.0}
 
 
 def test_scoped_merge_carries_later_months_forward(spark, pstore):
     """A ``written_range``-scoped merge never reads or rewrites months
-    after the range: their rows survive untouched (hard-linked) even
-    though they are absent from the incoming frame."""
+    after the range: their rows survive untouched (carried forward by
+    manifest reference) even though they are absent from the incoming
+    frame."""
     t1, t2 = T(2024, 1, 1), T(2024, 1, 2)
     pstore.update_snapshot(_df(spark, ROWS_V1), "ds.t", t1)
 
@@ -131,13 +158,13 @@ def test_scoped_merge_carries_later_months_forward(spark, pstore):
         _df(spark, scoped), "ds.t", t2, written_range=(D(2020, 2, 1), D(2020, 2, 28))
     )
 
-    v1dir = pstore._version_dir("ds.t", 1)
-    v2dir = pstore._version_dir("ds.t", 2)
-    jan, feb, mar = (f"{PARTITION_COL}=2020-0{m}" for m in (1, 2, 3))
-    # only February changed; January and (unscanned) March are links
-    assert _inodes(v1dir, jan) == _inodes(v2dir, jan)
-    assert _inodes(v1dir, mar) == _inodes(v2dir, mar)
-    assert _inodes(v1dir, feb).isdisjoint(_inodes(v2dir, feb))
+    m1 = pstore._manifest_of("ds.t", 1)["months"]
+    m2 = pstore._manifest_of("ds.t", 2)["months"]
+    # only February changed; January and (unscanned) March are the
+    # SAME file references as v1 — zero data I/O for them
+    assert m2["2020-01"] == m1["2020-01"]
+    assert m2["2020-03"] == m1["2020-03"]
+    assert set(m2["2020-02"]).isdisjoint(m1["2020-02"])
 
     snap2 = {r["key_id"]: r["v"] for r in pstore.get_table("ds.t", t2).collect()}
     assert snap2 == {"a": 1.0, "b": 9.0, "c": 3.0}
