@@ -517,6 +517,8 @@ def contact_pairs(
     tolerance_s: int = 3600,
     min_contacts: int | None = None,
     top_k_per_user: int | None = None,
+    sample_rate: float | None = None,
+    sample_seed: str = "cp0",
 ) -> DataFrame:
     """Temporal contact graph: for every unordered user pair, count
     the event pairs that occurred within ``tolerance_s`` seconds of
@@ -568,6 +570,24 @@ def contact_pairs(
       ≤ 2k rows per active user: linear in users, never quadratic.
 
     Both modes compose (threshold first, then rank).
+
+    - ``sample_rate=p`` (the COMPUTE bound, for dense streams where
+      even the bounded modes' cost ≥ the exact form's — everyone is
+      co-active with everyone, so the pair aggregate itself is the
+      bill): keep a deterministic p-fraction of unordered USER PAIRS,
+      selected by an md5 predicate on the pair key
+      (``md5(seed|min(u)|max(u))`` first 8 hex digits < p·2³²),
+      applied to candidates BEFORE the exact-count pair shuffle. Kept
+      pairs carry their EXACT ``n_contacts`` (sampling is by pair, so
+      no event pair of a kept pair is ever dropped); population
+      aggregates (total contact mass, degree moments) scale by
+      ``1/p``. Because the draw is content-derived — the same
+      portability trick as the permutation test — any SQL engine
+      replays the selected pair set bit-for-bit, and re-running with
+      the same seed is exactly reproducible across partitionings.
+      Composes with both bounds above (the degree prune's cap is
+      p-independent and stays valid; the threshold then applies to
+      the sampled pairs' exact counts).
     """
     if tolerance_s <= 0:
         raise ValueError("tolerance_s must be positive")
@@ -575,6 +595,8 @@ def contact_pairs(
         raise ValueError("min_contacts must be >= 1")
     if top_k_per_user is not None and top_k_per_user < 1:
         raise ValueError("top_k_per_user must be >= 1")
+    if sample_rate is not None and not (0.0 < sample_rate <= 1.0):
+        raise ValueError("sample_rate must be in (0, 1]")
     tol_us = tolerance_s * 1_000_000
     e = events.where(F.col(ts_col).isNotNull()).select(
         F.col(user_col).alias("__u"),
@@ -619,7 +641,7 @@ def contact_pairs(
         F.col("__t").alias("__tb"),
         F.expr(f"__t DIV {tol_us}").alias("__b"),
     )
-    j = left.join(right, "__b").where(
+    cond = (
         (F.col("__tb") >= F.col("__ta"))
         & (F.col("__tb") - F.col("__ta") <= tol_us)
         & (
@@ -628,6 +650,31 @@ def contact_pairs(
         )
         & (F.col("__ua") != F.col("__ub"))
     )
+    if sample_rate is not None and sample_rate < 1.0:
+        # deterministic pair-level Bernoulli(p): evaluated inside the
+        # candidate join, so dropped pairs never reach the exact
+        # predicate's survivors nor the pair shuffle — the post-join
+        # pipeline (map-side combine hash table, shuffle, aggregate)
+        # carries p of the mass
+        threshold = int(round(sample_rate * 2**32))
+        pair_hash = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        F.lit(sample_seed),
+                        F.least("__ua", "__ub").cast("string"),
+                        F.greatest("__ua", "__ub").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        cond = cond & (pair_hash < F.lit(threshold))
+    j = left.join(right, "__b").where(cond)
     pairs = (
         j.select(
             F.least("__ua", "__ub").alias("user_a"),

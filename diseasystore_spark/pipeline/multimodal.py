@@ -244,19 +244,263 @@ def decode_bmp(payload: bytes):
     return np.ascontiguousarray(rgb)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int):
+    """Invert PNG per-scanline filtering (spec §6: None/Sub/Up/
+    Average/Paeth). Up/None rows are vectorized; Sub/Average/Paeth
+    carry a left-neighbor dependence, so those rows walk pixels with
+    the channel vector done by numpy — per-payload work inside an
+    Arrow batch, never per-row Python in a Spark plan."""
+    import numpy as np
+
+    rowlen = stride + 1
+    if len(raw) < rowlen * height:
+        raise ValueError("PNG: truncated scanline data")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ftype = raw[y * rowlen]
+        cur = np.frombuffer(
+            raw, np.uint8, stride, offset=y * rowlen + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(0, stride, bpp):
+                a = rec[x - bpp: x] if x >= bpp else np.zeros(bpp, np.int32)
+                b = prev[x: x + bpp]
+                if ftype == 1:  # Sub
+                    pred = a
+                elif ftype == 3:  # Average
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    c = (
+                        prev[x - bpp: x]
+                        if x >= bpp
+                        else np.zeros(bpp, np.int32)
+                    )
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                rec[x: x + bpp] = (cur[x: x + bpp] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: invalid filter type {ftype}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def decode_png(payload: bytes):
+    """REAL image decode for 8-bit non-interlaced truecolor PNG
+    (color types 2 = RGB and 6 = RGBA) — pure stdlib ``zlib`` +
+    struct parsing + numpy unfiltering, zero codec dependencies,
+    so the dominant web/corpus image container decodes for real in
+    this environment (JPEG/GIF/WebP stay behind the PIL gate).
+
+    Returns an ``H x W x 3`` uint8 RGB array (RGBA's alpha is
+    dropped, matching PIL's ``convert("RGB")`` on the same path).
+    Chunk CRCs are verified and the decompressed scanline length is
+    checked — corrupt payloads raise ``ValueError`` (they become
+    ``decode_error`` DATA rows in the stats operators, never job
+    failures). ``NotImplementedError`` for bit depths != 8, palette/
+    gray color types, and Adam7 interlacing — honest limits, not
+    silent wrong pixels.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(payload):
+            raise ValueError("PNG: truncated chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG: CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG: missing IHDR/IDAT")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG: invalid compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("PNG: Adam7 interlacing not supported")
+    if depth != 8 or color not in (2, 6):
+        raise NotImplementedError(
+            f"PNG: only 8-bit RGB/RGBA supported (depth={depth}, "
+            f"color_type={color})"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError("PNG: degenerate dimensions")
+    channels = 3 if color == 2 else 4
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG: corrupt IDAT stream ({exc})")
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG: scanline length mismatch")
+    px = _png_unfilter(raw, height, stride, channels).reshape(
+        height, width, channels
+    )
+    return np.ascontiguousarray(px[:, :, :3])
+
+
+def encode_png(arr) -> bytes:
+    """Minimal stdlib PNG encoder (8-bit RGB/RGBA, non-interlaced) —
+    the write side of the plumbing and the fixture generator for the
+    decode oracle. Deterministic bytes: per-scanline filter type is
+    ``y % 5``, deliberately cycling through ALL five spec filters so
+    a round-trip exercises every unfilter branch; zlib level 6."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] not in (3, 4):
+        raise ValueError("encode_png expects an H x W x 3|4 uint8 array")
+    h, w, channels = a.shape
+    color = 2 if channels == 3 else 6
+    bpp = channels
+    lines = []
+    prev = np.zeros((w, channels), dtype=np.int32)
+    for y in range(h):
+        cur = a[y].astype(np.int32)
+        ftype = y % 5
+        left = np.vstack([np.zeros((1, channels), np.int32), cur[:-1]])
+        upleft = np.vstack([np.zeros((1, channels), np.int32), prev[:-1]])
+        if ftype == 0:
+            out = cur
+        elif ftype == 1:
+            out = cur - left
+        elif ftype == 2:
+            out = cur - prev
+        elif ftype == 3:
+            out = cur - ((left + prev) >> 1)
+        else:
+            p = left + prev - upleft
+            pa = abs(p - left)
+            pb = abs(p - prev)
+            pc = abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prev, upleft),
+            )
+            out = cur - pred
+        lines.append(bytes([ftype]) + (out & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    body = zlib.compress(b"".join(lines), 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", body)
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthetic_png_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    corrupt_every: int | None = None,
+) -> DataFrame:
+    """Deterministic PNG corpus for decode verification: document k
+    becomes a ``W x H`` image with ``W = 8 + k % 17``,
+    ``H = 8 + k % 13``, pixel ``(x, y)`` channel ``c`` valued
+    ``(7k + 13x + 31y + 97c) % 256`` — a formula ANY engine can
+    aggregate analytically, which is what lets a SQL oracle verify a
+    binary decode bit-for-bit. Even ``k`` encodes as RGBA (the alpha
+    plane is ``(k + x + y) % 256`` and must be DROPPED by the
+    decoder); odd ``k`` as RGB. ``corrupt_every=m`` truncates every
+    m-th document's payload to 25 bytes — a corrupt member that must
+    surface as a ``decode_error`` data row, never a job failure.
+    Output: ``(doc_id, payload binary)`` via one Arrow-batched
+    ``mapInPandas`` (same plumbing as the real corpus writers)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf[id_col].tolist():
+                k = int(k)
+                w, h = 8 + k % 17, 8 + k % 13
+                channels = 4 if k % 2 == 0 else 3
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                img = ((7 * k + 13 * x + 31 * y + 97 * c) % 256).astype(
+                    np.uint8
+                )
+                if channels == 4:
+                    alpha = (
+                        (k + x[:, :, :1] + y[:, :, :1]) % 256
+                    ).astype(np.uint8)
+                    img = np.concatenate([img, alpha], axis=2)
+                payload = encode_png(img)
+                if corrupt_every and k % corrupt_every == 0:
+                    payload = payload[:25]
+                ids.append(k)
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        run, schema="doc_id bigint, payload binary"
+    )
+
+
 def decode_image_any(payload: bytes):
     """Magic-sniffing image decode behind ONE contract: returns an
     ``H x W x 3`` uint8 RGB array for any supported container.
     BMP routes to the dependency-free :func:`decode_bmp` (always
     available, byte-identical results in every environment — the
-    q96 oracle rests on it); JPEG/PNG/GIF/WebP route to PIL when
+    q96 oracle rests on it); 8-bit truecolor PNG routes to the
+    stdlib :func:`decode_png` (zlib + numpy unfiltering — real
+    compressed decode with zero codec dependencies; q180's oracle
+    rests on it); other PNGs, JPEG/GIF/WebP route to PIL when
     importable and raise ``NotImplementedError`` otherwise, so a
     production cluster with pillow installed decodes real corpora
     through the SAME mapInPandas operators without any schema or
     call-site change."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
-    if not _HAS_PIL:
+    if payload[:8] == _PNG_SIG:
+        try:
+            return decode_png(payload)
+        except NotImplementedError:
+            if not _HAS_PIL:
+                raise
+    elif not _HAS_PIL:
         raise NotImplementedError(
             "compressed image decode requires PIL; install pillow"
         )

@@ -9496,6 +9496,114 @@ FROM ranked, k
 """
 
 
+def q179_contact_pairs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-bounded contact graph
+    (``operators/events.contact_pairs(sample_rate=0.2)``): a
+    deterministic md5-selected 20% of unordered user pairs, each
+    carrying its EXACT co-activity count — the mode for DENSE streams
+    where even the thresholded graph's pair aggregate is the bill
+    (everyone co-active with everyone). The pair predicate is
+    content-derived (``md5('cp0'|min(u)|max(u))``), so the oracle
+    replays the exact same pair subset bit-for-bit and population
+    aggregates scale by 1/p."""
+    from diseasystore_spark.operators.events import contact_pairs
+
+    return contact_pairs(
+        _read(spark, sf_dir, "events"),
+        tolerance_s=3600,
+        min_contacts=5,
+        sample_rate=0.2,
+    )
+
+
+ORACLE_Q179 = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE ts IS NOT NULL
+),
+p AS (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM e a JOIN e b
+    ON b.us >= a.us AND b.us - a.us <= 3600000000
+   AND (a.us < b.us OR a.event_id < b.event_id)
+   AND a.user_id <> b.user_id
+   AND CAST(('0x' || substr(md5('cp0' || chr(31)
+         || CAST(least(a.user_id, b.user_id) AS VARCHAR) || chr(31)
+         || CAST(greatest(a.user_id, b.user_id) AS VARCHAR)), 1, 8))
+       AS BIGINT) < 858993459
+)
+SELECT least(ua, ub) AS user_a, greatest(ua, ub) AS user_b,
+       CAST(count(*) AS BIGINT) AS n_contacts
+FROM p GROUP BY least(ua, ub), greatest(ua, ub)
+HAVING count(*) >= 5
+"""
+
+
+def q180_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real compressed-image decode, zero codec dependencies
+    (``pipeline/multimodal.decode_png`` — stdlib zlib + numpy
+    unfiltering, all five PNG filter types exercised by the
+    encoder): a deterministic PNG corpus derived from the documents
+    table (pixel (x,y,c) of doc k = (7k+13x+31y+97c) % 256; even k
+    RGBA with the alpha plane dropped on decode), with every 5th
+    payload truncated — corrupt members must surface as
+    ``decode_error`` DATA rows. The oracle computes the expected
+    dims and channel means ANALYTICALLY from the pixel formula; a
+    hash match means the binary decode reproduced every pixel."""
+    from diseasystore_spark.pipeline.multimodal import (
+        image_stats,
+        synthetic_png_corpus,
+    )
+
+    docs = _read(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 7 == 0
+    )
+    corpus = synthetic_png_corpus(docs, corrupt_every=5)
+    stats = image_stats(corpus)
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("mean_rgb", 1).alias("mean_r"),
+        F.element_at("mean_rgb", 2).alias("mean_g"),
+        F.element_at("mean_rgb", 3).alias("mean_b"),
+        F.col("decode_error").isNotNull().alias("failed"),
+    )
+
+
+ORACLE_Q180 = """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 17 AS w, 8 + doc_id % 13 AS h
+  FROM documents WHERE doc_id % 7 = 0
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, xs.x, ys.y
+  FROM d
+  CROSS JOIN (SELECT unnest(range(0, 25)) AS x) xs
+  CROSS JOIN (SELECT unnest(range(0, 21)) AS y) ys
+  WHERE xs.x < d.w AND ys.y < d.h
+),
+means AS (
+  SELECT doc_id, w, h,
+         sum((7*doc_id + 13*x + 31*y) % 256) AS s_r,
+         sum((7*doc_id + 13*x + 31*y + 97) % 256) AS s_g,
+         sum((7*doc_id + 13*x + 31*y + 194) % 256) AS s_b
+  FROM px GROUP BY doc_id, w, h
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 5 <> 0 THEN CAST(w AS INTEGER) END AS width,
+       CASE WHEN doc_id % 5 <> 0 THEN CAST(h AS INTEGER) END AS height,
+       CASE WHEN doc_id % 5 <> 0
+            THEN CAST(s_r AS DOUBLE) / (w * h) END AS mean_r,
+       CASE WHEN doc_id % 5 <> 0
+            THEN CAST(s_g AS DOUBLE) / (w * h) END AS mean_g,
+       CASE WHEN doc_id % 5 <> 0
+            THEN CAST(s_b AS DOUBLE) / (w * h) END AS mean_b,
+       doc_id % 5 = 0 AS failed
+FROM means
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9679,6 +9787,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q176_roc_auc_by_group": q176_roc_auc_by_group,
     "q177_permutation_test": q177_permutation_test,
     "q178_bh_fdr_gate": q178_bh_fdr_gate,
+    "q179_contact_pairs_sampled": q179_contact_pairs_sampled,
+    "q180_png_decode_stats": q180_png_decode_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -9859,6 +9969,8 @@ ORACLES: dict[str, str] = {
     "q176_roc_auc_by_group": ORACLE_Q176,
     "q177_permutation_test": ORACLE_Q177,
     "q178_bh_fdr_gate": ORACLE_Q178,
+    "q179_contact_pairs_sampled": ORACLE_Q179,
+    "q180_png_decode_stats": ORACLE_Q180,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

@@ -622,6 +622,51 @@ def test_contact_pairs_bounded_modes_match_naive(spark):
     }
     assert got_topk == {p: expect[p] for p in keep}
 
+    # sample_rate: the md5 pair predicate keeps a deterministic
+    # subset; each kept pair carries its EXACT count (never a
+    # partial); the draw is content-derived so it is partition- and
+    # run-invariant; p=1.0 is the identity
+    import hashlib
+
+    p = 0.3
+    thr = round(p * 2**32)
+
+    def kept(a, b):
+        h = hashlib.md5(f"cp0\x1f{a}\x1f{b}".encode()).hexdigest()
+        return int(h[:8], 16) < thr
+
+    got_s = {
+        (r["user_a"], r["user_b"]): r["n_contacts"]
+        for r in contact_pairs(df, tolerance_s=600, sample_rate=p).collect()
+    }
+    assert got_s == {kk: n for kk, n in expect.items() if kept(*kk)}
+    assert 0 < len(got_s) < len(expect)
+    got_s2 = {
+        (r["user_a"], r["user_b"]): r["n_contacts"]
+        for r in contact_pairs(
+            df.repartition(7), tolerance_s=600, sample_rate=p
+        ).collect()
+    }
+    assert got_s2 == got_s
+    got_all = {
+        (r["user_a"], r["user_b"]): r["n_contacts"]
+        for r in contact_pairs(df, tolerance_s=600, sample_rate=1.0).collect()
+    }
+    assert got_all == dict(expect)
+    # composes with the threshold: sampled-then-thresholded
+    got_sm = {
+        (r["user_a"], r["user_b"]): r["n_contacts"]
+        for r in contact_pairs(
+            df, tolerance_s=600, sample_rate=p, min_contacts=m
+        ).collect()
+    }
+    assert got_sm == {kk: n for kk, n in got_s.items() if n >= m}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sample_rate"):
+        contact_pairs(df, sample_rate=0.0)
+
 
 def test_contact_pairs_degree_prune_keeps_boundary_pairs(spark):
     """Hand case: a chatty pair clears the threshold, a loner is

@@ -2547,36 +2547,104 @@ def test_distribution_drift_psi_emits_doubly_empty_bins(spark):
 
 
 def test_decode_image_any_real_codec_or_honest_fallback(spark):
-    """The optional real-codec image path: with PIL importable, a PNG
-    generated BY PIL itself round-trips through decode_image_any and
-    the unchanged image_stats operator; without it, compressed magics
-    raise the honest NotImplementedError (as a data row through the
-    operator). BMP behavior is identical in both environments — the
-    q96 oracle never moves."""
+    """8-bit truecolor PNG decodes FOR REAL in every environment via
+    the stdlib decoder (zlib + numpy unfiltering): an encode_png
+    round-trip through decode_image_any and the unchanged image_stats
+    operator. PNG VARIANTS beyond the stdlib subset (16-bit, palette,
+    Adam7) route to PIL when importable and raise the honest
+    NotImplementedError otherwise. If PIL is present, cross-check the
+    stdlib decoder against it on the same bytes. BMP behavior is
+    identical in both environments — the q96 oracle never moves."""
+    import struct
+    import zlib
+
     import numpy as np
     import pytest
 
     from diseasystore_spark.pipeline import multimodal as mm
 
-    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    arr = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    payload = mm.encode_png(arr)
+    assert (mm.decode_image_any(payload) == arr).all()
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    r = mm.image_stats(df).collect()[0]
+    assert (r["width"], r["height"]) == (3, 3)
+    assert r["decode_error"] is None
     if mm._HAS_PIL:
         import io
 
         from PIL import Image
 
-        arr = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
-        buf = io.BytesIO()
-        Image.fromarray(arr).save(buf, format="PNG")
-        assert (mm.decode_image_any(buf.getvalue()) == arr).all()
-        df = spark.createDataFrame(
-            [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+        assert (
+            np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+            == mm.decode_image_any(payload)
+        ).all()
+
+    # a VALID 16-bit PNG (correct CRCs) is outside the stdlib subset
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
-        r = mm.image_stats(df).collect()[0]
-        assert (r["width"], r["height"]) == (3, 3)
-        assert r["decode_error"] is None
+
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 7))
+        + chunk(b"IEND", b"")
+    )
+    if mm._HAS_PIL:
+        assert mm.decode_image_any(deep).shape == (1, 1, 3)
     else:
-        with pytest.raises(NotImplementedError, match="pillow"):
-            mm.decode_image_any(png_magic)
+        with pytest.raises(NotImplementedError, match="PNG"):
+            mm.decode_image_any(deep)
+
+
+def test_png_codec_roundtrip_filters_and_corruption(spark):
+    """The stdlib PNG codec: every encode filter type (the encoder
+    cycles y % 5 through all five) inverts exactly for RGB and RGBA
+    (alpha dropped); corrupt payloads — flipped IDAT byte (CRC),
+    truncated stream, non-PNG bytes — raise ValueError and surface as
+    decode_error DATA rows through image_stats, never job failures."""
+    import numpy as np
+    import pytest
+
+    from diseasystore_spark.pipeline import multimodal as mm
+
+    rng = np.random.default_rng(17)
+    for shape in [(16, 24, 3), (11, 7, 4), (1, 1, 3), (6, 2, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = mm.decode_png(mm.encode_png(img))
+        assert out.shape == (shape[0], shape[1], 3)
+        assert (out == img[:, :, :3]).all()
+
+    good = mm.encode_png(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+    flipped = bytearray(good)
+    flipped[60] ^= 0xFF
+    for bad in (bytes(flipped), good[:25], b"not a png at all"):
+        with pytest.raises(ValueError):
+            mm.decode_png(bad)
+    rows = [(1, bytearray(good)), (2, bytearray(flipped))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in mm.image_stats(df).collect()}
+    assert got[1]["decode_error"] is None and got[1]["width"] == 8
+    assert got[2]["decode_error"] and got[2]["width"] is None
+
+    # exact channel means: the q180 analytic-oracle contract locally
+    k = 21
+    w, h = 8 + k % 17, 8 + k % 13
+    y, x, c = np.meshgrid(
+        np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+    )
+    img = ((7 * k + 13 * x + 31 * y + 97 * c) % 256).astype(np.uint8)
+    rgb = mm.decode_png(mm.encode_png(img))
+    assert (rgb == img).all()
+    with pytest.raises(ValueError, match="H x W"):
+        mm.encode_png(np.zeros((3, 3), dtype=np.uint8))
 
 
 def test_decode_audio_any_real_codec_or_honest_fallback(spark):
