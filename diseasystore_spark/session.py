@@ -41,4 +41,28 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_bounded_window_warning(spark)
     return spark
+
+
+def _silence_bounded_window_warning(spark: SparkSession) -> None:
+    """Raise the WindowExec logger to ERROR — targeted, documented.
+
+    WindowExec logs "No Partition Defined ... serious performance
+    degradation" for EVERY unpartitioned window, with no way to see
+    frame size. This repo gates unpartitioned windows structurally
+    instead: ``tests/test_plan_lint.py`` walks every registry query's
+    physical plan and fails the build if a query has more global
+    windows than its reviewed, per-query bounded-frame allowance
+    (sketch-sized, quantize-bounded, hypothesis-count frames — never
+    data-sized). With the lint gate enforcing the real invariant, the
+    blanket warning is noise that buries real warnings in the oracle
+    sweep; genuine WindowExec ERRORs still surface."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments keep the default logging

@@ -204,6 +204,15 @@ def session_counts(
     Works on both batch and streaming frames (same plan); on a stream
     the watermark finalizes windows and bounds state. Scale: state is
     one (user, open-window) aggregate — counts, not event buffers.
+
+    Late-row policy (pinned by ``test_session_counts_late_data_policy``):
+    a session is finalized — emitted exactly once, state evicted —
+    when the watermark passes its gap-extended close. A straggler
+    arriving while the session is still in state merges (possibly
+    bridging two sessions into one); a straggler behind the watermark
+    arriving after eviction is DROPPED — it neither reopens the
+    finalized session nor opens a phantom one. Size ``watermark`` to
+    the feed's real out-of-orderness.
     """
     return (
         events.where(F.col(ts_col).isNotNull())

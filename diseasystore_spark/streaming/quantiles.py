@@ -234,6 +234,15 @@ def windowed_bucket_counts(
 
     Output: ``(window_start timestamp, window_end timestamp, bin int,
     cur_n bigint)``; NULL values are excluded (no bin).
+
+    Late-row policy (the watermark contract, pinned by
+    ``test_windowed_bucket_counts_late_data_policy``): a window is
+    finalized — emitted exactly once, state evicted — when the
+    watermark passes its end. A straggler arriving while its window
+    is still in state merges into the count; a straggler arriving
+    after eviction is DROPPED (the finalized count never changes, and
+    no window is re-emitted). Size ``watermark`` to the feed's real
+    out-of-orderness: it is the completeness/latency/state-size knob.
     """
     from pyspark.sql import functions as F
 

@@ -1356,3 +1356,185 @@ def test_windowed_bucket_counts_stream_matches_batch(spark, tmp_path):
     for (_, b), n in got_batch.items():
         per_bin[b] = per_bin.get(b, 0) + n
     assert sum(per_bin.values()) == 400
+
+
+def _write_ordered_batches(spark, src, schema, batches):
+    """Write each batch as one parquet file with STRICTLY increasing
+    mtimes so FileStreamSource (which orders by modification time)
+    processes them as separate, ordered micro-batches — three quick
+    writes otherwise land in the same mtime tick and the 'late' batch
+    can be read first."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    seen = set()
+    base = _time.time()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for f in _glob.glob(_os.path.join(src, "*.parquet")):
+            if f not in seen:
+                _os.utime(f, (base + 10 * i, base + 10 * i))
+                seen.add(f)
+
+
+def test_windowed_bucket_counts_late_data_policy(spark, tmp_path):
+    """Watermark semantics of the drift monitor, injected as
+    out-of-order micro-batches (one file per trigger). The documented
+    late-row policy is Spark's watermark contract: a window is
+    finalized (emitted once, state evicted) when the watermark passes
+    its end; a straggler arriving while the window is STILL in state
+    merges normally, and a straggler arriving after eviction is
+    DROPPED — the finalized count never changes and nothing is
+    double-emitted. The test injects a row behind an already-evicted
+    window and asserts its count stayed at the on-time value, and
+    that every emitted window matches the batch run over exactly the
+    surviving rows."""
+    import uuid
+
+    from diseasystore_spark.streaming.quantiles import (
+        windowed_bucket_counts,
+    )
+
+    TS = datetime.datetime
+    schema = "ts timestamp, value double"
+    ref = spark.createDataFrame(
+        [(TS(2024, 1, 1), float(v)) for v in range(100)], schema
+    ).select("value")
+
+    first = [
+        (TS(2024, 1, 1, 10, 10), 5.0),
+        (TS(2024, 1, 1, 10, 20), 15.0),
+        (TS(2024, 1, 1, 12, 0), 25.0),  # watermark -> 11:00 after b1
+    ]
+    second = [
+        # batch 2 runs with wm=11:00: finalizes + evicts the 10:00
+        # window (n=2); afterwards wm -> 13:00
+        (TS(2024, 1, 1, 14, 0), 45.0),
+    ]
+    third = [
+        # LATE: behind the 13:00 watermark, its window already
+        # evicted -> DROPPED (the finalized n=2 never becomes 3)
+        (TS(2024, 1, 1, 10, 40), 5.0),
+        (TS(2024, 1, 1, 13, 30), 35.0),  # on-time, open window
+        (TS(2024, 1, 1, 16, 0), 55.0),  # watermark -> 15:00 after b3
+    ]
+    fourth = [
+        (TS(2024, 1, 1, 20, 0), 65.0),  # flush driver
+    ]
+    src = str(tmp_path / "late_src")
+    _write_ordered_batches(
+        spark, src, schema, [first, second, third, fourth]
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = "wbc_late_" + uuid.uuid4().hex[:8]
+    q = (
+        windowed_bucket_counts(
+            stream, ref, "value",
+            window_duration="1 hour", watermark="1 hour", n_bins=5,
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"].hour, r["bin"]): r["cur_n"]
+        for r in spark.table(sink).collect()
+    }
+    # finalized windows: 10:00 with 2 on-time rows (the post-eviction
+    # late 10:40 row was dropped, NOT counted as a third and NOT
+    # re-emitted), then 12:00 / 13:00 / 14:00 with 1 each
+    surviving = first + second + third[1:]
+    batch = {
+        (r["window_start"].hour, r["bin"]): r["cur_n"]
+        for r in windowed_bucket_counts(
+            spark.createDataFrame(surviving, schema),
+            ref, "value", window_duration="1 hour", n_bins=5,
+        ).collect()
+    }
+    assert sum(n for (h, _b), n in got.items() if h == 10) == 2
+    for key, n in got.items():
+        assert batch[key] == n, (key, n)
+    assert {h for h, _ in got} >= {10, 12, 13}
+
+
+def test_session_counts_late_data_policy(spark, tmp_path):
+    """session_window watermark semantics with out-of-order
+    micro-batches: an event behind the watermark arriving AFTER its
+    session was finalized and evicted is DROPPED — it neither
+    reopens/extends the finalized session (count stays 2) nor opens a
+    phantom session — while an on-time later event opens a fresh
+    session; each finalized session is emitted exactly once. (A
+    straggler arriving while the session is still in state merges —
+    that half of the contract is covered by the funnel late-data
+    test; this one pins the post-eviction drop.)"""
+    import uuid
+
+    from diseasystore_spark.streaming.ingest import session_counts
+
+    TS = datetime.datetime
+    schema = "user_id long, ts timestamp"
+    first = [
+        (1, TS(2024, 1, 1, 10, 0)),
+        (1, TS(2024, 1, 1, 10, 10)),
+        (99, TS(2024, 1, 1, 13, 0)),  # watermark driver -> 12:00
+    ]
+    second = [
+        # batch 2 runs with wm=12:00: finalizes + evicts user 1's
+        # (10:00, 10:10) session; afterwards wm -> 15:00
+        (99, TS(2024, 1, 1, 16, 0)),
+    ]
+    third = [
+        # LATE: behind the 15:00 watermark, session state evicted ->
+        # DROPPED (no n=3, no phantom (10:20) session)
+        (1, TS(2024, 1, 1, 10, 20)),
+        (1, TS(2024, 1, 1, 15, 30)),  # on-time: a NEW session
+        (99, TS(2024, 1, 1, 20, 0)),  # watermark driver -> 19:00
+    ]
+    fourth = [
+        (99, TS(2024, 1, 1, 23, 0)),  # flush driver
+    ]
+    src = str(tmp_path / "sess_late_src")
+    _write_ordered_batches(
+        spark, src, schema, [first, second, third, fourth]
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = "sess_late_" + uuid.uuid4().hex[:8]
+    q = (
+        session_counts(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    u1 = sorted(
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table(sink).collect()
+        if r["user_id"] == 1
+    )
+    assert u1 == [
+        # first session finalized WITHOUT the late 10:20 event (and
+        # no phantom (10:20) session appeared after the drop)
+        (TS(2024, 1, 1, 10, 0), TS(2024, 1, 1, 10, 10), 2),
+        # the on-time 15:30 event opened its own session
+        (TS(2024, 1, 1, 15, 30), TS(2024, 1, 1, 15, 30), 1),
+    ]
