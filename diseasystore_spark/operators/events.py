@@ -573,21 +573,30 @@ def contact_pairs(
 
     - ``sample_rate=p`` (the COMPUTE bound, for dense streams where
       even the bounded modes' cost ≥ the exact form's — everyone is
-      co-active with everyone, so the pair aggregate itself is the
-      bill): keep a deterministic p-fraction of unordered USER PAIRS,
-      selected by an md5 predicate on the pair key
-      (``md5(seed|min(u)|max(u))`` first 8 hex digits < p·2³²),
-      applied to candidates BEFORE the exact-count pair shuffle. Kept
-      pairs carry their EXACT ``n_contacts`` (sampling is by pair, so
-      no event pair of a kept pair is ever dropped); population
-      aggregates (total contact mass, degree moments) scale by
-      ``1/p``. Because the draw is content-derived — the same
-      portability trick as the permutation test — any SQL engine
-      replays the selected pair set bit-for-bit, and re-running with
-      the same seed is exactly reproducible across partitionings.
-      Composes with both bounds above (the degree prune's cap is
-      p-independent and stays valid; the threshold then applies to
-      the sampled pairs' exact counts).
+      co-active with everyone, so per-candidate work is the bill):
+      keep a deterministic p-fraction of unordered USER PAIRS,
+      selected by an md5-derived predicate on the pair key, applied
+      to candidates BEFORE the exact-count pair shuffle. The pair
+      hash is ``h(u_a) XOR h(u_b)`` where ``h(u)`` is the first 8
+      hex digits of ``md5(seed|u)`` — computed ONCE PER EVENT (n
+      md5s), so the per-candidate cost is one integer XOR + compare,
+      the same order as the time predicates themselves. (Hashing the
+      pair key directly would evaluate an md5 per CANDIDATE — on a
+      dense stream that is ~n²/buckets md5s and costs more than the
+      exact form it was meant to bound; measured, not theorized.)
+      XOR of two independent uniform hashes is uniform and symmetric
+      (unordered pair, no min/max), so ``P[keep] = p`` per pair;
+      draws are independent except across pair TRIANGLES (the three
+      XORs of {u,v,w} are linearly dependent) — irrelevant for count
+      estimation, documented for the record. Kept pairs carry their
+      EXACT ``n_contacts`` (sampling is by pair, so no event pair of
+      a kept pair is ever dropped); population aggregates scale by
+      ``1/p``. Content-derived like the permutation test: any SQL
+      engine replays the selected pair set bit-for-bit, and re-runs
+      are exactly reproducible across partitionings. Composes with
+      both bounds above (the degree prune's cap is p-independent and
+      stays valid; the threshold then applies to the sampled pairs'
+      exact counts).
     """
     if tolerance_s <= 0:
         raise ValueError("tolerance_s must be positive")
@@ -598,11 +607,33 @@ def contact_pairs(
     if sample_rate is not None and not (0.0 < sample_rate <= 1.0):
         raise ValueError("sample_rate must be in (0, 1]")
     tol_us = tolerance_s * 1_000_000
+    sampling = sample_rate is not None and sample_rate < 1.0
     e = events.where(F.col(ts_col).isNotNull()).select(
         F.col(user_col).alias("__u"),
         F.col(id_col).alias("__i"),
         F.unix_micros(F.col(ts_col)).alias("__t"),
     )
+    if sampling:
+        # per-EVENT user hash (n md5s, never per candidate): the pair
+        # predicate below is then one XOR + compare per candidate
+        e = e.withColumn(
+            "__h",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "\x1f",
+                            F.lit(sample_seed),
+                            F.col("__u").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
     if min_contacts is not None and min_contacts > 1:
         bucket = F.expr(f"__t DIV {tol_us}")
         sizes = e.groupBy(bucket.alias("__sb")).agg(
@@ -628,6 +659,7 @@ def contact_pairs(
         F.col("__u").alias("__ua"),
         F.col("__i").alias("__ia"),
         F.col("__t").alias("__ta"),
+        *([F.col("__h").alias("__ha")] if sampling else []),
         F.explode(
             F.array(
                 F.expr(f"__t DIV {tol_us}"),
@@ -639,6 +671,7 @@ def contact_pairs(
         F.col("__u").alias("__ub"),
         F.col("__i").alias("__ib"),
         F.col("__t").alias("__tb"),
+        *([F.col("__h").alias("__hb")] if sampling else []),
         F.expr(f"__t DIV {tol_us}").alias("__b"),
     )
     cond = (
@@ -650,30 +683,15 @@ def contact_pairs(
         )
         & (F.col("__ua") != F.col("__ub"))
     )
-    if sample_rate is not None and sample_rate < 1.0:
+    if sampling:
         # deterministic pair-level Bernoulli(p): evaluated inside the
-        # candidate join, so dropped pairs never reach the exact
-        # predicate's survivors nor the pair shuffle — the post-join
-        # pipeline (map-side combine hash table, shuffle, aggregate)
-        # carries p of the mass
+        # candidate join from the PRECOMPUTED per-event hashes, so
+        # dropped pairs never reach the pair shuffle and the per-
+        # candidate cost stays one XOR + one compare
         threshold = int(round(sample_rate * 2**32))
-        pair_hash = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "\x1f",
-                        F.lit(sample_seed),
-                        F.least("__ua", "__ub").cast("string"),
-                        F.greatest("__ua", "__ub").cast("string"),
-                    ).cast("binary")
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        cond = cond & (pair_hash < F.lit(threshold))
+        cond = cond & (
+            F.col("__ha").bitwiseXOR(F.col("__hb")) < F.lit(threshold)
+        )
     j = left.join(right, "__b").where(cond)
     pairs = (
         j.select(

@@ -2197,3 +2197,99 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+
+
+def source_overlap_minhash(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 8,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash estimate of the cross-source contamination matrix —
+    the SCALE path of :func:`source_overlap_matrix`: the exact form's
+    distinct-gram inverted index grows with the corpus' distinct-gram
+    count (measured 4.15× at 10× data), which at web-corpus scale
+    dominates. Here each source gets ONE ``num_hashes``-component
+    MinHash signature over its gram multiset and the pairwise Jaccard
+    is estimated as the component match fraction — the standard
+    MinHash identity (Broder 1997): ``P[min h(A) = min h(B)] =
+    J(A, B)`` per independent hash.
+
+    Scale shape — strictly better than the exact form everywhere:
+
+    - NO distinct: a set's min is the multiset's min, so the
+      dedup shuffle the exact form pays disappears;
+    - NO inverted index: one md5 per gram OCCURRENCE (the
+      Kirsch-Mitzenmacher double-hash family of
+      :func:`minhash_signatures` — ``(a + i·b) mod (2³¹−1)`` per
+      seed, pure integer arithmetic any engine replays exactly),
+      then ONE map-side-combinable groupBy(source) computing the
+      ``num_hashes`` mins as plain agg expressions — corpus-linear
+      map work, |sources|-sized shuffle;
+    - pairing runs on the |sources| × (num_hashes+1) signature frame
+      (broadcast-sized by construction).
+
+    Estimator error is ``~1/sqrt(num_hashes)`` per pair (±12.5% at
+    64); the exact operator remains the right tool when slices are
+    few and precision matters — this one is for MANY slices over a
+    corpus too large to index.
+
+    Output: ``(source_a, source_b, n_matches int, num_hashes int,
+    jaccard_est double)`` with ``source_a < source_b``.
+    """
+    if n < 1:
+        raise ValueError("n must be at least 1")
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be at least 1")
+    p = _PORTABLE_P
+    grams = (
+        df.where(F.col(text_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("__s"),
+            F.explode(word_ngrams(text_col, n)).alias("__g"),
+        )
+        .where(F.col("__g") != "")
+    )
+    ab = grams.select(
+        "__s",
+        F.expr(
+            f"cast(conv(substr(md5(__g), 1, 8), 16, 10) as bigint) % {p}"
+        ).alias("__a"),
+        F.expr(
+            f"cast(conv(substr(md5(__g), 9, 8), 16, 10) as bigint) % {p}"
+        ).alias("__b"),
+    )
+    sigs = ab.groupBy("__s").agg(
+        *[
+            F.min((F.col("__a") + F.lit(i) * F.col("__b")) % F.lit(p))
+            .alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    left = sigs.select(
+        F.col("__s").alias("source_a"),
+        *[F.col(f"__h{i}").alias(f"__l{i}") for i in range(num_hashes)],
+    )
+    right = sigs.select(
+        F.col("__s").alias("source_b"),
+        *[F.col(f"__h{i}").alias(f"__r{i}") for i in range(num_hashes)],
+    )
+    matches = None
+    for i in range(num_hashes):
+        term = (F.col(f"__l{i}") == F.col(f"__r{i}")).cast("int")
+        matches = term if matches is None else matches + term
+    return (
+        left.join(
+            F.broadcast(right), F.col("source_a") < F.col("source_b")
+        )
+        .select(
+            "source_a",
+            "source_b",
+            matches.cast("int").alias("n_matches"),
+            F.lit(num_hashes).cast("int").alias("num_hashes"),
+            (matches.cast("double") / F.lit(float(num_hashes))).alias(
+                "jaccard_est"
+            ),
+        )
+    )

@@ -9501,11 +9501,12 @@ def q179_contact_pairs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/events.contact_pairs(sample_rate=0.2)``): a
     deterministic md5-selected 20% of unordered user pairs, each
     carrying its EXACT co-activity count — the mode for DENSE streams
-    where even the thresholded graph's pair aggregate is the bill
+    where even the thresholded graph's per-candidate work is the bill
     (everyone co-active with everyone). The pair predicate is
-    content-derived (``md5('cp0'|min(u)|max(u))``), so the oracle
-    replays the exact same pair subset bit-for-bit and population
-    aggregates scale by 1/p."""
+    content-derived — ``h(u_a) XOR h(u_b) < p*2^32`` with ``h`` the
+    md5 of the user id, computed once per EVENT, one integer op per
+    candidate — so the oracle replays the exact same pair subset
+    bit-for-bit and population aggregates scale by 1/p."""
     from diseasystore_spark.operators.events import contact_pairs
 
     return contact_pairs(
@@ -9518,7 +9519,9 @@ def q179_contact_pairs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q179 = """
 WITH e AS (
-  SELECT event_id, user_id, epoch_us(ts) AS us
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CAST(('0x' || substr(md5('cp0' || chr(31)
+           || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
   FROM events WHERE ts IS NOT NULL
 ),
 p AS (
@@ -9527,15 +9530,72 @@ p AS (
     ON b.us >= a.us AND b.us - a.us <= 3600000000
    AND (a.us < b.us OR a.event_id < b.event_id)
    AND a.user_id <> b.user_id
-   AND CAST(('0x' || substr(md5('cp0' || chr(31)
-         || CAST(least(a.user_id, b.user_id) AS VARCHAR) || chr(31)
-         || CAST(greatest(a.user_id, b.user_id) AS VARCHAR)), 1, 8))
-       AS BIGINT) < 858993459
+   AND xor(a.h, b.h) < 858993459
 )
 SELECT least(ua, ub) AS user_a, greatest(ua, ub) AS user_b,
        CAST(count(*) AS BIGINT) AS n_contacts
 FROM p GROUP BY least(ua, ub), greatest(ua, ub)
 HAVING count(*) >= 5
+"""
+
+
+def q181_source_overlap_minhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash contamination matrix
+    (``pipeline/dedup.source_overlap_minhash``): q163's slice x slice
+    overlap re-estimated via 64-component per-source MinHash
+    signatures — the scale path when the exact form's distinct-gram
+    inverted index outgrows the cluster. No distinct, no index: one
+    portable md5 double-hash per gram occurrence and one map-side-
+    combinable per-source min aggregation; the oracle replays every
+    signature component exactly (Kirsch-Mitzenmacher integer family,
+    engine-portable)."""
+    from diseasystore_spark.pipeline.dedup import source_overlap_minhash
+
+    return source_overlap_minhash(
+        _read(spark, sf_dir, "documents"), n=5, num_hashes=64
+    )
+
+
+ORACLE_Q181 = r"""
+WITH t AS (
+  SELECT source, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+g AS (
+  SELECT source,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - 4, 0)),
+           i -> array_to_string(w[i:i+4], ' '))) AS gram
+  FROM t
+),
+ab AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)
+           % 2147483647 AS a,
+         CAST(('0x' || substr(md5(gram), 9, 8)) AS BIGINT)
+           % 2147483647 AS b
+  FROM g WHERE gram <> ''
+),
+sig AS (
+  SELECT source, i.i,
+         min((a + i.i * b) % 2147483647) AS h
+  FROM ab CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+  GROUP BY source, i.i
+),
+m AS (
+  SELECT sa.source AS source_a, sb.source AS source_b,
+         CAST(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS INTEGER)
+           AS n_matches
+  FROM sig sa JOIN sig sb
+    ON sa.i = sb.i AND sa.source < sb.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_matches,
+       CAST(64 AS INTEGER) AS num_hashes,
+       CAST(n_matches AS DOUBLE) / 64.0 AS jaccard_est
+FROM m
 """
 
 
@@ -9789,6 +9849,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q178_bh_fdr_gate": q178_bh_fdr_gate,
     "q179_contact_pairs_sampled": q179_contact_pairs_sampled,
     "q180_png_decode_stats": q180_png_decode_stats,
+    "q181_source_overlap_minhash": q181_source_overlap_minhash,
 }
 
 ORACLES: dict[str, str] = {
@@ -9971,6 +10032,7 @@ ORACLES: dict[str, str] = {
     "q178_bh_fdr_gate": ORACLE_Q178,
     "q179_contact_pairs_sampled": ORACLE_Q179,
     "q180_png_decode_stats": ORACLE_Q180,
+    "q181_source_overlap_minhash": ORACLE_Q181,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

@@ -1,0 +1,152 @@
+"""Engine-core E2E at sf10-equivalent volume: drive the ACTUAL
+flagship path — ``get_feature`` (compute → SCD2 store → memoized
+re-read) and ``key_join_features`` (interlace → delta-count → cumsum
+prevalence) — over a ~10M-row synthetic multi-feature store, not the
+32k-row test fixture. SCALE.md's merge benches prove the STORAGE
+layer flat; this proves the query path on top of it.
+
+Store shape (chosen to stress what the engine actually does at
+corpus scale):
+
+- observable ``n_active``: ``N_ROWS`` (default 10M) activity
+  intervals over 24 months, ~``N_KEYS`` (default 500k) persons, 1-14
+  day validity spans — the dense side of the interlace;
+- stratification ``region``: one long-lived interval per person over
+  20 regions — the dimension side;
+- month-partitioned SCD2 storage (the registry stores' default).
+
+Timed phases (gc between each, per the bench hygiene note):
+
+1. ``get_feature`` COLD — compute + SCD2 initial write + snapshot read
+2. ``get_feature`` WARM — must be memoized (no log growth, no write)
+3. ``key_join_features('n_active', ['region'])`` — the prevalence
+   pipeline over the stored features, counted to force execution
+4. scoped BACKFILL — a second slice_ts writing one month's revision
+   through the range-scoped merge
+
+Plus a shuffle inventory of the key_join plan via
+``plans.lint.plan_summary`` — exchanges / broadcasts / python nodes —
+the evidence that the composition (not just each operator) keeps the
+plan shapes the repo promises.
+
+Emits one JSON line. Usage:
+    python scripts/bench_engine_sf10.py [n_rows] [n_keys]
+"""
+
+from __future__ import annotations
+
+import datetime
+import gc
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+D = datetime.date
+T = datetime.datetime
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_keys = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+    from diseasystore_spark import Diseasystore, FeatureHandler, key_join_sum
+    from diseasystore_spark.plans.lint import plan_summary
+    from diseasystore_spark.session import get_spark
+
+    spark = get_spark("engine-sf10")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
+
+    def activity(start_date, end_date, slice_ts, source_conn, ds):
+        base = ds.spark.range(n_rows).select(
+            F.concat(F.lit("p"), (F.col("id") % n_keys)).alias("key_person"),
+            (F.col("id") % 5 + 1).cast("double").alias("n_active"),
+            F.date_add(
+                F.lit(D(2020, 1, 1)),
+                ((F.col("id") * 127) % 730).cast("int"),
+            ).alias("valid_from"),
+            ((F.col("id") * 13) % 14 + 1).cast("int").alias("__span"),
+        )
+        return base.select(
+            "key_person",
+            "n_active",
+            "valid_from",
+            F.date_add("valid_from", F.col("__span")).alias("valid_until"),
+        )
+
+    def regions(start_date, end_date, slice_ts, source_conn, ds):
+        return ds.spark.range(n_keys).select(
+            F.concat(F.lit("p"), F.col("id")).alias("key_person"),
+            F.concat(F.lit("r"), (F.col("id") % 20)).alias("region"),
+            F.lit(D(2020, 1, 1)).alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_until"),
+        )
+
+    class BigStore(Diseasystore):
+        _ds_map = {"n_active": "big_activity", "region": "big_region"}
+        big_activity = FeatureHandler(
+            compute=activity, key_join=key_join_sum
+        )
+        big_region = FeatureHandler(compute=regions, key_join=key_join_sum)
+
+    root = tempfile.mkdtemp(prefix="engine_sf10_")
+    slice1, slice2 = T(2024, 1, 1), T(2024, 2, 1)
+    ds = BigStore(
+        spark, target_conn=root, source_conn="x",
+        slice_ts=slice1, verbose=False,
+        partition_granularity="month",
+    )
+    start, end = D(2020, 1, 1), D(2021, 12, 31)
+    out: dict[str, object] = {"n_rows": n_rows, "n_keys": n_keys}
+
+    def timed(label, fn):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        r = fn()
+        out[label] = round(time.perf_counter() - t0, 1)
+        return r
+
+    f1 = timed(
+        "get_feature_cold_s",
+        lambda: ds.get_feature("n_active", start, end).count(),
+    )
+    out["feature_rows"] = f1
+    logs_before = ds.backend.read_logs_pandas(ds.target_schema).shape[0]
+    timed(
+        "get_feature_warm_s",
+        lambda: ds.get_feature("n_active", start, end).count(),
+    )
+    logs_after = ds.backend.read_logs_pandas(ds.target_schema).shape[0]
+    assert logs_after == logs_before, "warm get_feature was not memoized"
+
+    kj = ds.key_join_features("n_active", ["region"], start, end)
+    out["key_join_rows"] = timed("key_join_s", lambda: kj.count())
+    out["key_join_plan"] = plan_summary(kj)
+    ds.release_cached_plans()
+
+    # scoped backfill at a second slice_ts: one month revised through
+    # the range-scoped merge (engine writes are always range-scoped)
+    ds2 = BigStore(
+        spark, target_conn=root, source_conn="x",
+        slice_ts=slice2, verbose=False,
+        partition_granularity="month",
+    )
+    timed(
+        "backfill_month_s",
+        lambda: ds2.get_feature(
+            "n_active", D(2020, 6, 1), D(2020, 6, 30)
+        ).count(),
+    )
+
+    print(json.dumps(out))
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -631,9 +631,11 @@ def test_contact_pairs_bounded_modes_match_naive(spark):
     p = 0.3
     thr = round(p * 2**32)
 
+    def h(u):
+        return int(hashlib.md5(f"cp0\x1f{u}".encode()).hexdigest()[:8], 16)
+
     def kept(a, b):
-        h = hashlib.md5(f"cp0\x1f{a}\x1f{b}".encode()).hexdigest()
-        return int(h[:8], 16) < thr
+        return (h(a) ^ h(b)) < thr
 
     got_s = {
         (r["user_a"], r["user_b"]): r["n_contacts"]

@@ -2790,6 +2790,64 @@ def test_source_overlap_matrix_matches_set_oracle(spark):
     assert capped.count() == 0  # every shared gram exceeds the cap
 
 
+def test_source_overlap_minhash_estimates_exact_jaccard(spark):
+    """The MinHash scale path: signature-component match fraction
+    against a Python replay of the portable double-hash family
+    (exact), and against the exact operator's Jaccard (statistical,
+    ±3σ at 128 hashes) on a corpus with a planted ~50% overlap;
+    duplicate grams must not perturb the signature (min of a multiset
+    = min of its set); validation raises."""
+    import hashlib
+
+    import pytest
+
+    from diseasystore_spark.pipeline.dedup import (
+        source_overlap_matrix,
+        source_overlap_minhash,
+    )
+
+    words = [f"w{i:03d}" for i in range(120)]
+    # s1: windows over words[0:80]; s2: words[40:120] -> gram overlap
+    # around (80-40-2)/(120-... ) ~ 1/3; s2 repeats a doc (multiset)
+    s1 = " ".join(words[:80])
+    s2 = " ".join(words[40:])
+    df = spark.createDataFrame(
+        [(0, "s1", s1), (1, "s2", s2), (2, "s2", s2)],
+        "doc_id long, source string, text string",
+    )
+    k = 128
+    got = source_overlap_minhash(df, n=3, num_hashes=k).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["source_a"], r["source_b"], r["num_hashes"]) == ("s1", "s2", k)
+
+    # exact Python replay of the portable signature family
+    P = 2147483647
+
+    def sig(text):
+        w = text.split()
+        grams = {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        mins = [P] * k
+        for g in grams:
+            h = hashlib.md5(g.encode()).hexdigest()
+            a, b = int(h[:8], 16) % P, int(h[8:16], 16) % P
+            for i in range(k):
+                v = (a + i * b) % P
+                if v < mins[i]:
+                    mins[i] = v
+        return mins
+    want = sum(x == y for x, y in zip(sig(s1), sig(s2)))
+    assert r["n_matches"] == want
+    assert r["jaccard_est"] == want / k
+
+    exact = source_overlap_matrix(df, n=3).collect()[0]["jaccard"]
+    sigma = (exact * (1 - exact) / k) ** 0.5
+    assert abs(r["jaccard_est"] - exact) <= 3 * sigma + 1e-9
+
+    with pytest.raises(ValueError, match="num_hashes"):
+        source_overlap_minhash(df, num_hashes=0)
+
+
 def test_group_centroid_cosine_matches_numpy(spark):
     """Centroid cosines against numpy means on random clustered
     vectors (micro-quantized the same way); zero-vector group yields
