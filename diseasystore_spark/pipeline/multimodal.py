@@ -199,6 +199,81 @@ def resize_payload(
     return df.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+RESIZED_IMAGE_SCHEMA = (
+    "doc_id bigint, payload binary, width int, height int, "
+    "decode_error string"
+)
+
+
+def resize_image(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL image resize — decode (any container
+    :func:`decode_image_any` supports: BMP and truecolor PNG decode
+    dependency-free here; JPEG/GIF via PIL where installed) →
+    nearest-neighbor resample → re-encode as PNG. The full
+    decode-transform-encode loop runs on actual pixels with zero
+    codec dependencies — the thumbnail/downsample stage of a
+    multimodal training pipeline, not a byte-stride stand-in
+    (:func:`resize_payload` remains the shape-only stub for formats
+    without an in-repo codec).
+
+    Nearest-neighbor mapping (engine-reproducible, no float
+    geometry): output pixel ``(x, y)`` reads source pixel
+    ``(floor(x·W/width), floor(y·H/height))`` — integer arithmetic,
+    so an analytic oracle can verify every output pixel (q182).
+    Corrupt/unsupported payloads become ``decode_error`` DATA rows
+    with a NULL payload, never job failures.
+
+    Same Arrow-batched ``mapInPandas`` shape as the other multimodal
+    operators: bounded batches, binary in / binary out.
+    """
+    if width < 1 or height < 1:
+        raise ValueError("width and height must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads, ws, hs, errs = [], [], [], []
+            for payload in pdf[payload_col].tolist():
+                try:
+                    rgb = decode_image_any(bytes(payload))
+                except (
+                    ValueError,
+                    NotImplementedError,
+                    struct.error,
+                    OSError,
+                ) as exc:
+                    payloads.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    errs.append(str(exc))
+                    continue
+                src_h, src_w = rgb.shape[0], rgb.shape[1]
+                xs = (np.arange(width, dtype=np.int64) * src_w) // width
+                ys = (np.arange(height, dtype=np.int64) * src_h) // height
+                out = rgb[np.ix_(ys, xs)]
+                payloads.append(encode_png(out))
+                ws.append(width)
+                hs.append(height)
+                errs.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "decode_error": errs,
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_IMAGE_SCHEMA)
+
+
 def decode_bmp(payload: bytes):
     """REAL image decode for uncompressed 24-bit BMP — pure
     struct-parsing + numpy, zero codec dependencies, so at least one
@@ -688,6 +763,140 @@ def audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """Minimal RIFF/WAVE 16-bit PCM encoder (the write side of
+    :func:`decode_wav`): ``samples`` is ``n_frames x n_channels``
+    int-like; values are clipped to int16 range (documented — the
+    standard saturating PCM write). Deterministic bytes."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples)
+    if a.ndim != 2:
+        raise ValueError("encode_wav expects an n_frames x n_channels array")
+    a = np.clip(a, -32768, 32767).astype("<i2")
+    n_channels = a.shape[1]
+    data = a.tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+RESAMPLED_AUDIO_SCHEMA = (
+    "doc_id bigint, payload binary, sample_rate int, n_frames bigint, "
+    "decode_error string"
+)
+
+
+def resample_audio(
+    df: DataFrame, factor: int, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio downsample — decode (:func:`decode_audio_any`:
+    PCM WAV dependency-free; FLAC/OGG via soundfile where installed)
+    → block-mean decimation by integer ``factor`` (a boxcar
+    anti-alias: each output frame is ``floor(sum(block)/factor)``
+    per channel, exact integer arithmetic, trailing partial block
+    dropped) → re-encode as 16-bit PCM WAV at ``rate/factor``
+    (floor). The decode-transform-encode loop runs on actual samples
+    with zero codec dependencies — the audio twin of
+    :func:`resize_image`, and analytically oracle-able for formula
+    waveforms (q183). Corrupt payloads become ``decode_error`` DATA
+    rows with NULL payload.
+    """
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads, rates, frames, errs = [], [], [], []
+            for payload in pdf[payload_col].tolist():
+                try:
+                    samples, rate = decode_audio_any(bytes(payload))
+                except (
+                    ValueError,
+                    NotImplementedError,
+                    struct.error,
+                    OSError,
+                ) as exc:
+                    payloads.append(None)
+                    rates.append(None)
+                    frames.append(None)
+                    errs.append(str(exc))
+                    continue
+                n, c = samples.shape
+                n_out = n // factor
+                block = samples[: n_out * factor].reshape(n_out, factor, c)
+                # floor division matches the oracle's integer // on
+                # the non-negative-sum contract; numpy's // IS floor
+                out = block.sum(axis=1, dtype=np.int64) // factor
+                new_rate = rate // factor
+                payloads.append(encode_wav(out, new_rate))
+                rates.append(new_rate)
+                frames.append(n_out)
+                errs.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_frames": pd.array(frames, dtype="Int64"),
+                    "decode_error": errs,
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESAMPLED_AUDIO_SCHEMA)
+
+
+def synthetic_wav_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_samples: int = 32,
+    sample_rate: int = 8000,
+    corrupt_every: int | None = None,
+) -> DataFrame:
+    """Deterministic PCM WAV corpus for decode/resample verification
+    (the audio twin of :func:`synthetic_png_corpus`): document k's
+    mono clip has ``n_samples`` 16-bit samples valued
+    ``(37k + 101i) % 4096`` — non-negative and analytic, so a SQL
+    oracle replays every decoded (and block-decimated) sample
+    exactly. ``corrupt_every=m`` truncates every m-th payload."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf[id_col].tolist():
+                k = int(k)
+                i = np.arange(n_samples, dtype=np.int64)
+                samples = ((37 * k + 101 * i) % 4096).reshape(-1, 1)
+                payload = encode_wav(samples, sample_rate)
+                if corrupt_every and k % corrupt_every == 0:
+                    payload = payload[:30]
+                ids.append(k)
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        run, schema="doc_id bigint, payload binary"
+    )
 
 
 def _sniff_image_format(b: bytes) -> str | None:

@@ -9599,6 +9599,150 @@ FROM m
 """
 
 
+def q182_png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image resize loop (``pipeline/multimodal.resize_image``):
+    the q180 PNG corpus decoded, nearest-neighbor resampled to 16x12
+    (integer source mapping ``floor(x*W/16)``), re-encoded as PNG,
+    then decoded AGAIN for stats — two full codec round-trips on
+    actual pixels, zero codec dependencies. The oracle computes every
+    resampled pixel analytically from the corpus formula; corrupt
+    payloads quarantine as failed rows through BOTH stages."""
+    from diseasystore_spark.pipeline.multimodal import (
+        image_stats,
+        resize_image,
+        synthetic_png_corpus,
+    )
+
+    docs = _read(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 7 == 0
+    )
+    corpus = synthetic_png_corpus(docs, corrupt_every=5)
+    resized = resize_image(corpus, width=16, height=12)
+    ok = resized.where(F.col("decode_error").isNull())
+    stats = image_stats(ok.select("doc_id", "payload"))
+    failed = resized.where(F.col("decode_error").isNotNull()).select(
+        "doc_id",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("double").alias("mean_r"),
+        F.lit(None).cast("double").alias("mean_g"),
+        F.lit(None).cast("double").alias("mean_b"),
+        F.lit(True).alias("failed"),
+    )
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("mean_rgb", 1).alias("mean_r"),
+        F.element_at("mean_rgb", 2).alias("mean_g"),
+        F.element_at("mean_rgb", 3).alias("mean_b"),
+        F.col("decode_error").isNotNull().alias("failed"),
+    ).unionByName(failed)
+
+
+ORACLE_Q182 = """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 17 AS w, 8 + doc_id % 13 AS h
+  FROM documents WHERE doc_id % 7 = 0
+),
+px AS (
+  SELECT d.doc_id,
+         (xs.x * d.w) // 16 AS sx,
+         (ys.y * d.h) // 12 AS sy
+  FROM d
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS x) xs
+  CROSS JOIN (SELECT unnest(range(0, 12)) AS y) ys
+),
+means AS (
+  SELECT doc_id,
+         sum((7*doc_id + 13*sx + 31*sy) % 256) AS s_r,
+         sum((7*doc_id + 13*sx + 31*sy + 97) % 256) AS s_g,
+         sum((7*doc_id + 13*sx + 31*sy + 194) % 256) AS s_b
+  FROM px GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 5 <> 0 THEN 16 END AS width,
+       CASE WHEN doc_id % 5 <> 0 THEN 12 END AS height,
+       CASE WHEN doc_id % 5 <> 0
+            THEN CAST(s_r AS DOUBLE) / 192.0 END AS mean_r,
+       CASE WHEN doc_id % 5 <> 0
+            THEN CAST(s_g AS DOUBLE) / 192.0 END AS mean_g,
+       CASE WHEN doc_id % 5 <> 0
+            THEN CAST(s_b AS DOUBLE) / 192.0 END AS mean_b,
+       doc_id % 5 = 0 AS failed
+FROM means
+"""
+
+
+def q183_wav_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio downsample loop
+    (``pipeline/multimodal.resample_audio``): a deterministic 32-
+    sample PCM WAV per document (sample i = (37k+101i) % 4096),
+    block-mean decimated 4x (floor of each block sum / 4, exact
+    integers), re-encoded at 2000 Hz, then decoded AGAIN for stats —
+    the audio twin of q182's decode-transform-encode loop, zero codec
+    dependencies. The oracle replays every decimated sample
+    analytically; corrupt payloads quarantine through both stages."""
+    from diseasystore_spark.pipeline.multimodal import (
+        audio_stats,
+        resample_audio,
+        synthetic_wav_corpus,
+    )
+
+    docs = _read(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 7 == 0
+    )
+    corpus = synthetic_wav_corpus(docs, corrupt_every=5)
+    resampled = resample_audio(corpus, factor=4)
+    ok = resampled.where(F.col("decode_error").isNull())
+    stats = audio_stats(ok.select("doc_id", "payload"))
+    failed = resampled.where(F.col("decode_error").isNotNull()).select(
+        "doc_id",
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("bigint").alias("n_frames"),
+        F.lit(None).cast("bigint").alias("sum_abs"),
+        F.lit(None).cast("int").alias("peak"),
+        F.lit(True).alias("failed"),
+    )
+    return stats.select(
+        "doc_id",
+        "sample_rate",
+        "n_frames",
+        "sum_abs",
+        "peak",
+        F.col("decode_error").isNotNull().alias("failed"),
+    ).unionByName(failed)
+
+
+ORACLE_Q183 = """
+WITH d AS (
+  SELECT doc_id FROM documents WHERE doc_id % 7 = 0
+),
+s AS (
+  SELECT d.doc_id, i.i, (37 * d.doc_id + 101 * i.i) % 4096 AS v
+  FROM d CROSS JOIN (SELECT unnest(range(0, 32)) AS i) i
+),
+blocks AS (
+  SELECT doc_id, i // 4 AS j, sum(v) // 4 AS b
+  FROM s GROUP BY doc_id, i // 4
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_frames,
+         CAST(sum(abs(b)) AS BIGINT) AS sum_abs,
+         CAST(max(abs(b)) AS INTEGER) AS peak
+  FROM blocks GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 5 <> 0 THEN 2000 END AS sample_rate,
+       CASE WHEN doc_id % 5 <> 0 THEN n_frames END AS n_frames,
+       CASE WHEN doc_id % 5 <> 0 THEN sum_abs END AS sum_abs,
+       CASE WHEN doc_id % 5 <> 0 THEN peak END AS peak,
+       doc_id % 5 = 0 AS failed
+FROM agg
+"""
+
+
 def q180_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real compressed-image decode, zero codec dependencies
     (``pipeline/multimodal.decode_png`` — stdlib zlib + numpy
@@ -9850,6 +9994,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q179_contact_pairs_sampled": q179_contact_pairs_sampled,
     "q180_png_decode_stats": q180_png_decode_stats,
     "q181_source_overlap_minhash": q181_source_overlap_minhash,
+    "q182_png_resize_stats": q182_png_resize_stats,
+    "q183_wav_resample_stats": q183_wav_resample_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -10033,6 +10179,8 @@ ORACLES: dict[str, str] = {
     "q179_contact_pairs_sampled": ORACLE_Q179,
     "q180_png_decode_stats": ORACLE_Q180,
     "q181_source_overlap_minhash": ORACLE_Q181,
+    "q182_png_resize_stats": ORACLE_Q182,
+    "q183_wav_resample_stats": ORACLE_Q183,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

@@ -2647,6 +2647,75 @@ def test_png_codec_roundtrip_filters_and_corruption(spark):
         mm.encode_png(np.zeros((3, 3), dtype=np.uint8))
 
 
+def test_resize_image_nearest_neighbor_exact(spark):
+    """resize_image: decode -> integer NN resample -> re-encode PNG,
+    verified pixel-exact against the numpy mapping for both down-
+    and up-scaling; corrupt payloads quarantine with NULL payload."""
+    import numpy as np
+    import pytest
+
+    from diseasystore_spark.pipeline import multimodal as mm
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(mm.encode_png(img))),
+        (2, bytearray(b"corrupt bytes not a png")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    for tw, th in [(7, 5), (28, 20)]:  # down- and up-scale
+        got = {
+            r["doc_id"]: r
+            for r in mm.resize_image(df, width=tw, height=th).collect()
+        }
+        xs = (np.arange(tw) * 14) // tw
+        ys = (np.arange(th) * 10) // th
+        want = img[np.ix_(ys, xs)]
+        out = mm.decode_png(bytes(got[1]["payload"]))
+        assert out.shape == (th, tw, 3)
+        assert (out == want).all()
+        assert got[2]["payload"] is None and got[2]["decode_error"]
+    with pytest.raises(ValueError, match="positive"):
+        mm.resize_image(df, width=0, height=5)
+
+
+def test_resample_audio_block_mean_exact(spark):
+    """resample_audio: decode -> block-mean decimation (floor of
+    block sum / factor — numpy // IS floor, negative samples
+    included) -> re-encode PCM WAV at rate/factor, verified sample-
+    exact against numpy on a signed waveform; stereo preserved;
+    trailing partial block dropped; corrupt payloads quarantine;
+    encode_wav clips to int16."""
+    import numpy as np
+    import pytest
+
+    from diseasystore_spark.pipeline import multimodal as mm
+
+    rng = np.random.default_rng(29)
+    stereo = rng.integers(-30000, 30000, size=(23, 2))  # 23 % 4 != 0
+    rows = [
+        (1, bytearray(mm.encode_wav(stereo, 8000))),
+        (2, bytearray(b"RIFFgarbage")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r for r in mm.resample_audio(df, factor=4).collect()
+    }
+    out, rate = mm.decode_wav(bytes(got[1]["payload"]))
+    want = stereo[:20].reshape(5, 4, 2).sum(axis=1) // 4
+    assert rate == 2000 and got[1]["sample_rate"] == 2000
+    assert got[1]["n_frames"] == 5 and out.shape == (5, 2)
+    assert (out == want).all()
+    assert got[2]["payload"] is None and got[2]["decode_error"]
+    with pytest.raises(ValueError, match="factor"):
+        mm.resample_audio(df, factor=0)
+    # encode_wav saturating clip
+    clipped, _ = mm.decode_wav(
+        mm.encode_wav(np.array([[40000, -40000]]), 8000)
+    )
+    assert (clipped == [[32767, -32768]]).all()
+
+
 def test_decode_audio_any_real_codec_or_honest_fallback(spark):
     """Audio twin: with soundfile importable, a FLAC written BY
     soundfile round-trips through decode_audio_any / audio_stats;
