@@ -173,12 +173,22 @@ class ParquetFeatureStore:
         root: str,
         partition_granularity: str | None = None,
         commit_backend: CommitBackend | None = None,
+        max_records_per_file: int | None = None,
     ):
         if partition_granularity not in (None, "month"):
             raise ValueError("partition_granularity must be None or 'month'")
+        if max_records_per_file is not None and max_records_per_file < 1:
+            raise ValueError("max_records_per_file must be >= 1")
         self.spark = spark
         self.root = root
         self.partition_granularity = partition_granularity
+        #: the file-size knob at real scale (Spark's own
+        #: maxRecordsPerFile): a giant month splits into bounded
+        #: files at write time instead of one task emitting one
+        #: multi-GB file; merges then re-fragment months over time,
+        #: and compact() re-bounds them via the manifest's per-month
+        #: file counts — O(fragmented months), see _compact_attempt.
+        self.max_records_per_file = max_records_per_file
         if commit_backend is None:
             # SPARK_GRAFT_COMMIT_BACKEND=memory runs every store in the
             # process against the object-store double — the switch the
@@ -677,40 +687,80 @@ class ParquetFeatureStore:
             )
         )
 
-    def compact(self, table_id: str, files_per_partition: int = 1) -> int:
+    def compact(
+        self,
+        table_id: str,
+        files_per_partition: int = 1,
+        full: bool = False,
+    ) -> int:
         """Retrying wrapper over ``_compact_attempt`` (see its
         docstring)."""
         return self._with_commit_retry(
-            lambda: self._compact_attempt(table_id, files_per_partition)
+            lambda: self._compact_attempt(
+                table_id, files_per_partition, full=full
+            )
         )
 
-    def _compact_attempt(self, table_id: str, files_per_partition: int = 1) -> int:
-        """Rewrite the current version with a bounded file count — the
+    def _compact_attempt(
+        self,
+        table_id: str,
+        files_per_partition: int = 1,
+        full: bool = False,
+    ) -> int:
+        """Rewrite fragmented storage into a bounded file count — the
         small-file maintenance op (Delta OPTIMIZE analog). Incremental
         merges accumulate one-or-more files per write; after many
         writes a snapshot read opens hundreds of tiny parquet files,
         and at cluster scale the task-per-file floor dominates.
 
+        Month-partitioned manifest tables compact PARTIALLY by
+        default: the manifest already knows each month's file count,
+        so only months holding more than one file are read and
+        rewritten — every already-compact month is carried forward by
+        reference, making the op O(fragmented months), the same
+        pruning discipline as the merge itself (``full=True`` forces
+        the old whole-table rewrite). A table with nothing fragmented
+        is a NO-OP: no version bump, no write. The flat layout always
+        rewrites to ``files_per_partition`` files total.
+
         Logical content is untouched (every snapshot at every
         ``slice_ts`` is bit-identical before and after — the rewrite
         is a pure physical re-layout written as a NEW immutable
         version, so readers of the old version are never disturbed
-        and a crash mid-compact changes nothing). In month-partitioned
-        mode the per-month shuffle yields ONE file per month
-        (``files_per_partition`` applies to the flat layout, where
-        the table is coalesced to that many files total).
-        Returns the number of data files in the new version.
+        and a crash mid-compact changes nothing).
+        Returns the number of data files in the current version after
+        the op.
         """
         if files_per_partition <= 0:
             raise ValueError("files_per_partition must be positive")
         base = self._current_version(table_id)
-        current = self.read_raw(table_id, version=base)  # partition col dropped
-        if self.partition_granularity == "month":
+        manifest = self._manifest_of(table_id, base) if base else None
+        if (
+            self.partition_granularity == "month"
+            and not full
+            and manifest is not None
+            and "months" in manifest
+        ):
+            months = manifest["months"]
+            frag = sorted(m for m, fs in months.items() if len(fs) > 1)
+            if not frag:
+                return sum(len(fs) for fs in months.values())
+            tdir = self._table_dir(table_id)
+            files = [
+                os.path.join(tdir, f) for m in frag for f in months[m]
+            ]
+            rows = self.spark.read.parquet(*files)
+            self._write_version(
+                rows, table_id, changed_months=frag, base_version=base
+            )
+        elif self.partition_granularity == "month":
+            current = self.read_raw(table_id, version=base)
             # every month changed -> fresh manifest, full rewrite
             self._write_version(
                 current, table_id, changed_months=None, base_version=base
             )
         else:
+            current = self.read_raw(table_id, version=base)
             self._write_version(
                 current.coalesce(files_per_partition),
                 table_id,
@@ -1189,14 +1239,20 @@ class ParquetFeatureStore:
                 sort_cols.append(F.col("valid_until").asc_nulls_last())
             partitioned = (
                 new_table.withColumn(
-                    PARTITION_COL, F.date_format(F.col("valid_from"), "yyyy-MM")
+                    PARTITION_COL,
+                    F.date_format(F.col("valid_from"), "yyyy-MM"),
                 )
                 .repartition(PARTITION_COL)
                 .sortWithinPartitions(*sort_cols)
             )
-            partitioned.write.partitionBy(PARTITION_COL).mode(
+            writer = partitioned.write.partitionBy(PARTITION_COL).mode(
                 "overwrite"
-            ).parquet(out_dir)
+            )
+            if self.max_records_per_file is not None:
+                writer = writer.option(
+                    "maxRecordsPerFile", str(self.max_records_per_file)
+                )
+            writer.parquet(out_dir)
             self._scrub_job_droppings(out_dir)
             months = self._segment_months(tdir, dirname)
             if changed_months is not None and prev is not None:

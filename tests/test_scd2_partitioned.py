@@ -222,23 +222,31 @@ def test_scoped_merge_noop_skips_version(spark, pstore):
     assert pstore._current_version("ds.t") == 1
 
 
-def test_compact_partitioned_keeps_month_layout(spark, pstore):
-    """Month-partitioned mode: compaction rewrites every month at one
-    file per month and snapshots stay identical."""
+def test_compact_partitioned_is_partial_and_content_preserving(
+    spark, pstore
+):
+    """Month-partitioned compaction is PARTIAL via the manifest: only
+    months holding more than one file are read and rewritten (to one
+    file each); already-compact months are carried forward by
+    reference; a fully-compact table is a version-bump-free NO-OP;
+    every snapshot is bit-identical throughout."""
     t1, t2 = T(2024, 1, 1), T(2024, 2, 1)
-    pstore.update_snapshot(_df(spark, ROWS_V1).repartition(8), "ds.t", t1)
+    # the file-size knob splits months across files -> fragmentation
+    pstore.max_records_per_file = 10
+    many = [
+        (f"k{i}", float(i), D(2020, 1 + i % 2, 10), D(2020, 1 + i % 2, 20))
+        for i in range(60)
+    ] + [("solo", 1.0, D(2020, 3, 10), D(2020, 3, 20))]  # 1-file month
+    pstore.update_snapshot(_df(spark, many), "ds.t", t1)
     pstore.update_snapshot(
         _df(
             spark,
-            [
-                ("a", 9.0, D(2020, 1, 10), D(2020, 1, 20)),
-                ("b", 2.0, D(2020, 2, 10), D(2020, 2, 20)),
-                ("c", 3.0, D(2020, 3, 10), None),
-            ],
-        ).repartition(8),
+            [("k0", 9.0, D(2020, 1, 10), D(2020, 1, 20))] + many[1:],
+        ),
         "ds.t",
         t2,
     )
+    pstore.max_records_per_file = None
 
     def snap(ts):
         return {
@@ -247,17 +255,32 @@ def test_compact_partitioned_keeps_month_layout(spark, pstore):
         }
 
     before = {ts: snap(ts) for ts in (t1, t2)}
-    pstore.compact("ds.t")
-    vdir = pstore._version_dir("ds.t", pstore._current_version("ds.t"))
-    months = [e for e in os.listdir(vdir) if e.startswith(f"{PARTITION_COL}=")]
-    assert months, vdir
-    for m in months:
-        files = [
-            f
-            for f in os.listdir(os.path.join(vdir, m))
-            if f.endswith(".parquet")
-        ]
-        assert len(files) == 1, (m, files)
+    v_before = pstore._current_version("ds.t")
+    m_before = pstore._manifest_of("ds.t", v_before)["months"]
+    frag = {m for m, fs in m_before.items() if len(fs) > 1}
+    compact_m = {m for m, fs in m_before.items() if len(fs) == 1}
+    assert frag, "fixture produced no fragmented month"
+    assert compact_m, "fixture produced no already-compact month"
+
+    n_files = pstore.compact("ds.t")
+    v_after = pstore._current_version("ds.t")
+    assert v_after == v_before + 1
+    m_after = pstore._manifest_of("ds.t", v_after)["months"]
+    assert n_files == sum(len(fs) for fs in m_after.values())
+    for m, fs in m_after.items():
+        assert len(fs) == 1, (m, fs)
+    # already-compact months carried forward by REFERENCE (same
+    # files); fragmented months rewritten into the new segment
+    for m in compact_m:
+        assert m_after[m] == m_before[m]
+    seg = pstore._manifest_of("ds.t", v_after)["dir"]
+    for m in frag:
+        assert all(f.startswith(seg + "/") for f in m_after[m])
+    assert {ts: snap(ts) for ts in (t1, t2)} == before
+
+    # fully compact now: another compact is a NO-OP (no version bump)
+    assert pstore.compact("ds.t") == n_files
+    assert pstore._current_version("ds.t") == v_after
     assert {ts: snap(ts) for ts in (t1, t2)} == before
 
 
