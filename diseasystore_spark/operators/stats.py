@@ -800,9 +800,11 @@ def permutation_test_by_group(
     randomness is md5-derived, so any SQL engine replays the same
     ``n_perm`` reassignments bit-for-bit.
 
-    Statistic (computed in decimal(38,0) — n·Σx exceeds int64 around
-    a few million rows per group of ~$150k-order cents, and the
-    DuckDB oracle uses HUGEINT): ``T = |n·Σ(x·a) − (Σa)·Σx|`` — n² times
+    Statistic (sums in bigint — linear in cents, wrapping needs
+    Σ|cents| ≈ 9.2e18 per group; cross-products in decimal(38,0) —
+    n·Σx exceeds int64 around a few MILLION rows per group of
+    ~$150k-order cents, and the DuckDB oracle uses HUGEINT):
+    ``T = |n·Σ(x·a) − (Σa)·Σx|`` — n² times
     the absolute sample covariance between assignment and metric, so
     it is comparable across reassignments with varying arm sizes.
     Null replicates draw ``a ~ Bernoulli(1/2)`` per row from
@@ -855,27 +857,31 @@ def permutation_test_by_group(
         "__rk",
         F.concat_ws("#", F.col("__rk"), F.row_number().over(wdup).cast("string")),
     )
-    # Sums and the T cross-multiplication run in decimal(38,0):
-    # n·Σx ≈ n²·mean(cents) blows past int64 around a few million
-    # rows per group of ~$150k-order cents, and with ANSI off a
-    # bigint product wraps SILENTLY — the DuckDB oracle computes in
-    # HUGEINT, so decimal(38,0) is the matching exact-width path
-    # (same hardening as welch_t_by_group / ks_statistic).
+    # The T cross-multiplication runs in decimal(38,0): n·Σx ≈
+    # n²·mean(cents) blows past int64 around a few million rows per
+    # group of ~$150k-order cents, and with ANSI off a bigint product
+    # wraps SILENTLY — the DuckDB oracle computes in HUGEINT, so
+    # decimal(38,0) is the matching exact-width path (same hardening
+    # as welch_t_by_group / ks_statistic). The SUMS themselves stay
+    # bigint for speed (a long sum over the 63×-exploded frame is
+    # several times cheaper than a decimal sum): they are LINEAR in
+    # the metric, so Σ|cents| would have to reach 9.2e18 — ~$9e16,
+    # thousands of times global GDP per group — before wrapping;
+    # the quadratic terms are what overflow at real scale, and those
+    # are the ones computed in decimal.
     dec = "decimal(38,0)"
     obs = base.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("__x").cast(dec)).cast(dec).alias("__sx"),
-        F.sum(F.col("__a").cast(dec)).cast(dec).alias("__na"),
-        F.sum(F.col("__x").cast(dec) * F.col("__a").cast(dec))
-        .cast(dec)
-        .alias("__sxa"),
+        F.sum("__x").cast("bigint").alias("__sx"),
+        F.sum(F.col("__a").cast("bigint")).cast("bigint").alias("__na"),
+        F.sum(F.col("__x") * F.col("__a")).cast("bigint").alias("__sxa"),
     ).select(
         *group_cols,
         "n",
         "__sx",
         F.abs(
-            F.col("n").cast(dec) * F.col("__sxa")
-            - F.col("__na") * F.col("__sx")
+            F.col("n").cast(dec) * F.col("__sxa").cast(dec)
+            - F.col("__na").cast(dec) * F.col("__sx").cast(dec)
         ).alias("__t_obs_dec"),
     )
     perms = base.select(
@@ -910,16 +916,15 @@ def permutation_test_by_group(
         ).alias("__p"),
     ).select(*group_cols, "__x", F.col("__p.perm").alias("__perm"), F.col("__p.bit").alias("__bit"))
     null_stats = perms.groupBy(*group_cols, "__perm").agg(
-        F.count(F.lit(1)).cast(dec).alias("__n"),
-        F.sum(F.col("__x").cast(dec)).cast(dec).alias("__sx"),
-        F.sum(F.col("__bit").cast(dec)).cast(dec).alias("__nb"),
-        F.sum(F.col("__x").cast(dec) * F.col("__bit").cast(dec))
-        .cast(dec)
-        .alias("__sxb"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__x").cast("bigint").alias("__sx"),
+        F.sum(F.col("__bit").cast("bigint")).cast("bigint").alias("__nb"),
+        F.sum(F.col("__x") * F.col("__bit")).cast("bigint").alias("__sxb"),
     ).select(
         *group_cols,
         F.abs(
-            F.col("__n") * F.col("__sxb") - F.col("__nb") * F.col("__sx")
+            F.col("__n").cast(dec) * F.col("__sxb").cast(dec)
+            - F.col("__nb").cast(dec) * F.col("__sx").cast(dec)
         ).alias("__t_perm"),
     )
     cmp = null_stats.join(F.broadcast(obs), group_cols).groupBy(

@@ -983,9 +983,11 @@ def test_permutation_test_no_int64_wrap(spark):
     the one operator left behind)."""
     from diseasystore_spark.operators.stats import permutation_test_by_group
 
-    # n=40, cents ~ 4.6e17 -> n·Σx ~ 7.4e20, far past int64 (9.2e18)
+    # n=40, cents ~ 2e17: the SUMS fit int64 (Σx ~ 8e18 < 9.2e18 —
+    # the documented linear envelope) but the cross-products do not
+    # (n·Σxa ~ 1.6e20), so this pins exactly the decimal(38,0) path
     rows = [
-        ("g", i % 2 == 0, 460_000_000_000_000_000 + i * 1_000_003)
+        ("g", i % 2 == 0, 200_000_000_000_000_000 + i * 1_000_003)
         for i in range(40)
     ]
     df = spark.createDataFrame(rows, "g string, arm boolean, cents bigint")
