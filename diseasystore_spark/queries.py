@@ -9743,6 +9743,129 @@ FROM agg
 """
 
 
+def q184_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily spine + last-observation-carried-forward
+    (``operators/impute.locf_fill``): the per-type daily event-value
+    series (sparse — not every type fires every day) densified with
+    the standard epi gap policy; ``imputed`` marks carried rows. One
+    per-key window, spine bounded by calendar time."""
+    from diseasystore_spark.operators.impute import locf_fill
+
+    daily = (
+        _read(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(
+            F.col("event_type"), F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.round(F.sum("value") * 100).cast("bigint").alias("cents"))
+    )
+    out = locf_fill(daily, ["event_type"], "day", "cents")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.col("imputed").cast("int")).cast("bigint").alias("n_imputed"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
+
+
+ORACLE_Q184 = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(min(day), max(day),
+                INTERVAL 1 DAY))::DATE AS day
+  FROM daily GROUP BY event_type
+),
+filled AS (
+  SELECT s.event_type, s.day,
+         last_value(d.cents IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cents,
+         d.cents IS NULL AS imputed
+  FROM spine s LEFT JOIN daily d
+    ON d.event_type = s.event_type AND d.day = s.day
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN imputed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_imputed,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       min(day) AS first_day, max(day) AS last_day
+FROM filled GROUP BY event_type
+"""
+
+
+def q185_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier flags per order status
+    (``operators/impute.mad_outliers``): LOWER-median order statistic
+    (engine-exact, no interpolated float median), integer
+    cross-multiplied 3*MAD rule — the robust quarantine sibling of
+    the z-test anomaly scan (medians don't move with the corruption
+    they hunt). Output is the per-group flag rollup."""
+    from diseasystore_spark.operators.impute import mad_outliers
+
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    out = mad_outliers(orders, ["status"], "cents")
+    return out.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.any_value("group_median").cast("bigint").alias("group_median"),
+        F.any_value("mad").cast("bigint").alias("mad"),
+        F.sum(F.col("outlier").cast("int")).cast("bigint").alias("n_outliers"),
+    )
+
+
+ORACLE_Q185 = """
+WITH o AS (
+  SELECT o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT status, cents,
+         row_number() OVER (PARTITION BY status ORDER BY cents) AS rk,
+         count(*) OVER (PARTITION BY status) AS n
+  FROM o
+),
+med AS (
+  SELECT status, cents AS group_median
+  FROM r WHERE rk = CAST(floor((n - 1) / 2.0) + 1 AS INTEGER)
+),
+dev AS (
+  SELECT o.status, o.cents,
+         abs(o.cents - m.group_median) AS ad, m.group_median
+  FROM o JOIN med m ON m.status = o.status
+),
+dr AS (
+  SELECT status, ad,
+         row_number() OVER (PARTITION BY status ORDER BY ad) AS rk,
+         count(*) OVER (PARTITION BY status) AS n
+  FROM dev
+),
+mad AS (
+  SELECT status, ad AS mad FROM dr
+  WHERE rk = CAST(floor((n - 1) / 2.0) + 1 AS INTEGER)
+)
+SELECT d.status, CAST(count(*) AS BIGINT) AS n,
+       CAST(any_value(d.group_median) AS BIGINT) AS group_median,
+       CAST(any_value(mad.mad) AS BIGINT) AS mad,
+       CAST(sum(CASE WHEN abs(d.cents - d.group_median) * 1000000
+                          > 3000000 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad ON mad.status = d.status
+GROUP BY d.status
+"""
+
+
 def q180_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real compressed-image decode, zero codec dependencies
     (``pipeline/multimodal.decode_png`` — stdlib zlib + numpy
@@ -9996,6 +10119,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q181_source_overlap_minhash": q181_source_overlap_minhash,
     "q182_png_resize_stats": q182_png_resize_stats,
     "q183_wav_resample_stats": q183_wav_resample_stats,
+    "q184_locf_impute": q184_locf_impute,
+    "q185_mad_outliers": q185_mad_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -10181,6 +10306,8 @@ ORACLES: dict[str, str] = {
     "q181_source_overlap_minhash": ORACLE_Q181,
     "q182_png_resize_stats": ORACLE_Q182,
     "q183_wav_resample_stats": ORACLE_Q183,
+    "q184_locf_impute": ORACLE_Q184,
+    "q185_mad_outliers": ORACLE_Q185,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF
