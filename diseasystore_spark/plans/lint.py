@@ -54,19 +54,24 @@ def plan_summary(df: DataFrame) -> dict:
     for line in simple.splitlines():
         s = line.strip().lstrip(":+-*( ").rstrip()
         if s.startswith("Window ") or s.startswith("RunningWindowFunction"):
-            # "Window [f(x) windowspecdefinition(part, order, ...)]":
-            # a windowspecdefinition whose first argument is the
-            # ordering expression (no partition columns) renders with
-            # "windowspecdefinition(" directly followed by the order
-            # spec containing ASC/DESC before any comma-separated
-            # partition list. Cheap conservative test: the line lacks
-            # "partitionBy" metadata, so detect via ", [" groups:
-            # "Window [...], [p1, p2], [o ASC...]" has 3 bracket
-            # groups; the unpartitioned form "Window [...], [o ASC]"
-            # has 2.
+            # Window nodes print as "Window [exprs], [part], [order]".
+            # Both the partition and order groups are OPTIONAL, so a
+            # single trailing group is ambiguous by count alone:
+            # "Window [...], [o ASC NULLS FIRST]"  = unpartitioned,
+            # "Window [...], [p]"                  = partitioned but
+            # unordered (e.g. a per-group unbounded sum). Disambiguate
+            # by content — Spark always renders order entries with an
+            # "ASC|DESC NULLS FIRST|LAST" suffix, which a partition
+            # expression never carries.
+            import re as _re
+
             groups = s.count("], [")
-            if groups < 2:
-                unpart += 1
+            if groups == 0:
+                unpart += 1  # no partition, no order: global frame
+            elif groups == 1:
+                last = s.rsplit("], [", 1)[-1]
+                if _re.search(r"(ASC|DESC) NULLS (FIRST|LAST)", last):
+                    unpart += 1  # lone group is an ORDER spec
     return {
         "exchanges": simple.count("Exchange"),
         "broadcasts": simple.count("Broadcast"),
