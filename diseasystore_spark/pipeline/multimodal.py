@@ -899,6 +899,189 @@ def synthetic_wav_corpus(
     )
 
 
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def encode_y4m(frames, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Minimal YUV4MPEG2 (Y4M) encoder, monochrome (``Cmono``):
+    ``frames`` is ``n_frames x H x W`` uint8 luma. Y4M is the
+    standard UNCOMPRESSED video interchange container (what ffmpeg
+    pipes rawvideo through) — stream header + ``FRAME`` markers +
+    raw planes, fully parseable with stdlib bytes — so video gets a
+    real decode path with zero codec dependencies, the same honest
+    pattern as BMP/PNG/WAV."""
+    import numpy as np
+
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim != 3:
+        raise ValueError("encode_y4m expects an n_frames x H x W array")
+    n, h, w = a.shape
+    header = (
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n"
+    ).encode()
+    out = [header]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(a[i].tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes):
+    """REAL video decode for monochrome YUV4MPEG2 — pure bytes
+    parsing + numpy, zero codec dependencies. Returns ``(frames
+    n x H x W uint8, (fps_num, fps_den))``. ``ValueError`` for
+    corrupt/truncated streams; ``NotImplementedError`` for chroma
+    formats beyond ``Cmono`` (C420 et al. need real color handling —
+    honest limit, not silently-wrong planes)."""
+    import numpy as np
+
+    if payload[:10] != _Y4M_MAGIC:
+        raise ValueError("not a Y4M payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("Y4M: truncated stream header")
+    width = height = None
+    fps = (25, 1)
+    colorspace = "C420"
+    for token in payload[10:nl].split(b" "):
+        if not token:
+            continue
+        tag, val = chr(token[0]), token[1:].decode("ascii", "replace")
+        if tag == "W":
+            width = int(val)
+        elif tag == "H":
+            height = int(val)
+        elif tag == "F":
+            num, _, den = val.partition(":")
+            fps = (int(num), int(den or 1))
+        elif tag == "C":
+            colorspace = "C" + val
+    if not width or not height or width < 1 or height < 1:
+        raise ValueError("Y4M: missing/degenerate dimensions")
+    if colorspace.lower() != "cmono":
+        raise NotImplementedError(
+            f"Y4M: only Cmono supported (got {colorspace})"
+        )
+    frame_bytes = width * height
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("Y4M: corrupt FRAME marker")
+        pos = fnl + 1
+        if pos + frame_bytes > len(payload):
+            raise ValueError("Y4M: truncated frame plane")
+        frames.append(
+            np.frombuffer(payload, np.uint8, frame_bytes, offset=pos)
+            .reshape(height, width)
+        )
+        pos += frame_bytes
+    if not frames:
+        raise ValueError("Y4M: no frames")
+    import numpy as np  # noqa: F811
+
+    return np.stack(frames), fps
+
+
+VIDEO_FRAME_STATS_SCHEMA = (
+    "doc_id bigint, n_frames int, width int, height int, "
+    "frame_idx int, mean_luma double, decode_error string"
+)
+
+
+def video_frame_stats(
+    df: DataFrame, n_sample: int = 4, payload_col: str = "payload"
+) -> DataFrame:
+    """Real video decode + evenly-spaced frame sampling: decode the
+    Y4M payload, pick ``n_sample`` frames at indices
+    ``floor(i·n_frames/n_sample)`` (the integer mapping an analytic
+    oracle can replay), and emit per-sampled-frame mean luma — the
+    actual frame-extraction stage of a multimodal pipeline, replacing
+    the byte-slice stand-in of :func:`frame_sample` for containers
+    with an in-repo decoder. Corrupt payloads yield ONE
+    ``decode_error`` data row. Same Arrow-batched ``mapInPandas``
+    shape as the image/audio operators."""
+    if n_sample < 1:
+        raise ValueError("n_sample must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, ws, hs, idxs, lumas, errs = [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    frames, _fps = decode_y4m(bytes(payload))
+                except (ValueError, NotImplementedError) as exc:
+                    ids.append(doc_id)
+                    nf.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    idxs.append(None)
+                    lumas.append(None)
+                    errs.append(str(exc))
+                    continue
+                n, h, w = frames.shape
+                for i in range(n_sample):
+                    fi = (i * n) // n_sample
+                    ids.append(doc_id)
+                    nf.append(n)
+                    ws.append(w)
+                    hs.append(h)
+                    idxs.append(fi)
+                    lumas.append(float(frames[fi].mean()))
+                    errs.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": pd.array(nf, dtype="Int32"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "mean_luma": lumas,
+                    "decode_error": errs,
+                }
+            )
+
+    return df.mapInPandas(run, schema=VIDEO_FRAME_STATS_SCHEMA)
+
+
+def synthetic_y4m_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    corrupt_every: int | None = None,
+) -> DataFrame:
+    """Deterministic Y4M corpus (the video twin of the PNG/WAV
+    corpora): document k gets ``3 + k % 5`` frames of ``W = 8 +
+    k % 9`` x ``H = 4 + k % 7`` luma, pixel ``(t, y, x)`` valued
+    ``(11k + 7t + 13x + 31y) % 256`` — analytic, so a SQL oracle
+    replays every sampled frame's mean exactly. ``corrupt_every=m``
+    truncates every m-th payload mid-frame."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf[id_col].tolist():
+                k = int(k)
+                n, w, h = 3 + k % 5, 8 + k % 9, 4 + k % 7
+                t, y, x = np.meshgrid(
+                    np.arange(n), np.arange(h), np.arange(w), indexing="ij"
+                )
+                frames = (
+                    (11 * k + 7 * t + 13 * x + 31 * y) % 256
+                ).astype(np.uint8)
+                payload = encode_y4m(frames)
+                if corrupt_every and k % corrupt_every == 0:
+                    payload = payload[: len(payload) - w * h // 2]
+                ids.append(k)
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        run, schema="doc_id bigint, payload binary"
+    )
+
+
 def _sniff_image_format(b: bytes) -> str | None:
     """Container sniff by magic bytes — BMP decodes everywhere;
     the compressed formats decode when PIL is importable and

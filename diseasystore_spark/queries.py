@@ -9866,6 +9866,75 @@ GROUP BY d.status
 """
 
 
+def q186_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real VIDEO decode + frame sampling
+    (``pipeline/multimodal.decode_y4m`` / ``video_frame_stats``):
+    deterministic monochrome Y4M clips per document (pixel (t,y,x) =
+    (11k+7t+13x+31y) % 256, 3-7 frames), 4 evenly-spaced frames
+    sampled at ``floor(i*n/4)``, per-frame mean luma — the last
+    multimodal modality on a real dependency-free decode path (Y4M
+    is ffmpeg's raw interchange container: stream header + FRAME
+    markers + raw planes). Corrupt payloads (truncated mid-frame)
+    quarantine as single decode_error rows; the oracle replays every
+    sampled frame's mean analytically."""
+    from diseasystore_spark.pipeline.multimodal import (
+        synthetic_y4m_corpus,
+        video_frame_stats,
+    )
+
+    docs = _read(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 7 == 0
+    )
+    corpus = synthetic_y4m_corpus(docs, corrupt_every=5)
+    stats = video_frame_stats(corpus, n_sample=4)
+    return stats.select(
+        "doc_id",
+        "n_frames",
+        "width",
+        "height",
+        "frame_idx",
+        "mean_luma",
+        F.col("decode_error").isNotNull().alias("failed"),
+    )
+
+
+ORACLE_Q186 = """
+WITH d AS (
+  SELECT doc_id,
+         3 + doc_id % 5 AS n,
+         8 + doc_id % 9 AS w,
+         4 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 7 = 0
+),
+samp AS (
+  SELECT d.*, s.i, (s.i * d.n) // 4 AS fi
+  FROM d CROSS JOIN (SELECT unnest(range(0, 4)) AS i) s
+  WHERE doc_id % 5 <> 0
+),
+px AS (
+  SELECT samp.doc_id, samp.n, samp.w, samp.h, samp.i, samp.fi,
+         xs.x, ys.y
+  FROM samp
+  CROSS JOIN (SELECT unnest(range(0, 17)) AS x) xs
+  CROSS JOIN (SELECT unnest(range(0, 11)) AS y) ys
+  WHERE xs.x < samp.w AND ys.y < samp.h
+),
+means AS (
+  SELECT doc_id, n, w, h, fi,
+         CAST(sum((11*doc_id + 7*fi + 13*x + 31*y) % 256) AS DOUBLE)
+           / (w * h) AS mean_luma
+  FROM px GROUP BY doc_id, n, w, h, fi, i
+)
+SELECT doc_id, CAST(n AS INTEGER) AS n_frames,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(fi AS INTEGER) AS frame_idx, mean_luma, FALSE AS failed
+FROM means
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, TRUE
+FROM d WHERE doc_id % 5 = 0
+"""
+
+
 def q180_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real compressed-image decode, zero codec dependencies
     (``pipeline/multimodal.decode_png`` — stdlib zlib + numpy
@@ -10121,6 +10190,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q183_wav_resample_stats": q183_wav_resample_stats,
     "q184_locf_impute": q184_locf_impute,
     "q185_mad_outliers": q185_mad_outliers,
+    "q186_y4m_frame_stats": q186_y4m_frame_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -10308,6 +10378,7 @@ ORACLES: dict[str, str] = {
     "q183_wav_resample_stats": ORACLE_Q183,
     "q184_locf_impute": ORACLE_Q184,
     "q185_mad_outliers": ORACLE_Q185,
+    "q186_y4m_frame_stats": ORACLE_Q186,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

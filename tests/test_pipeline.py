@@ -2679,6 +2679,40 @@ def test_resize_image_nearest_neighbor_exact(spark):
         mm.resize_image(df, width=0, height=5)
 
 
+def test_y4m_video_roundtrip_and_frame_sampling(spark):
+    """Y4M codec: encode/decode round-trips frames bit-exactly;
+    video_frame_stats samples floor(i*n/k) frames with numpy-exact
+    mean luma; corrupt payloads quarantine as ONE data row; chroma
+    formats beyond Cmono raise the honest NotImplementedError."""
+    import numpy as np
+    import pytest
+
+    from diseasystore_spark.pipeline import multimodal as mm
+
+    rng = np.random.default_rng(37)
+    frames = rng.integers(0, 256, size=(6, 5, 9), dtype=np.uint8)
+    payload = mm.encode_y4m(frames, fps=(30, 1))
+    out, fps = mm.decode_y4m(payload)
+    assert fps == (30, 1) and (out == frames).all()
+
+    rows = [(1, bytearray(payload)), (2, bytearray(payload[:-10]))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = mm.video_frame_stats(df, n_sample=4).collect()
+    ok = sorted(
+        (r["frame_idx"], r["mean_luma"]) for r in got if r["doc_id"] == 1
+    )
+    want = [
+        ((i * 6) // 4, float(frames[(i * 6) // 4].mean())) for i in range(4)
+    ]
+    assert ok == sorted(want)
+    bad = [r for r in got if r["doc_id"] == 2]
+    assert len(bad) == 1 and bad[0]["decode_error"]
+    with pytest.raises(NotImplementedError, match="Cmono"):
+        mm.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n" + b"\x00" * 6)
+    with pytest.raises(ValueError, match="n_frames x H x W"):
+        mm.encode_y4m(np.zeros((2, 2), dtype=np.uint8))
+
+
 def test_resample_audio_block_mean_exact(spark):
     """resample_audio: decode -> block-mean decimation (floor of
     block sum / factor — numpy // IS floor, negative samples
