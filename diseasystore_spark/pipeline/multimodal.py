@@ -1120,13 +1120,14 @@ MEDIA_STATS_SCHEMA = (
 def media_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Mixed-modality decode dispatch over one binary column: sniff
     each payload's container by magic bytes (``BM`` -> BMP image,
-    ``RIFF..WAVE`` -> PCM audio), run the matching REAL decoder, and
-    emit one unified row — image columns NULL for audio rows and vice
-    versa, undecodable/unknown payloads carried as data with
-    ``ok=false`` and the reason. The single-pass Arrow-batched shape
-    means a heterogeneous corpus (the practical case: one
-    ``documents``-style table holding every modality) costs one scan,
-    not one scan per format.
+    PNG signature -> stdlib PNG, ``RIFF..WAVE`` -> PCM audio,
+    ``YUV4MPEG2`` -> Y4M video, frame count in ``n_frames``), run the
+    matching REAL decoder, and emit one unified row — image columns
+    NULL for audio rows and vice versa, undecodable/unknown payloads
+    carried as data with ``ok=false`` and the reason. The single-pass
+    Arrow-batched shape means a heterogeneous corpus (the practical
+    case: one ``documents``-style table holding every modality) costs
+    one scan, not one scan per format.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1153,6 +1154,15 @@ def media_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                             ok=True,
                             width=rgb.shape[1], height=rgb.shape[0],
                             mean_rgb=rgb.reshape(-1, 3).mean(0).tolist(),
+                        )
+                    elif b[:10] == _Y4M_MAGIC:
+                        base["format"] = "y4m"
+                        frames, _fps = decode_y4m(b)
+                        base.update(
+                            ok=True,
+                            width=frames.shape[2],
+                            height=frames.shape[1],
+                            n_frames=frames.shape[0],
                         )
                     elif aud_fmt is not None:
                         base["format"] = aud_fmt

@@ -2698,6 +2698,13 @@ def test_y4m_video_roundtrip_and_frame_sampling(spark):
     rows = [(1, bytearray(payload)), (2, bytearray(payload[:-10]))]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = mm.video_frame_stats(df, n_sample=4).collect()
+
+    # media_stats dispatches y4m into the unified row shape
+    med = {r["doc_id"]: r for r in mm.media_stats(df).collect()}
+    assert med[1]["format"] == "y4m" and med[1]["ok"]
+    assert (med[1]["width"], med[1]["height"], med[1]["n_frames"]) == (9, 5, 6)
+    assert med[2]["format"] == "y4m" and not med[2]["ok"]
+    assert med[2]["decode_error"]
     ok = sorted(
         (r["frame_idx"], r["mean_luma"]) for r in got if r["doc_id"] == 1
     )
