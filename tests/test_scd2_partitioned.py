@@ -21,10 +21,20 @@ def _df(spark, rows):
     )
 
 
-@pytest.fixture()
-def pstore(spark, tmp_path):
+@pytest.fixture(params=["local", "memory"])
+def pstore(request, spark, tmp_path):
+    """The whole partitioned-manifest suite (reference carry, scoped
+    merges, file-level GC, partial compaction) runs over BOTH commit
+    backends — green over the in-memory object-store double proves
+    the manifest lifecycle needs no filesystem primitive."""
+    from diseasystore_spark.storage.backends import MemoryCommitBackend
+
+    root = str(tmp_path / "pstore")
+    kw = {}
+    if request.param == "memory":
+        kw["commit_backend"] = MemoryCommitBackend.shared(root)
     return ParquetFeatureStore(
-        spark, str(tmp_path / "pstore"), partition_granularity="month"
+        spark, root, partition_granularity="month", **kw
     )
 
 
