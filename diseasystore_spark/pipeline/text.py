@@ -1971,3 +1971,69 @@ def bigram_lm_scores(
             ).alias("avg_logp"),
         )
     )
+
+
+def reading_ease_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease per document, in exact micro-units.
+
+    The classic readability filter (quality-pipeline sibling of the
+    Gopher/C4 gates): natural prose scores ~60-80, keyword-stuffed or
+    boilerplate text collapses toward 0 or explodes past 100, so the
+    score is a cheap slicer for "reads like sentences" vs "reads like
+    a parts list".
+
+    Heuristics (deterministic, regex-only, engine-portable):
+
+    - words  = whitespace-delimited tokens (``\\S+``);
+    - sentences = runs of terminal punctuation (``[.!?]+``), floored
+      at 1 so fragments still score;
+    - syllables = vowel-group count (``[aeiouy]+`` on the lowercased
+      text) plus one for every word with no vowel at all (every word
+      carries >= 1 syllable — the standard correction, expressed as
+      ``words - words_with_vowel``).
+
+    Score: ``FRE = 206.835 - 1.015*(words/sentences)
+    - 84.6*(syllables/words)``, computed as
+    ``206_835_000 - (1_015_000_000*words div sentences)
+    - (84_600_000*syllables div words)`` — integer floor divisions on
+    positive operands, so any engine replays the micro-unit score
+    bit-for-bit. Empty/whitespace-only texts emit NULL score.
+
+    Map-only (one projection, no shuffle, no Python): at 100 TB this
+    is a full-scan-speed filter.
+    """
+    lower = F.lower(F.col(text_col))
+    words = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    )
+    groups = F.size(F.regexp_extract_all(lower, F.lit(r"[aeiouy]+"), 0))
+    with_vowel = F.size(
+        F.regexp_extract_all(lower, F.lit(r"\S*[aeiouy]\S*"), 0)
+    )
+    syl = groups + (words - with_vowel)
+    out = df.select(
+        F.col(id_col),
+        words.cast("bigint").alias("n_words"),
+        sents.cast("bigint").alias("n_sentences"),
+        syl.cast("bigint").alias("n_syllables"),
+    )
+    return out.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(
+            F.col("n_words") > 0,
+            F.lit(206_835_000).cast("bigint")
+            - F.expr("(1015000000 * n_words) div n_sentences")
+            - F.expr("(84600000 * n_syllables) div n_words"),
+        )
+        .cast("bigint")
+        .alias("fre_micro"),
+    )

@@ -10000,6 +10000,251 @@ FROM means
 """
 
 
+def q187_funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel with a conversion window
+    (``operators/funnel.funnel_conversions``): of the users whose
+    earliest 'view' is t1, how many clicked strictly after it, signed
+    up after that, and purchased after that — all within 2 hours of
+    t1 (the Amplitude/Mixpanel core query). Rates are floored
+    micro-unit integers (``n_i * 1e6 div n_prev``) so the oracle
+    replays them exactly; the window rides TIMESTAMP + INTERVAL
+    arithmetic (exact on sub-second stamps), and each step is one
+    user-keyed equi-join + combinable min — k-1 shuffles of per-user
+    rows, no collect_list whale cliff, no window function."""
+    from diseasystore_spark.operators.funnel import funnel_conversions
+
+    ev = _read(spark, sf_dir, "events")
+    return funnel_conversions(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "signup", "purchase"],
+        within_seconds=7200,
+    )
+
+
+ORACLE_Q187 = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT s1.user_id, t_1, min(e.ts) AS t_2
+  FROM s1 LEFT JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = 'click'
+   AND e.ts > s1.t_1 AND e.ts <= s1.t_1 + INTERVAL 7200 SECONDS
+  GROUP BY s1.user_id, t_1
+),
+s3 AS (
+  SELECT s2.user_id, t_1, t_2, min(e.ts) AS t_3
+  FROM s2 LEFT JOIN events e
+    ON e.user_id = s2.user_id AND e.event_type = 'signup'
+   AND e.ts > s2.t_2 AND e.ts <= s2.t_1 + INTERVAL 7200 SECONDS
+  GROUP BY s2.user_id, t_1, t_2
+),
+s4 AS (
+  SELECT s3.user_id, t_1, t_2, t_3, min(e.ts) AS t_4
+  FROM s3 LEFT JOIN events e
+    ON e.user_id = s3.user_id AND e.event_type = 'purchase'
+   AND e.ts > s3.t_3 AND e.ts <= s3.t_1 + INTERVAL 7200 SECONDS
+  GROUP BY s3.user_id, t_1, t_2, t_3
+),
+c AS (
+  SELECT CAST(count(t_1) AS BIGINT) AS n_1,
+         CAST(count(t_2) AS BIGINT) AS n_2,
+         CAST(count(t_3) AS BIGINT) AS n_3,
+         CAST(count(t_4) AS BIGINT) AS n_4
+  FROM s4
+),
+steps(step, step_name) AS (
+  VALUES (1, 'view'), (2, 'click'), (3, 'signup'), (4, 'purchase')
+)
+SELECT CAST(s.step AS INTEGER) AS step,
+       s.step_name,
+       CAST(CASE s.step WHEN 1 THEN n_1 WHEN 2 THEN n_2
+                        WHEN 3 THEN n_3 ELSE n_4 END AS BIGINT)
+         AS n_users,
+       CAST(CASE WHEN n_1 > 0 THEN
+              (CASE s.step WHEN 1 THEN n_1 WHEN 2 THEN n_2
+                           WHEN 3 THEN n_3 ELSE n_4 END) * 1000000 // n_1
+            ELSE 0 END AS BIGINT) AS conv_from_first_micro,
+       CAST(CASE s.step
+              WHEN 1 THEN CASE WHEN n_1 > 0 THEN 1000000 ELSE 0 END
+              WHEN 2 THEN CASE WHEN n_1 > 0 THEN n_2 * 1000000 // n_1
+                               ELSE 0 END
+              WHEN 3 THEN CASE WHEN n_2 > 0 THEN n_3 * 1000000 // n_2
+                               ELSE 0 END
+              ELSE CASE WHEN n_3 > 0 THEN n_4 * 1000000 // n_3
+                        ELSE 0 END
+            END AS BIGINT) AS conv_from_prev_micro
+FROM steps s CROSS JOIN c
+"""
+
+
+def q188_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the orders history
+    (``operators/funnel.cohort_retention``): customers grouped by the
+    Monday-truncated week of their FIRST order; each (cohort_week,
+    week_offset) cell counts the cohort's customers ordering again
+    that calendar week, with the floored micro-unit retained share —
+    the lifecycle heatmap behind every growth dashboard. Offsets
+    capped at 52 (first-year retention). One distinct over
+    (customer, week), one combinable min, cohort sizes broadcast —
+    no window functions anywhere."""
+    from diseasystore_spark.operators.funnel import cohort_retention
+
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+    return cohort_retention(orders, "user_id", "ts", max_week_offset=52)
+
+
+ORACLE_Q188 = """
+WITH uw AS (
+  SELECT DISTINCT o_custkey AS u,
+         CAST(date_trunc('week', o_orderdate) AS DATE) AS w
+  FROM orders WHERE o_orderdate IS NOT NULL
+),
+f AS (SELECT u, min(w) AS cohort_week FROM uw GROUP BY u),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM f GROUP BY cohort_week
+),
+cells AS (
+  SELECT f.cohort_week,
+         CAST(datediff('day', f.cohort_week, uw.w) / 7 AS INTEGER)
+           AS week_offset,
+         uw.u
+  FROM uw JOIN f USING (u)
+),
+act AS (
+  SELECT cohort_week, week_offset,
+         CAST(count(DISTINCT u) AS BIGINT) AS n_active
+  FROM cells WHERE week_offset <= 52
+  GROUP BY cohort_week, week_offset
+)
+SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+       CAST(a.n_active * 1000000 // s.cohort_size AS BIGINT)
+         AS retained_micro
+FROM act a JOIN sizes s USING (cohort_week)
+"""
+
+
+def q189_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round trip (``sources/orc``): the documents
+    table written as a 3-file snappy ORC dataset and read back with
+    an explicit schema — counts and content checksums (including a
+    portable md5-derived text digest) must equal the parquet source
+    exactly, proving the interop path is lossless. The read plan gets
+    the same scan machinery as parquet (column pruning + predicate
+    pushdown into ORC stripe statistics)."""
+    import os
+    import tempfile
+
+    from diseasystore_spark.sources.orc import read_orc, write_orc
+
+    docs = _read(spark, sf_dir, "documents")
+    d = os.path.join(tempfile.mkdtemp(prefix="ds_orc_"), "docs")
+    write_orc(docs, d, n_files=3)
+    back = read_orc(
+        spark,
+        d,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        # 8 hex chars (32 bits) per row: the sum stays far under
+        # int64 even at 2^31 rows; 15 chars would wrap at ~10 rows.
+        F.sum(
+            F.expr(
+                "cast(conv(substr(md5(concat_ws('\\u001f', doc_id, text,"
+                " lang, source)), 1, 8), 16, 10) as bigint)"
+            )
+        )
+        .cast("bigint")
+        .alias("content_digest"),
+    )
+
+
+ORACLE_Q189 = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(CAST(('0x' || substr(
+                 md5(doc_id || chr(31) || text || chr(31) || lang
+                     || chr(31) || source), 1, 8)) AS BIGINT))
+            AS BIGINT) AS content_digest
+FROM documents
+"""
+
+
+def q190_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease quality slice
+    (``pipeline/text.reading_ease_scores``): regex-only word /
+    sentence / vowel-group-syllable counting, micro-unit integer
+    score (floored divisions — engine-portable bit-for-bit), rolled
+    up per source with the share of documents in the 'readable
+    prose' band [30, 100]. Map-only scoring — full-scan speed at any
+    size."""
+    from diseasystore_spark.pipeline.text import reading_ease_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = reading_ease_scores(docs, "doc_id", "text").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("sum_words"),
+        F.sum("n_sentences").cast("bigint").alias("sum_sentences"),
+        F.sum("n_syllables").cast("bigint").alias("sum_syllables"),
+        F.sum("fre_micro").cast("bigint").alias("sum_fre_micro"),
+        F.sum(
+            (
+                (F.col("fre_micro") >= 30_000_000)
+                & (F.col("fre_micro") <= 100_000_000)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_readable"),
+    )
+
+
+ORACLE_Q190 = """
+WITH sc AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '\\S+')) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))
+           + (len(regexp_extract_all(text, '\\S+'))
+              - len(regexp_extract_all(lower(text),
+                                       '\\S*[aeiouy]\\S*'))) AS y
+  FROM documents
+),
+f AS (
+  SELECT doc_id, source, w, s, y,
+         CASE WHEN w > 0 THEN
+           206835000 - (1015000000 * w) // s - (84600000 * y) // w
+         END AS fre
+  FROM sc
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS sum_words,
+       CAST(sum(s) AS BIGINT) AS sum_sentences,
+       CAST(sum(y) AS BIGINT) AS sum_syllables,
+       CAST(sum(fre) AS BIGINT) AS sum_fre_micro,
+       CAST(sum(CASE WHEN fre BETWEEN 30000000 AND 100000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_readable
+FROM f
+GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10191,6 +10436,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q184_locf_impute": q184_locf_impute,
     "q185_mad_outliers": q185_mad_outliers,
     "q186_y4m_frame_stats": q186_y4m_frame_stats,
+    "q187_funnel_conversions": q187_funnel_conversions,
+    "q188_cohort_retention": q188_cohort_retention,
+    "q189_orc_roundtrip": q189_orc_roundtrip,
+    "q190_reading_ease": q190_reading_ease,
 }
 
 ORACLES: dict[str, str] = {
@@ -10379,6 +10628,10 @@ ORACLES: dict[str, str] = {
     "q184_locf_impute": ORACLE_Q184,
     "q185_mad_outliers": ORACLE_Q185,
     "q186_y4m_frame_stats": ORACLE_Q186,
+    "q187_funnel_conversions": ORACLE_Q187,
+    "q188_cohort_retention": ORACLE_Q188,
+    "q189_orc_roundtrip": ORACLE_Q189,
+    "q190_reading_ease": ORACLE_Q190,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

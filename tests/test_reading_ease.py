@@ -1,0 +1,50 @@
+"""Flesch reading-ease scorer (pipeline/text.reading_ease_scores)."""
+
+from __future__ import annotations
+
+from diseasystore_spark.pipeline.text import reading_ease_scores
+
+
+def _fre(w: int, s: int, y: int) -> int:
+    return 206_835_000 - (1_015_000_000 * w) // s - (84_600_000 * y) // w
+
+
+def test_reading_ease_counts_and_score(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. It ran!"),
+            (2, "Brrr zzz!"),  # vowel-less words still get 1 syllable
+            (3, ""),  # empty -> NULL score
+            (4, "word"),  # no terminal punctuation -> 1 sentence
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in reading_ease_scores(df).collect()}
+
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (5, 2, 5)
+    assert r1["fre_micro"] == _fre(5, 2, 5)
+
+    r2 = out[2]
+    assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (2, 1, 2)
+    assert r2["fre_micro"] == _fre(2, 1, 2)
+
+    assert out[3]["n_words"] == 0 and out[3]["fre_micro"] is None
+
+    r4 = out[4]
+    assert (r4["n_words"], r4["n_sentences"], r4["n_syllables"]) == (1, 1, 1)
+    assert r4["fre_micro"] == _fre(1, 1, 1)
+
+
+def test_reading_ease_vowel_groups_not_letters(spark):
+    # 'queueing' = one vowel GROUP before the g plus none after:
+    # 'ueuei' is one run -> 2 groups? lower: q-u-e-u-e-i-n-g ->
+    # run 'ueuei' (5 vowels, ONE group), then 'g' — 1 group total...
+    # plus trailing nothing. Pin it exactly: groups counted on runs.
+    df = spark.createDataFrame(
+        [(1, "queueing aloud")], "doc_id bigint, text string"
+    )
+    r = reading_ease_scores(df).collect()[0]
+    # 'queueing' -> 'ueuei' run = 1 group; 'aloud' -> 'a', 'ou' = 2.
+    assert r["n_syllables"] == 3
+    assert r["n_words"] == 2
