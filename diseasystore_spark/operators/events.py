@@ -51,6 +51,7 @@ def funnel_reach(
     ts_col: str = "ts",
     type_col: str = "event_type",
     extra_group_cols: list[str] | None = None,
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Per-user funnel progression times.
 
@@ -59,6 +60,13 @@ def funnel_reach(
     min event time of ``sj`` STRICTLY AFTER ``t(j-1)``. Returns
     ``(user_col, reach)`` where ``reach`` is an ``array<bigint>`` of
     microsecond epochs, NULL at stage j if the user never reached it.
+
+    ``within_seconds`` adds the product-analytics conversion window:
+    stages past the first must land at most that many seconds after
+    ``t0`` — the window is anchored at the user's EARLIEST first-stage
+    event (the deterministic convention; no alternative-anchor
+    search). Exact microsecond arithmetic, so a SQL oracle replays
+    the boundary bit-for-bit.
 
     Physical plan: filter to the funnel's event types, groupBy user
     collecting ``(us, stage)`` structs, ``array_sort`` (ordered by
@@ -112,11 +120,21 @@ def funnel_reach(
     # `acc[i - 1]` uses Spark SQL's 0-based [] array indexing.
     # CASE branches evaluate sequentially, so acc[i - 1] is only
     # reached when i >= 1 (ANSI mode would reject acc[-1]).
+    # Conversion window: stage j >= 1 must land within `within` of
+    # acc[0]. When the chain guard acc[i-1] != NOT_REACHED holds,
+    # acc[0] is transitively filled and (by the induction above)
+    # already final, so the bound compares against the true t0.
+    win = (
+        ""
+        if within_seconds is None
+        else f"AND e.__us <= acc[0] + {int(within_seconds) * 1_000_000} "
+    )
     step = (
         "transform(acc, (v, i) -> CASE "
         f"WHEN v != {NOT_REACHED} OR i != e.__sj THEN v "
         "WHEN i = 0 THEN e.__us "
         f"WHEN acc[i - 1] != {NOT_REACHED} AND e.__us > acc[i - 1] "
+        f"{win}"
         "THEN e.__us "
         "ELSE v END)"
     )
@@ -177,12 +195,78 @@ def funnel_counts(
     return wide.select(F.explode(rows).alias("__r")).select("__r.*")
 
 
+def funnel_conversions(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: int | None = None,
+    skew_safe: bool = False,
+) -> DataFrame:
+    """``funnel_counts`` plus the numbers a funnel dashboard actually
+    plots: per-stage user counts AND floored micro-unit conversion
+    rates, with an optional conversion window.
+
+    Output (one row per stage): ``step`` (1-based int), ``step_name``,
+    ``n_users``, ``conv_from_first_micro`` (``n_j * 1e6 div n_1``),
+    ``conv_from_prev_micro`` (``n_j * 1e6 div n_(j-1)``; 1e6 at step 1
+    when anyone entered). Integer ``div`` on non-negative counts —
+    any engine replays the rates bit-for-bit. ``skew_safe`` routes to
+    ``funnel_reach_joins`` (whale users); otherwise the single-shuffle
+    state machine.
+
+    The rollup runs inside ONE aggregated row (all K counts side by
+    side), so step-over-step rates need no lag window; the row is
+    then exploded to K typed structs.
+    """
+    reach_fn = funnel_reach_joins if skew_safe else funnel_reach
+    reach = reach_fn(
+        events,
+        stages,
+        user_col,
+        ts_col,
+        type_col,
+        within_seconds=within_seconds,
+    )
+    wide = reach.agg(
+        *[
+            F.count(F.col("reach")[j]).cast("bigint").alias(f"__n{j}")
+            for j in range(len(stages))
+        ]
+    )
+    structs = []
+    for j, s in enumerate(stages):
+        n_j = f"coalesce(__n{j}, 0L)"
+        first = f"CASE WHEN __n0 > 0 THEN ({n_j} * 1000000L) div __n0 ELSE 0L END"
+        if j == 0:
+            prev = "CASE WHEN __n0 > 0 THEN 1000000L ELSE 0L END"
+        else:
+            prev = (
+                f"CASE WHEN __n{j - 1} > 0 THEN "
+                f"({n_j} * 1000000L) div __n{j - 1} ELSE 0L END"
+            )
+        structs.append(
+            F.struct(
+                F.lit(j + 1).cast("int").alias("step"),
+                F.lit(s).alias("step_name"),
+                F.expr(n_j).cast("bigint").alias("n_users"),
+                F.expr(first).cast("bigint").alias("conv_from_first_micro"),
+                F.expr(prev).cast("bigint").alias("conv_from_prev_micro"),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("__r")).select(
+        "__r.*"
+    )
+
+
 def retention_cohorts(
     events: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
     period: str = "week",
     max_offset: int | None = None,
+    with_rates: bool = False,
 ) -> DataFrame:
     """Classic retention triangle: users bucketed by first-activity
     period (their cohort), counted as active at each later period
@@ -191,6 +275,12 @@ def retention_cohorts(
     Output: ``(cohort date, period_offset int, active_users bigint)``
     with ``period_offset = 0`` being the cohort period itself (so
     ``active_users`` at offset 0 is the cohort size).
+
+    ``with_rates`` appends ``cohort_size`` and ``retained_micro``
+    (``active_users * 1e6 div cohort_size`` — integer floor division,
+    engine-portable). Sizes come from the per-user firsts frame
+    (cohort-cardinality rows) joined broadcast — no window, no second
+    pass over the event data.
 
     ``period`` is any ``date_trunc`` unit (``week`` starts Monday in
     both Spark and DuckDB/ISO). Offsets are computed by date
@@ -226,6 +316,19 @@ def retention_cohorts(
     )
     if max_offset is not None:
         out = out.where(F.col("period_offset") <= max_offset)
+    if with_rates:
+        sizes = firsts.groupBy("cohort").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+        )
+        out = out.join(F.broadcast(sizes), "cohort").select(
+            "cohort",
+            "period_offset",
+            "active_users",
+            "cohort_size",
+            F.expr("(active_users * 1000000L) div cohort_size")
+            .cast("bigint")
+            .alias("retained_micro"),
+        )
     return out
 
 
@@ -267,6 +370,7 @@ def funnel_reach_joins(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Skew-safe funnel variant: identical output to ``funnel_reach``,
     computed as K sequential min-after aggregations instead of one
@@ -279,7 +383,8 @@ def funnel_reach_joins(
     Cost: K keyed shuffles + K-1 joins (vs 1 shuffle for the array
     form). Prefer ``funnel_reach`` unless per-user event counts are
     unbounded. Equivalence is property-tested against the same Python
-    oracle as the array form.
+    oracle as the array form. ``within_seconds`` matches
+    ``funnel_reach``'s conversion window (anchored at ``t0``).
     """
     if not stages:
         raise ValueError("stages must be a non-empty ordered list")
@@ -305,14 +410,23 @@ def funnel_reach_joins(
             reach = cur
         else:
             prev = f"__t{j - 1}"
+            frontier_cols = [user_col, prev]
+            if within_seconds is not None and prev != "__t0":
+                frontier_cols.append("__t0")
+            cond = F.col("__us") > F.col(prev)
+            if within_seconds is not None:
+                cond = cond & (
+                    F.col("__us")
+                    <= F.col("__t0") + int(within_seconds) * 1_000_000
+                )
             cur = (
                 stage_ev.join(
                     reach.where(F.col(prev).isNotNull()).select(
-                        user_col, prev
+                        *frontier_cols
                     ),
                     user_col,
                 )
-                .where(F.col("__us") > F.col(prev))
+                .where(cond)
                 .groupBy(user_col)
                 .agg(F.min("__us").alias(f"__t{j}"))
             )

@@ -10001,24 +10001,22 @@ FROM means
 
 
 def q187_funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered-step funnel with a conversion window
-    (``operators/funnel.funnel_conversions``): of the users whose
-    earliest 'view' is t1, how many clicked strictly after it, signed
-    up after that, and purchased after that — all within 2 hours of
-    t1 (the Amplitude/Mixpanel core query). Rates are floored
-    micro-unit integers (``n_i * 1e6 div n_prev``) so the oracle
-    replays them exactly; the window rides TIMESTAMP + INTERVAL
-    arithmetic (exact on sub-second stamps), and each step is one
-    user-keyed equi-join + combinable min — k-1 shuffles of per-user
-    rows, no collect_list whale cliff, no window function."""
-    from diseasystore_spark.operators.funnel import funnel_conversions
+    """Ordered-step funnel with a conversion WINDOW and rate rollup
+    (``operators/events.funnel_conversions`` on q68's state-machine
+    ``funnel_reach``): of the users whose earliest 'view' is t0, how
+    many clicked strictly after it, signed up after that, and
+    purchased after that — all within 2 hours of t0 (the
+    Amplitude/Mixpanel core query; the window is anchored at the
+    earliest first-stage event). Rates are floored micro-unit
+    integers (``n_j * 1e6 div n_prev``) and the window bound is exact
+    microsecond arithmetic, so the oracle's K-CTE min-after chain
+    replays every boundary bit-for-bit. Single shuffle, zero Python,
+    no window function."""
+    from diseasystore_spark.operators.events import funnel_conversions
 
     ev = _read(spark, sf_dir, "events")
     return funnel_conversions(
         ev,
-        "user_id",
-        "ts",
-        "event_type",
         ["view", "click", "signup", "purchase"],
         within_seconds=7200,
     )
@@ -10083,22 +10081,31 @@ FROM steps s CROSS JOIN c
 
 
 def q188_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort retention over the orders history
-    (``operators/funnel.cohort_retention``): customers grouped by the
+    """Weekly cohort retention with retained-share rates over the
+    orders history (``operators/events.retention_cohorts`` with
+    ``with_rates`` — q69's triangle plus the micro-unit share a
+    retention heatmap plots): customers grouped by the
     Monday-truncated week of their FIRST order; each (cohort_week,
     week_offset) cell counts the cohort's customers ordering again
-    that calendar week, with the floored micro-unit retained share —
-    the lifecycle heatmap behind every growth dashboard. Offsets
-    capped at 52 (first-year retention). One distinct over
-    (customer, week), one combinable min, cohort sizes broadcast —
-    no window functions anywhere."""
-    from diseasystore_spark.operators.funnel import cohort_retention
+    that calendar week. Offsets capped at 52 (first-year retention).
+    One distinct over (customer, week), one combinable min, cohort
+    sizes broadcast — no window functions anywhere."""
+    from diseasystore_spark.operators.events import retention_cohorts
 
     orders = _read(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"),
         F.col("o_orderdate").cast("timestamp").alias("ts"),
     )
-    return cohort_retention(orders, "user_id", "ts", max_week_offset=52)
+    out = retention_cohorts(
+        orders, period="week", max_offset=52, with_rates=True
+    )
+    return out.select(
+        F.col("cohort").alias("cohort_week"),
+        F.col("period_offset").alias("week_offset"),
+        F.col("active_users").alias("n_active"),
+        "cohort_size",
+        "retained_micro",
+    )
 
 
 ORACLE_Q188 = """
