@@ -153,3 +153,90 @@ def test_retention_with_rates(spark):
     assert out[(w1, 1)]["retained_micro"] == 500_000
     assert out[(w2, 0)]["cohort_size"] == 1
     assert set(out) == {(w1, 0), (w1, 1), (w2, 0)}
+
+
+# ---------------------------------------------------------------------------
+# Property: windowed funnel == Python oracle, both variants agree
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_STAGES = ["a", "b", "c"]
+_ev_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user
+        st.integers(min_value=0, max_value=120),  # second offset
+        st.sampled_from(["a", "b", "c", "noise"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _py_windowed_reach(rows, stages, within_s):
+    """Sequential min-after chain with a t0-anchored window — the
+    q187 oracle's formulation, independent of the scan order the
+    state machine uses."""
+    out = {}
+    for u in {r[0] for r in rows}:
+        evs = [
+            (t, s) for (uu, t, s) in rows if uu == u and s in stages
+        ]
+        if not evs:
+            continue  # no stage-typed event: not in the frame at all
+        reach = [None] * len(stages)
+        cand = [t for (t, s) in evs if s == stages[0]]
+        if cand:
+            reach[0] = min(cand)
+            hi = None if within_s is None else reach[0] + within_s
+            for j in range(1, len(stages)):
+                if reach[j - 1] is None:
+                    break
+                cand = [
+                    t
+                    for (t, s) in evs
+                    if s == stages[j]
+                    and t > reach[j - 1]
+                    and (hi is None or t <= hi)
+                ]
+                reach[j] = min(cand) if cand else None
+        # a user with SOME stage event but no stage-0 event appears
+        # with an all-NULL reach (both operator variants agree).
+        out[u] = reach
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(_ev_strategy, st.sampled_from([None, 10, 45]))
+def test_windowed_funnel_matches_python_oracle(spark, events, within):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(u, base + dt.timedelta(seconds=t), s) for (u, t, s) in events],
+        "user_id int, ts timestamp, event_type string",
+    )
+    base_us = int(
+        base.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+    want = {
+        u: [None if t is None else base_us + t * 1_000_000 for t in reach]
+        for u, reach in _py_windowed_reach(
+            events, _STAGES, within
+        ).items()
+    }
+    a = {
+        r["user_id"]: r["reach"]
+        for r in funnel_reach(
+            df, _STAGES, within_seconds=within
+        ).collect()
+    }
+    b = {
+        r["user_id"]: r["reach"]
+        for r in funnel_reach_joins(
+            df, _STAGES, within_seconds=within
+        ).collect()
+    }
+    assert a == want
+    assert b == want
