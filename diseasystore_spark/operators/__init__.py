@@ -1,5 +1,6 @@
 from diseasystore_spark.operators.events import (
     contact_pairs,
+    funnel_conversions,
     funnel_counts,
     funnel_reach,
     funnel_reach_joins,
@@ -28,6 +29,7 @@ from diseasystore_spark.operators.missing_ranges import (
 
 __all__ = [
     "contact_pairs",
+    "funnel_conversions",
     "funnel_counts",
     "funnel_reach",
     "funnel_reach_joins",

@@ -42,6 +42,11 @@ QUERIES = [
     "q112_semantic_dedup",
     "q113_rrf_fusion",
     "q114_duplicate_spans",
+    # round-8 continuation additions
+    "q187_funnel_conversions",
+    "q188_cohort_retention",
+    "q189_orc_roundtrip",
+    "q190_reading_ease",
 ]
 
 
