@@ -94,6 +94,11 @@ def funnel_reach(
             "stages must be distinct event types (a repeated stage would "
             "always map to its first slot and never advance)"
         )
+    if within_seconds is not None and within_seconds <= 0:
+        raise ValueError(
+            "within_seconds must be positive (pass None for no window; "
+            "0 would make every later stage unreachable, silently)"
+        )
     k = len(stages)
     group_cols = [user_col, *(extra_group_cols or [])]
     ev = (
@@ -164,35 +169,17 @@ def funnel_counts(
 
     Output: ``(stage_idx int, stage string, users bigint)`` — one row
     per stage; ``users`` is non-increasing in ``stage_idx`` by
-    construction. The final rollup is a K-column aggregate of the
-    per-user reach frame unpivoted with ``stack`` — no second
-    shuffle over the event data.
+    construction. Thin view over :func:`funnel_conversions` (one
+    shared rollup implementation): the K-row rate frame is projected
+    down to the historical count schema, the two dropped rate columns
+    costing nothing at K rows.
     """
-    reach = funnel_reach(events, stages, user_col, ts_col, type_col)
-    aggs = [
-        F.sum(
-            F.when(F.col("reach")[j].isNotNull(), 1).otherwise(0)
-        ).alias(f"__s{j}")
-        for j in range(len(stages))
-    ]
-    wide = reach.agg(*aggs)
-    # Typed unpivot (explode of an array of structs) instead of a
-    # stack() SQL string: stage names are caller-supplied and would
-    # need escaping inside a string literal — F.lit carries them as
-    # data, so quotes/backslashes in a stage name are fine.
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(j).cast("int").alias("stage_idx"),
-                F.lit(s).alias("stage"),
-                F.coalesce(
-                    F.col(f"__s{j}").cast("bigint"), F.lit(0).cast("bigint")
-                ).alias("users"),
-            )
-            for j, s in enumerate(stages)
-        ]
+    conv = funnel_conversions(events, stages, user_col, ts_col, type_col)
+    return conv.select(
+        (F.col("step") - 1).cast("int").alias("stage_idx"),
+        F.col("step_name").alias("stage"),
+        F.col("n_users").alias("users"),
     )
-    return wide.select(F.explode(rows).alias("__r")).select("__r.*")
 
 
 def funnel_conversions(
@@ -390,6 +377,10 @@ def funnel_reach_joins(
         raise ValueError("stages must be a non-empty ordered list")
     if len(set(stages)) != len(stages):
         raise ValueError("stages must be distinct event types")
+    if within_seconds is not None and within_seconds <= 0:
+        raise ValueError(
+            "within_seconds must be positive (pass None for no window)"
+        )
     ev = events.where(F.col(ts_col).isNotNull()).select(
         F.col(user_col),
         F.unix_micros(F.col(ts_col)).alias("__us"),

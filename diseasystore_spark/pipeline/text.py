@@ -1977,6 +1977,7 @@ def reading_ease_scores(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Flesch reading-ease per document, in exact micro-units.
 
@@ -1988,7 +1989,10 @@ def reading_ease_scores(
 
     Heuristics (deterministic, regex-only, engine-portable):
 
-    - words  = whitespace-delimited tokens (``\\S+``);
+    - words = whitespace-delimited tokens, with whitespace spelled as
+      the EXPLICIT class ``[ \\t\\n\\r\\f]`` — ``\\S`` is NOT portable
+      (Java's ``\\s`` includes ``\\x0B``, RE2's does not, so one VT
+      character in the corpus would silently diverge the engines);
     - sentences = runs of terminal punctuation (``[.!?]+``), floored
       at 1 so fragments still score;
     - syllables = vowel-group count (``[aeiouy]+`` on the lowercased
@@ -1997,41 +2001,51 @@ def reading_ease_scores(
       ``words - words_with_vowel``).
 
     Score: ``FRE = 206.835 - 1.015*(words/sentences)
-    - 84.6*(syllables/words)``, computed as
-    ``206_835_000 - (1_015_000_000*words div sentences)
+    - 84.6*(syllables/words)``, computed in micro-units as
+    ``206_835_000 - (1_015_000*words div sentences)
     - (84_600_000*syllables div words)`` — integer floor divisions on
     positive operands, so any engine replays the micro-unit score
     bit-for-bit. Empty/whitespace-only texts emit NULL score.
 
-    Map-only (one projection, no shuffle, no Python): at 100 TB this
-    is a full-scan-speed filter.
+    ``extra_cols`` ride through the projection (group keys for a
+    downstream rollup) so callers never need to join the scores back
+    onto the corpus — the whole scoring stays map-only (one
+    projection, no shuffle, no Python): at 100 TB this is a
+    full-scan-speed filter.
     """
+    nonspace = r"[^ \t\n\r\f]"
     lower = F.lower(F.col(text_col))
-    words = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0))
+    words = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(nonspace + "+"), 0)
+    )
     sents = F.greatest(
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)),
         F.lit(1),
     )
     groups = F.size(F.regexp_extract_all(lower, F.lit(r"[aeiouy]+"), 0))
     with_vowel = F.size(
-        F.regexp_extract_all(lower, F.lit(r"\S*[aeiouy]\S*"), 0)
+        F.regexp_extract_all(
+            lower, F.lit(f"{nonspace}*[aeiouy]{nonspace}*"), 0
+        )
     )
     syl = groups + (words - with_vowel)
     out = df.select(
         F.col(id_col),
+        *[F.col(c) for c in (extra_cols or [])],
         words.cast("bigint").alias("n_words"),
         sents.cast("bigint").alias("n_sentences"),
         syl.cast("bigint").alias("n_syllables"),
     )
     return out.select(
         id_col,
+        *(extra_cols or []),
         "n_words",
         "n_sentences",
         "n_syllables",
         F.when(
             F.col("n_words") > 0,
             F.lit(206_835_000).cast("bigint")
-            - F.expr("(1015000000 * n_words) div n_sentences")
+            - F.expr("(1015000 * n_words) div n_sentences")
             - F.expr("(84600000 * n_syllables) div n_words"),
         )
         .cast("bigint")

@@ -10167,10 +10167,17 @@ def q189_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
         # 8 hex chars (32 bits) per row: the sum stays far under
         # int64 even at 2^31 rows; 15 chars would wrap at ~10 rows.
+        # Every field is explicitly coalesced to a sentinel BEFORE the
+        # separator concat (concat_ws would silently DROP a NULL field
+        # and its separator — a collision hazard AND a divergence from
+        # the oracle's || operator, which nullifies the whole row).
         F.sum(
             F.expr(
-                "cast(conv(substr(md5(concat_ws('\\u001f', doc_id, text,"
-                " lang, source)), 1, 8), 16, 10) as bigint)"
+                "cast(conv(substr(md5(concat("
+                "coalesce(cast(doc_id as string), '<NULL>'), '\\u001f',"
+                " coalesce(text, '<NULL>'), '\\u001f',"
+                " coalesce(lang, '<NULL>'), '\\u001f',"
+                " coalesce(source, '<NULL>'))), 1, 8), 16, 10) as bigint)"
             )
         )
         .cast("bigint")
@@ -10183,8 +10190,11 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(doc_id) AS BIGINT) AS sum_ids,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        CAST(sum(CAST(('0x' || substr(
-                 md5(doc_id || chr(31) || text || chr(31) || lang
-                     || chr(31) || source), 1, 8)) AS BIGINT))
+                 md5(coalesce(CAST(doc_id AS VARCHAR), '<NULL>')
+                     || chr(31) || coalesce(text, '<NULL>')
+                     || chr(31) || coalesce(lang, '<NULL>')
+                     || chr(31) || coalesce(source, '<NULL>')),
+                 1, 8)) AS BIGINT))
             AS BIGINT) AS content_digest
 FROM documents
 """
@@ -10193,16 +10203,18 @@ FROM documents
 def q190_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease quality slice
     (``pipeline/text.reading_ease_scores``): regex-only word /
-    sentence / vowel-group-syllable counting, micro-unit integer
-    score (floored divisions — engine-portable bit-for-bit), rolled
-    up per source with the share of documents in the 'readable
-    prose' band [30, 100]. Map-only scoring — full-scan speed at any
-    size."""
+    sentence / vowel-group-syllable counting with engine-portable
+    explicit whitespace classes, micro-unit integer score (floored
+    divisions — bit-for-bit in any engine), rolled up per source
+    with the share of documents in the 'readable prose' band
+    [30, 100]. The source key rides the scoring projection
+    (``extra_cols``), so the plan is ONE map-only pass + the rollup
+    — no join back onto the corpus."""
     from diseasystore_spark.pipeline.text import reading_ease_scores
 
     docs = _read(spark, sf_dir, "documents")
-    scored = reading_ease_scores(docs, "doc_id", "text").join(
-        docs.select("doc_id", "source"), "doc_id"
+    scored = reading_ease_scores(
+        docs, "doc_id", "text", extra_cols=["source"]
     )
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -10224,18 +10236,18 @@ def q190_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q190 = """
 WITH sc AS (
   SELECT doc_id, source,
-         len(regexp_extract_all(text, '\\S+')) AS w,
+         len(regexp_extract_all(text, '[^ \t\n\r\f]+')) AS w,
          greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
          len(regexp_extract_all(lower(text), '[aeiouy]+'))
-           + (len(regexp_extract_all(text, '\\S+'))
+           + (len(regexp_extract_all(text, '[^ \t\n\r\f]+'))
               - len(regexp_extract_all(lower(text),
-                                       '\\S*[aeiouy]\\S*'))) AS y
+                     '[^ \t\n\r\f]*[aeiouy][^ \t\n\r\f]*'))) AS y
   FROM documents
 ),
 f AS (
   SELECT doc_id, source, w, s, y,
          CASE WHEN w > 0 THEN
-           206835000 - (1015000000 * w) // s - (84600000 * y) // w
+           206835000 - (1015000 * w) // s - (84600000 * y) // w
          END AS fre
   FROM sc
 )

@@ -240,3 +240,11 @@ def test_windowed_funnel_matches_python_oracle(spark, events, within):
     }
     assert a == want
     assert b == want
+
+
+@pytest.mark.parametrize("reach_fn", [funnel_reach, funnel_reach_joins])
+def test_nonpositive_window_rejected(spark, reach_fn):
+    ev = _events(spark, [(1, "2024-01-01 10:00:00", "a")])
+    for bad in (0, -5):
+        with pytest.raises(ValueError):
+            reach_fn(ev, ["a", "b"], within_seconds=bad)

@@ -6,7 +6,7 @@ from diseasystore_spark.pipeline.text import reading_ease_scores
 
 
 def _fre(w: int, s: int, y: int) -> int:
-    return 206_835_000 - (1_015_000_000 * w) // s - (84_600_000 * y) // w
+    return 206_835_000 - (1_015_000 * w) // s - (84_600_000 * y) // w
 
 
 def test_reading_ease_counts_and_score(spark):
@@ -23,6 +23,10 @@ def test_reading_ease_counts_and_score(spark):
 
     r1 = out[1]
     assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (5, 2, 5)
+    # True Flesch value, pinned absolutely so a mis-scaled coefficient
+    # can never hide behind a formula helper that repeats the bug:
+    # 206.835 - 1.015*(5/2) - 84.6*(5/5) = 119.6975 -> 119,697,500.
+    assert r1["fre_micro"] == 119_697_500
     assert r1["fre_micro"] == _fre(5, 2, 5)
 
     r2 = out[2]
