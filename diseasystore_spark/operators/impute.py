@@ -26,8 +26,26 @@ identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _null_safe_on(
+    left: str, right: str, cols: list[str]
+) -> Column:
+    """AND-fold of ``eqNullSafe`` over ``cols`` between two aliased
+    frames — a NULL group/key is a legitimate stratum everywhere in
+    this module (plain equality joins would silently orphan it, the
+    failure mode group_quantile_normalize's null-safe join fixed)."""
+    return reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
+            for c in cols
+        ],
+    )
 
 
 def locf_fill(
@@ -44,7 +62,8 @@ def locf_fill(
     ``imputed`` marks rows whose VALUE was carried — both absent days
     and observed-but-NULL days (the emitted number was not measured
     that day either way). Duplicate (key, date) rows are rejected
-    loud (which value would carry?).
+    loud (which value would carry?). A NULL key is a legitimate
+    series of its own (null-safe spine join), not a dropped one.
 
     Scale shape: one combinable per-key min/max aggregate, a
     ``sequence()`` explode for the spine (rows = Σ per-key span days
@@ -93,17 +112,28 @@ def locf_fill(
             ).alias("__d"),
         )
     )
+    # Window over the SPINE side's columns (the join below carries
+    # both sides' key columns; unqualified names would be ambiguous).
     w = (
-        Window.partitionBy(*key_cols)
-        .orderBy("__d")
+        Window.partitionBy(*[F.col(f"s.{c}") for c in key_cols])
+        .orderBy(F.col("s.__d"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    joined = spine.join(base, [*key_cols, "__d"], "left")
+    # Null-safe on the key columns (a NULL key is its own series —
+    # plain equality would blank every one of its observed values and
+    # mark them imputed); plain equality on the spine date (never
+    # NULL on either side by construction).
+    joined = spine.alias("s").join(
+        base.alias("b"),
+        _null_safe_on("s", "b", key_cols)
+        & (F.col("s.__d") == F.col("b.__d")),
+        "left",
+    )
     return joined.select(
-        *key_cols,
-        F.col("__d").alias(date_col),
-        F.last("__v", ignorenulls=True).over(w).alias(value_col),
-        F.col("__v").isNull().alias("imputed"),
+        *[F.col(f"s.{c}").alias(c) for c in key_cols],
+        F.col("s.__d").alias(date_col),
+        F.last(F.col("b.__v"), ignorenulls=True).over(w).alias(value_col),
+        F.col("b.__v").isNull().alias("imputed"),
     )
 
 
@@ -133,7 +163,9 @@ def mad_outliers(
 
     Output: input columns + ``(group_median bigint, mad bigint,
     outlier boolean)``; NULL values pass through unflagged
-    (``outlier`` NULL).
+    (``outlier`` NULL). A NULL group KEY is a legitimate stratum:
+    its rows get their own median/MAD and flags (null-safe joins
+    throughout), matching ``group_quantile_normalize``'s policy.
     """
     if not group_cols:
         raise ValueError("group_cols must name at least one column")
@@ -154,22 +186,45 @@ def mad_outliers(
             F.col("__r") == F.floor((F.col("__n") - 1) / 2) + 1
         ).select(*group_cols, F.col(col).alias(out))
 
+    # All three stat joins are NULL-SAFE on the group key: a NULL
+    # group is a legitimate stratum (and the likeliest home of the
+    # corrupted slices this operator quarantines) — plain equality
+    # would hand every NULL-group row NULL stats and a NULL flag.
     med = lower_median(vals.select(*group_cols, "__x"), "__x", "group_median")
-    dev = vals.join(F.broadcast(med), group_cols).select(
-        *group_cols, F.abs(F.col("__x") - F.col("group_median")).alias("__ad")
+    dev = (
+        vals.alias("v")
+        .join(F.broadcast(med.alias("m")), _null_safe_on("v", "m", group_cols))
+        .select(
+            *[F.col(f"v.{c}").alias(c) for c in group_cols],
+            F.abs(F.col("v.__x") - F.col("m.group_median")).alias("__ad"),
+        )
     )
     mad = lower_median(dev, "__ad", "mad")
-    stats = med.join(mad, group_cols)
+    stats = (
+        med.alias("m")
+        .join(mad.alias("d"), _null_safe_on("m", "d", group_cols))
+        .select(
+            *[F.col(f"m.{c}").alias(c) for c in group_cols],
+            "group_median",
+            "mad",
+        )
+    )
     return (
-        base.join(F.broadcast(stats), group_cols, "left")
-        .withColumn(
-            "outlier",
+        base.alias("b")
+        .join(
+            F.broadcast(stats.alias("st")),
+            _null_safe_on("b", "st", group_cols),
+            "left",
+        )
+        .select(
+            *[F.col(f"b.{c}") for c in base.columns if c != "__x"],
+            "group_median",
+            "mad",
             F.when(
-                F.col("__x").isNotNull(),
-                F.abs(F.col("__x") - F.col("group_median"))
+                F.col("b.__x").isNotNull(),
+                F.abs(F.col("b.__x") - F.col("group_median"))
                 * F.lit(1_000_000)
                 > F.lit(int(k_micro)) * F.col("mad"),
-            ),
+            ).alias("outlier"),
         )
-        .drop("__x")
     )

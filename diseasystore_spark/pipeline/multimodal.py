@@ -978,8 +978,6 @@ def decode_y4m(payload: bytes):
         pos += frame_bytes
     if not frames:
         raise ValueError("Y4M: no frames")
-    import numpy as np  # noqa: F811
-
     return np.stack(frames), fps
 
 

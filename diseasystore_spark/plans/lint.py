@@ -17,6 +17,8 @@ on plan-format drift (an unknown node simply isn't flagged).
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame
 
 
@@ -63,8 +65,6 @@ def plan_summary(df: DataFrame) -> dict:
             # by content — Spark always renders order entries with an
             # "ASC|DESC NULLS FIRST|LAST" suffix, which a partition
             # expression never carries.
-            import re as _re
-
             groups = s.count("], [")
             if groups == 0:
                 unpart += 1  # no partition, no order: global frame

@@ -1025,7 +1025,17 @@ class ParquetFeatureStore:
             )
             return
 
-        month_of = F.date_format(F.col("valid_from"), "yyyy-MM")
+        # NULL valid_from lands in the NULL_MONTH segment (that is
+        # literally the directory partitionBy writes it to), so the
+        # changed-month key must say so too — a raw date_format would
+        # yield Python None here: unsortable against the string
+        # months, and a changed-months list that can never pop the
+        # manifest's NULL_MONTH key (silently dropping that month's
+        # carried rows).
+        month_of = F.coalesce(
+            F.date_format(F.col("valid_from"), "yyyy-MM"),
+            F.lit(NULL_MONTH),
+        )
         inserted = inserted.cache()
         try:
             changed_months = sorted(
@@ -1125,7 +1135,16 @@ class ParquetFeatureStore:
         # inserted row change; everything else is linked forward. The
         # change sets are cached so the months-collect and the write
         # run the anti-joins once.
-        month_of = F.date_format(F.col("valid_from"), "yyyy-MM")
+        # Coalesce to NULL_MONTH for the same reason as the
+        # append-only path: NULL-valid_from rows live in that
+        # manifest segment. (NULL_MONTH sorts after every "yyyy-MM",
+        # so when such rows change, the written_range guard below
+        # routes the merge through the unscoped rewrite — correct,
+        # just unpruned.)
+        month_of = F.coalesce(
+            F.date_format(F.col("valid_from"), "yyyy-MM"),
+            F.lit(NULL_MONTH),
+        )
         closed = closed.cache()
         inserted = inserted.cache()
         try:
@@ -1272,7 +1291,15 @@ class ParquetFeatureStore:
                 months = carried
             body: dict = {"months": months}
         else:
-            new_table.write.mode("overwrite").parquet(out_dir)
+            writer = new_table.write.mode("overwrite")
+            if self.max_records_per_file is not None:
+                # Same file-size knob as the partitioned branch — a
+                # flat table is exactly the case where one coalesced
+                # multi-GB file would otherwise slip through.
+                writer = writer.option(
+                    "maxRecordsPerFile", str(self.max_records_per_file)
+                )
+            writer.parquet(out_dir)
             self._scrub_job_droppings(out_dir)
             body = {
                 "files": sorted(

@@ -89,3 +89,47 @@ def test_mad_outliers_matches_python_oracle(spark):
     assert flags[("g2", 6)] is True and flags[("g2", 5)] is False
     with pytest.raises(ValueError, match="group_cols"):
         mad_outliers(df, [], "cents")
+
+
+def test_locf_fill_null_key_is_its_own_series(spark):
+    from diseasystore_spark.operators.impute import locf_fill
+
+    # A NULL key must keep its OBSERVED values (a plain equality
+    # spine join would blank them and mark them imputed).
+    df = spark.createDataFrame(
+        [
+            (None, datetime.date(2024, 1, 1), 100),
+            (None, datetime.date(2024, 1, 3), 300),
+            ("a", datetime.date(2024, 1, 1), 1),
+        ],
+        "k string, d date, v int",
+    )
+    out = {
+        (r["k"], r["d"].isoformat()): (r["v"], r["imputed"])
+        for r in locf_fill(df, ["k"], "d", "v").collect()
+    }
+    assert out[(None, "2024-01-01")] == (100, False)
+    assert out[(None, "2024-01-02")] == (100, True)
+    assert out[(None, "2024-01-03")] == (300, False)
+    assert out[("a", "2024-01-01")] == (1, False)
+
+
+def test_mad_outliers_null_group_gets_flags(spark):
+    from diseasystore_spark.operators.impute import mad_outliers
+
+    # The NULL stratum gets its own median/MAD and real flags.
+    rows = [("g", c) for c in (1, 2, 3, 4, 5)] + [
+        (None, 10),
+        (None, 10),
+        (None, 10),
+        (None, 10_000),
+    ]
+    df = spark.createDataFrame(rows, "g string, cents long")
+    got = {
+        (r["g"], r["cents"]): (r["group_median"], r["mad"], r["outlier"])
+        for r in mad_outliers(df, ["g"], "cents").collect()
+    }
+    # NULL group: lower median 10, MAD 0 -> any deviation flags.
+    assert got[(None, 10)] == (10, 0, False)
+    assert got[(None, 10_000)] == (10, 0, True)
+    assert got[("g", 3)][2] is False

@@ -313,3 +313,49 @@ def test_scoped_merge_read_never_touches_later_month_files(spark, pstore):
         f"{PARTITION_COL}=2020-01" in f or f"{PARTITION_COL}=2020-02" in f
         for f in files
     ), files
+
+
+def test_null_valid_from_month_survives_scoped_merges(spark, pstore):
+    """NULL valid_from rows live in the NULL_MONTH manifest segment;
+    scoped merges must key them as that segment (a raw date_format
+    month would be Python None: unsortable against string months and
+    never matching the manifest key — the carried rows would vanish
+    silently)."""
+    from diseasystore_spark.storage.scd2 import NULL_MONTH
+
+    t1, t2, t3 = T(2024, 1, 1), T(2024, 1, 2), T(2024, 1, 3)
+    rows_v1 = [
+        ("a", 1.0, D(2020, 1, 10), D(2020, 1, 20)),
+        ("n", 7.0, None, None),  # NULL valid_from: NULL_MONTH segment
+    ]
+    pstore.update_snapshot(_df(spark, rows_v1), "ds.t", t1)
+    m1 = pstore._manifest_of("ds.t", 1)["months"]
+    assert NULL_MONTH in m1
+
+    # Change ONLY the NULL-month row (plus keep January): the scoped
+    # merge's changed-months set is exactly the NULL segment.
+    rows_v2 = [
+        ("a", 1.0, D(2020, 1, 10), D(2020, 1, 20)),
+        ("n", 8.0, None, None),
+    ]
+    pstore.update_snapshot(_df(spark, rows_v2), "ds.t", t2)
+    m2 = pstore._manifest_of("ds.t", 2)["months"]
+    # January carried by reference; NULL month rewritten.
+    assert m2["2020-01"] == m1["2020-01"]
+    assert set(m2[NULL_MONTH]).isdisjoint(set(m1[NULL_MONTH]))
+    snap2 = {r["key_id"]: r["v"] for r in pstore.get_table("ds.t", t2).collect()}
+    assert snap2 == {"a": 1.0, "n": 8.0}
+
+    # Change a dated month: the NULL month must carry by reference.
+    rows_v3 = [
+        ("a", 2.0, D(2020, 1, 10), D(2020, 1, 20)),
+        ("n", 8.0, None, None),
+    ]
+    pstore.update_snapshot(_df(spark, rows_v3), "ds.t", t3)
+    m3 = pstore._manifest_of("ds.t", 3)["months"]
+    assert m3[NULL_MONTH] == m2[NULL_MONTH]
+    snap3 = {r["key_id"]: r["v"] for r in pstore.get_table("ds.t", t3).collect()}
+    assert snap3 == {"a": 2.0, "n": 8.0}
+    # History intact across all three snapshots.
+    snap1 = {r["key_id"]: r["v"] for r in pstore.get_table("ds.t", t1).collect()}
+    assert snap1 == {"a": 1.0, "n": 7.0}
