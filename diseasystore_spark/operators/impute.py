@@ -26,26 +26,10 @@ identically.
 
 from __future__ import annotations
 
-from functools import reduce
-
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def _null_safe_on(
-    left: str, right: str, cols: list[str]
-) -> Column:
-    """AND-fold of ``eqNullSafe`` over ``cols`` between two aliased
-    frames — a NULL group/key is a legitimate stratum everywhere in
-    this module (plain equality joins would silently orphan it, the
-    failure mode group_quantile_normalize's null-safe join fixed)."""
-    return reduce(
-        lambda a, b: a & b,
-        [
-            F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
-            for c in cols
-        ],
-    )
+from diseasystore_spark.operators._util import null_safe_on as _null_safe_on
 
 
 def locf_fill(
@@ -76,6 +60,8 @@ def locf_fill(
     """
     if not key_cols:
         raise ValueError("key_cols must name at least one column")
+    if "imputed" in df.columns:
+        raise ValueError("column 'imputed' already exists")
     base = df.where(F.col(date_col).isNotNull()).select(
         *key_cols,
         F.col(date_col).cast("date").alias("__d"),
@@ -169,6 +155,9 @@ def mad_outliers(
     """
     if not group_cols:
         raise ValueError("group_cols must name at least one column")
+    for out in ("group_median", "mad", "outlier"):
+        if out in df.columns:
+            raise ValueError(f"column {out!r} already exists")
     x = F.col(value_col).cast("bigint")
     base = df.withColumn("__x", x)
     vals = base.where(F.col("__x").isNotNull())

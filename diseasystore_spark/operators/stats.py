@@ -685,18 +685,20 @@ def group_quantile_normalize(
         .alias(out_col),
     )
     # null-safe join back: a NULL group key must match its own
-    # stratum, not vanish (plain equi-join never matches NULL keys)
-    r = ranked.select(
-        *[F.col(g).alias(f"__r_{i}") for i, g in enumerate(group_cols)],
-        F.col("__qv").alias("__r_qv"),
-        out_col,
-    )
-    cond = F.col("__qv") == F.col("__r_qv")
-    for i, g in enumerate(group_cols):
-        cond = cond & F.col(g).eqNullSafe(F.col(f"__r_{i}"))
+    # stratum, not vanish (plain equi-join never matches NULL keys) —
+    # the shared operators/_util.null_safe_on policy
+    from diseasystore_spark.operators._util import null_safe_on
+
+    cond = (
+        F.col("b.__qv") == F.col("r.__qv")
+    ) & null_safe_on("b", "r", group_cols)
     return (
-        base.join(r, cond)
-        .drop("__qv", "__r_qv", *[f"__r_{i}" for i in range(len(group_cols))])
+        base.alias("b")
+        .join(ranked.alias("r"), cond)
+        .select(
+            *[F.col(f"b.{c}") for c in base.columns if c != "__qv"],
+            F.col(f"r.{out_col}"),
+        )
     )
 
 

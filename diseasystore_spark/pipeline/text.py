@@ -2005,7 +2005,11 @@ def reading_ease_scores(
     ``206_835_000 - (1_015_000*words div sentences)
     - (84_600_000*syllables div words)`` — integer floor divisions on
     positive operands, so any engine replays the micro-unit score
-    bit-for-bit. Empty/whitespace-only texts emit NULL score.
+    bit-for-bit. Empty/whitespace-only texts emit NULL score; a NULL
+    text emits NULL for ALL four outputs (without the explicit guard
+    the sentence floor would manufacture a phantom ``n_sentences=1``
+    for unscoreable rows — and ``greatest(NULL, 1)`` is exactly where
+    engines disagree, so the guard is also the portability fix).
 
     ``extra_cols`` ride through the projection (group keys for a
     downstream rollup) so callers never need to join the scores back
@@ -2018,9 +2022,14 @@ def reading_ease_scores(
     words = F.size(
         F.regexp_extract_all(F.col(text_col), F.lit(nonspace + "+"), 0)
     )
-    sents = F.greatest(
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)),
-        F.lit(1),
+    sents = F.when(
+        F.col(text_col).isNotNull(),
+        F.greatest(
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)
+            ),
+            F.lit(1),
+        ),
     )
     groups = F.size(F.regexp_extract_all(lower, F.lit(r"[aeiouy]+"), 0))
     with_vowel = F.size(

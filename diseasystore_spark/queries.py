@@ -10237,7 +10237,9 @@ ORACLE_Q190 = """
 WITH sc AS (
   SELECT doc_id, source,
          len(regexp_extract_all(text, '[^ \t\n\r\f]+')) AS w,
-         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+         END AS s,
          len(regexp_extract_all(lower(text), '[aeiouy]+'))
            + (len(regexp_extract_all(text, '[^ \t\n\r\f]+'))
               - len(regexp_extract_all(lower(text),

@@ -742,10 +742,37 @@ class ParquetFeatureStore:
             and "months" in manifest
         ):
             months = manifest["months"]
-            frag = sorted(m for m, fs in months.items() if len(fs) > 1)
+            tdir = self._table_dir(table_id)
+
+            def achievable(fs: list[str]) -> int:
+                # A rewrite cannot beat ceil(rows / max_records_per_file)
+                # files, so that — not 1 — is the convergence target
+                # when the file-size knob is set (otherwise a periodic
+                # compact() would rewrite every large month forever,
+                # bumping a version each call instead of reaching the
+                # documented no-op). Row counts come free from the
+                # parquet footers, the _write_stats discipline; on any
+                # footer failure fall back to the knobless target.
+                if self.max_records_per_file is None:
+                    return 1
+                try:
+                    rows_m = sum(
+                        pq.ParquetFile(
+                            os.path.join(tdir, f)
+                        ).metadata.num_rows
+                        for f in fs
+                    )
+                except Exception:
+                    return 1
+                return max(
+                    1, -(-rows_m // self.max_records_per_file)
+                )
+
+            frag = sorted(
+                m for m, fs in months.items() if len(fs) > achievable(fs)
+            )
             if not frag:
                 return sum(len(fs) for fs in months.values())
-            tdir = self._table_dir(table_id)
             files = [
                 os.path.join(tdir, f) for m in frag for f in months[m]
             ]

@@ -359,3 +359,36 @@ def test_null_valid_from_month_survives_scoped_merges(spark, pstore):
     # History intact across all three snapshots.
     snap1 = {r["key_id"]: r["v"] for r in pstore.get_table("ds.t", t1).collect()}
     assert snap1 == {"a": 1.0, "n": 7.0}
+
+
+def test_compact_converges_under_max_records_per_file(spark, pstore):
+    """With the file-size knob set, a month legitimately holding
+    ceil(rows/N) files is NOT fragmented — compact() must reach a
+    version-bump-free no-op instead of rewriting the table's largest
+    months on every invocation forever."""
+    t1, t2 = T(2024, 1, 1), T(2024, 2, 1)
+    pstore.max_records_per_file = 10
+    many = [
+        (f"k{i}", float(i), D(2020, 1, 10), D(2020, 1, 20))
+        for i in range(35)  # one month, ceil(35/10)=4 files achievable
+    ]
+    pstore.update_snapshot(_df(spark, many), "ds.t", t1)
+    # second write fragments the month across two segments
+    pstore.update_snapshot(
+        _df(spark, [("k0", 9.0, D(2020, 1, 10), D(2020, 1, 20))] + many[1:]),
+        "ds.t",
+        t2,
+    )
+    v0 = pstore._current_version("ds.t")
+    n1 = pstore.compact("ds.t")
+    v1 = pstore._current_version("ds.t")
+    # first compact may rewrite (history rows joined the month), but
+    # the SECOND must be a no-op at the knob-achievable file count
+    n2 = pstore.compact("ds.t")
+    assert pstore._current_version("ds.t") == v1
+    assert n2 == n1
+    assert v1 <= v0 + 1
+    snap = {
+        (r["key_id"], r["v"]) for r in pstore.get_table("ds.t", t2).collect()
+    }
+    assert ("k0", 9.0) in snap and len(snap) == 35
