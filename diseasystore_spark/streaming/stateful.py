@@ -146,6 +146,7 @@ def funnel_stream(
     user_col: str = "user_id",
     type_col: str = "event_type",
     watermark: str = "1 hour",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Streaming funnel progression (the incremental form of
     ``operators.events.funnel_reach``): per user, maintain the exact
@@ -172,6 +173,16 @@ def funnel_stream(
     late-data-correct formulation. Recompute per (user, batch) is a
     merge + one K-stage scan over the kept arrays.
 
+    ``within_seconds`` is the batch twin's conversion window (stages
+    past the first must land within that many seconds of ``t0``, the
+    user's earliest first-stage event). The monotonicity argument
+    extends: ``t0`` is non-increasing, so the window end ``t0 + W``
+    is non-increasing too — a candidate beyond the CURRENT window can
+    never re-enter it and is safely discarded (a bonus prune for
+    otherwise-unreached stages), and a late earlier first-stage event
+    may REGRESS a later stage to NULL by pulling the window back —
+    exactly what the batch operator computes over the full history.
+
     Requires distinct ``stages`` (same contract as the batch
     operator). State carries epoch MICROS (int64, Arrow-stable).
     """
@@ -179,6 +190,13 @@ def funnel_stream(
         raise ValueError("stages must be a non-empty ordered list")
     if len(set(stages)) != len(stages):
         raise ValueError("stages must be distinct event types")
+    if within_seconds is not None and within_seconds <= 0:
+        raise ValueError(
+            "within_seconds must be positive (pass None for no window)"
+        )
+    win_us = (
+        None if within_seconds is None else int(within_seconds) * 1_000_000
+    )
     k = len(stages)
     stage_idx = {s: j for j, s in enumerate(stages)}
 
@@ -199,12 +217,22 @@ def funnel_stream(
     def _recompute(cands: list[list[int]]) -> list[int | None]:
         reach: list[int | None] = []
         prev: int | None = None
+        hi: int | None = None  # window end t0 + W (None = no window)
         for j in range(k):
             cur = None
             for t in cands[j]:  # sorted ascending: first hit is the min
-                if j == 0 or (prev is not None and t > prev):
+                if j == 0:
                     cur = t
                     break
+                if (
+                    prev is not None
+                    and t > prev
+                    and (hi is None or t <= hi)
+                ):
+                    cur = t
+                    break
+            if j == 0 and cur is not None and win_us is not None:
+                hi = cur + win_us
             reach.append(cur)
             prev = cur
         return reach
@@ -244,10 +272,16 @@ def funnel_stream(
 
         reach = _recompute(cands)
         # Prune: times strictly above a reached stage's answer can
-        # never matter again (reach is non-increasing).
+        # never matter again (reach is non-increasing). With a
+        # conversion window, times beyond the CURRENT window end can
+        # never re-enter it either (t0 + W is non-increasing) — this
+        # also bounds the state of stages the window keeps unreached.
         for j in range(k):
             if reach[j] is not None:
                 cands[j] = [t for t in cands[j] if t <= reach[j]]
+            elif j > 0 and win_us is not None and reach[0] is not None:
+                hi = reach[0] + win_us
+                cands[j] = [t for t in cands[j] if t <= hi]
 
         enc = [NOT_REACHED if t is None else t for t in reach]
         state.update(tuple(cands) + (enc,))

@@ -1538,3 +1538,75 @@ def test_session_counts_late_data_policy(spark, tmp_path):
         # the on-time 15:30 event opened its own session
         (TS(2024, 1, 1, 15, 30), TS(2024, 1, 1, 15, 30), 1),
     ]
+
+
+def test_funnel_stream_window_regresses_on_late_anchor(spark, tmp_path):
+    """Windowed streaming funnel == windowed batch funnel under late
+    data, including the adversarial direction the window introduces:
+    a LATE earlier first-stage event pulls the window back and
+    REGRESSES an already-reached later stage to NULL."""
+    from diseasystore_spark.operators.events import funnel_reach
+    from diseasystore_spark.streaming.stateful import funnel_stream
+
+    TS = datetime.datetime
+    first = [
+        # u1 converts inside the 1h window anchored at 10:00 ...
+        (1, TS(2024, 1, 1, 10, 0), "view"),
+        (1, TS(2024, 1, 1, 10, 30), "click"),
+        # u2 stalls: click outside the window of its 10:00 view
+        (2, TS(2024, 1, 1, 10, 0), "view"),
+        (2, TS(2024, 1, 1, 11, 30), "click"),
+    ]
+    second = [
+        # ... until a LATE 8:00 view moves u1's window to [8:00,9:00]
+        # — the 10:30 click falls OUT: stage regresses to NULL.
+        (1, TS(2024, 1, 1, 8, 0), "view"),
+        # u2 gains a late click inside its window: NULL -> reached.
+        (2, TS(2024, 1, 1, 10, 20), "click"),
+    ]
+    schema = "user_id long, ts timestamp, event_type string"
+    src = str(tmp_path / "wfunnel_src")
+    spark.createDataFrame(first, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(second, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stages = ["view", "click"]
+    emissions = []
+
+    def sink(batch_df, epoch_id):
+        for r in batch_df.collect():
+            emissions.append((epoch_id, r["user_id"], list(r["reach"])))
+
+    q = (
+        funnel_stream(
+            stream, stages, watermark="10 hours", within_seconds=3600
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "wfunnel_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    last = {}
+    for epoch, user, reach in sorted(emissions, key=lambda e: e[0]):
+        last[user] = reach
+
+    batch_df = spark.createDataFrame(first + second, schema)
+    want = {
+        r["user_id"]: list(r["reach"])
+        for r in funnel_reach(
+            batch_df, stages, within_seconds=3600
+        ).collect()
+    }
+    assert last == want
+    # and the regression really happened: u1's click is NULL now
+    assert want[1][1] is None
+    assert want[2][1] is not None
