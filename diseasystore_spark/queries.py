@@ -10266,6 +10266,152 @@ GROUP BY source
 """
 
 
+def q191_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed STREAMING funnel under the oracle
+    (``streaming/stateful.funnel_stream``, ``within_seconds=7200``):
+    the events table is split at 2024-01-15 into two mtime-pinned
+    parquet files consumed as two availableNow micro-batches, so the
+    second batch delivers every user's later events as genuinely
+    out-of-order arrivals relative to the first's final state. The
+    last emission per user must equal the batch operator over the
+    full history — so the per-stage user counts here must hash-match
+    the same K-CTE min-after chain that verifies q187. This puts the
+    applyInPandasWithState funnel (previously parity-tested only in
+    pytest) under the driver's exact gate: stream == batch == SQL."""
+    import os
+    import tempfile
+
+    from diseasystore_spark.streaming.stateful import funnel_stream
+
+    events = _read(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    cutoff = "2024-01-15"
+    b1 = events.where(F.col("ts").cast("date") <= F.lit(cutoff))
+    b2 = events.where(F.col("ts").cast("date") > F.lit(cutoff))
+
+    root = tempfile.mkdtemp(prefix="ds_stream_funnel_")
+    sdir = os.path.join(root, "in")
+    os.makedirs(sdir)
+    for i, half in enumerate([b1, b2]):
+        part = os.path.join(root, f"half{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(part)
+        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        dst = os.path.join(sdir, f"{i}.parquet")
+        os.rename(os.path.join(part, src), dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    stages = ["view", "click", "signup", "purchase"]
+    emissions: list[tuple[int, int, list]] = []
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        for r in batch_df.collect():
+            emissions.append((epoch_id, r["user_id"], list(r["reach"])))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    # Stateful-stream cost is dominated by state-store FILES: every
+    # shuffle partition writes delta+snapshot files per epoch, so a
+    # 1.5k-user state spread over 32 partitions pays 3x the wall
+    # clock in store maintenance (measured 12.5 s -> 4.1 s at 8).
+    # Size the streaming job's shuffle partitions to its state
+    # cardinality — the standard knob a real deployment sets on the
+    # streaming session; restored after the query starts (the value
+    # is captured at stream start).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            funnel_stream(
+                stream,
+                stages,
+                watermark="8760 hours",  # keep every late event in play
+                within_seconds=7200,
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    q.awaitTermination()
+
+    last: dict[int, list] = {}
+    for _, user, reach in sorted(emissions, key=lambda e: e[0]):
+        last[user] = reach
+    final = spark.createDataFrame(
+        [(u, r) for u, r in last.items()],
+        "user_id bigint, reach array<bigint>",
+    )
+    counts = final.agg(
+        *[
+            F.count(F.col("reach")[j]).cast("bigint").alias(f"n_{j}")
+            for j in range(len(stages))
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j + 1).cast("int").alias("step"),
+                F.lit(s).alias("step_name"),
+                F.coalesce(F.col(f"n_{j}"), F.lit(0))
+                .cast("bigint")
+                .alias("n_users"),
+            )
+            for j, s in enumerate(stages)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("__r")).select("__r.*")
+
+
+ORACLE_Q191 = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT s1.user_id, t_1, min(e.ts) AS t_2
+  FROM s1 LEFT JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = 'click'
+   AND e.ts > s1.t_1 AND e.ts <= s1.t_1 + INTERVAL 7200 SECONDS
+  GROUP BY s1.user_id, t_1
+),
+s3 AS (
+  SELECT s2.user_id, t_1, t_2, min(e.ts) AS t_3
+  FROM s2 LEFT JOIN events e
+    ON e.user_id = s2.user_id AND e.event_type = 'signup'
+   AND e.ts > s2.t_2 AND e.ts <= s2.t_1 + INTERVAL 7200 SECONDS
+  GROUP BY s2.user_id, t_1, t_2
+),
+s4 AS (
+  SELECT s3.user_id, t_1, t_2, t_3, min(e.ts) AS t_4
+  FROM s3 LEFT JOIN events e
+    ON e.user_id = s3.user_id AND e.event_type = 'purchase'
+   AND e.ts > s3.t_3 AND e.ts <= s3.t_1 + INTERVAL 7200 SECONDS
+  GROUP BY s3.user_id, t_1, t_2, t_3
+),
+c AS (
+  SELECT CAST(count(t_1) AS BIGINT) AS n_1,
+         CAST(count(t_2) AS BIGINT) AS n_2,
+         CAST(count(t_3) AS BIGINT) AS n_3,
+         CAST(count(t_4) AS BIGINT) AS n_4
+  FROM s4
+),
+steps(step, step_name) AS (
+  VALUES (1, 'view'), (2, 'click'), (3, 'signup'), (4, 'purchase')
+)
+SELECT CAST(s.step AS INTEGER) AS step,
+       s.step_name,
+       CAST(CASE s.step WHEN 1 THEN n_1 WHEN 2 THEN n_2
+                        WHEN 3 THEN n_3 ELSE n_4 END AS BIGINT)
+         AS n_users
+FROM steps s CROSS JOIN c
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10461,6 +10607,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q188_cohort_retention": q188_cohort_retention,
     "q189_orc_roundtrip": q189_orc_roundtrip,
     "q190_reading_ease": q190_reading_ease,
+    "q191_stream_funnel": q191_stream_funnel,
 }
 
 ORACLES: dict[str, str] = {
@@ -10653,6 +10800,7 @@ ORACLES: dict[str, str] = {
     "q188_cohort_retention": ORACLE_Q188,
     "q189_orc_roundtrip": ORACLE_Q189,
     "q190_reading_ease": ORACLE_Q190,
+    "q191_stream_funnel": ORACLE_Q191,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF
