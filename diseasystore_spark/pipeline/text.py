@@ -2019,11 +2019,19 @@ def reading_ease_scores(
     """
     nonspace = r"[^ \t\n\r\f]"
     lower = F.lower(F.col(text_col))
-    words = F.size(
-        F.regexp_extract_all(F.col(text_col), F.lit(nonspace + "+"), 0)
+    # Every count is guarded on text IS NOT NULL: with ANSI off,
+    # size(regexp_extract_all(NULL)) is -1 (legacy sizeOfNull), not
+    # NULL — the guard makes the NULL-text contract hold under either
+    # conf, matching the oracle's len(NULL) = NULL.
+    notnull = F.col(text_col).isNotNull()
+    words = F.when(
+        notnull,
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(nonspace + "+"), 0)
+        ),
     )
     sents = F.when(
-        F.col(text_col).isNotNull(),
+        notnull,
         F.greatest(
             F.size(
                 F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)
@@ -2031,11 +2039,17 @@ def reading_ease_scores(
             F.lit(1),
         ),
     )
-    groups = F.size(F.regexp_extract_all(lower, F.lit(r"[aeiouy]+"), 0))
-    with_vowel = F.size(
-        F.regexp_extract_all(
-            lower, F.lit(f"{nonspace}*[aeiouy]{nonspace}*"), 0
-        )
+    groups = F.when(
+        notnull,
+        F.size(F.regexp_extract_all(lower, F.lit(r"[aeiouy]+"), 0)),
+    )
+    with_vowel = F.when(
+        notnull,
+        F.size(
+            F.regexp_extract_all(
+                lower, F.lit(f"{nonspace}*[aeiouy]{nonspace}*"), 0
+            )
+        ),
     )
     syl = groups + (words - with_vowel)
     out = df.select(

@@ -10222,11 +10222,16 @@ def q190_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_sentences").cast("bigint").alias("sum_sentences"),
         F.sum("n_syllables").cast("bigint").alias("sum_syllables"),
         F.sum("fre_micro").cast("bigint").alias("sum_fre_micro"),
-        F.sum(
-            (
-                (F.col("fre_micro") >= 30_000_000)
-                & (F.col("fre_micro") <= 100_000_000)
-            ).cast("int")
+        # coalesce: a source whose every document is unscoreable sums
+        # NULL here, while the oracle's CASE ... ELSE 0 sums 0.
+        F.coalesce(
+            F.sum(
+                (
+                    (F.col("fre_micro") >= 30_000_000)
+                    & (F.col("fre_micro") <= 100_000_000)
+                ).cast("int")
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("n_readable"),

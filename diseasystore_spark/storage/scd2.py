@@ -720,8 +720,13 @@ class ParquetFeatureStore:
         reference, making the op O(fragmented months), the same
         pruning discipline as the merge itself (``full=True`` forces
         the old whole-table rewrite). A table with nothing fragmented
-        is a NO-OP: no version bump, no write. The flat layout always
-        rewrites to ``files_per_partition`` files total.
+        is a NO-OP: no version bump, no write. Under
+        ``max_records_per_file`` the convergence target per month is
+        the knob-achievable ``ceil(rows / N)`` (row counts from the
+        parquet footers), not 1. The flat layout always rewrites, to
+        ``files_per_partition`` files total — or more when the
+        file-size knob splits them (the knob wins; it exists to cap
+        file size).
 
         Logical content is untouched (every snapshot at every
         ``slice_ts`` is bit-identical before and after — the rewrite
@@ -768,8 +773,14 @@ class ParquetFeatureStore:
                     1, -(-rows_m // self.max_records_per_file)
                 )
 
+            # len(fs) > 1 first: achievable() >= 1 always, so
+            # single-file months can never be fragmented — the
+            # short-circuit keeps the common all-compact sweep
+            # metadata-only (no footer reads).
             frag = sorted(
-                m for m, fs in months.items() if len(fs) > achievable(fs)
+                m
+                for m, fs in months.items()
+                if len(fs) > 1 and len(fs) > achievable(fs)
             )
             if not frag:
                 return sum(len(fs) for fs in months.values())

@@ -52,3 +52,23 @@ def test_reading_ease_vowel_groups_not_letters(spark):
     # 'queueing' -> 'ueuei' run = 1 group; 'aloud' -> 'a', 'ou' = 2.
     assert r["n_syllables"] == 3
     assert r["n_words"] == 2
+
+
+def test_reading_ease_null_text_all_null_either_ansi(spark):
+    # With ANSI off, size(regexp_extract_all(NULL)) is -1 (legacy
+    # sizeOfNull) — the notnull guard must keep ALL four outputs NULL
+    # for a NULL text under either conf.
+    df = spark.createDataFrame([(1, None)], "doc_id bigint, text string")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        for ansi in ("false", "true"):
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+            r = reading_ease_scores(df).collect()[0]
+            assert (
+                r["n_words"],
+                r["n_sentences"],
+                r["n_syllables"],
+                r["fre_micro"],
+            ) == (None, None, None, None), ansi
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
