@@ -72,3 +72,56 @@ def test_reading_ease_null_text_all_null_either_ansi(spark):
             ) == (None, None, None, None), ansi
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+# ---------------------------------------------------------------------------
+# Property: Spark counts == Python re oracle over random text
+# ---------------------------------------------------------------------------
+
+import re as _re  # noqa: E402
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_text_strategy = st.lists(
+    st.text(
+        alphabet="abe XY.?!\t\n,'0-", min_size=0, max_size=40
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _py_counts(text):
+    nonspace = r"[^ \t\n\r\f]"
+    w = len(_re.findall(nonspace + "+", text))
+    s = max(len(_re.findall(r"[.!?]+", text)), 1)
+    low = text.lower()
+    groups = len(_re.findall(r"[aeiouy]+", low))
+    withv = len(_re.findall(f"{nonspace}*[aeiouy]{nonspace}*", low))
+    y = groups + (w - withv)
+    fre = (
+        206_835_000 - (1_015_000 * w) // s - (84_600_000 * y) // w
+        if w > 0
+        else None
+    )
+    return (w, s, y, fre)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_text_strategy)
+def test_reading_ease_matches_python_regex_oracle(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["n_sentences"],
+            r["n_syllables"],
+            r["fre_micro"],
+        )
+        for r in reading_ease_scores(df).collect()
+    }
+    want = {i: _py_counts(t) for i, t in enumerate(texts)}
+    assert got == want
