@@ -178,8 +178,16 @@ def degree_matched_negatives(
         raise ValueError(
             f"buckets must be a positive power of two <= 2^32, got {buckets}"
         )
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).where(
-        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        # pin the INPUT too: `e` feeds both the undirected frame and
+        # the positive-edge branch below — without this, an expensive
+        # upstream plan (q147's within-order self-join + distinct)
+        # re-executes once per consumer (measured 10.8 s -> 6.6 s at
+        # sf0.1); for cheap scans the one extra materialization of
+        # the edge list is noise
+        .localCheckpoint()
     )
     # localCheckpoint: the undirected edge list feeds the degree agg
     # AND the final realness anti-join, and the ranked-node frame is
