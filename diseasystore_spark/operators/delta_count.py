@@ -73,11 +73,24 @@ def delta_count_prevalence(
     else:
         combos = spine
 
-    def nullsafe_cond(left: DataFrame, right: DataFrame) -> Column:
-        cond = left["date"] == right["date"]
+    # The aggregated frames derive from the same lineage as ``combos``
+    # (both trace to ``work``), so joining on same-named attributes
+    # would rely on Spark's self-join disambiguation ("trivially true
+    # equals predicate" warnings). Rename the right side's join keys to
+    # unique temporaries so every predicate references distinct
+    # attributes — no ambiguity for the analyzer to resolve.
+    def rename_keys(right: DataFrame) -> DataFrame:
+        return right.withColumnsRenamed(
+            {"date": "__r_date", **{s: f"__r_{s}" for s in strata_names}}
+        )
+
+    def nullsafe_cond(left: DataFrame) -> Column:
+        cond = left["date"] == F.col("__r_date")
         for s in strata_names:
-            cond = cond & left[s].eqNullSafe(right[s])
+            cond = cond & left[s].eqNullSafe(F.col(f"__r_{s}"))
         return cond
+
+    _r_keys = ["__r_date"] + [f"__r_{s}" for s in strata_names]
 
     w = (
         Window.partitionBy(*strata_names)
@@ -111,7 +124,8 @@ def delta_count_prevalence(
         net = events.groupBy(*strata_names, "date").agg(
             F.sum("delta").alias("net")
         )
-        joined = combos.join(net, nullsafe_cond(combos, net), "left").select(
+        net = rename_keys(net)
+        joined = combos.join(net, nullsafe_cond(combos), "left").select(
             combos["*"], F.coalesce(net["net"], F.lit(0.0)).alias("net")
         )
         return joined.select(
@@ -120,19 +134,25 @@ def delta_count_prevalence(
             F.sum("net").over(w).alias(observable),
         )
 
-    t_add = aggregator(
-        work.groupBy(*strata_names, F.col("valid_from").alias("date")), observable
-    ).withColumnRenamed("n", "n_add")
-    t_remove = aggregator(
-        work.groupBy(*strata_names, F.col("valid_until").alias("date")), observable
-    ).withColumnRenamed("n", "n_remove")
+    t_add = rename_keys(
+        aggregator(
+            work.groupBy(*strata_names, F.col("valid_from").alias("date")),
+            observable,
+        ).withColumnRenamed("n", "n_add")
+    )
+    t_remove = rename_keys(
+        aggregator(
+            work.groupBy(*strata_names, F.col("valid_until").alias("date")),
+            observable,
+        ).withColumnRenamed("n", "n_remove")
+    )
 
-    joined = combos.join(
-        t_add, nullsafe_cond(combos, t_add), "left"
-    ).select(combos["*"], t_add["n_add"])
-    joined = joined.join(
-        t_remove, nullsafe_cond(joined, t_remove), "left"
-    ).select(joined["*"], t_remove["n_remove"])
+    joined = combos.join(t_add, nullsafe_cond(combos), "left").select(
+        combos["*"], t_add["n_add"]
+    )
+    joined = joined.join(t_remove, nullsafe_cond(joined), "left").select(
+        joined["*"], t_remove["n_remove"]
+    )
     joined = joined.fillna({"n_add": 0, "n_remove": 0})
 
     return joined.select(

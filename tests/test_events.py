@@ -707,3 +707,96 @@ def test_contact_pairs_degree_prune_keeps_boundary_pairs(spark):
         contact_pairs(df, min_contacts=0)
     with pytest.raises(ValueError, match="top_k_per_user"):
         contact_pairs(df, top_k_per_user=0)
+
+
+def _mk_events(spark, rows):
+    """rows: (event_id, user_id, offset_s) -> events frame."""
+    base = "1996-01-01 00:00:00"
+    return spark.createDataFrame(
+        [(i, base, u, "e", float(s)) for i, u, s in rows],
+        ["event_id", "ts0", "user_id", "event_type", "value"],
+    ).selectExpr(
+        "event_id",
+        "CAST(ts0 AS TIMESTAMP) + make_interval(0,0,0,0,0,0,value) AS ts",
+        "user_id", "event_type", "value",
+    )
+
+
+def test_estimate_contact_candidates_exact_formula(spark):
+    """est = sum_b n_b * (n_b + n_{b+1}) with non-adjacent buckets
+    contributing no cross term: buckets [2, 3, gap, 1] at 1h
+    tolerance -> 2*(2+3) + 3*3 + 1*1 = 20."""
+    from diseasystore_spark.operators.events import (
+        estimate_contact_candidates,
+    )
+
+    rows = (
+        [(1, 1, 0), (2, 2, 10)]                       # bucket 0: 2
+        + [(3, 1, 3600), (4, 2, 3610), (5, 3, 3620)]  # bucket 1: 3
+        + [(6, 4, 4 * 3600)]                          # bucket 4: 1
+    )
+    df = _mk_events(spark, rows)
+    assert estimate_contact_candidates(df, tolerance_s=3600) == 20
+
+
+def test_contact_pairs_density_guard_routes_blind_dense_calls(
+    spark, monkeypatch
+):
+    """VERDICT r8 item 8: the quadratic exact mode cannot be invoked
+    blind on a dense stream — past DENSE_CONTACT_CANDIDATES a blind
+    call warns (default) or raises (guard='raise') with routing
+    advice; bounded calls and guard='off' never probe/trip."""
+    import warnings as w
+
+    from diseasystore_spark.operators import events as ev
+
+    # 30 events in one bucket: est = 900 > patched threshold 100
+    df = _mk_events(spark, [(i, i, i) for i in range(30)])
+    monkeypatch.setattr(ev, "DENSE_CONTACT_CANDIDATES", 100)
+
+    with pytest.warns(UserWarning, match="sample_rate"):
+        ev.contact_pairs(df, tolerance_s=3600)
+
+    with pytest.raises(ValueError, match="exceeds"):
+        ev.contact_pairs(df, tolerance_s=3600, density_guard="raise")
+
+    # bounded modes and guard='off' are silent even on the dense frame
+    with w.catch_warnings():
+        w.simplefilter("error")
+        ev.contact_pairs(df, tolerance_s=3600, sample_rate=0.5)
+        ev.contact_pairs(df, tolerance_s=3600, min_contacts=5)
+        ev.contact_pairs(df, tolerance_s=3600, top_k_per_user=2)
+        ev.contact_pairs(df, tolerance_s=3600, density_guard="off")
+
+    with pytest.raises(ValueError, match="density_guard"):
+        ev.contact_pairs(df, density_guard="loud")
+
+
+def test_contact_pairs_exact_path_plan_free_of_sampling_machinery(spark):
+    """VERDICT r8 item 1: the round-8 sampling/degree-bound additions
+    must be FREE on the exact path — its compiled plan carries no __h
+    hash column, no md5, and no degree-prune semi-join, and the
+    density guard never alters the returned plan (the probe is a
+    separate eager job)."""
+    from diseasystore_spark.operators.events import contact_pairs
+
+    df = _mk_events(spark, [(i, i % 5, i * 7) for i in range(40)])
+    exact_off = contact_pairs(df, tolerance_s=3600, density_guard="off")
+    exact_warn = contact_pairs(df, tolerance_s=3600)  # blind, probes
+    plan_off = exact_off._jdf.queryExecution().executedPlan().toString()
+    plan_warn = exact_warn._jdf.queryExecution().executedPlan().toString()
+    for plan in (plan_off, plan_warn):
+        assert "md5" not in plan.lower()
+        assert "__h" not in plan
+        assert "LeftSemi" not in plan
+    # guard probe leaves the exact plan identical (modulo the
+    # per-invocation expression ids / plan ids Spark stamps in)
+    import re
+
+    def norm(p: str) -> str:
+        return re.sub(r"#\d+|plan_id=\d+", "#", p)
+
+    assert norm(plan_off) == norm(plan_warn)
+
+    sampled = contact_pairs(df, tolerance_s=3600, sample_rate=0.5)
+    assert "md5" in sampled._jdf.queryExecution().executedPlan().toString().lower()

@@ -125,3 +125,27 @@ def test_reading_ease_matches_python_regex_oracle(spark, texts):
     }
     want = {i: _py_counts(t) for i, t in enumerate(texts)}
     assert got == want
+
+
+def test_reading_ease_output_name_collision_raises(spark):
+    """An input (or extra_cols) column named like one of the four
+    outputs would make the second select ambiguous or silently shadow
+    caller data — fail loud, matching the locf_fill / mad_outliers /
+    group_quantile_normalize guard pattern (ADVICE r8)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a b.", 7)], "doc_id bigint, text string, n_words bigint"
+    )
+    with pytest.raises(ValueError, match="n_words.*already exists"):
+        reading_ease_scores(df)
+
+    clean = spark.createDataFrame(
+        [(1, "a b.", 7)], "doc_id bigint, text string, fre_micro bigint"
+    )
+    with pytest.raises(ValueError, match="fre_micro.*already exists"):
+        reading_ease_scores(clean)
+
+    ok = spark.createDataFrame([(1, "a b.")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="n_syllables.*already exists"):
+        reading_ease_scores(ok, extra_cols=["n_syllables"])

@@ -392,3 +392,47 @@ def test_compact_converges_under_max_records_per_file(spark, pstore):
         (r["key_id"], r["v"]) for r in pstore.get_table("ds.t", t2).collect()
     }
     assert ("k0", 9.0) in snap and len(snap) == 35
+
+
+def test_compact_enforces_size_cap_retroactively(spark, pstore):
+    """A month whose file COUNT already equals the knob-achievable
+    target but whose individual files exceed ``max_records_per_file``
+    (written before the knob was set, or after it was lowered) IS
+    fragmented: compact() must rewrite it so every file respects the
+    cap — the size limit is enforced retroactively, not just the
+    count (ADVICE r8)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t1 = T(2024, 1, 1)
+    # knob unset at write time -> one ~35-row file for the month
+    many = [
+        (f"k{i}", float(i), D(2020, 1, 10), D(2020, 1, 20))
+        for i in range(35)
+    ]
+    pstore.update_snapshot(_df(spark, many), "ds.t", t1)
+    v0 = pstore._current_version("ds.t")
+    m0 = pstore._manifest_of("ds.t", v0)["months"]
+    assert all(len(fs) == 1 for fs in m0.values())
+
+    # knob now set BELOW the existing file size: the count target
+    # (ceil(35/10)=4 > 1 file present) is met trivially, but the
+    # single 35-row file violates the cap -> must be rewritten.
+    pstore.max_records_per_file = 10
+    n1 = pstore.compact("ds.t")
+    v1 = pstore._current_version("ds.t")
+    assert v1 == v0 + 1, "oversized single-file month was not rewritten"
+    tdir = pstore._table_dir("ds.t")
+    m1 = pstore._manifest_of("ds.t", v1)["months"]
+    for m, fs in m1.items():
+        for f in fs:
+            rows = pq.ParquetFile(os.path.join(tdir, f)).metadata.num_rows
+            assert rows <= 10, (m, f, rows)
+    # converged: second compact is a version-bump-free no-op
+    assert pstore.compact("ds.t") == n1
+    assert pstore._current_version("ds.t") == v1
+    snap = {
+        (r["key_id"], r["v"]) for r in pstore.get_table("ds.t", t1).collect()
+    }
+    assert snap == {(f"k{i}", float(i)) for i in range(35)}
