@@ -137,6 +137,42 @@ def _baseline_workloads(spark):
     return out
 
 
+def _conformance_workload(spark) -> dict:
+    """Timed scaled-store conformance (VERDICT r8 item 5): the Google
+    COVID-19 store at 4x fixture scale (25 locations x 56 days,
+    gzipped by-age CSV) through the full exported conformance suite
+    (``diseasystore_spark/testing.py``) — the reference vignette path
+    (CSV source -> unpivot -> age-bin map -> key_join matrix) timed at
+    more than toy size, so BENCH tracks the store-extension surface
+    round-over-round, not just the registry queries."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from diseasystore_spark.stores.google_covid19 import (
+        GoogleCovid19Diseasystore,
+    )
+    from diseasystore_spark.testing import run_conformance_suite
+    from tests.store_fixtures import write_google_fixtures
+
+    root = tempfile.mkdtemp(prefix="bench_conf_")
+    src = write_google_fixtures(
+        os.path.join(root, "src"), gzip_by_age=True, scale=4
+    )
+    ds = GoogleCovid19Diseasystore(
+        spark,
+        target_conn=os.path.join(root, "store"),
+        source_conn=src,
+        slice_ts=datetime.date(2024, 1, 1),
+        verbose=False,
+    )
+    t0 = time.perf_counter()
+    run_conformance_suite(ds, test_start_date=datetime.date(2020, 3, 2))
+    dt = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(root, ignore_errors=True)
+    return {"conformance_google_scaled_4x": dt}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -158,6 +194,12 @@ def main() -> None:
     spark.read.parquet(_warm).count()
 
     baselines = _baseline_workloads(spark)
+    # Timed but NOT summed into the headline total: the conformance
+    # suite is a ~2-minute store-extension workload (dozens of engine
+    # writes), not a registry query — folding it in would break the
+    # round-over-round total comparison. It is reported under its own
+    # key in both the compact line and BENCH_DETAIL.json.
+    conformance = _conformance_workload(spark)
 
     import gc
 
@@ -186,6 +228,7 @@ def main() -> None:
 
     timings.update(baselines)
     total += sum(baselines.values())
+    timings.update(conformance)  # reported, excluded from total
 
     # Full per-query detail goes to a file + stderr; stdout ends with ONE
     # compact JSON line so the driver's tail-capture parses it (r3's
@@ -202,16 +245,21 @@ def main() -> None:
     print(json.dumps(detail), file=sys.stderr)
 
     slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+        sorted(
+            (kv for kv in timings.items() if kv[0] not in conformance),
+            key=lambda kv: kv[1],
+            reverse=True,
+        )[:5]
     )
     compact = {
         "metric": "total_query_time",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": {**baselines, **slowest},
+        "queries": {**baselines, **conformance, **slowest},
         "sf": sf,
         "n_queries": len(timings),
         "detail": str(detail_path.name),
+        "note": "conformance_* timed separately, excluded from value",
     }
     print(json.dumps(compact))
 

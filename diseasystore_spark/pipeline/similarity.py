@@ -248,7 +248,18 @@ def embedding_dupes_bucketed(
         )
     else:
         assigned = _with_cluster(base, "__v", centroids)
-    assigned = assigned.withColumn("__n", _norm("__v"))
+    # Repartition on the join key BEFORE splitting into the two join
+    # sides: both sides then sit above CANONICALLY IDENTICAL shuffle
+    # subtrees, so AQE's runtime exchange reuse (visible as
+    # ReusedExchange in the final plan once the sides are too big to
+    # broadcast) materializes the (expensive, k-dot) assignment once
+    # for the whole self-join instead of once per side, and the
+    # cluster equi-join runs co-partitioned with no further shuffle.
+    # Same device as semantic_dedup's checkpoint but lazy and
+    # block-manager-free (measured sf1: 120.9 s -> 29.0 s).
+    assigned = assigned.withColumn("__n", _norm("__v")).repartition(
+        "cluster"
+    )
     a = assigned.select(
         F.col("__id").alias("id_a"),
         F.col("__v").alias("va"),
@@ -745,7 +756,10 @@ def semantic_dedup(
             base.withColumn("__d", _centroid_dists("__v", centroids))
             .withColumn(
                 "cluster",
-                F.expr("array_position(__d, array_min(__d))").cast("int") - 1,
+                (
+                    F.expr("array_position(__d, array_min(__d))").cast("int")
+                    - 1
+                ),
             )
             .drop("__d")
         )

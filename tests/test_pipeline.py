@@ -719,6 +719,45 @@ def test_embedding_dupes_bucketed_subset_of_exact(spark, emb):
         assert abs(cos - exact[pair]) <= 1e-4, pair
 
 
+def test_embedding_dupes_bucketed_assignment_computed_once(spark, emb):
+    """Round-9 perf pin: the bucketed self-join's two sides must sit
+    above ONE shared assignment subtree — the pre-split
+    repartition("cluster") makes both sides' shuffle subtrees
+    canonically identical, so AQE's exchange reuse materializes the
+    (expensive, k-dot) assignment shuffle once and feeds both join
+    sides from it (measured sf1: 120.9 s -> 29.0 s). Reuse is a
+    RUNTIME decision: it only shows in the AQE final plan after an
+    action, and only in the shuffled-join regime (at toy size AQE
+    would broadcast one side instead, which recomputes assignment —
+    fine at broadcast scale), so the test pins the final plan with
+    broadcasting disabled."""
+    from diseasystore_spark.pipeline.similarity import (
+        embedding_dupes_bucketed,
+    )
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        df = embedding_dupes_bucketed(emb, threshold=0.35)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "isFinalPlan=true" in plan, plan.splitlines()[0]
+    assert "ReusedExchange" in plan, (
+        f"assignment exchange not reused across the self-join:\n{plan}"
+    )
+
+
 def test_ivf_portable_assignment_matches_numpy(spark, emb):
     """The JVM argmin assignment (portable/oracle path) and the numpy
     GEMM assignment must produce identical top-k output for the fixed
