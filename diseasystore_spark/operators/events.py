@@ -678,6 +678,7 @@ def contact_pairs(
     min_contacts: int | None = None,
     top_k_per_user: int | None = None,
     sample_rate: float | None = None,
+    event_sample_rate: float | None = None,
     sample_seed: str = "cp0",
     density_guard: str = "warn",
 ) -> DataFrame:
@@ -768,6 +769,28 @@ def contact_pairs(
       both bounds above (the degree prune's cap is p-independent and
       stays valid; the threshold then applies to the sampled pairs'
       exact counts).
+    - ``event_sample_rate=q`` (the CANDIDATE bound): keep a
+      deterministic q-fraction of EVENTS — md5 threshold on the
+      event id, one hash per event — and run the whole operator on
+      the thinned stream. This is the only mode that cuts the
+      candidate JOIN FAN-IN itself: per-bucket populations drop to
+      q*n_b, so candidates drop by q² (``sample_rate`` by contrast
+      prunes pairs inside the join — per-candidate work shrinks but
+      the enumeration does not; the sf1 sweep measured it
+      candidate-bound at 93x for 10x data, vs q²=1% of candidates
+      at q=0.1 here). The trade: per-pair ``n_contacts`` is now a
+      count over the event sample — each qualifying event pair
+      survives with probability q² (both endpoints kept), so
+      ``n_contacts / q²`` estimates the true pair count and
+      population totals scale the same way; counts of pairs sharing
+      an event are positively correlated (event-level thinning is
+      node sampling, not edge sampling — documented, irrelevant for
+      per-pair expectations). The selection is content-derived (md5
+      of seed|"ev"|event_id), so a SQL engine replays the surviving
+      event set — and therefore every downstream count — bit-for-bit.
+      Composes with every mode above; ``min_contacts``'s degree
+      bound is computed on the thinned stream and so stays a valid
+      upper bound for the thinned counts it thresholds.
     """
     if tolerance_s <= 0:
         raise ValueError("tolerance_s must be positive")
@@ -777,10 +800,17 @@ def contact_pairs(
         raise ValueError("top_k_per_user must be >= 1")
     if sample_rate is not None and not (0.0 < sample_rate <= 1.0):
         raise ValueError("sample_rate must be in (0, 1]")
+    if event_sample_rate is not None and not (
+        0.0 < event_sample_rate <= 1.0
+    ):
+        raise ValueError("event_sample_rate must be in (0, 1]")
     if density_guard not in ("off", "warn", "raise"):
         raise ValueError("density_guard must be 'off', 'warn' or 'raise'")
     tol_us = tolerance_s * 1_000_000
     sampling = sample_rate is not None and sample_rate < 1.0
+    event_sampling = (
+        event_sample_rate is not None and event_sample_rate < 1.0
+    )
     # Auto-routing guard (the exact mode must not be invoked BLIND on
     # a dense stream): when no bounding parameter was given, probe the
     # candidate volume (one tolerance-granular aggregate) and
@@ -792,6 +822,7 @@ def contact_pairs(
         (min_contacts is None or min_contacts <= 1)
         and top_k_per_user is None
         and not sampling
+        and not event_sampling
     )
     if density_guard != "off" and blind:
         est = estimate_contact_candidates(events, ts_col, tolerance_s)
@@ -813,6 +844,32 @@ def contact_pairs(
         F.col(id_col).alias("__i"),
         F.unix_micros(F.col(ts_col)).alias("__t"),
     )
+    if event_sampling:
+        # thin the STREAM before anything else: every downstream
+        # stage — degree prune, bucket fan-out, candidate join —
+        # sees q*n events, so candidate volume drops by q². One md5
+        # per event, in its own seed domain ("ev") so composing with
+        # sample_rate keeps the two draws independent.
+        ev_threshold = int(round(event_sample_rate * 2**32))
+        e = e.where(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "\x1f",
+                            F.lit(sample_seed),
+                            F.lit("ev"),
+                            F.col("__i").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            < F.lit(ev_threshold)
+        )
     if sampling:
         # per-EVENT user hash (n md5s, never per candidate): the pair
         # predicate below is then one XOR + compare per candidate

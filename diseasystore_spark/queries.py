@@ -10426,6 +10426,54 @@ FROM steps s CROSS JOIN c
 """
 
 
+def q192_contact_pairs_event_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Candidate-bounded contact graph
+    (``operators/events.contact_pairs(event_sample_rate=0.3)``): a
+    deterministic md5-selected 30% of EVENTS, thinned BEFORE the
+    bucket self-join — the only contact-pairs mode that cuts the
+    candidate fan-in itself (q² of the exact join's volume; the sf1
+    sweep measured the pair-sampled mode q179 still candidate-bound
+    at 93x for 10x data because its predicate prunes inside the
+    join). Per-pair counts are exact over the event sample
+    (``n_contacts/q²`` estimates the true count); the event
+    selection is content-derived (md5 of seed|"ev"|event_id), so
+    the oracle replays the surviving event set — and every
+    downstream count — bit-for-bit."""
+    from diseasystore_spark.operators.events import contact_pairs
+
+    return contact_pairs(
+        _read(spark, sf_dir, "events"),
+        tolerance_s=3600,
+        min_contacts=2,
+        event_sample_rate=0.3,
+    )
+
+
+ORACLE_Q192 = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events
+  WHERE ts IS NOT NULL
+    AND CAST(('0x' || substr(md5('cp0' || chr(31) || 'ev' || chr(31)
+          || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        < 1288490189
+),
+p AS (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM e a JOIN e b
+    ON b.us >= a.us AND b.us - a.us <= 3600000000
+   AND (a.us < b.us OR a.event_id < b.event_id)
+   AND a.user_id <> b.user_id
+)
+SELECT least(ua, ub) AS user_a, greatest(ua, ub) AS user_b,
+       CAST(count(*) AS BIGINT) AS n_contacts
+FROM p GROUP BY least(ua, ub), greatest(ua, ub)
+HAVING count(*) >= 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10635,6 +10683,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q189_orc_roundtrip": q189_orc_roundtrip,
     "q190_reading_ease": q190_reading_ease,
     "q191_stream_funnel": q191_stream_funnel,
+    "q192_contact_pairs_event_sampled": q192_contact_pairs_event_sampled,
 }
 
 ORACLES: dict[str, str] = {
@@ -10833,6 +10882,7 @@ ORACLES: dict[str, str] = {
     "q189_orc_roundtrip": ORACLE_Q189,
     "q190_reading_ease": ORACLE_Q190,
     "q191_stream_funnel": ORACLE_Q191,
+    "q192_contact_pairs_event_sampled": ORACLE_Q192,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

@@ -800,3 +800,92 @@ def test_contact_pairs_exact_path_plan_free_of_sampling_machinery(spark):
 
     sampled = contact_pairs(df, tolerance_s=3600, sample_rate=0.5)
     assert "md5" in sampled._jdf.queryExecution().executedPlan().toString().lower()
+
+
+def test_contact_pairs_event_sampling_matches_python_oracle(spark):
+    """event_sample_rate=q thins EVENTS (md5 threshold on the event
+    id, seed domain "ev") before the candidate join — the mode that
+    cuts join fan-in by q², not just emitted pairs. The selection is
+    content-derived, so a Python replay of the same md5 predicate
+    over the same fixture must reproduce the surviving event set and
+    every downstream pair count exactly; q=1.0 must be a no-op."""
+    import hashlib
+    import random as _random
+    from collections import Counter
+
+    from diseasystore_spark.operators.events import contact_pairs
+
+    rng = _random.Random(11)
+    rows = [
+        (eid, rng.randint(1, 9), rng.randint(0, 4 * 3600))
+        for eid in range(300)
+    ]
+    df = _mk_events(spark, rows)
+    q = 0.4
+    threshold = int(round(q * 2**32))
+
+    def kept(eid: int) -> bool:
+        h = hashlib.md5(f"cp0\x1fev\x1f{eid}".encode()).hexdigest()
+        return int(h[:8], 16) < threshold
+
+    surviving = [r for r in rows if kept(r[0])]
+    assert 0 < len(surviving) < len(rows)  # fixture thins for real
+
+    expect = Counter()
+    for ia, ua, sa in surviving:
+        for ib, ub, sb in surviving:
+            if ua == ub or not (sb >= sa and sb - sa <= 600):
+                continue
+            if not (sa < sb or ia < ib):
+                continue
+            expect[(min(ua, ub), max(ua, ub))] += 1
+
+    got = {
+        (r["user_a"], r["user_b"]): r["n_contacts"]
+        for r in contact_pairs(
+            df, tolerance_s=600, event_sample_rate=q
+        ).collect()
+    }
+    assert got == dict(expect)
+
+    # q = 1.0 is a no-op: identical to the exact form
+    exact = {
+        (r["user_a"], r["user_b"]): r["n_contacts"]
+        for r in contact_pairs(df, tolerance_s=600).collect()
+    }
+    full = {
+        (r["user_a"], r["user_b"]): r["n_contacts"]
+        for r in contact_pairs(
+            df, tolerance_s=600, event_sample_rate=1.0
+        ).collect()
+    }
+    assert full == exact
+
+    with pytest.raises(ValueError, match="event_sample_rate"):
+        contact_pairs(df, event_sample_rate=0.0)
+    with pytest.raises(ValueError, match="event_sample_rate"):
+        contact_pairs(df, event_sample_rate=1.5)
+
+
+def test_contact_pairs_event_sampling_counts_as_bounded(spark, monkeypatch):
+    """An event-sampled call is a bounded production form: it must
+    not trip the density guard probe even on a dense frame, and the
+    thinning filter must sit BELOW the candidate join (both join
+    sides scan the pre-filtered stream)."""
+    import warnings as w
+
+    from diseasystore_spark.operators import events as ev
+
+    df = _mk_events(spark, [(i, i, i) for i in range(30)])
+    monkeypatch.setattr(ev, "DENSE_CONTACT_CANDIDATES", 100)
+    with w.catch_warnings():
+        w.simplefilter("error")
+        out = ev.contact_pairs(df, tolerance_s=3600, event_sample_rate=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the md5 threshold appears as a pushable Filter under the join,
+    # not as a join-condition term: the join condition itself carries
+    # no md5/conv (that is the pair-sampling device)
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert join_lines, plan
+    assert all("md5" not in l.lower() for l in join_lines), join_lines
+    assert "md5" in plan.lower()
