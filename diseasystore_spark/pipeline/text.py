@@ -2084,3 +2084,211 @@ def reading_ease_scores(
         .cast("bigint")
         .alias("fre_micro"),
     )
+
+
+def gopher_repetition_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_line_pct: int = 30,
+    max_dup_para_pct: int = 30,
+    max_dup_line_char_pct: int = 20,
+    max_dup_para_char_pct: int = 20,
+    top_ngram_char_pcts: tuple[int, int, int] = (20, 18, 16),
+    dup_ngram_char_pcts: tuple[int, ...] = (15, 14, 13, 12, 11, 10),
+) -> DataFrame:
+    """The published Gopher REPETITION rules (Rae et al. 2021,
+    appendix A1.1 — public), the other half of
+    :func:`gopher_quality_filter`'s table: per document, measure
+    line/paragraph duplication and n-gram repetition, evaluate every
+    threshold, and return the verdict plus each rule's boolean and
+    its exact micro-unit fraction (full diagnosability).
+
+    Conventions (every one mirrored in the q193 oracle; all counters
+    are integers and all threshold comparisons integer
+    cross-multiplications — no float division anywhere):
+
+    - lines = non-empty elements of ``split(text, '\\n')``;
+      paragraphs = non-empty elements of ``split(text, '\\n\\n')``.
+    - duplication counts EXCESS occurrences: a segment appearing
+      ``c`` times contributes ``c - 1`` duplicates and
+      ``(c - 1) * length(segment)`` duplicate characters.
+    - word n-grams use the module-wide tokenization (``\\s+`` split
+      of the trimmed text) joined by single spaces; the joined
+      gram's ``length`` (spaces included) is its character weight.
+    - ``top n-gram char fraction`` (n = 2, 3, 4) is the maximum of
+      ``c * length(gram)`` over the document's n-grams — the most
+      char-covering n-gram, a deterministic variant of "most
+      frequent" that needs no tie-break.
+    - ``dup n-gram char fraction`` (n = 5..10) sums
+      ``(c - 1) * length(gram)`` over grams with ``c >= 2``
+      (overlapping occurrences are NOT de-overlapped — documented,
+      cheap, and monotone in repetition; because overlapping
+      occurrences each count and grams include joining spaces, char
+      fractions CAN exceed 1.0 on degenerate repetition — the rule
+      comparisons are unaffected).
+    - every char fraction's denominator is ``length(text)``; count
+      fractions divide by the segment count. Fractions are floored
+      micro-units (``(1e6 * num) DIV den``), NULL when the
+      denominator is zero; rule booleans treat 0/0 as passing
+      (an empty doc repeats nothing).
+
+    Scale shape: three exploded frames (segments tagged line/para in
+    ONE explode, all nine n-gram sizes in ONE explode) -> two
+    map-side-combinable (id, key) counts -> per-id conditional
+    aggregates -> two broadcast-sized joins back to the doc frame.
+    Shuffles are keyed by (id, segment/gram) — never global; hot
+    keys are bounded by per-document segment counts.
+
+    Output: ``(id, n_lines, n_paras, <13 *_micro fractions>,
+    <13 r_* booleans>, passed)``.
+    """
+    if len(top_ngram_char_pcts) != 3 or len(dup_ngram_char_pcts) != 6:
+        raise ValueError(
+            "top_ngram_char_pcts must have 3 entries (n=2,3,4) and "
+            "dup_ngram_char_pcts 6 (n=5..10)"
+        )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+    ).where(F.col("__t").isNotNull())
+    doc = base.select(
+        "__id", F.length("__t").cast("bigint").alias("__chars")
+    )
+
+    # one exploded frame for both segment kinds, tagged 'l' / 'p'
+    seg_expr = (
+        "explode(concat("
+        "transform(filter(split(__t, '\\n'), x -> x <> ''), "
+        "x -> struct('l' AS k, x AS s)), "
+        "transform(filter(split(__t, '\\n\\n'), x -> x <> ''), "
+        "x -> struct('p' AS k, x AS s))))"
+    )
+    seg_counts = (
+        base.select("__id", F.expr(seg_expr).alias("__e"))
+        .groupBy("__id", F.col("__e.k").alias("__k"), F.col("__e.s").alias("__s"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    seg_agg = seg_counts.groupBy("__id").agg(
+        *[
+            agg
+            for k, tag in (("l", "line"), ("p", "para"))
+            for agg in (
+                F.sum(F.when(F.col("__k") == k, F.col("__c")).otherwise(0))
+                .cast("bigint")
+                .alias(f"__n_{tag}"),
+                F.sum(
+                    F.when(F.col("__k") == k, F.col("__c") - 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"__dup_{tag}"),
+                F.sum(
+                    F.when(
+                        F.col("__k") == k,
+                        (F.col("__c") - 1) * F.length("__s"),
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"__dupch_{tag}"),
+            )
+        ]
+    )
+
+    # all nine n-gram sizes in one explode: struct(n, gram)
+    # sequence(1, 0) is DESCENDING in Spark (yields [1, 0] -> slice
+    # start 0 crash), so the short-doc case needs an explicit guard
+    gram_expr = (
+        "explode(flatten(transform(sequence(2, 10), n -> "
+        "IF(size(__w) >= n, "
+        "transform(sequence(1, size(__w) - n + 1), "
+        "i -> struct(n, array_join(slice(__w, i, n), ' ') AS g)), "
+        "array()))))"
+    )
+    gram_counts = (
+        base.select(
+            "__id",
+            F.expr("split(trim(__t), '\\\\s+')").alias("__w"),
+        )
+        .select("__id", F.expr(gram_expr).alias("__e"))
+        .groupBy(
+            "__id", F.col("__e.n").alias("__n"), F.col("__e.g").alias("__g")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    gram_agg = gram_counts.groupBy("__id").agg(
+        *[
+            F.max(
+                F.when(F.col("__n") == n, F.col("__c") * F.length("__g"))
+            )
+            .cast("bigint")
+            .alias(f"__top{n}")
+            for n in (2, 3, 4)
+        ],
+        *[
+            F.sum(
+                F.when(
+                    (F.col("__n") == n) & (F.col("__c") > 1),
+                    (F.col("__c") - 1) * F.length("__g"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"__dupg{n}")
+            for n in range(5, 11)
+        ],
+    )
+
+    j = (
+        doc.join(seg_agg, "__id", "left").join(gram_agg, "__id", "left")
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("bigint")  # noqa: E731
+
+    sel = [
+        F.col("__id").alias(id_col),
+        z("__n_line").alias("n_lines"),
+        z("__n_para").alias("n_paras"),
+    ]
+    rules: list[tuple[str, Column]] = []
+
+    def add(name: str, num, den, pct: int) -> None:
+        sel.append(
+            F.expr(
+                f"(1000000 * coalesce({num}, 0)) "
+                f"DIV nullif(coalesce({den}, 0), 0)"
+            )
+            .cast("bigint")
+            .alias(f"{name}_micro")
+        )
+        # 0/0 passes: an empty doc repeats nothing (NULL-joined
+        # aggregates coalesce to 0 on BOTH sides so the boolean is
+        # never NULL)
+        rules.append(
+            (
+                f"r_{name}",
+                100 * F.coalesce(F.expr(num), F.lit(0))
+                <= pct * F.coalesce(F.expr(den), F.lit(0)),
+            )
+        )
+
+    add("dup_line_frac", "__dup_line", "__n_line", max_dup_line_pct)
+    add("dup_para_frac", "__dup_para", "__n_para", max_dup_para_pct)
+    add(
+        "dup_line_char_frac", "__dupch_line", "__chars",
+        max_dup_line_char_pct,
+    )
+    add(
+        "dup_para_char_frac", "__dupch_para", "__chars",
+        max_dup_para_char_pct,
+    )
+    for n, pct in zip((2, 3, 4), top_ngram_char_pcts):
+        add(f"top_{n}gram_char_frac", f"__top{n}", "__chars", pct)
+    for n, pct in zip(range(5, 11), dup_ngram_char_pcts):
+        add(f"dup_{n}gram_char_frac", f"__dupg{n}", "__chars", pct)
+
+    passed = rules[0][1]
+    for _, expr in rules[1:]:
+        passed = passed & expr
+    return j.select(
+        *sel,
+        *[expr.alias(name) for name, expr in rules],
+        passed.alias("passed"),
+    )

@@ -10474,6 +10474,174 @@ HAVING count(*) >= 2
 """
 
 
+def q193_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher REPETITION rules (Rae et al. 2021 A1.1 —
+    the other half of q109's quality table) over the documents
+    corpus: per-doc duplicate line/paragraph fractions (count and
+    character), most-char-covering {2,3,4}-gram fractions, duplicated
+    {5..10}-gram char fractions — every fraction an exact floored
+    micro-unit, every rule an integer cross-multiplication, so the
+    13-rule verdict is DuckDB hash-exact. Plan: two tagged explodes
+    (both segment kinds in one, all nine gram sizes in one), two
+    (id, key) combinable counts, conditional per-id aggregates."""
+    from diseasystore_spark.pipeline.text import gopher_repetition_filter
+
+    return gopher_repetition_filter(
+        _read(spark, sf_dir, "documents")
+    )
+
+
+ORACLE_Q193 = r"""
+WITH base AS (
+  SELECT doc_id, text AS t, length(text) AS chars
+  FROM documents WHERE text IS NOT NULL
+),
+segs AS (
+  SELECT doc_id, 'l' AS k,
+         unnest(list_filter(string_split(t, chr(10)), x -> x <> '')) AS s
+  FROM base
+  UNION ALL
+  SELECT doc_id, 'p',
+         unnest(list_filter(string_split(t, chr(10) || chr(10)),
+                            x -> x <> ''))
+  FROM base
+),
+segc AS (
+  SELECT doc_id, k, s, count(*) AS c FROM segs GROUP BY 1, 2, 3
+),
+sega AS (
+  SELECT doc_id,
+         sum(CASE WHEN k = 'l' THEN c ELSE 0 END) AS n_line,
+         sum(CASE WHEN k = 'l' THEN c - 1 ELSE 0 END) AS dup_line,
+         sum(CASE WHEN k = 'l' THEN (c - 1) * length(s) ELSE 0 END)
+           AS dupch_line,
+         sum(CASE WHEN k = 'p' THEN c ELSE 0 END) AS n_para,
+         sum(CASE WHEN k = 'p' THEN c - 1 ELSE 0 END) AS dup_para,
+         sum(CASE WHEN k = 'p' THEN (c - 1) * length(s) ELSE 0 END)
+           AS dupch_para
+  FROM segc GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(t), '\s+') AS w FROM base
+),
+grams AS (
+  SELECT doc_id, nn.n AS n,
+         unnest(CASE WHEN len(w) >= nn.n THEN list_transform(
+             generate_series(1, len(w) - nn.n + 1),
+             i -> array_to_string(w[i:i+nn.n-1], ' '))
+           ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM toks CROSS JOIN (SELECT unnest(range(2, 11)) AS n) nn
+),
+gramc AS (
+  SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3
+),
+grama AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN c * length(g) END) AS top2,
+         max(CASE WHEN n = 3 THEN c * length(g) END) AS top3,
+         max(CASE WHEN n = 4 THEN c * length(g) END) AS top4,
+         sum(CASE WHEN n = 5 AND c > 1 THEN (c - 1) * length(g)
+                  ELSE 0 END) AS dupg5,
+         sum(CASE WHEN n = 6 AND c > 1 THEN (c - 1) * length(g)
+                  ELSE 0 END) AS dupg6,
+         sum(CASE WHEN n = 7 AND c > 1 THEN (c - 1) * length(g)
+                  ELSE 0 END) AS dupg7,
+         sum(CASE WHEN n = 8 AND c > 1 THEN (c - 1) * length(g)
+                  ELSE 0 END) AS dupg8,
+         sum(CASE WHEN n = 9 AND c > 1 THEN (c - 1) * length(g)
+                  ELSE 0 END) AS dupg9,
+         sum(CASE WHEN n = 10 AND c > 1 THEN (c - 1) * length(g)
+                  ELSE 0 END) AS dupg10
+  FROM gramc GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(coalesce(n_line, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(n_para, 0) AS BIGINT) AS n_paras,
+       CAST((1000000 * coalesce(dup_line, 0))
+            // nullif(coalesce(n_line, 0), 0) AS BIGINT)
+         AS dup_line_frac_micro,
+       CAST((1000000 * coalesce(dup_para, 0))
+            // nullif(coalesce(n_para, 0), 0) AS BIGINT)
+         AS dup_para_frac_micro,
+       CAST((1000000 * coalesce(dupch_line, 0))
+            // nullif(coalesce(chars, 0), 0) AS BIGINT)
+         AS dup_line_char_frac_micro,
+       CAST((1000000 * coalesce(dupch_para, 0))
+            // nullif(coalesce(chars, 0), 0) AS BIGINT)
+         AS dup_para_char_frac_micro,
+       CAST((1000000 * coalesce(top2, 0))
+            // nullif(coalesce(chars, 0), 0) AS BIGINT)
+         AS top_2gram_char_frac_micro,
+       CAST((1000000 * coalesce(top3, 0))
+            // nullif(coalesce(chars, 0), 0) AS BIGINT)
+         AS top_3gram_char_frac_micro,
+       CAST((1000000 * coalesce(top4, 0))
+            // nullif(coalesce(chars, 0), 0) AS BIGINT)
+         AS top_4gram_char_frac_micro,
+       CAST((1000000 * coalesce(dupg5, 0))
+            // nullif(coalesce(chars, 0), 0) AS BIGINT)
+         AS dup_5gram_char_frac_micro,
+       CAST((1000000 * coalesce(dupg6, 0))
+            // nullif(coalesce(chars, 0), 0) AS BIGINT)
+         AS dup_6gram_char_frac_micro,
+       CAST((1000000 * coalesce(dupg7, 0))
+            // nullif(coalesce(chars, 0), 0) AS BIGINT)
+         AS dup_7gram_char_frac_micro,
+       CAST((1000000 * coalesce(dupg8, 0))
+            // nullif(coalesce(chars, 0), 0) AS BIGINT)
+         AS dup_8gram_char_frac_micro,
+       CAST((1000000 * coalesce(dupg9, 0))
+            // nullif(coalesce(chars, 0), 0) AS BIGINT)
+         AS dup_9gram_char_frac_micro,
+       CAST((1000000 * coalesce(dupg10, 0))
+            // nullif(coalesce(chars, 0), 0) AS BIGINT)
+         AS dup_10gram_char_frac_micro,
+       (100 * coalesce(dup_line, 0) <= 30 * coalesce(n_line, 0))
+         AS r_dup_line_frac,
+       (100 * coalesce(dup_para, 0) <= 30 * coalesce(n_para, 0))
+         AS r_dup_para_frac,
+       (100 * coalesce(dupch_line, 0) <= 20 * coalesce(chars, 0))
+         AS r_dup_line_char_frac,
+       (100 * coalesce(dupch_para, 0) <= 20 * coalesce(chars, 0))
+         AS r_dup_para_char_frac,
+       (100 * coalesce(top2, 0) <= 20 * coalesce(chars, 0))
+         AS r_top_2gram_char_frac,
+       (100 * coalesce(top3, 0) <= 18 * coalesce(chars, 0))
+         AS r_top_3gram_char_frac,
+       (100 * coalesce(top4, 0) <= 16 * coalesce(chars, 0))
+         AS r_top_4gram_char_frac,
+       (100 * coalesce(dupg5, 0) <= 15 * coalesce(chars, 0))
+         AS r_dup_5gram_char_frac,
+       (100 * coalesce(dupg6, 0) <= 14 * coalesce(chars, 0))
+         AS r_dup_6gram_char_frac,
+       (100 * coalesce(dupg7, 0) <= 13 * coalesce(chars, 0))
+         AS r_dup_7gram_char_frac,
+       (100 * coalesce(dupg8, 0) <= 12 * coalesce(chars, 0))
+         AS r_dup_8gram_char_frac,
+       (100 * coalesce(dupg9, 0) <= 11 * coalesce(chars, 0))
+         AS r_dup_9gram_char_frac,
+       (100 * coalesce(dupg10, 0) <= 10 * coalesce(chars, 0))
+         AS r_dup_10gram_char_frac,
+       ((100 * coalesce(dup_line, 0) <= 30 * coalesce(n_line, 0))
+        AND (100 * coalesce(dup_para, 0) <= 30 * coalesce(n_para, 0))
+        AND (100 * coalesce(dupch_line, 0) <= 20 * coalesce(chars, 0))
+        AND (100 * coalesce(dupch_para, 0) <= 20 * coalesce(chars, 0))
+        AND (100 * coalesce(top2, 0) <= 20 * coalesce(chars, 0))
+        AND (100 * coalesce(top3, 0) <= 18 * coalesce(chars, 0))
+        AND (100 * coalesce(top4, 0) <= 16 * coalesce(chars, 0))
+        AND (100 * coalesce(dupg5, 0) <= 15 * coalesce(chars, 0))
+        AND (100 * coalesce(dupg6, 0) <= 14 * coalesce(chars, 0))
+        AND (100 * coalesce(dupg7, 0) <= 13 * coalesce(chars, 0))
+        AND (100 * coalesce(dupg8, 0) <= 12 * coalesce(chars, 0))
+        AND (100 * coalesce(dupg9, 0) <= 11 * coalesce(chars, 0))
+        AND (100 * coalesce(dupg10, 0) <= 10 * coalesce(chars, 0)))
+         AS passed
+FROM base b
+LEFT JOIN sega USING (doc_id)
+LEFT JOIN grama USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10684,6 +10852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q190_reading_ease": q190_reading_ease,
     "q191_stream_funnel": q191_stream_funnel,
     "q192_contact_pairs_event_sampled": q192_contact_pairs_event_sampled,
+    "q193_gopher_repetition": q193_gopher_repetition,
 }
 
 ORACLES: dict[str, str] = {
@@ -10883,6 +11052,7 @@ ORACLES: dict[str, str] = {
     "q190_reading_ease": ORACLE_Q190,
     "q191_stream_funnel": ORACLE_Q191,
     "q192_contact_pairs_event_sampled": ORACLE_Q192,
+    "q193_gopher_repetition": ORACLE_Q193,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

@@ -3066,3 +3066,60 @@ def test_zipf_fit_recovers_planted_slope(spark):
         [(1, "same same same")], "doc_id long, text string"
     )
     assert zipf_fit(single).collect()[0]["slope"] is None
+
+
+def test_gopher_repetition_filter_hand_counts(spark):
+    """Crafted docs with hand-computed repetition stats (the q193
+    operator): excess-occurrence duplication for lines/paragraphs,
+    most-char-covering top n-gram, duplicated n-gram chars, floored
+    micro fractions with NULL on zero denominators, and 0/0
+    passing."""
+    from diseasystore_spark.pipeline.text import gopher_repetition_filter
+
+    df = spark.createDataFrame(
+        [
+            # 3 lines ("a b" x2, "c d"), 11 chars
+            (1, "a b\na b\nc d"),
+            # paragraphs ["p q r" x2, "x"], lines likewise 3 (blank
+            # lines dropped), 15 chars
+            (2, "p q r\n\np q r\n\nx"),
+            # degenerate repetition: "w w" 2-gram occurs 5x ->
+            # 15 chars of an 11-char doc (fraction > 1 by the
+            # documented overlapping convention)
+            (3, "w w w w w w"),
+            (4, ""),       # empty: zero denominators -> NULLs, passes
+            (5, None),     # NULL text excluded entirely
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition_filter(df).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+
+    d1 = rows[1]
+    assert d1["n_lines"] == 3 and d1["dup_line_frac_micro"] == 333333
+    assert d1["dup_line_char_frac_micro"] == 272727  # 3 of 11 chars
+    assert d1["top_2gram_char_frac_micro"] == 545454  # "a b" 2x3=6/11
+    assert d1["r_dup_line_frac"] is False and d1["passed"] is False
+
+    d2 = rows[2]
+    assert d2["n_paras"] == 3 and d2["dup_para_frac_micro"] == 333333
+    assert d2["dup_para_char_frac_micro"] == 333333  # 5 of 15 chars
+    assert d2["top_2gram_char_frac_micro"] == 400000  # "p q" 2x3=6/15
+
+    d3 = rows[3]
+    assert d3["dup_line_frac_micro"] == 0
+    assert d3["top_2gram_char_frac_micro"] == 1363636  # 5x3=15/11 > 1
+    assert d3["dup_5gram_char_frac_micro"] == 818181   # (2-1)x9/11
+    assert d3["passed"] is False
+
+    d4 = rows[4]
+    assert d4["n_lines"] == 0 and d4["dup_line_frac_micro"] is None
+    assert d4["passed"] is True
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="top_ngram_char_pcts"):
+        gopher_repetition_filter(df, top_ngram_char_pcts=(20, 18))
