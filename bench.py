@@ -156,20 +156,22 @@ def _conformance_workload(spark) -> dict:
     from tests.store_fixtures import write_google_fixtures
 
     root = tempfile.mkdtemp(prefix="bench_conf_")
-    src = write_google_fixtures(
-        os.path.join(root, "src"), gzip_by_age=True, scale=4
-    )
-    ds = GoogleCovid19Diseasystore(
-        spark,
-        target_conn=os.path.join(root, "store"),
-        source_conn=src,
-        slice_ts=datetime.date(2024, 1, 1),
-        verbose=False,
-    )
-    t0 = time.perf_counter()
-    run_conformance_suite(ds, test_start_date=datetime.date(2020, 3, 2))
-    dt = round(time.perf_counter() - t0, 3)
-    shutil.rmtree(root, ignore_errors=True)
+    try:
+        src = write_google_fixtures(
+            os.path.join(root, "src"), gzip_by_age=True, scale=4
+        )
+        ds = GoogleCovid19Diseasystore(
+            spark,
+            target_conn=os.path.join(root, "store"),
+            source_conn=src,
+            slice_ts=datetime.date(2024, 1, 1),
+            verbose=False,
+        )
+        t0 = time.perf_counter()
+        run_conformance_suite(ds, test_start_date=datetime.date(2020, 3, 2))
+        dt = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return {"conformance_google_scaled_4x": dt}
 
 
@@ -194,12 +196,6 @@ def main() -> None:
     spark.read.parquet(_warm).count()
 
     baselines = _baseline_workloads(spark)
-    # Timed but NOT summed into the headline total: the conformance
-    # suite is a ~2-minute store-extension workload (dozens of engine
-    # writes), not a registry query — folding it in would break the
-    # round-over-round total comparison. It is reported under its own
-    # key in both the compact line and BENCH_DETAIL.json.
-    conformance = _conformance_workload(spark)
 
     import gc
 
@@ -228,7 +224,17 @@ def main() -> None:
 
     timings.update(baselines)
     total += sum(baselines.values())
-    timings.update(conformance)  # reported, excluded from total
+    n_queries = len(timings)
+
+    # Timed LAST and NOT summed into the headline total: the
+    # conformance suite is a ~2-minute store-extension workload
+    # (dozens of engine writes), not a registry query — folding it
+    # into the total (or running it before the timed loop, where its
+    # block-manager debt would inflate early queries) would break the
+    # round-over-round comparison. Reported under its own key in both
+    # the compact line and BENCH_DETAIL.json; n_queries excludes it.
+    conformance = _conformance_workload(spark)
+    timings.update(conformance)
 
     # Full per-query detail goes to a file + stderr; stdout ends with ONE
     # compact JSON line so the driver's tail-capture parses it (r3's
@@ -257,7 +263,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {**baselines, **conformance, **slowest},
         "sf": sf,
-        "n_queries": len(timings),
+        "n_queries": n_queries,
         "detail": str(detail_path.name),
         "note": "conformance_* timed separately, excluded from value",
     }

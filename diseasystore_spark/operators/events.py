@@ -39,6 +39,23 @@ from pyspark.sql import functions as F
 NOT_REACHED = -(1 << 63)
 
 
+def _u32_hash(*parts: Column) -> Column:
+    """Uniform uint32 (bigint) from the first 8 hex digits of md5
+    over the ``\\x1f``-joined parts — the one deterministic-sampling
+    hash convention of this module (pair sampling and event sampling
+    share it, and the q179/q192 oracles replay it with ``||``
+    concatenation). NULL-PROPAGATING by construction (``concat``,
+    not ``concat_ws``): a NULL part yields a NULL hash, so every
+    ``< threshold`` sampling predicate drops NULL-keyed rows exactly
+    as the SQL oracles' NULL-propagating ``||`` does."""
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = F.concat(joined, F.lit("\x1f"), p)
+    return F.conv(
+        F.substring(F.md5(joined.cast("binary")), 1, 8), 16, 10
+    ).cast("bigint")
+
+
 def _stage_idx_col(type_col: str, stages: list[str]) -> Column:
     expr = F.lit(None).cast("int")
     for i in reversed(range(len(stages))):
@@ -831,8 +848,10 @@ def contact_pairs(
                 f"contact_pairs: estimated candidate volume {est:,} "
                 f"exceeds {DENSE_CONTACT_CANDIDATES:,}; the exact "
                 "mode is quadratic in stream density. Route through a "
-                "bounded mode: sample_rate (exact counts on a "
-                "deterministic pair sample), min_contacts (degree-"
+                "bounded mode: event_sample_rate (thins the stream "
+                "BEFORE the join — the only mode that cuts candidate "
+                "volume itself, by q²), sample_rate (exact counts on "
+                "a deterministic pair sample), min_contacts (degree-"
                 "bound pre-prune + threshold), or top_k_per_user — or "
                 "pass density_guard='off' to force the exact form."
             )
@@ -849,25 +868,15 @@ def contact_pairs(
         # stage — degree prune, bucket fan-out, candidate join —
         # sees q*n events, so candidate volume drops by q². One md5
         # per event, in its own seed domain ("ev") so composing with
-        # sample_rate keeps the two draws independent.
+        # sample_rate keeps the two draws independent. NULL event
+        # ids hash to NULL and are dropped by the predicate — their
+        # selection is undefined, and the oracle's NULL-propagating
+        # || concatenation behaves identically.
         ev_threshold = int(round(event_sample_rate * 2**32))
         e = e.where(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "\x1f",
-                            F.lit(sample_seed),
-                            F.lit("ev"),
-                            F.col("__i").cast("string"),
-                        ).cast("binary")
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
+            _u32_hash(
+                F.lit(sample_seed), F.lit("ev"), F.col("__i").cast("string")
+            )
             < F.lit(ev_threshold)
         )
     if sampling:
@@ -875,21 +884,7 @@ def contact_pairs(
         # predicate below is then one XOR + compare per candidate
         e = e.withColumn(
             "__h",
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "\x1f",
-                            F.lit(sample_seed),
-                            F.col("__u").cast("string"),
-                        ).cast("binary")
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint"),
+            _u32_hash(F.lit(sample_seed), F.col("__u").cast("string")),
         )
     if min_contacts is not None and min_contacts > 1:
         bucket = F.expr(f"__t DIV {tol_us}")

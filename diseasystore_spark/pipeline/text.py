@@ -2205,10 +2205,7 @@ def gopher_repetition_filter(
         "array()))))"
     )
     gram_counts = (
-        base.select(
-            "__id",
-            F.expr("split(trim(__t), '\\\\s+')").alias("__w"),
-        )
+        base.select("__id", _tokens("__t").alias("__w"))
         .select("__id", F.expr(gram_expr).alias("__e"))
         .groupBy(
             "__id", F.col("__e.n").alias("__n"), F.col("__e.g").alias("__g")

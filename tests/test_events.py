@@ -866,6 +866,24 @@ def test_contact_pairs_event_sampling_matches_python_oracle(spark):
     with pytest.raises(ValueError, match="event_sample_rate"):
         contact_pairs(df, event_sample_rate=1.5)
 
+    # NULL event ids: the thinning hash is NULL-PROPAGATING (like the
+    # oracle's || concatenation), so a NULL-id event is dropped under
+    # any q < 1 — its selection is undefined — while the exact form
+    # (and q=1.0, which never filters) still counts it
+    nid = spark.createDataFrame(
+        [(0, "1996-01-01 00:00:10", 1), (None, "1996-01-01 00:00:20", 2)],
+        "event_id bigint, ts0 string, user_id bigint",
+    ).selectExpr("event_id", "CAST(ts0 AS TIMESTAMP) AS ts", "user_id")
+    exact = contact_pairs(nid, tolerance_s=600).collect()
+    assert len(exact) == 1 and exact[0]["n_contacts"] == 1
+    # event id 0 survives q=0.4 (verified via kept()); the NULL-id
+    # partner is dropped regardless -> no pairs remain
+    assert kept(0)
+    thinned = contact_pairs(
+        nid, tolerance_s=600, event_sample_rate=q
+    ).collect()
+    assert thinned == []
+
 
 def test_contact_pairs_event_sampling_counts_as_bounded(spark, monkeypatch):
     """An event-sampled call is a bounded production form: it must
