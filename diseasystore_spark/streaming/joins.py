@@ -91,6 +91,8 @@ def contact_events(
     id_col: str = "event_id",
     tolerance_s: int = 3600,
     watermark: str = "2 hours",
+    event_sample_rate: float | None = None,
+    sample_seed: str = "cp0",
 ) -> DataFrame:
     """Streaming twin of ``operators/events.contact_pairs``'s pair
     stage: emit every unordered cross-user EVENT pair within
@@ -111,11 +113,34 @@ def contact_events(
     when unordered user pairs are wanted (as ``contact_pairs`` does).
     Works identically on batch frames (watermark is a no-op), which
     the stream==batch test leans on.
+
+    ``event_sample_rate=q``: the batch operator's candidate bound,
+    applied identically here — the deterministic md5 threshold on the
+    event id (same seed domain, same hash, NULL-id events dropped)
+    thins the stream BEFORE both join sides, so per-side stream state
+    (rate × watermark+tolerance rows) shrinks by q and the join
+    fan-in by q². Stateless, so it composes with the watermark and
+    keeps stream == thinned-batch exact.
     """
     if tolerance_s <= 0:
         raise ValueError("tolerance_s must be positive")
+    if event_sample_rate is not None and not (
+        0.0 < event_sample_rate <= 1.0
+    ):
+        raise ValueError("event_sample_rate must be in (0, 1]")
     tol_us = tolerance_s * 1_000_000
     base = events.where(F.col(ts_col).isNotNull())
+    if event_sample_rate is not None and event_sample_rate < 1.0:
+        from diseasystore_spark.operators.events import _u32_hash
+
+        base = base.where(
+            _u32_hash(
+                F.lit(sample_seed),
+                F.lit("ev"),
+                F.col(id_col).cast("string"),
+            )
+            < F.lit(int(round(event_sample_rate * 2**32)))
+        )
     left = (
         base.withWatermark(ts_col, watermark)
         .select(

@@ -1111,6 +1111,52 @@ def test_contact_events_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
 
+    # event-sampled twin: the same md5 thinning as the batch
+    # operator, applied before BOTH join sides — stream == the batch
+    # formulation at the same q, and == the unthinned pair set
+    # restricted to surviving events (selection is per event, so no
+    # surviving pair is ever dropped)
+    import hashlib
+
+    qrate = 0.6
+    thr = int(round(qrate * 2**32))
+
+    def kept(eid: int) -> bool:
+        h = hashlib.md5(f"cp0\x1fev\x1f{eid}".encode()).hexdigest()
+        return int(h[:8], 16) < thr
+
+    surviving = {eid for _, eid, _ in f1 + f2 if kept(eid)}
+    assert 0 < len(surviving) < len(f1) + len(f2)
+    batch_thinned = {
+        tuple(r)
+        for r in contact_events(
+            batch_events, tolerance_s=1800, event_sample_rate=qrate
+        ).collect()
+    }
+    assert batch_thinned <= want
+    out2 = contact_events(
+        stream, tolerance_s=1800, event_sample_rate=qrate
+    )
+    q2 = (
+        out2.writeStream.format("memory")
+        .queryName("contact_out_thinned")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "contact_ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        tuple(r)
+        for r in spark.sql("select * from contact_out_thinned").collect()
+    }
+    assert got2 == batch_thinned
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="event_sample_rate"):
+        contact_events(batch_events, event_sample_rate=0.0)
+
 
 def test_session_counts_native_stream_matches_batch(spark, tmp_path):
     """Native session_window sessionization: finalized sessions
