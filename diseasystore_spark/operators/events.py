@@ -644,18 +644,20 @@ def rolling_incidence(
 DENSE_CONTACT_CANDIDATES = 100_000_000
 
 
-def estimate_contact_candidates(
+def _contact_candidate_estimate(
     events: DataFrame,
-    ts_col: str = "ts",
-    tolerance_s: int = 3600,
-) -> int:
-    """Exact candidate count of :func:`contact_pairs`' bucket
-    equi-join (before the time/tie predicates): events are bucketed at
-    tolerance granularity, and each left event meets its own plus the
-    next bucket, so candidates = ``sum_b n_b * (n_b + n_{b+1})``. One
+    ts_col: str,
+    tolerance_s: int,
+) -> DataFrame:
+    """Lazy 1-row frame ``(est bigint)`` holding the exact candidate
+    count of :func:`contact_pairs`' bucket equi-join (before the
+    time/tie predicates): events are bucketed at tolerance
+    granularity, and each left event meets its own plus the next
+    bucket, so candidates = ``sum_b n_b * (n_b + n_{b+1})``. One
     tolerance-granular aggregate + a 1-row sum — the bucket frame has
     one row per active tolerance window, never event-sized, so the
-    probe costs a map-side-combinable count even on 100 TB."""
+    probe costs a map-side-combinable count even on 100 TB. (The
+    ``lead`` window runs over that tiny bucket frame, not events.)"""
     tol_us = tolerance_s * 1_000_000
     sizes = (
         events.where(F.col(ts_col).isNotNull())
@@ -665,7 +667,7 @@ def estimate_contact_candidates(
         .agg(F.count(F.lit(1)).alias("__n"))
     )
     w = Window.orderBy("__b")
-    row = (
+    return (
         sizes.select(
             "__b",
             "__n",
@@ -677,12 +679,24 @@ def estimate_contact_candidates(
             .alias("__next"),
         )
         .agg(
-            F.sum(
-                F.col("__n") * (F.col("__n") + F.col("__next"))
-            ).alias("est")
+            F.coalesce(
+                F.sum(F.col("__n") * (F.col("__n") + F.col("__next"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("est")
         )
-        .collect()[0]
     )
+
+
+def estimate_contact_candidates(
+    events: DataFrame,
+    ts_col: str = "ts",
+    tolerance_s: int = 3600,
+) -> int:
+    """Eager form of :func:`_contact_candidate_estimate` — runs the
+    tolerance-granular aggregate and returns the candidate count."""
+    row = _contact_candidate_estimate(events, ts_col, tolerance_s).collect()[0]
     return int(row["est"] or 0)
 
 
@@ -697,7 +711,7 @@ def contact_pairs(
     sample_rate: float | None = None,
     event_sample_rate: float | None = None,
     sample_seed: str = "cp0",
-    density_guard: str = "warn",
+    density_guard: str = "raise",
 ) -> DataFrame:
     """Temporal contact graph: for every unordered user pair, count
     the event pairs that occurred within ``tolerance_s`` seconds of
@@ -750,15 +764,27 @@ def contact_pairs(
 
     Both modes compose (threshold first, then rank).
 
-    ``density_guard`` (default ``"warn"``): a BLIND exact call — no
-    ``min_contacts``/``top_k_per_user``/``sample_rate`` — first probes
-    the candidate volume via :func:`estimate_contact_candidates` (one
-    tolerance-granular aggregate; the bucket frame is tiny) and, past
-    ``DENSE_CONTACT_CANDIDATES`` (100M), warns — or raises under
-    ``"raise"`` — with concrete routing advice, so the quadratic exact
-    mode cannot be invoked blind on a dense stream at scale. Bounded
-    calls never probe (zero extra jobs); ``"off"`` disables the probe
-    for deliberate exact-mode runs (benchmarks, small corpora).
+    ``density_guard`` (default ``"raise"``): a BLIND exact call — no
+    ``min_contacts``/``top_k_per_user``/``sample_rate``/
+    ``event_sample_rate`` — cannot run the quadratic exact plan on a
+    dense stream. Under the default the guard is FAIL-CLOSED but
+    LAZY: construction stays job-free, and the candidate estimate
+    (``sum_b n_b * (n_b + n_{b+1})``, one tolerance-granular
+    aggregate over a tiny bucket frame) travels INSIDE the returned
+    plan as a broadcast 1-row subtree whose ``raise_error`` fires at
+    the first action if the estimate exceeds
+    ``DENSE_CONTACT_CANDIDATES`` (100M), with concrete routing advice
+    and the measured estimate in the message. The guard sits above
+    the event scan and BELOW the bucket fan-out, so the quadratic
+    candidate join cannot start before the estimate is known.
+    ``"warn"`` keeps the legacy advisory behavior — NOTE it probes
+    EAGERLY (one Spark scan+aggregate job at DataFrame-construction
+    time, since Python warnings cannot be emitted from executors) —
+    and ``"off"`` disables the guard entirely for deliberate
+    exact-mode runs (benchmarks, small corpora), leaving construction
+    lazy and the plan untouched. Bounded calls never probe and carry
+    no guard subtree (zero overhead): the caller already chose a
+    production form.
 
     - ``sample_rate=p`` (the COMPUTE bound, for dense streams where
       even the bounded modes' cost ≥ the exact form's — everyone is
@@ -828,11 +854,8 @@ def contact_pairs(
     event_sampling = (
         event_sample_rate is not None and event_sample_rate < 1.0
     )
-    # Auto-routing guard (the exact mode must not be invoked BLIND on
-    # a dense stream): when no bounding parameter was given, probe the
-    # candidate volume (one tolerance-granular aggregate) and
-    # warn/raise past DENSE_CONTACT_CANDIDATES with concrete routing
-    # advice. Bounded calls skip the probe entirely — the caller
+    # Fail-closed guard (the exact mode must not be invoked BLIND on
+    # a dense stream). Bounded calls skip it entirely — the caller
     # already chose a production form — as do guard="off" callers
     # (e.g. a deliberate exact-mode benchmark).
     blind = (
@@ -841,28 +864,69 @@ def contact_pairs(
         and not sampling
         and not event_sampling
     )
-    if density_guard != "off" and blind:
+    routing_advice = (
+        "the exact mode is quadratic in stream density. Route through "
+        "a bounded mode: event_sample_rate (thins the stream BEFORE "
+        "the join - the only mode that cuts candidate volume itself, "
+        "by q^2), sample_rate (exact counts on a deterministic pair "
+        "sample), min_contacts (degree-bound pre-prune + threshold), "
+        "or top_k_per_user - or pass density_guard='off' to force the "
+        "exact form."
+    )
+    if density_guard == "warn" and blind:
+        # legacy advisory mode: EAGER by necessity (warnings cannot be
+        # emitted from executors) — one scan+aggregate Spark job at
+        # construction time, documented in the docstring.
         est = estimate_contact_candidates(events, ts_col, tolerance_s)
         if est > DENSE_CONTACT_CANDIDATES:
-            msg = (
+            warnings.warn(
                 f"contact_pairs: estimated candidate volume {est:,} "
-                f"exceeds {DENSE_CONTACT_CANDIDATES:,}; the exact "
-                "mode is quadratic in stream density. Route through a "
-                "bounded mode: event_sample_rate (thins the stream "
-                "BEFORE the join — the only mode that cuts candidate "
-                "volume itself, by q²), sample_rate (exact counts on "
-                "a deterministic pair sample), min_contacts (degree-"
-                "bound pre-prune + threshold), or top_k_per_user — or "
-                "pass density_guard='off' to force the exact form."
+                f"exceeds {DENSE_CONTACT_CANDIDATES:,}; "
+                + routing_advice,
+                stacklevel=2,
             )
-            if density_guard == "raise":
-                raise ValueError(msg)
-            warnings.warn(msg, stacklevel=2)
     e = events.where(F.col(ts_col).isNotNull()).select(
         F.col(user_col).alias("__u"),
         F.col(id_col).alias("__i"),
         F.unix_micros(F.col(ts_col)).alias("__t"),
     )
+    if density_guard == "raise" and blind:
+        # fail-closed AND lazy: the candidate estimate rides inside
+        # the plan as a broadcast 1-row subtree. Construction runs no
+        # job; at the first action the broadcast side materializes
+        # BEFORE the candidate join's build stage (it feeds the event
+        # frame both join sides read), and raise_error kills the job
+        # past the threshold — a blind dense call cannot silently run
+        # the quadratic plan, while a sparse one pays one extra tiny
+        # aggregate over the same event scan. CaseWhen evaluates
+        # branches lazily, so raise_error fires only when dense.
+        guard = _contact_candidate_estimate(
+            events, ts_col, tolerance_s
+        ).select(
+            F.when(
+                F.col("est") > F.lit(DENSE_CONTACT_CANDIDATES),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "contact_pairs: estimated candidate "
+                            "volume "
+                        ),
+                        F.col("est").cast("string"),
+                        F.lit(
+                            f" exceeds {DENSE_CONTACT_CANDIDATES:,}"
+                            "; " + routing_advice
+                        ),
+                    )
+                ).cast("boolean"),
+            )
+            .otherwise(F.lit(True))
+            .alias("__dg_ok")
+        )
+        e = (
+            e.crossJoin(F.broadcast(guard))
+            .where(F.col("__dg_ok"))
+            .drop("__dg_ok")
+        )
     if event_sampling:
         # thin the STREAM before anything else: every downstream
         # stage — degree prune, bucket fan-out, candidate join —

@@ -24,6 +24,8 @@ thousand.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -100,6 +102,16 @@ def _shingle_rows(
     )
 
 
+#: Blind-exact-mode density threshold for :func:`jaccard_pairs`: the
+#: exact shingle self-join enumerates ``sum_s C(df_s, 2)`` candidate
+#: pairs (df_s = document frequency of shingle s). Past 100M
+#: candidates on a call with no ``max_df`` bound, the blind exact
+#: form raises (default) with routing advice — the Sigma-df^2 blow-up
+#: is the word-soup failure mode the sf1 sweep measured at 22x for
+#: 10x data; :func:`minhash_lsh_pairs` is the scale path.
+DENSE_JACCARD_CANDIDATES = 100_000_000
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -108,6 +120,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     df_weight_col: str | None = None,
+    density_guard: str = "raise",
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-n-gram Jaccard similarity.
 
@@ -119,9 +132,24 @@ def jaccard_pairs(
     their group size so a shingle's DF is counted over the FULL
     corpus, keeping ``max_df`` semantics identical to running the
     un-collapsed form.
+
+    ``density_guard`` (default ``"raise"``): a BLIND exact call —
+    no ``max_df`` — probes the exact candidate volume of the shingle
+    self-join (``sum_s C(df_s, 2)``, one aggregate over the already-
+    checkpointed shingle index, so the probe adds no extra scan of
+    the input) and raises past ``DENSE_JACCARD_CANDIDATES`` with
+    routing advice (``minhash_lsh_pairs`` or a ``max_df`` cap), so
+    the Sigma-df^2 quadratic cannot be bought blind on a word-soup
+    corpus. ``"warn"`` downgrades to a warning; ``"off"`` disables
+    the probe for deliberate exact-mode runs. ``max_df`` callers
+    never probe — the cap already bounds per-shingle fan-out.
+    Unlike ``contact_pairs`` this operator is ALREADY eager at
+    construction (it localCheckpoints the shingle index), so the
+    probe does not change construction laziness.
     """
     pairs, _sizes = _jaccard_pairs_sized(
-        df, id_col, text_col, n, threshold, max_df, df_weight_col
+        df, id_col, text_col, n, threshold, max_df, df_weight_col,
+        density_guard=density_guard,
     )
     return pairs
 
@@ -134,6 +162,7 @@ def _jaccard_pairs_sized(
     threshold: float,
     max_df: int | None,
     df_weight_col: str | None = None,
+    density_guard: str = "raise",
 ) -> tuple[DataFrame, DataFrame]:
     """``jaccard_pairs`` plus the per-document POST-``max_df`` shingle
     set sizes ``(id_col, sz)`` — a doc is present iff >= 1 shingle
@@ -163,7 +192,45 @@ def _jaccard_pairs_sized(
     ]
     if df_weight_col is not None:
         sel.append(F.col(df_weight_col).cast("bigint").alias("_w"))
+    if density_guard not in ("off", "warn", "raise"):
+        raise ValueError("density_guard must be 'off', 'warn' or 'raise'")
     arr = spread(df).select(*sel).where(F.size("_sh") > 0).localCheckpoint()
+    if density_guard != "off" and max_df is None:
+        # Sigma-df^2 probe over the checkpointed arrays: exact
+        # candidate count of the shingle self-join, sum_s C(df_s, 2),
+        # DF weighted when the caller collapses exact groups. One
+        # explode+agg over data already in the block manager.
+        wexp = (
+            F.col("_w") if df_weight_col is not None else F.lit(1)
+        ).cast("bigint")
+        est_row = (
+            arr.select(wexp.alias("__w"), F.explode("_sh").alias("__s"))
+            .groupBy("__s")
+            .agg(F.sum("__w").alias("__df"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("__df") * (F.col("__df") - 1) / 2), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("est")
+            )
+            .collect()[0]
+        )
+        est = int(est_row["est"] or 0)
+        if est > DENSE_JACCARD_CANDIDATES:
+            msg = (
+                f"jaccard_pairs: the exact shingle self-join would "
+                f"enumerate an estimated {est:,} candidate pairs "
+                f"(sum over shingles of C(df, 2)), exceeding "
+                f"{DENSE_JACCARD_CANDIDATES:,}. Route through "
+                "minhash_lsh_pairs (banded LSH: linear candidate "
+                "volume), or bound the fan-out with max_df (drops "
+                "hot shingles), or pass density_guard='off' to force "
+                "the exact form."
+            )
+            if density_guard == "raise":
+                raise ValueError(msg)
+            warnings.warn(msg, stacklevel=3)
     sh = arr.select(F.col(id_col), F.explode("_sh").alias("shingle"))
     if max_df is not None:
         w = F.col("_w") if df_weight_col is not None else F.lit(1)
@@ -540,6 +607,7 @@ def near_dup_groups(
     bands: int = 4,
     max_bucket: int | None = None,
     portable: bool = False,
+    density_guard: str = "raise",
 ) -> DataFrame:
     """Production near-duplicate grouping — the composition a real
     curation pipeline runs: exact-collapse -> near-dup pairs over the
@@ -598,6 +666,7 @@ def near_dup_groups(
             threshold=threshold,
             max_df=max_df,
             df_weight_col="__m",
+            density_guard=density_guard,
         )
     comps = dedup_components(
         pairs,

