@@ -90,8 +90,6 @@ def delta_count_prevalence(
             cond = cond & left[s].eqNullSafe(F.col(f"__r_{s}"))
         return cond
 
-    _r_keys = ["__r_date"] + [f"__r_{s}" for s in strata_names]
-
     w = (
         Window.partitionBy(*strata_names)
         .orderBy("date")

@@ -10501,9 +10501,12 @@ def q193_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     character), most-char-covering {2,3,4}-gram fractions, duplicated
     {5..10}-gram char fractions — every fraction an exact floored
     micro-unit, every rule an integer cross-multiplication, so the
-    13-rule verdict is DuckDB hash-exact. Plan: two tagged explodes
-    (both segment kinds in one, all nine gram sizes in one), two
-    (id, key) combinable counts, conditional per-id aggregates."""
+    13-rule verdict is DuckDB hash-exact. Plan: a ZERO-SHUFFLE
+    map-only projection — per document, each rule folds a sorted
+    array of its segment/gram hashes (array_sort + one linear
+    aggregate) entirely row-locally, so the operator carries no
+    shuffle growth at any scale (see SCALE.md round-9: 9.1 -> 4.0 s
+    at sf0.1 vs the exploded two-shuffle form it replaced)."""
     from diseasystore_spark.pipeline.text import gopher_repetition_filter
 
     return gopher_repetition_filter(
@@ -10659,6 +10662,68 @@ SELECT b.doc_id,
 FROM base b
 LEFT JOIN sega USING (doc_id)
 LEFT JOIN grama USING (doc_id)
+"""
+
+
+def q194_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the PRODUCTION cluster count — ``n_clusters=
+    "auto"`` (k = round(sqrt(N)), the measured optimum of the
+    assignment-vs-pair-join tradeoff, SCALE.md round-9 U-curve) —
+    value-verified end to end (VERDICT r9 item 3). With zero Lloyd
+    iterations the quantizer is the first k vectors by id, so "auto"
+    stays SQL-expressible: the oracle derives the SAME k from
+    count(*) via a scalar-subquery LIMIT and replays assignment
+    (v.v - 2 v.c + c.c expansion, first-min tie-break), the in-cell
+    keep-first eviction, and the verdict hash-exactly. q112 pins the
+    fixed 16-cell form; this entry hard-gates the scale-correct
+    auto-k path itself, not just a recall contract."""
+    from diseasystore_spark.pipeline.similarity import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, n_clusters="auto", iterations=0, threshold=0.3, portable=True
+    )
+
+
+ORACLE_Q194 = """
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id
+        LIMIT (SELECT greatest(2, least(count(*),
+                 CAST(round(sqrt(count(*))) AS BIGINT)))
+               FROM embeddings))
+),
+corp AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ad AS (
+  SELECT vec_id, cluster,
+         list_dot_product(v, v) - 2 * list_dot_product(v, cv)
+           + list_dot_product(cv, cv) AS d2
+  FROM corp CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS r
+    FROM ad
+  ) WHERE r = 1
+),
+m AS (
+  SELECT a.vec_id, a.cluster, c.v,
+         sqrt(list_dot_product(c.v, c.v)) AS nrm
+  FROM assign a JOIN corp c USING (vec_id)
+),
+ev AS (
+  SELECT a.vec_id, min(b.vec_id) AS kept_by
+  FROM m a JOIN m b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
+  GROUP BY a.vec_id
+)
+SELECT m.vec_id, m.cluster, ev.kept_by IS NULL AS keep, ev.kept_by
+FROM m LEFT JOIN ev USING (vec_id)
 """
 
 
@@ -10872,6 +10937,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q191_stream_funnel": q191_stream_funnel,
     "q192_contact_pairs_event_sampled": q192_contact_pairs_event_sampled,
     "q193_gopher_repetition": q193_gopher_repetition,
+    "q194_semantic_dedup_auto": q194_semantic_dedup_auto,
 }
 
 ORACLES: dict[str, str] = {
@@ -11067,6 +11133,7 @@ ORACLES: dict[str, str] = {
     "q191_stream_funnel": ORACLE_Q191,
     "q192_contact_pairs_event_sampled": ORACLE_Q192,
     "q193_gopher_repetition": ORACLE_Q193,
+    "q194_semantic_dedup_auto": ORACLE_Q194,
     # q35's k-means quantizer is iterative with float-order-sensitive
     # reductions a single SQL statement cannot reproduce bit-exactly,
     # so its registry entry is the recall CONTRACT (every query's IVF

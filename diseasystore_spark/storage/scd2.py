@@ -751,6 +751,7 @@ class ParquetFeatureStore:
         ):
             months = manifest["months"]
             tdir = self._table_dir(table_id)
+            cached_rows: dict = manifest.get("file_rows") or {}
 
             def is_fragmented(fs: list[str]) -> bool:
                 # Knobless: fragmented iff more than one file — no
@@ -758,13 +759,17 @@ class ParquetFeatureStore:
                 # metadata-only.
                 if self.max_records_per_file is None:
                     return len(fs) > 1
-                # With the file-size knob set, row counts come free
-                # from the parquet footers (the _write_stats
-                # discipline); on any footer failure fall back to the
-                # knobless rule.
+                # With the file-size knob set, row counts come from
+                # the manifest's write-time cache (ADVICE r9 — the
+                # all-compact sweep stays metadata-only for knob-set
+                # stores too); parquet footers only for files written
+                # before the cache existed, and on any footer failure
+                # fall back to the knobless rule.
                 try:
                     counts = [
-                        pq.ParquetFile(
+                        cached_rows[f]
+                        if f in cached_rows
+                        else pq.ParquetFile(
                             os.path.join(tdir, f)
                         ).metadata.num_rows
                         for f in fs
@@ -1356,10 +1361,41 @@ class ParquetFeatureStore:
                 )
             }
         manifest = {"version": version, "dir": dirname, **body}
+        # Per-file row counts, cached in the manifest so later
+        # compact() fragmentation checks are metadata-only (ADVICE
+        # r9): carried-forward files inherit their count from the
+        # base manifest (zero footer reads for unchanged months),
+        # fresh files read one parquet footer each — footers this
+        # version was about to read for _STATS anyway.
+        known: dict[str, int] = {}
+        if prev is not None:
+            base_m = self._manifest_of(table_id, prev)
+            if base_m is not None:
+                known = base_m.get("file_rows") or {}
+        file_rows: dict[str, int] | None = {}
+        for r in self._manifest_refs(manifest):
+            cnt = known.get(r)
+            if cnt is None:
+                try:
+                    cnt = pq.ParquetFile(
+                        os.path.join(tdir, r)
+                    ).metadata.num_rows
+                except Exception:
+                    file_rows = None
+                    break
+            file_rows[r] = int(cnt)
+        if file_rows is not None:
+            manifest["file_rows"] = file_rows
         all_files = [
             os.path.join(tdir, r) for r in self._manifest_refs(manifest)
         ]
-        if self._write_stats(all_files, os.path.join(out_dir, "_STATS.json")):
+        if self._write_stats(
+            all_files,
+            os.path.join(out_dir, "_STATS.json"),
+            total_rows=(
+                sum(file_rows.values()) if file_rows is not None else None
+            ),
+        ):
             manifest["stats"] = f"{dirname}/_STATS.json"
         try:
             self._commit_version(table_id, version, manifest)
@@ -1406,7 +1442,12 @@ class ParquetFeatureStore:
     #: the executors — where it is noise next to the write itself).
     _STATS_DRIVER_MAX_ROWS = 50_000_000
 
-    def _write_stats(self, files: list[str], stats_path: str) -> bool:
+    def _write_stats(
+        self,
+        files: list[str],
+        stats_path: str,
+        total_rows: int | None = None,
+    ) -> bool:
         """Persist table statistics next to the version's own segment
         (``_STATS.json`` — leading underscore, so parquet readers skip
         it): row count, approx distinct key tuples (``key_*``
@@ -1433,7 +1474,14 @@ class ParquetFeatureStore:
             schema = pq.ParquetFile(files[0]).schema_arrow
             if "valid_from" not in schema.names:
                 return False
-            n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            # the caller usually hands the footer-derived total down
+            # (it cached per-file counts in the manifest already) —
+            # only recount when it could not
+            n = (
+                total_rows
+                if total_rows is not None
+                else sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            )
         except Exception:
             return False
         if not n:
