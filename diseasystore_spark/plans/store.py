@@ -261,24 +261,32 @@ class Diseasystore:
         # so rows in later months are carried forward structurally and
         # the re-include only needs months the merge will compare.
         scoped = self.backend.partition_granularity == "month"
-        if self.backend.table_exists(target_table):
-            # Re-include rows opened at this exact slice_ts that do not
-            # overlap the computed range, so the checksum merge does not
-            # close them. The reference re-includes only rows entirely
-            # *before* the range (``:195-212``: ``valid_until <= start
-            # AND valid_from < end``) — complementary to compute's
-            # overlap filter for forward extension, its only tested
-            # flow. We also keep rows entirely *after* the range so a
-            # backward extension (backfilling an earlier gap) cannot
-            # close still-valid future rows; on every reference-tested
-            # scenario the two behaviors are identical.
+        if not scoped and self.backend.table_exists(target_table):
+            # FLAT backends run an UNSCOPED compare (everything absent
+            # from ``data`` closes), so every row CURRENT at this
+            # slice_ts that lies outside the computed range must be
+            # re-included or the merge would close it. The reference
+            # does exactly this from its current-snapshot read
+            # (``:195-212``: rows entirely *before* the range,
+            # ``valid_until <= start AND valid_from < end``); we also
+            # keep rows entirely *after* the range so a backward
+            # extension (backfilling an earlier gap) cannot close
+            # still-valid future rows. NOTE the predicate is
+            # is-current-at-ts, NOT ``from_ts == ts``: rows kept open
+            # from an EARLIER slice (a prior range computed at an
+            # older slice_ts whose checksums matched) are current too,
+            # and filtering them out silently closed them at the new
+            # slice (round-10 regression test: the Feb–Apr rows of the
+            # 'full2' flow in test_partitioned_engine_matches_
+            # unpartitioned).
+            # MONTH-PARTITIONED backends need no re-include at all:
+            # the scoped merge's closure is bounded to range-
+            # overlapping rows (``written_range`` contract,
+            # storage/scd2.py), so out-of-range rows are structurally
+            # untouched — same end state as the reference's re-include
+            # without re-reading the table on every write.
             existing = (
-                self.backend.read_raw(
-                    target_table,
-                    max_valid_from=range_end if scoped else None,
-                )
-                .where(F.col("from_ts") == F.lit(ts))
-                .drop("checksum", "from_ts", "until_ts")
+                self.backend.get_table(target_table, ts)
                 .where(
                     (F.col("valid_until") <= F.lit(range_start))
                     | (F.col("valid_from") >= F.lit(range_end))

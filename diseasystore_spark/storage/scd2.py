@@ -941,15 +941,21 @@ class ParquetFeatureStore:
 
         ``written_range=(start_date, end_date)`` (partitioned tables
         only) declares that ``data`` is a range-scoped update: it is
-        the complete intended snapshot of every row whose
-        ``valid_from`` falls in a month at-or-before
-        ``month(end_date)``, and says nothing about later months. The
-        merge then compares only those month partitions — later months
+        the complete intended snapshot of every row whose validity
+        OVERLAPS ``[start_date, end_date]`` (the engine's compute
+        contract), and says nothing about rows outside the range.
+        The merge then compares only range-overlapping rows of the
+        month partitions at-or-before ``month(end_date)``: rows
+        entirely before ``start_date`` (or after ``end_date``) are
+        never closed — the reference reaches the same end state by
+        re-including all current out-of-range rows into the compared
+        frame (``R/DiseasystoreBase.R:195-212``) — and later months
         are carried forward untouched (referenced, never scanned).
         This is the scale contract of ``_compute_and_store_range``:
         every engine write is scoped to a date range, so a backfill
-        into year 1 of a 10-year table never reads or rewrites the
-        other 9 years. If ``data`` nevertheless contains rows with
+        into year 1 of a 10-year table neither rewrites the other 9
+        years nor (since round 10) closes-and-rewrites the months
+        before the range. If ``data`` nevertheless contains rows with
         ``month(valid_from) > month(end_date)`` (a handler violating
         the study-period clip contract), the violation is detected
         from the changed-months set and the merge transparently falls
@@ -1128,6 +1134,30 @@ class ParquetFeatureStore:
         written_range,
         base: int,
     ) -> None:
+        # The merge consumes ``incoming`` two-to-three times (the
+        # closed/inserted anti-joins, then kept's semi-join on a real
+        # change) — but ``incoming`` is usually an UPSTREAM COMPUTE
+        # (the engine hands the handler's source read / generation
+        # lazily), so each consumer would re-run it from scratch.
+        # Cache it for the merge's lifetime: one evaluation, spill-
+        # safe (MEMORY_AND_DISK), released in the finally (measured on
+        # the sf10 engine backfill: SCALE.md round-10).
+        incoming = incoming.cache()
+        try:
+            self._merge_existing_cached(
+                incoming, table_id, ts, written_range, base
+            )
+        finally:
+            incoming.unpersist()
+
+    def _merge_existing_cached(
+        self,
+        incoming: DataFrame,
+        table_id: str,
+        ts: datetime.datetime,
+        written_range,
+        base: int,
+    ) -> None:
         partitioned = self._scoped_write_ok(table_id, base)
         if not partitioned:
             # an unscoped compare must read the WHOLE table — a range
@@ -1145,18 +1175,31 @@ class ParquetFeatureStore:
         others = existing.where(~is_current)
 
         close_candidates = current
+        in_scope = None
         if written_range is not None:
-            # A current row opened at this very slice and lying entirely
-            # before the range is (re-)present in ``data`` by the
-            # caller's contract, so it can never close — exclude it
-            # from the anti-join input. The predicate pushes to the
-            # parquet scan, so row groups of old months whose rows all
-            # precede the range are skipped by min/max stats.
-            close_candidates = current.where(
+            # Only rows whose validity OVERLAPS the declared range are
+            # in the compare's scope: ``data`` is the complete snapshot
+            # of range-overlapping rows (the engine compute contract),
+            # so absence outside the range carries no information.
+            # Rows entirely before range_start (or after range_end)
+            # are NEVER closed by a scoped merge — the reference
+            # reaches the same end state by re-including all current
+            # out-of-range rows into the compared frame
+            # (R/DiseasystoreBase.R:195-212); scoping the closure
+            # keeps them out of the compare entirely, so a backfill
+            # at a new slice_ts neither closes nor rewrites earlier
+            # months (round-10: this was the sf10 backfill's 25 s —
+            # every month <= range_end was closed + rewritten). The
+            # predicate pushes to the parquet scan, so row groups of
+            # old months entirely before the range are skipped by
+            # min/max stats.
+            in_scope = (
+                F.col("valid_from") <= F.lit(written_range[1])
+            ) & (
                 F.col("valid_until").isNull()
                 | (F.col("valid_until") > F.lit(written_range[0]))
-                | (F.col("from_ts") < F.lit(ts))
             )
+            close_candidates = current.where(in_scope)
 
         incoming_keys = incoming.select("checksum")
         closed = close_candidates.join(
@@ -1217,16 +1260,32 @@ class ParquetFeatureStore:
                 # violation): the scoped compare would treat those months'
                 # surviving rows as absent. Redo unscoped — correct for
                 # any input, just without the pruning.
-                return self._merge_existing(incoming, table_id, ts, None, base)
+                # incoming is already cached by the _merge_existing
+                # wrapper — re-enter the body directly, unscoped
+                return self._merge_existing_cached(
+                    incoming, table_id, ts, None, base
+                )
 
             # All closed/inserted rows lie in changed months by
             # construction — reuse them; only kept/others re-read the
             # (pruned) existing partitions.
             in_changed = month_of.isin(changed_months)
             part_existing = existing.where(in_changed)
-            part_kept = part_existing.where(is_current).join(
-                incoming_keys, "checksum", "left_semi"
-            )
+            part_current = part_existing.where(is_current)
+            if in_scope is not None:
+                # a changed month can also hold current rows OUTSIDE
+                # the compared range (e.g. a sub-month range update):
+                # they are neither closed nor checksum-matched against
+                # ``data`` — carry them into the rewrite verbatim.
+                part_kept = (
+                    part_current.where(in_scope)
+                    .join(incoming_keys, "checksum", "left_semi")
+                    .unionByName(part_current.where(~in_scope))
+                )
+            else:
+                part_kept = part_current.join(
+                    incoming_keys, "checksum", "left_semi"
+                )
             part_others = part_existing.where(~is_current)
             new_parts = (
                 part_others.unionByName(part_kept)

@@ -62,14 +62,31 @@ def run_conformance_suite(
     test_start_date: datetime.date,
     strat_samples: dict[str, Any] | None = None,
     skip_key_join: bool = False,
+    timings: dict[str, float] | None = None,
 ) -> list[str]:
     """Run the conformance checks against an initialized store.
 
     ``strat_samples`` optionally maps stratification names to the
     stratification argument used in the matrix (default: the plain
     feature name). Returns the list of check labels that ran.
+    ``timings``, when a dict is passed, receives per-phase wall
+    seconds keyed by the check label — the profiling hook
+    ``scripts/profile_conformance.py`` uses.
     """
-    ran: list[str] = []
+    import time as _time
+
+    _t0 = _time.perf_counter()
+
+    class _TimedLabels(list):
+        def append(self, label: str) -> None:  # type: ignore[override]
+            nonlocal _t0
+            now = _time.perf_counter()
+            if timings is not None:
+                timings[label] = round(now - _t0, 3)
+            _t0 = now
+            super().append(label)
+
+    ran: list[str] = _TimedLabels()
     test_end_date = test_start_date + datetime.timedelta(days=4)
     sc = store.spark.sparkContext
     cached_before = set(sc._jsc.getPersistentRDDs().keySet().toArray())

@@ -504,3 +504,65 @@ def test_compact_sweep_is_metadata_only_and_stable_under_knob_churn(
         (r["key_id"], r["v"]) for r in pstore.get_table("ds.t", t2).collect()
     }
     assert ("k0", 9.0) in snap and len(snap) == 42
+
+
+def test_scoped_merge_never_touches_out_of_range_rows(spark, pstore):
+    """Round-10 closure scoping: a scoped merge compares ONLY rows
+    overlapping the declared range. (a) A backfill at a NEW slice_ts
+    must not close rows entirely before the range (the reference
+    keeps them via its re-include; we keep them by never making them
+    close candidates) and must rewrite only the range's months.
+    (b) Out-of-scope current rows sharing a CHANGED month with the
+    range (sub-month update) must be carried into the rewrite."""
+    t1, t2 = T(2024, 1, 1), T(2024, 2, 1)
+    rows = [
+        ("jan_a", 1.0, D(2020, 1, 5), D(2020, 1, 8)),    # before range
+        ("feb_early", 2.0, D(2020, 2, 1), D(2020, 2, 5)),  # before range,
+                                                           # same month
+        ("feb_mid", 3.0, D(2020, 2, 10), D(2020, 2, 20)),  # in range
+        ("mar_open", 4.0, D(2020, 3, 10), None),           # after range
+    ]
+    pstore.update_snapshot(_df(spark, rows), "ds.t", t1)
+    v1 = pstore._current_version("ds.t")
+    m1 = pstore._manifest_of("ds.t", v1)["months"]
+
+    # NEW slice_ts, scoped to Feb 8..28: feb_mid revised, everything
+    # else untouched (out of range)
+    pstore.update_snapshot(
+        _df(spark, [("feb_mid", 9.0, D(2020, 2, 10), D(2020, 2, 20))]),
+        "ds.t",
+        t2,
+        written_range=(D(2020, 2, 8), D(2020, 2, 28)),
+    )
+    v2 = pstore._current_version("ds.t")
+    assert v2 == v1 + 1
+    m2 = pstore._manifest_of("ds.t", v2)["months"]
+
+    # (a) only February was rewritten; January and March carry forward
+    # by reference (identical file lists), and no out-of-range row was
+    # closed at t2
+    assert m2["2020-01"] == m1["2020-01"]
+    assert m2["2020-03"] == m1["2020-03"]
+    assert m2["2020-02"] != m1["2020-02"]
+    snap2 = {r["key_id"]: r["v"] for r in pstore.get_table("ds.t", t2).collect()}
+    assert snap2 == {
+        "jan_a": 1.0,       # entirely before range: still open at t2
+        "feb_early": 2.0,   # (b) same month, out of scope: carried
+        "feb_mid": 9.0,     # in range: revised
+        "mar_open": 4.0,    # after range: untouched
+    }
+    # t1's snapshot is untouched history
+    snap1 = {r["key_id"]: r["v"] for r in pstore.get_table("ds.t", t1).collect()}
+    assert snap1 == {
+        "jan_a": 1.0, "feb_early": 2.0, "feb_mid": 3.0, "mar_open": 4.0,
+    }
+
+    # a no-op scoped re-merge at yet another slice_ts bumps nothing
+    t3 = T(2024, 3, 1)
+    pstore.update_snapshot(
+        _df(spark, [("feb_mid", 9.0, D(2020, 2, 10), D(2020, 2, 20))]),
+        "ds.t",
+        t3,
+        written_range=(D(2020, 2, 8), D(2020, 2, 28)),
+    )
+    assert pstore._current_version("ds.t") == v2

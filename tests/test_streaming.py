@@ -1158,6 +1158,108 @@ def test_contact_events_stream_matches_batch(spark, tmp_path):
         contact_events(batch_events, event_sample_rate=0.0)
 
 
+def test_contact_events_restart_and_late_data(spark, tmp_path):
+    """VERDICT r9 item 5: the streaming contact-pair join under a
+    CHECKPOINT RESTART between micro-batches plus LATE arrivals
+    inside the watermark — a late event must still pair with state
+    buffered before the restart, already-emitted pairs must not
+    re-emit (exactly-once via the checkpoint), and the final pair
+    multiset must equal the batch operator exactly, in both the
+    unthinned and the event-sampled (thinned) form."""
+    from collections import Counter
+
+    from diseasystore_spark.streaming.joins import contact_events
+
+    TS = datetime.datetime
+    base = TS(2024, 1, 1, 10, 0)
+    m = datetime.timedelta(minutes=1)
+    schema = "user_id long, event_id long, ts timestamp"
+    src = str(tmp_path / "ce_src")
+
+    # file 1: users 1/2 co-active at 10:00/10:05; user 5 at 10:40
+    f1 = [
+        (1, 100, base),
+        (2, 200, base + 5 * m),
+        (5, 500, base + 40 * m),
+    ]
+    # file 2 (after the restart): user 3 at 10:50 (pairs with 5) AND
+    # a LATE event — user 4 at 10:02, ~48 min behind the stream head,
+    # well inside the 2 h watermark — which must pair with users 1/2
+    # whose state was buffered BEFORE the restart.
+    f2 = [
+        (3, 300, base + 50 * m),
+        (4, 400, base + 2 * m),  # late arrival
+    ]
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(src)
+
+    emissions: list[tuple] = []
+    ckpt = str(tmp_path / "ce_ckpt")
+
+    def run_once(rate=None):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            contact_events(
+                stream, tolerance_s=1800, event_sample_rate=rate
+            )
+            .writeStream.foreachBatch(
+                lambda bdf, eid: emissions.extend(
+                    tuple(r) for r in bdf.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # batch 1 only, then terminates
+    first = Counter(emissions)
+    assert first == Counter(
+        {(1, 2, base, base + 5 * m, 5 * 60 * 1_000_000): 1}
+    )
+
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()  # NEW query, SAME checkpoint
+
+    batch_all = spark.createDataFrame(f1 + f2, schema)
+    want = Counter(
+        tuple(r)
+        for r in contact_events(batch_all, tolerance_s=1800).collect()
+    )
+    got = Counter(emissions)
+    assert got == want, (got, want)
+    # the late event really did pair with pre-restart state, and the
+    # pre-restart pair was not re-emitted
+    late_pairs = {
+        (min(a, b), max(a, b)) for (a, b, *_r) in got if 4 in (a, b)
+    }
+    assert late_pairs == {(1, 4), (2, 4)}
+    assert got[(1, 2, base, base + 5 * m, 5 * 60 * 1_000_000)] == 1
+
+    # thinned twin under the same restart discipline: fresh
+    # checkpoint, same two-run sequence, exact parity with the
+    # event-sampled batch operator
+    emissions.clear()
+    ckpt = str(tmp_path / "ce_ckpt_thinned")
+    qrate = 0.6
+    run_once(rate=qrate)  # both files now exist: two micro-batches
+    want_thinned = Counter(
+        tuple(r)
+        for r in contact_events(
+            batch_all, tolerance_s=1800, event_sample_rate=qrate
+        ).collect()
+    )
+    assert Counter(emissions) == want_thinned
+    assert sum(want_thinned.values()) < sum(want.values())
+
+
 def test_session_counts_native_stream_matches_batch(spark, tmp_path):
     """Native session_window sessionization: finalized sessions
     emitted by the streaming run equal the batch run of the SAME plan
