@@ -350,3 +350,74 @@ def test_gc_spares_young_inflight_attempt_dirs(spark, store_root, mkstore):
     be.update_snapshot(_df(spark, [("a", 4.0)]), "ds.t", T(2024, 1, 4))  # v4
     assert not os.path.isdir(inflight)
     assert _snap(be, T(2024, 1, 4)) == {("a", 4.0)}
+
+
+def test_compact_loses_race_to_merge_then_retries_cleanly(
+    spark, store_root, monkeypatch, mkstore
+):
+    """compact() is a writer too: its physical re-layout must go
+    through the same conditional-put loop. Inject a full
+    update_snapshot (new row, new slice_ts) inside compact's first
+    marker put — compact must LOSE, clean up, and its retry must
+    re-plan against the merged table, so the racing merge's row
+    survives the compaction and every earlier snapshot is
+    bit-identical. Afterwards the store is converged: one more
+    compact() is a version-bump-free no-op."""
+    a = mkstore(partition_granularity="month")
+    b = mkstore(partition_granularity="month")
+
+    D = datetime.date
+
+    def dfp(rows):
+        return spark.createDataFrame(
+            rows, "key_id string, v double, valid_from date, valid_until date"
+        )
+
+    t1, t3 = T(2024, 1, 1), T(2024, 1, 3)
+    jan = D(2020, 1, 10), D(2020, 1, 20)
+    base_rows = [(f"a{i}", float(i), *jan) for i in range(35)]
+    a.update_snapshot(dfp(base_rows), "ds.t", t1)  # v1: one 35-row file
+    # knob set AFTER the write: the retroactive size cap makes the
+    # single 35-row January file fragmentation compact() must fix
+    a.max_records_per_file = 10
+    v_before = a._current_version("ds.t")
+
+    state = {"fired": False, "losses": 0}
+    real_put = ParquetFeatureStore._put_if_absent
+
+    def racing_put(self, path, data):
+        if self is a and not state["fired"]:
+            state["fired"] = True
+            # merge wins the version compact was about to claim
+            b.update_snapshot(
+                dfp(base_rows + [("c", 99.0, D(2020, 2, 5), None)]),
+                "ds.t",
+                t3,
+            )
+        ok = real_put(self, path, data)
+        if not ok:
+            state["losses"] += 1
+        return ok
+
+    monkeypatch.setattr(ParquetFeatureStore, "_put_if_absent", racing_put)
+    a.compact("ds.t")
+    monkeypatch.setattr(ParquetFeatureStore, "_put_if_absent", real_put)
+
+    assert state["fired"] and state["losses"] >= 1, state
+    want_base = {(k, v) for (k, v, *_r) in base_rows}
+    # the racing merge's row survived the compaction rewrite
+    snap = {
+        (r["key_id"], r["v"])
+        for r in a.get_table("ds.t", t3).collect()
+    }
+    assert snap == want_base | {("c", 99.0)}
+    # the earlier snapshot is bit-identical
+    assert {
+        (r["key_id"], r["v"]) for r in a.get_table("ds.t", t1).collect()
+    } == want_base
+    # converged: compact is now a no-op (no version churn), and the
+    # race cost exactly two commits beyond the setup (merge + compact)
+    v_after = a._current_version("ds.t")
+    assert v_after == v_before + 2
+    assert a.compact("ds.t") > 0
+    assert a._current_version("ds.t") == v_after
