@@ -6089,10 +6089,11 @@ def q124_contact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``density_guard="off"``: this IS the deliberate exact-mode
     benchmark (its bench time is tracked round-over-round), so the
-    blind-call density probe is disabled to keep the measured plan
-    identical to the operator's bare exact path; production callers
-    get the default ``"warn"`` routing toward the bounded forms
-    (q155/q156/q179)."""
+    in-plan guard is disabled to keep the measured plan identical to
+    the operator's bare exact path; production callers get the
+    default fail-closed ``"raise"`` guard (a lazy broadcast subtree
+    that kills a blind dense job at first action) with routing advice
+    toward the bounded forms (q155/q156/q179/q192)."""
     from diseasystore_spark.operators.events import contact_pairs
 
     return contact_pairs(
