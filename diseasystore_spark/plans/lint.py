@@ -84,6 +84,14 @@ def plan_summary(df: DataFrame) -> dict:
         "cartesian": simple.count("CartesianProduct"),
         "scans": simple.count("FileScan"),
         "unpartitioned_windows": unpart,
+        # fail-closed density guards (contact_pairs blind mode) ride
+        # as a broadcast subtree projecting the __dg_ok flag: fine in
+        # user plans, but a registry entry carrying one means a
+        # benchmark is silently paying the probe — tests pin this to
+        # zero across the registry. (raise_error alone is NOT the
+        # marker: stats/impute/classifier use it as deliberate
+        # fail-loud data-quality gates.)
+        "plan_guards": int("__dg_ok" in simple),
     }
 
 

@@ -144,4 +144,9 @@ def test_all_registry_queries_are_scale_safe(spark):
                 f"{name}: {s['unpartitioned_windows']} global windows "
                 f"(cap {cap})"
             )
+        if s.get("plan_guards"):
+            # every registry entry is either bounded or an explicit
+            # density_guard="off" exact benchmark — an in-plan guard
+            # here means a benchmark silently pays the probe subtree
+            problems.append(f"{name}: {s['plan_guards']} plan guards")
     assert not problems, "; ".join(problems)
