@@ -47,15 +47,20 @@ class FeatureHandler:
         target_table: str,
         slice_ts: Any,
         max_valid_from: Any = None,
+        min_valid_until: Any = None,
     ) -> DataFrame:
         """Dispatch the snapshot read: custom ``get`` if provided, else
         the SCD2 default (``R/2_FeatureHandler.R:90-96``).
-        ``max_valid_from`` lets the default read prune month partitions
-        beyond the study period."""
+        ``max_valid_from`` / ``min_valid_until`` let the default read
+        prune month partitions outside the study period (the caller
+        must apply the overlap clip — ``get_feature`` does)."""
         if self.get is not None:
             return self.get(
                 target_table=target_table, slice_ts=slice_ts, store=store
             )
         return store.backend.get_table(
-            target_table, slice_ts, max_valid_from=max_valid_from
+            target_table,
+            slice_ts,
+            max_valid_from=max_valid_from,
+            min_valid_until=min_valid_until,
         )

@@ -229,7 +229,14 @@ class Diseasystore:
                 self.backend.unlock(target_table)
 
         out = self.handler(feature_loader).read(
-            self, target_table, slice_ts, max_valid_from=end_date
+            self,
+            target_table,
+            slice_ts,
+            max_valid_from=end_date,
+            # sound because of the overlap clip right below: months
+            # whose every row closed at-or-before start_date hold
+            # nothing the clip keeps (manifest month_stats pruning)
+            min_valid_until=start_date,
         )
         # Clip to the study period. The reference theta-joins a 1-row
         # bounds table (``:259-269``); a literal filter is semantically

@@ -259,12 +259,23 @@ class ParquetFeatureStore:
         return None
 
     def _version_files(
-        self, table_id: str, version: int, month_max: str | None = None
+        self,
+        table_id: str,
+        version: int,
+        month_max: str | None = None,
+        min_valid_until: datetime.date | None = None,
     ) -> list[str] | None:
         """Absolute parquet paths making up ``version``, pruned at
         the MANIFEST to months ``<= month_max`` (NULL-month files are
         never pruned — their rows carry no ``valid_from``). None for
-        legacy layouts (read those via directory listing)."""
+        legacy layouts (read those via directory listing).
+
+        ``min_valid_until`` additionally drops months whose write-time
+        validity stats prove every row CLOSED at-or-before it (no
+        open rows, ``max(valid_until) <= min_valid_until``) — sound
+        ONLY for consumers that filter ``valid_until > min OR
+        valid_until IS NULL`` downstream (the study-period overlap
+        clip). Months without stats are never pruned."""
         manifest = self._manifest_of(table_id, version)
         if manifest is None:
             return None
@@ -272,10 +283,28 @@ class ParquetFeatureStore:
         if "files" in manifest:
             rels = manifest["files"]
         else:
+            stats = (
+                manifest.get("month_stats") or {}
+                if min_valid_until is not None
+                else {}
+            )
+
+            def closed_before_window(m: str) -> bool:
+                s = stats.get(m)
+                if s is None or s.get("open") or s.get("max_until") is None:
+                    return False
+                return (
+                    datetime.date.fromisoformat(s["max_until"])
+                    <= min_valid_until
+                )
+
             rels = [
                 f
                 for m, fs in manifest["months"].items()
-                if month_max is None or m == NULL_MONTH or m <= month_max
+                if (
+                    month_max is None or m == NULL_MONTH or m <= month_max
+                )
+                and not (m != NULL_MONTH and closed_before_window(m))
                 for f in fs
             ]
         return [os.path.join(tdir, r) for r in rels]
@@ -458,6 +487,7 @@ class ParquetFeatureStore:
         table_id: str,
         version: int | None = None,
         month_max: str | None = None,
+        min_valid_until: datetime.date | None = None,
     ) -> DataFrame:
         """Scan a committed version. Manifest versions resolve to an
         exact FILE list — ``month_max`` prunes months at the manifest,
@@ -469,7 +499,12 @@ class ParquetFeatureStore:
             version = self._current_version(table_id)
         if version is None:
             raise FileNotFoundError(f"table {table_id} does not exist")
-        files = self._version_files(table_id, version, month_max=month_max)
+        files = self._version_files(
+            table_id,
+            version,
+            month_max=month_max,
+            min_valid_until=min_valid_until,
+        )
         if files is None:  # legacy layout
             return self.spark.read.parquet(
                 self._version_dir(table_id, version)
@@ -509,7 +544,11 @@ class ParquetFeatureStore:
         return df
 
     def get_table(
-        self, table_id: str, slice_ts, max_valid_from=None
+        self,
+        table_id: str,
+        slice_ts,
+        max_valid_from=None,
+        min_valid_until: datetime.date | None = None,
     ) -> DataFrame:
         """Transaction-time snapshot read: ``from_ts <= slice_ts AND
         (until_ts IS NULL OR until_ts > slice_ts)``, bookkeeping
@@ -519,6 +558,16 @@ class ParquetFeatureStore:
         months strictly after it are pruned at the MANIFEST — the file
         list handed to Spark never contains them (the study-period
         clip's upper bound costs zero scan and zero listing).
+
+        ``min_valid_until`` (a date): the LOWER-bound twin — months
+        whose write-time validity stats prove every row closed
+        at-or-before it (``month_stats``: no open rows,
+        ``max(valid_until) <= min``) are pruned at the manifest too.
+        ONLY pass this when the caller filters the result with the
+        half-open overlap clip (``valid_until > min OR NULL``), as
+        the engine's study-period clip does: the pruned rows are
+        exactly those the clip would drop, so a narrow window reads
+        O(window + open-row months), not O(history).
         """
         ts = normalize_slice_ts(slice_ts)
         floor = self.retain_floor(table_id)
@@ -532,7 +581,9 @@ class ParquetFeatureStore:
             if max_valid_from is not None
             else None
         )
-        raw = self._read_raw_partitioned(table_id, month_max=month_max)
+        raw = self._read_raw_partitioned(
+            table_id, month_max=month_max, min_valid_until=min_valid_until
+        )
         if PARTITION_COL in raw.columns:  # legacy directory layout
             if month_max is not None:
                 raw = raw.where(F.col(PARTITION_COL) <= month_max)
@@ -1427,24 +1478,90 @@ class ParquetFeatureStore:
         # fresh files read one parquet footer each — footers this
         # version was about to read for _STATS anyway.
         known: dict[str, int] = {}
+        base_stats: dict[str, dict] = {}
+        base_months: dict[str, list] = {}
         if prev is not None:
             base_m = self._manifest_of(table_id, prev)
             if base_m is not None:
                 known = base_m.get("file_rows") or {}
+                base_stats = base_m.get("month_stats") or {}
+                base_months = base_m.get("months") or {}
         file_rows: dict[str, int] | None = {}
+        fresh_md: dict[str, object] = {}
         for r in self._manifest_refs(manifest):
             cnt = known.get(r)
             if cnt is None:
                 try:
-                    cnt = pq.ParquetFile(
-                        os.path.join(tdir, r)
-                    ).metadata.num_rows
+                    md = pq.ParquetFile(os.path.join(tdir, r)).metadata
                 except Exception:
                     file_rows = None
                     break
+                fresh_md[r] = md
+                cnt = md.num_rows
             file_rows[r] = int(cnt)
         if file_rows is not None:
             manifest["file_rows"] = file_rows
+        if file_rows is not None and "months" in manifest:
+            # Per-month validity stats, from the same footers the
+            # row-count pass just opened: {"max_until": iso, "open":
+            # bool}. A month with no open rows (NULL valid_until) and
+            # max(valid_until) <= a reader's window start can be
+            # pruned at the MANIFEST on overlap-clipped snapshot reads
+            # (see get_table's min_valid_until) — narrow study-period
+            # reads stop scanning all of history. A month is omitted
+            # (= never pruned) when any footer lacks valid_until
+            # statistics; carried-forward months inherit their entry
+            # from the base manifest, zero footer reads.
+            month_stats: dict[str, dict] = {}
+            for m, fs in manifest["months"].items():
+                if m == NULL_MONTH:
+                    continue  # NULL-valid_from rows: never pruned
+                if base_months.get(m) == fs:
+                    if m in base_stats:
+                        month_stats[m] = base_stats[m]
+                    continue
+                mx = None
+                has_open = False
+                ok = True
+                for f in fs:
+                    md = fresh_md.get(f)
+                    if md is None:
+                        ok = False
+                        break
+                    try:
+                        idx = next(
+                            i
+                            for i in range(md.num_columns)
+                            if md.schema.column(i).name == "valid_until"
+                        )
+                    except StopIteration:
+                        ok = False
+                        break
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_null_count:
+                            ok = False
+                            break
+                        if st.null_count:
+                            has_open = True
+                        elif not st.has_min_max:
+                            ok = False
+                            break
+                        else:
+                            v = st.max
+                            if not isinstance(v, datetime.date):
+                                ok = False
+                                break
+                            mx = v if mx is None or v > mx else mx
+                    if not ok:
+                        break
+                if ok and (has_open or mx is not None):
+                    month_stats[m] = {
+                        "max_until": mx.isoformat() if mx else None,
+                        "open": has_open,
+                    }
+            if month_stats:
+                manifest["month_stats"] = month_stats
         all_files = [
             os.path.join(tdir, r) for r in self._manifest_refs(manifest)
         ]

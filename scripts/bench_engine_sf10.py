@@ -202,6 +202,24 @@ def main() -> None:
     out["prune_files_total"] = n_total
     out["prune_files_read"] = len(scan_files)
 
+    # Lower-bound pruning pin (round 10): a one-month window ALSO
+    # drops the closed history months at the manifest via the
+    # write-time validity stats — activity spans are <= 14 days, so
+    # months through April can never overlap a June window; only
+    # May + June files may reach the scanner.
+    narrow = timed(
+        "narrow_window_read_s",
+        lambda: ds2.get_feature(
+            "n_active", D(2020, 6, 1), D(2020, 6, 30)
+        ),
+    )
+    out["narrow_window_rows"] = narrow.count()
+    months_read = {
+        f.split("__vm=")[1].split("/")[0] for f in narrow.inputFiles()
+    }
+    assert months_read <= {"2020-05", "2020-06"}, months_read
+    out["narrow_window_months_read"] = sorted(months_read)
+
     print(json.dumps(out))
     shutil.rmtree(root, ignore_errors=True)
 

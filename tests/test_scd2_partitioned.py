@@ -566,3 +566,60 @@ def test_scoped_merge_never_touches_out_of_range_rows(spark, pstore):
         written_range=(D(2020, 2, 8), D(2020, 2, 28)),
     )
     assert pstore._current_version("ds.t") == v2
+
+
+def test_min_valid_until_prunes_closed_months_at_manifest(spark, pstore):
+    """Round-10 lower-bound pruning: write-time month_stats (max
+    valid_until + open flag, from the same parquet footers the
+    row-count cache reads) let an overlap-clipped snapshot read skip
+    months whose every row closed before the window — a narrow study
+    period reads O(window + open months), not O(history)."""
+    from pyspark.sql import functions as F
+
+    t1 = T(2024, 1, 1)
+    rows = [
+        ("a", 1.0, D(2020, 1, 5), D(2020, 1, 20)),   # Jan: closed early
+        ("b", 2.0, D(2020, 2, 5), D(2020, 2, 10)),   # Feb: closed early
+        ("c", 3.0, D(2020, 3, 5), D(2020, 5, 15)),   # Mar: crosses to May
+        ("d", 4.0, D(2020, 4, 2), None),             # Apr: OPEN
+        ("e", 5.0, D(2020, 5, 2), D(2020, 5, 9)),    # May
+    ]
+    pstore.update_snapshot(_df(spark, rows), "ds.t", t1)
+    ms = pstore._manifest_of("ds.t", 1).get("month_stats")
+    assert ms is not None
+    assert ms["2020-01"] == {"max_until": "2020-01-20", "open": False}
+    assert ms["2020-04"]["open"] is True
+
+    def months_of(df):
+        return {
+            p.split(f"{PARTITION_COL}=")[1].split("/")[0]
+            for p in df.inputFiles()
+        }
+
+    full = pstore.get_table("ds.t", t1)
+    assert len(months_of(full)) == 5
+    window = pstore.get_table("ds.t", t1, min_valid_until=D(2020, 5, 1))
+    # Jan+Feb pruned; Mar kept (crosses the window), Apr kept (open),
+    # May kept
+    assert months_of(window) == {"2020-03", "2020-04", "2020-05"}
+    # identical results under the overlap clip the engine applies
+    clip = (F.col("valid_until") > F.lit(D(2020, 5, 1))) | F.col(
+        "valid_until"
+    ).isNull()
+    assert sorted(map(tuple, full.where(clip).collect())) == sorted(
+        map(tuple, window.where(clip).collect())
+    )
+    # boundary: valid_until == min is prunable (half-open clip drops it)
+    w2 = pstore.get_table("ds.t", t1, min_valid_until=D(2020, 1, 20))
+    assert "2020-01" not in months_of(w2)
+
+    # compaction rewrites keep stats fresh (recomputed from the new
+    # files' footers), carried months inherit
+    pstore.max_records_per_file = 2
+    pstore.compact("ds.t")
+    v = pstore._current_version("ds.t")
+    ms2 = pstore._manifest_of("ds.t", v).get("month_stats")
+    assert ms2["2020-01"] == {"max_until": "2020-01-20", "open": False}
+    assert ms2["2020-04"]["open"] is True
+    window3 = pstore.get_table("ds.t", t1, min_valid_until=D(2020, 5, 1))
+    assert months_of(window3) == {"2020-03", "2020-04", "2020-05"}

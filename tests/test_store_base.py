@@ -367,3 +367,72 @@ def test_write_time_stats_drive_bucket_decision(spark, tmp_path):
     # unknown table -> no stats
     assert ds.backend.table_stats("ds.nope") is None
     ds.release_cached_plans()
+
+
+def test_get_feature_narrow_window_prunes_closed_history(spark, tmp_path):
+    """Round-10 lower-bound pruning through the ENGINE path: after a
+    full-year materialization of short-lived rows, a one-month
+    get_feature window hands the scanner only the months whose
+    validity stats can overlap the window — history months whose
+    every row closed earlier are pruned at the manifest, and the
+    result is identical to clipping the full read."""
+    from diseasystore_spark.storage.scd2 import PARTITION_COL
+
+    def mk(start, end):
+        rows = []
+        d = D(2020, 1, 1)
+        i = 0
+        while d <= D(2020, 12, 1):
+            rows.append(
+                ("p%d" % (i % 5), float(i % 4 + 1), d, D(d.year, d.month, 25))
+            )
+            d = (d.replace(day=1) + datetime.timedelta(days=32)).replace(day=1)
+            i += 1
+        df = spark.createDataFrame(
+            rows, "key_car string, n_cyl double, valid_from date, valid_until date"
+        )
+        return df.where(
+            (F.col("valid_from") <= F.lit(end))
+            & (F.col("valid_until") > F.lit(start))
+        )
+
+    class SpanStore(Diseasystore):
+        _ds_map = {"n_cyl": "span_cyl"}
+        span_cyl = FeatureHandler(
+            compute=lambda start_date, end_date, slice_ts, source_conn, ds: mk(
+                start_date, end_date
+            ),
+            key_join=key_join_sum,
+        )
+
+    ds = SpanStore(
+        spark,
+        target_conn=str(tmp_path / "span"),
+        source_conn="x",
+        slice_ts=D(2021, 1, 1),
+        verbose=False,
+        partition_granularity="month",
+    )
+    full = ds.get_feature("n_cyl", D(2020, 1, 1), D(2020, 12, 31))
+    assert full.count() == 12
+
+    window = ds.get_feature("n_cyl", D(2020, 11, 1), D(2020, 11, 30))
+    months = {
+        p.split(f"{PARTITION_COL}=")[1].split("/")[0]
+        for p in window.inputFiles()
+    }
+    # rows close on the 25th of their own month: only November can
+    # overlap the window (October's rows closed Oct 25 < Nov 1);
+    # months after the window are upper-bound pruned as before
+    assert months == {"2020-11"}, months
+    got = sorted(map(tuple, window.collect()))
+    want = sorted(
+        map(
+            tuple,
+            full.where(
+                (F.col("valid_from") <= F.lit(D(2020, 11, 30)))
+                & (F.col("valid_until") > F.lit(D(2020, 11, 1)))
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 1
