@@ -135,9 +135,12 @@ def jaccard_pairs(
 
     ``density_guard`` (default ``"raise"``): a BLIND exact call —
     no ``max_df`` — probes the exact candidate volume of the shingle
-    self-join (``sum_s C(df_s, 2)``, one aggregate over the already-
-    checkpointed shingle index, so the probe adds no extra scan of
-    the input) and raises past ``DENSE_JACCARD_CANDIDATES`` with
+    self-join (``sum_s C(df_s, 2)`` with df counted over the INPUT
+    ROWS — on the exact-collapse entry paths that is the collapsed
+    representatives the join actually runs over, NOT the
+    ``df_weight_col``-weighted corpus; one aggregate over the
+    already-checkpointed shingle index, so the probe adds no extra
+    scan of the input) and raises past ``DENSE_JACCARD_CANDIDATES`` with
     routing advice (``minhash_lsh_pairs`` or a ``max_df`` cap), so
     the Sigma-df^2 quadratic cannot be bought blind on a word-soup
     corpus. ``"warn"`` downgrades to a warning; ``"off"`` disables
@@ -197,16 +200,21 @@ def _jaccard_pairs_sized(
     arr = spread(df).select(*sel).where(F.size("_sh") > 0).localCheckpoint()
     if density_guard != "off" and max_df is None:
         # Sigma-df^2 probe over the checkpointed arrays: exact
-        # candidate count of the shingle self-join, sum_s C(df_s, 2),
-        # DF weighted when the caller collapses exact groups. One
+        # candidate count of the shingle self-join, sum_s C(df_s, 2)
+        # counted over the INPUT ROWS — deliberately UNWEIGHTED even
+        # when ``df_weight_col`` is set. The self-join below runs
+        # over the collapsed representatives, so its fan-out is
+        # C(rep-frequency, 2) per shingle; weighting by group size
+        # would re-count the un-collapsed corpus and spuriously block
+        # exactly the duplicate-heavy corpora the exact-collapse
+        # entry paths exist for (1M identical docs -> 1 rep ->
+        # ~zero real candidates, not C(1M, 2)). ``_w`` stays
+        # corpus-weighted for ``max_df`` semantics only. One
         # explode+agg over data already in the block manager.
-        wexp = (
-            F.col("_w") if df_weight_col is not None else F.lit(1)
-        ).cast("bigint")
         est_row = (
-            arr.select(wexp.alias("__w"), F.explode("_sh").alias("__s"))
+            arr.select(F.explode("_sh").alias("__s"))
             .groupBy("__s")
-            .agg(F.sum("__w").alias("__df"))
+            .agg(F.count(F.lit(1)).alias("__df"))
             .agg(
                 F.coalesce(
                     F.sum(F.col("__df") * (F.col("__df") - 1) / 2), F.lit(0)
@@ -221,7 +229,8 @@ def _jaccard_pairs_sized(
             msg = (
                 f"jaccard_pairs: the exact shingle self-join would "
                 f"enumerate an estimated {est:,} candidate pairs "
-                f"(sum over shingles of C(df, 2)), exceeding "
+                f"(sum over shingles of C(df, 2), df counted over "
+                f"the input rows actually joined), exceeding "
                 f"{DENSE_JACCARD_CANDIDATES:,}. Route through "
                 "minhash_lsh_pairs (banded LSH: linear candidate "
                 "volume), or bound the fan-out with max_df (drops "

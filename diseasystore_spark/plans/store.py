@@ -292,11 +292,20 @@ class Diseasystore:
             # storage/scd2.py), so out-of-range rows are structurally
             # untouched — same end state as the reference's re-include
             # without re-reading the table on every write.
+            # Kept set must be the EXACT complement of the scoped
+            # merge's in_scope predicate (storage/scd2.py:
+            # valid_from <= range_end AND (valid_until IS NULL OR
+            # valid_until > range_start)) — hence STRICT
+            # valid_from > range_end here. With >=, a row whose
+            # valid_from == range_end was kept open forever on the
+            # flat backend while the partitioned backend (whose
+            # overlap clip says the row IS in compute's scope)
+            # closed it when absent from the recompute (ADVICE r10).
             existing = (
                 self.backend.get_table(target_table, ts)
                 .where(
                     (F.col("valid_until") <= F.lit(range_start))
-                    | (F.col("valid_from") >= F.lit(range_end))
+                    | (F.col("valid_from") > F.lit(range_end))
                 )
             )
             updated = existing.unionByName(computed)

@@ -10337,6 +10337,10 @@ def q191_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages = ["view", "click", "signup", "purchase"]
     emissions: list[tuple[int, int, list]] = []
 
+    # Oracle-harness glue ONLY: this foreachBatch sink collects the
+    # per-user funnel emissions to the driver so the stream==batch
+    # hash gate can compare them. Production callers of funnel_stream
+    # should write each micro-batch to a table/sink, never collect.
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         for r in batch_df.collect():
             emissions.append((epoch_id, r["user_id"], list(r["reach"])))

@@ -293,10 +293,15 @@ class ParquetFeatureStore:
                 s = stats.get(m)
                 if s is None or s.get("open") or s.get("max_until") is None:
                     return False
-                return (
-                    datetime.date.fromisoformat(s["max_until"])
-                    <= min_valid_until
-                )
+                try:
+                    mx = datetime.date.fromisoformat(s["max_until"])
+                except ValueError:
+                    # Fail OPEN: an unparseable max_until (e.g. a
+                    # stats entry written by a different version)
+                    # means "not prunable", never a crashed read
+                    # (ADVICE r10).
+                    return False
+                return mx <= min_valid_until
 
             rels = [
                 f
@@ -1549,7 +1554,13 @@ class ParquetFeatureStore:
                             break
                         else:
                             v = st.max
-                            if not isinstance(v, datetime.date):
+                            # type() is deliberate: datetime.datetime
+                            # IS-A datetime.date, but its isoformat()
+                            # would be rejected by date.fromisoformat
+                            # at read time — a timestamp-typed
+                            # valid_until must disable the stats, not
+                            # poison them (ADVICE r10).
+                            if type(v) is not datetime.date:
                                 ok = False
                                 break
                             mx = v if mx is None or v > mx else mx

@@ -52,8 +52,38 @@ def test_jaccard_pairs_density_guard_fails_closed(spark, monkeypatch):
 
     with pytest.raises(ValueError, match="870.*minhash_lsh_pairs"):
         dd.jaccard_pairs(docs, n=3, threshold=0.5)
+
+    # ADVICE r10 (duplicate-heavy corpus): near_dup_groups collapses
+    # the 30 identical docs to ONE representative before the shingle
+    # self-join, so the real candidate volume is zero — the guard
+    # must count the collapsed representatives (what the join
+    # actually fans out over), NOT the __m-weighted corpus, and the
+    # production path must run. Pre-fix this raised with a
+    # C(30,2)-scale estimate.
+    groups = dd.near_dup_groups(docs, n=3, threshold=0.5)
+    assert groups.count() == 30
+    assert groups.select("component").distinct().count() == 1
+
+    # Same pin on the direct call: huge weights on few rows describe
+    # a collapsed corpus; the join runs over the 2 rows, so the blind
+    # guard must not trip on the weighted estimate (2 * C(50,2) +
+    # 1 * C(100,2) >> 100, but the real volume is 3 candidates).
+    collapsed = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", 50), (2, "alpha beta gamma epsilon", 50)],
+        "doc_id bigint, text string, grp bigint",
+    )
+    dd.jaccard_pairs(
+        collapsed, n=3, threshold=0.5, df_weight_col="grp"
+    ).count()
+
+    # 30 DISTINCT docs sharing a hot shingle still trip the guard
+    # through near_dup_groups (collapse keeps all 30 reps).
+    distinct_docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i}") for i in range(30)],
+        "doc_id bigint, text string",
+    )
     with pytest.raises(ValueError, match="max_df"):
-        dd.near_dup_groups(docs, n=3, threshold=0.5)
+        dd.near_dup_groups(distinct_docs, n=3, threshold=0.5)
 
     with pytest.warns(UserWarning, match="minhash_lsh_pairs"):
         dd.jaccard_pairs(

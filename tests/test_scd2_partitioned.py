@@ -623,3 +623,20 @@ def test_min_valid_until_prunes_closed_months_at_manifest(spark, pstore):
     assert ms2["2020-04"]["open"] is True
     window3 = pstore.get_table("ds.t", t1, min_valid_until=D(2020, 5, 1))
     assert months_of(window3) == {"2020-03", "2020-04", "2020-05"}
+
+    # ADVICE r10: an unparseable max_until (e.g. an ISO DATETIME
+    # written by a hypothetical timestamp-typed valid_until) must
+    # fail OPEN — the month is simply not pruned; the read never
+    # crashes. Corrupt the live commit marker in place.
+    import json as _json
+    import os as _os
+
+    marker_path = _os.path.join(
+        pstore._commits_dir("ds.t"), f"{pstore._current_version('ds.t')}.json"
+    )
+    marker = _json.loads(pstore.commit_backend.get(marker_path))
+    marker["month_stats"]["2020-01"]["max_until"] = "2020-01-20T00:00:00"
+    pstore.commit_backend.put(marker_path, _json.dumps(marker).encode())
+    w4 = pstore.get_table("ds.t", t1, min_valid_until=D(2020, 5, 1))
+    assert "2020-01" in months_of(w4)  # not prunable, but readable
+    assert "2020-02" not in months_of(w4)  # other stats still apply

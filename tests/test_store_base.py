@@ -299,6 +299,90 @@ def test_partitioned_engine_matches_unpartitioned(spark, tmp_path):
         assert len(plain) > 0
 
 
+def test_flat_reinclude_boundary_matches_partitioned(spark, tmp_path):
+    """ADVICE r10: a row whose ``valid_from`` equals the range_end of
+    a later sub-range recompute IS in the recompute's scope (the
+    overlap clip is end-inclusive), so when the recompute no longer
+    produces its checksum BOTH backends must close it at the new
+    slice. The flat re-include previously kept ``valid_from >=
+    range_end`` rows open forever — at exactly the boundary it
+    diverged from the scoped merge (which closes it) and left a
+    duplicate: the stale row AND its recomputed replacement both
+    current at the new slice."""
+
+    def mk(start, end, slice_ts):
+        # values depend on the slice so a recompute at s2 changes
+        # every checksum inside the recomputed range
+        bump = 10.0 if str(slice_ts).startswith("2021-02") else 0.0
+        rows, d, i = [], D(2020, 1, 1), 0
+        while d <= D(2020, 12, 1):
+            rows.append(
+                {
+                    "key_car": f"p{i % 5}",
+                    "n_cyl": float(i % 4 + 1) + bump,
+                    "valid_from": d,
+                    "valid_until": D(d.year, d.month, 25),
+                }
+            )
+            d = (d.replace(day=1) + datetime.timedelta(days=32)).replace(day=1)
+            i += 1
+        sdf = spark.createDataFrame(pd.DataFrame(rows))
+        return sdf.withColumns(
+            {
+                "valid_from": sdf["valid_from"].cast("date"),
+                "valid_until": sdf["valid_until"].cast("date"),
+            }
+        ).where(
+            (F.col("valid_from") <= F.lit(end))
+            & (F.col("valid_until") > F.lit(start))
+        )
+
+    class Span(Diseasystore):
+        _ds_map = {"n_cyl": "span_cyl"}
+        span_cyl = FeatureHandler(
+            compute=lambda start_date, end_date, slice_ts, source_conn, ds: mk(
+                start_date, end_date, slice_ts
+            ),
+            key_join=key_join_sum,
+        )
+
+    s1, s2 = D(2021, 1, 1), D(2021, 2, 1)
+    flows = [
+        ("full1", D(2020, 1, 1), D(2020, 12, 31), s1),
+        # range_end == valid_from of the May row: the boundary case
+        ("sub2", D(2020, 2, 1), D(2020, 5, 1), s2),
+        ("full2", D(2020, 1, 1), D(2020, 12, 31), s2),
+        ("full1b", D(2020, 1, 1), D(2020, 12, 31), s1),  # s1 isolation
+    ]
+    results = {}
+    for gran in (None, "month"):
+        ds = Span(
+            spark,
+            target_conn=str(tmp_path / f"bnd_{gran}"),
+            source_conn="x",
+            verbose=False,
+            partition_granularity=gran,
+        )
+        for name, a, b, ts in flows:
+            rows = sorted(
+                map(
+                    tuple,
+                    ds.get_feature("n_cyl", a, b, slice_ts=ts).collect(),
+                )
+            )
+            results.setdefault(name, []).append(rows)
+    for name, (plain, monthly) in results.items():
+        assert plain == monthly, f"flow {name!r} diverged"
+        assert len(plain) > 0
+    # the boundary (May 1) row at s2 is the RECOMPUTED one, exactly once
+    may = [r for r in results["full2"][0] if r[2] == D(2020, 5, 1)]
+    assert len(may) == 1
+    assert may[0][1] == 11.0  # bumped value, stale 1.0 closed
+    # and at s1 it is still the original
+    may1 = [r for r in results["full1b"][0] if r[2] == D(2020, 5, 1)]
+    assert len(may1) == 1 and may1[0][1] == 1.0
+
+
 class SumStore(DummyStore):
     """Both features on the sum aggregator so key_join works."""
 
