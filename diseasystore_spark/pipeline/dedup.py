@@ -701,6 +701,7 @@ def containment_pairs(
     min_containment: float = 0.5,
     portable: bool = False,
     max_df: int | None = None,
+    density_guard: str = "raise",
 ) -> DataFrame:
     """Containment candidates via shared winnowing fingerprints:
     pairs scored by ``|fp(a) ∩ fp(b)| / min(|fp(a)|, |fp(b)|)`` — the
@@ -719,9 +720,22 @@ def containment_pairs(
     containment >= ``min_containment``. ``portable=True`` uses the
     md5 fingerprint family so a SQL oracle reproduces the exact pair
     set (q50).
+
+    ``density_guard`` (default ``"raise"``, VERDICT r10 item 5 —
+    guard parity with ``jaccard_pairs``/``contact_pairs``): a BLIND
+    call — no ``max_df`` — probes the exact candidate volume of the
+    fingerprint self-join (``sum_fp C(df, 2)``, one aggregate over
+    the already-checkpointed fingerprint index) and raises past
+    ``DENSE_JACCARD_CANDIDATES`` with routing advice; ``"warn"``
+    downgrades, ``"off"`` disables for deliberate exact runs. Like
+    ``jaccard_pairs`` (and unlike ``contact_pairs``) this operator
+    is ALREADY eager at construction (the checkpoint), so an eager
+    probe changes nothing about laziness.
     """
     from diseasystore_spark.pipeline.text import doc_fingerprints
 
+    if density_guard not in ("off", "warn", "raise"):
+        raise ValueError("density_guard must be 'off', 'warn' or 'raise'")
     # The fingerprint table feeds three consumers (sizes + both join
     # sides). Unlike the cheap tf recompute in tfidf_top_terms,
     # re-deriving winnowing fingerprints is O(len * window) JVM work
@@ -729,6 +743,33 @@ def containment_pairs(
     fp = doc_fingerprints(
         df, id_col, text_col, k=k, window=window, portable=portable
     ).localCheckpoint()
+    if density_guard != "off" and max_df is None:
+        est = int(
+            fp.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("__df") * (F.col("__df") - 1) / 2), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("est")
+            )
+            .collect()[0]["est"]
+            or 0
+        )
+        if est > DENSE_JACCARD_CANDIDATES:
+            msg = (
+                f"containment_pairs: the fingerprint self-join would "
+                f"enumerate an estimated {est:,} candidate pairs "
+                f"(sum over fingerprints of C(df, 2)), exceeding "
+                f"{DENSE_JACCARD_CANDIDATES:,}. Bound the fan-out "
+                "with max_df (drops boilerplate fingerprints shared "
+                "by many documents), or pass density_guard='off' to "
+                "force the exact form."
+            )
+            if density_guard == "raise":
+                raise ValueError(msg)
+            warnings.warn(msg, stacklevel=2)
     if max_df is not None:
         hot = (
             fp.groupBy("fingerprint")
@@ -2191,6 +2232,7 @@ def source_overlap_matrix(
     text_col: str = "text",
     n: int = 8,
     max_sources_per_gram: int | None = 64,
+    density_guard: str = "raise",
 ) -> DataFrame:
     """Cross-source contamination matrix: for every unordered pair of
     corpus slices (``group_col`` values), the number of DISTINCT word
@@ -2214,9 +2256,22 @@ def source_overlap_matrix(
 
     Output: ``(source_a, source_b, n_shared bigint, n_a bigint,
     n_b bigint, jaccard double)`` with ``source_a < source_b``.
+
+    ``density_guard`` (default ``"raise"``, VERDICT r10 item 5): a
+    BLIND call — ``max_sources_per_gram=None`` — carries a LAZY
+    in-plan probe of the exact pair fan-out (``sum over grams of
+    C(n_sources, 2)``, a broadcast 1-row subtree over the same
+    distinct-gram frame; zero jobs at construction) that raises at
+    first action past ``DENSE_JACCARD_CANDIDATES`` with routing
+    advice (the cap, or :func:`source_overlap_minhash`). ``"warn"``
+    downgrades to an EAGER construction-time warning (warnings
+    cannot be emitted from executors); ``"off"`` disables. Capped
+    calls — the default — never probe.
     """
     if n < 1:
         raise ValueError("n must be at least 1")
+    if density_guard not in ("off", "warn", "raise"):
+        raise ValueError("density_guard must be 'off', 'warn' or 'raise'")
     grams = (
         df.where(F.col(text_col).isNotNull() & F.col(group_col).isNotNull())
         .select(
@@ -2225,6 +2280,63 @@ def source_overlap_matrix(
         )
         .distinct()
     )
+    if density_guard != "off" and max_sources_per_gram is None:
+        # count-per-gram (not collect_set) keeps the probe a plain
+        # map-side-combinable aggregate; grams is already distinct
+        # (source, gram) so the count IS the gram's source count
+        est_frame = (
+            grams.groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("__k"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("__k") * (F.col("__k") - 1) / 2), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("est")
+            )
+        )
+        advice = (
+            "; bound the fan-out with max_sources_per_gram (grams "
+            "shared by every slice are boilerplate, not signal), "
+            "route through source_overlap_minhash (fixed-size "
+            "signatures), or pass density_guard='off' to force the "
+            "exact form."
+        )
+        if density_guard == "warn":
+            est = int(est_frame.collect()[0]["est"] or 0)
+            if est > DENSE_JACCARD_CANDIDATES:
+                warnings.warn(
+                    f"source_overlap_matrix: estimated gram-pair "
+                    f"fan-out {est:,} exceeds "
+                    f"{DENSE_JACCARD_CANDIDATES:,}" + advice,
+                    stacklevel=2,
+                )
+        else:
+            guard = est_frame.select(
+                F.when(
+                    F.col("est") > F.lit(DENSE_JACCARD_CANDIDATES),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "source_overlap_matrix: estimated "
+                                "gram-pair fan-out "
+                            ),
+                            F.col("est").cast("string"),
+                            F.lit(
+                                f" exceeds {DENSE_JACCARD_CANDIDATES:,}"
+                                + advice
+                            ),
+                        )
+                    ).cast("boolean"),
+                )
+                .otherwise(F.lit(True))
+                .alias("__dg_ok")
+            )
+            grams = (
+                grams.crossJoin(F.broadcast(guard))
+                .where(F.col("__dg_ok"))
+                .drop("__dg_ok")
+            )
     per_gram = grams.groupBy("__g").agg(
         F.sort_array(F.collect_set("__s")).alias("__ss")
     )

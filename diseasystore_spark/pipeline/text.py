@@ -896,6 +896,7 @@ def remove_boilerplate_paragraphs(
     minhash_ngram: int = 3,
     min_est_jaccard: float = 0.5,
     max_bucket: int | None = None,
+    density_guard: str = "raise",
 ) -> DataFrame:
     """Boilerplate-paragraph removal — the practical web-crawl cleaner
     (C4 / CCNet-style, public): split every document into paragraphs,
@@ -987,6 +988,7 @@ def remove_boilerplate_paragraphs(
                 min_containment=min_containment,
                 portable=True,
                 max_df=containment_max_df,
+                density_guard=density_guard,
             )
         else:
             raise ValueError(

@@ -33,6 +33,12 @@ def get_spark(
         # Spark reads them as raw nanosecond longs with this flag and we
         # convert explicitly where needed.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # INT96 (the Spark default) carries NO parquet column
+        # statistics; TIMESTAMP_MICROS is the modern annotated int64,
+        # gives min/max + null_count footers (the SCD2 store's
+        # until_ts-axis file pruning reads them) and is what every
+        # non-Spark reader (DuckDB, pyarrow) expects anyway.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

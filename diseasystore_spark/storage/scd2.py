@@ -16,7 +16,9 @@ Spark design — logical snapshots, not physical versions: the
 time-travel alone cannot do that). Layout:
 
     <root>/<schema>/<table>/_v{N}-{token}/...      -- immutable data segment
-        __vm=YYYY-MM/part-*.parquet                   (month-partitioned)
+        __vm=YYYY-MM/__vc={c|o}/part-*.parquet        (month-partitioned;
+                                                       __vc clusters closed
+                                                       vs open rows)
         part-*.parquet                                (flat)
     <root>/<schema>/<table>/_commits/{N}.json      -- marker + MANIFEST
     <root>/<schema>/logs/*.parquet                 -- append-only log sink
@@ -158,6 +160,12 @@ def row_checksum(columns: list[str]) -> F.Column:
 
 PARTITION_COL = "__vm"
 
+#: second hive-partition level inside each month dir — transaction-
+#: axis clustering: ``c`` = closed rows (``until_ts`` set), ``o`` =
+#: open rows. Like PARTITION_COL it is derived (from ``until_ts``),
+#: never stored in row data, and never surfaced to readers.
+TXN_CLUSTER_COL = "__vc"
+
 
 class ParquetFeatureStore:
     """SCD2 storage. ``partition_granularity="month"`` enables the
@@ -264,6 +272,7 @@ class ParquetFeatureStore:
         version: int,
         month_max: str | None = None,
         min_valid_until: datetime.date | None = None,
+        slice_ts: datetime.datetime | None = None,
     ) -> list[str] | None:
         """Absolute parquet paths making up ``version``, pruned at
         the MANIFEST to months ``<= month_max`` (NULL-month files are
@@ -275,7 +284,16 @@ class ParquetFeatureStore:
         open rows, ``max(valid_until) <= min_valid_until``) — sound
         ONLY for consumers that filter ``valid_until > min OR
         valid_until IS NULL`` downstream (the study-period overlap
-        clip). Months without stats are never pruned."""
+        clip). Months without stats are never pruned.
+
+        ``slice_ts`` prunes on the TRANSACTION axis: files whose
+        write-time footer stats prove every row invisible to the
+        snapshot at that instant — all rows closed at-or-before it
+        (``until_stats``), or all rows created after it
+        (``from_stats``) — are dropped. Unconditionally sound for
+        any consumer applying the snapshot predicate ``from_ts <=
+        slice_ts AND (until_ts IS NULL OR until_ts > slice_ts)``;
+        files without stats are never pruned."""
         manifest = self._manifest_of(table_id, version)
         if manifest is None:
             return None
@@ -312,6 +330,28 @@ class ParquetFeatureStore:
                 and not (m != NULL_MONTH and closed_before_window(m))
                 for f in fs
             ]
+        if slice_ts is not None:
+            ustats = manifest.get("until_stats") or {}
+            fstats = manifest.get("from_stats") or {}
+            if ustats or fstats:
+
+                def invisible_at_slice(r: str) -> bool:
+                    u = ustats.get(r)
+                    if u is not None:
+                        try:
+                            if datetime.datetime.fromisoformat(u) <= slice_ts:
+                                return True  # every row closed by then
+                        except ValueError:
+                            pass  # fail open: not prunable
+                    f = fstats.get(r)
+                    if f is not None:
+                        try:
+                            return datetime.datetime.fromisoformat(f) > slice_ts
+                        except ValueError:
+                            return False
+                    return False
+
+                rels = [r for r in rels if not invisible_at_slice(r)]
         return [os.path.join(tdir, r) for r in rels]
 
     def _put_if_absent(self, path: str, data: bytes) -> bool:
@@ -493,6 +533,7 @@ class ParquetFeatureStore:
         version: int | None = None,
         month_max: str | None = None,
         min_valid_until: datetime.date | None = None,
+        slice_ts: datetime.datetime | None = None,
     ) -> DataFrame:
         """Scan a committed version. Manifest versions resolve to an
         exact FILE list — ``month_max`` prunes months at the manifest,
@@ -509,6 +550,7 @@ class ParquetFeatureStore:
             version,
             month_max=month_max,
             min_valid_until=min_valid_until,
+            slice_ts=slice_ts,
         )
         if files is None:  # legacy layout
             return self.spark.read.parquet(
@@ -573,6 +615,16 @@ class ParquetFeatureStore:
         the engine's study-period clip does: the pruned rows are
         exactly those the clip would drop, so a narrow window reads
         O(window + open-row months), not O(history).
+
+        The TRANSACTION axis prunes automatically (round 11): the
+        writer clusters closed rows into their own files
+        (``__vc=c``) and records per-file ``until_stats`` /
+        ``from_stats``, so files whose every row is invisible at
+        ``slice_ts`` — closed at-or-before it, or created after it —
+        are dropped at the manifest. The predicate above would
+        discard those rows anyway, so this is sound for every
+        caller; a current-slice read of a long-history table scans
+        O(live rows), not O(closed history).
         """
         ts = normalize_slice_ts(slice_ts)
         floor = self.retain_floor(table_id)
@@ -587,7 +639,10 @@ class ParquetFeatureStore:
             else None
         )
         raw = self._read_raw_partitioned(
-            table_id, month_max=month_max, min_valid_until=min_valid_until
+            table_id,
+            month_max=month_max,
+            min_valid_until=min_valid_until,
+            slice_ts=ts,
         )
         if PARTITION_COL in raw.columns:  # legacy directory layout
             if month_max is not None:
@@ -809,12 +864,36 @@ class ParquetFeatureStore:
             tdir = self._table_dir(table_id)
             cached_rows: dict = manifest.get("file_rows") or {}
 
+            def vc_of(ref: str) -> str | None:
+                # the transaction-cluster value of a ref's path
+                # (``__vc=c`` / ``__vc=o``), None for pre-round-11 refs
+                for comp in ref.split("/"):
+                    if comp.startswith(f"{TXN_CLUSTER_COL}="):
+                        return comp
+                return None
+
+            def groups_of(fs: list[str]) -> dict[str | None, list[str]]:
+                out: dict[str | None, list[str]] = {}
+                for f in fs:
+                    out.setdefault(vc_of(f), []).append(f)
+                return out
+
             def is_fragmented(fs: list[str]) -> bool:
-                # Knobless: fragmented iff more than one file — no
-                # footer reads, so the common all-compact sweep stays
-                # metadata-only.
+                # Fragmentation is judged PER transaction-cluster
+                # group: a rewrite deterministically emits one file
+                # per (month, __vc) present, so a month holding one
+                # closed-rows file and one open-rows file is the
+                # converged state, not fragmentation. A month mixing
+                # pre-cluster (no __vc) refs with anything else gets
+                # one migration rewrite.
+                groups = groups_of(fs)
+                if None in groups and len(fs) > 1:
+                    return True
+                # Knobless: fragmented iff any group has more than one
+                # file — no footer reads, so the common all-compact
+                # sweep stays metadata-only.
                 if self.max_records_per_file is None:
-                    return len(fs) > 1
+                    return any(len(g) > 1 for g in groups.values())
                 # With the file-size knob set, row counts come from
                 # the manifest's write-time cache (ADVICE r9 — the
                 # all-compact sweep stays metadata-only for knob-set
@@ -822,32 +901,40 @@ class ParquetFeatureStore:
                 # before the cache existed, and on any footer failure
                 # fall back to the knobless rule.
                 try:
-                    counts = [
-                        cached_rows[f]
+                    counts = {
+                        f: cached_rows[f]
                         if f in cached_rows
                         else pq.ParquetFile(
                             os.path.join(tdir, f)
                         ).metadata.num_rows
                         for f in fs
-                    ]
+                    }
                 except Exception:
-                    return len(fs) > 1
+                    return any(len(g) > 1 for g in groups.values())
                 # Any single file over the cap is fragmentation even
                 # when the file COUNT already equals the achievable
                 # target (e.g. files [N+5, 1], or files written before
                 # the knob was set/lowered) — the size cap is enforced
                 # retroactively, not just the count.
-                if any(c > self.max_records_per_file for c in counts):
+                if any(c > self.max_records_per_file for c in counts.values()):
                     return True
                 # A rewrite cannot beat ceil(rows / max_records_per_file)
-                # files, so that — not 1 — is the convergence target
-                # (otherwise a periodic compact() would rewrite every
-                # large month forever, bumping a version each call
-                # instead of reaching the documented no-op).
-                target = max(
-                    1, -(-sum(counts) // self.max_records_per_file)
+                # files per cluster group, so that — not 1 — is the
+                # convergence target (otherwise a periodic compact()
+                # would rewrite every large month forever, bumping a
+                # version each call instead of reaching the documented
+                # no-op).
+                return any(
+                    len(g)
+                    > max(
+                        1,
+                        -(
+                            -sum(counts[f] for f in g)
+                            // self.max_records_per_file
+                        ),
+                    )
+                    for g in groups.values()
                 )
-                return len(fs) > target
 
             frag = sorted(
                 m for m, fs in months.items() if is_fragmented(fs)
@@ -1423,15 +1510,38 @@ class ParquetFeatureStore:
             sort_cols = [F.col(PARTITION_COL)]
             if "valid_until" in new_table.columns:
                 sort_cols.append(F.col("valid_until").asc_nulls_last())
-            partitioned = (
-                new_table.withColumn(
-                    PARTITION_COL,
-                    F.date_format(F.col("valid_from"), "yyyy-MM"),
-                )
-                .repartition(PARTITION_COL)
-                .sortWithinPartitions(*sort_cols)
+            partitioned = new_table.withColumn(
+                PARTITION_COL,
+                F.date_format(F.col("valid_from"), "yyyy-MM"),
             )
-            writer = partitioned.write.partitionBy(PARTITION_COL).mode(
+            # Second partition level — the TRANSACTION axis: rows
+            # already closed (until_ts set) cluster into their own
+            # files (``__vc=c``) apart from the live rows (``__vc=o``),
+            # so a month's ever-growing bitemporal history never
+            # shares a file with its current snapshot. The write-time
+            # footer pass below records each all-closed file's
+            # max(until_ts) in the manifest (``until_stats``), and
+            # ``get_table(slice_ts)`` drops files whose every row
+            # closed at-or-before the slice BEFORE Spark ever lists
+            # them — a current-slice read scans O(live rows), not
+            # O(history) (round-11; the validity-axis month_stats
+            # twin landed round 10). Still one shuffle on the month
+            # key: each month task writes into both subdirs.
+            cluster_txn = "until_ts" in partitioned.columns
+            part_cols = [PARTITION_COL]
+            if cluster_txn:
+                partitioned = partitioned.withColumn(
+                    TXN_CLUSTER_COL,
+                    F.when(F.col("until_ts").isNotNull(), F.lit("c"))
+                    .otherwise(F.lit("o")),
+                )
+                part_cols.append(TXN_CLUSTER_COL)
+                # tighten until_ts row-group stats inside closed files
+                sort_cols.append(F.col("until_ts").asc_nulls_last())
+            partitioned = partitioned.repartition(
+                PARTITION_COL
+            ).sortWithinPartitions(*sort_cols)
+            writer = partitioned.write.partitionBy(*part_cols).mode(
                 "overwrite"
             )
             if self.max_records_per_file is not None:
@@ -1485,14 +1595,20 @@ class ParquetFeatureStore:
         known: dict[str, int] = {}
         base_stats: dict[str, dict] = {}
         base_months: dict[str, list] = {}
+        base_until: dict[str, str] = {}
+        base_from: dict[str, str] = {}
         if prev is not None:
             base_m = self._manifest_of(table_id, prev)
             if base_m is not None:
                 known = base_m.get("file_rows") or {}
                 base_stats = base_m.get("month_stats") or {}
                 base_months = base_m.get("months") or {}
+                base_until = base_m.get("until_stats") or {}
+                base_from = base_m.get("from_stats") or {}
         file_rows: dict[str, int] | None = {}
         fresh_md: dict[str, object] = {}
+        until_stats: dict[str, str] = {}
+        from_stats: dict[str, str] = {}
         for r in self._manifest_refs(manifest):
             cnt = known.get(r)
             if cnt is None:
@@ -1503,9 +1619,33 @@ class ParquetFeatureStore:
                     break
                 fresh_md[r] = md
                 cnt = md.num_rows
+                u, fr = self._txn_axis_stats(md)
+                if u is not None:
+                    until_stats[r] = u
+                if fr is not None:
+                    from_stats[r] = fr
+            else:
+                # carried-forward file: inherit its transaction-axis
+                # stats from the base manifest, zero footer reads
+                if r in base_until:
+                    until_stats[r] = base_until[r]
+                if r in base_from:
+                    from_stats[r] = base_from[r]
             file_rows[r] = int(cnt)
         if file_rows is not None:
             manifest["file_rows"] = file_rows
+            # Transaction-axis file stats (round 11): ``until_stats``
+            # maps refs whose EVERY row is closed to the file's
+            # max(until_ts); ``from_stats`` maps refs to min(from_ts).
+            # ``get_table(slice_ts)`` drops refs proven invisible at
+            # the slice (all closed at-or-before it, or all opened
+            # after it) before Spark lists a single file. Absence of
+            # an entry = never pruned; a file_rows failure above
+            # disables both (conservative).
+            if until_stats:
+                manifest["until_stats"] = until_stats
+            if from_stats:
+                manifest["from_stats"] = from_stats
         if file_rows is not None and "months" in manifest:
             # Per-month validity stats, from the same footers the
             # row-count pass just opened: {"max_until": iso, "open":
@@ -1604,6 +1744,75 @@ class ParquetFeatureStore:
                 pass
 
     @staticmethod
+    def _txn_axis_stats(md) -> tuple[str | None, str | None]:
+        """Transaction-axis footer stats of one fresh parquet file:
+        ``(max_until_iso, min_from_iso)``.
+
+        ``max_until_iso`` is set ONLY when every row group proves
+        every row closed (``until_ts`` null_count == 0 with min/max
+        present) — it licenses dropping the whole file for any
+        snapshot read at ``slice_ts >= max_until``. ``min_from_iso``
+        licenses dropping the file for any read at ``slice_ts <
+        min_from`` (as-of reads of older slices skip files written
+        later). Either is None when the footer can't prove it
+        (missing column, missing statistics, INT96 timestamps, open
+        rows, zero row groups)."""
+        try:
+            idx = next(
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).name == "until_ts"
+            )
+            fidx = next(
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).name == "from_ts"
+            )
+        except StopIteration:
+            return None, None
+        if md.num_row_groups == 0:
+            return None, None
+
+        def _naive_utc(v) -> datetime.datetime | None:
+            if type(v) is not datetime.datetime:
+                return None
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            return v
+
+        mx: datetime.datetime | None = None
+        mn: datetime.datetime | None = None
+        all_closed = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if (
+                st is None
+                or not st.has_null_count
+                or st.null_count
+                or not st.has_min_max
+            ):
+                all_closed = False
+            elif all_closed:
+                v = _naive_utc(st.max)
+                if v is None:
+                    all_closed = False
+                else:
+                    mx = v if mx is None or v > mx else mx
+            fst = md.row_group(rg).column(fidx).statistics
+            if fst is None or not fst.has_min_max:
+                mn = None
+                break
+            fv = _naive_utc(fst.min)
+            if fv is None:
+                mn = None
+                break
+            mn = fv if mn is None or fv < mn else mn
+        return (
+            mx.isoformat() if all_closed and mx is not None else None,
+            mn.isoformat() if mn is not None else None,
+        )
+
+    @staticmethod
     def _segment_months(tdir: str, dirname: str) -> dict[str, list[str]]:
         """Per-month relpath listing of a freshly written partitioned
         segment: ``{"2020-01": ["_v3-ab/__vm=2020-01/part-0.parquet"],
@@ -1614,9 +1823,13 @@ class ParquetFeatureStore:
             if not entry.startswith(f"{PARTITION_COL}="):
                 continue
             month = entry[len(PARTITION_COL) + 1:]
+            # walk: months may nest a ``__vc=`` transaction-cluster
+            # level below the month dir (round 11)
+            mdir = os.path.join(seg, entry)
             files = sorted(
-                f"{dirname}/{entry}/{f}"
-                for f in os.listdir(os.path.join(seg, entry))
+                os.path.relpath(os.path.join(root, f), tdir)
+                for root, _dirs, names in os.walk(mdir)
+                for f in names
                 if f.endswith(".parquet")
             )
             if files:

@@ -63,6 +63,13 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
 
     def activity(start_date, end_date, slice_ts, source_conn, ds):
+        # slices from March 2024 onward see REVISED June-2020 values
+        # (bump +10): the revision phase below uses this to create a
+        # real closed-history generation for the transaction-axis
+        # pruning pins (round 11)
+        bump = (
+            str(slice_ts) >= "2024-03-01"
+        )
         base = ds.spark.range(n_rows).select(
             F.concat(F.lit("p"), (F.col("id") % n_keys)).alias("key_person"),
             (F.col("id") % 5 + 1).cast("double").alias("n_active"),
@@ -78,6 +85,15 @@ def main() -> None:
             "valid_from",
             F.date_add("valid_from", F.col("__span")).alias("valid_until"),
         )
+        if bump:
+            out = out.withColumn(
+                "n_active",
+                F.when(
+                    (F.col("valid_from") >= F.lit(D(2020, 6, 1)))
+                    & (F.col("valid_from") <= F.lit(D(2020, 6, 30))),
+                    F.col("n_active") + 10.0,
+                ).otherwise(F.col("n_active")),
+            )
         # compute contract: only rows overlapping the requested study
         # period (R/test_diseasystore.R:335-343) — without this clip
         # a scoped backfill's merge detects out-of-range months and
@@ -187,6 +203,25 @@ def main() -> None:
     kept_months = [m for m in all_months if m <= "2020-06"]
     n_total = sum(len(man["months"][m]) for m in all_months)
     n_kept = sum(len(man["months"][m]) for m in kept_months)
+    # transaction-axis accounting (round 11): files proven invisible
+    # at slice2 by the manifest's until/from stats are additionally
+    # dropped — mirror the reader's rule here so the pin is exact
+    ustats = man.get("until_stats") or {}
+    fstats = man.get("from_stats") or {}
+
+    def txn_visible(r: str, ts) -> bool:
+        u = ustats.get(r)
+        if u is not None and T.fromisoformat(u) <= ts:
+            return False
+        f = fstats.get(r)
+        return f is None or T.fromisoformat(f) <= ts
+
+    n_kept_visible = sum(
+        1
+        for m in kept_months
+        for r in man["months"][m]
+        if txn_visible(r, slice2)
+    )
     pruned_df = store.get_table(
         tid, slice2, max_valid_from=D(2020, 6, 30)
     )
@@ -194,13 +229,79 @@ def main() -> None:
         f
         for f in pruned_df.inputFiles()
     ]
-    assert len(scan_files) == n_kept < n_total, (
-        len(scan_files), n_kept, n_total,
+    assert len(scan_files) == n_kept_visible <= n_kept < n_total, (
+        len(scan_files), n_kept_visible, n_kept, n_total,
     )
     out["prune_months_total"] = len(all_months)
     out["prune_months_read"] = len(kept_months)
     out["prune_files_total"] = n_total
     out["prune_files_read"] = len(scan_files)
+
+    # REVISION at a third slice: the handler bumps every June-2020
+    # value, so the scoped merge CLOSES the old June generation and
+    # inserts its replacement — a real bitemporal history, unlike the
+    # checksum-identical backfill above (whose merge is a no-op).
+    slice3 = T(2024, 3, 1)
+    ds3 = BigStore(
+        spark, target_conn=root, source_conn="x",
+        slice_ts=slice3, verbose=False,
+        partition_granularity="month",
+    )
+    timed(
+        "revision_month_s",
+        lambda: ds3.get_feature(
+            "n_active", D(2020, 6, 1), D(2020, 6, 30)
+        ).count(),
+    )
+
+    # Round-11 transaction-axis pins: the table now carries closed
+    # history, but (a) a CURRENT-slice full read opens ZERO
+    # closed-cluster files (every closed row closed at-or-before
+    # slice3 — until_stats pruning), and (b) an AS-OF read at slice1
+    # opens none of the open-cluster files the revision wrote
+    # (from_stats pruning) while the closed-history files still
+    # answer it.
+    man3 = store._manifest_of(tid, store._current_version(tid))
+    cur_files = store.get_table(tid, slice3).inputFiles()
+    n_closed_files = sum(
+        1 for fs in man3["months"].values() for r in fs if "__vc=c" in r
+    )
+    assert n_closed_files > 0, "revision produced no closed files"
+    assert not any("__vc=c" in f for f in cur_files), (
+        "current-slice read opened closed-history files"
+    )
+    out["history_files_total"] = n_closed_files
+    out["history_files_read_current"] = 0
+    asof = store.get_table(tid, slice1)
+    asof_files = asof.inputFiles()
+    asof_june = {
+        f.split("__vc=")[1].split("/")[0]
+        for f in asof_files
+        if "__vm=2020-06" in f
+    }
+    # June at slice1 is answered ONLY by the closed-history cluster:
+    # the revision's open cluster (min from_ts = slice3) is dropped
+    # on the from axis at the manifest
+    assert asof_june == {"c"}, asof_june
+    # and the as-of values are the PRE-revision ones
+    pre = (
+        asof.where(
+            (F.col("valid_from") >= F.lit(D(2020, 6, 1)))
+            & (F.col("valid_from") <= F.lit(D(2020, 6, 30)))
+        )
+        .agg(F.max("n_active"))
+        .first()[0]
+    )
+    post = (
+        store.get_table(tid, slice3)
+        .where(
+            (F.col("valid_from") >= F.lit(D(2020, 6, 1)))
+            & (F.col("valid_from") <= F.lit(D(2020, 6, 30)))
+        )
+        .agg(F.max("n_active"))
+        .first()[0]
+    )
+    assert pre == 5.0 and post == 15.0, (pre, post)
 
     # Lower-bound pruning pin (round 10): a one-month window ALSO
     # drops the closed history months at the manifest via the

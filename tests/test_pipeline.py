@@ -105,6 +105,86 @@ def test_jaccard_pairs_density_guard_fails_closed(spark, monkeypatch):
         dd.jaccard_pairs(docs, density_guard="loud")
 
 
+def test_containment_pairs_density_guard_fails_closed(spark, monkeypatch):
+    """VERDICT r10 item 5 — guard parity: a BLIND containment call
+    (no max_df) probes the fingerprint self-join's Sigma-C(df,2)
+    volume and raises past the threshold with routing advice;
+    bounded / 'off' calls never trip."""
+    import warnings as w
+
+    from diseasystore_spark.pipeline import dedup as dd
+
+    # 30 identical docs share every fingerprint: est >> 100
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    monkeypatch.setattr(dd, "DENSE_JACCARD_CANDIDATES", 100)
+
+    with pytest.raises(ValueError, match="max_df"):
+        dd.containment_pairs(docs, k=4, window=3)
+    with pytest.warns(UserWarning, match="max_df"):
+        dd.containment_pairs(docs, k=4, window=3, density_guard="warn")
+    with w.catch_warnings():
+        w.simplefilter("error")
+        n_off = dd.containment_pairs(
+            docs, k=4, window=3, density_guard="off"
+        ).count()
+        assert n_off == 30 * 29 // 2
+        dd.containment_pairs(docs, k=4, window=3, max_df=5).count()
+    with pytest.raises(ValueError, match="density_guard"):
+        dd.containment_pairs(docs, density_guard="loud")
+
+
+def test_source_overlap_matrix_density_guard_fails_closed_and_lazy(
+    spark, monkeypatch
+):
+    """VERDICT r10 item 5: a BLIND dense source_overlap_matrix call
+    (max_sources_per_gram=None) cannot silently run the quadratic
+    per-gram pairing — the lazy in-plan probe raises at first action
+    (construction runs zero Spark jobs); capped (default) and 'off'
+    calls never trip; 'warn' is the eager advisory mode."""
+    import warnings as w
+
+    from diseasystore_spark.pipeline import dedup as dd
+
+    # 30 sources sharing one trigram: est = C(30,2) = 435 > 100
+    df = spark.createDataFrame(
+        [(i, f"s{i}", "alpha beta gamma") for i in range(30)],
+        "doc_id bigint, source string, text string",
+    )
+    monkeypatch.setattr(dd, "DENSE_JACCARD_CANDIDATES", 100)
+
+    jobs = spark.sparkContext._jsc.sc().dagScheduler()
+    before = jobs.numTotalJobs()
+    out = dd.source_overlap_matrix(
+        df, n=3, max_sources_per_gram=None
+    )
+    assert jobs.numTotalJobs() == before, (
+        "blind construction under the default guard ran a Spark job"
+    )
+    with pytest.raises(Exception, match="435 exceeds 100"):
+        out.collect()
+    with pytest.raises(Exception, match="source_overlap_minhash"):
+        out.collect()
+
+    with pytest.warns(UserWarning, match="max_sources_per_gram"):
+        dd.source_overlap_matrix(
+            df, n=3, max_sources_per_gram=None, density_guard="warn"
+        )
+    with w.catch_warnings():
+        w.simplefilter("error")
+        # capped default and deliberate 'off' both run (30 sources
+        # within the default 64-source cap -> all C(30,2) pairs)
+        assert dd.source_overlap_matrix(df, n=3).count() == 30 * 29 // 2
+        n_off = dd.source_overlap_matrix(
+            df, n=3, max_sources_per_gram=None, density_guard="off"
+        ).count()
+        assert n_off == 30 * 29 // 2
+    with pytest.raises(ValueError, match="density_guard"):
+        dd.source_overlap_matrix(df, density_guard="loud")
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     """Every high-Jaccard pair should be an LSH candidate (banded
     MinHash with 4 bands of 4 catches J>=0.7 with high probability)."""

