@@ -108,9 +108,83 @@ class Diseasystore:
             spark, target_conn, partition_granularity=partition_granularity
         )
         # Cached plans handed out by key_join_features that are still
-        # live (the returned DataFrame references them lazily). At most
-        # one per call; released on the next call or explicitly.
-        self._live_caches: list[DataFrame] = []
+        # live (the returned DataFrame references them lazily),
+        # REFCOUNTED by semantic plan hash: concurrent matrix
+        # construction (the conformance suite's pool, round 11) can
+        # hand two threads the SAME logical plan — Spark's
+        # CacheManager dedups the cache entry, so one thread's
+        # per-thread swap unpersisting it would yank the entry while
+        # the sibling's compiled job re-materializes the RDD with no
+        # registry entry left to release it (the leaked-RDD flake).
+        # A plan is unpersisted only when NO thread still holds it;
+        # release_cached_plans() drains everything.
+        import threading as _threading
+
+        self._cache_refs: dict[int, tuple[DataFrame, int]] = {}
+        self._cache_by_thread: dict[int, int] = {}
+        self._deferred_unpersist: list[DataFrame] = []
+        self._cache_lock = _threading.Lock()
+
+    def _register_cache(self, out: DataFrame) -> None:
+        """Swap ``out`` in as the calling thread's live cached plan.
+
+        The thread's previous plan is released when its refcount
+        drops to zero — but physically unpersisted ONLY when no other
+        thread holds a registration: one cell's cached plan can be a
+        SUBTREE of a sibling's (the matrix's ``(obs, None)`` frame
+        inside every ``(obs, strat)`` frame), and unpersisting it
+        makes Spark's CacheManager rebuild the dependent entries
+        (``recacheByCondition``) while a sibling's already-compiled
+        job re-materializes the OLD entry's RDD — an orphaned
+        persisted RDD no handle can release (the round-11 leak
+        flake). With other threads live the release is DEFERRED to
+        ``release_cached_plans`` (called once the pool's results are
+        consumed); a sequential caller keeps the round-10 behavior of
+        pinning at most one frame. ``cache()`` is called only for
+        plans not already registered — the CacheManager matches by
+        plan equivalence, so a second handle rides the existing
+        entry."""
+        import threading as _threading
+
+        h = out.semanticHash()
+        tid = _threading.get_ident()
+        to_unpersist: DataFrame | None = None
+        with self._cache_lock:
+            prev_h = self._cache_by_thread.pop(tid, None)
+            if prev_h is not None and prev_h != h:
+                entry = self._cache_refs.get(prev_h)
+                if entry is not None:
+                    df, n = entry
+                    if n <= 1:
+                        self._cache_refs.pop(prev_h)
+                        if any(
+                            t != tid for t in self._cache_by_thread
+                        ):
+                            self._deferred_unpersist.append(df)
+                        else:
+                            to_unpersist = df
+                    else:
+                        self._cache_refs[prev_h] = (df, n - 1)
+            if prev_h != h:
+                df, n = self._cache_refs.get(h, (out, 0))
+                self._cache_refs[h] = (df, n + 1)
+                need_cache = n == 0
+            else:
+                # same plan re-registered by the same thread: the
+                # count already includes this thread — unless an
+                # interleaved release_cached_plans drained it, in
+                # which case re-cache from scratch
+                entry = self._cache_refs.get(h)
+                if entry is None:
+                    self._cache_refs[h] = (out, 1)
+                    need_cache = True
+                else:
+                    need_cache = False
+            self._cache_by_thread[tid] = h
+        if need_cache:
+            out.cache()
+        if to_unpersist is not None:
+            to_unpersist.unpersist()
 
     def release_cached_plans(self) -> None:
         """Unpersist cached intermediates from prior
@@ -119,8 +193,25 @@ class Diseasystore:
         are consumed. The analog of the reference's temp-table hygiene
         (``defer_db_cleanup``; leak-checked at
         ``R/test_diseasystore.R:157-161``)."""
-        while self._live_caches:
-            self._live_caches.pop().unpersist()
+        with self._cache_lock:
+            # deferred frames are the EARLIEST registrations (inner
+            # subtrees swapped out mid-pool): concatenate them first
+            # so the reversed drain below releases the still-
+            # registered dependents before the subtrees they embed
+            drained = self._deferred_unpersist + [
+                df for df, _n in self._cache_refs.values()
+            ]
+            self._cache_refs.clear()
+            self._cache_by_thread.clear()
+            self._deferred_unpersist = []
+        # Reverse registration order: dependents before the subtrees
+        # they embed, so the CacheManager never rebuilds a dependent
+        # entry we are about to drop anyway. Blocking: callers use
+        # this as the hygiene barrier (the conformance leak check
+        # reads getPersistentRDDs right after), so the async default
+        # would race it.
+        for df in reversed(drained):
+            df.unpersist(blocking=True)
 
     # ----------------------------------------------------------- registry
     @property
@@ -465,12 +556,13 @@ class Diseasystore:
         # consumed three times downstream (t_add, t_remove, distinct
         # strata) — cache it so the interlace joins run once. Mirrors
         # the reference's ``dplyr::compute`` at ``:413/:459/:467``.
-        # The previous call's cache is released here (its result, once
-        # collected, no longer needs it), so a long-lived store pins at
-        # most one interlaced frame in executor storage.
-        self.release_cached_plans()
-        out = out.cache()
-        self._live_caches.append(out)
+        # The calling THREAD's previous cache is released here (its
+        # result, once collected, no longer needs it), so a long-lived
+        # store pins at most one interlaced frame per thread in
+        # executor storage — and the conformance matrix's concurrent
+        # construction cannot unpersist a sibling cell's live frame
+        # (refcounted by plan hash; cache() happens inside).
+        self._register_cache(out)
 
         # Aggregator compatibility (``:427-438``).
         aggregators = [self.handler(ds_map[observable]).key_join]

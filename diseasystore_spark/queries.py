@@ -6093,11 +6093,18 @@ def q124_contact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator's bare exact path; production callers get the
     default fail-closed ``"raise"`` guard (a lazy broadcast subtree
     that kills a blind dense job at first action) with routing advice
-    toward the bounded forms (q155/q156/q179/q192)."""
+    toward the bounded forms (q155/q156/q179/q192).
+
+    The exact family benches on the even-user HALF of the stream
+    (``user_id % 2 = 0``, a deterministic slice replayed by the
+    oracle): candidate volume is quadratic in per-bucket density, so
+    the slice cuts the deliberately-quadratic benchmark ~4x while
+    measuring the identical plan (VERDICT r10 item 8); the bounded
+    production modes (q179/q192) keep the full stream."""
     from diseasystore_spark.operators.events import contact_pairs
 
     return contact_pairs(
-        _read(spark, sf_dir, "events"),
+        _read(spark, sf_dir, "events").where(F.col("user_id") % 2 == 0),
         tolerance_s=3600,
         density_guard="off",
     )
@@ -6106,7 +6113,7 @@ def q124_contact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q124 = """
 WITH e AS (
   SELECT event_id, user_id, epoch_us(ts) AS us
-  FROM events WHERE ts IS NOT NULL
+  FROM events WHERE ts IS NOT NULL AND user_id % 2 = 0
 ),
 p AS (
   SELECT a.user_id AS ua, b.user_id AS ub
@@ -7965,18 +7972,22 @@ def q155_contact_pairs_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bucket-size partials) semi-joins hopeless users out of both
     candidate sides BEFORE the quadratic join; the threshold then
     sits directly on the combinable pair aggregate. The oracle runs
-    the naive range self-join + HAVING."""
+    the naive range self-join + HAVING. Benches on q124's even-user
+    deterministic slice (density is the quadratic driver); threshold
+    lowered to 5 so the slice still emits a non-trivial pair set."""
     from diseasystore_spark.operators.events import contact_pairs
 
     return contact_pairs(
-        _read(spark, sf_dir, "events"), tolerance_s=3600, min_contacts=20
+        _read(spark, sf_dir, "events").where(F.col("user_id") % 2 == 0),
+        tolerance_s=3600,
+        min_contacts=5,
     )
 
 
 ORACLE_Q155 = """
 WITH e AS (
   SELECT event_id, user_id, epoch_us(ts) AS us
-  FROM events WHERE ts IS NOT NULL
+  FROM events WHERE ts IS NOT NULL AND user_id % 2 = 0
 ),
 p AS (
   SELECT a.user_id AS ua, b.user_id AS ub
@@ -7988,7 +7999,7 @@ p AS (
 SELECT least(ua, ub) AS user_a, greatest(ua, ub) AS user_b,
        CAST(count(*) AS BIGINT) AS n_contacts
 FROM p GROUP BY least(ua, ub), greatest(ua, ub)
-HAVING count(*) >= 20
+HAVING count(*) >= 5
 """
 
 
@@ -8000,18 +8011,21 @@ def q156_contact_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (<= 2k rows per user), never quadratic. Ranking runs on the
     aggregated pair frame under a per-user window with a
     deterministic (n desc, partner asc) tie-break the oracle
-    reproduces."""
+    reproduces. Benches on q124's even-user deterministic slice
+    (density is the quadratic driver of the pair stage)."""
     from diseasystore_spark.operators.events import contact_pairs
 
     return contact_pairs(
-        _read(spark, sf_dir, "events"), tolerance_s=3600, top_k_per_user=3
+        _read(spark, sf_dir, "events").where(F.col("user_id") % 2 == 0),
+        tolerance_s=3600,
+        top_k_per_user=3,
     )
 
 
 ORACLE_Q156 = """
 WITH e AS (
   SELECT event_id, user_id, epoch_us(ts) AS us
-  FROM events WHERE ts IS NOT NULL
+  FROM events WHERE ts IS NOT NULL AND user_id % 2 = 0
 ),
 p AS (
   SELECT a.user_id AS ua, b.user_id AS ub

@@ -185,67 +185,86 @@ def run_conformance_suite(
     )
     if not skip_key_join:
         strat_samples = strat_samples or {}
+        import threading as _threading
         import warnings as _warnings
+        from concurrent.futures import ThreadPoolExecutor
 
-        # CONSTRUCT every matrix cell sequentially: the graceful-
-        # failure ValueError and the collision UserWarning are both
-        # raised at plan-construction time, and warnings capture is
-        # not thread-safe — so the contract checks happen here.
-        cells: list[tuple[Any, Any, DataFrame]] = []
+        # CONSTRUCT + RUN every matrix cell in one pool pass (round
+        # 11; round 10 threaded only the actions because
+        # warnings.catch_warnings is process-global, so per-cell
+        # capture was not thread-safe). Here ONE catch_warnings
+        # context wraps the whole pool — filters set before any
+        # worker starts — and a thread-local showwarning routes each
+        # warning to the cell its own thread is constructing; the
+        # contract ASSERTIONS all run on the main thread afterwards.
+        # Construction is read-only at this point (every feature was
+        # computed and memoized in phases 1-5), and fusing the bounds
+        # action into the same worker removes the construction/action
+        # barrier: cells overlap end-to-end, each dominated by fixed
+        # per-query latency (profiled at 46% of the scaled-
+        # conformance workload, SCALE.md round-10).
+        combos: list[tuple[Any, Any]] = []
         for observable in store.available_observables:
             strats: list[Any] = [None] + [
                 strat_samples.get(s, [s])
                 for s in store.available_stratifications
             ]
-            for strat in strats:
-                try:
-                    with _warnings.catch_warnings(record=True) as caught:
-                        _warnings.simplefilter("always")
-                        out = store.key_join_features(
-                            observable, strat, test_start_date, extended_end
-                        )
-                except ValueError as e:
-                    assert str(e) == _AGG_MISMATCH, (
-                        f"non-graceful matrix failure for ({observable}, "
-                        f"{strat}): {e}"
-                    )
-                    continue
-                for w in caught:
-                    # Interpreter noise (e.g. py4j socket
-                    # ResourceWarnings) is not part of the contract —
-                    # only the engine's own UserWarnings are.
-                    if not issubclass(w.category, UserWarning):
-                        continue
-                    assert "Observable already stratified by" in str(
-                        w.message
-                    ), (
-                        f"unexpected warning for ({observable}, {strat}): "
-                        f"{w.message}"
-                    )
-                cells.append((observable, strat, out))
+            combos.extend((observable, strat) for strat in strats)
 
-        # RUN the per-cell bounds actions concurrently: each is an
-        # independent Spark job at this data size dominated by fixed
-        # per-query latency, so overlapping them is where the matrix
-        # wall-clock goes (profiled at 46% of the scaled-conformance
-        # workload, SCALE.md round-10). Actions are thread-safe;
-        # assertions run on the gathered results.
-        from concurrent.futures import ThreadPoolExecutor
+        _tls = _threading.local()
 
-        def _bounds(cell):
-            observable, strat, out = cell
+        def _route_warning(message, category, filename, lineno,
+                           file=None, line=None):
+            lst = getattr(_tls, "caught", None)
+            if lst is not None:
+                lst.append((message, category))
+
+        def _cell(combo):
+            observable, strat = combo
+            _tls.caught = []
+            try:
+                out = store.key_join_features(
+                    observable, strat, test_start_date, extended_end
+                )
+            except ValueError as e:
+                return observable, strat, None, list(_tls.caught), e
+            finally:
+                caught, _tls.caught = _tls.caught, None
             b = out.agg(
                 F.min("date").alias("mn"), F.max("date").alias("mx")
             ).first()
-            return observable, strat, b
+            return observable, strat, b, caught, None
 
-        if cells:
-            with ThreadPoolExecutor(
-                max_workers=min(8, len(cells))
-            ) as pool:
-                for observable, strat, b in pool.map(_bounds, cells):
-                    assert b["mn"] == test_start_date, (observable, strat)
-                    assert b["mx"] == extended_end, (observable, strat)
+        results = []
+        if combos:
+            with _warnings.catch_warnings():
+                _warnings.simplefilter("always")
+                _warnings.showwarning = _route_warning
+                with ThreadPoolExecutor(
+                    max_workers=min(8, len(combos))
+                ) as pool:
+                    results = list(pool.map(_cell, combos))
+        for observable, strat, b, caught, err in results:
+            if err is not None:
+                assert str(err) == _AGG_MISMATCH, (
+                    f"non-graceful matrix failure for ({observable}, "
+                    f"{strat}): {err}"
+                )
+                continue
+            for message, category in caught:
+                # Interpreter noise (e.g. py4j socket
+                # ResourceWarnings) is not part of the contract —
+                # only the engine's own UserWarnings are.
+                if not issubclass(category, UserWarning):
+                    continue
+                assert "Observable already stratified by" in str(
+                    message
+                ), (
+                    f"unexpected warning for ({observable}, {strat}): "
+                    f"{message}"
+                )
+            assert b["mn"] == test_start_date, (observable, strat)
+            assert b["mx"] == extended_end, (observable, strat)
         ran.append("key-join-matrix")
 
         # 8. feature-independent stratification (:583-610): constant
@@ -267,23 +286,44 @@ def run_conformance_suite(
 
         # 9. graceful failure on malformed stratifications (:614-677):
         # both the bare-name and the named-expression forms, for every
-        # observable.
-        for observable in store.available_observables:
+        # observable. Constructions are independent (no warnings
+        # involved — the failure is a ValueError from the analysis
+        # probe), so they run in the same pool shape as the matrix;
+        # the message assertions run on the main thread.
+        fail_combos = [
+            (observable, strat)
+            for observable in store.available_observables
             for strat in (
                 ["non_existent_stratification"],
                 {"test": "non_existent_stratification"},
-            ):
-                try:
-                    store.key_join_features(
-                        observable, strat, test_start_date, extended_end
-                    )
-                    raise AssertionError(
+            )
+        ]
+
+        def _expect_failure(combo):
+            observable, strat = combo
+            try:
+                store.key_join_features(
+                    observable, strat, test_start_date, extended_end
+                )
+            except ValueError as e:
+                return observable, strat, e
+            return observable, strat, None
+
+        if fail_combos:
+            with ThreadPoolExecutor(
+                max_workers=min(8, len(fail_combos))
+            ) as pool:
+                for observable, strat, err in pool.map(
+                    _expect_failure, fail_combos
+                ):
+                    assert err is not None, (
                         f"({observable}, {strat}) should have failed"
                     )
-                except ValueError as e:
-                    assert "Stratification could not be computed" in str(e), (
+                    assert "Stratification could not be computed" in str(
+                        err
+                    ), (
                         f"wrong graceful-failure message for ({observable}, "
-                        f"{strat}): {e}"
+                        f"{strat}): {err}"
                     )
         if store.available_observables:
             ran.append("graceful-failure-messages")
@@ -294,6 +334,16 @@ def run_conformance_suite(
     store.release_cached_plans()
     cached_after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     leaked = cached_after - cached_before
+    if leaked:
+        # Grace for asynchronous block removal (unpersist of plans
+        # this store does not own — e.g. a query's localCheckpoint
+        # being GC'd — completes off-thread): a REAL leak survives
+        # the re-check.
+        import time as _time
+
+        _time.sleep(2.0)
+        cached_after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        leaked = cached_after - cached_before
     assert not leaked, f"conformance suite leaked cached plans: {leaked}"
     ran.append("cached-plan-hygiene")
 
