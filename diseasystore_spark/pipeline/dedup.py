@@ -1662,9 +1662,15 @@ def triangle_counts_text(
     # Groups participating in edges: >= 1 shingle surviving the
     # hot-shingle filter (post-max_df — a fully-filtered group has no
     # intra-group edges in the full-corpus form either).
+    # Group-size frame: consumed FOUR times (both endpoint attaches of
+    # the weighted edge list, the neighbor aggregate, the per-rep
+    # close) — each copy re-runs the survival aggregation over the
+    # shingle index without this checkpoint. Rep-count-sized (tiny).
     sizes = rep_info.join(
         surv.select(F.col(id_col).alias("__rep")), "__rep"
-    ).select(F.col("__rep").alias("node"), F.col("__m").alias("m"))
+    ).select(
+        F.col("__rep").alias("node"), F.col("__m").alias("m")
+    ).localCheckpoint()
 
     # Neighbor aggregates over the symmetrized rep edges:
     #   nb_m  = sum of neighbor group sizes, nb_c2 = sum of C(m_s, 2)
@@ -1837,7 +1843,17 @@ def _oriented_triangles(
             .otherwise(F.col(a_payload))
             .alias("hi_p"),
         ]
-    oriented = keyed.select(*cols)
+    # Materialize the oriented edge list: it feeds THREE consumers
+    # (both wedge sides and the closing join), and each copy would
+    # otherwise re-run the degree aggregation and both degree-attach
+    # joins — worse, when ``e`` itself carries attached payload
+    # subtrees (the weighted collapsed-graph variant joins group
+    # sizes onto both endpoints), the duplication multiplies through
+    # every branch (measured: q82's physical plan held 327 Exchange
+    # nodes / 279 broadcasts before this + the sizes checkpoint,
+    # 19 / 3 after; the checkpointed frame is edge-count-sized,
+    # linear — OPTIMIZATION_r11.md).
+    oriented = keyed.select(*cols).localCheckpoint()
     o1 = oriented.select(
         "lo",
         F.col("hi").alias("v"),

@@ -2901,15 +2901,28 @@ def q66_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(~F.col("contaminated"))
         .select("doc_id")
     )
-    survivors = docs.join(kept, "doc_id", "left_semi").join(
-        clean, "doc_id", "left_semi"
+    # Materialize the survivor ID list (ids only — O(docs) bigints,
+    # never the text): downstream the LM scorer consumes the survivor
+    # frame on two branches (term counts + the scoring join) and the
+    # budget selector consumes the scored frame on two more, so the
+    # curation + decontamination subtrees (each a multi-join pipeline
+    # re-reading the corpus) executed up to 4x. With the two
+    # checkpoints the corpus is scanned twice (once per tf consumer)
+    # and every decision subtree exactly once — the guide-§8 shape:
+    # decide with small rows, re-attach by semi-join. (The earlier
+    # note here claimed a checkpoint doesn't help; that measured ONLY
+    # checkpointing `scored`, which still re-ran kept/clean twice
+    # inside the tf branches. Measured isolated at sf0.1: 6.1 -> 5.2 s
+    # warm / 8.9 -> 5.8 s cold; final plan 76 -> 4 Exchanges and 30 ->
+    # 0 repeated corpus scans — see OPTIMIZATION_r11.md.)
+    surv_ids = (
+        docs.select("doc_id")
+        .join(kept, "doc_id", "left_semi")
+        .join(clean, "doc_id", "left_semi")
+        .localCheckpoint()
     )
-    # select_within_budget consumes the scored frame on two branches;
-    # measured: a localCheckpoint here does NOT help (12-13s at sf0.1
-    # either way — AQE exchange reuse already shares the subtree; the
-    # cost is the chain's ~18 sequential stage barriers, which a real
-    # cluster pays as scheduler latency, not data). Kept pure.
-    scored = unigram_logprob_score(survivors)
+    survivors = docs.join(surv_ids, "doc_id", "left_semi")
+    scored = unigram_logprob_score(survivors).localCheckpoint()
     return select_within_budget(
         scored, "score_micro", "dl", 5_000, coarse_div=100_000
     )
