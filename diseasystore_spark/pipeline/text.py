@@ -1708,8 +1708,14 @@ def keyword_spans(
             "    CAST(array() AS array<struct<term: string, pos: int>>))))"
         )
     )
+    # spread(): the O(len(text) × |dict|) substring scan is the cost
+    # center; a single-file input would serialize it onto one task
+    # (measured: q152's heavy stage ran as ONE task at sf0.1). No-op
+    # when the input already has >= default-parallelism partitions
+    # (the cluster-scale case), so the map-only claim above holds at
+    # scale.
     return (
-        df.where(F.col(text_col).isNotNull())
+        spread(df.where(F.col(text_col).isNotNull()))
         .select(
             F.col(id_col),
             arr.alias("__kw_terms"),
@@ -2159,10 +2165,19 @@ def gopher_repetition_filter(
             "top_ngram_char_pcts must have 3 entries (n=2,3,4) and "
             "dup_ngram_char_pcts 6 (n=5..10)"
         )
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__t"),
-    ).where(F.col("__t").isNotNull())
+    # spread(): nine array_sort + fold passes per row make this the
+    # most CPU-dense map-only projection in the module; a single-file
+    # input serializes all of it onto one task (measured at sf0.1:
+    # the whole query ran as ONE task, 4.2 s; spread across 32 cores
+    # it is sub-second). No-op at cluster scale where the scan
+    # already has >= default-parallelism splits — the zero-shuffle
+    # scale shape described above is unchanged there.
+    base = spread(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__t"),
+        ).where(F.col("__t").isNotNull())
+    )
 
     def grams_sorted(n: int) -> str:
         # sequence(1, 0) is DESCENDING in Spark -> guard short docs
