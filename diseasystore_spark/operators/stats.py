@@ -854,6 +854,25 @@ def permutation_test_by_group(
             ).cast("binary")
         ).alias("__rk"),
     )
+    # Explicit hash repartition on the dedup-window keys, sized to the
+    # session parallelism floor: the window's required distribution is
+    # exactly (group, __rk), so this REPLACES the planner's exchange
+    # (no extra shuffle, both downstream consumers still share it) —
+    # but an explicit-N exchange is exempt from AQE's byte-based
+    # partition coalescing, which otherwise shrinks this small-bytes
+    # frame to a handful of partitions and serializes the n_perm×
+    # explode+md5 stage that reads it (row amplification inside a
+    # stage is invisible to AQE's sizing; measured at sf0.1: q178's
+    # explode ran as 6 tasks x 7.5 s). N = max(defaultParallelism,
+    # shuffle-partition ceiling) keeps the production value: on a
+    # cluster spark.sql.shuffle.partitions is the operator's normal
+    # exchange width anyway, so this never narrows a large job.
+    sess = df.sparkSession
+    n_part = max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    base = base.repartition(n_part, *group_cols, "__rk")
     wdup = Window.partitionBy(*group_cols, "__rk").orderBy(F.lit(1))
     base = base.withColumn(
         "__rk",
