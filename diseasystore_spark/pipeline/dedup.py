@@ -1241,15 +1241,24 @@ def dedup_components(
                 parent[hi] = lo
         rows = [(x, find(x)) for x in parent]
         id_type = raw_plan.schema["src"].dataType
-        return pairs.sparkSession.createDataFrame(
-            rows,
-            T.StructType(
-                [
-                    T.StructField("id", id_type),
-                    T.StructField("component", id_type),
-                ]
-            ),
+        schema = T.StructType(
+            [
+                T.StructField("id", id_type),
+                T.StructField("component", id_type),
+            ]
         )
+        # Hand the driver-side result back as a pandas frame so the
+        # session's Arrow path applies: createDataFrame on a plain
+        # Python list parallelizes PICKLED rows over
+        # defaultParallelism slices, and every downstream task then
+        # launches a Python worker just to unpickle its slice —
+        # measured at sf0.1 as a 32-task near-zero-CPU stage costing
+        # whole seconds of wall (worker spawn latency, not data).
+        # The Arrow path ships record batches the JVM reads directly.
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=["id", "component"])
+        return pairs.sparkSession.createDataFrame(pdf, schema)
 
     raw = raw_plan.localCheckpoint()
     if algorithm in ("star", "auto"):

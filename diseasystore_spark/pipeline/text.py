@@ -1385,8 +1385,12 @@ def search_all_terms(
         if not terms:
             raise ValueError("terms must be non-empty")
         n_terms = len(set(terms))
+        # pandas -> Arrow createDataFrame (the list path would spawn
+        # pickled-row Python workers; see pipeline/dedup.py note)
+        import pandas as pd
+
         query = df.sparkSession.createDataFrame(
-            [(t,) for t in sorted(set(terms))], ["term"]
+            pd.DataFrame({"term": sorted(set(terms))}), "term string"
         )
     else:
         if top_terms <= 0:

@@ -10408,8 +10408,18 @@ def q191_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     last: dict[int, list] = {}
     for _, user, reach in sorted(emissions, key=lambda e: e[0]):
         last[user] = reach
+    # pandas frame -> Arrow createDataFrame: the list path pickles
+    # rows and spawns a Python worker per slice just to unpickle
+    # (see pipeline/dedup.py dedup_components note).
+    import pandas as pd
+
     final = spark.createDataFrame(
-        [(u, r) for u, r in last.items()],
+        pd.DataFrame(
+            {
+                "user_id": list(last.keys()),
+                "reach": list(last.values()),
+            }
+        ),
         "user_id bigint, reach array<bigint>",
     )
     counts = final.agg(
