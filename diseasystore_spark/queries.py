@@ -8680,9 +8680,15 @@ def q166_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="ds_stream_psi_")
     cur.coalesce(1).write.mode("overwrite").parquet(root + "/in")
     stream = spark.readStream.schema(cur.schema).parquet(root + "/in")
+    # One sketch pass serves both consumers of the boundary array
+    # (the stream plan's bucketizer and the batch reference counts
+    # below) — round 11: previously reference_boundaries ran twice,
+    # i.e. two full passes over the reference for one identical
+    # literal array.
+    bounds = reference_boundaries(ref, "value", n_bins=10)
     counts = windowed_bucket_counts(
         stream, ref, "value", ts_col="ts", window_duration="1 day",
-        n_bins=10,
+        n_bins=10, boundaries=bounds,
     )
     sink = "psi_sink_" + uuid.uuid4().hex[:8]
     q = (
@@ -8700,11 +8706,14 @@ def q166_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         "cur_n",
     )
-    bounds = reference_boundaries(ref, "value", n_bins=10)
+    # Checkpointed (10 rows): refc feeds two consumers below (the
+    # broadcast bin join and the ref_total aggregate) — without the
+    # pin each consumer would re-run the full reference scan.
     refc = (
         ref.withColumn("bin", bucketize_expr(bounds, "value"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).cast("bigint").alias("ref_n"))
+        .localCheckpoint()
     )
     spine = (
         curc.select("day")
@@ -8723,12 +8732,17 @@ def q166_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cur_n", F.lit(0)).cast("bigint").alias("cur_n"),
         )
     )
-    ref_total = ref.count()
+    # ref_total = count(ref) = sum of the bucket counts: read it off
+    # the 10-row checkpointed refc instead of a third full pass over
+    # the reference (round 11 — was `ref.count()`). Same double math:
+    # bigint sum + 10.0 promotes exactly as the old float literal.
+    ref_tot = F.broadcast(refc.agg(F.sum("ref_n").alias("__rt")))
     day_tot = bins.groupBy("day").agg(F.sum("cur_n").alias("__ct"))
-    p = (F.col("ref_n") + F.lit(1.0)) / F.lit(float(ref_total + 10))
+    p = (F.col("ref_n") + F.lit(1.0)) / (F.col("__rt") + F.lit(10.0))
     qq = (F.col("cur_n") + F.lit(1.0)) / (F.col("__ct") + F.lit(10.0))
     return (
         bins.join(day_tot, "day")
+        .crossJoin(ref_tot)
         .select(
             "day",
             "bin",

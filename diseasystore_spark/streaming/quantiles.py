@@ -217,6 +217,7 @@ def windowed_bucket_counts(
     watermark: str = "1 hour",
     n_bins: int = 10,
     sketch_k: int = 32768,
+    boundaries: list[float] | None = None,
 ) -> "DataFrame":
     """Streaming side of the drift monitor: bucket every event of a
     stream into the REFERENCE distribution's equi-probable quantile
@@ -243,10 +244,23 @@ def windowed_bucket_counts(
     after eviction is DROPPED (the finalized count never changes, and
     no window is re-emitted). Size ``watermark`` to the feed's real
     out-of-orderness: it is the completeness/latency/state-size knob.
+
+    ``boundaries``: pass the :func:`reference_boundaries` result when
+    the caller also needs the boundary array (e.g. to bucket the
+    reference itself for a PSI readout) — computing it here AND there
+    would cost two full sketch passes over the reference corpus for
+    one identical array.
     """
     from pyspark.sql import functions as F
 
-    bounds = reference_boundaries(ref, value_col, n_bins, sketch_k)
+    if boundaries is not None:
+        bounds = [float(b) for b in boundaries]
+        if len(bounds) != n_bins - 1:
+            raise ValueError(
+                f"boundaries has {len(bounds)} entries, expected {n_bins - 1}"
+            )
+    else:
+        bounds = reference_boundaries(ref, value_col, n_bins, sketch_k)
     binned = (
         stream.where(F.col(value_col).isNotNull())
         .withColumn("__bin", bucketize_expr(bounds, value_col))
