@@ -175,6 +175,36 @@ def _conformance_workload(spark) -> dict:
     return {"conformance_google_scaled_4x": dt}
 
 
+def _warm_python_workers(spark) -> None:
+    """Spawn + warm the Python worker pool (one worker per core, each
+    importing numpy/pandas) before the timed loop — one-time session
+    initialization, same rationale as the JVM/codegen/committer warm
+    above. Without this the FIRST query to cross the Python boundary
+    (mapInPandas/applyInPandas) is charged the whole pool's
+    fork+import latency (measured round 11: a 32-task stage with
+    ~100 executor-seconds of wall at 3 CPU-seconds — pure worker
+    startup), which misattributes session setup to that query.
+    Workers are reused afterwards (spark.python.worker.reuse default).
+    """
+
+    def _imp(it):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        for b in it:
+            yield b
+
+    n = spark.sparkContext.defaultParallelism
+    (
+        spark.range(n * 100)
+        .repartition(n)
+        .mapInPandas(_imp, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -194,6 +224,7 @@ def main() -> None:
     _warm = tempfile.mkdtemp(prefix="bench_warm_")
     spark.range(1000).repartition(4).write.mode("overwrite").parquet(_warm)
     spark.read.parquet(_warm).count()
+    _warm_python_workers(spark)
 
     baselines = _baseline_workloads(spark)
 

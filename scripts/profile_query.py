@@ -36,6 +36,11 @@ def main() -> int:
     _warm = tempfile.mkdtemp(prefix="prof_warm_")
     spark.range(1000).repartition(4).write.mode("overwrite").parquet(_warm)
     spark.read.parquet(_warm).count()
+    # Warm the Python worker pool the same way bench.py does (round
+    # 11): fork+import of ~32 workers is session init, not query cost.
+    from bench import _warm_python_workers
+
+    _warm_python_workers(spark)
 
     import gc
 

@@ -27,6 +27,11 @@ def main() -> int:
     spark = get_spark("stage-profile", extra_conf={"spark.ui.enabled": "true"})
     sc = spark.sparkContext
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm the Python worker pool the same way bench.py does (round
+    # 11): fork+import of ~32 workers is session init, not query cost.
+    from bench import _warm_python_workers
+
+    _warm_python_workers(spark)
 
     app = json.load(
         urllib.request.urlopen("http://localhost:4040/api/v1/applications")
