@@ -135,16 +135,27 @@ def skyline(df: DataFrame, dims: dict[str, str]) -> DataFrame:
             K = Xs[kept_pos]
         yield pdf.iloc[sorted(int(order[j]) for j in kept_pos)]
 
+    from diseasystore_spark.pipeline._util import spread
+
     schema = df.schema
-    out = df.mapInPandas(local, schema)
-    # Tree merge: halve-by-8 coalesce rounds sized off the cluster's
+    # spread(): a single-file input would run the whole local-skyline
+    # dominance scan on ONE task; the local pass is correct under ANY
+    # partitioning (the final t=1 merge compares every surviving
+    # candidate), so round-robin to the session's parallelism. No-op
+    # at cluster scale where the scan already has enough splits.
+    out = spread(df).mapInPandas(local, schema)
+    # Tree merge: halve-by-8 rounds sized off the cluster's
     # parallelism, so each merge task fans in ~8 pruned candidate
-    # sets and the final task is bounded — never a coalesce(1) over
-    # ALL partitions' local skylines. coalesce() is narrow (no
-    # shuffle); a round whose target exceeds the actual partition
-    # count is a cheap re-prune pass over already-minimal sets.
+    # sets and the final task is bounded — never a single merge over
+    # ALL partitions' local skylines. repartition() (not coalesce):
+    # coalesce is narrow, so a trailing coalesce(1) would FUSE the
+    # whole chain — including the supposedly-parallel local pass —
+    # into one task (measured: the entire operator ran single-task).
+    # The repartition exchanges carry only already-pruned candidate
+    # rows, and the stage barrier keeps the local pass as wide as the
+    # scan/spread.
     t = max(2, df.sparkSession.sparkContext.defaultParallelism)
     while t > 1:
         t = max(1, t // 8)
-        out = out.coalesce(t).mapInPandas(local, schema)
+        out = out.repartition(t).mapInPandas(local, schema)
     return out

@@ -156,3 +156,33 @@ def test_skyline_rejects_null_timestamp_dimension(spark):
     )
     with pytest.raises(Exception, match="non-null"):
         skyline(df, {"ts": "min", "v": "max"}).collect()
+
+
+def test_skyline_merge_rounds_are_stage_barriers(spark):
+    """The tree merge must use shuffle barriers, not narrow coalesce:
+    a trailing coalesce(1) FUSES the whole chain — including the
+    supposedly-parallel local-skyline pass — into one task (measured
+    on q76: the entire operator ran single-task). Pin the shape: the
+    operator adds no Coalesce node, and there is one Exchange per
+    merge round plus the spread of the single-partition input, so the
+    local pass keeps the scan/spread width."""
+    from diseasystore_spark.plans.lint import plan_summary
+
+    df = (
+        spark.range(4000)
+        .selectExpr(
+            "id",
+            "cast(id % 97 as double) as x",
+            "cast((id * 31) % 89 as double) as y",
+        )
+        .coalesce(1)  # simulate the one-file scan
+    )
+    out = skyline(df, {"x": "max", "y": "max"})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only Coalesce allowed is the test's own input coalesce(1)
+    assert plan.count("Coalesce") <= 1
+    rounds, t = 0, max(2, spark.sparkContext.defaultParallelism)
+    while t > 1:
+        t = max(1, t // 8)
+        rounds += 1
+    assert plan_summary(out)["exchanges"] >= rounds + 1
