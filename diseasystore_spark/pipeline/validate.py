@@ -436,6 +436,14 @@ def bh_fdr(
 
     if alpha_micro <= 0 or alpha_micro > 1_000_000:
         raise ValueError("alpha_micro must be in (0, 1e6]")
+    # The hypothesis frame is consumed THREE times below (ranked
+    # branch, NULL-p branch, and the m count) — without materializing
+    # it, the caller's entire upstream pipeline executes three times
+    # (measured on q178: the 63x permutation explode ran 3x, plan
+    # showed the Generate subtree triplicated). The frame is m rows —
+    # tests, not data — so the checkpoint is O(hypotheses) at any
+    # scale.
+    df = df.localCheckpoint()
     p = F.col(p_micro_col).cast("bigint")
     base = df.where(p.isNotNull())
     nullp = df.where(p.isNull()).select(
