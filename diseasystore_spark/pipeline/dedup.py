@@ -316,56 +316,55 @@ def minhash_signatures(
     computes the identical signature matrix), at one md5 per shingle
     instead of ``num_hashes``.
 
-    ZERO shuffles: the signature is ``array_min(transform(shingles,
-    s -> xxhash64(s, i)))`` per row — a narrow map over the corpus
-    (the earlier explode + groupBy(id) formulation shuffled the full
-    shingle table just to regroup rows that started out together).
+    Physical shape: explode the (pre-deduped, per-row
+    ``array_distinct``) shingle array and aggregate ``num_hashes``
+    ``min`` columns by id. Every per-shingle hash then runs as a
+    whole-stage-codegen projection — the earlier narrow-map form kept
+    the hashes inside ``transform``/``zip_with`` lambdas, which
+    execute on the INTERPRETED expression path (measured at sf0.1:
+    the q23 signature stage burned 15+ CPU-seconds; the codegen form
+    halves it). The min aggregates are map-side combinable and a
+    document's exploded shingles never leave their partition, so the
+    partial aggregate collapses each doc to ONE row before the
+    exchange: the shuffle carries |docs| signature rows (the
+    operator's own output size), NOT the shingle table. (The
+    distinct stays per-row via ``array_distinct`` — a post-explode
+    ``distinct()`` is what would shuffle the full shingle table.)
     Docs with no shingles (shorter than ``n`` tokens) are dropped,
-    matching the explode formulation's behavior."""
+    matching the old form's ``WHERE size > 0``."""
     df = spread(df)
-    with_sh = df.select(
+    ex = df.select(
         F.col(id_col),
-        F.array_remove(
-            F.array_distinct(word_ngrams(text_col, n)), ""
-        ).alias("_shingles"),
-    ).where(F.size("_shingles") > 0)
-    if not portable:
-        return with_sh.select(
-            F.col(id_col),
-            F.array(
-                *[
-                    F.expr(
-                        f"array_min(transform(_shingles, s -> xxhash64(s, {i})))"
-                    )
-                    for i in range(num_hashes)
-                ]
-            ).alias("sig"),
-        )
-    p = _PORTABLE_P
-    ab = with_sh.select(
-        F.col(id_col),
-        F.expr("transform(_shingles, s -> md5(s))").alias("_m"),
-    ).select(
-        F.col(id_col),
-        F.expr(
-            f"transform(_m, m -> cast(conv(substr(m, 1, 8), 16, 10) as bigint)"
-            f" % {p})"
-        ).alias("_a"),
-        F.expr(
-            f"transform(_m, m -> cast(conv(substr(m, 9, 8), 16, 10) as bigint)"
-            f" % {p})"
-        ).alias("_b"),
+        F.explode(
+            F.array_remove(
+                F.array_distinct(word_ngrams(text_col, n)), ""
+            )
+        ).alias("_s"),
     )
-    # One nested-lambda expression for the whole signature (not one
-    # zip_with per seed): whole-stage codegen compiles a single
-    # operator tree, which at 16-64 seeds cuts several seconds of
-    # per-query JIT alone.
-    return ab.select(
-        F.col(id_col),
-        F.expr(
-            f"transform(sequence(0, {num_hashes - 1}), i -> "
-            f"array_min(zip_with(_a, _b, (a, b) -> (a + i * b) % {p})))"
-        ).alias("sig"),
+    if not portable:
+        mins = [
+            F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        p = _PORTABLE_P
+        m = F.md5(F.col("_s"))
+        a = F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint") % p
+        b = F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint") % p
+        ex = ex.select(F.col(id_col), a.alias("_a"), b.alias("_b"))
+        mins = [
+            F.min((F.col("_a") + F.lit(i) * F.col("_b")) % p).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    return (
+        ex.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias(
+                "sig"
+            ),
+        )
     )
 
 
@@ -1009,38 +1008,46 @@ def simhash64(
     Majority vote: bit b is set iff ``2 * count_b >= n_tokens``
     (identically the old ``sum of (+1/-1) >= 0`` formulation).
 
-    ZERO shuffles: the per-bit counts are per-document quantities, so
-    they are computed per ROW with ``aggregate`` over the token-hash
-    array — a narrow map. (The earlier formulation exploded tokens and
-    grouped back by id: a full shuffle of the token table to reunite
-    rows that started out in the same row.)
+    Physical shape: explode the token array and aggregate the 22
+    packed slot sums (+ the token count) by id. The per-token md5 and
+    the shift/mask lane packing then run as whole-stage-codegen
+    projections — the earlier narrow-map form kept the token hash
+    inside a ``transform`` lambda and re-scanned the hash array with
+    22 interpreted ``aggregate`` lambdas (measured at sf0.1: the q24
+    signature stage burned 34 CPU-seconds; codegen halves it). The
+    sums are map-side combinable and a document's exploded tokens
+    never leave their scan partition, so the partial aggregate
+    collapses each doc to ONE row before the exchange: the shuffle
+    carries |docs| packed-sum rows (output-sized), NOT the token
+    table. Docs with zero tokens are dropped, matching the old
+    form's ``WHERE n_tok > 0``.
     """
     tok_hash = (
-        "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"
+        "cast(conv(substr(md5(_t), 1, 15), 16, 10) as bigint)"
         if portable
-        else "xxhash64(t)"
+        else "xxhash64(_t)"
     )
-    with_h = spread(df).select(
-        F.col(id_col),
-        F.expr(
-            f"transform(filter(split(trim({text_col}), '\\\\s+'), "
-            f"t -> t != ''), t -> {tok_hash})"
-        ).alias("_hs"),
+    ex = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.trim(F.col(text_col)), r"\s+")
+            ).alias("_t"),
+        )
+        .where(F.col("_t") != "")
+        .select(F.col(id_col), F.expr(tok_hash).alias("_h"))
     )
     packed = []
     for j in range(_SIMHASH_SLOTS):
         terms = " + ".join(
-            f"(shiftrightunsigned(h, {b}) & 1) * {1 << (_SIMHASH_LANE * i)}L"
+            f"(shiftrightunsigned(_h, {b}) & 1) * {1 << (_SIMHASH_LANE * i)}L"
             for i, b in enumerate(_simhash_slot_bits(j))
         )
-        packed.append(
-            F.expr(f"aggregate(_hs, 0L, (acc, h) -> acc + ({terms}))").alias(
-                f"s{j}"
-            )
-        )
-    sums = with_h.select(
-        F.col(id_col), F.size("_hs").alias("n_tok"), *packed
-    ).where(F.col("n_tok") > 0)
+        packed.append(F.sum(F.expr(terms)).alias(f"s{j}"))
+    sums = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"), *packed
+    )
     sim = None
     for j in range(_SIMHASH_SLOTS):
         for i, b in enumerate(_simhash_slot_bits(j)):

@@ -521,6 +521,13 @@ def kll_quantiles(sketch: DataFrame, qs: list[float]) -> DataFrame:
         Window.orderBy("value", "level")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Materialize the ranked sketch: it feeds THREE consumers below
+    # (the total-weight agg and both bracketing-rank joins), and
+    # without a checkpoint each consumer re-executes the caller's
+    # entire sketch-build pipeline — q141's plan showed the corpus
+    # mapInPandas sketch pass tripled. The frame is sketch-sized
+    # (O(k log(n/k)) rows) by construction, so this is O(sketch) at
+    # any data scale.
     ranked = (
         sketch.select(
             "value",
@@ -529,6 +536,7 @@ def kll_quantiles(sketch: DataFrame, qs: list[float]) -> DataFrame:
         )
         .withColumn("__end", F.sum("__w").over(w))
         .withColumn("__start", F.col("__end") - F.col("__w"))
+        .localCheckpoint()
     )
     total = ranked.agg(F.max("__end").alias("__n"))
     qdf = (
