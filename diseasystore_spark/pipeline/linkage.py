@@ -156,6 +156,15 @@ def blocking_pairs(
                 F.when(F.col("__pk_kept"), F.col("__pk")),
             )
             .drop("__bn", "__pk_kept")
+            # keyed feeds BOTH sides of the block self-join below;
+            # without materialization each side re-runs the two
+            # block-size/prefix-survival window shuffles (and the
+            # caller's whole upstream plan) — q140's plan re-scanned
+            # the corpus 12x through this. The frame is 2 rows per
+            # input record (the two blocking keys), linear at any
+            # scale; only taken on the max_block path, where the
+            # window shuffles make re-execution expensive.
+            .localCheckpoint()
         )
     bm_a = [F.col("__bm").alias("bm_a")] if with_char_bitmap else []
     bm_b = [F.col("__bm").alias("bm_b")] if with_char_bitmap else []
@@ -263,6 +272,12 @@ def resolve_entities(
         recs.where(F.col("__name").isNotNull())
         .groupBy("__name")
         .agg(F.min("record_id").alias("__rep"))
+        # consumed THREE times (both blocking sides via
+        # blocking_pairs, and the entity re-attach join) — without
+        # materialization the corpus collapse groupBy runs 3x. The
+        # frame is one row per DISTINCT name, the operator's own
+        # scale lever, so the checkpoint is bounded by design.
+        .localCheckpoint()
     )
     cand = blocking_pairs(
         reps,
@@ -297,9 +312,17 @@ def resolve_entities(
         # NULL-name records never match anything: own entity.
         F.coalesce(F.col("__ent"), F.col("record_id")).alias("entity_id"),
     )
-    sizes = assigned.groupBy("entity_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_members")
-    )
-    return assigned.join(sizes, "entity_id").select(
-        "record_id", "entity_id", "n_members"
+    # n_members via a keyed window rather than groupBy + join back:
+    # the join form consumes `assigned` twice, re-running the record
+    # scan and the entity re-attach per consumer; the window shares
+    # one exchange and one pass (same count, same rows).
+    from pyspark.sql import Window
+
+    return assigned.select(
+        "record_id",
+        "entity_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("entity_id"))
+        .cast("bigint")
+        .alias("n_members"),
     )
