@@ -79,12 +79,19 @@ def _bucket_rows(
         )
     else:
         bucket_sql = f"pmod(xxhash64(g), {num_buckets})"
-    buckets = F.expr(
-        f"transform(filter({_ngram_sql(text_col, n)}, g -> g != ''), "
-        f"g -> {bucket_sql})"
-    )
-    return spread(df).select(
-        F.col(id_col), F.explode(buckets).alias("bucket")
+    # Explode the n-gram array first and derive the bucket id as a
+    # top-level projection: inside the transform() lambda the md5
+    # runs on the interpreted expression path, as a plain projection
+    # it is whole-stage-codegen'd (same bytes -> same bucket). The
+    # n-gram strings stay inside the scan stage — the explode feeds
+    # the bucket projection and the map-side partial aggregate in one
+    # codegen pipeline, so nothing wider than a bigint crosses any
+    # exchange, exactly as before.
+    grams = F.expr(f"filter({_ngram_sql(text_col, n)}, g -> g != '')")
+    return (
+        spread(df)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(F.col(id_col), F.expr(bucket_sql).alias("bucket"))
     )
 
 
@@ -118,19 +125,25 @@ def importance_weights(
     feats = hashed_ngram_features(
         df, id_col, text_col, n=n, num_buckets=num_buckets, portable=portable
     )
-    # The bucket models aggregate the raw exploded bucket stream
-    # directly: counts combine map-side to <= num_buckets rows per
-    # task, so each model costs ONE tiny shuffle instead of re-running
-    # the per-document (id, bucket) shuffle a second and third time.
+    # The raw-corpus model is the bucket rollup of feats itself
+    # (sum of per-doc counts == count of exploded rows): building it
+    # FROM feats makes the two subtrees canonically identical up to
+    # feats' exchange, so ReuseExchange runs the corpus
+    # tokenize+hash+explode pass ONCE for both the scoring join and
+    # the model. Both models are then localCheckpointed: each is
+    # consumed twice below (its total and the model join), and they
+    # are <= num_buckets rows by construction — without the
+    # checkpoint each consumer re-ran a full corpus/target pass.
     q_model = (
-        _bucket_rows(df, id_col, text_col, n, num_buckets, portable)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("qct"))
+        feats.groupBy("bucket")
+        .agg(F.sum("ct").alias("qct"))
+        .localCheckpoint()
     )
     p_model = (
         _bucket_rows(target, id_col, text_col, n, num_buckets, portable)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("pct"))
+        .localCheckpoint()
     )
     q_total = q_model.agg(F.sum("qct").alias("__q"))
     p_total = p_model.agg(F.sum("pct").alias("__t"))
