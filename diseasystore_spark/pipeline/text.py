@@ -414,7 +414,16 @@ def unigram_logprob_score(
     aggregate and the scoring join; recompute beats materialization
     (see tfidf_top_terms)."""
     tf = term_frequencies(df, id_col, text_col)
-    counts = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    # Materialize the vocabulary-sized count frame: it feeds the
+    # corpus-total aggregate AND the scoring join, and each consumer
+    # otherwise re-runs the term_frequencies shuffle (3 tf executions
+    # observed in q91's plan). The tf frame itself stays lazy — its
+    # one remaining recompute (counts build + scoring join) is the
+    # documented recompute-beats-materialization trade; counts is
+    # |vocab| rows, bounded at any corpus size.
+    counts = (
+        tf.groupBy("term").agg(F.sum("tf").alias("ct")).localCheckpoint()
+    )
     total_row = counts.agg(F.sum("ct").alias("__total"))
     counts = counts.crossJoin(F.broadcast(total_row))
     lp_micro = F.round(
@@ -1124,14 +1133,21 @@ def perplexity_split(
         if scored is not None
         else unigram_logprob_score(df, id_col, text_col)
     )
+    # base feeds the bucket-count aggregate AND the final rank join;
+    # un-materialized, the whole LM scoring pipeline (train + score)
+    # re-executes per consumer. Narrow O(docs) frame (id, score,
+    # lang, bucket) — the guide's decide-with-small-rows shape.
     base = (
         s.select(F.col(id_col), "score_micro")
         .join(df.select(F.col(id_col), F.col(lang_col)), id_col)
         .withColumn("__b", F.expr(f"score_micro DIV {coarse_div}"))
+        .localCheckpoint()
     )
+    # (lang, score-band) rows — tiny; consumed by both the prefix
+    # window and the per-language totals.
     counts = base.groupBy(lang_col, "__b").agg(
         F.count(F.lit(1)).alias("__n")
-    )
+    ).localCheckpoint()
     gw = (
         Window.partitionBy(lang_col)
         .orderBy(F.col("__b").desc())
