@@ -171,7 +171,10 @@ def distribution_drift_psi(
             "smoothing must be >= 1 (0 would divide by zero on bins "
             "the current sample misses)"
         )
-    sk = kll_build(ref, value_col, k=sketch_k)
+    # Materialize the sketch: BOTH sides' bucketize calls consume it
+    # (each derives its own boundary array), and un-materialized each
+    # re-runs the reference sketch-build pass. Sketch-sized rows.
+    sk = kll_build(ref, value_col, k=sketch_k).localCheckpoint()
 
     def _binned(df: DataFrame, out: str) -> DataFrame:
         b = kll_bucketize(
@@ -208,6 +211,10 @@ def distribution_drift_psi(
             F.coalesce("ref_n", F.lit(0)).cast("bigint").alias("ref_n"),
             F.coalesce("cur_n", F.lit(0)).cast("bigint").alias("cur_n"),
         )
+        # n_bins rows; consumed by the totals aggregate AND the final
+        # projection — without this both sides' full bucket-count
+        # passes re-execute for the totals.
+        .localCheckpoint()
     )
     totals = bins.agg(
         F.sum("ref_n").alias("__rt"), F.sum("cur_n").alias("__ct")
