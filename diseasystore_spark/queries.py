@@ -9688,7 +9688,12 @@ def q182_png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 7 == 0
     )
     corpus = synthetic_png_corpus(docs, corrupt_every=5)
-    resized = resize_image(corpus, width=16, height=12)
+    # Materialize the resized frame: the ok/failed branches below each
+    # consume it, and un-materialized BOTH codec passes (synthesize +
+    # decode/resample/encode) re-run per branch. The resized payloads
+    # are smaller than the inputs, so this is the guide's decode-once
+    # shape.
+    resized = resize_image(corpus, width=16, height=12).localCheckpoint()
     ok = resized.where(F.col("decode_error").isNull())
     stats = image_stats(ok.select("doc_id", "payload"))
     failed = resized.where(F.col("decode_error").isNotNull()).select(
@@ -9764,7 +9769,9 @@ def q183_wav_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 7 == 0
     )
     corpus = synthetic_wav_corpus(docs, corrupt_every=5)
-    resampled = resample_audio(corpus, factor=4)
+    # Same decode-once materialization as q182: both branches consume
+    # the resampled frame; payloads are 4x smaller than the inputs.
+    resampled = resample_audio(corpus, factor=4).localCheckpoint()
     ok = resampled.where(F.col("decode_error").isNull())
     stats = audio_stats(ok.select("doc_id", "payload"))
     failed = resampled.where(F.col("decode_error").isNotNull()).select(
