@@ -784,6 +784,10 @@ def kll_rolling_quantiles(
     """
     if window_days <= 0:
         raise ValueError("window_days must be positive")
+    # Consumed twice (the output-day spine and the window explode);
+    # un-materialized, the caller's per-day sketch build runs twice.
+    # Sketch rows only — bounded by days * k * levels.
+    sketches = sketches.localCheckpoint()
     days = sketches.select(F.col(day_col).alias("__day")).distinct()
     contrib = sketches.withColumn(
         "__day",
