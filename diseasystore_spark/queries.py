@@ -2811,7 +2811,12 @@ def q64_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diseasystore_spark.pipeline.sample import select_within_budget
     from diseasystore_spark.pipeline.text import unigram_logprob_score
 
-    scored = unigram_logprob_score(_read(spark, sf_dir, "documents"))
+    # select_within_budget consumes its input twice (bucket totals +
+    # rank join); checkpoint the scored frame (3 narrow columns) so
+    # the LM train+score pipeline runs once — the q66 pattern.
+    scored = unigram_logprob_score(
+        _read(spark, sf_dir, "documents")
+    ).localCheckpoint()
     return select_within_budget(
         scored,
         score_col="score_micro",
