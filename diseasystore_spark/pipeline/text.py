@@ -1007,14 +1007,22 @@ def remove_boilerplate_paragraphs(
         comps = dedup_components(pairs).select(
             F.col("id").alias("__d"), F.col("component").alias("__g")
         )
-        grouped = eligible.join(comps, "__d", "left").withColumn(
-            "__g", F.coalesce(F.col("__g"), F.col("__d"))
+        # Only the digest/group/host-id columns feed the two branches
+        # below (cluster host counts, boilerplate digest list) — strip
+        # the paragraph text BEFORE materializing, and checkpoint so
+        # the paragraph-split + cluster join doesn't re-execute per
+        # branch (digest rows are ~50 bytes/paragraph, no payloads).
+        keyed = (
+            eligible.select(id_col, "__d")
+            .join(comps, "__d", "left")
+            .withColumn("__g", F.coalesce(F.col("__g"), F.col("__d")))
+            .localCheckpoint()
         )
-        gdf = grouped.groupBy("__g").agg(
+        gdf = keyed.groupBy("__g").agg(
             F.countDistinct(id_col).alias("__ddf")
         )
         boiler = (
-            grouped.select("__d", "__g")
+            keyed.select("__d", "__g")
             .distinct()
             .join(gdf.where(F.col("__ddf") > max_df), "__g")
             .select("__d")
