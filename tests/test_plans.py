@@ -131,19 +131,28 @@ def test_exact_dedup_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2, plan
 
 
-def test_minhash_signatures_shuffle_free(spark):
-    """Per-doc signatures are row-local array aggregates: the plan
-    must contain NO exchange (the explode+groupBy formulation would
-    shuffle the full shingle table to reunite rows that never left
-    their partition)."""
+def test_minhash_signatures_shuffle_is_output_sized(spark):
+    """Signatures explode the per-row array_distinct shingle set and
+    aggregate whole-stage-codegen min columns by id (round 11: the
+    old zero-shuffle form kept the per-shingle hashing inside
+    interpreted transform/zip_with lambdas). The invariant now: the
+    ONLY key exchange sits between a PARTIAL and a final min
+    aggregate on the id key — a document's exploded shingles never
+    leave their scan partition, so the shuffle carries one
+    pre-aggregated row per document (output-sized), never the
+    shingle table — and no interpreted per-seed lambda survives."""
     from diseasystore_spark.pipeline.dedup import minhash_signatures
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _executed(minhash_signatures(docs, num_hashes=8, n=3))
-    # spread()'s round-robin fan-out is allowed; a key shuffle or a
-    # grouped aggregate is the regression being guarded against
-    assert "hashpartitioning" not in plan, plan
-    assert "HashAggregate" not in plan, plan
+    assert plan.count("hashpartitioning(doc_id") == 1, plan
+    # map-side combine BEFORE the exchange = output-sized shuffle
+    assert "partial_min" in plan, plan
+    # the interpreted per-seed lambda form is the regression guarded
+    # against (shingle-set dedup stays per-row, pre-explode)
+    assert "zip_with" not in plan, plan
+    assert "array_min" not in plan, plan
+    assert "array_distinct" in plan, plan
 
 
 def test_shingle_dedup_is_map_side(spark):
