@@ -143,6 +143,7 @@ def degree_matched_negatives(
     dst: str = "dst",
     salt: str = "neg0",
     buckets: int = 1024,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Degree-matched negative sampling for link-prediction /
     graph-embedding training: for every positive edge ``(a, b)``,
@@ -171,6 +172,20 @@ def degree_matched_negatives(
 
     Output: ``(src, pos_dst, neg_dst, degree_bucket int)`` — one row
     per positive edge whose candidate survived the collision check.
+
+    ``edges_canonical=True`` declares the input already DISTINCT and
+    canonically oriented (``src < dst``, no self-loops). Then the
+    mirror union is distinct by construction (the two halves are
+    disjoint on the orientation predicate), so the undirected frame
+    needs neither the ``distinct`` shuffle nor its own
+    materialization: degrees come off a map-side-combinable groupBy
+    over the narrow union of the pinned edge list (the shuffle
+    carries ≤ |V| partial rows per partition, never the edge table),
+    and the realness anti-join probes the pinned CANONICAL list
+    directly via ``least/greatest`` keys — half the anti-join's
+    build-side bytes at any scale. The default keeps the general
+    behavior for arbitrary (duplicated / bidirectional / self-loop)
+    inputs.
     """
     from diseasystore_spark.pipeline.sample import _SPACE, hash_hex
 
@@ -189,18 +204,31 @@ def degree_matched_negatives(
         # the edge list is noise
         .localCheckpoint()
     )
-    # localCheckpoint: the undirected edge list feeds the degree agg
-    # AND the final realness anti-join, and the ranked-node frame is
-    # probed twice — without pinning, Catalyst re-derives the whole
-    # subtree per consumer (measured ~15 re-scans of the input on the
-    # q147 shape). Same bounded-frame pattern as pipeline/dedup.py.
-    und = (
-        e.unionByName(
-            e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    mirror = e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
+    if edges_canonical:
+        # Input distinct + strictly oriented: the two union halves are
+        # disjoint (s<d vs s>d), so the union IS the distinct
+        # undirected set — a narrow map over the pinned edge list.
+        # No distinct shuffle, no second materialization; the degree
+        # groupBy partial-aggregates map-side so its exchange carries
+        # per-partition node partials, never edge rows.
+        und = e.unionByName(mirror)
+        canon = e
+    else:
+        # localCheckpoint: the undirected edge list feeds the degree
+        # agg AND the final realness anti-join, and the ranked-node
+        # frame is probed twice — without pinning, Catalyst re-derives
+        # the whole subtree per consumer (measured ~15 re-scans of the
+        # input on the q147 shape). Same bounded-frame pattern as
+        # pipeline/dedup.py.
+        und = e.unionByName(mirror).distinct().localCheckpoint()
+        # canonical half of the (distinct, symmetric) undirected set:
+        # the realness check below is orientation-insensitive, so
+        # probing the canonical half via least/greatest keys is
+        # equivalent and moves half the bytes. Self-loops (s == d)
+        # drop out of the filter, which is safe: the candidate frame
+        # already excludes neg_dst == src rows.
+        canon = und.where(F.col("__s") < F.col("__d"))
     deg = und.groupBy("__s").agg(
         F.count(F.lit(1)).cast("bigint").alias("__deg")
     )
@@ -294,11 +322,22 @@ def degree_matched_negatives(
     )
     # drop candidates that are REAL edges (undirected check) and
     # self-negatives (the bucket walk can land on the source node
-    # itself — a self-loop is not a valid negative either)
-    return out.where(F.col("neg_dst") != F.col("src")).join(
-        und.select(
-            F.col("__s").alias("src"), F.col("__d").alias("neg_dst")
-        ),
-        ["src", "neg_dst"],
-        "left_anti",
+    # itself — a self-loop is not a valid negative either). The
+    # membership test is orientation-insensitive, so it probes the
+    # CANONICAL edge list on least/greatest keys — half the build-side
+    # bytes of the mirrored frame (src != neg_dst holds on every
+    # probed row, so least < greatest and the canonical filter loses
+    # nothing).
+    probe = out.where(F.col("neg_dst") != F.col("src")).withColumns(
+        {
+            "__ca": F.least(F.col("src"), F.col("neg_dst")),
+            "__cb": F.greatest(F.col("src"), F.col("neg_dst")),
+        }
     )
+    return probe.join(
+        canon.select(
+            F.col("__s").alias("__ca"), F.col("__d").alias("__cb")
+        ),
+        ["__ca", "__cb"],
+        "left_anti",
+    ).drop("__ca", "__cb")

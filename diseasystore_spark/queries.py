@@ -7565,7 +7565,13 @@ def q147_degree_matched_negatives(
         .select("s", "d")
         .distinct()
     )
-    return degree_matched_negatives(edges, src="s", dst="d", salt="neg0")
+    # edges is distinct + strictly oriented (s < d) by construction,
+    # so the operator's canonical fast path applies: no undirected
+    # distinct shuffle, degrees map-side combined, anti-join probes
+    # the canonical half (round 12, guide §2.3/§2.4).
+    return degree_matched_negatives(
+        edges, src="s", dst="d", salt="neg0", edges_canonical=True
+    )
 
 
 ORACLE_Q147 = """

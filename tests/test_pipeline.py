@@ -2656,6 +2656,14 @@ def test_degree_matched_negatives_contract(spark):
     other = degree_matched_negatives(edges, salt="neg1").collect()
     assert sorted(map(tuple, out)) != sorted(map(tuple, other))
 
+    # The canonical fast path (round 12: no undirected distinct
+    # shuffle, map-side-combined degrees, anti-join on the canonical
+    # half) must be row-identical to the general path on an input
+    # that satisfies its contract (distinct, src < dst, no
+    # self-loops) — this edge set is exactly that.
+    fast = degree_matched_negatives(edges, edges_canonical=True).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, fast))
+
 
 def test_annotator_agreement_known_values(spark):
     """Hand-computed 2x2 kappa; perfect agreement = 1 (including the
