@@ -14,6 +14,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: Edge-count threshold for :func:`pagerank_integer`'s ``"auto"``
+#: iteration strategy: above it the mirrored edge list is persisted
+#: HASH-PARTITIONED on the source key instead of localCheckpointed.
+#: Rationale: a checkpointed frame has UnknownPartitioning, so when
+#: the rank frame is too big to broadcast (|V| past the 10 MB
+#: auto-broadcast threshold ≈ a few hundred thousand nodes) every
+#: iteration's rank join RE-EXCHANGES all |E| edge rows; the persisted
+#: keyed layout moves only the |V|-row rank frame per round. Below the
+#: threshold the rank frame broadcasts, the edge list is never
+#: re-exchanged anyway, and the columnar cache build measurably LOSES
+#: to the cheap checkpoint (sf0.1 A/B: 30 % slower, round 11 §6.4;
+#: 20M-edge synthetic A/B: persist ~1.5× faster, round 12). 10M edge
+#: rows ≈ the point where |V| plausibly outgrows broadcast.
+PAGERANK_PERSIST_EDGE_ROWS = 10_000_000
+
+
 def pagerank_integer(
     edges: DataFrame,
     src: str = "src",
@@ -22,6 +38,7 @@ def pagerank_integer(
     damping_pct: int = 85,
     scale: int = 10**12,
     undirected: bool = True,
+    iteration_strategy: str = "auto",
 ) -> DataFrame:
     """PageRank in scaled-INTEGER arithmetic — bit-identical in any
     engine, unlike the textbook float formulation whose sums depend
@@ -66,8 +83,25 @@ def pagerank_integer(
     construction (their rank would be the base term).
 
     Output: ``(node, rank)`` with ``rank`` in micro-units (bigint).
+
+    ``iteration_strategy`` picks how the loop-invariant edge frame is
+    pinned: ``"checkpoint"`` (localCheckpoint — cheapest build; the
+    planner sees UnknownPartitioning, so on graphs whose rank frame
+    cannot broadcast every iteration re-exchanges |E| rows),
+    ``"persist"`` (hash-partitioned persist on the source key — one
+    extra shuffle + columnar cache build up front, then each
+    iteration exchanges only the |V|-row rank frame), or ``"auto"``
+    (default): one count over the already-materialized checkpoint
+    decides by :data:`PAGERANK_PERSIST_EDGE_ROWS`. The result is
+    bit-identical either way (integer arithmetic; verified by hash in
+    the round-12 A/B).
     """
     from pyspark.sql import Window
+
+    if iteration_strategy not in ("auto", "checkpoint", "persist"):
+        raise ValueError(
+            "iteration_strategy must be 'auto', 'checkpoint' or 'persist'"
+        )
 
     if undirected:
         # Canonical orientation first: dedup half the rows, then the
@@ -95,6 +129,26 @@ def pagerank_integer(
     e = e.withColumn(
         "deg", F.count(F.lit(1)).over(Window.partitionBy("s"))
     ).localCheckpoint()
+    if iteration_strategy == "auto":
+        # one aggregate over the just-materialized blocks — no rescan
+        iteration_strategy = (
+            "persist"
+            if e.count() > PAGERANK_PERSIST_EDGE_ROWS
+            else "checkpoint"
+        )
+    if iteration_strategy == "persist":
+        from pyspark import StorageLevel
+
+        # Re-key the pinned frame on the join key and KEEP the
+        # partitioning visible to the planner (persist preserves the
+        # plan): each iteration's rank join then shuffles only the
+        # rank frame — the scale case where |V| is past broadcast and
+        # the checkpointed form would re-exchange all |E| rows per
+        # round (guide §2.4 share-one-exchange; 20M-edge A/B:
+        # median 58 s → 37 s).
+        e = e.repartition(F.col("s")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     nodes = e.select(F.col("s").alias("node")).distinct()
     # 1-row node count, broadcast into every rank projection — no
     # driver action, no collected literal.

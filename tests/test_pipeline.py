@@ -2399,6 +2399,22 @@ def test_pagerank_integer_matches_python_oracle(spark):
     # loses < N units to the two integral divisions per node
     assert abs(sum(got.values()) - scale) < 5 * 4 * 100
 
+    # The persist-keyed iteration strategy (round 12: the at-scale
+    # path taken by "auto" past PAGERANK_PERSIST_EDGE_ROWS) must be
+    # bit-identical to the checkpoint strategy — integer arithmetic
+    # is partitioning-invariant by design.
+    per = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(
+            edges, iterations=5, iteration_strategy="persist"
+        ).collect()
+    }
+    assert per == pr
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iteration_strategy"):
+        pagerank_integer(edges, iteration_strategy="bogus")
+
 
 def test_pagerank_symmetric_graph_uniform(spark):
     """On a vertex-transitive graph (a cycle) every node must get the
