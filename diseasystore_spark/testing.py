@@ -104,7 +104,40 @@ def run_conformance_suite(
         assert bound is None or bound <= today, f"future store bound: {bound}"
     ran.append("handlers-well-formed")
 
+    # Phases 2-5 run one worker per LOADER (round 12): different
+    # features of one loader share a table — the first get_feature
+    # computes and merges, the rest are memoized reads — while
+    # distinct loaders touch independent tables, so overlapping them
+    # is the guide's independent-jobs pattern (the matrix phase below
+    # has pooled this way since round 11). Grouping by loader keeps a
+    # table's first touch on exactly one worker: two workers racing
+    # the same table would park one in the backend's advisory lock
+    # spin (15 s sleep increments). Every check still runs, one per
+    # FEATURE, and all assertions happen on the main thread in
+    # ds_map order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    by_loader: dict[str, list[str]] = {}
     for feature, loader in store.ds_map.items():
+        by_loader.setdefault(loader, []).append(feature)
+
+    def _pooled_by_loader(check_one):
+        """Run ``check_one(feature, loader)`` for every feature, one
+        worker per loader group, returning results in ds_map order."""
+        results: dict[str, Any] = {}
+
+        def _group(item):
+            loader, feats = item
+            return [(f, check_one(f, loader)) for f in feats]
+
+        with ThreadPoolExecutor(
+            max_workers=min(8, max(1, len(by_loader)))
+        ) as pool:
+            for pairs in pool.map(_group, by_loader.items()):
+                results.update(pairs)
+        return [(f, results[f]) for f in store.ds_map]
+
+    def _feature_checks(feature: str, loader: str):
         got = store.get_feature(feature, test_start_date, test_end_date)
         handler = store.handler(loader)
         reference = handler.compute(
@@ -114,20 +147,12 @@ def run_conformance_suite(
             source_conn=store.source_conn,
             ds=store,
         )
-
         # 3. contract checks on the compute output
         validate_feature_frame(reference)
         out_of_bounds = reference.where(
             ~overlaps_study_period(test_start_date, test_end_date)
         ).count()
-        assert out_of_bounds == 0, (
-            f"Feature `{feature}` returns data outside the study period."
-        )
         schema = {f.name: f.dataType for f in reference.schema.fields}
-        for c in ("valid_from", "valid_until"):
-            assert isinstance(schema[c], T.DateType), (
-                f"Feature `{feature}` has a non-Date `{c}` column."
-            )
         bad = reference.where(
             F.col("valid_from").isNull()
             | (
@@ -135,21 +160,32 @@ def run_conformance_suite(
                 & (F.col("valid_from") >= F.col("valid_until"))
             )
         ).count()
-        assert bad == 0, f"Feature `{feature}` violates validity ordering."
-
         # 2. golden-by-construction equality (storage round-trip
         # lossless; clip reference like get_feature does)
         ref_clipped = reference.where(
             overlaps_study_period(test_start_date, test_end_date)
         )
-        assert _sorted_checksums(got) == _sorted_checksums(ref_clipped), (
-            f"Feature `{feature}` mismatch between get_feature and compute."
-        )
-
+        got_sums = _sorted_checksums(got)
+        ref_sums = _sorted_checksums(ref_clipped)
         # 4. memoization
         target_table = f"{store.target_schema}.{loader}"
         missing = store.determine_missing_ranges(
             target_table, test_start_date, test_end_date, store.slice_ts
+        )
+        return out_of_bounds, schema, bad, got_sums, ref_sums, missing
+
+    for feature, r in _pooled_by_loader(_feature_checks):
+        out_of_bounds, schema, bad, got_sums, ref_sums, missing = r
+        assert out_of_bounds == 0, (
+            f"Feature `{feature}` returns data outside the study period."
+        )
+        for c in ("valid_from", "valid_until"):
+            assert isinstance(schema[c], T.DateType), (
+                f"Feature `{feature}` has a non-Date `{c}` column."
+            )
+        assert bad == 0, f"Feature `{feature}` violates validity ordering."
+        assert got_sums == ref_sums, (
+            f"Feature `{feature}` mismatch between get_feature and compute."
         )
         assert missing == [], (
             f"missing ranges remain for `{feature}` after computation"
@@ -158,7 +194,8 @@ def run_conformance_suite(
 
     # 5. extended range
     extended_end = test_start_date + datetime.timedelta(days=9)
-    for feature, loader in store.ds_map.items():
+
+    def _extension_checks(feature: str, loader: str):
         got = store.get_feature(feature, test_start_date, extended_end)
         handler = store.handler(loader)
         reference = handler.compute(
@@ -168,7 +205,12 @@ def run_conformance_suite(
             source_conn=store.source_conn,
             ds=store,
         ).where(overlaps_study_period(test_start_date, extended_end))
-        assert _sorted_checksums(got) == _sorted_checksums(reference), (
+        return _sorted_checksums(got), _sorted_checksums(reference)
+
+    for feature, (got_sums, ref_sums) in _pooled_by_loader(
+        _extension_checks
+    ):
+        assert got_sums == ref_sums, (
             f"Feature `{feature}` mismatch after range extension."
         )
     ran.append("extension-equality")
