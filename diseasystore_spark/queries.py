@@ -10379,18 +10379,30 @@ def q191_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _read(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     cutoff = "2024-01-15"
-    b1 = events.where(F.col("ts").cast("date") <= F.lit(cutoff))
-    b2 = events.where(F.col("ts").cast("date") > F.lit(cutoff))
 
     root = tempfile.mkdtemp(prefix="ds_stream_funnel_")
     sdir = os.path.join(root, "in")
     os.makedirs(sdir)
-    for i, half in enumerate([b1, b2]):
-        part = os.path.join(root, f"half{i}")
-        half.coalesce(1).write.mode("overwrite").parquet(part)
-        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+    # ONE pass over events writes both halves (dynamic partitioning on
+    # the half flag, which partitionBy strips from the data files, so
+    # each file carries exactly events.schema); the two-filtered-writes
+    # form scanned events twice for the same bytes (round 12, §2.4).
+    part = os.path.join(root, "halves")
+    (
+        events.withColumn(
+            "__half",
+            (F.col("ts").cast("date") > F.lit(cutoff)).cast("int"),
+        )
+        .coalesce(1)
+        .write.partitionBy("__half")
+        .mode("overwrite")
+        .parquet(part)
+    )
+    for i in range(2):
+        hdir = os.path.join(part, f"__half={i}")
+        src = next(f for f in os.listdir(hdir) if f.endswith(".parquet"))
         dst = os.path.join(sdir, f"{i}.parquet")
-        os.rename(os.path.join(part, src), dst)
+        os.rename(os.path.join(hdir, src), dst)
         os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
 
     stages = ["view", "click", "signup", "purchase"]

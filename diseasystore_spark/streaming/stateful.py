@@ -243,32 +243,42 @@ def funnel_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user,) = key
-        batches = list(pdf_iter)
-        if not batches:
+        # Per-group work is the micro-batch's bill (thousands of tiny
+        # groups per task), so stay allocation-lean: no pd.concat for
+        # the common single-chunk group, and re-sort only the stage
+        # arrays this batch actually touched (stored arrays are
+        # already sorted+deduped by the previous update).
+        ts_parts: list = []
+        ty_parts: list = []
+        for pdf in pdf_iter:
+            ts_parts.append(
+                pdf[ts_col]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype("int64")
+            )
+            ty_parts.append(pdf[type_col].to_numpy())
+        if not ts_parts:
             return
-        pdf = pd.concat(batches)
-        ts_us = (
-            pdf[ts_col]
-            .to_numpy()
-            .astype("datetime64[us]")
-            .astype("int64")
-        )
-        types = pdf[type_col].to_numpy()
 
         if state.exists:
             stored = state.get
-            cands = [sorted(stored[j] or []) for j in range(k)]
+            cands = [list(stored[j] or []) for j in range(k)]
             old_reach = list(stored[k] or [])
         else:
             cands = [[] for _ in range(k)]
             old_reach = [NOT_REACHED] * k
 
-        for t, typ in zip(ts_us, types):
-            j = stage_idx.get(typ)
-            if j is not None:
-                cands[j].append(int(t))
+        touched = [False] * k
+        for ts_us, types in zip(ts_parts, ty_parts):
+            for t, typ in zip(ts_us, types):
+                j = stage_idx.get(typ)
+                if j is not None:
+                    cands[j].append(int(t))
+                    touched[j] = True
         for j in range(k):
-            cands[j] = sorted(set(cands[j]))
+            if touched[j]:
+                cands[j] = sorted(set(cands[j]))
 
         reach = _recompute(cands)
         # Prune: times strictly above a reached stage's answer can
